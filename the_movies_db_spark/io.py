@@ -1,0 +1,148 @@
+"""IO + catalog surface (SURVEY §2.1 S2/S3, §2.2 K1/K4 parity).
+
+The reference probes PostgreSQL ``information_schema`` with f-string
+SQL (``/root/reference/utilities/etl.py:292-334``,
+``/root/reference/utilities/queries.py:6-34``); here the same
+capabilities are the Spark catalog API — no SQL string synthesis, no
+injection surface (reference bug §2.13.5), no probe temp tables.
+
+Scale notes:
+- ``load_tables`` returns *lazy* DataFrames; nothing is read until an
+  action, so column pruning / predicate pushdown reach the Parquet
+  footers (verify with ``df.explain``: ``PushedFilters`` /
+  ``ReadSchema``).
+- ``write_table`` partitions/buckets are caller-declared: at 100 TB a
+  fact table is written ``partitionBy`` a low-cardinality column
+  (date) and optionally bucketed by join key so downstream joins
+  avoid a shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _with_nanos_as_long(spark: SparkSession) -> None:
+    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+    # parquet reader rejects outright; read nanos as bigint and convert
+    # below. Runtime-settable, so it works under the harness's session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table (``TESTDATA.md``) lazily from ``sf_dir``.
+
+    ``events.ts`` is nanosecond-precision parquet; Spark has no nanos
+    timestamp, so it is truncated to microseconds as TIMESTAMP_NTZ via
+    pure NTZ arithmetic (session-timezone independent, matching how
+    DuckDB truncates the same column to its native microseconds).
+    """
+    if name == "events":
+        _with_nanos_as_long(spark)
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+            "ts",
+            # integer DIV keeps full int64 precision (a double division
+            # would round ~1.7e18 ns values and shift some events by 1µs)
+            F.expr(
+                "timestampadd(MICROSECOND, ts DIV 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> None:
+    """Expose the test tables to ``spark.sql`` under their bare names."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --- catalog operations (reference parity: etl.py:285-334) -----------------
+
+
+def database_exists(spark: SparkSession, name: str) -> bool:
+    """Parity: ``check_schema_exists`` (/root/reference/utilities/etl.py:315-320)."""
+    return spark.catalog.databaseExists(name)
+
+
+def table_exists(spark: SparkSession, name: str, db: str | None = None) -> bool:
+    """Parity: ``check_table_exists`` (/root/reference/utilities/etl.py:307-313)."""
+    return spark.catalog.tableExists(f"{db}.{name}" if db else name)
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """Parity: ``create_schema`` (/root/reference/utilities/etl.py:322-334)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """Parity: ``drop_table`` (/root/reference/utilities/etl.py:302-305)."""
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def list_columns(spark: SparkSession, df_or_table: DataFrame | str) -> list[dict[str, str]]:
+    """Column-properties records, parity with ``get_column_info``
+    (/root/reference/utilities/etl.py:292-300, queries.py:6-34) which
+    reads ``information_schema.columns`` ordered by ordinal position.
+    Here it is just the schema — no probe table, no SQL.
+    """
+    if isinstance(df_or_table, str):
+        spark = SparkSession.getActiveSession()
+        assert spark is not None
+        return [
+            {"column_name": c.name, "data_type": c.dataType}
+            for c in spark.catalog.listColumns(df_or_table)
+        ]
+    return [
+        {"column_name": f.name, "data_type": f.dataType.simpleString()}
+        for f in df_or_table.schema.fields
+    ]
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Append/overwrite a Parquet table directory (reference K1 sink,
+    /root/reference/utilities/etl.py:27-86, minus pandas ``to_sql``).
+
+    Dedup is NOT implicit here (the reference deduped on every write,
+    etl.py:50,76,118,143) — callers opt in via ``operators.dedup`` so a
+    100 TB append doesn't pay a full shuffle it may not need.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

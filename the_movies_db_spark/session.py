@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The settings below are chosen so the same code runs correctly on
+``local[32]`` (the test harness) and would hold up on a 1000-executor
+cluster against ~100 TB:
+
+- **AQE on** (coalesce partitions, skew-join splitting, dynamic join
+  strategy switch) so runtime statistics — not guesses — pick the
+  physical plan at any scale.
+- **Arrow on** so the few pandas-UDF operators exchange columnar
+  batches, not pickled rows.
+- **Session timezone pinned to UTC** so timestamp semantics match the
+  DuckDB oracle and are stable across machines.
+- ``spark.sql.shuffle.partitions`` defaults to a small number locally
+  (AQE coalesces further); on a real cluster you would raise the
+  initial value (e.g. 2000+) and let AQE coalesce down — the code
+  never depends on a specific partition count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: vectorized reader + pushdown are defaults, pinned
+    # here so a misconfigured environment can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Broadcast threshold: dims like region/nation/supplier must
+    # broadcast; AQE also converts at runtime via size stats.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(app_name: str = "the_movies_db_spark", **overrides: str) -> SparkSession:
+    """Return (creating if needed) a SparkSession with engine defaults.
+
+    ``overrides`` win over the engine defaults. Master resolves from
+    (1) an already-active session, (2) ``$SPARK_GRAFT_CPUS`` →
+    ``local[N]``, (3) ``local[*]``.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {**_DEFAULTS, **overrides}
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
