@@ -1,0 +1,131 @@
+"""Unit tests for the MERGE engine (SURVEY §5: insert-only, update-only,
+mixed, no-op suppression via null-safe compare, dup-in-batch keep-latest,
+and the materialized write path)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from the_movies_db_spark.upsert import (
+    changed_predicate,
+    keep_latest,
+    merge_upsert,
+    with_audit_column,
+    write_upsert,
+)
+
+SCHEMA = "id long, val string, record_loaded_at timestamp"
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 1, 2)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _as_map(df):
+    return {r.id: r for r in df.collect()}
+
+
+def test_insert_only(spark):
+    target = _df(spark, [(1, "a", T0)])
+    batch = _df(spark, [(2, "b", T1)])
+    out = _as_map(merge_upsert(target, batch, "id"))
+    assert set(out) == {1, 2}
+    assert out[2].val == "b"
+
+
+def test_update_only(spark):
+    target = _df(spark, [(1, "a", T0)])
+    batch = _df(spark, [(1, "A", T1)])
+    out = _as_map(merge_upsert(target, batch, "id"))
+    assert out[1].val == "A"
+    assert out[1].record_loaded_at == T1
+
+
+def test_noop_keeps_target_row_and_audit(spark):
+    target = _df(spark, [(1, "a", T0)])
+    batch = _df(spark, [(1, "a", T1)])  # same value, newer audit
+    out = _as_map(merge_upsert(target, batch, "id"))
+    # change detection excludes the audit column → no-op → old audit kept
+    assert out[1].record_loaded_at == T0
+
+
+def test_null_safe_change_detection(spark):
+    target = _df(spark, [(1, None, T0), (2, "x", T0), (3, None, T0)])
+    batch = _df(spark, [(1, "now-set", T1), (2, None, T1), (3, None, T1)])
+    out = _as_map(merge_upsert(target, batch, "id"))
+    assert out[1].val == "now-set" and out[1].record_loaded_at == T1  # NULL→value
+    assert out[2].val is None and out[2].record_loaded_at == T1  # value→NULL
+    assert out[3].val is None and out[3].record_loaded_at == T0  # NULL=NULL no-op
+
+
+def test_mixed_and_target_retention(spark):
+    target = _df(spark, [(1, "a", T0), (2, "b", T0)])
+    batch = _df(spark, [(2, "B", T1), (3, "c", T1)])
+    out = _as_map(merge_upsert(target, batch, "id"))
+    assert out[1].val == "a" and out[2].val == "B" and out[3].val == "c"
+
+
+def test_in_batch_duplicates_keep_latest(spark):
+    target = _df(spark, [(1, "a", T0)])
+    batch = _df(spark, [(1, "older", T0), (1, "newer", T1)])
+    out = _as_map(merge_upsert(target, batch, "id"))
+    assert out[1].val == "newer"
+
+
+def test_keep_latest_composite_key(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "v1", T0), (1, "x", "v2", T1), (1, "y", "w1", T0)],
+        "k1 long, k2 string, val string, record_loaded_at timestamp",
+    )
+    out = keep_latest(df, ["k1", "k2"], "record_loaded_at")
+    vals = {(r.k1, r.k2): r.val for r in out.collect()}
+    assert vals == {(1, "x"): "v2", (1, "y"): "w1"}
+
+
+def test_changed_predicate_excludes_audit(spark):
+    t = _df(spark, [(1, "a", T0)]).alias("t")
+    b = _df(spark, [(1, "a", T1)]).alias("b")
+    joined = t.join(b, "id")
+    n = joined.filter(
+        changed_predicate("t", "b", ["val", "record_loaded_at"])
+    ).count()
+    assert n == 0
+
+
+def test_with_audit_column(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = with_audit_column(df)
+    assert "record_loaded_at" in out.columns
+    assert out.first().record_loaded_at is not None
+
+
+def test_write_upsert_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_upsert(spark, path, _df(spark, [(1, "a", T0), (2, "b", T0)]), "id")
+    write_upsert(spark, path, _df(spark, [(2, "B", T1), (3, "c", T1)]), "id")
+    out = _as_map(spark.read.parquet(path))
+    assert {k: v.val for k, v in out.items()} == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_upsert_schema_evolution_inline(spark):
+    target = spark.createDataFrame([(1, "a")], "id long, val string")
+    batch = spark.createDataFrame(
+        [(1, "a", 9.5), (2, "b", 1.0)], "id long, val string, score double"
+    )
+    out = merge_upsert(target, batch, "id", order_col=None)
+    rows = _as_map(out)
+    assert set(out.columns) == {"id", "val", "score"}
+    # row 1: score differs (NULL vs 9.5) → batch wins
+    assert rows[1].score == 9.5 and rows[2].score == 1.0
+
+
+@pytest.mark.parametrize("n", [0])
+def test_empty_batch_is_identity(spark, n):
+    target = _df(spark, [(1, "a", T0)])
+    batch = _df(spark, []).limit(n)
+    out = _as_map(merge_upsert(target, batch, "id"))
+    assert out[1].val == "a"

@@ -1,1 +1,185 @@
-"""Placeholder — filled in as the corresponding operators land."""
+"""Oracle-checked demos of the upsert engine + schema evolution
+(SURVEY §2.2 K2/K3, §1.3) on deterministic scenarios derived from the
+``orders`` table — every MERGE branch (insert / update / no-op keep /
+null-transition / target-retention) is exercised and the whole result
+is value-hashed against a pure-SQL replication of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import register
+from the_movies_db_spark.schema_evolution import reconcile
+from the_movies_db_spark.upsert import keep_latest, merge_upsert
+
+# Scenario for upsert_merge (all arithmetic mirrored in the oracle SQL):
+#   target = orders with o_orderkey % 4 != 0        (pk, price, status, audit=o_orderdate)
+#   batch  = orders with o_orderkey % 2 == 0, where
+#     - % 3 == 0 rows get price + 1000              (→ UPDATE branch)
+#     - % 5 == 0 rows get status := NULL            (→ null-safe change branch)
+#     - other matched rows are unchanged            (→ no-op: target row + audit kept)
+#     - % 4 == 0 rows are absent from target        (→ INSERT branch)
+#   audit column on batch rows is o_orderdate + 1 day, so the no-op
+#   branch is OBSERVABLE: an unchanged matched row keeps the old audit.
+
+
+def _target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("record_loaded_at"),
+    )
+
+
+def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, 1000.0).otherwise(0.0),
+            2,
+        ).alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("record_loaded_at"),
+    )
+
+
+@register(
+    "upsert_merge",
+    """
+    WITH t AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus AS status,
+             o_orderdate AS record_loaded_at
+      FROM orders WHERE o_orderkey % 4 != 0
+    ), b AS (
+      SELECT o_orderkey,
+             round(o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END, 2) AS price,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status,
+             o_orderdate + INTERVAL 1 DAY AS record_loaded_at
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL
+                  OR (b.o_orderkey IS NOT NULL
+                      AND ((t.price  IS DISTINCT FROM b.price)
+                        OR (t.status IS DISTINCT FROM b.status)))
+                THEN b.price  ELSE t.price  END AS price,
+           CASE WHEN t.o_orderkey IS NULL
+                  OR (b.o_orderkey IS NOT NULL
+                      AND ((t.price  IS DISTINCT FROM b.price)
+                        OR (t.status IS DISTINCT FROM b.status)))
+                THEN b.status ELSE t.status END AS status,
+           CASE WHEN t.o_orderkey IS NULL
+                  OR (b.o_orderkey IS NOT NULL
+                      AND ((t.price  IS DISTINCT FROM b.price)
+                        OR (t.status IS DISTINCT FROM b.status)))
+                THEN b.record_loaded_at ELSE t.record_loaded_at END AS record_loaded_at
+    FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+    """,
+    doc=(
+        "SCD-1 MERGE with null-safe change detection and no-op suppression "
+        "(reference K2/K3 parity, /root/reference/utilities/etl.py:88-183 + "
+        "queries.py:35-48) as one full-outer-join plan."
+    ),
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_upsert(
+        _target(spark, sf_dir),
+        _batch(spark, sf_dir),
+        pk="o_orderkey",
+        order_col="record_loaded_at",
+    )
+
+
+@register(
+    "upsert_keep_latest",
+    """
+    WITH versions AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price,
+             o_orderdate AS record_loaded_at, 1 AS ver
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, round(o_totalprice + 500.0, 2) AS price,
+             o_orderdate + INTERVAL 1 DAY AS record_loaded_at, 2 AS ver
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, price, record_loaded_at, ver
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY record_loaded_at DESC) AS rn
+          FROM versions) v
+    WHERE rn = 1
+    """,
+    doc=(
+        "Keyed in-batch dedup, keep-latest by audit timestamp — the scale-safe "
+        "replacement for the reference's full-row drop_duplicates (etl.py:143)."
+    ),
+)
+def upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("record_loaded_at"),
+        F.lit(1).alias("ver"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 500.0, 2).alias("price"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("record_loaded_at"),
+        F.lit(2).alias("ver"),
+    )
+    return keep_latest(v1.unionByName(v2), "o_orderkey", "record_loaded_at")
+
+
+@register(
+    "schema_drift_add",
+    """
+    WITH t AS (SELECT o_orderkey, o_orderstatus FROM orders),
+         b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+               FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT t.o_orderkey, t.o_orderstatus, b.o_orderpriority
+    FROM t LEFT JOIN b ON t.o_orderkey = b.o_orderkey
+    """,
+    doc=(
+        "Added-column drift: batch carries a new column, merge evolves the "
+        "target schema (reference etl.py:222-224 + 246-259); history rows "
+        "read back as NULL."
+    ),
+)
+def schema_drift_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_orderstatus")
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return merge_upsert(target, batch, pk="o_orderkey", order_col=None)
+
+
+@register(
+    "schema_drift_type",
+    """
+    SELECT o_orderkey,
+           CAST(NULL AS BIGINT)          AS o_custkey,
+           CAST(o_custkey AS VARCHAR)    AS o_custkey_string
+    FROM orders
+    """,
+    doc=(
+        "Type-change drift: never an in-place cast — the incoming column is "
+        "renamed to {col}_{type} alongside the original (reference "
+        "etl.py:263-276; ALL changed columns handled, fixing bug §2.13.3)."
+    ),
+)
+def schema_drift_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dest = o.select("o_orderkey", "o_custkey")
+    batch = o.select("o_orderkey", F.col("o_custkey").cast("string").alias("o_custkey"))
+    _, evolved_batch = reconcile(dest.limit(0), batch)
+    return evolved_batch.select("o_orderkey", "o_custkey", "o_custkey_string")

@@ -1,0 +1,147 @@
+"""Upsert / MERGE engine (SURVEY §2.2 K2/K3 — the reference's loader).
+
+Reference semantics re-expressed as one declarative plan (vs the
+reference's stage-to-temp-table → introspect → synthesize MERGE SQL →
+execute → drop, /root/reference/utilities/etl.py:88-183):
+
+- **keyed in-batch dedup, keep-latest** (the reference's full-row
+  ``drop_duplicates`` at etl.py:143 can't break pk ties; we order by
+  ``order_col`` — SURVEY §7 M3);
+- **null-safe change detection** (K3): a matched row is replaced only
+  if some non-audit column differs under ``eqNullSafe`` — parity with
+  the ``update_cond`` OR-chain built at etl.py:160-162 / used at
+  queries.py:41, which skips no-op updates (so an unchanged row keeps
+  its original audit timestamp);
+- **insert of unmatched batch rows**, **retention of unmatched target
+  rows** — the two MERGE branches at queries.py:42-46.
+
+Physical shape at 100 TB: one shuffle of each side on ``pk`` for the
+full-outer sort-merge join (AQE handles skew); if the batch is small
+relative to the target (the common daily-increment case), pass
+``broadcast_batch=True`` and the plan degrades to a broadcast outer
+join with NO shuffle of the target. With a transactional table format
+(Delta/Iceberg) this maps to native ``MERGE INTO``; on plain Parquet,
+``write_upsert`` rewrites to a fresh directory and swaps — the
+non-atomicity of rename-swap is documented in SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.schema_evolution import reconcile
+
+AUDIT_COLUMN = "record_loaded_at"  # parity: etl.py:32,95
+
+
+def with_audit_column(df: DataFrame, column: str = AUDIT_COLUMN) -> DataFrame:
+    """Stamp the load-time audit column (reference P1, etl.py:32,95)."""
+    return df.withColumn(column, F.current_timestamp())
+
+
+def keep_latest(df: DataFrame, pk: str | Sequence[str], order_col: str) -> DataFrame:
+    """Keyed dedup keeping the most recent row per key — row_number
+    over (pk ORDER BY order_col DESC). This is THE scale-safe dedup:
+    one shuffle on pk, no full-row comparison."""
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def changed_predicate(
+    left: str, right: str, columns: Sequence[str], audit_col: str = AUDIT_COLUMN
+) -> Column:
+    """OR-chain of null-safe inequality over non-audit columns — the
+    Spark form of the reference's ``update_cond`` (etl.py:160-162):
+    ``t1.c != t2.c OR (t1.c IS NULL) != (t2.c IS NULL)`` per column
+    collapses to ``NOT (t1.c <=> t2.c)``."""
+    cols = [c for c in columns if c != audit_col]
+    preds = [~F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols]
+    return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+
+
+def merge_upsert(
+    target: DataFrame,
+    batch: DataFrame,
+    pk: str | Sequence[str],
+    order_col: str | None = AUDIT_COLUMN,
+    audit_col: str = AUDIT_COLUMN,
+    evolve: bool = True,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """SCD-type-1 MERGE as a single lazy plan.
+
+    WHEN MATCHED AND <any non-audit col changed (null-safe)> THEN take
+    the batch row; WHEN MATCHED (no change) THEN keep the target row —
+    including its audit timestamp; WHEN NOT MATCHED THEN insert the
+    batch row; unmatched target rows persist.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    if evolve:
+        target, batch = reconcile(target, batch)
+    if order_col is not None and order_col in batch.columns:
+        batch = keep_latest(batch, keys, order_col)
+    if broadcast_batch:
+        batch = F.broadcast(batch)
+
+    t, b = target.alias("t"), batch.alias("b")
+    cond = reduce(
+        lambda a, c: a & c,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+    )
+    joined = t.join(b, cond, "full_outer")
+
+    non_key_cols = [c for c in target.columns if c not in keys]
+    changed = changed_predicate("t", "b", non_key_cols, audit_col)
+    batch_matched = F.col(f"b.{keys[0]}").isNotNull()
+    target_matched = F.col(f"t.{keys[0]}").isNotNull()
+    take_batch = (batch_matched & ~target_matched) | (
+        batch_matched & target_matched & changed
+    )
+
+    out_cols = [
+        F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return joined.select(*out_cols)
+
+
+def write_upsert(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    pk: str | Sequence[str],
+    order_col: str | None = AUDIT_COLUMN,
+) -> None:
+    """Materialized upsert against a Parquet table directory: read →
+    merge → write to a fresh sibling dir → atomic-ish swap. (With
+    Delta/Iceberg this whole function is a native MERGE INTO; the swap
+    is the plain-Parquet fallback, see module docstring.)"""
+    if not os.path.exists(target_path):
+        batch_df = batch
+        if order_col is not None and order_col in batch.columns:
+            batch_df = keep_latest(batch_df, pk, order_col)
+        batch_df.write.mode("overwrite").parquet(target_path)
+        return
+    target = spark.read.parquet(target_path)
+    merged = merge_upsert(target, batch, pk, order_col=order_col)
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(target_path) + "_stage_",
+        dir=os.path.dirname(target_path) or ".",
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    old = target_path + ".old"
+    os.rename(target_path, old)
+    os.rename(staging, target_path)
+    shutil.rmtree(old, ignore_errors=True)
