@@ -1,0 +1,118 @@
+"""Unit tests for dedup / text / similarity / multimodal operators on
+hand-built inputs with known answers (oracle queries cover the full
+pipelines; these pin the operator semantics themselves)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.operators import dedup as D
+from the_movies_db_spark.operators import multimodal as M
+from the_movies_db_spark.operators import similarity as S
+from the_movies_db_spark.operators import text as T
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different words appear in this one here"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_and_content_hash(spark, docs):
+    assert D.exact_dedup(docs.select("text")).count() == 3
+    groups = {r.canonical_id: r.n_copies for r in
+              D.content_hash_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1 and 4 collapse; canonical = min id
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.2).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_matches_minhash_verification(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_simhash_identical_for_dup_and_close_for_near_dup(spark, docs):
+    sigs = {r.doc_id: r.sig for r in
+            docs.select("doc_id", D.simhash32("text").alias("sig")).collect()}
+    assert sigs[1] == sigs[4]
+    assert 0 <= sigs[1] < 2**32
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham12 < ham13  # near-dup closer than unrelated
+
+
+def test_language_id_and_quality(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked to the dog for a while"),
+        (2, "der hund und die katze sind auf der straße zu hause für immer"),
+        (3, "xyzzy plugh qwop zzz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in df.select(
+        "id", T.language_id("text").alias("lang"),
+        F.round(T.quality_score("text"), 2).alias("q")).collect()}
+    assert out[1].lang == "en"
+    assert out[2].lang == "de"
+    assert out[3].lang == "und"
+    assert out[1].q == 1.0
+    assert out[3].q < 1.0  # no stopwords → loses that component
+
+
+def test_shingles_and_fingerprints(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    sh = df.select(T.word_shingles(T.tokens("text"), 3).alias("s")).first().s
+    assert sh == ["a b c", "b c d"]
+    fp = df.select(T.fingerprint_md5("text").alias("f"),
+                   T.minhash_fingerprint("text").alias("m")).first()
+    assert len(fp.f) == 32 and len(fp.m) == 32
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.01])]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    out = S.cosine_topk(df, df.filter("vec_id = 0"), "vec_id", "v", k=2).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [3, 1]  # by cosine to (1,0): vec3 > vec1 > vec2
+
+
+def test_lsh_bucket_deterministic_and_self_consistent(spark):
+    vecs = [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    sig = S.hyperplane_signature(F.col("v"), 4, 8)
+    a = df.select("vec_id", sig.alias("s")).collect()
+    b = df.select("vec_id", sig.alias("s")).collect()
+    assert {r.vec_id: r.s for r in a} == {r.vec_id: r.s for r in b}
+    assert all(len(r.s) == 4 and set(r.s) <= {"0", "1"} for r in a)
+
+
+def test_multimodal_plumbing(spark, docs):
+    blobs = M.text_as_binary(docs, "text")
+    meta = M.attach_media(blobs, "content", "text/plain")
+    r = meta.select("media.*").first()
+    assert r.mime == "text/plain" and r.n_bytes > 0 and len(r.checksum) == 32
+    feats = M.decode_image_batch(blobs, "doc_id", "content", fake=True)
+    rows = feats.collect()
+    assert len(rows) == 4
+    assert all(r.width >= 64 and 0 <= r.mean_intensity <= 1 for r in rows)
+    with pytest.raises(NotImplementedError):
+        M.decode_image_batch(blobs, "doc_id", "content").collect()
+    frames = M.sample_frames(blobs, "doc_id", "content", max_frames=4)
+    per_doc = frames.groupBy("id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per_doc)

@@ -1,0 +1,299 @@
+"""Deduplication operators: exact → fuzzy → semantic.
+
+Design for 100 TB (the whole point of each shape chosen here):
+
+- **Exact / content-hash dedup** — hash-groupBy on a 128-bit digest,
+  never a full-row comparison: one shuffle keyed by digest, map-side
+  partial aggregation, AQE handles hot hashes.
+- **MinHash-LSH** — signatures are computed *per row as a pure
+  expression* (no explode, no shuffle), then only (band, hash) pairs
+  are exploded for the bucket join. Candidate generation is an
+  equi-join on band hashes — O(candidates), not O(n²) — and exact
+  Jaccard verification runs only on bucket collisions.
+- **SimHash** — 32-bit signature per row as an expression; Hamming
+  distance via xor+bit_count on collided prefixes.
+- **Embedding cosine near-dup** — brute-force pairing is provided for
+  verification; the scale path is the LSH bucketing in
+  ``operators.similarity`` (hyperplane signatures → bucket join).
+
+Hash choice: md5 (not xxhash64/murmur) so signatures are identical in
+any engine — the DuckDB oracle replicates every pipeline here bit-for-
+bit. md5 costs more CPU than xxhash64; at scale swap `_seeded_hash`
+for ``F.xxhash64`` (one-line change) if cross-engine reproducibility
+is not required.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.operators.text import tokens, word_shingles
+
+# --- exact -----------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Reference P4 (`drop_duplicates`, etl.py:50,76,118,143) — full-row
+    or keyed distinct. Prefer a keyed subset at scale."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def content_hash_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Group rows by normalized-content digest; keep the minimum id as
+    the canonical representative. Returns (content_hash, canonical_id,
+    n_copies)."""
+    from the_movies_db_spark.operators.text import fingerprint_md5
+
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def _seeded_hash(value: Column, seed: int) -> Column:
+    """Deterministic, engine-portable seeded hash: md5 hex of
+    '{seed}:{value}'. Lexicographic min over hex strings is a valid
+    min-wise hash."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), value))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hashes over word shingles — one
+    expression, no shuffle, no UDF."""
+    sh = F.array_distinct(word_shingles(tokens(text), shingle_n))
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: _seeded_hash(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: band_j = md5(sig[j*r+1 .. j*r+r] joined).
+    Returns array<string> of band hashes."""
+    return F.array(
+        *[
+            F.md5(F.array_join(F.slice(signature, j * rows_per_band + 1, rows_per_band), "|"))
+            for j in range(num_bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH: signature →
+    bands → explode (band_idx, band_hash) → self-equi-join. Returns
+    distinct (id_a, id_b) with id_a < id_b."""
+    rows = num_hashes // num_bands
+    sig = minhash_signature(text_col, num_hashes, shingle_n)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(lsh_bands(sig, num_bands, rows)).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over two distinct-shingle arrays."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return inter / union
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
+    pairs with jaccard ≥ threshold. Output (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, num_bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias("__sh"),
+    )
+    return (
+        cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__sid"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.__sid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sa.__sh"), F.col("sb.__sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- n-gram Jaccard (explode-based exact variant) --------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard restricted to pairs sharing ≥1 shingle:
+    explode → self-join on shingle → count shared → |A∪B| from per-doc
+    sizes. Scales as O(sum of postings²) per shingle — use MinHash-LSH
+    when shingle frequencies are heavy-tailed."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.__id"))
+        .join(sb, F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash over distinct whitespace tokens, as one
+    expression. Token hash = first 8 md5 hex chars → uint32; each bit
+    votes ±1; signature bit b is 1 iff the vote sum is > 0.
+
+    Bit extraction uses integer DIV/%2 arithmetic (not shifts) so the
+    identical formula runs on any SQL engine for verification.
+    """
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + (F.floor(h / F.lit(2**b)).cast("bigint") % 2 * 2 - 1),
+        )
+    return sum(
+        (F.when(bit_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(32)),
+        start=F.lit(0),
+    ).cast("bigint").alias("simhash")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the high
+    16 bits (a (32,16) prefix block — at scale use multiple rotated
+    blocks so any ≤k-distance pair collides in ≥1 block)."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash32(text_col).alias("sig")
+    ).withColumn("block", (F.col("sig") / F.lit(2**16)).cast("bigint"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product (expression-only,
+    deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (
+        F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (verification baseline).
+    The 100 TB path replaces the cross join with
+    ``similarity.hyperplane_lsh_buckets`` (same cosine, bucketed)."""
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4)
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

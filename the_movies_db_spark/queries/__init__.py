@@ -53,8 +53,10 @@ def load_all() -> dict[str, Query]:
     return the registry."""
     from the_movies_db_spark.queries import (  # noqa: F401
         dedup_queries,
+        multimodal_queries,
         relational,
         similarity_queries,
+        streaming_queries,
         text_queries,
         upsert_queries,
     )

@@ -1,0 +1,74 @@
+"""Multimodal-column queries: binary blobs + typed metadata
+(north-star). The blob for test purposes is the UTF-8 encoding of
+``documents.text`` — the plumbing (binary columns, metadata structs,
+Arrow-batched decode, frame explode) is exactly what real media bytes
+would flow through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.operators import multimodal as M
+from the_movies_db_spark.queries import register
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           'text/plain'                AS mime,
+           octet_length(encode(text))  AS n_bytes,
+           md5(text)                   AS checksum
+    FROM documents
+    """,
+    doc=(
+        "Binary-column metadata struct (mime, n_bytes, md5 checksum) — "
+        "metadata-only reads never touch the blob column chunks."
+    ),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    d = M.attach_media(d, "content", "text/plain")
+    return d.select(
+        "doc_id",
+        F.col("media.mime").alias("mime"),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.col("media.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS id,
+           CAST(i AS INT)        AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(text || '#' || i) AS frame_checksum
+    FROM documents,
+         UNNEST(range(0, octet_length(encode(text)) % 8 + 1)) AS t(i)
+    """,
+    doc=(
+        "Frame-sampling plumbing: one row per sampled frame exploded "
+        "from each video blob (deterministic stub for the container "
+        "parse; the explode/distribution shape is real)."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    return M.sample_frames(d, "doc_id", "content", fps_ms=1000, max_frames=8)
+
+
+@register(
+    "multimodal_image_features",
+    None,  # decode is a stubbed Python kernel — rows-only check
+    doc=(
+        "Arrow-batched image feature extraction via mapInPandas "
+        "(deterministic fake decoder standing in for PIL/cv2)."
+    ),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    return M.decode_image_batch(d, "doc_id", "content", fake=True)

@@ -1,0 +1,90 @@
+"""Streaming queries for the driver gate: each runs a REAL Structured
+Streaming job (file source → windowed stateful agg → AvailableNow →
+memory sink) and returns the materialized result, which is then
+value-hashed against plain batch SQL — a bounded replay is
+deterministic, so streaming and batch must agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from the_movies_db_spark.queries import register
+from the_movies_db_spark.streaming import events as E
+
+
+@register(
+    "streaming_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Tumbling-window streaming aggregation with watermark, executed "
+        "AvailableNow — must equal the batch GROUP BY hour exactly."
+    ),
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = E.read_events_stream(spark, sf_dir)
+    out = E.run_available_now(E.tumbling_agg(stream))
+    return E.to_ntz(out, "window_start")
+
+
+@register(
+    "streaming_session_window",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT min(ts)              AS session_start,
+           user_id,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc=(
+        "F.session_window stateful streaming sessionization (30-min gap), "
+        "verified against the batch lag/cumsum sessionization SQL."
+    ),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = E.read_events_stream(spark, sf_dir)
+    out = E.run_available_now(E.session_agg(stream))
+    return E.to_ntz(out, "session_start")
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT count(*) AS n_events FROM events
+    """,
+    doc=(
+        "dropDuplicatesWithinWatermark stateful dedup: the stream is "
+        "unioned with itself (every event arrives twice) and the deduped "
+        "count must equal the batch count(*) exactly."
+    ),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    doubled = E.read_events_stream(spark, sf_dir).union(
+        E.read_events_stream(spark, sf_dir)
+    )
+    deduped = E.dedup_within_watermark(doubled)
+    counted = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_events"))
+    return E.run_available_now(counted)

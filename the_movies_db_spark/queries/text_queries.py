@@ -1,1 +1,139 @@
-"""Placeholder — filled in as the corresponding operators land."""
+"""Oracle-checked text-analysis queries over the ``documents`` table
+(north-star: token counting, quality scoring, language-ID,
+fingerprinting). Every DuckDB oracle replicates the exact arithmetic
+of the Spark expression — same tokenization, same integer/double
+division, same md5-based fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.operators import text as T
+from the_movies_db_spark.queries import register
+
+_TOKENS = "regexp_split_to_array(text, '\\s+')"
+_STOP_EN = "'the','a','of','and','to','in','is','on','for','with'"
+
+
+def _stop_list(lang: str) -> str:
+    return ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
+
+
+def _ratio_sql(lang: str) -> str:
+    return (
+        f"(list_aggregate(list_transform({_TOKENS}, t -> CASE WHEN lower(t) IN "
+        f"({_stop_list(lang)}) THEN 1 ELSE 0 END), 'sum') * 1.0 / len({_TOKENS}))"
+    )
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS})                                    AS n_tokens,
+           length(text)                                      AS n_chars,
+           len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS n_pieces,
+           round(list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum')
+                 * 1.0 / len({_TOKENS}), 4)                  AS avg_token_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex pieces + length stats.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        T.regex_token_count("text").alias("n_pieces"),
+        F.round(T.avg_token_length("text"), 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS n_tok,
+             {_ratio_sql("en")} AS stop_r,
+             list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum')
+               * 1.0 / len({_TOKENS}) AS awl,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               * 1.0 / length(text) AS punct_r
+      FROM documents
+    )
+    SELECT doc_id,
+           round(stop_r, 4)  AS stopword_ratio,
+           round(punct_r, 4) AS punct_ratio,
+           round(CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN stop_r >= 0.02 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN punct_r <= 0.2 THEN 0.25 ELSE 0.0 END, 2) AS quality
+    FROM q
+    """,
+    doc="Composite quality score: length band, stopword presence, word shape, punctuation density.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(T.quality_score("text"), 2).alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_ratio_sql("de")} AS s_de, {_ratio_sql("en")} AS s_en,
+             {_ratio_sql("es")} AS s_es, {_ratio_sql("fr")} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.02 THEN 'und'
+                WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en >= greatest(s_es, s_fr)       THEN 'en'
+                WHEN s_es >= s_fr                       THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    doc=(
+        "Stopword-overlap language heuristic (argmax over per-language "
+        "ratios, earliest-language tie-break, 'und' below threshold)."
+    ),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.language_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           list_aggregate(list_transform(
+             list_transform(range(1, greatest(len({_TOKENS}) - 2, 1) + 1),
+                            i -> array_to_string(({_TOKENS})[i:i+2], ' ')),
+             s -> md5(s)), 'min')                                   AS minhash_fp
+    FROM documents
+    """,
+    doc=(
+        "Document fingerprints: exact content hash + 1-permutation "
+        "MinHash over 3-word shingles (the cheap near-dup key)."
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5("text").alias("content_hash"),
+        T.minhash_fingerprint("text").alias("minhash_fp"),
+    )

@@ -1,0 +1,161 @@
+"""Structured Streaming surface (SURVEY §2.10 — absent in the
+reference, required scope).
+
+The reference fakes incrementality with daily full re-pulls + MERGE
+(themovies.py:130); here the same semantics are real streams:
+
+- ``read_events_stream`` — file-source stream over the events parquet
+  (nanos ts handled exactly like the batch reader);
+- tumbling / sliding / session windowed aggregations with watermarks;
+- ``dedup_within_watermark`` — stateful exact dedup;
+- ``foreach_batch_upsert`` — the reference's MERGE loop applied per
+  micro-batch (reuses the batch upsert engine verbatim);
+- ``run_available_now`` — execute any of the above bounded
+  (Trigger.AvailableNow) into a memory sink and hand back the result
+  as a plain DataFrame. This is how the driver's correctness gate can
+  value-hash a *real streaming job* against batch SQL: a bounded
+  replay with complete/append output is deterministic.
+
+Scale notes: state stores partition by the grouping key (user_id /
+window), so a 1000-executor cluster shards state naturally; watermarks
+bound state size — without them session/dedup state grows forever.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the events table. Schema comes from the
+    batch reader (streams require a declared schema); the nanos→NTZ
+    conversion is identical to ``io.load_table``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # Watermarks require TIMESTAMP (LTZ). Convert nanos → NTZ wall-clock
+    # (exact, as in io.load_table) → LTZ via a string round-trip, which
+    # PRESERVES the wall-clock in any session timezone; query functions
+    # convert results back the same way, so end-to-end values are
+    # session-TZ independent and match the batch/oracle NTZ semantics.
+    return reader.load(sf_dir).withColumn(
+        "ts",
+        F.expr(
+            "CAST(CAST(timestampadd(MICROSECOND, ts DIV 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00') AS STRING) AS TIMESTAMP)"
+        ),
+    )
+
+
+def to_ntz(df: DataFrame, *cols: str) -> DataFrame:
+    """Convert LTZ timestamp columns back to NTZ wall-clock (inverse of
+    the read-side conversion, same string round-trip)."""
+    for c in cols:
+        df = df.withColumn(c, F.expr(f"CAST(CAST({c} AS STRING) AS TIMESTAMP_NTZ)"))
+    return df
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value"
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id, state bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def foreach_batch_upsert(target_path: str, pk: str, order_col: str | None = None):
+    """The reference's per-run MERGE (etl.py:88-183) as a streaming
+    sink: each micro-batch upserts into the target table."""
+    from the_movies_db_spark.upsert import write_upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_upsert(batch_df.sparkSession, target_path, batch_df, pk, order_col=order_col)
+
+    return sink
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming DataFrame bounded (AvailableNow) into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return result.sparkSession.table(name)
+
+
+def run_foreach_batch_available_now(
+    events: DataFrame, sink, timeout_s: int = 300
+) -> None:
+    q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch view of the same table (for result parity checks)."""
+    return load_table(spark, sf_dir, "events")
