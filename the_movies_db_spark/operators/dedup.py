@@ -69,16 +69,32 @@ def _seeded_hash(value: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), value))
 
 
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 8) -> Column:
+    """Array of ``num_hashes`` min-hashes from a distinct-shingle array.
+
+    Single pass over the shingles: one transform emits all seeded
+    hashes per shingle, then an elementwise-min fold collapses them —
+    each shingle is hashed exactly ``num_hashes`` times and the shingle
+    array is evaluated exactly once (the naive per-seed ``array_min``
+    form re-evaluates the shingle expression per seed, a num_hashes×
+    work amplification in the interpreted higher-order-function path).
+    """
+    per_shingle = F.transform(
+        sh, lambda s: F.array(*[_seeded_hash(s, i) for i in range(num_hashes)])
+    )
+    # 'g' sorts after every md5 hex char, so it is an identity for min.
+    return F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit("g"), num_hashes),
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
+
+
 def minhash_signature(text: Column | str, num_hashes: int = 8, shingle_n: int = 3) -> Column:
     """Array of ``num_hashes`` min-hashes over word shingles — one
     expression, no shuffle, no UDF."""
     sh = F.array_distinct(word_shingles(tokens(text), shingle_n))
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: _seeded_hash(s, i)))
-            for i in range(num_hashes)
-        ]
-    )
+    return minhash_signature_from_shingles(sh, num_hashes)
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -102,12 +118,22 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH: signature →
     bands → explode (band_idx, band_hash) → self-equi-join. Returns
-    distinct (id_a, id_b) with id_a < id_b."""
+    distinct (id_a, id_b) with id_a < id_b.
+
+    The signature is staged as its own projection so the banding
+    slices reference a computed column instead of re-inlining the
+    signature expression num_bands× (Catalyst's CollapseProject keeps
+    multi-referenced expensive aliases in their own stage)."""
     rows = num_hashes // num_bands
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
-    banded = df.select(
+    sig_df = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(lsh_bands(sig, num_bands, rows)).alias("band_idx", "band_hash"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("__sig"),
+    )
+    banded = sig_df.select(
+        "__id",
+        F.posexplode(lsh_bands(F.col("__sig"), num_bands, rows)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")

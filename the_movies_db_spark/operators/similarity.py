@@ -64,25 +64,33 @@ def cosine_topk(
     )
 
 
-def _plane_sign(plane: int, dim: int) -> Column:
-    """Deterministic ±1 hyperplane entry: parity of the first md5 hex
-    digit of '{plane}:{dim}' — reproducible in any engine."""
-    return (
-        F.when(F.substring(F.md5(F.lit(f"{plane}:{dim}")), 1, 1).isin(*HEX_EVEN), 1)
-        .otherwise(-1)
-        .cast("double")
-    )
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane: parity of the first md5 hex digit
+    of '{plane}:{d}' per dimension — the exact values any engine's
+    md5() reproduces, precomputed driver-side so the Spark expression
+    is a small literal array instead of dim× inline md5 CASEs."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0] in HEX_EVEN
+        else -1.0
+        for d in range(dim)
+    ]
 
 
 def hyperplane_signature(vec: Column, num_planes: int, dim: int) -> Column:
     """Sign-random-projection signature as a '0101...' string. Bit p =
     1 iff round(dot(v, plane_p), 6) >= 0 (rounded so the sign is stable
-    across engines)."""
+    across engines). Dot products fold left in dimension order — the
+    same double-arithmetic sequence the SQL oracle computes."""
     bits = []
     for p in range(num_planes):
-        dot = sum(
-            (F.element_at(vec, d + 1).cast("double") * _plane_sign(p, d) for d in range(dim)),
-            start=F.lit(0.0),
+        plane = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
         bits.append(F.when(F.round(dot, 6) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
