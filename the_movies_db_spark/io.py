@@ -73,6 +73,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's core count.
+
+    The driver's small-SF tables arrive as a single parquet file = one
+    input partition, so CPU-heavy per-row expression work (minhash,
+    simhash, LSH signatures) would otherwise run on one core. A
+    round-robin shuffle of the (tiny) source rows is microseconds; the
+    32× parallelism on the downstream compute is the win. At real
+    scale the scan already yields thousands of splits and callers pass
+    ``n`` only to rebalance skewed inputs.
+    """
+    spark = df.sparkSession
+    return df.repartition(n or spark.sparkContext.defaultParallelism)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
 ) -> dict[str, DataFrame]:

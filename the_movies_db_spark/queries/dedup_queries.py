@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from the_movies_db_spark.io import load_table
+from the_movies_db_spark.io import load_table, spread
 from the_movies_db_spark.operators import dedup as D
 from the_movies_db_spark.queries import register
 
@@ -48,7 +48,7 @@ _BANDS = ", ".join(
     ),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return D.content_hash_groups(d, "doc_id", "text")
 
 
@@ -79,7 +79,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return D.minhash_lsh_dedup_pairs(
         d, "doc_id", "text", threshold=0.2,
         num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
@@ -109,7 +109,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2, shingle_n=3)
 
 
@@ -134,7 +134,7 @@ _BITVOTE = " + ".join(
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", D.simhash32("text").alias("simhash"))
 
 
@@ -144,7 +144,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash near-dup pairs (Hamming ≤ 6) blocked on the high 16 bits.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=6)
 
 
@@ -168,5 +168,5 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     return D.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from the_movies_db_spark.io import load_table
+from the_movies_db_spark.io import load_table, spread
 from the_movies_db_spark.operators import similarity as S
 from the_movies_db_spark.queries import register
 
@@ -43,7 +43,7 @@ _COS = (
     ),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(e, q, "vec_id", "embedding", k=_K)
 
@@ -86,7 +86,7 @@ _SIG_EXPR = " || ".join(
     ),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk_lsh(e, q, "vec_id", "embedding", k=5, num_planes=_PLANES, dim=_DIM)
 
@@ -107,7 +107,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     sig = S.hyperplane_signature(F.col("embedding"), _PLANES, _DIM)
     return (
         e.select(sig.alias("bucket"), "vec_id")
@@ -125,6 +125,6 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk_pandas(e, q, "vec_id", "embedding", k=_K)
