@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         similarity_queries,
         streaming_queries,
         text_queries,
+        tpch_extra,
         upsert_queries,
     )
 

@@ -1,0 +1,571 @@
+"""Extended TPC-H-shape relational coverage (SURVEY §2.4–§2.8).
+
+The driver's star schema is a reduced TPC-H (no ``partsupp``, no
+commit/receipt dates, no ship modes), so each classic query is
+adapted to the available columns while keeping its *operator shape* —
+the point of this module is breadth of plan shapes, each verified
+against the DuckDB oracle:
+
+- Q4  → EXISTS (left-semi join with a compound, cross-table predicate)
+- Q7  → two-sided dimension join with a disjunctive nation-pair filter
+- Q8  → market share: conditional aggregation over a 6-table star join
+- Q12 → conditional (CASE) aggregation after fact-fact join
+- Q13 → left outer join → count → distribution of counts (agg of agg)
+- Q14 → promo revenue: CASE-sum ratio over part join
+- Q17 → correlated scalar subquery, decorrelated to an agg-join
+- Q18 → HAVING on a fact rollup joined back to dims
+- Q19 → disjunction of conjunctive predicates (OR-of-ANDs pushdown)
+- Q21 → EXISTS + NOT EXISTS with inequality correlation (semi + anti)
+- Q22 → scalar-subquery threshold + anti join
+- pivot / unpivot and exact percentiles round out the agg surface.
+
+Scale notes: every dim join broadcasts the dim side; semi/anti joins
+keyed on ``l_orderkey`` shuffle the fact once and AQE coalesces; the
+Q17/Q21 self-referential shapes avoid per-row subquery execution
+entirely (they are windows / agg-joins, the decorrelated plan Spark
+would otherwise have to synthesize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import register
+
+
+def _t(df: DataFrame, column: str, value: str):
+    return F.lit(value).cast(df.schema[column].dataType)
+
+
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape: EXISTS with a cross-table inequality → left-semi "
+        "join on the order key, then hash agg on priority."
+    ),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = o.filter(
+        (F.col("o_orderdate") >= _t(o, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _t(o, "o_orderdate", "1997-01-01"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q07_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             cast(year(l.l_shipdate) AS INT) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) t
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+    doc=(
+        "TPC-H Q7 shape: fact-fact join + four broadcast dims, disjunctive "
+        "nation-pair predicate, agg by (nation pair, year)."
+    ),
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q08_market_share",
+    """
+    SELECT yr,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT cast(year(o.o_orderdate) AS INT) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    ) t
+    GROUP BY yr
+    """,
+    doc=(
+        "TPC-H Q8 shape: 7-table star join (all dims broadcast), national "
+        "market share as a conditional-sum ratio per year."
+    ),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q12_priority_class",
+    """
+    SELECT cast(year(l_shipdate) AS INT) AS yr,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+    doc=(
+        "TPC-H Q12 shape (ship modes → ship years): fact-fact join with "
+        "pushed range filter, CASE-sum priority split."
+    ),
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _t(li, "l_shipdate", "1997-01-01"))
+        & (F.col("l_shipdate") < _t(li, "l_shipdate", "1999-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13: left outer join → per-customer order count → "
+        "distribution of counts (two-level aggregation)."
+    ),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14: broadcast part join, CASE-sum percentage in one agg.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    li = li.filter(
+        (F.col("l_shipdate") >= _t(li, "l_shipdate", "1997-03-01"))
+        & (F.col("l_shipdate") < _t(li, "l_shipdate", "1997-04-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    return li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(vol), 4).alias("promo_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc=(
+        "TPC-H Q17: correlated scalar subquery decorrelated to a per-part "
+        "avg join — no per-row subquery execution at any scale."
+    ),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg, F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           round(o_totalprice, 2) AS total_price, round(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q18: fact rollup + HAVING, joined back to orders/customer, "
+        "deterministic top-20 (TakeOrderedAndProject)."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("__sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    doc=(
+        "TPC-H Q19: OR-of-ANDs across both join sides — Catalyst pushes "
+        "the per-side residuals below the join."
+    ),
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    clause = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        clause("Brand#1", 15, 1, 21)
+        | clause("Brand#2", 25, 10, 30)
+        | clause("Brand#3", 35, 20, 40)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q21_latest_shipper",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+    doc=(
+        "TPC-H Q21 shape: EXISTS (left-semi) + NOT EXISTS with inequality "
+        "correlation (left-anti), counting the strictly-latest shipper in "
+        "multi-supplier finished orders."
+    ),
+)
+def q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_ok"),
+        F.col("l_suppkey").alias("l3_sk"),
+        F.col("l_shipdate").alias("l3_sd"),
+    )
+    semi = l1.join(
+        l2,
+        (F.col("l2_ok") == F.col("l_orderkey")) & (F.col("l2_sk") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.join(
+        l3,
+        (F.col("l3_ok") == F.col("l_orderkey"))
+        & (F.col("l3_sk") != F.col("l_suppkey"))
+        & (F.col("l3_sd") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        anti.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_inactive_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "TPC-H Q22 shape: scalar-subquery threshold (broadcast single-row "
+        "cross join) + NOT EXISTS anti join on recent orders."
+    ),
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= _t(o, "o_orderdate", "1999-01-01"))
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot / percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc=(
+        "PIVOT: wide conditional aggregation — Spark's groupBy().pivot() "
+        "with explicit value list (one pass, no per-value scans)."
+    ),
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty'  AS measure, sum_qty  AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM agg
+    ) t
+    """,
+    doc="UNPIVOT (melt): wide aggregate → long (measure, value) rows.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4)                 AS median_price,
+           round(quantile_cont(l_extendedprice, 0.25), 4)    AS p25,
+           round(quantile_cont(l_extendedprice, 0.75), 4)    AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4)    AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact percentiles (median / p25 / p75 / p95) with linear "
+        "interpolation — single-pass grouped sort-based aggregate."
+    ),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
