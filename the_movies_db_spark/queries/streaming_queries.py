@@ -88,3 +88,84 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = E.dedup_within_watermark(doubled)
     counted = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_events"))
     return E.run_available_now(counted)
+
+
+@register(
+    "streaming_sliding",
+    """
+    WITH b AS (
+      SELECT event_type,
+             date_trunc('hour', ts)
+               + CASE WHEN extract(minute FROM ts) >= 30
+                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s1
+      FROM events
+    ), w AS (
+      SELECT event_type, s1 AS window_start FROM b
+      UNION ALL
+      SELECT event_type, s1 - INTERVAL 30 MINUTE AS window_start FROM b
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding-window (1h window / 30min slide) streaming aggregation — "
+        "every event lands in exactly two overlapping windows; verified "
+        "against the batch double-bucket expansion."
+    ),
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = E.read_events_stream(spark, sf_dir)
+    out = E.run_available_now(E.sliding_agg(stream))
+    return E.to_ntz(out, "window_start")
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    """
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "foreachBatch upsert sink: each micro-batch MERGEs into a parquet "
+        "target keyed on event_id (the reference's per-run MERGE loop, "
+        "etl.py:88-183, as a streaming sink); the final table must equal "
+        "the batch input exactly."
+    ),
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    target = tempfile.mkdtemp(prefix="fbupsert_") + "/events_tbl"
+    stream = E.read_events_stream(spark, sf_dir)
+    E.run_foreach_batch_available_now(
+        stream, E.foreach_batch_upsert(target, pk="event_id", order_col="ts")
+    )
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "streaming_stateful_counter",
+    """
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Custom stateful streaming operator via applyInPandasWithState: "
+        "per-event-type running (count, sum) state across micro-batches, "
+        "final state verified against the batch GROUP BY."
+    ),
+)
+def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = E.read_events_stream(spark, sf_dir)
+    return E.run_available_now(E.stateful_running_totals(stream), output_mode="update")

@@ -113,6 +113,43 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-event-type
+    running (count, sum-of-value) maintained in group state across
+    micro-batches; each batch emits the key's updated totals.
+
+    This is the escape hatch for operators Structured Streaming lacks —
+    state is sharded by the grouping key across executors exactly like
+    built-in stateful aggs, and the per-group logic is arbitrary
+    Arrow-batched pandas. (`update` output mode; pair with a watermark
+    + timeouts for keys that must expire at scale.)
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key: tuple, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [count],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update_totals,
+        outputStructType="event_type string, n_events long, total_value double",
+        stateStructType="count long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(target_path: str, pk: str, order_col: str | None = None):
     """The reference's per-run MERGE (etl.py:88-183) as a streaming
     sink: each micro-batch upserts into the target table."""
