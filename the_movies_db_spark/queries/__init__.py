@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         relational,
         similarity_queries,
         streaming_queries,
+        surface_extra,
         text_queries,
         tpch_extra,
         upsert_queries,

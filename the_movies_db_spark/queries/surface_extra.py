@@ -1,0 +1,152 @@
+"""Generator / map / frame / argmax surface (SURVEY §2.6, §2.9, §2.11).
+
+Rounds out operator families the core modules don't exercise:
+lateral row generation (explode of a computed sequence), MapType
+access from JSON, RANGE window frames over a numeric key, and
+deterministic argmax aggregation (``max_by`` with a struct ordering —
+tie-broken so both engines select the identical row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import register
+
+
+@register(
+    "explode_lateral_months",
+    """
+    SELECT strftime(o_orderdate + g * INTERVAL 1 MONTH, '%Y-%m') AS ym,
+           count(*)                   AS n_orders,
+           round(sum(o_totalprice), 2) AS amortized_total
+    FROM orders, unnest([0, 1, 2]) AS t(g)
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    GROUP BY 1
+    """,
+    doc=(
+        "Lateral row generation: each order explodes into a 3-month "
+        "amortization schedule (explode of a per-row sequence — the "
+        "UDTF-shaped operator family), then a monthly rollup."
+    ),
+)
+def explode_lateral_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast(o.schema["o_orderdate"].dataType)
+    )
+    return (
+        o.select(
+            "o_totalprice",
+            "o_orderdate",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("g"),
+        )
+        .groupBy(
+            F.date_format(
+                F.add_months("o_orderdate", F.col("g")), "yyyy-MM"
+            ).alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("amortized_total"),
+        )
+    )
+
+
+@register(
+    "fn_map_json_props",
+    """
+    SELECT event_type,
+           round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+           max(json_extract(props, '$.k')::INT)           AS max_k,
+           count(*)                                       AS n
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc=(
+        "MapType surface: JSON props parsed to map<string,int> "
+        "(from_json), element_at access feeding an aggregation."
+    ),
+)
+def fn_map_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.element_at(F.from_json("props", "map<string,int>"), "k")
+    return (
+        e.select("event_type", k.alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("__k"), 4).alias("avg_k"),
+            F.max("__k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS price,
+           count(*) OVER (PARTITION BY cast(year(o_orderdate) AS INT)
+                          ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+             AS n_within_1k
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    """,
+    doc=(
+        "RANGE window frame over a numeric key: for each order, how many "
+        "same-year orders are priced within the trailing 1000-unit band "
+        "(value-based frame, not row-count-based)."
+    ),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast(o.schema["o_orderdate"].dataType)
+    )
+    w = (
+        Window.partitionBy(F.year("o_orderdate").cast("int"))
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
+
+
+@register(
+    "agg_argmax",
+    """
+    SELECT o_custkey, o_orderkey AS best_order, round(o_totalprice, 2) AS best_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+    doc=(
+        "Deterministic argmax: max_by with a struct ordering "
+        "(price, then key) — one hash agg, no sort, vs. the oracle's "
+        "window formulation of the same row selection."
+    ),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))).alias("__best")
+    return (
+        o.groupBy("o_custkey")
+        .agg(best)
+        .select(
+            "o_custkey",
+            F.col("__best.o_orderkey").alias("best_order"),
+            F.round("__best.o_totalprice", 2).alias("best_price"),
+        )
+    )

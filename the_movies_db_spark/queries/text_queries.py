@@ -115,6 +115,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_wordcount",
+    f"""
+    SELECT word, count(*) AS n
+    FROM (SELECT lower(unnest({_TOKENS})) AS word FROM documents) t
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    doc=(
+        "The canonical explode shape: tokenize → explode → hash agg → "
+        "deterministic top-20 (TakeOrderedAndProject; at scale the "
+        "partial agg collapses the heavy hitters map-side)."
+    ),
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens("text")).alias("__w"))
+        .select(F.lower("__w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
     "text_fingerprint",
     f"""
     SELECT doc_id,
