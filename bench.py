@@ -30,7 +30,12 @@ HEADLINE = [
     "q05_local_supplier",
     "q06_forecast_revenue",
     "q10_returned_items",
+    "q07_volume_shipping",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "q21_latest_shipper",
     "agg_rollup",
+    "agg_percentiles",
     "window_topk_per_group",
     "window_running_total",
     "events_sessionize",
