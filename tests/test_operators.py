@@ -116,3 +116,51 @@ def test_multimodal_plumbing(spark, docs):
     frames = M.sample_frames(blobs, "doc_id", "content", max_frames=4)
     per_doc = frames.groupBy("id").count().collect()
     assert all(1 <= r["count"] <= 4 for r in per_doc)
+
+
+def test_ivf_assign_cells(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = S.ivf_assign(df, "vec_id", "embedding", n_cells=4).collect()
+    assert len(assigned) == 40
+    cells = {r.vec_id: r.cell for r in assigned}
+    assert set(cells.values()) <= {0, 1, 2, 3}
+    # a centroid's own vector is distance 0 from itself -> its own cell
+    for cid in range(4):
+        assert cells[cid] == cid
+
+
+def test_ivf_topk_self_cell(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    out = S.cosine_topk_ivf(df, q, "vec_id", "embedding", k=3, n_cells=4).collect()
+    assert {r.query_id for r in out} <= {0, 1}
+    for r in out:
+        assert r.query_id != r.neighbor_id and 1 <= r.rank <= 3
+
+
+def test_resize_checksum_matches_fake_resizer(spark, docs):
+    import hashlib
+
+    d = M.text_as_binary(docs, "text")
+    out = {r.id: r for r in
+           M.resize_image_batch(d, "doc_id", "content", 32, 32).collect()}
+    blob = DOCS[0][1].encode()
+    assert out[1].orig_bytes == len(blob)
+    assert out[1].resized_checksum == hashlib.md5(blob + b"@32x32").hexdigest()
+
+
+def test_audio_features_fake(spark, docs):
+    d = M.text_as_binary(docs, "text")
+    out = M.audio_features_batch(d, "doc_id", "content", fake=True).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.sample_rate in (16000, 44100)
+        assert r.duration_s == round(r.n_samples / r.sample_rate, 6)

@@ -111,6 +111,89 @@ def decode_image_batch(
     return df.select(id_col, bytes_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "id long, target_w int, target_h int, orig_bytes bigint, resized_checksum string"
+AUDIO_FEATURE_SCHEMA = (
+    "id long, sample_rate int, n_samples bigint, duration_s double, rms double"
+)
+
+
+def resize_image_batch(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing over Arrow batches: blob → resized blob →
+    (dims, checksum of the result). Without a real ``resizer`` (PIL is
+    absent here) the output bytes are the deterministic stand-in
+    ``blob + b'@WxH'`` — so the whole distributed path, including the
+    checksum of the *produced* bytes, is verifiable end-to-end."""
+    import hashlib
+
+    def fake_resize(blob: bytes, w: int, h: int) -> bytes:
+        return blob + f"@{w}x{h}".encode()
+
+    resize = resizer or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = list(pdf[bytes_col])
+            resized = [resize(b, width, height) for b in blobs]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "target_w": width,
+                    "target_h": height,
+                    "orig_bytes": [len(b) for b in blobs],
+                    "resized_checksum": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def audio_features_batch(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    decoder: Callable[[bytes], tuple[int, int, float]] | None = None,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio feature extraction plumbing (sample_rate, n_samples, rms)
+    over Arrow batches — same seam pattern as ``decode_image_batch``:
+    real decoder (torchaudio/ffmpeg) injected in a full environment,
+    deterministic byte-derived stand-in under ``fake=True``."""
+    if decoder is None:
+        if not fake:
+            raise NotImplementedError(
+                "audio decoding requires torchaudio/ffmpeg (not in this "
+                "container); pass decoder=... or fake=True"
+            )
+
+        def decoder(blob: bytes) -> tuple[int, int, float]:
+            rate = 16000 if len(blob) % 2 == 0 else 44100
+            n = len(blob) * 256
+            rms = round((sum(blob[:128]) / max(min(len(blob), 128), 1)) / 255.0, 6)
+            return rate, n, rms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(b) for b in pdf[bytes_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "sample_rate": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "duration_s": [round(f[1] / f[0], 6) for f in feats],
+                    "rms": [f[2] for f in feats],
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

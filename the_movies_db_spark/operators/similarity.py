@@ -126,6 +126,86 @@ def cosine_topk_lsh(
     )
 
 
+def squared_l2(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision squared L2 distance
+    (expression-only, deterministic across engines; uses x*x, never
+    pow, so both engines produce bit-identical doubles)."""
+    diff2 = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def ivf_assign(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid cell. Centroids here are the deterministic seed set
+    (vectors with id < n_cells) so the index is value-verifiable; in
+    production you'd train them with MLlib KMeans and broadcast the
+    model — the assignment plan below is identical either way:
+    corpus ⨯ broadcast(centroids) → argmin distance per vector, as a
+    single hash aggregate (min over a (distance, cid) struct — no
+    window, no second shuffle over the corpus).
+
+    Returns (id, vec, cell). At 100 TB the corpus is *written*
+    partitioned by cell, so a query scans only its probe cells'
+    files — the IVF analog of partition pruning.
+    """
+    cent = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    d2 = F.round(squared_l2(F.col(vec_col), F.col("__cvec")), 6)
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(d2.alias("d"), F.col("__cid").alias("cid"))).alias("__best"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, F.col("__best.cid").alias("cell"))
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Approximate top-k through the IVF index: candidates are the
+    query's own cell (nprobe=1; raise recall by unioning more probe
+    cells), ranked by exact cosine within it."""
+    assigned = ivf_assign(corpus, id_col, vec_col, n_cells)
+    q = queries.select(F.col(id_col).alias("query_id")).join(
+        assigned.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("cell").alias("__qcell"),
+        ),
+        "query_id",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("cell").alias("__ccell"),
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

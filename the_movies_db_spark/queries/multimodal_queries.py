@@ -62,6 +62,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS id,
+           64  AS target_w,
+           64  AS target_h,
+           octet_length(encode(text))  AS orig_bytes,
+           md5(text || '@64x64')       AS resized_checksum
+    FROM documents
+    """,
+    doc=(
+        "Arrow-batched resize plumbing (mapInPandas): blob → resized "
+        "blob → checksum of the produced bytes; the deterministic "
+        "stand-in resizer makes even the Python kernel value-verified."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    return M.resize_image_batch(d, "doc_id", "content", width=64, height=64)
+
+
+@register(
+    "multimodal_audio_features",
+    None,  # decode is a stubbed Python kernel — rows-only check
+    doc=(
+        "Arrow-batched audio feature plumbing via mapInPandas "
+        "(deterministic fake decoder standing in for torchaudio/ffmpeg)."
+    ),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    return M.audio_features_batch(d, "doc_id", "content", fake=True)
+
+
+@register(
     "multimodal_image_features",
     None,  # decode is a stubbed Python kernel — rows-only check
     doc=(

@@ -116,6 +116,102 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CELLS = 8
+_D2 = (
+    "round(list_aggregate(list_transform(range(1, 65),"
+    " i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)),"
+    " 'sum'), 6)"
+)
+
+
+@register(
+    "sim_topk_ivf",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS} DESC, c.vec_id) AS rank
+      FROM assign q JOIN assign c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "IVF approximate top-k: coarse-quantize the corpus to centroid "
+        "cells (argmin L2, deterministic seed centroids standing in for "
+        "KMeans), search only the query's cell. At scale the corpus is "
+        "written partitioned BY cell → probe = partition pruning."
+    ),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_ivf(e, q, "vec_id", "embedding", k=5, n_cells=_N_CELLS)
+
+
+@register(
+    "dedup_embedding_lsh",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {_SIG_EXPR.format(v="embedding")} AS sig
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cosine_sim
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                4) >= 0.4
+    """,
+    doc=(
+        "Embedding near-dup pairs, LSH-bucketed (the 100 TB path for "
+        "dedup_embedding_cosine): hyperplane-signature equi-join replaces "
+        "the O(n²) cross join; exact cosine verifies within buckets."
+    ),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        S.hyperplane_signature(F.col("embedding"), _PLANES, _DIM).alias("__sig"),
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        F.col("__sig").alias("__siga"),
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        F.col("__sig").alias("__sigb"),
+    )
+    from the_movies_db_spark.operators.dedup import cosine as _cos
+
+    sim = F.round(_cos(F.col("__va"), F.col("__vb")), 4)
+    return (
+        a.join(b, (F.col("__siga") == F.col("__sigb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
 @register(
     "sim_topk_vectorized",
     None,  # numpy SIMD sum order ≠ sequential sum — benchmarked, not hashed
