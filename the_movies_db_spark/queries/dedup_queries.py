@@ -48,7 +48,7 @@ _BANDS = ", ".join(
     ),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     return D.content_hash_groups(d, "doc_id", "text")
 
 

@@ -43,7 +43,7 @@ _COS = (
     ),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(e, q, "vec_id", "embedding", k=_K)
 
@@ -221,6 +221,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk_pandas(e, q, "vec_id", "embedding", k=_K)
