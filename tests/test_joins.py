@@ -1,0 +1,79 @@
+"""Join-strategy tests: bucketed co-located joins are shuffle-free,
+salted joins return identical results to plain joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.operators import joins as J
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    yield "bucketdb"
+    spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucket_db):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    J.bucketed_write(li, f"{bucket_db}.li_b", "l_orderkey", 8, sort_cols="l_orderkey")
+    J.bucketed_write(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        f"{bucket_db}.o_b",
+        "l_orderkey",
+        8,
+        sort_cols="l_orderkey",
+    )
+    # force a non-broadcast join so a shuffle would otherwise appear
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = J.colocated_join(spark, f"{bucket_db}.li_b", f"{bucket_db}.o_b", "l_orderkey")
+        assert not J.has_shuffle(joined)
+        # sanity: same row count as the plain join
+        plain = li.join(
+            o, li.l_orderkey == o.o_orderkey
+        )
+        assert joined.count() == plain.count()
+        # and the plain (unbucketed) version DOES shuffle under SMJ
+        assert J.has_shuffle(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = J.salted_join(li, o, "l_orderkey", salt=4)
+    plain = li.join(o, "l_orderkey")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one key holds 90% of the rows; salting must spray it across salts
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(1, "hot"), (5, "cold")], "k long, v string")
+    out = J.salted_join(big, small, "k", salt=4)
+    assert out.filter(F.col("v") == "hot").count() == 900
+    salts = (
+        big.withColumn("__s", F.pmod(F.xxhash64("payload"), F.lit(4)))
+        .filter(F.col("k") == 1)
+        .select("__s")
+        .distinct()
+        .count()
+    )
+    assert salts == 4  # the hot key really lands in every salt bucket

@@ -1,0 +1,100 @@
+"""Join strategy utilities for the 100 TB path (SURVEY §2.4).
+
+Catalyst already picks broadcast vs shuffled-hash vs sort-merge and
+AQE splits skewed partitions at runtime; these helpers cover the two
+levers that must be *designed in*, not picked at runtime:
+
+- **Bucketed co-located joins** (`bucketed_write` + plain ``join``):
+  both fact tables pre-bucketed on the join key → the sort-merge join
+  reads bucket i against bucket i with NO Exchange on either side.
+  That is the difference between re-shuffling 100 TB per query and
+  shuffling once at write time. Verified by ``tests/test_joins.py``
+  asserting the physical plan contains no shuffle.
+- **Salted joins** (`salted_join`): when one side's key distribution
+  has heavy hitters beyond what AQE's skew splitting handles (e.g. a
+  single key holding >1 executor's memory), the small side is
+  replicated ``salt``× and the big side's rows are deterministically
+  sprayed across the replicas — the classic salting rewrite, exposed
+  as one call. Salt derives from ``xxhash64`` of caller-named columns,
+  never ``rand()``, so task retries are idempotent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: str | Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by the join key.
+
+    Downstream equi-joins and aggregations on ``bucket_cols`` between
+    tables bucketed with the SAME bucket count read co-located buckets
+    and skip the Exchange entirely (and the Sort, if ``sort_cols``
+    matches). Bucketing metadata lives in the session catalog
+    (``saveAsTable`` — path-based ``parquet(path)`` writes cannot carry
+    it)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols is not None:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key —
+    shuffle-free by construction (assert via ``has_shuffle``)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange (broadcast
+    exchanges don't count — they move dims, not facts)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return any(
+        line.lstrip("+-: *(0123456789) ").startswith("Exchange")
+        for line in plan.splitlines()
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 8,
+    spray_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate ``small`` ``salt``× and
+    spray ``big``'s rows across the replicas.
+
+    ``spray_cols`` are the columns hashed to pick a replica (default:
+    all of ``big``'s non-key columns) — deterministic per row, so a
+    retried task sprays identically. Result is exactly
+    ``big.join(small, on, how)`` for inner/left joins; the only change
+    is that one hot key's rows now land in ``salt`` partitions instead
+    of one."""
+    keys = [on] if isinstance(on, str) else list(on)
+    spray = list(spray_cols) if spray_cols else [c for c in big.columns if c not in keys]
+    big_s = big.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in spray]), F.lit(salt))
+    )
+    small_s = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    return big_s.join(small_s, [*keys, SALT_COL], how).drop(SALT_COL)
