@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         surface_extra,
         text_queries,
         tpch_extra,
+        udf_queries,
         upsert_queries,
     )
 

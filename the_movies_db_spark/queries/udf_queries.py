@@ -1,0 +1,93 @@
+"""Oracle-checked UDF/UDAF/UDTF queries (SURVEY §2.11) — the Python
+kernels use exact integer arithmetic, so even the UDF surface is
+value-hash-verified against DuckDB, not just executed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import register
+
+
+@register(
+    "udf_pandas_scalar",
+    """
+    SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+           count(*)                  AS n,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc=(
+        "Scalar pandas UDF (Arrow-vectorized): integer price banding "
+        "feeding a hash aggregate — the column crosses to Python once "
+        "per Arrow batch, not once per row."
+    ),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.functions.udfs import price_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(price_bucket("l_extendedprice").alias("bucket"), "l_quantity")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Grouped-aggregate pandas UDF (custom UDAF): per-group exact "
+        "distinct count computed in a single Arrow batch per group."
+    ),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.functions.udfs import distinct_count_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        distinct_count_agg("l_partkey").alias("n_parts")
+    )
+
+
+@register(
+    "udtf_split_words",
+    """
+    SELECT piece_idx, piece, count(*) AS n
+    FROM (
+      SELECT CAST(i - 1 AS INT)            AS piece_idx,
+             toks[i]                       AS piece
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50),
+           unnest(range(1, len(toks) + 1)) AS t(i)
+    ) s
+    WHERE piece_idx < 5
+    GROUP BY piece_idx, piece
+    """,
+    doc=(
+        "Python UDTF (Spark 4): one document row explodes into "
+        "(index, word, length) rows via a declared-schema table "
+        "function; aggregated over the first 5 positions."
+    ),
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.functions.udfs import SplitWords
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    pieces = d.lateralJoin(SplitWords(F.col("text").outer()))
+    return (
+        pieces.filter(F.col("piece_idx") < 5)
+        .groupBy("piece_idx", "piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
