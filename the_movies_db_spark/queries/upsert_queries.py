@@ -183,3 +183,52 @@ def schema_drift_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = o.select("o_orderkey", F.col("o_custkey").cast("string").alias("o_custkey"))
     _, evolved_batch = reconcile(dest.limit(0), batch)
     return evolved_batch.select("o_orderkey", "o_custkey", "o_custkey_string")
+
+
+@register(
+    "upsert_change_stats",
+    """
+    WITH t AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 != 0
+    ), b AS (
+      SELECT o_orderkey,
+             round(o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END, 2) AS price,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'untouched'
+                WHEN (t.price  IS DISTINCT FROM b.price)
+                  OR (t.status IS DISTINCT FROM b.status) THEN 'update'
+                ELSE 'noop' END AS action,
+           count(*) AS n
+    FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+    doc=(
+        "MERGE change audit: classify every key as insert / update / "
+        "noop / untouched using the same null-safe change predicate the "
+        "upsert applies (reference update_cond, etl.py:160-162) — the "
+        "observability view a 100 TB incremental load needs."
+    ),
+)
+def upsert_change_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _target(spark, sf_dir).drop("record_loaded_at").alias("t")
+    b = _batch(spark, sf_dir).drop("record_loaded_at").alias("b")
+    changed = ~(
+        F.col("t.price").eqNullSafe(F.col("b.price"))
+        & F.col("t.status").eqNullSafe(F.col("b.status"))
+    )
+    action = (
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "untouched")
+        .when(changed, "update")
+        .otherwise("noop")
+    )
+    return (
+        t.join(b, F.col("t.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .select(action.alias("action"))
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
