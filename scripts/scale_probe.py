@@ -1,0 +1,91 @@
+"""Empirical scaling probe: replicate the sf0.1 tables N× (with key
+remapping so cardinalities scale realistically) and time the heaviest
+operator families. The point is to verify the *shape* of the scaling
+curve — linear for scans/aggs/LSH, near-linear for shuffled joins —
+before trusting the 100 TB design claims.
+
+Usage: python scripts/scale_probe.py [N]   (default 8)
+Writes nothing outside /tmp; prints one JSON line per timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from the_movies_db_spark.io import load_table, spread
+from the_movies_db_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df: DataFrame, n: int, *key_cols: str) -> DataFrame:
+    """n copies with keys offset per replica so key cardinality scales
+    with volume (a plain union would just create n-way duplicates)."""
+    rep = df.crossJoin(F.broadcast(
+        df.sparkSession.range(n).select(F.col("id").alias("__rep"))
+    ))
+    for k in key_cols:
+        rep = rep.withColumn(k, F.col(k) + F.col("__rep") * F.lit(10_000_000))
+    return rep.drop("__rep")
+
+
+def timed(label: str, df: DataFrame) -> None:
+    t0 = time.perf_counter()
+    n = df.count()
+    print(json.dumps({"probe": label, "sec": round(time.perf_counter() - t0, 2),
+                      "rows": n}))
+
+
+def timed_scalar(label: str, df: DataFrame) -> None:
+    """collect(), not count() — count() over an Aggregate prunes the
+    aggregate expressions themselves and times nothing."""
+    t0 = time.perf_counter()
+    rows = df.collect()
+    print(json.dumps({"probe": label, "sec": round(time.perf_counter() - t0, 2),
+                      "rows": len(rows)}))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("scale_probe", **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    lin = replicate(li1, n, "l_orderkey")
+    o1 = load_table(spark, SF_DIR, "orders")
+    on = replicate(o1, n, "o_orderkey")
+    docs1 = spread(load_table(spark, SF_DIR, "documents"))
+    docsn = replicate(docs1, n, "doc_id")
+
+    # scan + filter + hash agg (q01 shape), 1× then n×
+    def q01(df):
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (df.groupBy("l_returnflag", "l_linestatus")
+                  .agg(F.sum("l_quantity"), F.sum(disc), F.count(F.lit(1))))
+    timed_scalar("agg_1x", q01(li1))
+    timed_scalar(f"agg_{n}x", q01(lin))
+
+    # fact-fact shuffled join, 1× then n×
+    timed("join_1x", li1.join(o1, F.col("l_orderkey") == F.col("o_orderkey")))
+    timed(f"join_{n}x", lin.join(on, F.col("l_orderkey") == F.col("o_orderkey")))
+
+    # MinHash-LSH dedup, 1× then n× (replicas are near-dups of each
+    # other by construction → candidate volume scales too)
+    from the_movies_db_spark.operators.dedup import minhash_signature
+    def sigs(df):
+        # aggregate over the signature so column pruning can't skip it
+        return (df.select(minhash_signature("text").alias("s"))
+                  .agg(F.sum(F.length(F.concat_ws("", "s"))).alias("sig_bytes")))
+    timed_scalar("minhash_1x", sigs(docs1))
+    timed_scalar(f"minhash_{n}x", sigs(docsn))
+
+
+if __name__ == "__main__":
+    main()
