@@ -150,3 +150,47 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__best.o_totalprice", 2).alias("best_price"),
         )
     )
+
+
+@register(
+    "events_retention",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day,
+           count(*)                    AS n_active,
+           count(b.user_id)            AS n_retained
+    FROM active a
+    LEFT JOIN active b
+      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+    """,
+    doc=(
+        "Day-over-day retention: distinct (user, day) activity self-joined "
+        "on a time-shifted key — the cohort-retention shape (one shuffle on "
+        "user_id+day; at scale pre-bucket the activity table by user_id)."
+    ),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    b = active.select(
+        F.col("user_id").alias("b_user"), F.col("day").alias("b_day")
+    )
+    return (
+        active.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_day") == F.col("day") + F.expr("INTERVAL 1 DAY")),
+            "left_outer",
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("b_user").alias("n_retained"),
+        )
+    )
