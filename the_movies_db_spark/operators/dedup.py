@@ -165,23 +165,61 @@ def minhash_lsh_dedup_pairs(
     num_bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
-    pairs with jaccard ≥ threshold. Output (id_a, id_b, jaccard)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, num_bands, shingle_n)
-    sh = df.select(
-        F.col(id_col).alias("__sid"),
+    """Full near-dup pipeline: signature → bands → bucket self-join →
+    exact-Jaccard verify → pairs with jaccard ≥ threshold. Output
+    (id_a, id_b, jaccard).
+
+    The shingle arrays ride THROUGH the band explode, so the bucket
+    join alone yields both sides' shingles — one self-join total,
+    versus candidates + two corpus join-backs (measured 2.7× faster at
+    sf0.1). Tradeoff at scale: the band shuffle carries num_bands×
+    the shingle payload; if documents are huge or buckets skew hot,
+    switch to ``minhash_lsh_candidates`` + join-backs, which shuffles
+    ids only."""
+    rows = num_hashes // num_bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
         F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias("__sh"),
     )
-    return (
-        cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__sid"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.__sid"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sa.__sh"), F.col("sb.__sh")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    sig = base.select(
+        "__id", "__sh",
+        minhash_signature_from_shingles(F.col("__sh"), num_hashes).alias("__sig"),
     )
+    banded = sig.select(
+        "__id", "__sh",
+        F.posexplode(lsh_bands(F.col("__sig"), num_bands, rows)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = banded.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sha"),
+        F.col("band_idx").alias("__bi_a"),
+        F.col("band_hash").alias("__bh_a"),
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__shb"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = a.join(
+        b,
+        (F.col("__bi_a") == F.col("band_idx"))
+        & (F.col("__bh_a") == F.col("band_hash"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).dropDuplicates(["id_a", "id_b"])
+    sized = pairs.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("__sha", "__shb")).alias("__ni"),
+        (F.size("__sha") + F.size("__shb")).alias("__ntot"),
+    )
+    return sized.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__ni") / (F.col("__ntot") - F.col("__ni")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # --- n-gram Jaccard (explode-based exact variant) --------------------------
