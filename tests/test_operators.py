@@ -164,3 +164,12 @@ def test_audio_features_fake(spark, docs):
     for r in out:
         assert r.sample_rate in (16000, 44100)
         assert r.duration_s == round(r.n_samples / r.sample_rate, 6)
+
+
+def test_connected_components(spark):
+    # two components {1,2,3,7} (chain + branch) and {5,6}; 9-9 self-free
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 7), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}

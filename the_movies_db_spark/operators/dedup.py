@@ -222,6 +222,64 @@ def minhash_lsh_dedup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, cluster_id) where
+    cluster_id is the minimum id reachable through the pair graph —
+    the canonical-representative assignment that turns pairwise dedup
+    output into per-document keep/drop decisions.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow). Each
+    round is one shuffled join + aggregate; ``localCheckpoint``
+    truncates lineage so plans stay flat. At extreme scale swap in
+    GraphFrames/Pregel or alternating large/small-star (the
+    Kiveris et al. map-reduce CC algorithm) — same output contract.
+
+    ``pairs`` needs columns (id_a, id_b). Output covers only ids that
+    appear in at least one pair (singletons are trivially their own
+    cluster)."""
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("__nb"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.id == nb_min.src, "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("__nb"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # --- n-gram Jaccard (explode-based exact variant) --------------------------
 
 

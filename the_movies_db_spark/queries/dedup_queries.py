@@ -11,6 +11,7 @@ just row-counted.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from the_movies_db_spark.io import load_table, spread
 from the_movies_db_spark.operators import dedup as D
@@ -111,6 +112,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2, shingle_n=3)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, sh, {_SIG} FROM sh),
+    banded AS (SELECT doc_id, sh, {_BANDS} FROM sig),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        {" UNION ".join(
+          f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb "
+          f"FROM banded a JOIN banded b ON a.b{j} = b.b{j} AND a.doc_id < b.doc_id"
+          for j in range(_NUM_BANDS)
+        )}
+      ) p
+      WHERE round(len(list_intersect(sha, shb)) * 1.0 /
+                  (len(sha) + len(shb) - len(list_intersect(sha, shb))), 6) >= 0.2
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT u.src, r.lbl FROM reach r JOIN und u ON u.dst = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    doc=(
+        "Near-dup clustering: MinHash-LSH pairs → connected components "
+        "via iterative min-label propagation (the per-document canonical "
+        "assignment; oracle = recursive-CTE reachability)."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
 
 
 _HASH32 = "CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)"
