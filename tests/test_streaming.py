@@ -49,3 +49,58 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         E.foreach_batch_upsert(target, pk="event_id"),
     )
     assert spark.read.parquet(target).count() == n_batch
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time semantics: after the watermark advances past a
+    window, a late row targeting that window is dropped (append mode
+    emits each window once, without the late row's contribution)."""
+    import os
+    from pyspark.sql import functions as F, Row
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ts = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+    # batch 1: two events at 10:00-11:00, max ts 13:00 → watermark 11:00
+    spark.createDataFrame([
+        Row(event_id=1, ts=ts("2024-01-01T10:10:00"), value=1.0),
+        Row(event_id=2, ts=ts("2024-01-01T10:20:00"), value=1.0),
+        Row(event_id=3, ts=ts("2024-01-01T13:00:00"), value=1.0),
+    ]).coalesce(1).write.parquet(f"{src}/b1.parquet")
+
+    schema = spark.read.parquet(f"{src}/b1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "wm_test"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait for batch 1 to commit, then add a LATE row for the 10:00
+        # window (watermark is already 11:00 > 10:00+1h close boundary)
+        deadline = __import__("time").time() + 60
+        while not any(p["numInputRows"] > 0 for p in q.recentProgress):
+            __import__("time").sleep(0.5)
+            assert __import__("time").time() < deadline, "batch 1 never processed"
+        spark.createDataFrame(
+            [Row(event_id=4, ts=ts("2024-01-01T10:40:00"), value=1.0)]
+        ).coalesce(1).write.mode("append").parquet(f"{src}/b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.ws.isoformat(): r.n for r in spark.table(name).collect()}
+    # the 10:00 window was emitted with 2 rows; the late event_id=4 is NOT counted
+    assert got.get("2024-01-01T10:00:00") == 2

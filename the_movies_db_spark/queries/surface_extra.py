@@ -194,3 +194,45 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("b_user").alias("n_retained"),
         )
     )
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc=(
+        "EXCEPT ALL (bag semantics): multiset difference of customer vs "
+        "supplier nation keys — each key survives (count_c − count_s)+ "
+        "times (vs. set_except's distinct semantics)."
+    ),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL (bag semantics): min(count_c, count_s) copies per key.",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
