@@ -129,3 +129,43 @@ def test_empty_batch_is_identity(spark, n):
     batch = _df(spark, []).limit(n)
     out = _as_map(merge_upsert(target, batch, "id"))
     assert out[1].val == "a"
+
+
+def test_write_upsert_partitioned_prunes(spark, tmp_path):
+    from the_movies_db_spark.upsert import write_upsert_partitioned
+
+    path = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01", 1), (2, "b", "2024-01-01", 1),
+         (3, "c", "2024-01-02", 1), (4, "d", "2024-01-03", 1)],
+        "pk long, v string, day string, ver int",
+    )
+    write_upsert_partitioned(spark, path, base, "pk", "day", order_col="ver")
+
+    import os
+    sig_before = {
+        d: sorted(os.listdir(f"{path}/{d}"))
+        for d in os.listdir(path) if d.startswith("day=")
+    }
+
+    # batch touches only 2024-01-01: update pk=2, insert pk=5
+    batch = spark.createDataFrame(
+        [(2, "B2", "2024-01-01", 2), (5, "e", "2024-01-01", 2)],
+        "pk long, v string, day string, ver int",
+    )
+    touched = write_upsert_partitioned(spark, path, batch, "pk", "day", order_col="ver")
+    assert touched == ["2024-01-01"]
+
+    got = {r.pk: (r.v, str(r.day)) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", "2024-01-01"), 2: ("B2", "2024-01-01"), 5: ("e", "2024-01-01"),
+        3: ("c", "2024-01-02"), 4: ("d", "2024-01-03"),
+    }
+    # untouched partition directories were not rewritten
+    sig_after = {
+        d: sorted(os.listdir(f"{path}/{d}"))
+        for d in os.listdir(path) if d.startswith("day=")
+    }
+    assert sig_after["day=2024-01-02"] == sig_before["day=2024-01-02"]
+    assert sig_after["day=2024-01-03"] == sig_before["day=2024-01-03"]
+    assert sig_after["day=2024-01-01"] != sig_before["day=2024-01-01"]
