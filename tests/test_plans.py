@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+asserted as invariants, so a future refactor can't silently reintroduce
+a full-table scan, lose a broadcast, or add a needless shuffle."""
+
+from __future__ import annotations
+
+import pytest
+
+from the_movies_db_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir, registry):
+    txt = formatted(registry["q01_pricing_summary"].spark(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in txt
+
+
+def test_q01_column_pruning(spark, sf_dir, registry):
+    txt = formatted(registry["q01_pricing_summary"].spark(spark, sf_dir))
+    # ReadSchema must include only the 7 needed columns, never l_partkey etc.
+    read = [line for line in txt.splitlines() if "ReadSchema" in line][0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+
+
+def test_q05_star_join_broadcasts_all_dims(spark, sf_dir, registry):
+    txt = plan_of(registry["q05_local_supplier"].spark(spark, sf_dir))
+    assert txt.count("BroadcastHashJoin") == 5  # orders,customer,supplier,nation,region
+    assert "SortMergeJoin" not in txt
+
+
+def test_q18_topk_is_take_ordered(spark, sf_dir, registry):
+    txt = plan_of(registry["q18_large_orders"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt  # never a global Sort + Limit
+
+
+def test_upsert_is_single_full_outer_join(spark, sf_dir, registry):
+    txt = plan_of(registry["upsert_merge"].spark(spark, sf_dir))
+    assert txt.count("FullOuter") == 1
+
+
+def test_minhash_signature_not_reinlined(spark, sf_dir, registry):
+    # the signature fold must appear ONCE per join side (2 total), not
+    # once per band (which would be 8 = 2 sides × 4 bands)
+    txt = plan_of(registry["dedup_minhash_lsh"].spark(spark, sf_dir))
+    assert txt.count("aggregate(") <= 4
+
+
+def test_events_scan_prunes_props(spark, sf_dir, registry):
+    # tumbling agg needs ts/event_type/value — the wide props column
+    # must not be read
+    txt = formatted(registry["events_tumbling"].spark(spark, sf_dir))
+    read = [line for line in txt.splitlines() if "ReadSchema" in line]
+    assert read and all("props" not in line for line in read)
