@@ -154,6 +154,82 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_incremental_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Incremental materialized-view maintenance: the events stream "
+        "is replayed in 4 micro-batches (maxFilesPerTrigger=1 over a "
+        "4-file copy); each batch is aggregated to the rollup grain and "
+        "ADDITIVELY merged into a parquet rollup table via foreachBatch "
+        "— the fact history is never re-read, and the final table must "
+        "equal the one-shot batch GROUP BY exactly."
+    ),
+)
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.upsert import additive_upsert
+
+    work = tempfile.mkdtemp(prefix="incroll_")
+    src = f"{work}/src"
+    target = f"{work}/rollup"
+    # stage the events as 4 files so AvailableNow + maxFilesPerTrigger=1
+    # genuinely replays 4 micro-batches
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    keys = ["window_start", "event_type"]
+
+    def maintain(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        import os
+
+        if os.path.exists(target):
+            merged = additive_upsert(
+                s.read.parquet(target), delta, keys, ["n_events", "sum_value"]
+            )
+        else:
+            merged = delta
+        staging = f"{target}_stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(target):
+            os.rename(target, f"{target}_old_{batch_id}")
+        os.rename(staging, target)
+
+    E.run_foreach_batch_available_now(stream, maintain)
+    return spark.read.parquet(target).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("total_value"),
+    )
+
+
+@register(
     "streaming_stateful_counter",
     """
     SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value

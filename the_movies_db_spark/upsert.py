@@ -203,3 +203,38 @@ def write_upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return parts
+
+
+def additive_upsert(
+    target: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Aggregate-merge: combine a pre-aggregated delta into a rollup
+    table by ADDING measures on key conflict (vs. merge_upsert's
+    replace semantics). The algebra requires the measures to be
+    commutative monoids (count/sum — avg must be carried as sum+count).
+
+    This is the maintenance step of an incremental materialized view:
+    each micro-batch is aggregated to the rollup grain (tiny) and then
+    merged here — the full fact history is never re-read. One shuffle
+    of two already-aggregated sides on the rollup keys.
+    """
+    t, d = target.alias("t"), delta.alias("d")
+    cond = reduce(
+        lambda a, k: a & k,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys],
+    )
+    joined = t.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
+    measure_cols = [
+        (
+            F.coalesce(F.col(f"t.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        ).alias(c)
+        for c in sum_cols
+    ]
+    return joined.select(*key_cols, *measure_cols)
