@@ -77,3 +77,19 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert salts == 4  # the hot key really lands in every salt bucket
+
+
+def test_compact_table(spark, sf_dir, tmp_path):
+    from the_movies_db_spark.io import compact_table, load_table
+
+    path = str(tmp_path / "frag")
+    # simulate small-file accretion: 64 tiny files
+    load_table(spark, sf_dir, "orders").repartition(64).write.parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    files_before, files_after = compact_table(
+        spark, path, target_file_mb=128, sort_within_by=["o_orderdate"]
+    )
+    assert files_before >= 64
+    assert files_after < files_before and files_after <= 2
+    assert spark.read.parquet(path).count() == before_rows

@@ -161,3 +161,49 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: Sequence[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_mb) files, optionally sorted within
+    each output file so parquet row-group min/max stats become
+    selective (the poor man's clustering — scans with predicates on
+    the sort key skip whole row groups).
+
+    Streaming sinks and frequent small upserts accrete thousands of
+    tiny files; at 100 TB, file-listing and per-file open overhead
+    dominate scans long before data volume does. Returns
+    (files_before, files_after). Not transactional on plain parquet —
+    same rename-swap caveat as ``write_upsert``.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    files_before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    total_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    out = df.repartition(int(n_out))
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(path) + "_compact_", dir=os.path.dirname(path) or "."
+    )
+    out.write.mode("overwrite").parquet(staging)
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return files_before, files_after
