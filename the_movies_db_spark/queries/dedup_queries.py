@@ -187,8 +187,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    None,  # pair generation is blocked on a hash prefix — rows-only check
-    doc="SimHash near-dup pairs (Hamming ≤ 6) blocked on the high 16 bits.",
+    f"""
+    WITH tok AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents),
+    sigs AS (SELECT doc_id, CAST({_BITVOTE} AS BIGINT) AS sig FROM tok),
+    b AS (SELECT doc_id, sig, sig // 65536 AS block FROM sigs)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           bit_count(xor(a.sig, c.sig)) AS hamming
+    FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.sig, c.sig)) <= 6
+    """,
+    doc=(
+        "SimHash near-dup pairs (Hamming ≤ 6) blocked on the high 16 "
+        "bits — signature, blocking, and xor/bit_count distance all "
+        "value-verified."
+    ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
