@@ -332,29 +332,64 @@ def ngram_jaccard_pairs(
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash32(text: Column | str) -> Column:
-    """32-bit SimHash over distinct whitespace tokens, as one
-    expression. Token hash = first 8 md5 hex chars → uint32; each bit
-    votes ±1; signature bit b is 1 iff the vote sum is > 0.
+def simhash_votes(text: Column | str) -> Column:
+    """Per-bit ±1 vote sums over distinct whitespace tokens, as ONE
+    pass: each token is md5-hashed once and contributes a 32-element
+    ±1 vector folded into an array accumulator (the naive per-bit
+    ``aggregate`` form re-hashes every token 32×). Returns
+    array<bigint>[32].
 
     Bit extraction uses integer DIV/%2 arithmetic (not shifts) so the
-    identical formula runs on any SQL engine for verification.
-    """
+    identical formula runs on any SQL engine for verification."""
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )
-    def bit_vote(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + (F.floor(h / F.lit(2**b)).cast("bigint") % 2 * 2 - 1),
-        )
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.floor(h / F.lit(2**b)).cast("bigint") % 2 * 2 - 1)
+                    for b in range(32)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def signature_from_votes(votes: Column) -> Column:
+    """Collapse the 32 vote sums to the signature integer: bit b set
+    iff vote b is positive. Call on a *staged* votes column (one
+    projection computing votes, the next reading it 32×) so the vote
+    fold is evaluated once per row."""
     return sum(
-        (F.when(bit_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(32)),
+        (
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(2**b)).otherwise(F.lit(0))
+            for b in range(32)
+        ),
         start=F.lit(0),
-    ).cast("bigint").alias("simhash")
+    ).cast("bigint")
+
+
+def with_simhash32(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Append a 32-bit SimHash column: votes staged in their own
+    projection, signature derived from the staged column."""
+    staged = df.withColumn("__simhash_votes", simhash_votes(text_col))
+    return staged.withColumn(
+        out_col, signature_from_votes(F.col("__simhash_votes"))
+    ).drop("__simhash_votes")
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash as a single Column expression. Prefer
+    ``with_simhash32`` in plans — as one inline expression the vote
+    fold is re-evaluated per bit; the staged DataFrame form computes
+    it once."""
+    return signature_from_votes(simhash_votes(text)).alias("simhash")
 
 
 def simhash_pairs(
@@ -363,9 +398,11 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on the high
     16 bits (a (32,16) prefix block — at scale use multiple rotated
     blocks so any ≤k-distance pair collides in ≥1 block)."""
-    sigs = df.select(
-        F.col(id_col).alias("__id"), simhash32(text_col).alias("sig")
-    ).withColumn("block", (F.col("sig") / F.lit(2**16)).cast("bigint"))
+    sigs = with_simhash32(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__t",
+        "sig",
+    ).withColumn("block", (F.col("sig") / F.lit(2**16)).cast("bigint")).drop("__t")
     a, b = sigs.alias("a"), sigs.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (

@@ -182,7 +182,7 @@ _BITVOTE = " + ".join(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", D.simhash32("text").alias("simhash"))
+    return D.with_simhash32(d, "text").select("doc_id", "simhash")
 
 
 @register(
