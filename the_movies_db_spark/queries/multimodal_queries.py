@@ -106,3 +106,63 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
     return M.decode_image_batch(d, "doc_id", "content", fake=True)
+
+
+@register(
+    "multimodal_crossmodal_topk",
+    """
+    WITH joined AS (
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT query_id, neighbor_id, lang, cosine_sim, rank FROM (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, c.lang,
+             round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                   4) AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                              (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                               sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                              4) DESC, c.doc_id) AS rank
+      FROM joined q JOIN joined c
+        ON q.doc_id <> c.doc_id AND q.lang = c.lang
+      WHERE q.doc_id < 3
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "Cross-modal retrieval: text metadata (language) joined 1:1 to "
+        "the embedding column, then language-constrained cosine top-5 — "
+        "the filter-by-metadata-then-rank-by-vector pipeline every "
+        "multimodal corpus query runs."
+    ),
+)
+def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from the_movies_db_spark.operators.dedup import cosine
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "embedding")
+    q = joined.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lang").alias("__qlang"),
+        F.col("embedding").alias("__qv"),
+    )
+    c = joined.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lang"),
+        F.col("embedding").alias("__cv"),
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("query_id") != F.col("neighbor_id")) & (F.col("__qlang") == F.col("lang")))
+        .select("query_id", "neighbor_id", "lang", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

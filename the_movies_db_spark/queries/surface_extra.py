@@ -271,3 +271,58 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("latest_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'o_totalprice' AS column_name,
+           count(*)                      AS n_rows,
+           count(o_totalprice)           AS n_nonnull,
+           count(DISTINCT o_totalprice)  AS n_distinct,
+           round(min(o_totalprice), 2)   AS min_v,
+           round(max(o_totalprice), 2)   AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           count(*), count(o_custkey), count(DISTINCT o_custkey),
+           round(min(o_custkey), 2), round(max(o_custkey), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+           NULL, NULL
+    FROM orders
+    """,
+    doc=(
+        "Column profiling (the data-quality sweep a pipeline runs before "
+        "training): null counts, distinct cardinality, numeric ranges — "
+        "one pass per profiled column family, unioned long-form."
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def num_profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.round(F.min(col), 2).cast("double").alias("min_v"),
+            F.round(F.max(col), 2).cast("double").alias("max_v"),
+        )
+
+    str_profile = o.agg(
+        F.lit("o_orderstatus").alias("column_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("n_nonnull"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_distinct"),
+        F.lit(None).cast("double").alias("min_v"),
+        F.lit(None).cast("double").alias("max_v"),
+    )
+    return (
+        num_profile("o_totalprice")
+        .unionByName(num_profile("o_custkey"))
+        .unionByName(str_profile)
+    )

@@ -164,3 +164,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint_md5("text").alias("content_hash"),
         T.minhash_fingerprint("text").alias("minhash_fp"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, lower(unnest({_TOKENS})) AS term
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+    ),
+    dfc AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.term,
+             round(tfc.tf * ln((n.n_docs + 1.0) / (dfc.df + 1.0)), 6) AS tfidf
+      FROM tfc JOIN dfc USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 3
+    """,
+    doc=(
+        "TF-IDF top terms per document: explode → tf counts → document "
+        "frequency join (broadcast: the vocabulary is small relative to "
+        "the corpus) → smoothed idf → per-doc top-3. The inverted-index "
+        "construction shape of a search/relevance pipeline."
+    ),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.io import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    terms = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("__raw")
+    ).select("doc_id", F.lower("__raw").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
