@@ -224,3 +224,35 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk_pandas(e, q, "vec_id", "embedding", k=_K)
+
+
+@register(
+    "sim_mllib_lsh_join",
+    None,  # MLlib's hash family is internal — rows-only check
+    doc=(
+        "MLlib BucketedRandomProjectionLSH approxSimilarityJoin "
+        "(seeded, deterministic within Spark): the built-in alternative "
+        "to the expression-level LSH — pairs within Euclidean distance "
+        "8.0, excluding self-pairs."
+    ),
+)
+def sim_mllib_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, threshold=8.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("dist", 4).alias("dist"),
+        )
+    )

@@ -326,3 +326,27 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(num_profile("o_custkey"))
         .unionByName(str_profile)
     )
+
+
+@register(
+    "sample_systematic",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+    """,
+    doc=(
+        "Deterministic systematic sampling (~5%): md5(pk)-derived bucket "
+        "selects the same rows in any engine, any run, any partitioning — "
+        "the reproducible eval-split/sampling primitive (vs. rand(), "
+        "which is neither cross-engine nor retry-stable)."
+    ),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 20
+    return o.filter(bucket == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )

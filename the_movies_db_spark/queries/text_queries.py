@@ -230,3 +230,48 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, lower(unnest({_TOKENS})) AS term FROM documents
+    ),
+    freq AS (
+      SELECT term, count(*) AS tf FROM terms GROUP BY term
+    ),
+    total AS (SELECT count(*) AS n FROM terms)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(f.tf * 1.0 / total.n)), 6) AS avg_logprob
+    FROM terms t JOIN freq f USING (term) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Unigram language-model scoring: corpus term frequencies → "
+        "per-document mean log-probability — the perplexity-style "
+        "quality signal LLM data pipelines filter on (low avg_logprob = "
+        "unusual token distribution). Vocabulary broadcast to the scorer."
+    ),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.io import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    terms = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("__raw")
+    ).select("doc_id", F.lower("__raw").alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = terms.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        terms.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("tf") * 1.0 / F.col("n"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
