@@ -60,6 +60,16 @@ def text_as_binary(df: DataFrame, text_col: str, out_col: str = "content") -> Da
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """SQL-style round (half away from zero for positives) — Python's
+    built-in round() is banker's and disagrees with every SQL engine
+    exactly at representable .5 boundaries."""
+    import math
+
+    scale = 10**digits
+    return math.floor(x * scale + 0.5) / scale
+
+
 def _fake_image_features(blob: bytes) -> tuple[int, int, float, str]:
     """Deterministic stand-in for image decode: derives plausible
     (width, height, mean_intensity, phash) purely from the bytes."""
@@ -68,7 +78,9 @@ def _fake_image_features(blob: bytes) -> tuple[int, int, float, str]:
     h = hashlib.md5(blob).hexdigest()
     width = 64 + (len(blob) % 512)
     height = 64 + (int(h[:4], 16) % 512)
-    mean_intensity = round((sum(blob[:256]) / max(min(len(blob), 256), 1)) / 255.0, 6)
+    mean_intensity = _round_half_up(
+        (sum(blob[:256]) / max(min(len(blob), 256), 1)) / 255.0, 6
+    )
     return width, height, mean_intensity, h[:16]
 
 
@@ -175,7 +187,9 @@ def audio_features_batch(
         def decoder(blob: bytes) -> tuple[int, int, float]:
             rate = 16000 if len(blob) % 2 == 0 else 44100
             n = len(blob) * 256
-            rms = round((sum(blob[:128]) / max(min(len(blob), 128), 1)) / 255.0, 6)
+            rms = _round_half_up(
+                (sum(blob[:128]) / max(min(len(blob), 128), 1)) / 255.0, 6
+            )
             return rate, n, rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,7 +200,7 @@ def audio_features_batch(
                     "id": pdf[id_col].to_numpy(),
                     "sample_rate": [f[0] for f in feats],
                     "n_samples": [f[1] for f in feats],
-                    "duration_s": [round(f[1] / f[0], 6) for f in feats],
+                    "duration_s": [_round_half_up(f[1] / f[0], 6) for f in feats],
                     "rms": [f[2] for f in feats],
                 }
             )

@@ -84,10 +84,24 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_features",
-    None,  # decode is a stubbed Python kernel — rows-only check
+    """
+    SELECT doc_id AS id,
+           CASE WHEN length(text) % 2 = 0 THEN 16000 ELSE 44100 END AS sample_rate,
+           CAST(length(text) AS BIGINT) * 256 AS n_samples,
+           round(CAST(length(text) AS BIGINT) * 256 * 1.0 /
+                 CASE WHEN length(text) % 2 = 0 THEN 16000 ELSE 44100 END, 6)
+             AS duration_s,
+           round((list_aggregate(
+                    list_transform(range(1, least(length(text), 128) + 1),
+                                   i -> ord(substr(text, i, 1))),
+                    'sum') * 1.0
+                  / greatest(least(length(text), 128), 1)) / 255.0, 6) AS rms
+    FROM documents
+    """,
     doc=(
-        "Arrow-batched audio feature plumbing via mapInPandas "
-        "(deterministic fake decoder standing in for torchaudio/ffmpeg)."
+        "Arrow-batched audio feature plumbing via mapInPandas — the "
+        "deterministic stand-in decoder is replicated in SQL, so the "
+        "Python kernel is value-hash-verified."
     ),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,10 +111,25 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_features",
-    None,  # decode is a stubbed Python kernel — rows-only check
+    """
+    SELECT doc_id AS id,
+           CAST(64 + (length(text) % 512) AS INT)  AS width,
+           CAST(64 + (CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 512) AS INT)
+             AS height,
+           round((list_aggregate(
+                    list_transform(range(1, least(length(text), 256) + 1),
+                                   i -> ord(substr(text, i, 1))),
+                    'sum') * 1.0
+                  / greatest(least(length(text), 256), 1)) / 255.0, 6)
+             AS mean_intensity,
+           substr(md5(text), 1, 16)                AS phash
+    FROM documents
+    """,
     doc=(
-        "Arrow-batched image feature extraction via mapInPandas "
-        "(deterministic fake decoder standing in for PIL/cv2)."
+        "Arrow-batched image feature extraction via mapInPandas — the "
+        "deterministic byte-derived stand-in decoder is replicated in "
+        "SQL (test blobs are ASCII), so even the Python kernel is "
+        "value-hash-verified, not just row-counted."
     ),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
