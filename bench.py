@@ -50,6 +50,8 @@ HEADLINE = [
     "sim_topk_lsh",
     "text_stats",
     "text_langid",
+    "text_tfidf_topk",
+    "multimodal_resize",
     "streaming_tumbling",
 ]
 
