@@ -93,3 +93,17 @@ def test_compact_table(spark, sf_dir, tmp_path):
     assert files_before >= 64
     assert files_after < files_before and files_after <= 2
     assert spark.read.parquet(path).count() == before_rows
+
+
+def test_json_ingest_roundtrip(spark, sf_dir, tmp_path):
+    """JSON-lines ingest path: schema-declared read back of a JSON
+    export matches the parquet original exactly."""
+    from the_movies_db_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_json")
+    d.write.json(path)
+    back = spark.read.schema(d.schema).json(path)
+    assert back.count() == d.count()
+    assert back.schema == d.schema
+    assert back.exceptAll(d).isEmpty() and d.exceptAll(back).isEmpty()

@@ -169,3 +169,21 @@ def test_write_upsert_partitioned_prunes(spark, tmp_path):
     assert sig_after["day=2024-01-02"] == sig_before["day=2024-01-02"]
     assert sig_after["day=2024-01-03"] == sig_before["day=2024-01-03"]
     assert sig_after["day=2024-01-01"] != sig_before["day=2024-01-01"]
+
+
+def test_merge_upsert_empty_batch_is_identity(spark):
+    from the_movies_db_spark.upsert import merge_upsert
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "pk long, v string")
+    empty = spark.createDataFrame([], "pk long, v string")
+    out = merge_upsert(t, empty, "pk", order_col=None, audit_col="__none__")
+    assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_merge_upsert_into_empty_target(spark):
+    from the_movies_db_spark.upsert import merge_upsert
+
+    empty = spark.createDataFrame([], "pk long, v string")
+    b = spark.createDataFrame([(1, "a")], "pk long, v string")
+    out = merge_upsert(empty, b, "pk", order_col=None, audit_col="__none__")
+    assert [tuple(r) for r in out.collect()] == [(1, "a")]
