@@ -275,3 +275,36 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_rolling_hash",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform({_TOKENS}, t ->
+                 CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 257 + h) % 2147483647) AS rolling_hash
+    FROM documents
+    """,
+    doc=(
+        "Document fingerprint via polynomial rolling hash: fold "
+        "(acc*B + token_hash) mod M over the token sequence (B=257, "
+        "M=2^31-1 keeps intermediates exact in int64) — order-sensitive "
+        "(unlike the minhash fingerprint), O(1) state, the "
+        "streaming-friendly content signature."
+    ),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(
+        T.tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    rolling = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 257 + h) % F.lit(2147483647).cast("bigint"),
+    )
+    return d.select("doc_id", rolling.cast("bigint").alias("rolling_hash"))
