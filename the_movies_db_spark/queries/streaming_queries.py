@@ -245,3 +245,50 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = E.read_events_stream(spark, sf_dir)
     return E.run_available_now(E.stateful_running_totals(stream), output_mode="update")
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT c.user_id,
+           count(*) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+    doc=(
+        "Stream-stream interval join: clicks joined to purchases of the "
+        "same user within 30 minutes, both sides watermarked so the join "
+        "state is bounded (Spark buffers each side only until the other "
+        "side's watermark passes the interval) — verified against the "
+        "batch self-join."
+    ),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    clicks = (
+        E.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        E.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    # append-mode stream-stream join → aggregate the materialized pairs
+    pairs = E.run_available_now(joined, output_mode="append")
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
