@@ -4,7 +4,8 @@ sys.path.insert(0, "/root/repo")
 from the_movies_db_spark.session import get_spark
 from the_movies_db_spark.testing import compare_all
 
-sf_dir = "/root/testdata/sf0.01"
+import os
+sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 names = sys.argv[1:] or None
 spark = get_spark("oracle-check")
 spark.sparkContext.setLogLevel("ERROR")

@@ -992,24 +992,35 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            len(embedding)                                   AS dim,
-           round(cast(embedding[1] AS DOUBLE), 4)           AS first_elem,
-           round(cast(embedding[64] AS DOUBLE), 4)          AS last_elem,
-           round(cast(list_aggregate(embedding, 'sum') AS DOUBLE), 3) AS vec_sum
+           round(cast(embedding[1] AS DOUBLE), 4) + 0.0     AS first_elem,
+           round(cast(embedding[64] AS DOUBLE), 4) + 0.0    AS last_elem,
+           round(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum'), 3)
+             + 0.0 AS vec_sum
     FROM embeddings
     """,
     doc="Array ops on the embedding column: size, 1-indexed element access, fold.",
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `+ 0.0` normalizes IEEE negative zero after rounding: DuckDB's
+    # round keeps -0.0 where Spark returns 0.0, and -0.0 vs 0.0 breaks
+    # the order-insensitive row sort even though the values are equal
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
-        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_elem"),
-        F.round(
-            F.aggregate(
-                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
-            ),
-            3,
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0.0).alias(
+            "first_elem"
+        ),
+        (F.round(F.element_at("embedding", 64).cast("double"), 4) + 0.0).alias(
+            "last_elem"
+        ),
+        (
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+                ),
+                3,
+            )
+            + 0.0
         ).alias("vec_sum"),
     )
 

@@ -31,7 +31,10 @@ def _canon_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
-        return None if math.isnan(v) else v
+        if math.isnan(v):
+            return None
+        # IEEE -0.0 == 0.0 but repr-sorts differently → normalize
+        return 0.0 if v == 0.0 else v
     # numpy scalars → python
     if hasattr(v, "item") and not isinstance(v, (list, tuple, dict)):
         try:
