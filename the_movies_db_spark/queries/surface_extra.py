@@ -350,3 +350,59 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(bucket == 0).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
+
+
+@register(
+    "agg_hll_sketch",
+    None,  # DataSketches HLL internals are engine-specific — rows-only
+    doc=(
+        "HyperLogLog sketch aggregation (Spark 4 DataSketches): per-"
+        "status HLL sketches of the customer key, unioned into a grand "
+        "total — the mergeable-sketch pattern that makes distinct counts "
+        "incrementally maintainable at 100 TB (sketches union; exact "
+        "distincts don't)."
+    ),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch")
+    )
+    return per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_total_custs"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE floor(o_totalprice / (o_orderkey % 10) * 10000 + 0.5) / 10000
+           END AS safe_div,
+           CASE WHEN o_totalprice >= 0
+                THEN floor(sqrt(o_totalprice) * 10000 + 0.5) / 10000 END AS safe_sqrt
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    doc=(
+        "Null-safe arithmetic (try_divide): division by zero yields NULL "
+        "instead of error/Inf — the ANSI-safe expression surface."
+    ),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    # floor(x*1e4+0.5)/1e4 instead of round(): Spark's round() goes
+    # through the double's shortest decimal repr while DuckDB rounds the
+    # binary value — this form does identical binary arithmetic in both
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return o.select(
+        "o_orderkey",
+        r4(F.try_divide("o_totalprice", F.col("o_orderkey") % 10)).alias("safe_div"),
+        F.when(F.col("o_totalprice") >= 0, r4(F.sqrt("o_totalprice"))).alias(
+            "safe_sqrt"
+        ),
+    )
