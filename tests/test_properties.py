@@ -114,3 +114,32 @@ def test_drift_detection_properties(spark, dest, incoming):
     # every modified column got its suffixed sibling
     for m in drift.modified_cols:
         assert m.renamed_to in evolved_names
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=30), min_size=2, max_size=8
+)
+
+
+@given(texts=doc_texts)
+@SET
+def test_minhash_pair_properties(spark, texts):
+    from the_movies_db_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.0, num_hashes=4, num_bands=2
+    ).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b            # canonical orientation
+        assert 0.0 <= r.jaccard <= 1.0    # jaccard is a proper ratio
+    # an exact duplicate ALWAYS surfaces with jaccard 1.0 (all bands equal)
+    dup = spark.createDataFrame(
+        [(0, texts[0]), (1, texts[0])], "doc_id long, text string"
+    )
+    got = minhash_lsh_dedup_pairs(
+        dup, "doc_id", "text", threshold=0.0, num_hashes=4, num_bands=2
+    ).collect()
+    assert len(got) == 1 and got[0].jaccard == 1.0
