@@ -86,6 +86,33 @@ def main() -> None:
     timed_scalar("minhash_1x", sigs(docs1))
     timed_scalar(f"minhash_{n}x", sigs(docsn))
 
+    skew_probe(spark, n)
+
+
+
+
+def skew_probe(spark, n: int) -> None:
+    """Hot-key join: 90% of fact rows share one key. Times the plain
+    join vs the salted rewrite (operators.joins.salted_join)."""
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.operators.joins import salted_join
+
+    rows = 1_000_000 * max(1, n // 8)
+    big = spark.range(rows).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        timed("skew_plain", big.join(small, "k"))
+        timed("skew_salted", salted_join(big, small, "k", salt=32))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
 
 if __name__ == "__main__":
     main()
