@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from the_movies_db_spark.io import load_table
+from the_movies_db_spark.io import load_table, spread
 from the_movies_db_spark.operators import multimodal as M
 from the_movies_db_spark.queries import register
 
@@ -78,7 +78,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    d = M.text_as_binary(spread(load_table(spark, sf_dir, "documents")), "text")
     return M.resize_image_batch(d, "doc_id", "content", width=64, height=64)
 
 
@@ -105,7 +105,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    d = M.text_as_binary(spread(load_table(spark, sf_dir, "documents")), "text")
     return M.audio_features_batch(d, "doc_id", "content", fake=True)
 
 
@@ -133,7 +133,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = M.text_as_binary(load_table(spark, sf_dir, "documents"), "text")
+    d = M.text_as_binary(spread(load_table(spark, sf_dir, "documents")), "text")
     return M.decode_image_batch(d, "doc_id", "content", fake=True)
 
 
