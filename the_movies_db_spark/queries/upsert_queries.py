@@ -232,3 +232,62 @@ def upsert_change_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("action")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "upsert_scd2",
+    """
+    WITH t AS (  -- current versions: one per key, valid since orderdate
+      SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus AS status,
+             o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM orders WHERE o_orderkey % 4 != 0
+    ), b AS (
+      SELECT o_orderkey,
+             round(o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END, 2) AS price,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status,
+             o_orderdate + INTERVAL 1 DAY AS ts
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), chg AS (
+      SELECT t.o_orderkey FROM t JOIN b USING (o_orderkey)
+      WHERE (t.price IS DISTINCT FROM b.price) OR (t.status IS DISTINCT FROM b.status)
+    )
+    SELECT t.o_orderkey, t.price, t.status, t.valid_from,
+           CASE WHEN chg.o_orderkey IS NOT NULL THEN b.ts END AS valid_to
+    FROM t LEFT JOIN chg USING (o_orderkey) LEFT JOIN b USING (o_orderkey)
+    UNION ALL
+    SELECT b.o_orderkey, b.price, b.status, b.ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM b LEFT JOIN t USING (o_orderkey)
+    WHERE t.o_orderkey IS NULL
+       OR b.o_orderkey IN (SELECT o_orderkey FROM chg)
+    """,
+    doc=(
+        "SCD Type-2 MERGE: changed keys close their current version "
+        "(valid_to = batch ts) and insert a new open version; new keys "
+        "insert; unchanged keys untouched — full history retained."
+    ),
+)
+def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.upsert import scd2_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast(o.schema["o_orderdate"].dataType).alias("valid_to"),
+    )
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, 1000.0).otherwise(0.0),
+            2,
+        ).alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("ts"),
+    )
+    return scd2_upsert(target, batch, "o_orderkey", "ts")

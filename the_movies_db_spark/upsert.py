@@ -238,3 +238,66 @@ def additive_upsert(
         for c in sum_cols
     ]
     return joined.select(*key_cols, *measure_cols)
+
+
+def scd2_upsert(
+    target: DataFrame,
+    batch: DataFrame,
+    pk: str | Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD Type-2 MERGE: history-keeping upsert. The target carries
+    (valid_from, valid_to) per version; ``valid_to IS NULL`` marks the
+    current version. For each batch row:
+
+    - pk unseen → insert as current (valid_from = batch ts);
+    - pk current version differs (null-safe, ignoring validity cols) →
+      CLOSE the current version (valid_to = batch ts) and insert the
+      batch row as the new current version;
+    - unchanged → no-op (closed history is never touched).
+
+    One plan: split target into closed history (passes through
+    untouched — at scale it is partition-pruned out by
+    ``valid_to IS NOT NULL``) + current versions full-outer-joined to
+    the deduped batch. Two shuffles total regardless of history depth.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    data_cols = [
+        c for c in target.columns if c not in (*keys, valid_from, valid_to)
+    ]
+    batch = keep_latest(batch, keys, ts_col)
+
+    closed = target.filter(F.col(valid_to).isNotNull())
+    current = target.filter(F.col(valid_to).isNull())
+
+    t, b = current.alias("t"), batch.alias("b")
+    cond = reduce(
+        lambda a, k: a & k,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+    )
+    joined = t.join(b, cond, "full_outer")
+    matched = F.col(f"t.{keys[0]}").isNotNull() & F.col(f"b.{keys[0]}").isNotNull()
+    changed = matched & reduce(
+        lambda a, c: a | c,
+        [~F.col(f"t.{c}").eqNullSafe(F.col(f"b.{c}")) for c in data_cols],
+    )
+
+    # surviving current rows: unchanged target rows, or closed-out versions
+    kept_current = joined.filter(F.col(f"t.{keys[0]}").isNotNull()).select(
+        *[F.col(f"t.{k}").alias(k) for k in keys],
+        *[F.col(f"t.{c}").alias(c) for c in data_cols],
+        F.col(f"t.{valid_from}").alias(valid_from),
+        F.when(changed, F.col(f"b.{ts_col}")).otherwise(None).alias(valid_to),
+    )
+    # new versions: brand-new pks, or the changed rows' replacements
+    new_current = joined.filter(
+        (F.col(f"b.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNull()) | changed
+    ).select(
+        *[F.col(f"b.{k}").alias(k) for k in keys],
+        *[F.col(f"b.{c}").alias(c) for c in data_cols],
+        F.col(f"b.{ts_col}").alias(valid_from),
+        F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
+    )
+    return closed.unionByName(kept_current).unionByName(new_current)
