@@ -187,3 +187,29 @@ def test_merge_upsert_into_empty_target(spark):
     b = spark.createDataFrame([(1, "a")], "pk long, v string")
     out = merge_upsert(empty, b, "pk", order_col=None, audit_col="__none__")
     assert [tuple(r) for r in out.collect()] == [(1, "a")]
+
+
+def test_scd2_upsert_versions(spark):
+    from datetime import datetime
+
+    from the_movies_db_spark.upsert import scd2_upsert
+
+    ts0, ts1 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    target = spark.createDataFrame(
+        [(1, "a", ts0, None), (2, "b", ts0, None)],
+        "pk long, v string, valid_from timestamp, valid_to timestamp",
+    )
+    batch = spark.createDataFrame(
+        [(1, "A", ts1), (3, "c", ts1)],  # pk1 changes, pk3 is new, pk2 untouched
+        "pk long, v string, ts timestamp",
+    )
+    out = scd2_upsert(target, batch, "pk", "ts")
+    rows = {(r.pk, r.v): (r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows[(1, "a")] == (ts0, ts1)     # old version closed at batch ts
+    assert rows[(1, "A")] == (ts1, None)    # new current version
+    assert rows[(2, "b")] == (ts0, None)    # untouched stays open
+    assert rows[(3, "c")] == (ts1, None)    # brand-new key
+    assert out.count() == 4
+    # re-applying the same batch is a no-op (idempotent)
+    again = scd2_upsert(out, batch, "pk", "ts")
+    assert again.count() == 4
