@@ -406,3 +406,41 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "safe_sqrt"
         ),
     )
+
+
+@register(
+    "fn_recursive_calendar",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-12-01'
+    )
+    SELECT strftime(m, '%Y-%m') AS ym,
+           count(o_orderkey)    AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS month_total
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+    doc=(
+        "Recursive CTE (Spark 4): generate a monthly calendar spine and "
+        "left-join the fact table so empty months appear with zero "
+        "counts — the gap-filling shape reporting pipelines need."
+    ),
+)
+def fn_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-12-01'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS ym,
+               count(o_orderkey)         AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS month_total
+        FROM months LEFT JOIN __orders_rc ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )
