@@ -444,3 +444,34 @@ def fn_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@register(
+    "fn_variant_props",
+    """
+    SELECT event_type,
+           min(json_extract(props, '$.k')::INT) AS min_k,
+           max(json_extract(props, '$.k')::INT) AS max_k,
+           count(*)                             AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "VARIANT semi-structured type (Spark 4): props parsed once to "
+        "VARIANT, typed path extraction feeding an aggregation — the "
+        "schema-on-read path for ragged JSON columns (vs from_json's "
+        "declared-schema map)."
+    ),
+)
+def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
