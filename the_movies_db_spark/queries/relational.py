@@ -965,7 +965,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*)                                                   AS n,
-           sum(cast(json_extract_string(props, '$.k') AS BIGINT))     AS sum_k,
+           cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(cast(json_extract_string(props, '$.k') AS BIGINT))     AS min_k,
            max(cast(json_extract_string(props, '$.k') AS BIGINT))     AS max_k
     FROM events
@@ -1070,8 +1070,8 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,

@@ -46,8 +46,8 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
       FROM gaps
     )
     SELECT min(ts)              AS session_start,

@@ -75,6 +75,10 @@ def _cells_equal(a, b) -> bool:
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     if isinstance(a, float) and isinstance(b, float):
         return a == b or (math.isnan(a) and math.isnan(b))
+    # The driver's value-hash is type-sensitive: int64 99111 != float64 99111.0.
+    # Python's `==` hides that (5 == 5.0), so fail the mixed case explicitly.
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     return a == b
 
 
