@@ -86,6 +86,21 @@ def main() -> None:
     timed_scalar("minhash_1x", sigs(docs1))
     timed_scalar(f"minhash_{n}x", sigs(docsn))
 
+    # n-gram Jaccard with df-cap: replication multiplies every shingle's
+    # document frequency by n, so without the cap the posting-list
+    # self-join grows quadratically (n² pair rows per shingle); with the
+    # cap the hot shingles fall out and growth stays near-linear.
+    from the_movies_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    timed(
+        "ngram_capped_1x",
+        ngram_jaccard_pairs(docs1, "doc_id", "text", threshold=0.2, max_df=25),
+    )
+    timed(
+        f"ngram_capped_{n}x",
+        ngram_jaccard_pairs(docsn, "doc_id", "text", threshold=0.2, max_df=25),
+    )
+
     skew_probe(spark, n)
 
 

@@ -173,3 +173,80 @@ def test_connected_components(spark):
     )
     got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+
+def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
+    """Banded-LSH near-dup pairs must be a subset of the brute-force
+    baseline with identical cosines, and its physical plan must be a
+    hash join on band buckets, never an all-pairs join."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in D.embedding_near_dup_pairs(
+            e, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    lsh_df = D.embedding_near_dup_pairs_lsh(
+        e, "vec_id", "embedding", threshold=0.3, num_bands=4, planes_per_band=4
+    )
+    lsh = {(r.id_a, r.id_b): r.cosine_sim for r in lsh_df.collect()}
+    assert set(lsh) <= set(brute)
+    assert all(brute[p] == c for p, c in lsh.items())
+    assert len(lsh) > 0  # recall sanity: some collisions at this threshold
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_multiblock_recall_exact_for_hamming_le_3(spark):
+    """Pigeonhole guarantee: with 4 disjoint 8-bit blocks, every pair at
+    Hamming distance ≤ 3 collides in ≥1 block — compare against the
+    brute-force all-pairs distance on a real corpus."""
+    from the_movies_db_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = D.with_simhash32(d.select("doc_id", "text"), "text").select("doc_id", "simhash")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(d, "doc_id", "text", max_hamming=3, num_blocks=4).collect()
+    }
+    assert brute  # corpus has close pairs, so the assertion is non-vacuous
+    assert blocked == brute
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """A shingle present in every document must not contribute to the
+    posting-list join when max_df caps it; rare-shingle pairs survive."""
+    rows = [
+        (1, "aaa bbb ccc hot hot hot"),
+        (2, "aaa bbb ccc hot hot hot"),  # near-dup of 1 via 'aaa bbb ccc'
+        (3, "xxx yyy zzz hot hot hot"),
+        (4, "ppp qqq rrr hot hot hot"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the 'hot hot hot' shingle links every pair
+    uncapped = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.01)
+    assert uncapped.count() == 6
+    # capped at df<=2: only the genuinely shared rare shingles remain
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.01, max_df=2
+        ).collect()
+    }
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] == 1.0  # identical rare-shingle sets

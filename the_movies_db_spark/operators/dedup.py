@@ -289,17 +289,38 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float,
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard restricted to pairs sharing ≥1 shingle:
-    explode → self-join on shingle → count shared → |A∪B| from per-doc
-    sizes. Scales as O(sum of postings²) per shingle — use MinHash-LSH
-    when shingle frequencies are heavy-tailed."""
+    """Exact n-gram Jaccard pairs via posting-list self-join: explode →
+    self-join on shingle → count shared → |A∪B| from per-doc sizes.
+
+    The self-join is O(Σ postings²) per shingle, which explodes on
+    stopword-like hot shingles. ``max_df`` is the standard fix: drop
+    shingles appearing in more than ``max_df`` documents BEFORE the
+    join (hot shingles carry no near-dup signal — they match
+    everything). Jaccard is then exact over the rare-shingle space:
+    per-doc sizes are computed from the same filtered postings, so the
+    measure stays internally consistent. With ``max_df`` set, the
+    worst per-shingle join cost is bounded at max_df², independent of
+    corpus size."""
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(word_shingles(tokens(text_col), shingle_n))).alias(
             "shingle"
         ),
     )
+    if max_df is not None:
+        # anti-join against the HOT shingles (df > max_df): that set is
+        # the heavy tail — orders of magnitude smaller than the rare
+        # dictionary — so AQE turns this into a broadcast anti-join;
+        # never broadcast the rare side, which is ~the whole dictionary.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -393,28 +414,62 @@ def simhash32(text: Column | str) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on the high
-    16 bits (a (32,16) prefix block — at scale use multiple rotated
-    blocks so any ≤k-distance pair collides in ≥1 block)."""
+    """Near-dup pairs by SimHash Hamming distance, multi-block
+    blocked (Manku et al., WWW'07 shape): the 32-bit signature splits
+    into ``num_blocks`` disjoint bit ranges; candidates are pairs that
+    agree on ≥1 whole block, deduplicated across blocks before the
+    distance check.
+
+    Pigeonhole guarantee: any pair at Hamming distance < num_blocks
+    has some block with zero differing bits, so recall is EXACT for
+    distance ≤ num_blocks - 1 (with the default 4 blocks: every ≤3
+    pair is found; 4..max_hamming pairs are best-effort). At scale,
+    widen signatures and keep block width ≈ log2(corpus) so block
+    buckets stay small."""
+    width = 32 // num_blocks
     sigs = with_simhash32(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
         "__t",
         "sig",
-    ).withColumn("block", (F.col("sig") / F.lit(2**16)).cast("bigint")).drop("__t")
-    a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    ).drop("__t")
+    blocks = F.array(
+        *[
+            (F.floor(F.col("sig") / F.lit(2 ** (b * width))).cast("bigint")
+             % F.lit(2**width))
+            for b in range(num_blocks)
+        ]
+    )
+    exploded = sigs.select(
+        "__id", "sig", F.posexplode(blocks).alias("__blk", "__val")
+    )
+    a = exploded.select(
+        F.col("__id").alias("id_a"),
+        F.col("sig").alias("__sa"),
+        F.col("__blk").alias("__blk_a"),
+        F.col("__val").alias("__val_a"),
+    )
+    b = exploded.select(
+        F.col("__id").alias("id_b"),
+        F.col("sig").alias("__sb"),
+        F.col("__blk").alias("__blk_b"),
+        F.col("__val").alias("__val_b"),
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.__id") < F.col("b.__id")),
+            (F.col("__blk_a") == F.col("__blk_b"))
+            & (F.col("__val_a") == F.col("__val_b"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            ham.alias("hamming"),
-        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -438,12 +493,87 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-band hyperplane-LSH cosine near-dup pairs — the 100 TB
+    primary path (the brute-force sibling below is the pytest-only
+    verification baseline).
+
+    Shape: per row, ``num_bands`` independent sign-projection
+    signatures (band b uses plane family ``b*planes_per_band ..``) are
+    computed as pure expressions; (band, signature) pairs explode and
+    self-equi-join, so candidate generation is a hash join on band
+    buckets — O(Σ bucket²), never O(n²) — and exact cosine verifies
+    only collided pairs. Pairs colliding in several bands are
+    deduplicated before the cosine so each pair is scored once.
+
+    Scale knobs: ``planes_per_band`` sets bucket granularity
+    (2^planes buckets per band — raise it as the corpus grows so
+    bucket occupancy stays bounded); ``num_bands`` sets recall
+    (P[found] = 1-(1-p^planes)^bands for per-plane agreement p).
+    Recall < 1 by construction: a pair is emitted iff it collides in
+    ≥1 band, and the SQL oracle replicates exactly that semantics.
+    """
+    from the_movies_db_spark.operators.similarity import hyperplane_signature
+
+    sigs = F.array(
+        *[
+            hyperplane_signature(
+                F.col(vec_col), planes_per_band, dim, plane_offset=b * planes_per_band
+            )
+            for b in range(num_bands)
+        ]
+    )
+    # stage the signature array in its own projection: HOF expressions
+    # re-inline per reference otherwise (see CLAUDE.md perf notes)
+    v = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sigs.alias("__sigs")
+    )
+    exploded = v.select(
+        "__id", "__v", F.posexplode("__sigs").alias("__band", "__sig")
+    )
+    a = exploded.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__band").alias("__band_a"),
+        F.col("__sig").alias("__sig_a"),
+    )
+    b = exploded.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__band").alias("__band_b"),
+        F.col("__sig").alias("__sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("__band_a") == F.col("__band_b"))
+            & (F.col("__sig_a") == F.col("__sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        # same pair ⇒ same vectors, so keeping any collided copy is exact
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    return (
+        cand.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Brute-force cosine near-dup pairs (verification baseline).
-    The 100 TB path replaces the cross join with
-    ``similarity.hyperplane_lsh_buckets`` (same cosine, bucketed)."""
+    """Brute-force cosine near-dup pairs (verification baseline; used
+    only in tests to bound ``embedding_near_dup_pairs_lsh`` recall —
+    the registered query runs the banded-LSH form)."""
     v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     a, b = v.alias("a"), v.alias("b")
     sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4)

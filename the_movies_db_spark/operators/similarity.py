@@ -79,13 +79,19 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_signature(vec: Column, num_planes: int, dim: int) -> Column:
+def hyperplane_signature(
+    vec: Column, num_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
     """Sign-random-projection signature as a '0101...' string. Bit p =
     1 iff round(dot(v, plane_p), 6) >= 0 (rounded so the sign is stable
     across engines). Dot products fold left in dimension order — the
-    same double-arithmetic sequence the SQL oracle computes."""
+    same double-arithmetic sequence the SQL oracle computes.
+
+    ``plane_offset`` selects a disjoint plane family, so multi-band LSH
+    (band b → offset b*planes_per_band) uses independent hyperplanes
+    per band."""
     bits = []
-    for p in range(num_planes):
+    for p in range(plane_offset, plane_offset + num_planes):
         plane = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
         dot = F.aggregate(
             F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),

@@ -24,6 +24,7 @@ _SHINGLES = (
     f" i -> array_to_string(({_TOKENS})[i:i+2], ' ')))"
 )
 _NUM_HASHES, _NUM_BANDS, _ROWS = 8, 4, 2
+_MAX_DF = 25  # n-gram Jaccard: drop shingles in more docs than this
 # minhash_i = min over shingles of md5('{i}:' || shingle)
 _SIG = ", ".join(
     f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
@@ -90,7 +91,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    WITH sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {_MAX_DF}),
+    sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
@@ -106,12 +109,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Exact n-gram Jaccard pairs via posting-list self-join (inverted "
-        "index shape): explode shingles → equi-join → shared counts."
+        "index shape) with a document-frequency cap: shingles with "
+        f"df > {_MAX_DF} are dropped before the join, bounding the "
+        "per-shingle join cost at max_df² (hot shingles carry no "
+        "near-dup signal)."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2, shingle_n=3)
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.2, shingle_n=3, max_df=_MAX_DF
+    )
 
 
 @register(
@@ -190,42 +198,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH tok AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents),
     sigs AS (SELECT doc_id, CAST({_BITVOTE} AS BIGINT) AS sig FROM tok),
-    b AS (SELECT doc_id, sig, sig // 65536 AS block FROM sigs)
+    b AS (SELECT doc_id, sig,
+                 (sig // 1) % 256        AS blk0,
+                 (sig // 256) % 256      AS blk1,
+                 (sig // 65536) % 256    AS blk2,
+                 (sig // 16777216) % 256 AS blk3
+          FROM sigs)
     SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            bit_count(xor(a.sig, c.sig)) AS hamming
-    FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
-    WHERE bit_count(xor(a.sig, c.sig)) <= 6
+    FROM b a JOIN b c
+      ON a.doc_id < c.doc_id
+     AND (a.blk0 = c.blk0 OR a.blk1 = c.blk1 OR a.blk2 = c.blk2 OR a.blk3 = c.blk3)
+    WHERE bit_count(xor(a.sig, c.sig)) <= 3
     """,
     doc=(
-        "SimHash near-dup pairs (Hamming ≤ 6) blocked on the high 16 "
-        "bits — signature, blocking, and xor/bit_count distance all "
-        "value-verified."
+        "SimHash near-dup pairs (Hamming ≤ 3), multi-block blocked: 4 "
+        "disjoint 8-bit blocks unioned, so every pair at distance ≤ 3 "
+        "collides in ≥1 block (pigeonhole) — recall is provably exact — signature, "
+        "blocking, and xor/bit_count distance all value-verified."
     ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    return D.simhash_pairs(d, "doc_id", "text", max_hamming=6)
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3, num_blocks=4)
+
+
+# multi-band hyperplane LSH for embedding near-dup: band b uses the
+# disjoint md5-derived plane family [b*planes_per_band, ...) — the oracle
+# reproduces the exact signatures, so the approximate index itself is
+# value-hash-verified.
+_EMB_BANDS, _EMB_PLANES, _EMB_DIM = 4, 4, 64
+_EMB_SIGN = (
+    "CASE WHEN substr(md5({p} || ':' || i), 1, 1) IN "
+    "('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
+)
+
+
+def _emb_band_sig(band: int) -> str:
+    return " || ".join(
+        "(CASE WHEN round(list_aggregate(list_transform(range(0, "
+        + str(_EMB_DIM)
+        + "), i -> embedding[i + 1]::DOUBLE * "
+        + _EMB_SIGN.format(p=band * _EMB_PLANES + p)
+        + "), 'sum'), 6) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(_EMB_PLANES)
+    )
+
+
+_EMB_SIG_COLS = ", ".join(
+    f"({_emb_band_sig(b)}) AS s{b}" for b in range(_EMB_BANDS)
+)
+_EMB_COLLIDE = " OR ".join(f"a.s{b} = b.s{b}" for b in range(_EMB_BANDS))
 
 
 @register(
     "dedup_embedding_cosine",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                 (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {_EMB_SIG_COLS} FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM sigs a JOIN sigs b
+        ON a.vec_id < b.vec_id AND ({_EMB_COLLIDE})
+    )
+    SELECT id_a, id_b,
+           round(list_inner_product(ea::DOUBLE[], eb::DOUBLE[]) /
+                 (sqrt(list_inner_product(ea::DOUBLE[], ea::DOUBLE[])) *
+                  sqrt(list_inner_product(eb::DOUBLE[], eb::DOUBLE[]))),
                  4) AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                 sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+    FROM cand
+    WHERE round(list_inner_product(ea::DOUBLE[], eb::DOUBLE[]) /
+                (sqrt(list_inner_product(ea::DOUBLE[], ea::DOUBLE[])) *
+                 sqrt(list_inner_product(eb::DOUBLE[], eb::DOUBLE[]))),
                 4) >= 0.4
     """,
     doc=(
-        "Embedding-cosine near-dup pairs (brute-force verification "
-        "baseline; the scale path buckets by hyperplane signature first)."
+        "Embedding-cosine near-dup pairs via multi-band hyperplane LSH — "
+        "banded equi-join candidate generation (O(Σ bucket²), no all-pairs "
+        "join), exact cosine verification on collisions. The brute-force "
+        "baseline lives in operators.dedup and is pytest-only."
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    return D.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return D.embedding_near_dup_pairs_lsh(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        num_bands=_EMB_BANDS,
+        planes_per_band=_EMB_PLANES,
+        dim=_EMB_DIM,
+    )
