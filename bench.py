@@ -77,17 +77,48 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    vs_prev = _vs_prev(timings, out["value"])
+    if vs_prev:
+        out["vs_prev"] = vs_prev
+    print(json.dumps(out))
+
+
+def _vs_prev(timings: dict[str, float], total: float) -> dict | None:
+    """Per-query and total ratios vs the newest recorded BENCH_r{N}.json
+    (this_run / prev_run; >1 = regression), so regressions are visible
+    round over round. Timings are ~20% noisy — read ratios accordingly."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    if not benches:
+        return None
+    try:
+        with open(benches[-1]) as fh:
+            prev = json.load(fh).get("parsed", {})
+    except (OSError, json.JSONDecodeError):
+        return None
+    prev_q = prev.get("queries") or {}
+    ratios = {
+        name: round(t / prev_q[name], 2)
+        for name, t in timings.items()
+        if prev_q.get(name)
+    }
+    out = {"baseline": os.path.basename(benches[-1]), "queries": ratios}
+    if prev.get("value"):
+        out["total"] = round(total / prev["value"], 2)
+    return out
 
 
 if __name__ == "__main__":

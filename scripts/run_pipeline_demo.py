@@ -23,7 +23,7 @@ from the_movies_db_spark.schema_evolution import check_schema_drift
 from the_movies_db_spark.session import get_spark
 from the_movies_db_spark.sources.rest_api import clean_movies
 from the_movies_db_spark.sources.rest_datasource import PaginatedRestDataSource
-from the_movies_db_spark.upsert import write_upsert
+from the_movies_db_spark.upsert import read_table, write_upsert
 
 
 def main() -> None:
@@ -54,13 +54,13 @@ def main() -> None:
     cleaned = clean_movies(raw)
     write_upsert(spark, target, cleaned, pk="id")
     write_upsert(spark, target, cleaned, pk="id")  # idempotence
-    print(f"loaded (2× upsert, idempotent): {spark.read.parquet(target).count()} rows")
+    print(f"loaded (2× upsert, idempotent): {read_table(spark, target).count()} rows")
 
     # 4. schema drift: new column + vote_count type change
     drifted = cleaned.withColumn("revenue", F.lit(1000000)).withColumn(
         "vote_count", F.col("vote_count").cast("double")
     )
-    drift = check_schema_drift(drifted.schema, spark.read.parquet(target).schema)
+    drift = check_schema_drift(drifted.schema, read_table(spark, target).schema)
     print(
         f"drift detected: +{[f.name for f in drift.columns_to_add]} "
         f"retyped {[(m.name, m.renamed_to) for m in drift.modified_cols]}"
@@ -68,7 +68,7 @@ def main() -> None:
     write_upsert(spark, target, drifted, pk="id")
 
     # 5. query the evolved table
-    final = spark.read.parquet(target)
+    final = read_table(spark, target)
     print("final schema:", [f.name for f in final.schema.fields])
     top = (
         final.groupBy("original_language")

@@ -126,5 +126,46 @@ def test_end_to_end_pipeline_parity(spark, tmp_path):
             R.fetch_all_endpoints(spark, fixture_transport(2, 3))
         )
         write_upsert(spark, target, df.drop("endpoint"), pk="id")
-    final = spark.read.parquet(target)
+    from the_movies_db_spark.upsert import read_table
+
+    final = read_table(spark, target)
     assert final.count() == 6  # ids 0..5, once each
+
+
+def test_token_bucket_enforces_rate():
+    """A bucket at r tokens/sec with capacity 1 admits n requests in no
+    less than (n-1)/r seconds."""
+    import time as _t
+
+    bucket = R.TokenBucket(rate=50.0, capacity=1.0)
+    t0 = _t.monotonic()
+    for _ in range(11):
+        bucket.acquire()
+    elapsed = _t.monotonic() - t0
+    assert elapsed >= 10 / 50.0  # 11 requests, 10 refill intervals
+    assert elapsed < 2.0  # and it doesn't over-throttle
+
+
+def test_distributed_fetch_respects_global_rate(spark):
+    """With requests_per_sec set, the wall-clock for the whole fetch is
+    bounded below by pages / global_rate (counting transport: every
+    page is one request)."""
+    import time as _t
+
+    def make_transport():
+        return fixture_transport(8, 2)
+
+    t0 = _t.monotonic()
+    df = R.fetch_pages_distributed(
+        spark,
+        make_transport,
+        "u",
+        num_pages=8,
+        partitions=2,
+        requests_per_sec=10.0,
+    )
+    n = df.count()
+    elapsed = _t.monotonic() - t0
+    assert n == 16
+    # 8 requests over 2 tasks at 5 req/s/task → ≥ (4-1)/5 = 0.6 s
+    assert elapsed >= 0.6

@@ -40,7 +40,9 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
     E.run_foreach_batch_available_now(
         stream, E.foreach_batch_upsert(target, pk="event_id")
     )
-    merged = spark.read.parquet(target)
+    from the_movies_db_spark.upsert import read_table
+
+    merged = read_table(spark, target)
     n_batch = E.batch_events(spark, sf_dir).count()
     assert merged.count() == n_batch
     # idempotent: replaying the same stream upserts, never duplicates
@@ -48,7 +50,7 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         E.read_events_stream(spark, sf_dir),
         E.foreach_batch_upsert(target, pk="event_id"),
     )
-    assert spark.read.parquet(target).count() == n_batch
+    assert read_table(spark, target).count() == n_batch
 
 
 def test_watermark_drops_late_data(spark, tmp_path):

@@ -107,7 +107,9 @@ def test_write_upsert_roundtrip(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_upsert(spark, path, _df(spark, [(1, "a", T0), (2, "b", T0)]), "id")
     write_upsert(spark, path, _df(spark, [(2, "B", T1), (3, "c", T1)]), "id")
-    out = _as_map(spark.read.parquet(path))
+    from the_movies_db_spark.upsert import read_table
+
+    out = _as_map(read_table(spark, path))
     assert {k: v.val for k, v in out.items()} == {1: "a", 2: "B", 3: "c"}
 
 
@@ -213,3 +215,48 @@ def test_scd2_upsert_versions(spark):
     # re-applying the same batch is a no-op (idempotent)
     again = scd2_upsert(out, batch, "pk", "ts")
     assert again.count() == 4
+
+
+def test_write_upsert_crash_before_commit_keeps_old_version(spark, tmp_path):
+    """Manifest-guarded swap: a crash after the new version dir is fully
+    written but BEFORE the pointer flip must leave the previous version
+    readable, and a retry must converge to the merged state."""
+    from the_movies_db_spark import upsert as U
+
+    path = str(tmp_path / "tbl")
+    U.write_upsert(spark, path, _df(spark, [(1, "a", T0), (2, "b", T0)]), "id")
+    before = {k: v.val for k, v in _as_map(U.read_table(spark, path)).items()}
+    assert before == {1: "a", 2: "b"}
+
+    def crash():
+        raise RuntimeError("simulated crash before pointer flip")
+
+    U._before_pointer_flip = crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            U.write_upsert(spark, path, _df(spark, [(2, "B", T1)]), "id")
+    finally:
+        U._before_pointer_flip = None
+
+    # table still serves the pre-crash version
+    after_crash = {k: v.val for k, v in _as_map(U.read_table(spark, path)).items()}
+    assert after_crash == before
+
+    # retry commits; the orphaned version dir from the crash is ignored
+    U.write_upsert(spark, path, _df(spark, [(2, "B", T1), (3, "c", T1)]), "id")
+    final = {k: v.val for k, v in _as_map(U.read_table(spark, path)).items()}
+    assert final == {1: "a", 2: "B", 3: "c"}
+
+
+def test_vacuum_keeps_current_version(spark, tmp_path):
+    import os
+
+    from the_movies_db_spark import upsert as U
+
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        stamp = T0 + dt.timedelta(days=i)
+        U.write_upsert(spark, path, _df(spark, [(1, f"v{i}", stamp)]), "id")
+    versions = [d for d in os.listdir(path) if U._VERSION_RE.fullmatch(d)]
+    assert versions == [U._current_version(path)]  # keep=1 vacuumed the rest
+    assert _as_map(U.read_table(spark, path))[1].val == "v2"

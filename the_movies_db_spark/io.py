@@ -178,32 +178,56 @@ def compact_table(
     Streaming sinks and frequent small upserts accrete thousands of
     tiny files; at 100 TB, file-listing and per-file open overhead
     dominate scans long before data volume does. Returns
-    (files_before, files_after). Not transactional on plain parquet —
-    same rename-swap caveat as ``write_upsert``.
+    (files_before, files_after). For a versioned table root (one with a
+    ``_CURRENT`` pointer, see ``upsert.write_upsert``) the rewrite
+    commits as a new version via the atomic pointer flip — crash-safe;
+    for a plain flat dir it falls back to rename-swap.
     """
     import glob
     import shutil
     import tempfile
 
-    files_before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    from the_movies_db_spark.upsert import (
+        _commit_version,
+        _current_version,
+        _next_version_name,
+        table_data_path,
+        vacuum_table,
+    )
+
+    data_dir = table_data_path(path)
+    files_before = len(
+        glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
     total_bytes = sum(
         os.path.getsize(f)
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        for f in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     )
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
 
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(data_dir)
     out = df.repartition(int(n_out))
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
 
-    staging = tempfile.mkdtemp(
-        prefix=os.path.basename(path) + "_compact_", dir=os.path.dirname(path) or "."
+    if _current_version(path) is not None:
+        version = _next_version_name(path)
+        out.write.mode("overwrite").parquet(os.path.join(path, version))
+        _commit_version(path, version)
+        vacuum_table(path, keep=1)
+        final_dir = os.path.join(path, version)
+    else:
+        staging = tempfile.mkdtemp(
+            prefix=os.path.basename(path) + "_compact_",
+            dir=os.path.dirname(path) or ".",
+        )
+        out.write.mode("overwrite").parquet(staging)
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+        final_dir = path
+    files_after = len(
+        glob.glob(os.path.join(final_dir, "**", "*.parquet"), recursive=True)
     )
-    out.write.mode("overwrite").parquet(staging)
-    old = path + ".old"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
-    files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return files_before, files_after

@@ -143,8 +143,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     E.run_foreach_batch_available_now(
         stream, E.foreach_batch_upsert(target, pk="event_id", order_col="ts")
     )
+    from the_movies_db_spark.upsert import read_table
+
     return (
-        spark.read.parquet(target)
+        read_table(spark, target)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -197,6 +199,16 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["window_start", "event_type"]
 
     def maintain(batch_df, batch_id: int) -> None:
+        import os
+
+        from the_movies_db_spark.upsert import (
+            _commit_version,
+            _current_version,
+            _next_version_name,
+            read_table,
+            vacuum_table,
+        )
+
         s = batch_df.sparkSession
         delta = (
             batch_df.groupBy(
@@ -206,22 +218,21 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("value").alias("sum_value"),
             )
         )
-        import os
-
-        if os.path.exists(target):
+        if os.path.exists(target) and _current_version(target) is not None:
             merged = additive_upsert(
-                s.read.parquet(target), delta, keys, ["n_events", "sum_value"]
+                read_table(s, target), delta, keys, ["n_events", "sum_value"]
             )
         else:
             merged = delta
-        staging = f"{target}_stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(target):
-            os.rename(target, f"{target}_old_{batch_id}")
-        os.rename(staging, target)
+        version = _next_version_name(target)
+        merged.write.mode("overwrite").parquet(os.path.join(target, version))
+        _commit_version(target, version)
+        vacuum_table(target, keep=1)
 
     E.run_foreach_batch_available_now(stream, maintain)
-    return spark.read.parquet(target).select(
+    from the_movies_db_spark.upsert import read_table
+
+    return read_table(spark, target).select(
         "window_start",
         "event_type",
         "n_events",

@@ -49,6 +49,16 @@ def get_spark(app_name: str = "the_movies_db_spark", **overrides: str) -> SparkS
     """
     active = SparkSession.getActiveSession()
     if active is not None:
+        # a pre-existing session (e.g. the driver's) may lack the
+        # engine defaults; apply every runtime-settable conf so e.g. a
+        # non-UTC timezone can't silently break oracle parity. Static
+        # confs (master, memory) are skipped — they can't change on a
+        # live session.
+        for k, v in {**_DEFAULTS, **overrides}.items():
+            try:
+                active.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — static conf on live session
+                pass
         return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"

@@ -154,6 +154,39 @@ def fetch_all_endpoints(
     return out
 
 
+class TokenBucket:
+    """Thread-safe token-bucket rate limiter (the D2 throttle done
+    properly): ``rate`` tokens/sec refill up to ``capacity``;
+    ``acquire`` blocks until a token is available. Monotonic clock, so
+    wall-clock jumps can't mint tokens."""
+
+    def __init__(self, rate: float, capacity: float | None = None):
+        import threading
+
+        self.rate = float(rate)
+        self.capacity = float(capacity if capacity is not None else max(1.0, rate))
+        self._tokens = self.capacity
+        self._last = time.monotonic()
+        self._lock = threading.Lock()
+
+    def acquire(self, n: float = 1.0) -> float:
+        """Block until ``n`` tokens are available; returns seconds slept."""
+        slept = 0.0
+        while True:
+            with self._lock:
+                now = time.monotonic()
+                self._tokens = min(
+                    self.capacity, self._tokens + (now - self._last) * self.rate
+                )
+                self._last = now
+                if self._tokens >= n:
+                    self._tokens -= n
+                    return slept
+                wait = (n - self._tokens) / self.rate
+            time.sleep(wait)
+            slept += wait
+
+
 def fetch_pages_distributed(
     spark: SparkSession,
     make_transport: Callable[[], Transport],
@@ -162,25 +195,42 @@ def fetch_pages_distributed(
     schema: StructType = MOVIE_SCHEMA,
     politeness_s: float = 0.0,
     partitions: int | None = None,
+    requests_per_sec: float | None = None,
 ) -> DataFrame:
     """Executor-side page fetch: parallelize page ids, fetch per
     partition via mapInPandas. ``make_transport`` must be picklable
     (e.g. a module-level factory) — each executor builds its own
-    session. ``politeness_s`` sleeps between pages per task (the D2
-    throttle analog; a shared token bucket would replace it in prod).
-    """
+    session.
+
+    Rate limiting (D2): ``requests_per_sec`` is the GLOBAL ceiling;
+    each task runs a token bucket at ``requests_per_sec /
+    max_concurrent_tasks`` so the fleet-wide rate holds no matter how
+    many executors fetch at once (tasks never coordinate — the
+    division is the coordination, and it stays correct as executors
+    scale because the scheduler caps concurrent tasks at the partition
+    count). ``politeness_s`` is the legacy fixed sleep, kept for
+    parity with the reference's behavior."""
     import pandas as pd
 
     pages = spark.range(1, num_pages + 1).withColumnRenamed("id", "page")
     if partitions:
         pages = pages.repartition(partitions)
+    n_tasks = partitions or pages.rdd.getNumPartitions()
+    per_task_rate = (
+        requests_per_sec / max(1, n_tasks) if requests_per_sec else None
+    )
     names = [f.name for f in schema.fields]
 
     def fetch(batches):
         transport = make_transport()
+        bucket = (
+            TokenBucket(per_task_rate, capacity=1.0) if per_task_rate else None
+        )
         for pdf in batches:
             out = []
             for page in pdf["page"]:
+                if bucket is not None:
+                    bucket.acquire()
                 payload = transport(url, {"page": int(page)})
                 for r in payload.get("results", []):
                     out.append({n: r.get(n) for n in names})

@@ -21,15 +21,17 @@ relative to the target (the common daily-increment case), pass
 ``broadcast_batch=True`` and the plan degrades to a broadcast outer
 join with NO shuffle of the target. With a transactional table format
 (Delta/Iceberg) this maps to native ``MERGE INTO``; on plain Parquet,
-``write_upsert`` rewrites to a fresh directory and swaps — the
-non-atomicity of rename-swap is documented in SURVEY §7.
+``write_upsert`` writes a complete new version directory and commits
+it with an atomic pointer-file flip (manifest-guarded swap — a crash
+at any point leaves the previous version readable; see the
+versioned-table section below).
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
-import tempfile
 from collections.abc import Sequence
 from functools import reduce
 
@@ -117,6 +119,88 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+# --- versioned table commits (manifest-guarded swap) -----------------------
+#
+# Plain-Parquet tables can't MERGE in place, so each upsert writes a
+# complete new version directory and commits it by atomically replacing
+# a pointer file — the miniature of what Delta/Iceberg's transaction log
+# does. A crash at ANY point leaves `_CURRENT` referencing a complete,
+# readable version: before the flip the old version is still current;
+# the flip itself is a single atomic os.replace; orphaned version dirs
+# are garbage, removed by `vacuum_table`.
+
+CURRENT_POINTER = "_CURRENT"
+_VERSION_RE = re.compile(r"v\d{8}$")
+
+# test hook: called after the new version dir is fully written but
+# before the pointer flip (fault injection for crash-safety tests)
+_before_pointer_flip = None
+
+
+def _current_version(target_path: str) -> str | None:
+    f = os.path.join(target_path, CURRENT_POINTER)
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        name = fh.read().strip()
+    return name or None
+
+
+def table_data_path(target_path: str) -> str:
+    """Resolve a table root to the directory holding its current data:
+    the pointed version dir for a versioned table, the root itself for
+    a legacy flat-Parquet dir."""
+    v = _current_version(target_path)
+    return os.path.join(target_path, v) if v else target_path
+
+
+def read_table(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a table written by ``write_upsert`` (version-pointer aware)."""
+    return spark.read.parquet(table_data_path(target_path))
+
+
+def _next_version_name(target_path: str) -> str:
+    versions = [
+        d for d in os.listdir(target_path) if _VERSION_RE.fullmatch(d)
+    ] if os.path.exists(target_path) else []
+    n = max((int(v[1:]) for v in versions), default=0) + 1
+    return f"v{n:08d}"
+
+
+def _commit_version(target_path: str, version_name: str) -> None:
+    """Atomically point ``_CURRENT`` at ``version_name``: write a temp
+    pointer, fsync, and os.replace it over the live pointer (atomic on
+    POSIX — readers see either the old or the new version, never a
+    torn state)."""
+    tmp = os.path.join(target_path, f".{CURRENT_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version_name)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(target_path, CURRENT_POINTER))
+
+
+def vacuum_table(target_path: str, keep: int = 1) -> list[str]:
+    """Remove version dirs older than the ``keep`` most recent at or
+    below the current pointer (never the current one, never newer
+    in-flight writes). Returns removed names."""
+    current = _current_version(target_path)
+    if current is None:
+        return []
+    versions = sorted(
+        d for d in os.listdir(target_path)
+        if _VERSION_RE.fullmatch(d) and d <= current
+    )
+    doomed = versions[:-keep] if keep > 0 else versions[:-1]
+    removed = []
+    for v in doomed:
+        if v == current:
+            continue
+        shutil.rmtree(os.path.join(target_path, v), ignore_errors=True)
+        removed.append(v)
+    return removed
+
+
 def write_upsert(
     spark: SparkSession,
     target_path: str,
@@ -124,27 +208,31 @@ def write_upsert(
     pk: str | Sequence[str],
     order_col: str | None = AUDIT_COLUMN,
 ) -> None:
-    """Materialized upsert against a Parquet table directory: read →
-    merge → write to a fresh sibling dir → atomic-ish swap. (With
-    Delta/Iceberg this whole function is a native MERGE INTO; the swap
-    is the plain-Parquet fallback, see module docstring.)"""
-    if not os.path.exists(target_path):
-        batch_df = batch
-        if order_col is not None and order_col in batch.columns:
-            batch_df = keep_latest(batch_df, pk, order_col)
-        batch_df.write.mode("overwrite").parquet(target_path)
-        return
-    target = spark.read.parquet(target_path)
-    merged = merge_upsert(target, batch, pk, order_col=order_col)
-    staging = tempfile.mkdtemp(
-        prefix=os.path.basename(target_path) + "_stage_",
-        dir=os.path.dirname(target_path) or ".",
+    """Materialized upsert against a Parquet table root: read current
+    version → merge → write a complete new version dir → atomic
+    pointer-file commit (manifest-guarded; a crash mid-upsert leaves
+    the previous version readable). With Delta/Iceberg this whole
+    function is a native MERGE INTO; the versioned layout is the
+    plain-Parquet stand-in for their transaction log."""
+    exists = os.path.exists(target_path)
+    current = table_data_path(target_path) if exists else None
+    has_data = exists and (
+        _current_version(target_path) is not None
+        or any(not f.startswith((".", "_")) for f in os.listdir(target_path))
     )
-    merged.write.mode("overwrite").parquet(staging)
-    old = target_path + ".old"
-    os.rename(target_path, old)
-    os.rename(staging, target_path)
-    shutil.rmtree(old, ignore_errors=True)
+    if not has_data:
+        out = batch
+        if order_col is not None and order_col in batch.columns:
+            out = keep_latest(out, pk, order_col)
+    else:
+        target = spark.read.parquet(current)
+        out = merge_upsert(target, batch, pk, order_col=order_col)
+    version = _next_version_name(target_path)
+    out.write.mode("overwrite").parquet(os.path.join(target_path, version))
+    if _before_pointer_flip is not None:
+        _before_pointer_flip()
+    _commit_version(target_path, version)
+    vacuum_table(target_path, keep=1)
 
 
 def write_upsert_partitioned(
