@@ -107,3 +107,33 @@ def test_json_ingest_roundtrip(spark, sf_dir, tmp_path):
     assert back.count() == d.count()
     assert back.schema == d.schema
     assert back.exceptAll(d).isEmpty() and d.exceptAll(back).isEmpty()
+
+
+def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must cover tighter (min,max) boxes in BOTH key
+    columns than the unclustered layout — that box tightness is what
+    lets parquet row-group stats prune two-dimensional predicates."""
+    import glob
+
+    from the_movies_db_spark.io import load_table, write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    flat, zord = str(tmp_path / "flat"), str(tmp_path / "zord")
+    li.repartition(8).write.parquet(flat)
+    write_zordered(li, zord, "l_partkey", "l_suppkey", n_files=8)
+
+    def mean_box_area(path):
+        areas = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            pdf = spark.read.parquet(f).toPandas()
+            if len(pdf) == 0:
+                continue
+            areas.append(
+                (pdf.l_partkey.max() - pdf.l_partkey.min() + 1)
+                * (pdf.l_suppkey.max() - pdf.l_suppkey.min() + 1)
+            )
+        return sum(areas) / len(areas)
+
+    # round-robin files span ~the full key space; z-ordered files cover
+    # a fraction of it (locality in both dims simultaneously)
+    assert mean_box_area(zord) < mean_box_area(flat) * 0.5

@@ -250,3 +250,26 @@ def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
     }
     assert set(capped) == {(1, 2)}
     assert capped[(1, 2)] == 1.0  # identical rare-shingle sets
+
+
+def test_quantized_topk_matches_bruteforce_closely(spark):
+    """int8 quantize-then-rerank: re-ranked cosines are EXACT (same
+    rounded float as brute force) and recall vs exact top-k is high —
+    quantization only perturbs the shortlist, not the final scores."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in S.cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in S.cosine_topk_quantized(
+            e, q, "vec_id", "embedding", k=5, shortlist_factor=4
+        ).collect()
+    }
+    common = set(exact) & set(quant)
+    assert len(common) >= 0.6 * len(exact)  # recall floor
+    assert all(exact[p] == quant[p] for p in common)  # re-rank is exact

@@ -231,3 +231,52 @@ def compact_table(
         glob.glob(os.path.join(final_dir, "**", "*.parquet"), recursive=True)
     )
     return files_before, files_after
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Bit-interleaved Z-order key over two non-negative integer
+    columns: bit b of x lands at position 2b, bit b of y at 2b+1, so
+    sorting by the key clusters rows that are close in BOTH dimensions.
+    Pure integer DIV/%/× arithmetic (no shifts), so the identical
+    formula runs on any SQL engine for verification."""
+    from pyspark.sql import functions as F
+
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    terms = []
+    for b in range(bits):
+        terms.append((F.floor(xc / F.lit(2**b)).cast("bigint") % 2) * F.lit(2 ** (2 * b)))
+        terms.append((F.floor(yc / F.lit(2**b)).cast("bigint") % 2) * F.lit(2 ** (2 * b + 1)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def write_zordered(
+    df,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write a table clustered along a Z-order curve: range-partition
+    on the interleaved key, sort within partitions, drop the key. Each
+    output file then covers a tight range of BOTH x and y, so parquet
+    row-group min/max stats prune scans with predicates on either (or
+    both) dimensions — the poor man's multi-dimensional clustering
+    (what Delta's OPTIMIZE ZORDER BY does, minus the transaction log).
+    At 100 TB this is a maintenance pass after load, amortized across
+    every subsequent selective scan."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__z", zorder_key(x_col, y_col, bits))
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -475,3 +475,108 @@ def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "events_session_window_native",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM gaps
+    )
+    SELECT min(ts)                         AS session_start,
+           max(ts) + INTERVAL 30 MINUTE    AS session_end,
+           user_id,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc=(
+        "Spark-native batch sessionization: F.session_window in a plain "
+        "groupBy — the engine merges events closer than the gap into one "
+        "window (end = last event + gap, half-open, so an exactly-30-min "
+        "gap STARTS a new session — mirrored with >= in the oracle). One "
+        "shuffle on (user_id); contrast with the manual gaps-and-islands "
+        "form in events_sessionize (two window passes)."
+    ),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def _z_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({x} // {2**b}) % 2) * {2 ** (2 * b)}")
+        terms.append(f"(({y} // {2**b}) % 2) * {2 ** (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder",
+    f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             CAST({_z_sql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
+      FROM lineitem
+    )
+    SELECT zkey // {2**26} AS zbucket,
+           count(*)        AS n_rows,
+           min(l_partkey)  AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey)  AS min_supp, max(l_suppkey) AS max_supp
+    FROM z
+    GROUP BY 1
+    """,
+    doc=(
+        "Z-order clustering key (bit-interleave of two dimensions, pure "
+        "DIV/%/× arithmetic) + per-bucket locality stats: every zkey "
+        "range covers a tight min/max box in BOTH columns, which is "
+        "exactly what makes parquet row-group stats prune 2-D predicates "
+        "after io.write_zordered. The key computation itself is "
+        "value-hash-verified here."
+    ),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.io import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            zorder_key("l_partkey", "l_suppkey").alias("zkey"),
+        )
+        .groupBy(F.floor(F.col("zkey") / F.lit(2**26)).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
