@@ -273,3 +273,41 @@ def test_quantized_topk_matches_bruteforce_closely(spark):
     common = set(exact) & set(quant)
     assert len(common) >= 0.6 * len(exact)  # recall floor
     assert all(exact[p] == quant[p] for p in common)  # re-rank is exact
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a token run of length
+    >= w + k - 1 (here 8) must share at least one fingerprint."""
+    from the_movies_db_spark.queries import load_all  # registry import side effect
+
+    from the_movies_db_spark.queries.pipeline_extra import text_winnow  # noqa: F401
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"{shared} unique tail one two"),
+        (2, f"totally different head words {shared}"),
+        (3, "no overlap with anything here at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # run the same expression pipeline as the registered query, but on
+    # a hand-built corpus, returning the raw fingerprint sets
+    import the_movies_db_spark.queries.pipeline_extra as P
+    from pyspark.sql import functions as F
+
+    t = F.split(F.col("text"), r"\s+")
+    n_grams = F.greatest(F.size(t) - F.lit(P._K - 1), F.lit(1))
+    gram = lambda i: F.concat_ws(" ", F.slice(t, i, P._K))  # noqa: E731
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10).cast("bigint"),
+    )
+    staged = docs.select("doc_id", hs.alias("hs"))
+    n_wins = F.greatest(F.size("hs") - F.lit(P._W - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins), lambda i: F.array_min(F.slice("hs", i, P._W))
+        )
+    )
+    sets = {r.doc_id: set(r.fps) for r in staged.select("doc_id", fps.alias("fps")).collect()}
+    assert sets[1] & sets[2]          # shared run ⇒ shared fingerprint
+    assert not (sets[1] & sets[3])    # disjoint text ⇒ disjoint prints

@@ -124,6 +124,7 @@ def load_all() -> dict[str, Query]:
     from the_movies_db_spark.queries import (  # noqa: F401
         dedup_queries,
         multimodal_queries,
+        pipeline_extra,
         relational,
         similarity_queries,
         streaming_queries,

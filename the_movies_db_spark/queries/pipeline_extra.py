@@ -1,0 +1,202 @@
+"""Pipeline-operator surface a production loader needs beyond MERGE:
+CDC changelog application, data-quality expectation checks, and
+winnowing document fingerprints (MOSS-style k-gram selection).
+
+All three are pure-expression plans with exact DuckDB oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table, spread
+from the_movies_db_spark.queries import register
+
+
+@register(
+    "cdc_apply",
+    """
+    WITH log AS (
+      SELECT o_orderkey AS key, 1 AS seq, 'I' AS op,
+             round(o_totalprice, 2) AS price, o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END,
+             ((CAST(round(o_totalprice * 100) AS BIGINT) * 110) // 100) / 100.0,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    latest AS (
+      SELECT key, seq, op, price, status,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT key, op AS last_op, price, status
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc=(
+        "CDC changelog application (Debezium-shaped I/U/D ops with a "
+        "sequence number): latest op per key wins, deletes drop the row "
+        "— one shuffle on key, the op every lakehouse ingest runs. The "
+        "changelog here is synthesized deterministically from orders so "
+        "the apply semantics are value-hash-verified."
+    ),
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    # +10% computed in integer cents (floor division), never float*1.1 —
+    # rounding a float product to 2 decimals diverges between engines at
+    # representation boundaries; integer arithmetic cannot
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bumped = (F.floor(cents * 110 / 100).cast("bigint") / F.lit(100.0)).alias("price")
+    changes = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        bumped,
+        F.col("o_orderstatus").alias("status"),
+    )
+    log = snap.unionByName(changes)
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", F.col("op").alias("last_op"), "price", "status")
+    )
+
+
+@register(
+    "dq_checks",
+    """
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS violations
+    UNION ALL
+    SELECT 'orders_pk_duplicates',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'orders_null_price',
+           (SELECT count(*) FROM orders WHERE o_totalprice IS NULL)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    """,
+    doc=(
+        "Data-quality expectation suite as one plan: referential "
+        "integrity (anti-join counts), primary-key uniqueness, domain "
+        "and null checks — the pre-publish gate of a pipeline. Each "
+        "check is an independent aggregate; Spark runs them as parallel "
+        "jobs over pruned scans."
+    ),
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("violations"),
+        )
+
+    orphan_orders = one(
+        "orders_orphan_custkey",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    pk_dup = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations")
+    ).select(F.lit("orders_pk_duplicates").alias("check_name"), "violations")
+    bad_qty = one("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0))
+    null_price = one("orders_null_price", o.filter(F.col("o_totalprice").isNull()))
+    orphan_li = one(
+        "lineitem_orphan_orderkey",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    return (
+        orphan_orders.unionByName(pk_dup)
+        .unionByName(bad_qty)
+        .unionByName(null_price)
+        .unionByName(orphan_li)
+    )
+
+
+_K, _W = 4, 5  # k-gram size, winnow window
+
+
+@register(
+    "text_winnow",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - {_K} + 1, 1) + 1),
+               i -> CAST(concat('0x', substr(md5(array_to_string(t[i:i+{_K - 1}], ' ')), 1, 8)) AS BIGINT)
+             ) AS hs
+      FROM toks
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(hs) - {_W} + 1, 1) + 1),
+                 i -> list_aggregate(hs[i:i+{_W - 1}], 'min'))
+             ) AS fps
+      FROM grams
+    )
+    SELECT doc_id,
+           len(fps)                       AS n_fingerprints,
+           list_aggregate(fps, 'min')     AS min_fp,
+           list_aggregate(fps, 'max')     AS max_fp
+    FROM winnowed
+    """,
+    doc=(
+        "Winnowing fingerprints (the MOSS k-gram selection): md5-derived "
+        "k-gram hashes, minimum per sliding window, distinct minima. "
+        "Guarantees every shared substring of length >= w+k-1 yields a "
+        "shared fingerprint, at ~2/(w+1) sampling density — the standard "
+        "near-copy detector for code/text corpora. Pure expressions, "
+        "value-hash-verified."
+    ),
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = F.split(F.col("text"), r"\s+")
+    n_grams = F.greatest(F.size(t) - F.lit(_K - 1), F.lit(1))
+    gram = lambda i: F.concat_ws(" ", F.slice(t, i, _K))  # noqa: E731
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10).cast("bigint"),
+    )
+    staged = d.select("doc_id", hs.alias("hs"))
+    n_wins = F.greatest(F.size("hs") - F.lit(_W - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.array_min(F.slice("hs", i, _W)),
+        )
+    )
+    return (
+        staged.select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+    )
