@@ -24,6 +24,11 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # In local mode the driver heap IS the executor heap; Spark's 1g
+    # default starves a local[32] JVM (GC thrash, OOM on larger
+    # collects). Static conf — only applies to sessions this factory
+    # creates, never retrofitted onto a live one.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
