@@ -101,6 +101,30 @@ def main() -> None:
         ngram_jaccard_pairs(docsn, "doc_id", "text", threshold=0.2, max_df=25),
     )
 
+    # banded embedding LSH: at n× corpus the SAME plane count means n²×
+    # candidate pairs (buckets fill up); raising planes_per_band restores
+    # bucket selectivity — this probe prints the candidate counts that
+    # justify the "planes track log2(corpus)" sizing rule.
+    from the_movies_db_spark.operators.dedup import embedding_near_dup_pairs_lsh
+
+    emb1 = spread(load_table(spark, SF_DIR, "embeddings"))
+    embn = replicate(emb1, n, "vec_id")
+    timed(
+        "emb_lsh_1x_p4",
+        embedding_near_dup_pairs_lsh(emb1, "vec_id", "embedding",
+                                     threshold=-1.0, planes_per_band=4),
+    )
+    timed(
+        f"emb_lsh_{n}x_p4",
+        embedding_near_dup_pairs_lsh(embn, "vec_id", "embedding",
+                                     threshold=-1.0, planes_per_band=4),
+    )
+    timed(
+        f"emb_lsh_{n}x_p8",
+        embedding_near_dup_pairs_lsh(embn, "vec_id", "embedding",
+                                     threshold=-1.0, planes_per_band=8),
+    )
+
     skew_probe(spark, n)
 
 

@@ -303,3 +303,54 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@register(
+    "streaming_static_join",
+    """
+    WITH dim AS (
+      SELECT user_id,
+             CASE WHEN count(*) >= 40 THEN 'heavy'
+                  WHEN count(*) >= 20 THEN 'regular'
+                  ELSE 'light' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT d.tier, e.event_type,
+           count(*)             AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Stream-static enrichment join (the remaining §2.10 join shape "
+        "beside stream-stream): each micro-batch broadcast-joins a "
+        "static user-tier dimension (re-resolved per batch, so slowly "
+        "changing dims refresh for free), then aggregates by tier. "
+        "Tiers derive from integer event counts, never float sums, so "
+        "the assignment is exact in both engines."
+    ),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "user_id",
+            F.when(F.col("__n") >= 40, "heavy")
+            .when(F.col("__n") >= 20, "regular")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    stream = E.read_events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return E.run_available_now(agg, output_mode="complete")
