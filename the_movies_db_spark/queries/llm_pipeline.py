@@ -1,0 +1,359 @@
+"""Training-data curation operators a large-scale LLM pipeline runs
+between raw corpus and tokenizer: benchmark decontamination, PII
+redaction, deterministic stratified sampling, sequence packing, and
+domain-mixture budgeting.
+
+All five are pure-expression plans (no Python UDFs) with exact DuckDB
+oracle mirrors. Determinism rules (cross-engine value-hash):
+- every sampling/ordering decision derives from md5(doc_id) — no RNG;
+- every integer aggregate is cast to BIGINT in the oracle (DuckDB
+  sum(BIGINT) -> HUGEINT -> float64 otherwise);
+- every float output is rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table, spread
+from the_movies_db_spark.operators import text as T
+from the_movies_db_spark.queries import register
+
+# ---------------------------------------------------------------- helpers
+
+#: deterministic 32-bit doc hash: first 8 md5 hex digits as a bigint.
+#: Spark and DuckDB md5 agree byte-for-byte, so every decision derived
+#: from this value (sample buckets, shard ids, pack order) matches.
+_H_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def _doc_hash() -> F.Column:
+    return F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _gram_hash(col: F.Column) -> F.Column:
+    """md5-prefix bigint of an n-gram string (same trick as text_winnow)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# ------------------------------------------------------- decontamination
+
+# Contamination n-gram length. Production runs use 8-13 word grams;
+# the synthetic corpus draws from a ~30-word vocabulary, so 4 is the
+# length at which genuine cross-document overlap exists to verify.
+_NGRAM = 4
+
+
+@register(
+    "pipeline_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(len(t) - {_NGRAM} + 1, 1) + 1),
+                 i -> CAST(concat('0x', substr(md5(array_to_string(t[i:i+{_NGRAM - 1}], ' ')), 1, 8)) AS BIGINT))
+             )) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+    FROM grams c JOIN bench b ON c.g = b.g
+    WHERE c.doc_id % 97 <> 0
+    GROUP BY c.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination: flag training documents sharing any "
+        f"{_NGRAM}-word gram with a held-out benchmark set (here the "
+        "gram length fits the synthetic vocabulary; production uses 8-13) "
+        "deterministic slice doc_id % 97 = 0). The benchmark gram set is "
+        "tiny relative to the corpus, so the overlap join broadcasts — "
+        "at 100 TB this is one corpus scan plus a broadcast semi-join, "
+        "the standard pre-training hygiene step (GPT-3 §C / PaLM style)."
+    ),
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    grams_arr = F.array_distinct(
+        F.transform(T.word_shingles(T.tokens("text"), _NGRAM), _gram_hash)
+    )
+    grams = d.select("doc_id", grams_arr.alias("gs")).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
+    )
+
+
+# --------------------------------------------------------- PII redaction
+
+# Patterns kept to the Java-regex ∩ RE2 common subset so Spark and
+# DuckDB compile them identically.
+_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IPV4 = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+_DIGITS = r"[0-9]{6,}"
+
+
+@register(
+    "pipeline_pii_redact",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat(text, ' contact user', doc_id, '@example.com via 10.',
+                    doc_id % 256, '.0.', doc_id % 100, ' ref ',
+                    1000000 + doc_id * doc_id) AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_EMAIL}', '<EMAIL>', 'g'),
+                 '{_IPV4}', '<IP>', 'g'),
+               '{_DIGITS}', '<NUM>', 'g') AS r
+      FROM seeded
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IPV4}'))  AS BIGINT) AS n_ips,
+           length(r)                                              AS redacted_len,
+           md5(r)                                                 AS redacted_md5
+    FROM red
+    """,
+    doc=(
+        "PII detection + redaction as one expression pass: emails, IPv4 "
+        "addresses, and long digit runs are counted and replaced with "
+        "typed placeholders. PII is seeded deterministically from doc_id "
+        "(the synthetic corpus has none), and the md5 of the redacted "
+        "text is value-hash-verified — proving byte-identical redaction, "
+        "not just matching counts. Replacement order (email -> IP -> "
+        "digits) prevents partial matches inside already-redacted spans."
+    ),
+)
+def pipeline_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" ref "),
+        (F.lit(1000000) + F.col("doc_id") * F.col("doc_id")).cast("string"),
+    )
+    staged = d.select("doc_id", seeded.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL, "<EMAIL>"), _IPV4, "<IP>"
+        ),
+        _DIGITS,
+        "<NUM>",
+    )
+    staged2 = staged.select("doc_id", "t", redacted.alias("r"))
+    return staged2.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_IPV4), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length("r").alias("redacted_len"),
+        F.md5("r").alias("redacted_md5"),
+    )
+
+
+# ------------------------------------------------- stratified sampling
+
+#: per-language keep-rate (percent of hash buckets kept). Down-samples
+#: the over-represented language, keeps the rest — a fixed, documented
+#: policy so the op is deterministic.
+_RATES = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 80}
+_DEFAULT_RATE = 50
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_RATES.items()))
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+@register(
+    "pipeline_sample_stratified",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             CASE WHEN {_H_SQL} % 100 < {_RATE_SQL} THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                    AS n_total,
+           CAST(sum(keep) AS BIGINT)                   AS n_sampled,
+           CAST(sum(keep * n_tok) AS BIGINT)           AS sampled_tokens,
+           round(sum(keep) * 1.0 / count(*), 4)        AS achieved_rate
+    FROM s GROUP BY lang
+    """,
+    doc=(
+        "Deterministic stratified sampling for corpus mixture control: "
+        "each document's md5-derived hash bucket decides inclusion at a "
+        "per-language keep-rate (en down-sampled to 40%). Hash-based "
+        "sampling is reproducible across runs/engines and, unlike "
+        "df.sample(), stable under repartitioning — at 100 TB the "
+        "decision is a per-row expression with one aggregating shuffle."
+    ),
+)
+def pipeline_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in sorted(_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = F.when(_doc_hash() % 100 < rate, 1).otherwise(0)
+    s = d.select(
+        "lang", T.token_count("text").alias("n_tok"), keep.alias("keep")
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("keep").cast("bigint").alias("n_sampled"),
+        F.sum(F.col("keep") * F.col("n_tok")).cast("bigint").alias("sampled_tokens"),
+        F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("achieved_rate"),
+    )
+
+
+# --------------------------------------------------- sequence packing
+
+_N_SHARDS = 8
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_H_SQL} AS h,
+             len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS n_tok
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, h % {_N_SHARDS} AS shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY h % {_N_SHARDS}
+                              ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT shard,
+           CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT)                        AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)                      AS pack_tokens
+    FROM ordered
+    GROUP BY shard, pack_id
+    """,
+    doc=(
+        "Sequence packing (concat-and-chunk): documents are hash-ordered "
+        f"inside {_N_SHARDS} hash shards, token counts accumulate, and a "
+        f"document joins the pack its start offset falls in (budget "
+        f"{_PACK_BUDGET} tokens). Shard-local running sums keep the "
+        "window parallel — a single global ORDER BY would serialize the "
+        "whole corpus through one partition at 100 TB, so the shard "
+        "count, not the corpus size, bounds per-task state."
+    ),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        _doc_hash().alias("h"),
+        T.regex_token_count("text").alias("n_tok"),
+    ).withColumn("shard", F.col("h") % _N_SHARDS)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = s.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        ordered.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / _PACK_BUDGET).cast("bigint"),
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------- domain-mix budgeting
+
+
+@register(
+    "pipeline_domain_mix",
+    """
+    WITH dom AS (
+      SELECT lang, source,
+             CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, source, tokens,
+             sum(tokens) OVER ()  AS all_tokens,
+             count(*)   OVER ()  AS n_domains
+      FROM dom
+    )
+    SELECT lang, source, tokens,
+           round(tokens * 1.0 / all_tokens, 6) AS share,
+           round(least(1.0, (all_tokens * 1.0 / n_domains) / tokens), 6)
+             AS sample_weight
+    FROM tot
+    """,
+    doc=(
+        "Domain-mixture budgeting: token totals per (lang, source) "
+        "domain, each domain's share of the corpus, and the sampling "
+        "weight that would flatten the mixture to uniform (capped at 1 "
+        "— never up-sample). The global window runs over the already- "
+        "aggregated domain table (~#domains rows), so it is driver-cheap "
+        "at any corpus scale; this is the DoReMi/data-mixture bookkeeping "
+        "step before weighted draws."
+    ),
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dom = d.groupBy("lang", "source").agg(
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens")
+    )
+    w = Window.partitionBy()
+    tot = dom.select(
+        "lang",
+        "source",
+        "tokens",
+        F.sum("tokens").over(w).alias("all_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_domains"),
+    )
+    return tot.select(
+        "lang",
+        "source",
+        "tokens",
+        F.round(F.col("tokens") / F.col("all_tokens"), 6).alias("share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("all_tokens") / F.col("n_domains")) / F.col("tokens"),
+            ),
+            6,
+        ).alias("sample_weight"),
+    )
