@@ -200,3 +200,109 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("fps").alias("max_fp"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH d AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_week FROM d GROUP BY user_id)
+    SELECT c.cohort_week,
+           d.wk - c.cohort_week AS week_offset,
+           count(DISTINCT d.user_id) AS n_users
+    FROM d JOIN cohort c ON d.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Retention cohort matrix: users grouped by first-activity week, "
+        "distinct actives counted at each week offset. Two shuffles "
+        "(cohort agg on user_id, matrix agg on cohort/offset) — the "
+        "cohort side re-joins on the same user_id key, so at scale the "
+        "exchange is reused rather than repeated. Week indexes are "
+        "integer day arithmetic from a fixed epoch, exact in both "
+        "engines."
+    ),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).alias("wk"),
+    )
+    cohort = d.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        d.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "pipeline_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS key, round(o_totalprice, 2) AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105) // 100) / 100.0
+                  ELSE round(o_totalprice, 2) END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT CASE WHEN a.key IS NULL THEN 'added'
+                WHEN b.key IS NULL THEN 'removed'
+                WHEN a.price <> b.price OR a.status <> b.status THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM a FULL OUTER JOIN b ON a.key = b.key
+    GROUP BY 1
+    """,
+    doc=(
+        "Snapshot diff (table-level CDC derivation): two versions of a "
+        "table full-outer-joined on the key, every row classified as "
+        "added / removed / changed / unchanged — how you derive a "
+        "changelog when the source can't emit one. One co-partitioned "
+        "shuffle join; the +5% price drift is computed in integer "
+        "cents so both engines agree bit-for-bit."
+    ),
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bumped = (F.floor(cents * 105 / 100).cast("bigint") / F.lit(100.0))
+    b = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 3 == 0, bumped)
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.key") == F.col("b.key"), "full_outer")
+    change = (
+        F.when(F.col("a.key").isNull(), "added")
+        .when(F.col("b.key").isNull(), "removed")
+        .when(
+            (F.col("a.price") != F.col("b.price"))
+            | (F.col("a.status") != F.col("b.status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.groupBy(change.alias("change_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
