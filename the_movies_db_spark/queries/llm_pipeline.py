@@ -69,9 +69,9 @@ _NGRAM = 4
     """,
     doc=(
         "Benchmark decontamination: flag training documents sharing any "
-        f"{_NGRAM}-word gram with a held-out benchmark set (here the "
-        "gram length fits the synthetic vocabulary; production uses 8-13) "
-        "deterministic slice doc_id % 97 = 0). The benchmark gram set is "
+        f"{_NGRAM}-word gram with a held-out benchmark set (the "
+        "deterministic slice doc_id % 97 = 0; the gram length fits the "
+        "synthetic vocabulary — production uses 8-13). The gram set is "
         "tiny relative to the corpus, so the overlap join broadcasts — "
         "at 100 TB this is one corpus scan plus a broadcast semi-join, "
         "the standard pre-training hygiene step (GPT-3 §C / PaLM style)."
@@ -356,4 +356,57 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------- fuzzy entity resolution
+
+
+@register(
+    "pipeline_fuzzy_match",
+    """
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows,
+             split_part(p_name, ' ', 1) AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_rows AS n_a, b.n_rows AS n_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc=(
+        "Fuzzy entity resolution over the *name dictionary*: distinct "
+        "names (64 here, always orders of magnitude below row count) "
+        "are blocked on their first token, candidate pairs scored with "
+        "Levenshtein, matches kept at distance <= 3. Resolving on the "
+        "aggregated dictionary instead of raw rows is what makes edit- "
+        "distance matching viable at 100 TB — the quadratic step runs "
+        "on thousands of names, not billions of rows, and the result "
+        "broadcasts back as a canonicalization map."
+    ),
+)
+def pipeline_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+            F.col("a.n_rows").alias("n_a"),
+            F.col("b.n_rows").alias("n_b"),
+        )
     )

@@ -580,3 +580,41 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+           CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) * 50000
+             AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS bucket_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Fixed-width histogram (width_bucket equivalent via floor "
+        "division, top bucket open-ended): single partial+final "
+        "aggregate over a pruned two-column scan — distribution "
+        "profiling at any scale is one map-side-combining shuffle of "
+        "at most #buckets rows per task."
+    ),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).alias("bucket_lo"),
+            "n_orders",
+            "bucket_value",
+        )
+    )
