@@ -128,6 +128,31 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_explode(df, toks_col: str, n: int, out_col: str = "shingle"):
+    """Explode a token-array column into one row per n-word shingle —
+    the codegen-friendly sibling of :func:`word_shingles`.
+
+    ``word_shingles`` builds the shingle array with a lambda over
+    ``slice``; higher-order functions run *interpreted* (outside
+    whole-stage codegen), which measures ~2× slower than this shape at
+    sf0.1. Here the only array ops are ``n`` row-level ``slice`` calls
+    feeding one ``arrays_zip``; after the explode, ``concat_ws`` and
+    everything downstream is codegen. Matches word_shingles exactly,
+    including the single short shingle for documents with < n tokens
+    (``concat_ws`` skips the nulls arrays_zip pads with; the pos-0 row
+    is kept unconditionally, later padded rows are dropped).
+    """
+    t = F.col(toks_col)
+    shifted = [F.slice(t, i + 1, F.size(t)).alias(f"w{i}") for i in range(1, n)]
+    z = F.arrays_zip(t.alias("w0"), *shifted)
+    other = [c for c in df.columns if c != toks_col]
+    ex = df.select(*other, F.posexplode(z).alias("pos", "s")).filter(
+        (F.col("pos") == 0) | F.col(f"s.w{n - 1}").isNotNull()
+    )
+    gram = F.concat_ws(" ", *[F.col(f"s.w{i}") for i in range(n)])
+    return ex.select(*other, gram.alias(out_col))
+
+
 def minhash_fingerprint(text: Column | str, n: int = 3) -> Column:
     """1-permutation MinHash over word shingles: min md5 hex string.
     Two documents sharing most shingles collide with high probability —

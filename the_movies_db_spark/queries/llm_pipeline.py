@@ -79,11 +79,11 @@ _NGRAM = 4
 )
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    grams_arr = F.array_distinct(
-        F.transform(T.word_shingles(T.tokens("text"), _NGRAM), _gram_hash)
-    )
-    grams = d.select("doc_id", grams_arr.alias("gs")).select(
-        "doc_id", F.explode("gs").alias("g")
+    toks = d.select("doc_id", T.tokens("text").alias("toks"))
+    grams = (
+        T.shingle_explode(toks, "toks", _NGRAM, out_col="s")
+        .select("doc_id", _gram_hash(F.col("s")).alias("g"))
+        .dropDuplicates(["doc_id", "g"])
     )
     bench = (
         grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
