@@ -53,6 +53,10 @@ HEADLINE = [
     "text_tfidf_topk",
     "multimodal_resize",
     "streaming_tumbling",
+    # corpus-curation operators (round 2)
+    "pipeline_decontaminate",
+    "pipeline_pii_redact",
+    "pipeline_pack_sequences",
 ]
 
 
@@ -116,8 +120,12 @@ def _vs_prev(timings: dict[str, float], total: float) -> dict | None:
         if prev_q.get(name)
     }
     out = {"baseline": os.path.basename(benches[-1]), "queries": ratios}
-    if prev.get("value"):
-        out["total"] = round(total / prev["value"], 2)
+    # total ratio over the intersection only, so queries ADDED to the
+    # headline set since the baseline don't read as a regression
+    shared_now = sum(t for n, t in timings.items() if prev_q.get(n))
+    shared_prev = sum(v for n, v in prev_q.items() if n in timings)
+    if shared_prev:
+        out["total"] = round(shared_now / shared_prev, 2)
     return out
 
 

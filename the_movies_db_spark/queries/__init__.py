@@ -103,18 +103,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_try_arithmetic",
     "fn_recursive_calendar",
     "fn_variant_props",
-    # changed-this-round dedup paths + family representatives (green r1)
+    # changed-this-round dedup paths + one multimodal representative
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    # one representative each for families fully green in r1
     "multimodal_resize",
-    "events_funnel",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "join_asof",
+    # new-this-round families with no driver row yet (r1-green
+    # representatives dedup_exact/minhash, q01/q03, events_funnel and
+    # join_asof rotated out — their families keep other entries above)
+    "pipeline_decontaminate",
+    "pipeline_pii_redact",
+    "pipeline_pack_sequences",
+    "pipeline_sample_stratified",
+    "cdc_apply",
+    "streaming_static_join",
 )
 
 
