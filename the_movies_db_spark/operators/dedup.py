@@ -175,15 +175,37 @@ def minhash_lsh_dedup_pairs(
     sf0.1). Tradeoff at scale: the band shuffle carries num_bands×
     the shingle payload; if documents are huge or buckets skew hot,
     switch to ``minhash_lsh_candidates`` + join-backs, which shuffles
-    ids only."""
+    ids only.
+
+    Signatures are built by exploding shingles and taking num_hashes
+    codegen ``min`` aggregates, not the per-row expression fold:
+    higher-order functions evaluate interpreted, and the explode+agg
+    shape measured ~5× faster at sf0.1 (one extra shuffle keyed by
+    document id, which AQE sizes). min over the exploded multiset
+    equals min over the distinct set, so signatures are identical;
+    ``collect_set`` rebuilds the distinct-shingle payload for the
+    exact-Jaccard verify in the same aggregation."""
+    from the_movies_db_spark.operators.text import shingle_explode
+
     rows = num_hashes // num_bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias("__sh"),
+    toks_df = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
     )
-    sig = base.select(
-        "__id", "__sh",
-        minhash_signature_from_shingles(F.col("__sh"), num_hashes).alias("__sig"),
+    ex = shingle_explode(toks_df, "__toks", shingle_n, out_col="__s")
+    sig = (
+        ex.groupBy("__id")
+        .agg(
+            F.collect_set("__s").alias("__sh"),
+            *[
+                F.min(_seeded_hash(F.col("__s"), i)).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .select(
+            "__id",
+            "__sh",
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
+        )
     )
     banded = sig.select(
         "__id", "__sh",
