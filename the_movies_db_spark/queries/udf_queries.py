@@ -91,3 +91,54 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece_idx", "piece")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "udf_grouped_map_demean",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             min(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority) AS minc
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           CAST(sum(cents - minc) AS BIGINT) AS sum_dev_cents,
+           CAST(max(cents - minc) AS BIGINT) AS max_dev_cents
+    FROM c GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Grouped-map applyInPandas (the §2.11 shape missing beside "
+        "scalar/grouped-agg/UDTF): each priority group arrives as one "
+        "pandas frame, the kernel demeans prices against the group "
+        "minimum in integer cents (exact — so even this Python path is "
+        "value-hash-verified), and a JVM-side aggregate collapses the "
+        "result. Grouped-map parallelism is bounded by group count; "
+        "fine for per-entity normalization, wrong for 3-group tables — "
+        "the doc says so because that IS the 100 TB design decision."
+    ),
+)
+def udf_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def demean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": pdf["o_orderpriority"],
+                "dev_cents": cents - cents.min(),
+            }
+        )
+        return out
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    devs = o.groupBy("o_orderpriority").applyInPandas(
+        demean, "o_orderpriority string, dev_cents long"
+    )
+    return devs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("dev_cents").cast("bigint").alias("sum_dev_cents"),
+        F.max("dev_cents").cast("bigint").alias("max_dev_cents"),
+    )
