@@ -501,7 +501,10 @@ def simhash_pairs(
 
 def dot_product(a: Column, b: Column) -> Column:
     """Sequential-order double-precision dot product (expression-only,
-    deterministic across engines)."""
+    deterministic across engines). Interpreted (higher-order functions
+    skip codegen) — for fixed-dim embedding columns prefer
+    :func:`dot_product_static`, which is bit-identical and runs inside
+    whole-stage codegen."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -509,10 +512,47 @@ def dot_product(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (
-        F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
-    )
+def dot_product_static(a: Column, b: Column, dim: int) -> Column:
+    """Codegen dot product for a known dimension: the fold unrolled to
+    a left-associated addition chain. The summation sequence
+    (0.0 + x1*y1 + x2*y2 + …) is exactly the fold's, so results are
+    bit-identical to :func:`dot_product` — but the whole expression
+    compiles into whole-stage codegen (the fold evaluates interpreted,
+    measured ~3× slower per pair at dim=64)."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return acc
+
+
+def norm(vec: Column, dim: int | None = None) -> Column:
+    """``sqrt(dot(v, v))``. Compute this in each side's projection
+    BEFORE a pair join: the norm depends on one vector only, so
+    evaluating it per-pair (as a fused ``cosine`` does) repeats an
+    O(dim) chain |pairs|/|rows| times over — and three fused 64-term
+    chains inlined into a join stage blow janino's 64 KB method limit,
+    dropping the whole stage out of codegen."""
+    dp = dot_product_static(vec, vec, dim) if dim else dot_product(vec, vec)
+    return F.sqrt(dp)
+
+
+def cosine_from_parts(
+    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
+) -> Column:
+    """Cosine given precomputed side norms: ``dot(a,b) / (na * nb)`` —
+    the same double-operation sequence as :func:`cosine`, so results
+    are bit-identical, but the join stage carries a single dot-product
+    chain (fits whole-stage codegen at dim=64)."""
+    dp = dot_product_static(a, b, dim) if dim else dot_product(a, b)
+    return dp / (na * nb)
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity; pass ``dim`` for fixed-width embedding
+    columns to stay in codegen (bit-identical either way). Inside pair
+    joins prefer :func:`cosine_from_parts` with per-side norms staged
+    before the join."""
+    return cosine_from_parts(a, b, norm(a, dim), norm(b, dim), dim=dim)
 
 
 def embedding_near_dup_pairs_lsh(
@@ -543,12 +583,23 @@ def embedding_near_dup_pairs_lsh(
     Recall < 1 by construction: a pair is emitted iff it collides in
     ≥1 band, and the SQL oracle replicates exactly that semantics.
     """
-    from the_movies_db_spark.operators.similarity import hyperplane_signature
+    from the_movies_db_spark.operators.similarity import (
+        _UNROLL_BUDGET,
+        hyperplane_signature,
+    )
 
+    # all bands land in ONE projection, so the unroll budget is shared:
+    # force the compact HOF fold when the combined chain would blow
+    # janino's 64 KB method limit (bit-identical either way)
+    unroll = num_bands * planes_per_band * dim <= _UNROLL_BUDGET
     sigs = F.array(
         *[
             hyperplane_signature(
-                F.col(vec_col), planes_per_band, dim, plane_offset=b * planes_per_band
+                F.col(vec_col),
+                planes_per_band,
+                dim,
+                plane_offset=b * planes_per_band,
+                unroll=unroll,
             )
             for b in range(num_bands)
         ]
@@ -556,20 +607,25 @@ def embedding_near_dup_pairs_lsh(
     # stage the signature array in its own projection: HOF expressions
     # re-inline per reference otherwise (see CLAUDE.md perf notes)
     v = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sigs.alias("__sigs")
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col), dim).alias("__n"),
+        sigs.alias("__sigs"),
     )
     exploded = v.select(
-        "__id", "__v", F.posexplode("__sigs").alias("__band", "__sig")
+        "__id", "__v", "__n", F.posexplode("__sigs").alias("__band", "__sig")
     )
     a = exploded.select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
         F.col("__band").alias("__band_a"),
         F.col("__sig").alias("__sig_a"),
     )
     b = exploded.select(
         F.col("__id").alias("id_b"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.col("__band").alias("__band_b"),
         F.col("__sig").alias("__sig_b"),
     )
@@ -583,7 +639,12 @@ def embedding_near_dup_pairs_lsh(
         # same pair ⇒ same vectors, so keeping any collided copy is exact
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    sim = F.round(
+        cosine_from_parts(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim=dim
+        ),
+        4,
+    )
     return (
         cand.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from the_movies_db_spark.operators.dedup import cosine
+from the_movies_db_spark.operators.dedup import cosine, cosine_from_parts, norm
 
 HEX_EVEN = ("0", "2", "4", "6", "8", "a", "c", "e")
 
@@ -42,15 +42,31 @@ def cosine_topk(
     k: int = 10,
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. Result:
     (query_id, neighbor_id, cosine_sim, rank) — rank over the ROUNDED
-    similarity with id tie-break, so the row set is deterministic."""
+    similarity with id tie-break, so the row set is deterministic.
+    Pass ``dim`` for fixed-width embeddings to keep the per-pair cosine
+    in codegen (bit-identical results)."""
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(qvec).alias("__qv"),
+        norm(F.col(qvec), dim).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col), dim).alias("__cn"),
+    )
+    sim = F.round(
+        cosine_from_parts(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim=dim
+        ),
+        4,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -79,25 +95,49 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
+_UNROLL_BUDGET = 768  # max unrolled multiply-add terms per signature call:
+# janino rejects generated methods past 64 KB of bytecode, and a stage that
+# fails to compile silently falls back to interpreted for ALL its operators —
+# worse than folding just the signature.
+
+
 def hyperplane_signature(
-    vec: Column, num_planes: int, dim: int, plane_offset: int = 0
+    vec: Column,
+    num_planes: int,
+    dim: int,
+    plane_offset: int = 0,
+    unroll: bool | None = None,
 ) -> Column:
     """Sign-random-projection signature as a '0101...' string. Bit p =
     1 iff round(dot(v, plane_p), 6) >= 0 (rounded so the sign is stable
     across engines). Dot products fold left in dimension order — the
-    same double-arithmetic sequence the SQL oracle computes.
+    same double-arithmetic sequence the SQL oracle computes, whether
+    unrolled (codegen, small plane counts) or folded via HOF
+    (interpreted, used past ``_UNROLL_BUDGET`` terms where the unroll
+    would blow janino's 64 KB method limit) — results are bit-identical
+    either way.
 
     ``plane_offset`` selects a disjoint plane family, so multi-band LSH
     (band b → offset b*planes_per_band) uses independent hyperplanes
     per band."""
+    if unroll is None:
+        unroll = num_planes * dim <= _UNROLL_BUDGET
     bits = []
     for p in range(plane_offset, plane_offset + num_planes):
-        plane = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
+        signs = _plane_signs(p, dim)
+        if unroll:
+            # left-associated chain: same summation sequence as the
+            # fold, but stays inside whole-stage codegen
+            dot: Column = F.lit(0.0)
+            for i, s in enumerate(signs, start=1):
+                dot = dot + F.element_at(vec, i).cast("double") * F.lit(s)
+        else:
+            plane = F.array(*[F.lit(s) for s in signs])
+            dot = F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
         bits.append(F.when(F.round(dot, 6) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -116,11 +156,21 @@ def cosine_topk_lsh(
     sig = lambda df, out: df.select(  # noqa: E731
         F.col(id_col).alias(out),
         F.col(vec_col).alias(f"__{out}_v"),
+        norm(F.col(vec_col), dim).alias(f"__{out}_n"),
         hyperplane_signature(F.col(vec_col), num_planes, dim).alias(f"__{out}_sig"),
     )
     q = sig(queries, "query_id")
     c = sig(corpus, "neighbor_id")
-    simcol = F.round(cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")), 4)
+    simcol = F.round(
+        cosine_from_parts(
+            F.col("__query_id_v"),
+            F.col("__neighbor_id_v"),
+            F.col("__query_id_n"),
+            F.col("__neighbor_id_n"),
+            dim=dim,
+        ),
+        4,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -143,8 +193,19 @@ def squared_l2(a: Column, b: Column) -> Column:
     return F.aggregate(diff2, F.lit(0.0), lambda acc, t: acc + t)
 
 
+def squared_l2_static(a: Column, b: Column, dim: int) -> Column:
+    """Codegen unroll of :func:`squared_l2` for a known dimension —
+    same left-fold summation order, bit-identical doubles."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        acc = acc + d * d
+    return acc
+
+
 def ivf_assign(
-    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid cell. Centroids here are the deterministic seed set
@@ -162,7 +223,10 @@ def ivf_assign(
     cent = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
-    d2 = F.round(squared_l2(F.col(vec_col), F.col("__cvec")), 6)
+    l2 = squared_l2_static(F.col(vec_col), F.col("__cvec"), dim) if dim else squared_l2(
+        F.col(vec_col), F.col("__cvec")
+    )
+    d2 = F.round(l2, 6)
     return (
         corpus.select(id_col, vec_col)
         .crossJoin(F.broadcast(cent))
@@ -182,15 +246,17 @@ def cosine_topk_ivf(
     vec_col: str,
     k: int = 5,
     n_cells: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k through the IVF index: candidates are the
     query's own cell (nprobe=1; raise recall by unioning more probe
     cells), ranked by exact cosine within it."""
-    assigned = ivf_assign(corpus, id_col, vec_col, n_cells)
+    assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
     q = queries.select(F.col(id_col).alias("query_id")).join(
         assigned.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col), dim).alias("__qn"),
             F.col("cell").alias("__qcell"),
         ),
         "query_id",
@@ -198,9 +264,15 @@ def cosine_topk_ivf(
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col), dim).alias("__cn"),
         F.col("cell").alias("__ccell"),
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+    sim = F.round(
+        cosine_from_parts(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim=dim
+        ),
+        4,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -241,6 +313,15 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def int_dot_static(a: Column, b: Column, dim: int) -> Column:
+    """Codegen unroll of :func:`int_dot` (integer addition is
+    order-independent, so any order is exact)."""
+    acc: Column = F.lit(0).cast("bigint")
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
 def cosine_topk_quantized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -248,6 +329,7 @@ def cosine_topk_quantized(
     vec_col: str,
     k: int = 5,
     shortlist_factor: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-tier ANN: int8-quantized integer dot product shortlists
     ``k * shortlist_factor`` candidates per query (the cheap pass that
@@ -263,12 +345,17 @@ def cosine_topk_quantized(
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"__{role}_v"),
+            norm(F.col(vec_col), dim).alias(f"__{role}_n"),
             q.alias(f"__{role}_q"),
         )
 
     q = prep(queries, "query")
     c = prep(corpus, "neighbor")
-    qsim = int_dot(F.col("__query_q"), F.col("__neighbor_q"))
+    qsim = (
+        int_dot_static(F.col("__query_q"), F.col("__neighbor_q"), dim)
+        if dim
+        else int_dot(F.col("__query_q"), F.col("__neighbor_q"))
+    )
     w_short = Window.partitionBy("query_id").orderBy(
         F.desc("qdot"), F.asc("neighbor_id")
     )
@@ -281,12 +368,19 @@ def cosine_topk_quantized(
             "neighbor_id",
             F.col("__query_v").alias("__qv"),
             F.col("__neighbor_v").alias("__cv"),
+            F.col("__query_n").alias("__qn"),
+            F.col("__neighbor_n").alias("__cn"),
             qsim.alias("qdot"),
         )
         .withColumn("__srank", F.row_number().over(w_short))
         .filter(F.col("__srank") <= k * shortlist_factor)
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+    sim = F.round(
+        cosine_from_parts(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim=dim
+        ),
+        4,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         shortlist.select("query_id", "neighbor_id", sim.alias("cosine_sim"))

@@ -45,7 +45,7 @@ _COS = (
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    return S.cosine_topk(e, q, "vec_id", "embedding", k=_K)
+    return S.cosine_topk(e, q, "vec_id", "embedding", k=_K, dim=_DIM)
 
 
 _PLANES, _DIM = 8, 64
@@ -158,7 +158,7 @@ _D2 = (
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    return S.cosine_topk_ivf(e, q, "vec_id", "embedding", k=5, n_cells=_N_CELLS)
+    return S.cosine_topk_ivf(e, q, "vec_id", "embedding", k=5, n_cells=_N_CELLS, dim=_DIM)
 
 
 @register(
@@ -187,24 +187,32 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
+    from the_movies_db_spark.operators.dedup import cosine_from_parts, norm
+
     sigs = e.select(
         "vec_id",
         "embedding",
+        norm(F.col("embedding"), _DIM).alias("__n"),
         S.hyperplane_signature(F.col("embedding"), _PLANES, _DIM).alias("__sig"),
     )
     a = sigs.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("__va"),
+        F.col("__n").alias("__na"),
         F.col("__sig").alias("__siga"),
     )
     b = sigs.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.col("__sig").alias("__sigb"),
     )
-    from the_movies_db_spark.operators.dedup import cosine as _cos
-
-    sim = F.round(_cos(F.col("__va"), F.col("__vb")), 4)
+    sim = F.round(
+        cosine_from_parts(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim=_DIM
+        ),
+        4,
+    )
     return (
         a.join(b, (F.col("__siga") == F.col("__sigb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
@@ -309,4 +317,6 @@ _QDOT = (
 def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    return S.cosine_topk_quantized(e, q, "vec_id", "embedding", k=5, shortlist_factor=4)
+    return S.cosine_topk_quantized(
+        e, q, "vec_id", "embedding", k=5, shortlist_factor=4, dim=_DIM
+    )
