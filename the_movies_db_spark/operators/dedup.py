@@ -512,47 +512,71 @@ def dot_product(a: Column, b: Column) -> Column:
     )
 
 
-def dot_product_static(a: Column, b: Column, dim: int) -> Column:
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the unrolled left-associated dot-product chain —
+    `(0.0 + x1*y1) + x2*y2 + …`, the exact summation sequence of the
+    :func:`dot_product` fold."""
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"CAST(0.0 AS DOUBLE) + {terms}"
+
+
+def dot_product_static(a: str, b: str, dim: int) -> Column:
     """Codegen dot product for a known dimension: the fold unrolled to
     a left-associated addition chain. The summation sequence
     (0.0 + x1*y1 + x2*y2 + …) is exactly the fold's, so results are
     bit-identical to :func:`dot_product` — but the whole expression
     compiles into whole-stage codegen (the fold evaluates interpreted,
-    measured ~3× slower per pair at dim=64)."""
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-    return acc
+    measured ~3× slower per pair at dim=64).
+
+    Takes column NAMES, not Columns: the chain is generated as one SQL
+    string and parsed JVM-side in a single ``F.expr`` call — building
+    it per-operator through the Column API costs thousands of py4j
+    round trips (measured 5-8 s of driver time per query at dim=64)."""
+    return F.expr(_dot_sql(a, b, dim))
 
 
-def norm(vec: Column, dim: int | None = None) -> Column:
+def norm(vec: Column | str, dim: int | None = None) -> Column:
     """``sqrt(dot(v, v))``. Compute this in each side's projection
     BEFORE a pair join: the norm depends on one vector only, so
     evaluating it per-pair (as a fused ``cosine`` does) repeats an
     O(dim) chain |pairs|/|rows| times over — and three fused 64-term
     chains inlined into a join stage blow janino's 64 KB method limit,
-    dropping the whole stage out of codegen."""
-    dp = dot_product_static(vec, vec, dim) if dim else dot_product(vec, vec)
-    return F.sqrt(dp)
+    dropping the whole stage out of codegen. With ``dim``, ``vec`` must
+    be a column name (the chain is generated as SQL text)."""
+    if dim:
+        return F.expr(f"SQRT({_dot_sql(vec, vec, dim)})")
+    return F.sqrt(dot_product(vec, vec))
 
 
 def cosine_from_parts(
-    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
+    a: Column | str,
+    b: Column | str,
+    na: Column | str,
+    nb: Column | str,
+    dim: int | None = None,
 ) -> Column:
     """Cosine given precomputed side norms: ``dot(a,b) / (na * nb)`` —
     the same double-operation sequence as :func:`cosine`, so results
     are bit-identical, but the join stage carries a single dot-product
-    chain (fits whole-stage codegen at dim=64)."""
-    dp = dot_product_static(a, b, dim) if dim else dot_product(a, b)
-    return dp / (na * nb)
+    chain (fits whole-stage codegen at dim=64). With ``dim``, all four
+    arguments must be column names (SQL-text chain, one py4j call)."""
+    if dim:
+        return F.expr(f"({_dot_sql(a, b, dim)}) / ({na} * {nb})")
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return dot_product(a, b) / (na * nb)
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity; pass ``dim`` for fixed-width embedding
-    columns to stay in codegen (bit-identical either way). Inside pair
-    joins prefer :func:`cosine_from_parts` with per-side norms staged
-    before the join."""
-    return cosine_from_parts(a, b, norm(a, dim), norm(b, dim), dim=dim)
+    """Cosine similarity over Column args (interpreted HOF fold —
+    fine off the hot path). Inside pair joins prefer
+    :func:`cosine_from_parts` with per-side norms staged before the
+    join and name-based ``dim`` chains for codegen."""
+    dp = dot_product
+    return dp(a, b) / (F.sqrt(dp(a, a)) * F.sqrt(dp(b, b)))
 
 
 def embedding_near_dup_pairs_lsh(
@@ -595,7 +619,7 @@ def embedding_near_dup_pairs_lsh(
     sigs = F.array(
         *[
             hyperplane_signature(
-                F.col(vec_col),
+                vec_col,
                 planes_per_band,
                 dim,
                 plane_offset=b * planes_per_band,
@@ -609,7 +633,7 @@ def embedding_near_dup_pairs_lsh(
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        norm(F.col(vec_col), dim).alias("__n"),
+        norm(vec_col, dim).alias("__n"),
         sigs.alias("__sigs"),
     )
     exploded = v.select(
@@ -640,10 +664,7 @@ def embedding_near_dup_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
-        cosine_from_parts(
-            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim=dim
-        ),
-        4,
+        cosine_from_parts("__va", "__vb", "__na", "__nb", dim=dim), 4
     )
     return (
         cand.select("id_a", "id_b", sim.alias("cosine_sim"))

@@ -54,18 +54,15 @@ def cosine_topk(
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(qvec).alias("__qv"),
-        norm(F.col(qvec), dim).alias("__qn"),
+        norm(qvec if dim else F.col(qvec), dim).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        norm(F.col(vec_col), dim).alias("__cn"),
+        norm(vec_col if dim else F.col(vec_col), dim).alias("__cn"),
     )
     sim = F.round(
-        cosine_from_parts(
-            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim=dim
-        ),
-        4,
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -95,14 +92,18 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
-_UNROLL_BUDGET = 768  # max unrolled multiply-add terms per signature call:
-# janino rejects generated methods past 64 KB of bytecode, and a stage that
-# fails to compile silently falls back to interpreted for ALL its operators —
-# worse than folding just the signature.
+_UNROLL_BUDGET = 128  # max unrolled multiply-add terms per signature call.
+# Two ceilings: janino rejects methods past 64 KB of bytecode (a stage that
+# fails to compile silently falls back to interpreted for ALL its operators),
+# and janino COMPILE time for a many-hundred-term method is ~seconds per JVM —
+# measured +3 s cold-run on the 512-term signature. Signatures are per-ROW
+# work (cheap either way), so past this budget the compact HOF fold wins;
+# the per-PAIR dot products stay unrolled (64 terms compiles fast and the
+# pair side is where interpreted evaluation actually hurts).
 
 
 def hyperplane_signature(
-    vec: Column,
+    vec: Column | str,
     num_planes: int,
     dim: int,
     plane_offset: int = 0,
@@ -115,29 +116,37 @@ def hyperplane_signature(
     unrolled (codegen, small plane counts) or folded via HOF
     (interpreted, used past ``_UNROLL_BUDGET`` terms where the unroll
     would blow janino's 64 KB method limit) — results are bit-identical
-    either way.
+    either way. The unrolled form requires ``vec`` to be a column NAME:
+    the whole signature is generated as one SQL string and parsed
+    JVM-side in a single ``F.expr`` call (building 512-term trees
+    through the Column API costs seconds of py4j round trips).
 
     ``plane_offset`` selects a disjoint plane family, so multi-band LSH
     (band b → offset b*planes_per_band) uses independent hyperplanes
     per band."""
     if unroll is None:
-        unroll = num_planes * dim <= _UNROLL_BUDGET
+        unroll = num_planes * dim <= _UNROLL_BUDGET and isinstance(vec, str)
+    if unroll:
+        cases = []
+        for p in range(plane_offset, plane_offset + num_planes):
+            terms = " + ".join(
+                f"CAST(element_at({vec}, {i}) AS DOUBLE) * CAST({s} AS DOUBLE)"
+                for i, s in enumerate(_plane_signs(p, dim), start=1)
+            )
+            cases.append(
+                f"CASE WHEN round(CAST(0.0 AS DOUBLE) + {terms}, 6) >= 0 "
+                "THEN '1' ELSE '0' END"
+            )
+        return F.expr("concat(" + ", ".join(cases) + ")")
+    vec = F.col(vec) if isinstance(vec, str) else vec
     bits = []
     for p in range(plane_offset, plane_offset + num_planes):
-        signs = _plane_signs(p, dim)
-        if unroll:
-            # left-associated chain: same summation sequence as the
-            # fold, but stays inside whole-stage codegen
-            dot: Column = F.lit(0.0)
-            for i, s in enumerate(signs, start=1):
-                dot = dot + F.element_at(vec, i).cast("double") * F.lit(s)
-        else:
-            plane = F.array(*[F.lit(s) for s in signs])
-            dot = F.aggregate(
-                F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
+        plane = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
         bits.append(F.when(F.round(dot, 6) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -156,17 +165,14 @@ def cosine_topk_lsh(
     sig = lambda df, out: df.select(  # noqa: E731
         F.col(id_col).alias(out),
         F.col(vec_col).alias(f"__{out}_v"),
-        norm(F.col(vec_col), dim).alias(f"__{out}_n"),
-        hyperplane_signature(F.col(vec_col), num_planes, dim).alias(f"__{out}_sig"),
+        norm(vec_col, dim).alias(f"__{out}_n"),
+        hyperplane_signature(vec_col, num_planes, dim).alias(f"__{out}_sig"),
     )
     q = sig(queries, "query_id")
     c = sig(corpus, "neighbor_id")
     simcol = F.round(
         cosine_from_parts(
-            F.col("__query_id_v"),
-            F.col("__neighbor_id_v"),
-            F.col("__query_id_n"),
-            F.col("__neighbor_id_n"),
+            "__query_id_v", "__neighbor_id_v", "__query_id_n", "__neighbor_id_n",
             dim=dim,
         ),
         4,
@@ -193,14 +199,18 @@ def squared_l2(a: Column, b: Column) -> Column:
     return F.aggregate(diff2, F.lit(0.0), lambda acc, t: acc + t)
 
 
-def squared_l2_static(a: Column, b: Column, dim: int) -> Column:
-    """Codegen unroll of :func:`squared_l2` for a known dimension —
-    same left-fold summation order, bit-identical doubles."""
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
-        acc = acc + d * d
-    return acc
+def squared_l2_static(a: str, b: str, dim: int) -> Column:
+    """Codegen unroll of :func:`squared_l2` for known dimension and
+    column NAMES — same left-fold summation order, bit-identical
+    doubles, one ``F.expr`` parse instead of py4j tree-building."""
+    def d(i: int) -> str:
+        return (
+            f"(CAST(element_at({a}, {i}) AS DOUBLE) - "
+            f"CAST(element_at({b}, {i}) AS DOUBLE))"
+        )
+
+    terms = " + ".join(f"{d(i)} * {d(i)}" for i in range(1, dim + 1))
+    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
 
 
 def ivf_assign(
@@ -223,7 +233,7 @@ def ivf_assign(
     cent = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
-    l2 = squared_l2_static(F.col(vec_col), F.col("__cvec"), dim) if dim else squared_l2(
+    l2 = squared_l2_static(vec_col, "__cvec", dim) if dim else squared_l2(
         F.col(vec_col), F.col("__cvec")
     )
     d2 = F.round(l2, 6)
@@ -256,7 +266,7 @@ def cosine_topk_ivf(
         assigned.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            norm(F.col(vec_col), dim).alias("__qn"),
+            norm(vec_col if dim else F.col(vec_col), dim).alias("__qn"),
             F.col("cell").alias("__qcell"),
         ),
         "query_id",
@@ -264,14 +274,11 @@ def cosine_topk_ivf(
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        norm(F.col(vec_col), dim).alias("__cn"),
+        norm(vec_col if dim else F.col(vec_col), dim).alias("__cn"),
         F.col("cell").alias("__ccell"),
     )
     sim = F.round(
-        cosine_from_parts(
-            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim=dim
-        ),
-        4,
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -313,13 +320,13 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
-def int_dot_static(a: Column, b: Column, dim: int) -> Column:
-    """Codegen unroll of :func:`int_dot` (integer addition is
-    order-independent, so any order is exact)."""
-    acc: Column = F.lit(0).cast("bigint")
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
+def int_dot_static(a: str, b: str, dim: int) -> Column:
+    """Codegen unroll of :func:`int_dot` for column NAMES (integer
+    addition is order-independent, so any order is exact)."""
+    terms = " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def cosine_topk_quantized(
@@ -345,14 +352,14 @@ def cosine_topk_quantized(
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"__{role}_v"),
-            norm(F.col(vec_col), dim).alias(f"__{role}_n"),
+            norm(vec_col if dim else F.col(vec_col), dim).alias(f"__{role}_n"),
             q.alias(f"__{role}_q"),
         )
 
     q = prep(queries, "query")
     c = prep(corpus, "neighbor")
     qsim = (
-        int_dot_static(F.col("__query_q"), F.col("__neighbor_q"), dim)
+        int_dot_static("__query_q", "__neighbor_q", dim)
         if dim
         else int_dot(F.col("__query_q"), F.col("__neighbor_q"))
     )
@@ -376,10 +383,7 @@ def cosine_topk_quantized(
         .filter(F.col("__srank") <= k * shortlist_factor)
     )
     sim = F.round(
-        cosine_from_parts(
-            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim=dim
-        ),
-        4,
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (

@@ -108,7 +108,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    sig = S.hyperplane_signature(F.col("embedding"), _PLANES, _DIM)
+    sig = S.hyperplane_signature("embedding", _PLANES, _DIM)
     return (
         e.select(sig.alias("bucket"), "vec_id")
         .groupBy("bucket")
@@ -192,8 +192,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = e.select(
         "vec_id",
         "embedding",
-        norm(F.col("embedding"), _DIM).alias("__n"),
-        S.hyperplane_signature(F.col("embedding"), _PLANES, _DIM).alias("__sig"),
+        norm("embedding", _DIM).alias("__n"),
+        S.hyperplane_signature("embedding", _PLANES, _DIM).alias("__sig"),
     )
     a = sigs.select(
         F.col("vec_id").alias("id_a"),
@@ -208,10 +208,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__sig").alias("__sigb"),
     )
     sim = F.round(
-        cosine_from_parts(
-            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim=_DIM
-        ),
-        4,
+        cosine_from_parts("__va", "__vb", "__na", "__nb", dim=_DIM), 4
     )
     return (
         a.join(b, (F.col("__siga") == F.col("__sigb")) & (F.col("id_a") < F.col("id_b")))
