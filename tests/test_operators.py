@@ -311,3 +311,45 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
     sets = {r.doc_id: set(r.fps) for r in staged.select("doc_id", fps.alias("fps")).collect()}
     assert sets[1] & sets[2]          # shared run ⇒ shared fingerprint
     assert not (sets[1] & sets[3])    # disjoint text ⇒ disjoint prints
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_anti_join_exact(spark):
+    from the_movies_db_spark.operators import bloom as B
+
+    corpus = spark.createDataFrame(
+        [(i, f"key-{i % 40}") for i in range(400)], "row_id long, k string"
+    )
+    contam = spark.createDataFrame(
+        [(f"key-{i}",) for i in (3, 7, 11, 39)] + [("never-seen",)], "k string"
+    )
+    got = B.bloom_anti_join(corpus, contam, "k")
+    want = corpus.join(contam.select("k").distinct(), "k", "left_anti")
+    assert sorted(r.row_id for r in got.collect()) == sorted(
+        r.row_id for r in want.collect()
+    )
+    # tiny m forces false positives through the verify join: still exact
+    got_fp = B.bloom_anti_join(corpus, contam, "k", num_bits=64, num_hashes=2)
+    assert sorted(r.row_id for r in got_fp.collect()) == sorted(
+        r.row_id for r in want.collect()
+    )
+
+
+def test_bloom_empty_contamination(spark):
+    from the_movies_db_spark.operators import bloom as B
+
+    corpus = spark.createDataFrame([(1, "a"), (2, "b")], "row_id long, k string")
+    contam = corpus.filter("row_id < 0").select("k")
+    assert B.bloom_anti_join(corpus, contam, "k").count() == 2
+
+
+def test_bloom_final_join_is_broadcast(spark):
+    from the_movies_db_spark.operators import bloom as B
+
+    corpus = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(100)], "row_id long, k string"
+    )
+    contam = spark.createDataFrame([("key-5",), ("key-6",)], "k string")
+    plan = B.bloom_anti_join(corpus, contam, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -135,6 +135,44 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_bloom_decontaminate",
+    """
+    WITH contam AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 37 = 0
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT)      AS kept_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    WHERE md5(d.text) NOT IN (SELECT digest FROM contam)
+    GROUP BY d.lang
+    """,
+    doc=(
+        "Exact-match decontamination with a Bloom prefilter (operators."
+        "bloom.bloom_anti_join): the contamination set's content digests "
+        "build an m-bit bitmap (distributed bit_or, 2 MiB-bounded driver "
+        "collect); corpus rows test k bits as a pure scan expression, and "
+        "only Bloom survivors reach the exact join. Two-phase plan: "
+        "column-pruned key scan finds true hits, then ONE full-width scan "
+        "broadcast-anti-joins the tiny hit set. Result is exactly the "
+        "plain anti-join's, so the oracle is ordinary SQL."
+    ),
+)
+def pipeline_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.operators.bloom import bloom_anti_join
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5(F.col("text"))
+    )
+    contam = d.filter(F.col("doc_id") % 37 == 0).select("digest")
+    clean = bloom_anti_join(d, contam, "digest")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
 _K, _W = 4, 5  # k-gram size, winnow window
 
 
