@@ -125,6 +125,7 @@ def load_all() -> dict[str, Query]:
     return the registry ordered with the curated driver window first."""
     from the_movies_db_spark.queries import (  # noqa: F401
         dedup_queries,
+        graph_queries,
         llm_pipeline,
         multimodal_queries,
         pipeline_extra,

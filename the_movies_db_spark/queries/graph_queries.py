@@ -1,0 +1,207 @@
+"""Graph analytics over a trade graph derived from the relational
+tables: supplier-nation → customer-nation edges (who ships to whom),
+built once with broadcast dimension joins, then iterated on.
+
+Two classic distributed-graph operators, both oracle-checked:
+
+- ``graph_pagerank``: fixed-iteration PageRank in integer micro-units.
+  Float PageRank cannot hash-match across engines (summation order),
+  so ranks are BIGINT trillionths: init = SCALE // n, each step
+  rank' = (15*init)//100 + (85 * Σ rank_src//outdeg_src)//100 — all
+  floor divisions on positive integers, bit-exact in any engine. The
+  oracle unrolls the three iterations as chained CTEs.
+- ``graph_triangles``: triangle count per nation on the undirected
+  edge set — the standard two-hop self-join with ordered endpoints
+  (a < b < c) so each triangle counts once.
+
+Scale design: the edge list is the aggregate artifact (|nations|² at
+most — tiny); iterating joins rank-vs-edges is a broadcast join per
+step with no growing lineage problem at 3 fixed steps. For billions of
+NODES the same loop holds with shuffle joins partitioned by node id +
+periodic localCheckpoint — the plan shape is the GraphX/Pregel one,
+declared in DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import register
+
+_SCALE = 1_000_000_000_000  # ranks in trillionths
+_ITERS = 3
+
+_EDGES_SQL = """
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
+def _pagerank_oracle() -> str:
+    ranks = "r0"
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "n AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({_SCALE} // n.n AS BIGINT) AS rank"
+        " FROM nodes, n)",
+    ]
+    for i in range(1, _ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+              SELECT b.node,
+                     CAST((15 * ({_SCALE} // b.n)) // 100
+                          + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+              FROM (SELECT nodes.node, n.n FROM nodes, n) b
+              LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // d.outdeg) AS contrib
+                FROM edges e
+                JOIN {ranks} r ON e.src = r.node
+                JOIN deg d     ON e.src = d.node
+                GROUP BY e.dst
+              ) c ON b.node = c.node
+            )"""
+        )
+        ranks = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT nat.n_name AS nation,
+               r.rank AS rank_micro,
+               round(r.rank / {_SCALE}.0, 8) AS pagerank
+        FROM {ranks} r JOIN nation nat ON r.node = nat.n_nationkey
+        """
+    )
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc=(
+        "Fixed-iteration PageRank on the supplier→customer nation trade "
+        "graph, computed in BIGINT micro-units (floor divisions on "
+        "positive integers) so three iterations hash-match the oracle's "
+        "unrolled CTEs exactly — float PageRank never can (summation "
+        "order). Dangling mass is dropped, matching the oracle. Edge "
+        "build = broadcast star joins; each step is one aggregate over "
+        "the edge list joined to the current ranks."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.expr(f"CAST({_SCALE} DIV n AS BIGINT)").alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank DIV outdeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * ({_SCALE} DIV n)) DIV 100"
+                    " + (85 * COALESCE(contrib, 0)) DIV 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    nat = load_table(spark, sf_dir, "nation")
+    return ranks.join(nat, ranks.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("rank").alias("rank_micro"),
+        F.round(F.col("rank") / F.lit(float(_SCALE)), 8).alias("pagerank"),
+    )
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH dir_edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dir_edges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT nat.n_name AS nation, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) t JOIN nation nat ON t.node = nat.n_nationkey
+    GROUP BY nat.n_name
+    """,
+    doc=(
+        "Per-nation triangle count on the undirected trade graph: "
+        "canonicalize edges to (min,max), two-hop self-join with ordered "
+        "endpoints a<b<c so each triangle is generated once, then unpivot "
+        "corners to credit each participant. The self-join is an "
+        "equi-join on node id — shuffle-partitionable at any node count "
+        "(the standard node-iterator algorithm)."
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dir_edges = _edges(spark, sf_dir)
+    und = (
+        dir_edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .cache()
+    )
+    e1 = und.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = e1.join(e2, "b").join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b")))
+        .unionAll(tri.select(F.col("c")))
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        corners.join(nat, corners.node == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
