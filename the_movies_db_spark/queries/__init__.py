@@ -103,11 +103,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_try_arithmetic",
     "fn_recursive_calendar",
     "fn_variant_props",
-    # changed-this-round dedup paths + one multimodal representative
+    # changed-this-round dedup paths + new-family representative
+    # (multimodal_resize rotated out: all 6 multimodal were driver-green
+    # in r1 and are unchanged; graph_* is a new family with no row yet)
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "multimodal_resize",
+    "graph_pagerank",
     # new-this-round families with no driver row yet (r1-green
     # representatives dedup_exact/minhash, q01/q03, events_funnel and
     # join_asof rotated out — their families keep other entries above)

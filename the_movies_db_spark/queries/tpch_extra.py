@@ -749,3 +749,146 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", F.col("n_name").alias("nation"))
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    """
+    WITH offer AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 // CAST(l_quantity AS BIGINT)) AS unit_cents
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT o.partkey, o.suppkey, o.unit_cents
+      FROM offer o
+      JOIN supplier s ON o.suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT *, min(unit_cents) OVER (PARTITION BY partkey) AS best_cents
+      FROM eu
+    )
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_type,
+           best_cents / 100.0 AS min_unit_cost
+    FROM best b
+    JOIN supplier s ON b.suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON b.partkey = p.p_partkey
+    WHERE b.unit_cents = b.best_cents AND p.p_size = 15
+    """,
+    doc=(
+        "TPC-H Q2 shape adapted to the reduced schema (no partsupp — the "
+        "offer table is derived as min unit price per (part, supplier) "
+        "from lineitem, in integer cents so the min and the equality "
+        "predicate are engine-exact): min-cost-per-part via a window over "
+        "the region-filtered offers, suppliers achieving the min joined "
+        "back to dims. Dim joins broadcast; the window partitions by "
+        "partkey — same key as the offer aggregate, so AQE reuses the "
+        "exchange."
+    ),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    unit_cents = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)"
+    )
+    offer = (
+        li.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            unit_cents.alias("__uc"),
+        )
+        .groupBy("partkey", "suppkey")
+        .agg(F.min("__uc").alias("unit_cents"))
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    eu = offer.join(
+        eu_supp.select(F.col("s_suppkey").alias("suppkey")), "suppkey", "left_semi"
+    )
+    w = Window.partitionBy("partkey")
+    best = eu.withColumn("best_cents", F.min("unit_cents").over(w)).filter(
+        F.col("unit_cents") == F.col("best_cents")
+    )
+    return (
+        best.join(s, best.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(p.filter(F.col("p_size") == 15), best.partkey == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            (F.col("best_cents") / F.lit(100.0)).alias("min_unit_cost"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH de AS (
+      SELECT l.l_partkey AS partkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY 1
+    ),
+    t AS (SELECT sum(value_cents) AS total, count(*) AS np FROM de)
+    SELECT partkey, value_cents / 100.0 AS part_value
+    FROM de, t
+    WHERE value_cents * np > 2 * total
+    """,
+    doc=(
+        "TPC-H Q11 shape (important stock) adapted to the reduced schema: "
+        "per-part shipped value from one nation's suppliers, kept where "
+        "the part's share exceeds 2x the average share — an SF-invariant "
+        "threshold (TPC-H's fixed fraction degenerates as part count "
+        "grows). Value accumulates in integer cents and the predicate is "
+        "the integer comparison value*n_parts > 2*total — no float "
+        "ratio, engine-exact. The global total is a broadcast scalar; "
+        "the per-part aggregate shuffles once on partkey."
+    ),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    de_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    de = (
+        li.join(F.broadcast(de_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("__cents"),
+        )
+        .groupBy("partkey")
+        .agg(F.sum("__cents").alias("value_cents"))
+    )
+    total = de.agg(
+        F.sum("value_cents").alias("__total"), F.count(F.lit(1)).alias("__np")
+    )
+    return (
+        de.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("__np") > 2 * F.col("__total"))
+        .select("partkey", (F.col("value_cents") / F.lit(100.0)).alias("part_value"))
+    )
