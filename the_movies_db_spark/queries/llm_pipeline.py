@@ -410,3 +410,88 @@ def pipeline_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_rows").alias("n_b"),
         )
     )
+
+
+_BP_C, _BP_T = 2, 20  # chunk width (tokens), max document frequency to keep
+
+
+@register(
+    "pipeline_boilerplate_removal",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(t) / {_BP_C}.0) AS BIGINT) + 1),
+               i -> struct_pack(pos := i,
+                    c := array_to_string(t[(i-1)*{_BP_C}+1:(i-1)*{_BP_C}+{_BP_C}], ' '))
+             ) AS cs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(cs, recursive := true) FROM chunked),
+    df AS (SELECT c, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+    kept AS (
+      SELECT e.doc_id, e.pos, e.c FROM ex e JOIN df ON e.c = df.c
+      WHERE df.df <= {_BP_T}
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(c, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT ch.doc_id,
+           CAST(len(ch.cs) AS BIGINT)      AS n_chunks,
+           COALESCE(a.n_kept, 0)           AS n_kept,
+           COALESCE(a.clean_md5, md5(''))  AS clean_md5
+    FROM chunked ch LEFT JOIN agg a ON ch.doc_id = a.doc_id
+    """,
+    doc=(
+        "Boilerplate removal (CCNet/RefinedWeb paragraph-dedup analog on "
+        "the single-line corpus): split documents into fixed-width token "
+        "chunks, compute each chunk's document frequency, drop chunks "
+        "shared by more than df_max documents, reassemble the survivors "
+        "in order. One explode + one df aggregate + one join back — all "
+        "keyed on chunk content, shuffle-partitionable at any corpus "
+        "size; the cleaned text is verified via md5 so the oracle "
+        "compares full reassembly without hashing megabytes of text "
+        "through pandas."
+    ),
+)
+def pipeline_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = F.split(F.col("text"), r"\s+")
+    n_chunks = F.ceil(F.size(t) / float(_BP_C)).cast("bigint")
+    cs = F.transform(
+        F.sequence(F.lit(1), n_chunks.cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(t, (i - 1) * _BP_C + 1, _BP_C)),
+    )
+    chunked = d.select("doc_id", cs.alias("cs"))
+    ex = chunked.select(
+        "doc_id", F.posexplode("cs").alias("pos0", "c")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "c")
+    df_counts = ex.groupBy("c").agg(F.countDistinct("doc_id").alias("df"))
+    kept = ex.join(df_counts, "c").filter(F.col("df") <= _BP_T)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: x["c"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = chunked.select("doc_id", F.size("cs").cast("bigint").alias("n_chunks"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
