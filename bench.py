@@ -57,6 +57,8 @@ HEADLINE = [
     "pipeline_decontaminate",
     "pipeline_pii_redact",
     "pipeline_pack_sequences",
+    "pipeline_quality_filter",
+    "dedup_semantic",
 ]
 
 

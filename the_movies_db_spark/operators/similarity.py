@@ -431,3 +431,52 @@ def cosine_topk_pandas(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    threshold: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (cluster-then-prune, per
+    Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the corpus
+    into IVF cells (:func:`ivf_assign` — deterministic seed centroids
+    standing in for KMeans), then inside each cell mark every vector
+    whose cosine similarity to a LOWER-id cell-mate reaches
+    ``threshold`` as a semantic duplicate of that mate.
+
+    Scale shape: the quadratic step is per-cell (Σ|cell|², never
+    |corpus|²) and runs as one equi-join on ``cell`` — hot cells are
+    handled by raising ``n_cells`` (smaller cells) exactly as SemDeDup
+    shards by cluster. No window function: the keeper/max-sim rollup
+    is a single hash aggregate on the dropped id.
+
+    Returns one row per DROPPED vector:
+    (id, cell, keeper = lowest matching cell-mate id, max_sim).
+    """
+    assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(vec_col if dim else F.col(vec_col), dim).alias("__na"),
+        F.col("cell").alias("__cell_a"),
+    )
+    b = assigned.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vb"),
+        norm(vec_col if dim else F.col(vec_col), dim).alias("__nb"),
+        F.col("cell"),
+    )
+    sim = F.round(cosine_from_parts("__va", "__vb", "__na", "__nb", dim=dim), 4)
+    pairs = (
+        a.join(b, F.col("__cell_a") == F.col("cell"))
+        .filter(F.col("__id_a") < F.col(id_col))
+        .select(id_col, "cell", F.col("__id_a"), sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+    )
+    return pairs.groupBy(id_col, "cell").agg(
+        F.min("__id_a").alias("keeper"), F.max("__sim").alias("max_sim")
+    )

@@ -495,3 +495,95 @@ def pipeline_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+_TOKENS = "regexp_split_to_array(text, '\\s+')"
+
+
+@register(
+    "pipeline_quality_filter",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS n_tok,
+             list_aggregate(list_transform({_TOKENS},
+               t -> CASE WHEN lower(t) IN ('the','a','of','and','to','in','is',
+                                           'on','for','with') THEN 1 ELSE 0 END),
+               'sum') * 1.0 / len({_TOKENS}) AS stop_r,
+             list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum')
+               * 1.0 / len({_TOKENS}) AS awl,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               * 1.0 / length(text) AS punct_r,
+             list_transform(range(1, greatest(len({_TOKENS}) - 2, 1) + 1),
+                            i -> array_to_string(({_TOKENS})[i:i+2], ' ')) AS tri
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END
+           + CASE WHEN stop_r >= 0.02 THEN 0.25 ELSE 0.0 END
+           + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+           + CASE WHEN punct_r <= 0.2 THEN 0.25 ELSE 0.0 END AS quality,
+             (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) AS dup_tri
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT)  AS n_tokens,
+           round(quality, 2)      AS quality,
+           round(dup_tri, 4)      AS dup_trigram_frac,
+           CASE WHEN n_tok < 10          THEN 'too_short'
+                WHEN n_tok > 5000        THEN 'too_long'
+                WHEN quality < 0.5       THEN 'low_quality'
+                WHEN dup_tri > 0.6       THEN 'repetitive'
+                ELSE 'ok' END      AS verdict,
+           CAST(n_tok >= 10 AND n_tok <= 5000 AND quality >= 0.5
+                AND dup_tri <= 0.6 AS BOOLEAN) AS keep
+    FROM s
+    """,
+    doc=(
+        "C4/Gopher-style document gate: length band, composite quality "
+        "heuristic, trigram-repetition ceiling — each document tagged "
+        "keep/drop with the FIRST failing rule as the verdict (the "
+        "audit trail a curation pipeline ships alongside the filtered "
+        "corpus). One scan, pure expressions, zero shuffles."
+    ),
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tok"),
+        T.quality_score("text").alias("__q"),
+        T.word_shingles(T.tokens("text"), 3).alias("__tri"),
+    )
+    staged = staged.select(
+        "doc_id",
+        "n_tok",
+        "__q",
+        (
+            (F.size("__tri") - F.size(F.array_distinct("__tri")))
+            * F.lit(1.0)
+            / F.size("__tri")
+        ).alias("__dup_tri"),
+    )
+    keep = (
+        (F.col("n_tok") >= 10)
+        & (F.col("n_tok") <= 5000)
+        & (F.col("__q") >= 0.5)
+        & (F.col("__dup_tri") <= 0.6)
+    )
+    verdict = (
+        F.when(F.col("n_tok") < 10, "too_short")
+        .when(F.col("n_tok") > 5000, "too_long")
+        .when(F.col("__q") < 0.5, "low_quality")
+        .when(F.col("__dup_tri") > 0.6, "repetitive")
+        .otherwise("ok")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.round("__q", 2).alias("quality"),
+        F.round("__dup_tri", 4).alias("dup_trigram_frac"),
+        verdict.alias("verdict"),
+        keep.alias("keep"),
+    )

@@ -317,3 +317,47 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_quantized(
         e, q, "vec_id", "embedding", k=5, shortlist_factor=4, dim=_DIM
     )
+
+
+_TAU_SEM = 0.3
+_COS_AB = (
+    "round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
+    " (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
+    "  sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+)
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    )
+    SELECT b.vec_id AS vec_id, b.cell AS cell,
+           min(a.vec_id)  AS keeper,
+           max({_COS_AB}) AS max_sim
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= {_TAU_SEM}
+    GROUP BY b.vec_id, b.cell
+    """,
+    doc=(
+        "SemDeDup-shaped semantic dedup: IVF coarse clusters, then "
+        "within-cell cosine >= tau marks the higher id a duplicate of "
+        "its lowest matching cell-mate. Quadratic work is bounded per "
+        "cell; one equi-join + one hash aggregate."
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return S.semantic_dedup(
+        e, "vec_id", "embedding", n_cells=_N_CELLS, threshold=_TAU_SEM, dim=_DIM
+    )

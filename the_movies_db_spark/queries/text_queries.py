@@ -308,3 +308,73 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 257 + h) % F.lit(2147483647).cast("bigint"),
     )
     return d.select("doc_id", rolling.cast("bigint").alias("rolling_hash"))
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS bi,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS tri
+      FROM t
+    ),
+    dup AS (
+      SELECT doc_id, n_tokens, bi,
+             (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) AS dup_tri
+      FROM base
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, dup_tri, gram, count(*) AS c
+      FROM (SELECT doc_id, n_tokens, dup_tri, unnest(bi) AS gram FROM dup) x
+      GROUP BY doc_id, n_tokens, dup_tri, gram
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(max(c) * 2.0 / n_tokens, 4) AS top_bigram_frac,
+           round(dup_tri, 4)                 AS dup_trigram_frac
+    FROM c GROUP BY doc_id, n_tokens, dup_tri
+    """,
+    doc=(
+        "Gopher-style repetition filters (Rae et al. 2021 §A1.1, token-"
+        "level): fraction of tokens covered by the most frequent bigram "
+        "+ fraction of duplicated trigrams. The bigram mode runs as "
+        "explode -> two hash aggregates (map-side partials collapse "
+        "repeated grams before the shuffle); the trigram dup fraction "
+        "is a pure array expression — no extra shuffle."
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", T.tokens("text").alias("__toks"))
+    base = base.select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        T.word_shingles(F.col("__toks"), 2).alias("__bi"),
+        T.word_shingles(F.col("__toks"), 3).alias("__tri"),
+    )
+    dup = base.select(
+        "doc_id",
+        "n_tokens",
+        "__bi",
+        (
+            (F.size("__tri") - F.size(F.array_distinct("__tri")))
+            * F.lit(1.0)
+            / F.size("__tri")
+        ).alias("__dup_tri"),
+    )
+    counts = (
+        dup.select("doc_id", "n_tokens", "__dup_tri", F.explode("__bi").alias("gram"))
+        .groupBy("doc_id", "n_tokens", "__dup_tri", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id", "n_tokens", "__dup_tri").agg(
+        F.round(F.max("c") * 2.0 / F.col("n_tokens"), 4).alias("top_bigram_frac"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_frac",
+        F.round("__dup_tri", 4).alias("dup_trigram_frac"),
+    )
