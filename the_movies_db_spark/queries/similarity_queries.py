@@ -53,12 +53,19 @@ _SIGN = (
     "CASE WHEN substr(md5({p} || ':' || i), 1, 1) IN "
     "('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
 )
-_SIG_EXPR = " || ".join(
-    "(CASE WHEN round(list_aggregate(list_transform(range(0, " + str(_DIM) + "), "
-    "i -> {v}[i + 1]::DOUBLE * " + _SIGN.format(p=p) + "), 'sum'), 6) >= 0 "
-    "THEN '1' ELSE '0' END)"
-    for p in range(_PLANES)
-)
+def _sig_expr(n_planes: int) -> str:
+    """DuckDB mirror of ``hyperplane_signature`` for ``n_planes`` planes
+    (plane family 0..n-1 — an m-plane signature is a prefix of the
+    n-plane one for m < n)."""
+    return " || ".join(
+        "(CASE WHEN round(list_aggregate(list_transform(range(0, " + str(_DIM) + "), "
+        "i -> {v}[i + 1]::DOUBLE * " + _SIGN.format(p=p) + "), 'sum'), 6) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in range(n_planes)
+    )
+
+
+_SIG_EXPR = _sig_expr(_PLANES)
 
 
 @register(
@@ -360,4 +367,105 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
     return S.semantic_dedup(
         e, "vec_id", "embedding", n_cells=_N_CELLS, threshold=_TAU_SEM, dim=_DIM
+    )
+
+
+@register(
+    "sim_recall_eval",
+    f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) t WHERE rank <= 5
+    ),
+    sigs AS (
+      SELECT vec_id, embedding,
+             {_sig_expr(4).format(v="embedding")} AS sig4,
+             {_sig_expr(8).format(v="embedding")} AS sig8
+      FROM embeddings
+    ),
+    approx AS (
+      SELECT CAST(4 AS BIGINT) AS num_planes, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM sigs q JOIN sigs c ON q.sig4 = c.sig4 AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) t WHERE rank <= 5
+      UNION ALL
+      SELECT CAST(8 AS BIGINT), query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM sigs q JOIN sigs c ON q.sig8 = c.sig8 AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) t WHERE rank <= 5
+    ),
+    base AS (
+      SELECT np.num_planes, e.query_id, e.neighbor_id
+      FROM exact e CROSS JOIN
+           (SELECT CAST(unnest([4, 8]) AS BIGINT) AS num_planes) np
+    )
+    SELECT b.num_planes, b.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS recall
+    FROM base b LEFT JOIN approx a
+      ON b.num_planes = a.num_planes AND b.query_id = a.query_id
+         AND b.neighbor_id = a.neighbor_id
+    GROUP BY b.num_planes, b.query_id
+    """,
+    doc=(
+        "ANN index-quality sweep: recall@5 of the hyperplane-LSH index "
+        "vs the exact brute-force ranking, per query, at 4 and 8 planes "
+        "— the tuning loop every production ANN deployment runs before "
+        "trusting an index (fewer planes -> bigger buckets -> higher "
+        "recall, more candidates scored). Both rankings are "
+        "deterministic, so the recall numbers themselves are value-hash-"
+        "verified. Scale shape: exact tier is the broadcast query-set "
+        "scan, each approx tier touches one bucket per query, the "
+        "comparison is a left join on (planes, query, neighbor)."
+    ),
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=5, dim=_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    approx = None
+    for p in (4, 8):
+        tier = S.cosine_topk_lsh(
+            e, q, "vec_id", "embedding", k=5, num_planes=p, dim=_DIM
+        ).select(
+            F.lit(p).cast("bigint").alias("__hit_planes"),
+            F.col("query_id").alias("__hit_qid"),
+            F.col("neighbor_id").alias("__hit_id"),
+        )
+        approx = tier if approx is None else approx.unionAll(tier)
+    base = exact.withColumn(
+        "num_planes",
+        F.explode(F.array(F.lit(4).cast("bigint"), F.lit(8).cast("bigint"))),
+    )
+    hit = F.when(F.col("__hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        base.join(
+            approx,
+            (F.col("num_planes") == F.col("__hit_planes"))
+            & (F.col("query_id") == F.col("__hit_qid"))
+            & (F.col("neighbor_id") == F.col("__hit_id")),
+            "left",
+        )
+        .groupBy("num_planes", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).alias("n_hit"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias("recall"),
+        )
     )
