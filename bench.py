@@ -73,6 +73,29 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # absorb two one-time process costs so they are not attributed to
+    # whichever query hits them first: janino/JIT warmup of whole-stage
+    # codegen on a wide unrolled expression (~2-3 s on the first heavy
+    # compile), and Python/Arrow worker spawn for the pandas-UDF queries
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.operators.similarity import cosine_from_parts, norm
+
+    e1 = (
+        load_table(spark, sf_dir, "embeddings")
+        .limit(1)
+        .select(F.col("embedding").alias("__a"), F.col("embedding").alias("__b"))
+        .select(
+            "__a", "__b", norm("__a", 64).alias("__na"), norm("__b", 64).alias("__nb")
+        )
+    )
+    e1.select(cosine_from_parts("__a", "__b", "__na", "__nb", dim=64)).collect()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(2).mapInPandas(_identity, "id long").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]

@@ -142,3 +142,86 @@ def udf_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dev_cents").cast("bigint").alias("sum_dev_cents"),
         F.max("dev_cents").cast("bigint").alias("max_dev_cents"),
     )
+
+
+@register(
+    "udf_cogrouped_reconcile",
+    """
+    WITH l AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                        AS n_orders,
+           CAST(sum(coalesce(l.n_lines, 0)) AS BIGINT)     AS n_lines,
+           CAST(sum(coalesce(l.line_cents, 0)) AS BIGINT)  AS line_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                                           AS order_cents
+    FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Cogrouped applyInPandas (the two-table §2.11 shape): orders and "
+        "lineitem cogroup on a SHARD of the order key (pmod 64), one "
+        "Python kernel sees BOTH frames per shard and reconciles every "
+        "order header against its lines in integer cents (exact -> "
+        "value-hash-verified); a JVM-side aggregate collapses per-order "
+        "rows to priority buckets. Scale shape: cogroup is one "
+        "co-partitioned shuffle of each side — the same exchange a join "
+        "would do — but the kernel is invoked per SHARD, not per order: "
+        "cogrouping 100 TB on a unique key means one Python call per "
+        "key (measured 44 s vs 4 s at sf0.01 right here); sharding "
+        "amortizes the invocation and lets pandas vectorize the "
+        "per-order rollup inside."
+    ),
+)
+def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def reconcile(orders_pdf: "pd.DataFrame", lines_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if orders_pdf.empty:  # lines whose order is absent: emit nothing
+            return pd.DataFrame(
+                columns=["o_orderpriority", "n_lines", "line_cents", "order_cents"]
+            )
+        if lines_pdf.empty:
+            per_line = pd.DataFrame({"l_orderkey": [], "n_lines": [], "line_cents": []})
+        else:
+            cents = (lines_pdf["l_extendedprice"] * 100).round().astype("int64")
+            per_line = (
+                pd.DataFrame({"l_orderkey": lines_pdf["l_orderkey"], "c": cents})
+                .groupby("l_orderkey", sort=False)
+                .agg(n_lines=("c", "size"), line_cents=("c", "sum"))
+                .reset_index()
+            )
+        out = orders_pdf.merge(
+            per_line, left_on="o_orderkey", right_on="l_orderkey", how="left"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["o_orderpriority"],
+                "n_lines": out["n_lines"].fillna(0).astype("int64"),
+                "line_cents": out["line_cents"].fillna(0).astype("int64"),
+                "order_cents": (out["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    per_order = (
+        o.groupBy(F.pmod("o_orderkey", F.lit(64)).alias("__shard"))
+        .cogroup(li.groupBy(F.pmod("l_orderkey", F.lit(64)).alias("__shard")))
+        .applyInPandas(
+            reconcile,
+            "o_orderpriority string, n_lines long, line_cents long, order_cents long",
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("line_cents").cast("bigint").alias("line_cents"),
+        F.sum("order_cents").cast("bigint").alias("order_cents"),
+    )
