@@ -215,21 +215,55 @@ def squared_l2_static(a: str, b: str, dim: int) -> Column:
 
 def ivf_assign(
     corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8,
-    dim: int | None = None,
+    dim: int | None = None, collect_centroids: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid cell. Centroids here are the deterministic seed set
     (vectors with id < n_cells) so the index is value-verifiable; in
     production you'd train them with MLlib KMeans and broadcast the
-    model — the assignment plan below is identical either way:
-    corpus ⨯ broadcast(centroids) → argmin distance per vector, as a
-    single hash aggregate (min over a (distance, cid) struct — no
-    window, no second shuffle over the corpus).
+    model.
+
+    Default path (``collect_centroids``): the ≤ n_cells centroid rows
+    are collected once at plan-build (bounded — this IS the broadcast-
+    the-model shape) and inlined as a literal array, so assignment is a
+    pure per-row projection: argmin over the centroid array via
+    ``array_min`` of (distance, cid) structs — NO crossJoin, NO
+    aggregate, NO exchange. The previous agg formulation
+    (corpus ⨯ broadcast(centroids) → min-of-struct groupBy) compiled to
+    two SortAggregates + two Exchanges over the full corpus — per
+    consumer — and is kept behind ``collect_centroids=False`` only for
+    corpora whose centroid set cannot be collected.
 
     Returns (id, vec, cell). At 100 TB the corpus is *written*
     partitioned by cell, so a query scans only its probe cells'
     files — the IVF analog of partition pruning.
     """
+    if collect_centroids:
+        rows = (
+            corpus.filter(F.col(id_col) < n_cells)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("bigint").alias("cid"),
+                    F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(squared_l2(F.col(vec_col), c["cvec"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return corpus.select(
+            id_col, vec_col, F.array_min(scored)["cid"].alias("cell")
+        )
     cent = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
