@@ -84,3 +84,30 @@ def test_quality_filter_verdicts_first_failing_rule(spark, monkeypatch):
     assert out[3].verdict == "ok" and out[3].keep
     # keep is true iff verdict is 'ok'
     assert all((r.verdict == "ok") == r.keep for r in out.values())
+
+
+def test_incremental_pairs_match_full_pipeline_cross_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.operators import dedup as D
+
+    d = load_table(spark, SF, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    inc = D.minhash_lsh_incremental_pairs(
+        batch, corpus, "doc_id", "text", threshold=0.2,
+        num_hashes=8, num_bands=4, shingle_n=3,
+    ).collect()
+    assert all(r.new_id % 10 == 7 and r.corpus_id % 10 != 7 for r in inc)
+    full = D.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=8, num_bands=4, shingle_n=3,
+    ).collect()
+    cross = {
+        (r.id_a, r.id_b)
+        for r in full
+        if (r.id_a % 10 == 7) != (r.id_b % 10 == 7)
+    }
+    got = {tuple(sorted((r.new_id, r.corpus_id))) for r in inc}
+    assert got == cross

@@ -156,35 +156,26 @@ def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
     return inter / union
 
 
-def minhash_lsh_dedup_pairs(
+def banded_minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.5,
     num_hashes: int = 8,
     num_bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: signature → bands → bucket self-join →
-    exact-Jaccard verify → pairs with jaccard ≥ threshold. Output
-    (id_a, id_b, jaccard).
-
-    The shingle arrays ride THROUGH the band explode, so the bucket
-    join alone yields both sides' shingles — one self-join total,
-    versus candidates + two corpus join-backs (measured 2.7× faster at
-    sf0.1). Tradeoff at scale: the band shuffle carries num_bands×
-    the shingle payload; if documents are huge or buckets skew hot,
-    switch to ``minhash_lsh_candidates`` + join-backs, which shuffles
-    ids only.
-
-    Signatures are built by exploding shingles and taking num_hashes
-    codegen ``min`` aggregates, not the per-row expression fold:
-    higher-order functions evaluate interpreted, and the explode+agg
-    shape measured ~5× faster at sf0.1 (one extra shuffle keyed by
-    document id, which AQE sizes). min over the exploded multiset
-    equals min over the distinct set, so signatures are identical;
-    ``collect_set`` rebuilds the distinct-shingle payload for the
-    exact-Jaccard verify in the same aggregation."""
+    """(__id, __sh, band_idx, band_hash) rows — one per (document,
+    band): the banded-LSH index representation. Signatures are built by
+    exploding shingles into num_hashes codegen ``min`` aggregates, not
+    a per-row expression fold: higher-order functions evaluate
+    interpreted, and the explode+agg shape measured ~5× faster at
+    sf0.1 (one extra shuffle keyed by document id, which AQE sizes).
+    min over the exploded multiset equals min over the distinct set, so
+    signatures are identical; ``collect_set`` rebuilds the
+    distinct-shingle payload for the exact-Jaccard verify in the same
+    aggregation. At 100 TB this is the table you MATERIALIZE (written
+    bucketed by band_hash) — batch dedup and incremental admission both
+    join against it without recomputation."""
     from the_movies_db_spark.operators.text import shingle_explode
 
     rows = num_hashes // num_bands
@@ -207,11 +198,90 @@ def minhash_lsh_dedup_pairs(
             F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
         )
     )
-    banded = sig.select(
+    return sig.select(
         "__id", "__sh",
         F.posexplode(lsh_bands(F.col("__sig"), num_bands, rows)).alias(
             "band_idx", "band_hash"
         ),
+    )
+
+
+def minhash_lsh_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup admission: pairs between a NEW batch and
+    the existing corpus only — the daily-ingest shape, where re-pairing
+    the whole corpus against itself would redo O(corpus) work for an
+    O(batch) question. Candidates come from the same banded equi-join
+    as the batch pipeline, but the batch side is broadcast: at scale
+    the corpus side is the materialized signature index
+    (:func:`banded_minhash_signatures`) scanned in place, the daily
+    batch's bands ship to it, and no corpus shuffle happens at all.
+    Output (new_id, corpus_id, jaccard ≥ threshold)."""
+    nb = banded_minhash_signatures(
+        batch, id_col, text_col, num_hashes, num_bands, shingle_n
+    ).select(
+        F.col("__id").alias("new_id"),
+        F.col("__sh").alias("__shn"),
+        F.col("band_idx").alias("__bi_n"),
+        F.col("band_hash").alias("__bh_n"),
+    )
+    cb = banded_minhash_signatures(
+        corpus, id_col, text_col, num_hashes, num_bands, shingle_n
+    ).select(
+        F.col("__id").alias("corpus_id"),
+        F.col("__sh").alias("__shc"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = F.broadcast(nb).join(
+        cb,
+        (F.col("__bi_n") == F.col("band_idx"))
+        & (F.col("__bh_n") == F.col("band_hash")),
+    ).dropDuplicates(["new_id", "corpus_id"])
+    sized = pairs.select(
+        "new_id",
+        "corpus_id",
+        F.size(F.array_intersect("__shn", "__shc")).alias("__ni"),
+        (F.size("__shn") + F.size("__shc")).alias("__ntot"),
+    )
+    return sized.select(
+        "new_id",
+        "corpus_id",
+        F.round(F.col("__ni") / (F.col("__ntot") - F.col("__ni")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signature → bands → bucket self-join →
+    exact-Jaccard verify → pairs with jaccard ≥ threshold. Output
+    (id_a, id_b, jaccard).
+
+    The shingle arrays ride THROUGH the band explode, so the bucket
+    join alone yields both sides' shingles — one self-join total,
+    versus candidates + two corpus join-backs (measured 2.7× faster at
+    sf0.1). Tradeoff at scale: the band shuffle carries num_bands×
+    the shingle payload; if documents are huge or buckets skew hot,
+    switch to ``minhash_lsh_candidates`` + join-backs, which shuffles
+    ids only. Signature construction: see
+    :func:`banded_minhash_signatures`."""
+    banded = banded_minhash_signatures(
+        df, id_col, text_col, num_hashes, num_bands, shingle_n
     )
     a = banded.select(
         F.col("__id").alias("id_a"),

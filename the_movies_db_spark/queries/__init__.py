@@ -91,14 +91,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_split_words",
     # TPC-H extras (unverified r1)
     "q04_order_priority",
-    "q08_market_share",
     "q21_latest_shipper",
     "agg_percentiles",
-    # surface extras (unverified r1; window_first_last = nullable-int audit)
-    "window_range_frame",
+    # surface extras (window_first_last = nullable-int audit; the set-ALL
+    # variants and q08/window_range_frame rotated to the tail — their
+    # families carry r1-green rows — to make room for the new round-2
+    # operators below, which have no driver signal at all yet)
     "window_first_last",
-    "set_except_all",
-    "set_intersect_all",
     "fn_map_json_props",
     "fn_try_arithmetic",
     "fn_recursive_calendar",
@@ -119,6 +118,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_sample_stratified",
     "cdc_apply",
     "streaming_static_join",
+    # newest round-2 operators (semantic dedup, ANN recall sweep,
+    # cogrouped UDF, composite quality gate)
+    "dedup_semantic",
+    "sim_recall_eval",
+    "udf_cogrouped_reconcile",
+    "pipeline_quality_filter",
 )
 
 

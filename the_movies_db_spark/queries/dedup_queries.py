@@ -292,3 +292,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_per_band=_EMB_PLANES,
         dim=_EMB_DIM,
     )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, sh, {_SIG} FROM sh),
+    banded AS (SELECT doc_id, sh, {_BANDS} FROM sig),
+    pairs AS (
+      {" UNION ".join(
+        f"SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,"
+        f" a.sh AS shn, b.sh AS shc "
+        f"FROM banded a JOIN banded b ON a.b{j} = b.b{j}"
+        f" AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7"
+        for j in range(_NUM_BANDS)
+      )}
+    )
+    SELECT new_id, corpus_id,
+           round(len(list_intersect(shn, shc)) * 1.0 /
+                 (len(shn) + len(shc) - len(list_intersect(shn, shc))), 6) AS jaccard
+    FROM pairs
+    WHERE round(len(list_intersect(shn, shc)) * 1.0 /
+                (len(shn) + len(shc) - len(list_intersect(shn, shc))), 6) >= 0.2
+    """,
+    doc=(
+        "Incremental near-dup admission: MinHash-LSH pairs between a "
+        "new document batch (doc_id % 10 = 7, standing in for a daily "
+        "ingest) and the existing corpus ONLY — the broadcast-batch "
+        "shape that answers an O(batch) question without re-pairing "
+        "the O(corpus) index. At scale the corpus side is the "
+        "materialized banded-signature table scanned in place."
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    return D.minhash_lsh_incremental_pairs(
+        batch, corpus, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
