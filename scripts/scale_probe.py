@@ -125,6 +125,47 @@ def main() -> None:
                                      threshold=-1.0, planes_per_band=8),
     )
 
+    # semantic dedup: cells fill n× fuller under replication, so the
+    # within-cell pair stage grows n²× at FIXED n_cells — and returns to
+    # near-linear when cells scale with the corpus (the "cells track
+    # corpus size" rule the operator docstring states).
+    from the_movies_db_spark.operators.similarity import semantic_dedup
+
+    timed(
+        "semantic_1x_c32",
+        semantic_dedup(emb1, "vec_id", "embedding", n_cells=32,
+                       threshold=0.3, dim=64),
+    )
+    timed(
+        f"semantic_{n}x_c32",
+        semantic_dedup(embn, "vec_id", "embedding", n_cells=32,
+                       threshold=0.3, dim=64),
+    )
+    timed(
+        f"semantic_{n}x_c{32 * n}",
+        semantic_dedup(embn, "vec_id", "embedding", n_cells=32 * n,
+                       threshold=0.3, dim=64),
+    )
+
+    # incremental admission: batch-vs-corpus pair cost should track the
+    # BATCH size — replicating the corpus n× with a fixed batch must not
+    # grow n²×.
+    from the_movies_db_spark.operators.dedup import minhash_lsh_incremental_pairs
+
+    batch1 = docs1.filter(F.col("doc_id") % 10 == 7)
+    corp1 = docs1.filter(F.col("doc_id") % 10 != 7)
+    corpn = docsn.filter(F.col("doc_id") % 10 != 7)
+    timed(
+        "incremental_1x",
+        minhash_lsh_incremental_pairs(batch1, corp1, "doc_id", "text",
+                                      threshold=0.2),
+    )
+    timed(
+        f"incremental_{n}x_corpus",
+        minhash_lsh_incremental_pairs(batch1, corpn, "doc_id", "text",
+                                      threshold=0.2),
+    )
+
     skew_probe(spark, n)
 
 

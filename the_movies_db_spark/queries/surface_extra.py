@@ -618,3 +618,80 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_value",
         )
     )
+
+
+@register(
+    "window_percent_rank",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+           CAST(floor(cume_dist()    OVER w * 1000000) AS BIGINT) AS cume_dist_ppm
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc=(
+        "Relative-position window functions (percent_rank / cume_dist) "
+        "— the remaining §2.6 analytic functions beside rank/ntile/"
+        "lag/lead/frames. One shuffle on the partition key, sorted "
+        "within; the unique-key tie-break makes both values "
+        "deterministic. Output as parts-per-million via floor(x*1e6): "
+        "both engines compute the identical IEEE double, and floor of "
+        "a double is exact — unlike round(x, 6), whose decimal-exact "
+        "(Spark BigDecimal) vs multiply-based (DuckDB) implementations "
+        "disagree by 1 ulp at .5 boundaries (seen at sf0.1)."
+    ),
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.percent_rank().over(w) * 1000000)
+        .cast("bigint")
+        .alias("pct_rank_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000)
+        .cast("bigint")
+        .alias("cume_dist_ppm"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             avg(value)                 AS mu,
+             stddev_samp(value)         AS sigma,
+             count(*)                   AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
+    """,
+    doc=(
+        "Monitoring-style anomaly flags: per-event-type mean/stddev "
+        "(one combining aggregate over a handful of groups -> broadcast "
+        "back into the scan), events beyond 3 sigma surfaced. The "
+        "two-pass profile-then-flag shape every data-quality monitor "
+        "runs; no window function, so the big side is never sorted."
+    ),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_samp("value").alias("__sigma"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter((F.col("__sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id", "event_type", F.round(z, 4).alias("zscore")
+        )
+    )

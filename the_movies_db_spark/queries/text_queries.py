@@ -378,3 +378,77 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         F.round("__dup_tri", 4).alias("dup_trigram_frac"),
     )
+
+
+@register(
+    "text_ccnet_buckets",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, lower(unnest({_TOKENS})) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS tf FROM terms GROUP BY term),
+    total AS (SELECT count(*) AS n FROM terms),
+    scored AS (
+      SELECT t.doc_id,
+             round(avg(ln(f.tf * 1.0 / total.n)), 6) AS avg_logprob
+      FROM terms t JOIN freq f USING (term) CROSS JOIN total
+      GROUP BY t.doc_id
+    ),
+    bucketed AS (
+      SELECT doc_id, avg_logprob,
+             ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS tercile
+      FROM scored
+    )
+    SELECT CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           round(min(avg_logprob), 6)   AS min_logprob,
+           round(max(avg_logprob), 6)   AS max_logprob
+    FROM bucketed
+    GROUP BY bucket
+    """,
+    doc=(
+        "CCNet-style corpus partitioning (Wenzek et al. 2020): score "
+        "every document with the unigram LM, split into head / middle "
+        "/ tail terciles by perplexity proxy (higher avg logprob = "
+        "more 'in-distribution'), report per-bucket boundaries. The "
+        "bucket boundaries are what a curation pipeline publishes so "
+        "downstream sampling can target head+middle. ntile runs on the "
+        "per-DOCUMENT score table (corpus-count rows, one global sort "
+        "of scores — at 100 TB swap for approx_percentile cutpoints; "
+        "the exact form here is the verifiable baseline)."
+    ),
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from the_movies_db_spark.io import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    terms = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("__raw")
+    ).select("doc_id", F.lower("__raw").alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = terms.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        terms.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("tf") * 1.0 / F.col("n"))), 6).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    bucketed = scored.withColumn("__t", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("__t") == 1, "head")
+        .when(F.col("__t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+        F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+    )
