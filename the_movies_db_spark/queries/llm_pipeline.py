@@ -587,3 +587,163 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict.alias("verdict"),
         keep.alias("keep"),
     )
+
+
+@register(
+    "pipeline_sample_weighted",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len({_TOKENS}) AS n_tok,
+             ({_H_SQL} % 1000000 + 0.5) / 1000000.0 AS u,
+             ln(1.0 + len({_TOKENS}))               AS wt
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(floor(-ln(u) / wt * 1000000000) AS BIGINT) AS key_ppb
+    FROM w
+    ORDER BY CAST(floor(-ln(u) / wt * 1000000000) AS BIGINT), doc_id
+    LIMIT 100
+    """,
+    doc=(
+        "Deterministic weighted sampling (Efraimidis-Spirakis A-ES): "
+        "per-document exponential key -ln(u)/w with u derived from "
+        "md5(doc_id) and weight w = ln(1+tokens) — the "
+        "token-proportional sample a mixture builder draws. Keys are "
+        "ranked as exact integers (floor(key*1e9) of the identical "
+        "IEEE double in both engines), so even the sample MEMBERSHIP "
+        "is value-hash-verified. Plan shape: one scan + "
+        "TakeOrderedAndProject (top-k never sorts the full corpus); "
+        "reproducible under any partitioning, unlike df.sample()."
+    ),
+)
+def pipeline_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tok"),
+        ((_doc_hash() % 1000000 + 0.5) / 1000000.0).alias("__u"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "__u",
+        F.log(1.0 + F.col("n_tok")).alias("__wt"),
+    )
+    key = F.floor(-F.log("__u") / F.col("__wt") * 1000000000).cast("bigint")
+    return (
+        staged.select(
+            "doc_id",
+            "lang",
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            key.alias("key_ppb"),
+        )
+        .orderBy("key_ppb", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "pipeline_curate_e2e",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS chash,
+             len({_TOKENS}) AS n_tok,
+             list_aggregate(list_transform({_TOKENS},
+               t -> CASE WHEN lower(t) IN ('the','a','of','and','to','in','is',
+                                           'on','for','with') THEN 1 ELSE 0 END),
+               'sum') * 1.0 / len({_TOKENS}) AS stop_r,
+             list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum')
+               * 1.0 / len({_TOKENS}) AS awl,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               * 1.0 / length(text) AS punct_r,
+             list_transform(range(1, greatest(len({_TOKENS}) - 2, 1) + 1),
+                            i -> array_to_string(({_TOKENS})[i:i+2], ' ')) AS tri,
+             CASE WHEN {_H_SQL} % 100 < {_RATE_SQL} THEN 1 ELSE 0 END AS samp
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, n_tok, samp,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY chash)
+                  THEN 1 ELSE 0 END AS canon,
+             CASE WHEN n_tok BETWEEN 10 AND 5000
+                   AND (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END
+                      + CASE WHEN stop_r >= 0.02 THEN 0.25 ELSE 0.0 END
+                      + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+                      + CASE WHEN punct_r <= 0.2 THEN 0.25 ELSE 0.0 END) >= 0.5
+                   AND (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) <= 0.6
+                  THEN 1 ELSE 0 END AS qual
+      FROM m
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                         AS docs_in,
+           CAST(sum(canon) AS BIGINT)                       AS after_dedup,
+           CAST(sum(canon * qual) AS BIGINT)                AS after_quality,
+           CAST(sum(canon * qual * samp) AS BIGINT)         AS after_sample,
+           CAST(sum(canon * qual * samp * n_tok) AS BIGINT) AS tokens_out
+    FROM s GROUP BY lang
+    """,
+    doc=(
+        "End-to-end curation funnel — the operators composed the way a "
+        "real corpus run chains them: exact dedup (min-id canonical per "
+        "content hash) -> composite quality gate -> deterministic "
+        "stratified sample -> per-language funnel counts and surviving "
+        "token budget. One scan, one window over the content hash, one "
+        "final aggregate; every stage's attrition is visible in the "
+        "output (the report a curation pipeline publishes per batch)."
+    ),
+)
+def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in sorted(_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    staged = d.select(
+        "doc_id",
+        "lang",
+        T.fingerprint_md5("text").alias("__chash"),
+        T.token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("__q"),
+        T.word_shingles(T.tokens("text"), 3).alias("__tri"),
+        F.when(_doc_hash() % 100 < rate, 1).otherwise(0).alias("samp"),
+    )
+    dup_tri = (
+        (F.size("__tri") - F.size(F.array_distinct("__tri")))
+        * F.lit(1.0)
+        / F.size("__tri")
+    )
+    w = Window.partitionBy("__chash")
+    s = staged.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "samp",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("canon"),
+        F.when(
+            (F.col("n_tok") >= 10)
+            & (F.col("n_tok") <= 5000)
+            & (F.col("__q") >= 0.5)
+            & (dup_tri <= 0.6),
+            1,
+        )
+        .otherwise(0)
+        .alias("qual"),
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+        F.sum("canon").cast("bigint").alias("after_dedup"),
+        F.sum(F.col("canon") * F.col("qual")).cast("bigint").alias("after_quality"),
+        F.sum(F.col("canon") * F.col("qual") * F.col("samp"))
+        .cast("bigint")
+        .alias("after_sample"),
+        F.sum(F.col("canon") * F.col("qual") * F.col("samp") * F.col("n_tok"))
+        .cast("bigint")
+        .alias("tokens_out"),
+    )
