@@ -695,3 +695,116 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", F.round(z, 4).alias("zscore")
         )
     )
+
+
+_CM_ROWS, _CM_W = 4, 64
+_CM_TOKENS = "regexp_split_to_array(text, '\\s+')"
+_CM_COL = (
+    "CAST(concat('0x', substr(md5({i} || ':' || term), 1, 8)) AS BIGINT)"
+    f" % {_CM_W}"
+)
+
+
+@register(
+    "agg_countmin_topk",
+    f"""
+    WITH terms AS (
+      SELECT lower(unnest({_CM_TOKENS})) AS term FROM documents
+    ),
+    sketch AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS r, {_CM_COL.format(i=i)} AS c, count(*) AS n"
+          f" FROM terms GROUP BY 1, 2"
+          for i in range(_CM_ROWS)
+      )}
+    ),
+    top AS (
+      SELECT term, count(*) AS exact_n
+      FROM terms GROUP BY term
+      ORDER BY exact_n DESC, term LIMIT 10
+    )
+    SELECT t.term,
+           CAST(t.exact_n AS BIGINT) AS exact_n,
+           CAST(min(s.n) AS BIGINT)  AS est_n,
+           CAST(min(s.n) - t.exact_n AS BIGINT) AS overcount
+    FROM top t
+    JOIN sketch s
+      ON {" OR ".join(
+          f"(s.r = {i} AND s.c = {_CM_COL.format(i=i).replace('term', 't.term')})"
+          for i in range(_CM_ROWS)
+      )}
+    GROUP BY t.term, t.exact_n
+    """,
+    doc=(
+        "Count-min sketch ({rows}x{w}) over the corpus vocabulary, "
+        "evaluated against the exact top-10 heavy hitters: est_n = min "
+        "over the sketch rows, always >= exact_n (the one-sided CM "
+        "guarantee — overcount column shows collision error at this "
+        "width). The sketch is {n} bounded counters built by one "
+        "explode + combining aggregate: mergeable across partitions, "
+        "batches, and days — the fixed-memory frequency structure a "
+        "streaming pipeline keeps when the exact vocabulary does not "
+        "fit.".format(rows=_CM_ROWS, w=_CM_W, n=_CM_ROWS * _CM_W)
+    ),
+)
+def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.io import spread
+    from the_movies_db_spark.operators.text import tokens
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    terms = d.select(F.explode(tokens("text")).alias("__raw")).select(
+        F.lower("__raw").alias("term")
+    )
+
+    def cm_col(i: int, term) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), term)), 1, 8), 16, 10)
+            .cast("bigint")
+            % _CM_W
+        )
+
+    cells = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), cm_col(i, F.col("term")).alias("c")
+                    )
+                    for i in range(_CM_ROWS)
+                ]
+            )
+        ).alias("__cell")
+    ).select("__cell.r", "__cell.c")
+    sketch = cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(10)
+    )
+    probes = top.select(
+        "term",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), cm_col(i, F.col("term")).alias("c")
+                    )
+                    for i in range(_CM_ROWS)
+                ]
+            )
+        ).alias("__p"),
+    ).select("term", "exact_n", "__p.r", "__p.c")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+        .select(
+            "term",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+    )
