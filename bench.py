@@ -59,6 +59,8 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "pipeline_quality_filter",
     "dedup_semantic",
+    "dedup_incremental",
+    "pipeline_curate_e2e",
 ]
 
 
