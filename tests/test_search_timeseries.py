@@ -1,0 +1,56 @@
+"""Semantic checks for the search (BM25) and time-series modules —
+properties the oracle hash can't express directly (rank contiguity,
+grid density, conservation of revenue)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import load_all
+from the_movies_db_spark.queries.search_queries import TOP_K
+
+REGISTRY = load_all()
+
+
+def test_bm25_ranks_contiguous_and_scores_monotone(spark, sf_dir):
+    rows = (
+        REGISTRY["search_bm25_topk"].spark(spark, sf_dir)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert rows, "bm25 returned no rows"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), q
+        assert len(rs) <= TOP_K
+        scores = [r.score_milli for r in rs]
+        assert scores == sorted(scores, reverse=True), q
+        assert all(s >= 0 for s in scores), q
+
+
+def test_gapfill_grid_is_dense(spark, sf_dir):
+    out = REGISTRY["events_gapfill_locf"].spark(spark, sf_dir)
+    n_types = out.select("event_type").distinct().count()
+    n_buckets = out.select("bucket").distinct().count()
+    assert out.count() == n_types * n_buckets
+    # gap rows carry zero events and (after the first observation) a
+    # carried-forward value identical to the previous bucket's.
+    bad = out.filter((F.col("is_gap") == 1) & (F.col("n_events") != 0)).count()
+    assert bad == 0
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    out = REGISTRY["events_attribution"].spark(spark, sf_dir)
+    attributed = out.agg(
+        F.sum("n_purchases").alias("n"), F.sum("revenue").alias("rev")
+    ).collect()[0]
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    direct = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / F.lit(100.0)).alias("rev"),
+    ).collect()[0]
+    assert attributed.n == direct.n
+    assert abs(attributed.rev - direct.rev) < 1e-9

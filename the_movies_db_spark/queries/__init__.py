@@ -137,10 +137,12 @@ def load_all() -> dict[str, Query]:
         multimodal_queries,
         pipeline_extra,
         relational,
+        search_queries,
         similarity_queries,
         streaming_queries,
         surface_extra,
         text_queries,
+        timeseries_queries,
         tpch_extra,
         udf_queries,
         upsert_queries,

@@ -1,0 +1,165 @@
+"""Inverted-index text search over the ``documents`` table.
+
+``search_bm25_topk`` is the keyword-retrieval primitive a corpus
+curation / RAG-prep stack needs next to ANN: top-k documents per query
+under BM25 (k1=1.2, b=0.75, Lucene's always-positive idf).
+
+Exactness strategy — the whole score is integer arithmetic so the
+value-hash is engine-stable:
+
+- With ``avgdl = T/N`` (T = total tokens, N = docs), the BM25 term
+  contribution ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+  is the rational ``idf * 44*tf*T / (20*tf*T + 6*T + 18*dl*N)``
+  (multiply num/den by ``20*T``; k1=6/5, b=3/4).
+- ``idf`` is the only transcendental; it is floored to integer millis
+  once per *distinct query term* (~10 values), so a 1-ulp ``ln``
+  divergence could only flip a handful of boundary cases, not a
+  per-row float — and every downstream op is exact BIGINT.
+- Per-term contributions use integer floor division, summed as BIGINT;
+  ties broken by doc_id. Deterministic across Spark and DuckDB.
+
+Scale notes (100 TB): the query vocabulary is broadcast and filters
+the exploded token stream *before* the tf aggregation, so shuffle
+volume is O(docs containing a query term), not O(total tokens); df
+and corpus stats are tiny aggregates broadcast back. Top-k per query
+is a rank over the scored set (bounded by matching docs). At extreme
+corpus sizes the ``tf*T`` products approach int64 — downscale T to
+kilotokens there (the rational form is scale-invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import register
+
+#: (query_id, term) — the benchmark query set, embedded identically in
+#: the Spark plan and the DuckDB oracle.
+QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "hash"),
+    (1, "join"),
+    (1, "spark"),
+    (2, "window"),
+    (2, "stream"),
+    (2, "batch"),
+    (3, "merge"),
+    (3, "sort"),
+    (3, "key"),
+)
+
+TOP_K = 5
+
+_IDF_MILLI = (
+    "CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5)) * 1000) AS BIGINT)"
+)
+
+_SCORE_TERM = (
+    "(idf_milli * 44 * tf * total_len)"
+    " {div} (20 * tf * total_len + 6 * total_len + 18 * dl * n_docs)"
+)
+
+_QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in QUERIES)
+
+_ORACLE = f"""
+WITH q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+dld AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT)  AS total_len
+  FROM dld
+),
+tokens AS (SELECT doc_id, dl, unnest(toks) AS term FROM dld),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokens
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.term,
+         {_IDF_MILLI} AS idf_milli,
+         t.tf, t.dl, s.n_docs, s.total_len
+  FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s
+),
+contrib AS (
+  SELECT doc_id, term,
+         {_SCORE_TERM.format(div='//')} AS score_term
+  FROM scored
+),
+per_query AS (
+  SELECT q.query_id, c.doc_id,
+         CAST(sum(c.score_term) AS BIGINT) AS score_milli
+  FROM contrib c JOIN q ON c.term = q.term
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_milli
+FROM (
+  SELECT query_id, doc_id, score_milli,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+  FROM per_query
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "search_bm25_topk",
+    _ORACLE,
+    doc=(
+        "BM25 top-k keyword search via an on-the-fly inverted index: "
+        "broadcast query vocabulary prunes the exploded token stream, "
+        "tf/df/corpus stats are one aggregation pass each, and the whole "
+        "score is exact BIGINT arithmetic (idf floored to millis per "
+        "distinct term; the tf saturation is a rational in tf, dl, N, T)."
+    ),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("toks"),
+        )
+        .select("doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    qterms = spark.createDataFrame(list(QUERIES), "query_id int, term string")
+    vocab = qterms.select("term").distinct()
+    tokens = d.select("doc_id", "dl", F.explode("toks").alias("term"))
+    tf = (
+        tokens.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(stats))
+        .withColumn("idf_milli", F.expr(_IDF_MILLI))
+        .withColumn("score_term", F.expr(_SCORE_TERM.format(div="div")))
+    )
+    per_query = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_term").alias("score_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_milli")
+    )

@@ -1,0 +1,161 @@
+"""Time-series surface over the ``events`` table: dense-grid gap
+filling with last-observation-carried-forward, and marketing-style
+last-touch attribution.
+
+Both are hypertable/rollup-shaped operations (the reference's event
+analytics delegate these to SQL windows; here they are native Spark
+window + sequence plans). All money math is integer cents so the
+value-hash is engine-exact; only the final display division produces
+a double (one exactly-representable op on both engines).
+
+Scale notes (100 TB): the dense grid is |types| x |buckets| — tiny
+relative to the fact table and generated without a shuffle from a
+1-row min/max aggregate; the observed rollup is one hash aggregation
+on (type, bucket); LOCF is one window pass partitioned by type (at
+extreme bucket counts, partition the window by (type, day) and seed
+each day with the prior day's closing value). Attribution is one
+window pass partitioned by user — no self-join, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.io import load_table
+from the_movies_db_spark.queries import register
+
+#: 15-minute buckets, anchored at the unix epoch in NTZ space —
+#: identical arithmetic in both engines (no time_bucket origin quirks).
+_BUCKET_SECONDS = 900
+
+_SPARK_BUCKET = (
+    "timestampadd(SECOND, CAST((timestampdiff(SECOND,"
+    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {s}) * {s} AS BIGINT),"
+    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+).format(s=_BUCKET_SECONDS)
+
+_DUCK_BUCKET = (
+    "TIMESTAMP '1970-01-01 00:00:00' + ((datediff('second',"
+    " TIMESTAMP '1970-01-01 00:00:00', ts) // {s}) * {s}) * INTERVAL 1 SECOND"
+).format(s=_BUCKET_SECONDS)
+
+
+@register(
+    "events_gapfill_locf",
+    f"""
+    WITH obs AS (
+      SELECT event_type,
+             {_DUCK_BUCKET} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM obs),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL {_BUCKET_SECONDS} SECOND)) AS bucket
+        FROM bounds
+      ) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.bucket, o.n_events, o.cents
+      FROM grid g LEFT JOIN obs o
+        ON g.event_type = o.event_type AND g.bucket = o.bucket
+    )
+    SELECT event_type, bucket,
+           coalesce(n_events, 0) AS n_events,
+           CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(cents IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 100.0 AS locf_value
+    FROM joined
+    """,
+    doc=(
+        "Dense 15-minute grid per event type (sequence from a 1-row "
+        "min/max aggregate, cross-joined with the type dimension), left "
+        "join of the observed rollup, then last-observation-carried-"
+        "forward via an ignore-nulls window — the hypertable gap-fill "
+        "primitive. Integer-cents arithmetic end to end."
+    ),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    obs = (
+        e.select("event_type", F.expr(_SPARK_BUCKET).alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("c").alias("cents"))
+    )
+    bounds = obs.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    buckets = bounds.select(
+        F.explode(
+            F.expr(f"sequence(lo, hi, INTERVAL {_BUCKET_SECONDS} SECOND)")
+        ).alias("bucket")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(buckets))
+    joined = grid.join(obs, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+        (F.last("cents", ignorenulls=True).over(w) / F.lit(100.0)).alias("locf_value"),
+    )
+
+
+@register(
+    "events_attribution",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc=(
+        "Last-touch attribution: each purchase is credited to the most "
+        "recent preceding non-purchase event of the same user (ignore-"
+        "nulls window carry — the as-of join expressed without a join), "
+        "purchases with no prior touch fall to 'direct'. Revenue in "
+        "integer cents, divided once for display."
+    ),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+        )
+    )
