@@ -42,6 +42,24 @@ def test_gapfill_grid_is_dense(spark, sf_dir):
     assert bad == 0
 
 
+def test_ohlc_invariants(spark, sf_dir):
+    out = REGISTRY["events_ohlc"].spark(spark, sf_dir)
+    viol = out.filter(
+        (F.col("high") < F.col("low"))
+        | (F.col("open") > F.col("high"))
+        | (F.col("open") < F.col("low"))
+        | (F.col("close") > F.col("high"))
+        | (F.col("close") < F.col("low"))
+        | (F.col("n_events") <= 0)
+    ).count()
+    assert viol == 0
+    # volume conservation: bucketed sums add up to the corpus total
+    total = out.agg(F.sum("volume_cents")).collect()[0][0]
+    e = load_table(spark, sf_dir, "events")
+    direct = e.agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))).collect()[0][0]
+    assert total == direct
+
+
 def test_attribution_conserves_revenue(spark, sf_dir):
     out = REGISTRY["events_attribution"].spark(spark, sf_dir)
     attributed = out.agg(

@@ -98,10 +98,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # families carry r1-green rows — to make room for the new round-2
     # operators below, which have no driver signal at all yet)
     "window_first_last",
-    "fn_map_json_props",
-    "fn_try_arithmetic",
     "fn_recursive_calendar",
-    "fn_variant_props",
+    # newest additions (BM25 search + time-series family — no driver row
+    # yet; fn_map_json_props/fn_try_arithmetic/fn_variant_props rotated
+    # to the tail: §2.9 scalar-fn family keeps 5 r1-green rows plus
+    # fn_recursive_calendar above)
+    "search_bm25_topk",
+    "events_gapfill_locf",
+    "events_attribution",
     # changed-this-round dedup paths + new-family representative
     # (multimodal_resize rotated out: all 6 multimodal were driver-green
     # in r1 and are unchanged; graph_* is a new family with no row yet)

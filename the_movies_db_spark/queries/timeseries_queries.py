@@ -1,8 +1,8 @@
 """Time-series surface over the ``events`` table: dense-grid gap
-filling with last-observation-carried-forward, and marketing-style
-last-touch attribution.
+filling with last-observation-carried-forward, marketing-style
+last-touch attribution, and hourly OHLC downsampling.
 
-Both are hypertable/rollup-shaped operations (the reference's event
+All are hypertable/rollup-shaped operations (the reference's event
 analytics delegate these to SQL windows; here they are native Spark
 window + sequence plans). All money math is integer cents so the
 value-hash is engine-exact; only the final display division produces
@@ -29,16 +29,23 @@ from the_movies_db_spark.queries import register
 #: identical arithmetic in both engines (no time_bucket origin quirks).
 _BUCKET_SECONDS = 900
 
-_SPARK_BUCKET = (
-    "timestampadd(SECOND, CAST((timestampdiff(SECOND,"
-    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {s}) * {s} AS BIGINT),"
-    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-).format(s=_BUCKET_SECONDS)
+def _spark_bucket(seconds: int) -> str:
+    return (
+        "timestampadd(SECOND, CAST((timestampdiff(SECOND,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {s}) * {s} AS BIGINT),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).format(s=seconds)
 
-_DUCK_BUCKET = (
-    "TIMESTAMP '1970-01-01 00:00:00' + ((datediff('second',"
-    " TIMESTAMP '1970-01-01 00:00:00', ts) // {s}) * {s}) * INTERVAL 1 SECOND"
-).format(s=_BUCKET_SECONDS)
+
+def _duck_bucket(seconds: int) -> str:
+    return (
+        "TIMESTAMP '1970-01-01 00:00:00' + ((datediff('second',"
+        " TIMESTAMP '1970-01-01 00:00:00', ts) // {s}) * {s}) * INTERVAL 1 SECOND"
+    ).format(s=seconds)
+
+
+_SPARK_BUCKET = _spark_bucket(_BUCKET_SECONDS)
+_DUCK_BUCKET = _duck_bucket(_BUCKET_SECONDS)
 
 
 @register(
@@ -157,5 +164,70 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+#: OHLC buckets are hourly; open/close need a total order inside the
+#: bucket — (ts, event_id) encoded as one BIGINT sort key so BOTH
+#: engines run a plain hash aggregate (arg_min/min_by on a scalar;
+#: struct-valued min would force a SortAggregate in Spark and DuckDB's
+#: arg_min rejects struct keys). offset_us < 3.6e9, event_id < 1e9 →
+#: key < 3.6e18 < int64 max.
+_OHLC_SECONDS = 3600
+
+_SPARK_OHLC_KEY = (
+    "timestampdiff(MICROSECOND, bucket, ts) * 1000000000L + event_id"
+)
+_DUCK_OHLC_KEY = (
+    "datediff('microsecond', bucket, ts) * 1000000000 + event_id"
+)
+
+
+@register(
+    "events_ohlc",
+    f"""
+    WITH c AS (
+      SELECT event_type, {_duck_bucket(_OHLC_SECONDS)} AS bucket,
+             ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, bucket,
+           arg_min(cents, {_DUCK_OHLC_KEY}) / 100.0 AS open,
+           max(cents) / 100.0 AS high,
+           min(cents) / 100.0 AS low,
+           arg_max(cents, {_DUCK_OHLC_KEY}) / 100.0 AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS volume_cents
+    FROM c
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Hourly OHLC candlesticks per event type — the downsampling "
+        "rollup of a hypertable. One hash aggregation with partial "
+        "(map-side) combine: open/close are arg_min/arg_max over a "
+        "bucket-relative (ts, event_id) BIGINT sort key, high/low/"
+        "volume are plain min/max/sum in integer cents."
+    ),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.expr(_SPARK_OHLC_KEY)
+    return (
+        e.select(
+            "event_type",
+            F.expr(_spark_bucket(_OHLC_SECONDS)).alias("bucket"),
+            "ts",
+            "event_id",
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            (F.min_by("cents", key) / F.lit(100.0)).alias("open"),
+            (F.max("cents") / F.lit(100.0)).alias("high"),
+            (F.min("cents") / F.lit(100.0)).alias("low"),
+            (F.max_by("cents", key) / F.lit(100.0)).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("volume_cents"),
         )
     )
