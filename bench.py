@@ -61,6 +61,9 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_incremental",
     "pipeline_curate_e2e",
+    # search + time-series (round 2, late)
+    "search_bm25_topk",
+    "events_ohlc",
 ]
 
 

@@ -145,9 +145,12 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window count keeps `tf` a SINGLE subtree in the plan — a
+    # groupBy-then-join-back would recompute the whole explode+agg twice
+    # (measured 2x the query runtime at sf0.1).
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
     scored = (
-        tf.join(F.broadcast(dfs), "term")
+        tf.withColumn("df", df_w)
         .join(F.broadcast(stats))
         .withColumn("idf_milli", F.expr(_IDF_MILLI))
         .withColumn("score_term", F.expr(_SCORE_TERM.format(div="div")))
