@@ -60,6 +60,26 @@ def test_ohlc_invariants(spark, sf_dir):
     assert total == direct
 
 
+def test_interpolate_labels_and_bounds(spark, sf_dir):
+    out = REGISTRY["events_interpolate"].spark(spark, sf_dir)
+    # value present iff the row is not outside the observed span
+    assert out.filter((F.col("source") == "edge") & F.col("avg_millicents").isNotNull()).count() == 0
+    assert out.filter((F.col("source") != "edge") & F.col("avg_millicents").isNull()).count() == 0
+    # observed rows reproduce the rollup exactly
+    e = load_table(spark, sf_dir, "events")
+    n_obs_buckets = (
+        e.select(
+            "event_type",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV 900"
+            ).alias("idx"),
+        )
+        .distinct()
+        .count()
+    )
+    assert out.filter(F.col("source") == "observed").count() == n_obs_buckets
+
+
 def test_attribution_conserves_revenue(spark, sf_dir):
     out = REGISTRY["events_attribution"].spark(spark, sf_dir)
     attributed = out.agg(

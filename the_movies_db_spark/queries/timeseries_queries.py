@@ -231,3 +231,144 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("volume_cents"),
         )
     )
+
+#: Linear interpolation runs on the INTEGER bucket index (epoch-seconds
+#: DIV 900) — pure int64 window + arithmetic; the timestamp is
+#: reconstructed only for display. The series is the per-bucket average
+#: in exact millicents (sum*1000 DIV n). Interpolation
+#: ``(prev*(next-i) + next*(i-prev)) DIV span`` is non-negative here
+#: (event values >= 0), so DuckDB's floor-`//` and Spark's
+#: truncating-`DIV` agree; a signed series would need an explicit
+#: floor-division form on the Spark side.
+
+
+@register(
+    "events_interpolate",
+    f"""
+    WITH obs AS (
+      SELECT event_type,
+             datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               // {_BUCKET_SECONDS} AS idx,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) * 1000
+                  // count(*) AS BIGINT) AS avg_mc
+      FROM events
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(idx) AS lo, max(idx) AS hi FROM obs),
+    grid AS (
+      SELECT t.event_type, g.idx
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS idx FROM bounds) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.idx, o.n_events, o.avg_mc
+      FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.idx = o.idx
+    ),
+    ctx AS (
+      SELECT event_type, idx, n_events, avg_mc,
+             last_value(avg_mc IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN avg_mc IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER w_prev AS prev_i,
+             first_value(avg_mc IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN avg_mc IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER w_next AS next_i
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + (idx * {_BUCKET_SECONDS}) * INTERVAL 1 SECOND AS bucket,
+           coalesce(n_events, 0) AS n_events,
+           CASE
+             WHEN avg_mc IS NOT NULL THEN avg_mc
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               CAST((prev_v * (next_i - idx) + next_v * (idx - prev_i))
+                    // (next_i - prev_i) AS BIGINT)
+           END AS avg_millicents,
+           CASE
+             WHEN avg_mc IS NOT NULL THEN 'observed'
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interpolated'
+             ELSE 'edge'
+           END AS source
+    FROM ctx
+    """,
+    doc=(
+        "Dense-grid linear interpolation (the hypertable `interpolate` "
+        "primitive, complement of LOCF): per-type 15-min buckets on an "
+        "integer index, per-bucket average held as exact millicents, "
+        "gaps filled by integer-rational interpolation between the "
+        "bracketing observations (two ignore-nulls window passes over "
+        "the SAME sort order — one Sort, no self-join); rows outside "
+        "the observed span are labeled 'edge'."
+    ),
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    idx = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        f" DIV {_BUCKET_SECONDS}"
+    )
+    obs = (
+        e.select("event_type", idx.alias("idx"), cents.alias("c"))
+        .groupBy("event_type", "idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(sum(c) * 1000 DIV count(*) AS BIGINT)").alias("avg_mc"),
+        )
+    )
+    bounds = obs.agg(F.min("idx").alias("lo"), F.max("idx").alias("hi"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("idx"))))
+    )
+    joined = grid.join(obs, ["event_type", "idx"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("avg_mc").isNotNull(), F.col("idx"))
+    ctx = joined.select(
+        "event_type",
+        "idx",
+        "n_events",
+        "avg_mc",
+        F.last("avg_mc", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_idx, ignorenulls=True).over(w_prev).alias("prev_i"),
+        F.first("avg_mc", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_idx, ignorenulls=True).over(w_next).alias("next_i"),
+    )
+    interp = F.expr(
+        "CAST((prev_v * (next_i - idx) + next_v * (idx - prev_i))"
+        " DIV (next_i - prev_i) AS BIGINT)"
+    )
+    return ctx.select(
+        "event_type",
+        F.expr(
+            f"timestampadd(SECOND, CAST(idx * {_BUCKET_SECONDS} AS BIGINT),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("avg_mc").isNotNull(), F.col("avg_mc"))
+        .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp)
+        .alias("avg_millicents"),
+        F.when(F.col("avg_mc").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.lit("interpolated"),
+        )
+        .otherwise(F.lit("edge"))
+        .alias("source"),
+    )
