@@ -166,6 +166,14 @@ def main() -> None:
                                       threshold=0.2),
     )
 
+    # BM25 search: cost is dominated by the token explode + vocab-pruned
+    # tf aggregation, both linear in corpus tokens; the top-k window is
+    # bounded by matching docs. Expect near-linear growth.
+    from the_movies_db_spark.queries.search_queries import bm25_topk
+
+    timed("bm25_1x", bm25_topk(spark, docs1))
+    timed(f"bm25_{n}x", bm25_topk(spark, docsn))
+
     skew_probe(spark, n)
 
 

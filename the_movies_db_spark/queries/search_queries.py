@@ -125,8 +125,14 @@ WHERE rank <= {TOP_K}
     ),
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(spark, load_table(spark, sf_dir, "documents"))
+
+
+def bm25_topk(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """Core BM25 plan over any (doc_id, text) DataFrame — split out so
+    the scale probe can run it on replicated corpora."""
     d = (
-        load_table(spark, sf_dir, "documents")
+        documents
         .select(
             "doc_id",
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("toks"),
