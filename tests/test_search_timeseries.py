@@ -92,3 +92,76 @@ def test_attribution_conserves_revenue(spark, sf_dir):
     ).collect()[0]
     assert attributed.n == direct.n
     assert abs(attributed.rev - direct.rev) < 1e-9
+
+
+def test_phrase_search_crafted_corpus(spark):
+    from the_movies_db_spark.queries.search_queries import phrase_counts
+
+    docs = spark.createDataFrame(
+        [
+            # two non-overlapping occurrences of "a b"
+            (1, "a b x a b"),
+            # overlapping starts: "a a b" -> one "a b" at pos 1
+            (2, "a a b"),
+            # repeated-word phrase "c c": "c c c" has TWO (overlapping) hits
+            (3, "c c c"),
+            # words present but never adjacent
+            (4, "a x b a y b"),
+            # case/whitespace normalization
+            (5, "  A   B  "),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = ((10, "a b"), (20, "c c"))
+    got = {
+        (r.phrase_id, r.doc_id): r.n_matches
+        for r in phrase_counts(spark, docs, phrases).collect()
+    }
+    assert got == {(10, 1): 2, (10, 2): 1, (10, 5): 1, (20, 3): 2}
+
+
+def test_phrase_search_matches_bruteforce(spark, sf_dir):
+    from the_movies_db_spark.queries.search_queries import PHRASES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected: dict[tuple[int, int], int] = {}
+    for pid, phrase in PHRASES:
+        p = phrase.split()
+        for r in docs:
+            toks = r.text.lower().split()
+            n = sum(1 for i in range(len(toks) - len(p) + 1) if toks[i : i + len(p)] == p)
+            if n:
+                expected[(pid, r.doc_id)] = n
+    got = {
+        (r.phrase_id, r.doc_id): r.n_matches
+        for r in REGISTRY["search_phrase"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_split_by_source_is_leakage_free(spark, sf_dir):
+    out = REGISTRY["pipeline_split_by_source"].spark(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    total_docs = d.count()
+    total_sources = d.select("source").distinct().count()
+    assert sum(r.n_docs for r in out) == total_docs
+    # sources partition cleanly: per-split distinct counts sum to the
+    # corpus total, i.e. no source appears in two splits
+    assert sum(r.n_sources for r in out) == total_sources
+    assert {r.split for r in out} <= {"train", "valid", "test"}
+
+
+def test_transitions_are_row_stochastic(spark, sf_dir):
+    out = REGISTRY["events_transitions"].spark(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    # every event except each user's first contributes one transition
+    assert sum(r.n for r in out) == n_events - n_users
+    by_prev: dict[str, list] = {}
+    for r in out:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        s = sum(r.prob_micro for r in rs)
+        # floor division loses at most 1 micro per row
+        assert 1_000_000 - len(rs) <= s <= 1_000_000, prev

@@ -68,11 +68,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "schema_drift_add",
     "schema_drift_type",
     # streaming (§2.10 — all unverified r1)
+    # (streaming_sliding / streaming_incremental_rollup /
+    # streaming_static_join rotated to the tail for the newest operators
+    # below — each is the nearest sibling of a query still in the window:
+    # sliding~tumbling, incremental_rollup~foreachbatch_upsert,
+    # static_join~stream_join)
     "streaming_tumbling",
     "streaming_dedup",
-    "streaming_sliding",
     "streaming_foreachbatch_upsert",
-    "streaming_incremental_rollup",
     "streaming_stateful_counter",
     "streaming_stream_join",
     # text analysis (unverified r1)
@@ -121,7 +124,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",
     "cdc_apply",
-    "streaming_static_join",
+    # newest operators (phrase search, group-hash split, Markov
+    # transitions) — no driver row yet
+    "search_phrase",
+    "pipeline_split_by_source",
+    "events_transitions",
     # newest round-2 operators (semantic dedup, ANN recall sweep,
     # cogrouped UDF, composite quality gate)
     "dedup_semantic",

@@ -747,3 +747,65 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_out"),
     )
+
+
+# ----------------------------------------------------- train/test split
+
+#: hash buckets 0-7 -> train, 8 -> valid, 9 -> test (80/10/10).
+_SRC_H_SQL = "CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % 10"
+
+
+@register(
+    "pipeline_split_by_source",
+    f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_SRC_H_SQL} <= 7 THEN 'train'
+                  WHEN {_SRC_H_SQL} = 8  THEN 'valid'
+                  ELSE 'test' END AS split,
+             source,
+             len({_TOKENS}) AS n_tok
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT)               AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)             AS n_tokens
+    FROM assigned GROUP BY split
+    """,
+    doc=(
+        "Leakage-free train/valid/test split: the hash bucket is computed "
+        "on the SOURCE (site/domain), not the document, so near-duplicate "
+        "documents from one origin can never straddle the held-out "
+        "boundary — the standard guard against eval contamination when "
+        "splitting a crawled corpus. Deterministic md5 bucketing (no RNG), "
+        "80/10/10."
+    ),
+)
+def pipeline_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split document / source / token counts.
+
+    Scale notes (100 TB): the assignment is a pure projection (hash of
+    an existing column — no join against a membership table, no RNG
+    state), so a writer partitioned by `split` streams each document to
+    its shard in the same pass; the summary here is one tiny aggregate.
+    The split stays stable as the corpus grows: new documents from a
+    known source land in the source's existing split.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("bigint") % 10
+    split = (
+        F.when(h <= 7, F.lit("train")).when(h == 8, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "source",
+            T.token_count("text").cast("bigint").alias("n_tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

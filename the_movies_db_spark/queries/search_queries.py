@@ -128,6 +128,117 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark, load_table(spark, sf_dir, "documents"))
 
 
+#: (phrase_id, phrase) — exact-phrase benchmark queries (2- and 3-word).
+PHRASES: tuple[tuple[int, str], ...] = (
+    (1, "table hash"),
+    (2, "customer join"),
+    (3, "slow hash batch"),
+)
+
+_PHRASE_TERM_VALUES = ", ".join(
+    f"({pid}, {off}, '{term}')"
+    for pid, phrase in PHRASES
+    for off, term in enumerate(phrase.split())
+)
+
+_PHRASE_ORACLE = f"""
+WITH p(phrase_id, off, term) AS (VALUES {_PHRASE_TERM_VALUES}),
+plen AS (SELECT phrase_id, count(*) AS plen FROM p GROUP BY 1),
+d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+cand AS (
+  SELECT p.phrase_id, t.doc_id, t.pos - p.off AS start_pos, p.off
+  FROM t JOIN p USING (term)
+),
+occ AS (
+  -- (phrase_id, doc_id, start_pos, off) is unique by construction
+  -- (one posting row x one phrase-term row), so count(*) == the
+  -- number of distinct offsets matched at this start.
+  SELECT phrase_id, doc_id, start_pos, count(*) AS hits
+  FROM cand GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT o.phrase_id, o.doc_id
+  FROM occ o JOIN plen l USING (phrase_id)
+  WHERE o.hits = l.plen
+)
+SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM m GROUP BY 1, 2
+"""
+
+
+@register(
+    "search_phrase",
+    _PHRASE_ORACLE,
+    doc=(
+        "Exact-phrase search via a positional inverted index: posexplode "
+        "gives (doc, pos, term) postings, the broadcast phrase vocabulary "
+        "prunes them, and a phrase occurs at start s iff every offset o of "
+        "the phrase matched at pos s+o — one groupBy counting distinct "
+        "matched offsets, no positional self-join."
+    ),
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document occurrence counts for exact multi-word phrases.
+
+    Scale notes (100 TB): postings are pruned by the broadcast phrase
+    vocabulary BEFORE any shuffle, so the groupBy keys are bounded by
+    occurrences of phrase words, not corpus tokens. The classic
+    alternative — a positional self-join per adjacent word pair — costs
+    one shuffle join per phrase word; this formulation is a single
+    aggregation regardless of phrase length.
+    """
+    return phrase_counts(spark, load_table(spark, sf_dir, "documents"), PHRASES)
+
+
+def phrase_counts(
+    spark: SparkSession,
+    documents: DataFrame,
+    phrases: tuple[tuple[int, str], ...],
+) -> DataFrame:
+    """Core positional-index phrase-match plan over any (doc_id, text)
+    DataFrame — split out so tests can drive crafted corpora."""
+    pterms = spark.createDataFrame(
+        [
+            (pid, off, term)
+            for pid, phrase in phrases
+            for off, term in enumerate(phrase.split())
+        ],
+        "phrase_id int, off int, term string",
+    )
+    plen = pterms.groupBy("phrase_id").agg(F.count(F.lit(1)).alias("plen"))
+    tokens = (
+        documents
+        .select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("toks"),
+        )
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    )
+    cand = tokens.join(F.broadcast(pterms), "term").select(
+        "phrase_id", "doc_id", (F.col("pos") - F.col("off")).alias("start_pos"), "off"
+    )
+    # candidates are unique on (phrase_id, doc_id, start_pos, off), so a
+    # plain count equals count(distinct off) without the extra dedup
+    # exchange a count_distinct plan pays.
+    occ = cand.groupBy("phrase_id", "doc_id", "start_pos").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    matched = occ.join(F.broadcast(plen), "phrase_id").filter(F.col("hits") == F.col("plen"))
+    return matched.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+
+
 def bm25_topk(spark: SparkSession, documents: DataFrame) -> DataFrame:
     """Core BM25 plan over any (doc_id, text) DataFrame — split out so
     the scale probe can run it on replicated corpora."""

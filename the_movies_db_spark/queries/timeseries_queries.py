@@ -372,3 +372,65 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("edge"))
         .alias("source"),
     )
+
+
+# -------------------------------------------------- transition matrix
+
+
+@register(
+    "events_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n * 1000000 // (CAST(sum(n) OVER (PARTITION BY prev_type)
+                                     AS BIGINT)) AS BIGINT) AS prob_micro
+    FROM pairs
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: lag() within user gives (prev, next) pairs, one hash "
+        "aggregation counts them, and the row-normalized probability is "
+        "exact integer micros (BIGINT floor division — no float ratio in "
+        "the hash). The behavioral-analytics primitive behind funnel "
+        "discovery and next-event prediction features."
+    ),
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes (100 TB): one shuffle on user_id for the lag window
+    (per-user state is a single previous row), one aggregation to the
+    |types|^2-bounded matrix. The row total comes from a window over the
+    already-tiny matrix, not a join back to the pair stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type")).cast("bigint")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000").cast("bigint").alias("__num"),
+        total.alias("__tot"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("__num DIV __tot").cast("bigint").alias("prob_micro"),
+    )
