@@ -60,16 +60,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _with_nanos_as_long(spark)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
-            "ts",
-            # integer DIV keeps full int64 precision (a double division
-            # would round ~1.7e18 ns values and shift some events by 1µs)
-            F.expr(
-                "timestampadd(MICROSECOND, ts DIV 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # The driver has shipped `ts` as both TIMESTAMP(NANOS) (read as
+        # bigint under nanosAsLong, converted here) and plain
+        # timestamp[us] (already TIMESTAMP_NTZ — use as-is). Branch on
+        # the physical type so both generations of testdata load.
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts",
+                # integer DIV keeps full int64 precision (a double division
+                # would round ~1.7e18 ns values and shift some events by 1µs)
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

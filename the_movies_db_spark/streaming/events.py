@@ -46,17 +46,22 @@ def read_events_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # Watermarks require TIMESTAMP (LTZ). Convert nanos → NTZ wall-clock
-    # (exact, as in io.load_table) → LTZ via a string round-trip, which
-    # PRESERVES the wall-clock in any session timezone; query functions
-    # convert results back the same way, so end-to-end values are
-    # session-TZ independent and match the batch/oracle NTZ semantics.
+    # Watermarks require TIMESTAMP (LTZ). Convert the source ts (bigint
+    # nanos in older testdata generations, TIMESTAMP_NTZ in newer ones)
+    # to NTZ wall-clock (exact, as in io.load_table) → LTZ via a string
+    # round-trip, which PRESERVES the wall-clock in any session
+    # timezone; query functions convert results back the same way, so
+    # end-to-end values are session-TZ independent and match the
+    # batch/oracle NTZ semantics.
+    from pyspark.sql.types import LongType
+
+    ntz = (
+        "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        if isinstance(raw_schema["ts"].dataType, LongType)
+        else "ts"
+    )
     return reader.load(sf_dir).withColumn(
-        "ts",
-        F.expr(
-            "CAST(CAST(timestampadd(MICROSECOND, ts DIV 1000,"
-            " TIMESTAMP_NTZ '1970-01-01 00:00:00') AS STRING) AS TIMESTAMP)"
-        ),
+        "ts", F.expr(f"CAST(CAST({ntz} AS STRING) AS TIMESTAMP)")
     )
 
 
