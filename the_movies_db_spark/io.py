@@ -43,19 +43,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _with_nanos_as_long(spark: SparkSession) -> None:
-    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
-    # parquet reader rejects outright; read nanos as bigint and convert
-    # below. Runtime-settable, so it works under the harness's session.
+    # Older testdata generations store events.ts as TIMESTAMP(NANOS),
+    # which Spark's parquet reader rejects outright; under this conf the
+    # column surfaces as bigint nanos instead and load_table converts it.
+    # Harmless for the current timestamp[us] generation. Runtime-settable,
+    # so it works under the harness's session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table (``TESTDATA.md``) lazily from ``sf_dir``.
 
-    ``events.ts`` is nanosecond-precision parquet; Spark has no nanos
-    timestamp, so it is truncated to microseconds as TIMESTAMP_NTZ via
-    pure NTZ arithmetic (session-timezone independent, matching how
-    DuckDB truncates the same column to its native microseconds).
+    The driver has shipped ``events.ts`` in two physical generations:
+    TIMESTAMP(NANOS) (older testdata — Spark has no nanos timestamp, so
+    it is read as bigint under ``nanosAsLong`` and truncated to
+    microseconds as TIMESTAMP_NTZ via pure NTZ arithmetic,
+    session-timezone independent, matching DuckDB's truncation to its
+    native microseconds) and plain timestamp[us] / NTZ (current testdata
+    — loads natively, used as-is). ``load_table`` branches on the
+    physical type so both generations work.
     """
     if name == "events":
         _with_nanos_as_long(spark)

@@ -55,86 +55,81 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # fixed this round (r1 hash-fails + latent same-class bug) — must show green
-    "fn_json",
-    "events_sessionize",
-    "q12_priority_class",
-    "streaming_session_window",
-    # upsert / SCD-2 / schema drift (reference core K2/K3/P1/P3/§1.3 — unverified r1)
-    "upsert_merge",
-    "upsert_scd2",
-    "upsert_keep_latest",
-    "upsert_change_stats",
-    "schema_drift_add",
-    "schema_drift_type",
-    # streaming (§2.10 — all unverified r1)
-    # (streaming_sliding / streaming_incremental_rollup /
-    # streaming_static_join rotated to the tail for the newest operators
-    # below — each is the nearest sibling of a query still in the window:
-    # sliding~tumbling, incremental_rollup~foreachbatch_upsert,
-    # static_join~stream_join)
-    "streaming_tumbling",
-    "streaming_dedup",
-    "streaming_foreachbatch_upsert",
-    "streaming_stateful_counter",
-    "streaming_stream_join",
-    # text analysis (unverified r1)
-    "text_stats",
-    "text_langid",
-    "text_tfidf_topk",
-    "text_rolling_hash",
-    # similarity / ANN (unverified r1)
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "dedup_embedding_lsh",
-    # UDF / UDAF / UDTF (§2.11 — unverified r1)
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udtf_split_words",
-    # TPC-H extras (unverified r1)
-    "q04_order_priority",
-    "q21_latest_shipper",
-    "agg_percentiles",
-    # surface extras (window_first_last = nullable-int audit; the set-ALL
-    # variants and q08/window_range_frame rotated to the tail — their
-    # families carry r1-green rows — to make room for the new round-2
-    # operators below, which have no driver signal at all yet)
-    "window_first_last",
-    "fn_recursive_calendar",
-    # newest additions (BM25 search + time-series family — no driver row
-    # yet; fn_map_json_props/fn_try_arithmetic/fn_variant_props rotated
-    # to the tail: §2.9 scalar-fn family keeps 5 r1-green rows plus
-    # fn_recursive_calendar above)
-    "search_bm25_topk",
-    "events_gapfill_locf",
-    "events_attribution",
-    # changed-this-round dedup paths + new-family representative
-    # (multimodal_resize rotated out: all 6 multimodal were driver-green
-    # in r1 and are unchanged; graph_* is a new family with no row yet)
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "graph_pagerank",
-    # new-this-round families with no driver row yet (r1-green
-    # representatives dedup_exact/minhash, q01/q03, events_funnel and
-    # join_asof rotated out — their families keep other entries above)
-    "pipeline_decontaminate",
-    "pipeline_pii_redact",
-    "pipeline_pack_sequences",
-    "pipeline_sample_stratified",
-    "cdc_apply",
-    # newest operators (phrase search, group-hash split, Markov
-    # transitions) — no driver row yet
-    "search_phrase",
-    "pipeline_split_by_source",
-    "events_transitions",
-    # newest round-2 operators (semantic dedup, ANN recall sweep,
-    # cogrouped UDF, composite quality gate)
-    "dedup_semantic",
-    "sim_recall_eval",
-    "udf_cogrouped_reconcile",
-    "pipeline_quality_filter",
+    # Round-3 rotation: rounds 1+2 accumulated 95 driver-green rows; the
+    # 63 remaining registry entries have never been driver-checked. This
+    # window holds 50 of them (every one locally oracle-green at three
+    # SFs). Deferred to round 4 (weakest incremental signal): the three
+    # rows-only entries (agg_hll_sketch, sim_topk_vectorized,
+    # sim_mllib_lsh_join — no oracle, weaker check by design), plus
+    # family-redundant siblings whose §2 family already carries driver
+    # rows: events_retention (~retention_cohorts), set_intersect_all
+    # (~set_except_all below), explode_lateral_months (~udtf_split_words),
+    # fn_try_arithmetic / fn_variant_props (§2.9 has 7 green),
+    # window_range_frame / agg_argmax (families green ×6/×9),
+    # q08 / q13 / q14 (TPC-H family green ×8).
+    #
+    # dedup family (incremental admission was new late in r2)
+    "dedup_incremental",
+    # graph (pagerank green r2; triangles has no row)
+    "graph_triangles",
+    # corpus-curation / pipeline family (r2 additions, never checked)
+    "pipeline_domain_mix",
+    "pipeline_fuzzy_match",
+    "pipeline_boilerplate_removal",
+    "pipeline_sample_weighted",
+    "pipeline_curate_e2e",
+    "pipeline_bloom_decontaminate",
+    "pipeline_snapshot_diff",
+    "dq_checks",
+    # text analysis (r1 had 4 green; these 6 never checked)
+    "text_winnow",
+    "text_quality",
+    "text_wordcount",
+    "text_fingerprint",
+    "text_unigram_logprob",
+    "text_repetition",
+    "text_ccnet_buckets",
+    # events / time-series (batch)
+    "events_retention_cohorts",
+    "events_funnel",
+    "events_session_window_native",
+    "events_anomaly_zscore",
+    "events_ohlc",
+    "events_interpolate",
+    # similarity / ANN
+    "sim_lsh_bucket_stats",
+    "sim_topk_quantized",
+    # streaming (§2.10 — the three siblings rotated out in r2)
+    "streaming_sliding",
+    "streaming_incremental_rollup",
+    "streaming_static_join",
+    # scalar fn / set-op / window / agg representatives still unchecked
+    "fn_map_json_props",
+    "set_except_all",
+    "window_percent_rank",
+    "agg_histogram",
+    "agg_countmin_topk",
+    # profiling / sampling / layout
+    "profile_columns",
+    "sample_systematic",
+    "layout_zorder",
+    # TPC-H shapes with no driver row (family green: q01/03/04/05/06/10/12/21)
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q09_profit_by_nation",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_promo_volume_suppliers",
+    "q22_inactive_customers",
+    # pivot / unpivot (no family row yet)
+    "pivot_returnflag",
+    "unpivot_measures",
+    # grouped-map applyInPandas (udf family green ×4; this shape unchecked)
+    "udf_grouped_map_demean",
 )
 
 

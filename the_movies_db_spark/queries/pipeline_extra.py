@@ -344,3 +344,141 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(change.alias("change_type"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+@register(
+    "cdc_scd2",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey AS key, 1 AS seq, round(o_totalprice, 2) AS price
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, 2,
+             ((CAST(round(o_totalprice * 100) AS BIGINT) * 110) // 100) / 100.0
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v3 AS (
+      SELECT o_orderkey, 3,
+             ((CAST(round(o_totalprice * 100) AS BIGINT) * 120) // 100) / 100.0
+      FROM orders WHERE o_orderkey % 9 = 0
+    ),
+    log AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+    SELECT key, price,
+           seq AS valid_from_seq,
+           CAST(coalesce(lead(seq) OVER w, 0) AS BIGINT) AS valid_to_seq,
+           CAST(lead(seq) OVER w IS NULL AS BOOLEAN)     AS is_current
+    FROM log
+    WINDOW w AS (PARTITION BY key ORDER BY seq)
+    """,
+    doc=(
+        "SCD-2 history derivation from a versioned changelog: one window "
+        "pass (lead over the per-key version sequence) closes each row's "
+        "validity interval and flags the current version — the "
+        "changelog-to-history operator that complements cdc_apply "
+        "(latest-wins) and upsert_scd2 (two-table merge). One shuffle on "
+        "key; version bumps are integer-cents exact."
+    ),
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def bump(pct: int):
+        return F.floor(cents * (100 + pct) / 100).cast("bigint") / F.lit(100.0)
+
+    v1 = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"), F.lit(2).alias("seq"), bump(10).alias("price")
+    )
+    v3 = o.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.col("o_orderkey").alias("key"), F.lit(3).alias("seq"), bump(20).alias("price")
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("key").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return log.select(
+        "key",
+        "price",
+        F.col("seq").alias("valid_from_seq"),
+        F.coalesce(nxt, F.lit(0)).cast("bigint").alias("valid_to_seq"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "pipeline_winsorize",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*)    OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN n_chars END) AS p05,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END) AS p95
+      FROM ranked GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(c.p05 AS BIGINT) AS p05,
+           CAST(c.p95 AS BIGINT) AS p95,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(greatest(d.n_chars, c.p05), c.p95)) AS BIGINT) AS clipped_sum,
+           CAST(sum(least(greatest(d.n_chars, c.p05), c.p95)) * 1000
+                // count(*) AS BIGINT) AS clipped_mean_milli
+    FROM documents d JOIN cuts c ON d.lang = c.lang
+    GROUP BY d.lang, c.p05, c.p95
+    """,
+    doc=(
+        "Winsorized (clipped) statistics per group: exact rank-based "
+        "p05/p95 cutpoints (percentile_disc semantics — value at "
+        "ceil(q*n), doc_id tie-break), outliers clipped to the cut, mean "
+        "reported in exact integer millis. The cut table is |groups| "
+        "rows and broadcasts back into the scan — the fact side is "
+        "sorted only within the rank window, never globally. The "
+        "outlier-robust length profile a curation pipeline gates on."
+    ),
+)
+def pipeline_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.05 * F.col("n")), F.col("n_chars"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("n_chars"))
+        ).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95"))
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(clipped).cast("bigint").alias("clipped_sum"),
+        )
+        .select(
+            "lang",
+            F.col("p05").cast("bigint").alias("p05"),
+            F.col("p95").cast("bigint").alias("p95"),
+            "n_docs",
+            "clipped_sum",
+            F.floor(F.col("clipped_sum") * 1000 / F.col("n_docs"))
+            .cast("bigint")
+            .alias("clipped_mean_milli"),
+        )
+    )

@@ -808,3 +808,77 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
         )
     )
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT l_returnflag,
+           CAST(sum(l_orderkey & l_partkey)   AS BIGINT) AS sum_and,
+           CAST(sum(l_orderkey | l_partkey)   AS BIGINT) AS sum_or,
+           CAST(sum(xor(l_orderkey, l_partkey)) AS BIGINT) AS sum_xor,
+           CAST(sum((l_orderkey % 1024) << 3) AS BIGINT) AS sum_shl,
+           CAST(sum(l_partkey >> 2)           AS BIGINT) AS sum_shr,
+           CAST(sum(CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS BIGINT)) AS BIGINT)
+                                              AS sum_popcount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Bitwise scalar-function family (§2.9): AND / OR / XOR / shifts / "
+        "popcount as pure integer expressions, aggregated per group — "
+        "exact BIGINT on both engines, single combining HashAggregate."
+    ),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.expr("l_orderkey & l_partkey")).cast("bigint").alias("sum_and"),
+        F.sum(F.expr("l_orderkey | l_partkey")).cast("bigint").alias("sum_or"),
+        F.sum(F.expr("l_orderkey ^ l_partkey")).cast("bigint").alias("sum_xor"),
+        F.sum(F.shiftleft(F.col("l_orderkey") % 1024, 3)).cast("bigint").alias("sum_shl"),
+        F.sum(F.shiftright("l_partkey", 2)).cast("bigint").alias("sum_shr"),
+        F.sum(F.bit_count("l_orderkey").cast("bigint")).cast("bigint").alias("sum_popcount"),
+    )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH counted AS (
+      SELECT o_custkey % 100 AS cust_bucket, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT cust_bucket, o_orderpriority AS mode_priority, n AS mode_n,
+             row_number() OVER (PARTITION BY cust_bucket
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counted
+    )
+    SELECT cust_bucket, mode_priority, mode_n
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "Exact per-group mode (most frequent value) with a deterministic "
+        "tie-break (highest count, then lexicographic value): two hash "
+        "aggregates + one small window — never a sort of the fact table. "
+        "At 100 TB the first aggregate combines map-side, so the window "
+        "runs on |groups x distinct values| rows only."
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counted = (
+        o.groupBy((F.col("o_custkey") % 100).alias("cust_bucket"), "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cust_bucket").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cust_bucket",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
