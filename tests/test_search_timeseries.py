@@ -165,3 +165,22 @@ def test_transitions_are_row_stochastic(spark, sf_dir):
         s = sum(r.prob_micro for r in rs)
         # floor division loses at most 1 micro per row
         assert 1_000_000 - len(rs) <= s <= 1_000_000, prev
+
+
+def test_persisted_index_matches_onthefly_and_prunes_partitions(spark, sf_dir):
+    """The materialized inverted index must return exactly the on-the-fly
+    BM25 result, and the vocabulary filter must reach the scan as a
+    PARTITION filter (the index is partitioned by term bucket — a query
+    reads only its buckets' directories)."""
+    onthefly = {
+        tuple(r) for r in REGISTRY["search_bm25_topk"].spark(spark, sf_dir).collect()
+    }
+    persisted_df = REGISTRY["search_index_persisted"].spark(spark, sf_dir)
+    assert {tuple(r) for r in persisted_df.collect()} == onthefly
+    plan = persisted_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruning filter actually constrains term_bucket (not empty [])
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1)
