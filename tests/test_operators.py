@@ -389,3 +389,19 @@ def test_pq_codes_identify_seed_centroids(spark):
     # self-exclusion: a query never returns itself even though its ADC
     # distance to its own codes is 0
     assert all(r.query_id != r.neighbor_id for r in out.collect())
+
+
+def test_containment_catches_doc_in_doc_where_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment = 1.0
+    (every shingle of the short doc appears in the long one) while
+    Jaccard is diluted below any useful threshold by the long doc's
+    extra shingles."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} word{i+1} pad{i}" for i in range(0, 60, 2))
+    df = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    cont = D.containment_pairs(df, "doc_id", "text", threshold_ppm=900000).collect()
+    assert len(cont) == 1 and cont[0].containment_ppm == 1000000
+    jac = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []

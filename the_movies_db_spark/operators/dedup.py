@@ -760,3 +760,57 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_ppm: int,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — |S(A) ∩ S(B)| / min(|S(A)|,
+    |S(B)|) — the doc-in-doc detector (Broder's containment; catches a
+    short document quoted inside a long one, which Jaccard misses
+    because the union is dominated by the long side).
+
+    Same inverted-index skeleton and df-cap bound as
+    :func:`ngram_jaccard_pairs`; the measure is reported in exact ppm
+    (floor of an integer ratio) so the value-hash is engine-stable."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.floor(
+        F.col("n_shared") * 1000000 / F.least(F.col("sa.n_shingles"), F.col("sb.n_shingles"))
+    ).cast("bigint")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.__id"))
+        .join(sb, F.col("id_b") == F.col("sb.__id"))
+        .select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"),
+                cont.alias("containment_ppm"))
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )

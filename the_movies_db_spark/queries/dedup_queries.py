@@ -333,3 +333,40 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, "doc_id", "text", threshold=0.2,
         num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
     )
+
+
+_CONT_PPM = 500000  # containment >= 0.5 of the smaller doc's shingles
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {_MAX_DF}),
+    sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared * 1000000 // least(sa.n, sb.n) AS BIGINT) AS containment_ppm
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_shared * 1000000 // least(sa.n, sb.n) >= {_CONT_PPM}
+    """,
+    doc=(
+        "Asymmetric n-gram containment pairs (|A∩B| / min(|A|,|B|)) — "
+        "the doc-in-doc / quotation detector Jaccard misses when the "
+        "union is dominated by the longer side. Same posting-list "
+        "inverted-index skeleton and df-cap bound as dedup_ngram_jaccard; "
+        "the measure is exact integer ppm so the hash is engine-stable."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return D.containment_pairs(
+        d, "doc_id", "text", threshold_ppm=_CONT_PPM, shingle_n=3, max_df=_MAX_DF
+    )
