@@ -6,8 +6,13 @@
      "queries": {"q1": sec, ...}, "sf": ...}
 
 Each query is timed end-to-end (plan build + execution + collect of
-the final small result). A warmup query first touches every input
-file so JVM/codegen startup is not attributed to the first query.
+the final small result) — ``collect()``, never ``count()``: Catalyst
+prunes the aggregate expressions under a bare count, so pure-agg
+queries would be under-measured (CLAUDE.md trap list). Each query runs
+``_RUNS`` times and the MEDIAN is recorded, so one neighbor-load spike
+doesn't read as a regression (round-3's 1.91x false alarm). A warmup
+query first touches every input file so JVM/codegen startup is not
+attributed to the first query.
 """
 
 from __future__ import annotations
@@ -66,6 +71,11 @@ HEADLINE = [
     "events_ohlc",
 ]
 
+# Runs per query; the recorded time is the median. 3 keeps one
+# neighbor-load spike from reading as a regression while bounding the
+# sweep at ~3x a single pass.
+_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,11 +114,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        n = 0
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            n = len(df.collect())
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of "
+            f"{[round(r, 3) for r in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

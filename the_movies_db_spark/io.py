@@ -42,6 +42,69 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# --- repo-local scratch space (build contract: never write outside the
+# repo). All transient materializations — streaming checkpoints,
+# foreachBatch targets, persisted-index staging — live under
+# spark-warehouse/scratch (gitignored) instead of /tmp. ----------------------
+
+_SCRATCH_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "scratch",
+)
+_SCRATCH_LIVE: set[str] = set()
+
+
+def _purge_scratch() -> None:
+    import shutil
+
+    for d in list(_SCRATCH_LIVE):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def scratch_dir(prefix: str, unique: bool = True) -> str:
+    """Repo-local scratch directory.
+
+    ``unique=True`` → a fresh dir per call (streaming checkpoints and
+    foreachBatch targets must not be reused: a reused checkpoint would
+    replay zero offsets and silently return stale results). Dirs this
+    process created are removed at exit; leftovers from PRIOR processes
+    under the same prefix are purged eagerly here — their results were
+    collected before that process exited.
+
+    ``unique=False`` → one fixed, reusable dir per prefix, for
+    build-once artifacts written with ``mode("overwrite")`` (e.g. the
+    persisted inverted index) so repeated runs reuse instead of leak.
+    """
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+    if not _SCRATCH_LIVE:
+        atexit.register(_purge_scratch)
+    if not unique:
+        d = os.path.join(_SCRATCH_ROOT, prefix)
+        os.makedirs(d, exist_ok=True)
+        return d
+    for old in glob.glob(os.path.join(_SCRATCH_ROOT, prefix + "_*")):
+        if old not in _SCRATCH_LIVE:
+            shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix + "_", dir=_SCRATCH_ROOT)
+    _SCRATCH_LIVE.add(d)
+    return d
+
+
+def scratch_done(path: str) -> None:
+    """Delete a scratch dir whose contents are no longer referenced
+    (e.g. a streaming checkpoint after its query stopped)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    _SCRATCH_LIVE.discard(path)
+
+
 def _with_nanos_as_long(spark: SparkSession) -> None:
     # Older testdata generations store events.ts as TIMESTAMP(NANOS),
     # which Spark's parquet reader rejects outright; under this conf the

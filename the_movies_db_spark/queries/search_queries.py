@@ -29,6 +29,8 @@ kilotokens there (the rational form is scale-invariant).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -305,7 +307,7 @@ _N_TERM_BUCKETS = 16
     ),
 )
 def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from the_movies_db_spark.io import scratch_dir
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -315,7 +317,12 @@ def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
     )
-    work = tempfile.mkdtemp(prefix="invindex_")
+    # One FIXED repo-local dir per sf (build contract: no writes outside
+    # the repo) — mode("overwrite") below means repeated runs reuse the
+    # same path instead of leaking a fresh index copy per invocation.
+    work = scratch_dir(
+        "invindex_" + os.path.basename(sf_dir.rstrip("/")), unique=False
+    )
     # Build: one explode + one combining agg → postings at rest,
     # partitioned by a stable hash bucket of the term.
     postings = (

@@ -134,11 +134,11 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    target = tempfile.mkdtemp(prefix="fbupsert_") + "/events_tbl"
+    from the_movies_db_spark.io import scratch_dir
+
+    target = scratch_dir("fbupsert") + "/events_tbl"
     stream = E.read_events_stream(spark, sf_dir)
     E.run_foreach_batch_available_now(
         stream, E.foreach_batch_upsert(target, pk="event_id", order_col="ts")
@@ -175,14 +175,12 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
 )
 def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.io import load_table, scratch_dir
     from the_movies_db_spark.upsert import additive_upsert
 
-    work = tempfile.mkdtemp(prefix="incroll_")
+    work = scratch_dir("incroll")
     src = f"{work}/src"
     target = f"{work}/rollup"
     # stage the events as 4 files so AvailableNow + maxFilesPerTrigger=1

@@ -198,13 +198,22 @@ def run_available_now(
     """Execute a streaming DataFrame bounded (AvailableNow) into a
     memory sink; return the materialized result as a batch DataFrame.
     ``state_partitions`` bounds the state-store count (see
-    ``_state_partitions``); pass None to keep the session setting."""
+    ``_state_partitions``); pass None to keep the session setting.
+
+    The checkpoint is an explicit repo-local scratch dir (the build
+    contract forbids writes outside the repo; Spark's implicit temp
+    checkpoint lands in /tmp) and is deleted as soon as the bounded
+    query stops — the memory sink holds the materialized result."""
+    from the_movies_db_spark.io import scratch_dir, scratch_done
+
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = scratch_dir("ckpt")
     with _state_partitions(result.sparkSession, state_partitions):
         q = (
             result.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -213,6 +222,7 @@ def run_available_now(
         finally:
             if q.isActive:
                 q.stop()
+    scratch_done(ckpt)
     return result.sparkSession.table(name)
 
 
@@ -220,13 +230,22 @@ def run_foreach_batch_available_now(
     events: DataFrame, sink, timeout_s: int = 300,
     state_partitions: int | None = 8,
 ) -> None:
+    from the_movies_db_spark.io import scratch_dir, scratch_done
+
+    ckpt = scratch_dir("ckpt")
     with _state_partitions(events.sparkSession, state_partitions):
-        q = events.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q = (
+            events.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         try:
             q.awaitTermination(timeout_s)
         finally:
             if q.isActive:
                 q.stop()
+    scratch_done(ckpt)
 
 
 def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
