@@ -146,6 +146,12 @@ def main() -> None:
         semantic_dedup(embn, "vec_id", "embedding", n_cells=32 * n,
                        threshold=0.3, dim=64),
     )
+    # default auto-sizing (n_cells=None → cells track the corpus count)
+    # must land on the near-linear curve without a manual override
+    timed(
+        f"semantic_{n}x_auto",
+        semantic_dedup(embn, "vec_id", "embedding", threshold=0.3, dim=64),
+    )
 
     # incremental admission: batch-vs-corpus pair cost should track the
     # BATCH size — replicating the corpus n× with a fixed batch must not

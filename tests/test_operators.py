@@ -391,6 +391,73 @@ def test_pq_codes_identify_seed_centroids(spark):
     assert all(r.query_id != r.neighbor_id for r in out.collect())
 
 
+def test_pq_lut_is_keyed_by_centroid_id_not_position(spark):
+    """Corpus whose ids start at 10: the seed rule (id < n_cent) yields
+    centroids with ids 10..15 — gappy, non-zero-based. A positional LUT
+    (element_at(array, code+1)) would silently mis-index here; the
+    cid-keyed map must still reproduce brute force exactly under a full
+    shortlist."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") >= 10
+    )
+    q = e.filter(F.col("vec_id") < 13)
+    n = e.count()
+    exact = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    pq_full = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk_pq(
+            e, q, "vec_id", "embedding", k=5, shortlist_factor=n, dim=64
+        ).collect()
+    }
+    assert pq_full == exact
+
+
+def test_ivfpq_single_cell_full_shortlist_equals_bruteforce(spark):
+    """With one IVF cell (no pruning) and a corpus-wide shortlist the
+    composed IVF×PQ index must degrade to exact brute force — pins that
+    the composition only PRUNES candidates, never alters scores."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    n = e.count()
+    exact = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk_ivfpq(
+            e, q, "vec_id", "embedding",
+            k=5, shortlist_factor=n, n_cells=1, dim=64,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivfpq_candidates_restricted_to_query_cell(spark):
+    """Every neighbor an IVF×PQ query returns must share the query's
+    coarse cell — the scan never crosses cell boundaries (nprobe=1)."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    cells = {
+        r.vec_id: r.cell
+        for r in S.ivf_assign(e, "vec_id", "embedding", 8, dim=64).collect()
+    }
+    out = S.cosine_topk_ivfpq(
+        e, q, "vec_id", "embedding", k=5, n_cells=8, dim=64
+    ).collect()
+    assert out, "expected at least one neighbor"
+    assert all(cells[r.query_id] == cells[r.neighbor_id] for r in out)
+
+
 def test_containment_catches_doc_in_doc_where_jaccard_misses(spark):
     """A short doc quoted inside a much longer one: containment = 1.0
     (every shingle of the short doc appears in the long one) while

@@ -467,11 +467,28 @@ def cosine_topk_pandas(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: Cells are sized so the average cell holds ~this many vectors: the
+#: within-cell pair stage costs Σ|cell|², so FIXED cell counts degrade
+#: quadratically as the corpus grows (measured: 27× runtime at 16× data
+#: with 32 fixed cells vs ~3× when cells track the corpus — SURVEY
+#: §10.16). 64 is the measured sf0.1 sweet spot (finer cells = more
+#: parallelism AND less pair work, until cells get too small to catch
+#: near-neighbors split across cells).
+SEMANTIC_CELL_TARGET = 64
+SEMANTIC_MIN_CELLS = 32
+
+
+def semantic_cells(n_vectors: int) -> int:
+    """Cell count that keeps average cell size ~SEMANTIC_CELL_TARGET
+    (integer arithmetic so any SQL engine reproduces it exactly)."""
+    return max(SEMANTIC_MIN_CELLS, n_vectors // SEMANTIC_CELL_TARGET)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     threshold: float = 0.3,
     dim: int | None = None,
 ) -> DataFrame:
@@ -483,14 +500,20 @@ def semantic_dedup(
     ``threshold`` as a semantic duplicate of that mate.
 
     Scale shape: the quadratic step is per-cell (Σ|cell|², never
-    |corpus|²) and runs as one equi-join on ``cell`` — hot cells are
-    handled by raising ``n_cells`` (smaller cells) exactly as SemDeDup
-    shards by cluster. No window function: the keeper/max-sim rollup
-    is a single hash aggregate on the dropped id.
+    |corpus|²) and runs as one equi-join on ``cell``. ``n_cells``
+    defaults to :func:`semantic_cells` of the corpus count (one cheap
+    count at plan build — parquet row-group metadata, no scan), so the
+    cell count TRACKS the corpus and per-cell pair work stays bounded
+    as data grows — a fixed count degrades quadratically (SURVEY
+    §10.16). Pass an explicit ``n_cells`` only to probe other sizings.
+    No window function: the keeper/max-sim rollup is a single hash
+    aggregate on the dropped id.
 
     Returns one row per DROPPED vector:
     (id, cell, keeper = lowest matching cell-mate id, max_sim).
     """
+    if n_cells is None:
+        n_cells = semantic_cells(corpus.count())
     assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
@@ -548,37 +571,27 @@ def _sub_l2_micro(sub_vec: Column, cent_sub: Column) -> Column:
     return F.floor(d2 * F.lit(1000000.0))
 
 
-def cosine_topk_pq(
+def _pq_parts(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 5,
-    shortlist_factor: int = 4,
-    n_cent: int = 16,
-    n_sub: int = 8,
-    dim: int = 64,
-) -> DataFrame:
-    """Product-quantization ANN (Jégou et al., TPAMI 2011) with exact
-    re-rank — the memory-bound billion-scale shape (IVFPQ's PQ half):
+    n_cent: int,
+    n_sub: int,
+    dim: int,
+):
+    """Shared PQ machinery for :func:`cosine_topk_pq` and
+    :func:`cosine_topk_ivfpq`: returns ``(encode, luts)`` column-list
+    builders.
 
-    - **Codebooks**: the vector space is split into ``n_sub`` subspaces
-      of ``dim/n_sub`` dims; each subspace gets ``n_cent`` centroids
-      (deterministic seed rule, see :func:`_pq_seed_centroids`).
-    - **Encode**: every corpus vector becomes ``n_sub`` small codes
-      (argmin subspace distance, lowest-centroid tie-break) — at 100 TB
-      this 8-byte code column is what you materialize at rest: 32×
-      smaller than float32, and the scan never touches the raw vectors.
-    - **ADC scan**: each query precomputes a lookup table of exact-
-      integer subspace distances to every centroid (n_sub × n_cent
-      BIGINTs, staged in the broadcast query projection); a candidate's
-      approximate distance is then n_sub array lookups + an integer
-      sum — no float math per pair at all.
-    - **Re-rank**: the ``k * shortlist_factor`` best ADC candidates are
-      re-scored with exact float cosine (rounded, id tie-break).
-
-    All ranking keys are exact integers or rounded doubles, so the
-    result set is deterministic and oracle-verifiable."""
+    - ``encode()`` → per-subspace code columns ``__code{m}`` (argmin
+      subspace distance over the codebook, lowest-centroid tie-break);
+    - ``luts()`` → per-subspace MAP columns ``__lut{m}`` keyed by
+      centroid id (``map_from_entries``, NOT positional ``element_at``
+      on an array — positional lookup silently mis-indexes if centroid
+      ids ever start above 0 or have gaps; a key-addressed map is
+      correct for any id set, matching the oracle's ``code = cid``
+      join).
+    """
     sub_dim = dim // n_sub
     cents = _pq_seed_centroids(corpus, id_col, vec_col, n_cent)
 
@@ -609,58 +622,178 @@ def cosine_topk_pq(
             ce["cid"].alias("cid"),
         )
 
-    def lut(m: int):
-        return lambda ce: _sub_l2_micro(sub(vec, m), ce["cvec"])
+    def lut_entry(m: int):
+        return lambda ce: F.struct(
+            ce["cid"].alias("key"),
+            _sub_l2_micro(sub(vec, m), ce["cvec"]).alias("value"),
+        )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        vec.alias("__cv"),
-        norm(vec_col, dim).alias("__cn"),
-        *[
+    def encode() -> list[Column]:
+        return [
             F.array_min(F.transform(cent_arr(m), scorer(m)))["cid"].alias(
                 f"__code{m}"
             )
             for m in range(n_sub)
-        ],
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        vec.alias("__qv"),
-        norm(vec_col, dim).alias("__qn"),
-        *[
-            F.transform(cent_arr(m), lut(m)).alias(f"__lut{m}")
+        ]
+
+    def luts() -> list[Column]:
+        return [
+            F.map_from_entries(F.transform(cent_arr(m), lut_entry(m))).alias(
+                f"__lut{m}"
+            )
             for m in range(n_sub)
-        ],
-    )
+        ]
+
+    return encode, luts
+
+
+def _pq_adc(n_sub: int) -> Column:
+    """ADC distance: n_sub map lookups + an exact-integer sum."""
     adc = None
     for m in range(n_sub):
-        term = F.element_at(f"__lut{m}", F.col(f"__code{m}") + 1)
+        term = F.element_at(F.col(f"__lut{m}"), F.col(f"__code{m}"))
         adc = term if adc is None else adc + term
-    w_short = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
-    shortlist = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "__qv",
-            "__cv",
-            "__qn",
-            "__cn",
-            adc.cast("bigint").alias("adc_micro"),
-        )
-        .withColumn("__srank", F.row_number().over(w_short))
-        .filter(F.col("__srank") <= k * shortlist_factor)
+    return adc.cast("bigint")
+
+
+def _rerank_by_id(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    carry: tuple[str, ...] = ("adc_micro",),
+) -> DataFrame:
+    """Exact-cosine re-rank of an id-only shortlist: join the (small,
+    broadcast) shortlist back to the raw vectors BY ID — the approximate
+    scan itself never carries the raw vector columns, which is the whole
+    point of a compressed index (at rest only the code column is read;
+    the re-rank reads the raw vectors for shortlisted ids only)."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col, dim).alias("__qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col, dim).alias("__cn"),
     )
     sim = F.round(cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
-        shortlist.select(
-            "query_id", "neighbor_id", "adc_micro", sim.alias("cosine_sim")
-        )
+        cv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", *carry, sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    n_cent: int = 16,
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) with exact
+    re-rank — the memory-bound billion-scale shape (IVFPQ's PQ half):
+
+    - **Codebooks**: the vector space is split into ``n_sub`` subspaces
+      of ``dim/n_sub`` dims; each subspace gets ``n_cent`` centroids
+      (deterministic seed rule, see :func:`_pq_seed_centroids`).
+    - **Encode**: every corpus vector becomes ``n_sub`` small codes
+      (argmin subspace distance, lowest-centroid tie-break) — at 100 TB
+      this 8-byte code column is what you materialize at rest: 32×
+      smaller than float32, and the ADC scan projects ONLY (id, codes)
+      — the raw vector column never enters the scan.
+    - **ADC scan**: each query precomputes a lookup table of exact-
+      integer subspace distances to every centroid (n_sub × n_cent
+      BIGINTs as a cid-keyed map, staged in the broadcast query
+      projection); a candidate's approximate distance is n_sub map
+      lookups + an integer sum — no float math per pair at all.
+    - **Re-rank**: the ``k * shortlist_factor`` best ADC candidates are
+      joined BACK to the raw vectors by id (:func:`_rerank_by_id`) and
+      re-scored with exact float cosine (rounded, id tie-break).
+
+    All ranking keys are exact integers or rounded doubles, so the
+    result set is deterministic and oracle-verifiable."""
+    encode, luts = _pq_parts(corpus, id_col, vec_col, n_cent, n_sub, dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), *encode())
+    q = queries.select(F.col(id_col).alias("query_id"), *luts())
+    w_short = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    shortlist = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pq_adc(n_sub).alias("adc_micro"))
+        .withColumn("__srank", F.row_number().over(w_short))
+        .filter(F.col("__srank") <= k * shortlist_factor)
+        .drop("__srank")
+    )
+    return _rerank_by_id(
+        shortlist, corpus, queries, id_col, vec_col, k, dim
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    n_cells: int = 8,
+    n_cent: int = 16,
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF×PQ composition — the canonical billion-scale ANN index
+    (Jégou et al.'s IVFADC): the coarse IVF quantizer prunes the scan
+    to the query's probe cell(s), and PQ codes make the surviving
+    candidates cheap to score.
+
+    Plan shape: corpus rows carry (id, cell, codes) — at 100 TB that IS
+    the index at rest, written partitioned BY cell, so a query's ADC
+    scan reads only its probe cells' files (partition pruning) and
+    touches ~|corpus|/n_cells code rows instead of the whole corpus —
+    the per-query ADC work is bounded by the probed cells, not the
+    corpus. Raw vectors appear only in the final re-rank, joined back
+    by shortlisted id. nprobe=1 here; recall is raised by unioning more
+    probe cells (nearest-centroid order), exactly as in FAISS."""
+    encode, luts = _pq_parts(corpus, id_col, vec_col, n_cent, n_sub, dim)
+    assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell").alias("__ccell"),
+        *encode(),
+    )
+    q = assigned.join(
+        queries.select(id_col), id_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("cell").alias("__qcell"),
+        *luts(),
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    shortlist = (
+        F.broadcast(q)
+        .join(c, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pq_adc(n_sub).alias("adc_micro"))
+        .withColumn("__srank", F.row_number().over(w_short))
+        .filter(F.col("__srank") <= k * shortlist_factor)
+        .drop("__srank")
+    )
+    return _rerank_by_id(
+        shortlist, corpus, queries, id_col, vec_col, k, dim
     )

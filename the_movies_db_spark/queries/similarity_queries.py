@@ -327,11 +327,14 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TAU_SEM = 0.3
-# More, smaller clusters than the ANN index's probe cells: parallelism
-# and per-cell pair cost both scale with cell size squared (32 cells at
-# sf0.1 = 3.5x faster than 8 with identical plan shape), and finer
-# clusters are the SemDeDup-faithful setting.
-_SEM_CELLS = 32
+# Cell count TRACKS the corpus (greatest(min, n // target)) — a fixed
+# count degrades quadratically as cells fill up (27x at 16x data,
+# SURVEY §10.16). The oracle computes the identical integer formula
+# from its own count(*), so both engines derive the same cell count.
+_SEM_CELLS_SQL = (
+    f"greatest({S.SEMANTIC_MIN_CELLS}, "
+    f"(SELECT count(*) FROM embeddings) // {S.SEMANTIC_CELL_TARGET})"
+)
 _COS_AB = (
     "round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
     " (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
@@ -343,7 +346,8 @@ _COS_AB = (
     "dedup_semantic",
     f"""
     WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_SEM_CELLS}
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_SEM_CELLS_SQL}
     ),
     assign AS (
       SELECT vec_id, embedding, cid AS cell FROM (
@@ -365,13 +369,19 @@ _COS_AB = (
         "SemDeDup-shaped semantic dedup: IVF coarse clusters, then "
         "within-cell cosine >= tau marks the higher id a duplicate of "
         "its lowest matching cell-mate. Quadratic work is bounded per "
-        "cell; one equi-join + one hash aggregate."
+        "cell; one equi-join + one hash aggregate. Cell count derives "
+        "from the corpus count (cells track corpus size), so per-cell "
+        "pair work stays bounded as the corpus grows."
     ),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
+    # count the raw table (parquet metadata, no scan), THEN spread for
+    # the per-row signature/pair compute
+    n_cells = S.semantic_cells(e.count())
     return S.semantic_dedup(
-        e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_TAU_SEM, dim=_DIM
+        spread(e), "vec_id", "embedding",
+        n_cells=n_cells, threshold=_TAU_SEM, dim=_DIM,
     )
 
 
@@ -558,4 +568,89 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pq(
         e, q, "vec_id", "embedding",
         k=5, shortlist_factor=4, n_cent=_PQ_CENT, n_sub=_PQ_SUB, dim=_DIM,
+    )
+
+
+@register(
+    "sim_topk_ivfpq",
+    f"""
+    WITH icent AS (
+      SELECT vec_id AS icid, embedding AS icvec FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, icid AS cell FROM (
+        SELECT e.vec_id, c.icid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.icvec")}, c.icid)
+                 AS rn
+        FROM embeddings e CROSS JOIN icent c
+      ) t WHERE rn = 1
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_PQ_CENT}
+    ),
+    s AS (SELECT unnest(range(0, {_PQ_SUB})) AS m),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT e.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, s.m
+                                  ORDER BY {_pq_dmicro("e.embedding", "c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c CROSS JOIN s
+      ) t WHERE rn = 1
+    ),
+    luts AS (
+      SELECT q.vec_id AS query_id, s.m, c.cid,
+             {_pq_dmicro("q.embedding", "c.cvec")} AS ld
+      FROM embeddings q CROSS JOIN cent c CROSS JOIN s
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(l.ld) AS BIGINT) AS adc_micro
+      FROM codes co
+      JOIN luts l ON co.m = l.m AND co.code = l.cid
+      JOIN assign ca ON ca.vec_id = co.vec_id
+      JOIN assign qa ON qa.vec_id = l.query_id AND qa.cell = ca.cell
+      WHERE co.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT query_id, neighbor_id, adc_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_micro, neighbor_id) AS srank
+        FROM adc
+      ) t WHERE srank <= {_PQ_SHORT}
+    )
+    SELECT query_id, neighbor_id, adc_micro, cosine_sim, rank FROM (
+      SELECT sh.query_id, sh.neighbor_id, sh.adc_micro,
+             {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY sh.query_id
+                                ORDER BY {_COS} DESC, sh.neighbor_id) AS rank
+      FROM short sh
+      JOIN embeddings q ON q.vec_id = sh.query_id
+      JOIN embeddings c ON c.vec_id = sh.neighbor_id
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "IVF x PQ composition (Jegou et al.'s IVFADC) — the canonical "
+        "billion-scale ANN index: the coarse IVF quantizer prunes the "
+        "ADC scan to the query's probe cell, PQ codes make surviving "
+        "candidates 8 integer map-lookups each, and the shortlist is "
+        "re-ranked by exact cosine after joining raw vectors back BY id "
+        "— the scan itself carries only (id, cell, codes). At rest the "
+        "code table is written partitioned BY cell, so a query reads "
+        "~1/n_cells of the files (partition pruning); per-query ADC "
+        "work is bounded by the probed cells, not the corpus."
+    ),
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_ivfpq(
+        e, q, "vec_id", "embedding",
+        k=5, shortlist_factor=4,
+        n_cells=_N_CELLS, n_cent=_PQ_CENT, n_sub=_PQ_SUB, dim=_DIM,
     )
