@@ -67,3 +67,18 @@ def test_events_scan_prunes_props(spark, sf_dir, registry):
     txt = formatted(registry["events_tumbling"].spark(spark, sf_dir))
     read = [line for line in txt.splitlines() if "ReadSchema" in line]
     assert read and all("props" not in line for line in read)
+
+
+def test_ivfpq_adc_shortlist_carries_no_raw_vectors(spark, sf_dir, registry):
+    """The IVF x PQ ADC scan + shortlist ranking must operate on
+    (id, cell, codes) only — the raw embedding column enters the plan
+    again ONLY in the re-rank join. Pin: the Window computing the
+    shortlist rank (partitioned by query_id, ordered by adc_micro)
+    never has `embedding` in its schema."""
+    txt = plan_of(registry["sim_topk_ivfpq"].spark(spark, sf_dir))
+    win_lines = [
+        ln for ln in txt.splitlines()
+        if "Window" in ln and "adc_micro" in ln
+    ]
+    assert win_lines, "shortlist window not found in plan"
+    assert all("embedding" not in ln for ln in win_lines), win_lines[0]

@@ -106,3 +106,37 @@ def test_watermark_drops_late_data(spark, tmp_path):
     got = {r.ws.isoformat(): r.n for r in spark.table(name).collect()}
     # the 10:00 window was emitted with 2 rows; the late event_id=4 is NOT counted
     assert got.get("2024-01-01T10:00:00") == 2
+
+
+def test_transform_with_state_requires_protobuf_or_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas operator: where protobuf is
+    available the running totals must equal the batch GROUP BY (same
+    contract as the applyInPandasWithState sibling); in this container
+    (no protobuf) the operator must fail fast with a clear ImportError
+    instead of crashing inside the streaming runtime."""
+    import pytest
+
+    from the_movies_db_spark.streaming import events as E
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            E.tws_running_totals(E.read_events_stream(spark, sf_dir))
+        return
+    from pyspark.sql import functions as F
+
+    out = E.run_available_now(
+        E.tws_running_totals(E.read_events_stream(spark, sf_dir)),
+        output_mode="update",
+        rocksdb=True,
+    )
+    batch = (
+        E.batch_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))

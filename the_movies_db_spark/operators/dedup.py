@@ -804,9 +804,12 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    cont = F.floor(
-        F.col("n_shared") * 1000000 / F.least(F.col("sa.n_shingles"), F.col("sb.n_shingles"))
-    ).cast("bigint")
+    # integer div (not floor of a double quotient): exact by
+    # construction at any magnitude, same as the oracle's `//`
+    cont = F.expr(
+        "(CAST(n_shared AS BIGINT) * 1000000)"
+        " div least(sa.n_shingles, sb.n_shingles)"
+    )
     return (
         shared.join(sa, F.col("id_a") == F.col("sa.__id"))
         .join(sb, F.col("id_b") == F.col("sb.__id"))

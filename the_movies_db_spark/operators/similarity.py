@@ -283,6 +283,51 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    nprobe: int,
+    dim: int | None = None,
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vector probe set: the ``nprobe`` nearest centroid cells in
+    distance order (tie-break lowest cid), one output row per (id,
+    probe cell). Same collected-literal centroid convention as
+    :func:`ivf_assign`, so probing is a pure projection + explode —
+    no join, no shuffle. ``nprobe=1`` reduces to the cell assignment.
+    Centroid seeds come from ``centroid_source`` (the CORPUS — pass it
+    whenever ``df`` is a query subset that may not span the seed ids)."""
+    src = centroid_source if centroid_source is not None else df
+    rows = (
+        src.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    )
+    cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("bigint").alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(squared_l2(F.col(vec_col), c["cvec"]), 6).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+    )
+    return df.select(
+        id_col, vec_col, F.explode(probes).alias("cell")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -291,19 +336,27 @@ def cosine_topk_ivf(
     k: int = 5,
     n_cells: int = 8,
     dim: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k through the IVF index: candidates are the
-    query's own cell (nprobe=1; raise recall by unioning more probe
-    cells), ranked by exact cosine within it."""
+    query's ``nprobe`` nearest cells (nprobe=1 → just its own cell;
+    more probe cells raise recall at proportional scan cost — the
+    standard IVF recall dial), ranked by exact cosine within them.
+    Probe cells are disjoint, so the candidate union needs no dedup."""
     assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
-    q = queries.select(F.col(id_col).alias("query_id")).join(
-        assigned.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            norm(vec_col if dim else F.col(vec_col), dim).alias("__qn"),
-            F.col("cell").alias("__qcell"),
-        ),
-        "query_id",
+    qsrc = (
+        ivf_probe_cells(
+            queries, id_col, vec_col, n_cells, nprobe, dim=dim,
+            centroid_source=corpus,
+        )
+        if nprobe > 1
+        else assigned.join(queries.select(id_col), id_col)
+    )
+    q = qsrc.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col if dim else F.col(vec_col), dim).alias("__qn"),
+        F.col("cell").alias("__qcell"),
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),

@@ -55,81 +55,69 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-3 rotation: rounds 1+2 accumulated 95 driver-green rows; the
-    # 63 remaining registry entries have never been driver-checked. This
-    # window holds 50 of them (every one locally oracle-green at three
-    # SFs). Deferred to round 4 (weakest incremental signal): the three
-    # rows-only entries (agg_hll_sketch, sim_topk_vectorized,
-    # sim_mllib_lsh_join — no oracle, weaker check by design), plus
-    # family-redundant siblings whose §2 family already carries driver
-    # rows: events_retention (~retention_cohorts), set_intersect_all
-    # (~set_except_all below), explode_lateral_months (~udtf_split_words),
-    # fn_try_arithmetic / fn_variant_props (§2.9 has 7 green),
-    # window_range_frame / agg_argmax (families green ×6/×9),
-    # q08 / q13 / q14 (TPC-H family green ×8).
+    # Round-4 rotation: rounds 1-3 accumulated 144 driver-green rows
+    # over 145 checked (1 rows-only by design). This window closes the
+    # loop: all 20 entries that have NEVER had a driver row (including
+    # the 7 registered after the round-3 rotation and the 3 rows-only
+    # ones, so the driver at least records their row counts), plus
+    # everything ADDED or CHANGED this round, plus the
+    # highest-recurrence-risk greens (the round()/1-ulp family and the
+    # full streaming set, whose checkpoint handling changed this round).
     #
-    # dedup family (incremental admission was new late in r2)
-    "dedup_incremental",
-    # graph (pagerank green r2; triangles has no row)
-    "graph_triangles",
-    # corpus-curation / pipeline family (r2 additions, never checked)
-    "pipeline_domain_mix",
-    "pipeline_fuzzy_match",
-    "pipeline_boilerplate_removal",
+    # -- the 20 never-driver-checked entries ------------------------------
+    "dedup_containment",
+    "cdc_scd2",
+    "pipeline_winsorize",
+    "search_index_persisted",
+    "sim_topk_pq",
+    "sim_topk_vectorized",   # rows-only by design (numpy SIMD sum order)
+    "sim_mllib_lsh_join",    # rows-only by design (internal hash family)
+    "agg_hll_sketch",        # rows-only by design (sketch internals)
+    "explode_lateral_months",
+    "window_range_frame",
+    "agg_argmax",
+    "agg_mode",
+    "fn_bitwise",
+    "fn_try_arithmetic",
+    "fn_variant_props",
+    "events_retention",
+    "set_intersect_all",
+    "q08_market_share",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    # -- new or changed in round 4 ----------------------------------------
+    "sim_topk_ivfpq",        # new: IVF x PQ composition
+    "sim_topk_ivf_nprobe",   # new: multi-probe IVF (recall dial)
+    "pipeline_chunk_overlap",  # new: sliding-window chunking
+    "dedup_semantic",        # cells now track corpus count
+    "cdc_apply",             # integer-div bump
+    "pipeline_snapshot_diff",  # integer-div bump
+    # all 9 streaming entries: checkpoints moved to repo-local scratch
+    "streaming_tumbling",
+    "streaming_sliding",
+    "streaming_session_window",
+    "streaming_dedup",
+    "streaming_foreachbatch_upsert",
+    "streaming_incremental_rollup",
+    "streaming_stateful_counter",
+    "streaming_stream_join",
+    "streaming_static_join",
+    # -- highest-recurrence-risk greens (round()/1-ulp + exact-cents) -----
+    "window_percent_rank",
     "pipeline_sample_weighted",
-    "pipeline_curate_e2e",
-    "pipeline_bloom_decontaminate",
-    "pipeline_snapshot_diff",
-    "dq_checks",
-    # text analysis (r1 had 4 green; these 6 never checked)
-    "text_winnow",
-    "text_quality",
-    "text_wordcount",
-    "text_fingerprint",
-    "text_unigram_logprob",
-    "text_repetition",
-    "text_ccnet_buckets",
-    # events / time-series (batch)
-    "events_retention_cohorts",
-    "events_funnel",
-    "events_session_window_native",
-    "events_anomaly_zscore",
+    "fn_json",
+    "events_sessionize",
+    "q01_pricing_summary",
+    "q09_profit_by_nation",
+    "agg_percentiles",
     "events_ohlc",
     "events_interpolate",
-    # similarity / ANN
-    "sim_lsh_bucket_stats",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
     "sim_topk_quantized",
-    # streaming (§2.10 — the three siblings rotated out in r2)
-    "streaming_sliding",
-    "streaming_incremental_rollup",
-    "streaming_static_join",
-    # scalar fn / set-op / window / agg representatives still unchecked
-    "fn_map_json_props",
-    "set_except_all",
-    "window_percent_rank",
-    "agg_histogram",
-    "agg_countmin_topk",
-    # profiling / sampling / layout
-    "profile_columns",
-    "sample_systematic",
-    "layout_zorder",
-    # TPC-H shapes with no driver row (family green: q01/03/04/05/06/10/12/21)
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q09_profit_by_nation",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_promo_volume_suppliers",
-    "q22_inactive_customers",
-    # pivot / unpivot (no family row yet)
-    "pivot_returnflag",
-    "unpivot_measures",
-    # grouped-map applyInPandas (udf family green ×4; this shape unchecked)
-    "udf_grouped_map_demean",
+    "graph_pagerank",
+    "pipeline_decontaminate",
 )
 
 

@@ -56,8 +56,10 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # +10% computed in integer cents (floor division), never float*1.1 —
     # rounding a float product to 2 decimals diverges between engines at
     # representation boundaries; integer arithmetic cannot
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    bumped = (F.floor(cents * 110 / 100).cast("bigint") / F.lit(100.0)).alias("price")
+    bumped = (
+        F.expr("(CAST(round(o_totalprice * 100) AS BIGINT) * 110) div 100")
+        / F.lit(100.0)
+    ).alias("price")
     changes = o.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_orderkey").alias("key"),
         F.lit(2).alias("seq"),
@@ -320,8 +322,10 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    bumped = (F.floor(cents * 105 / 100).cast("bigint") / F.lit(100.0))
+    bumped = (
+        F.expr("(CAST(round(o_totalprice * 100) AS BIGINT) * 105) div 100")
+        / F.lit(100.0)
+    )
     b = o.filter(F.col("o_orderkey") % 7 != 0).select(
         F.col("o_orderkey").alias("key"),
         F.when(F.col("o_orderkey") % 3 == 0, bumped)
@@ -382,10 +386,13 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
 
     def bump(pct: int):
-        return F.floor(cents * (100 + pct) / 100).cast("bigint") / F.lit(100.0)
+        # integer div of integer cents — exact by construction (never
+        # floor of a double quotient), mirroring the oracle's `//`
+        return F.expr(
+            f"(CAST(round(o_totalprice * 100) AS BIGINT) * {100 + pct}) div 100"
+        ) / F.lit(100.0)
 
     v1 = o.select(
         F.col("o_orderkey").alias("key"),
@@ -477,8 +484,77 @@ def pipeline_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p95").cast("bigint").alias("p95"),
             "n_docs",
             "clipped_sum",
-            F.floor(F.col("clipped_sum") * 1000 / F.col("n_docs"))
-            .cast("bigint")
-            .alias("clipped_mean_milli"),
+            F.expr("(clipped_sum * 1000) div n_docs").alias(
+                "clipped_mean_milli"
+            ),
         )
+    )
+
+
+_CHUNK_W, _CHUNK_S = 32, 24  # window / stride (8-token overlap)
+
+
+@register(
+    "pipeline_chunk_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
+             len(regexp_split_to_array(text, '\\s+')) AS n
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n > {_CHUNK_W}
+                  THEN (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+                  ELSE 1 END AS n_chunks
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk_id FROM p
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT)                       AS chunk_id,
+           CAST(chunk_id * {_CHUNK_S} + 1 AS BIGINT)      AS start_tok,
+           CAST(least({_CHUNK_W}, n - chunk_id * {_CHUNK_S}) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+             t[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}],
+             ' '))                                        AS chunk_md5
+    FROM ex
+    """,
+    doc=(
+        "Overlapping fixed-window chunking (window 32 tokens, stride "
+        "24): the context-window prep step of a pretraining / RAG "
+        "pipeline — each document explodes into its sliding token "
+        "windows, with deterministic ids and an md5 of the chunk text. "
+        "Pure projection + explode (no shuffle at all: chunk count and "
+        "boundaries are integer arithmetic on the token array); at "
+        "100 TB this runs map-side at scan speed, and the md5 column "
+        "feeds exact chunk-level dedup downstream."
+    ),
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), r"\s+")
+    staged = d.select("doc_id", t.alias("__t"), F.size(t).alias("__n"))
+    n_chunks = F.when(
+        F.col("__n") > _CHUNK_W,
+        F.expr(f"(__n - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}") + 1,
+    ).otherwise(F.lit(1))
+    ex = staged.withColumn("__nch", n_chunks.cast("int")).select(
+        "doc_id",
+        "__t",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__nch") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_S + 1
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.col("__n") - F.col("chunk_id") * _CHUNK_S)
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice("__t", start, _CHUNK_W))).alias(
+            "chunk_md5"
+        ),
     )

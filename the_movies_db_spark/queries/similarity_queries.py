@@ -168,6 +168,61 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(e, q, "vec_id", "embedding", k=5, n_cells=_N_CELLS, dim=_DIM)
 
 
+_NPROBE = 2
+
+
+@register(
+    "sim_topk_ivf_nprobe",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < {_N_QUERIES}
+      ) t WHERE rn <= {_NPROBE}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS} DESC, c.vec_id) AS rank
+      FROM qprobe q JOIN assign c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "Multi-probe IVF top-k (nprobe=2): candidates come from the "
+        "query's TWO nearest centroid cells — the standard IVF recall "
+        "dial (FAISS nprobe): recall rises with probed cells at "
+        "proportional scan cost, and at rest each extra probe cell is "
+        "just one more partition read. Probe cells are computed as a "
+        "pure projection over the collected centroid literal (sort + "
+        "slice + explode), no join."
+    ),
+)
+def sim_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_ivf(
+        e, q, "vec_id", "embedding",
+        k=5, n_cells=_N_CELLS, dim=_DIM, nprobe=_NPROBE,
+    )
+
+
 @register(
     "dedup_embedding_lsh",
     f"""

@@ -256,6 +256,16 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.run_available_now(E.stateful_running_totals(stream), output_mode="update")
 
 
+# NOTE: a transformWithStateInPandas variant of the stateful counter
+# exists as an operator (streaming/events.py:tws_running_totals — the
+# Spark 4 successor API, RocksDB-backed) but is NOT registered here:
+# its state-server protocol requires the `protobuf` Python package,
+# which this environment does not ship (no installs allowed). The
+# operator is import-gated and covered by a skip-marked test
+# (tests/test_streaming.py) so the surface is exercised wherever
+# protobuf is available.
+
+
 @register(
     "streaming_stream_join",
     """

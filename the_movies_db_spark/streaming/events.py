@@ -155,6 +155,97 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_running_totals(events: DataFrame) -> DataFrame:
+    """Per-event-type running (count, sum) via Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564): an object-oriented
+    ``StatefulProcessor`` with typed state handles (ValueState here;
+    ListState/MapState/timers available), backed by the RocksDB state
+    store. Same semantics as :func:`stateful_running_totals`, so both
+    stateful APIs are covered and verified against the same batch SQL.
+
+    Caller must run with the RocksDB state-store provider (see
+    :func:`run_available_now`'s ``rocksdb=True``) — transformWithState
+    requires it — AND the ``protobuf`` Python package (the API's
+    state-server protocol is protobuf-encoded; import-gated here with a
+    clear error because this build environment does not ship it)."""
+    try:
+        import google.protobuf  # noqa: F401 — required by the TWS state server
+    except ImportError as e:  # pragma: no cover — absent in this container
+        raise ImportError(
+            "transformWithStateInPandas requires the `protobuf` package "
+            "(pyspark.sql.streaming.proto); install protobuf to use "
+            "tws_running_totals — applyInPandasWithState "
+            "(stateful_running_totals) covers the same semantics "
+            "without it"
+        ) from e
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "count long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((count, total))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [count],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="event_type string, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+class _rocksdb_state_store:
+    """Pin the RocksDB state-store provider for one streaming job, then
+    restore. transformWithState requires RocksDB; the default HDFS-
+    backed store stays in place for every other streaming query (its
+    in-memory maps are faster for the tiny states here)."""
+
+    _ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark, enabled: bool):
+        self.spark, self.enabled = spark, enabled
+
+    def __enter__(self):
+        if self.enabled:
+            self.prev = self.spark.conf.get(self._KEY, None)
+            self.spark.conf.set(self._KEY, self._ROCKS)
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            if self.prev is None:
+                self.spark.conf.unset(self._KEY)
+            else:
+                self.spark.conf.set(self._KEY, self.prev)
+
+
 def foreach_batch_upsert(target_path: str, pk: str, order_col: str | None = None):
     """The reference's per-run MERGE (etl.py:88-183) as a streaming
     sink: each micro-batch upserts into the target table."""
@@ -194,6 +285,7 @@ def run_available_now(
     output_mode: str = "complete",
     timeout_s: int = 300,
     state_partitions: int | None = 8,
+    rocksdb: bool = False,
 ) -> DataFrame:
     """Execute a streaming DataFrame bounded (AvailableNow) into a
     memory sink; return the materialized result as a batch DataFrame.
@@ -208,7 +300,10 @@ def run_available_now(
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("ckpt")
-    with _state_partitions(result.sparkSession, state_partitions):
+    spark = result.sparkSession
+    with _state_partitions(spark, state_partitions), _rocksdb_state_store(
+        spark, rocksdb
+    ):
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -223,7 +318,7 @@ def run_available_now(
             if q.isActive:
                 q.stop()
     scratch_done(ckpt)
-    return result.sparkSession.table(name)
+    return spark.table(name)
 
 
 def run_foreach_batch_available_now(
