@@ -139,8 +139,17 @@ def main() -> None:
     }
     vs_prev = _vs_prev(timings, out["value"])
     if vs_prev:
-        out["vs_prev"] = vs_prev
-    print(json.dumps(out))
+        # per-query ratios go to stderr; the stdout JSON line carries
+        # only the compact summary — the driver keeps just the LAST
+        # 2000 chars of stdout, and round-3's full-ratio line overflowed
+        # that window, so the driver recorded parsed=None
+        print(f"# vs_prev detail: {json.dumps(vs_prev)}", file=sys.stderr)
+        out["vs_prev"] = {
+            k: vs_prev[k] for k in ("baseline", "total") if k in vs_prev
+        }
+    line = json.dumps(out)
+    assert len(line) < 1900, f"driver tail window is 2000 chars ({len(line)})"
+    print(line)
 
 
 def _vs_prev(timings: dict[str, float], total: float) -> dict | None:
@@ -155,12 +164,19 @@ def _vs_prev(timings: dict[str, float], total: float) -> dict | None:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
-    if not benches:
-        return None
-    try:
-        with open(benches[-1]) as fh:
-            prev = json.load(fh).get("parsed", {})
-    except (OSError, json.JSONDecodeError):
+    # newest bench whose JSON line the driver actually parsed (a
+    # too-long stdout line records parsed=None — skip those)
+    prev, baseline = None, None
+    for path in reversed(benches):
+        try:
+            with open(path) as fh:
+                cand = json.load(fh).get("parsed")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(cand, dict) and cand.get("queries"):
+            prev, baseline = cand, path
+            break
+    if prev is None:
         return None
     prev_q = prev.get("queries") or {}
     ratios = {
@@ -168,7 +184,7 @@ def _vs_prev(timings: dict[str, float], total: float) -> dict | None:
         for name, t in timings.items()
         if prev_q.get(name)
     }
-    out = {"baseline": os.path.basename(benches[-1]), "queries": ratios}
+    out = {"baseline": os.path.basename(baseline), "queries": ratios}
     # total ratio over the intersection only, so queries ADDED to the
     # headline set since the baseline don't read as a regression
     shared_now = sum(t for n, t in timings.items() if prev_q.get(n))

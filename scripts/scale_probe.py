@@ -153,6 +153,20 @@ def main() -> None:
         semantic_dedup(embn, "vec_id", "embedding", threshold=0.3, dim=64),
     )
 
+    # LSH-bucketed semantic dedup: per-row assignment cost is
+    # O(planes × dim) with planes ~ log2(corpus) — expect growth far
+    # below the IVF-cell variant whose assignment is O(n_cells) per row
+    from the_movies_db_spark.operators.similarity import semantic_dedup_lsh
+
+    timed(
+        "semantic_lsh_1x",
+        semantic_dedup_lsh(emb1, "vec_id", "embedding", threshold=0.3, dim=64),
+    )
+    timed(
+        f"semantic_lsh_{n}x",
+        semantic_dedup_lsh(embn, "vec_id", "embedding", threshold=0.3, dim=64),
+    )
+
     # incremental admission: batch-vs-corpus pair cost should track the
     # BATCH size — replicating the corpus n× with a fixed batch must not
     # grow n²×.

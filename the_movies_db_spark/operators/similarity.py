@@ -592,6 +592,85 @@ def semantic_dedup(
     )
 
 
+#: LSH-bucketed semantic dedup: planes per signature track log2 of the
+#: corpus (target ~64 vectors/bucket), clamped to [4, 12]. The 12-plane
+#: ceiling exists because the SQL oracle materializes a 12-plane
+#: signature and buckets on its prefix — raise both together past
+#: ~262k vectors (64 * 2^12).
+LSH_SEM_MIN_PLANES, LSH_SEM_MAX_PLANES = 4, 12
+
+
+def lsh_sem_planes(n_vectors: int, target_bucket: int = 64) -> int:
+    """Plane count for ~``target_bucket`` vectors per bucket:
+    ceil(log2(n / target)) as exact integer arithmetic
+    (``(x-1).bit_length() == ceil(log2(x))`` for x >= 1), so any SQL
+    engine's ``ceil(log2(...))`` reproduces it."""
+    x = max(n_vectors // target_bucket, 1)
+    return max(
+        LSH_SEM_MIN_PLANES, min(LSH_SEM_MAX_PLANES, (x - 1).bit_length())
+    )
+
+
+def semantic_dedup_lsh(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int | None = None,
+    threshold: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup semantics over hyperplane-LSH buckets instead of IVF
+    cells — the sub-quadratic scale path for semantic dedup.
+
+    :func:`semantic_dedup`'s IVF assignment costs O(n_cells) distance
+    evaluations PER ROW; with cells tracking the corpus (the sizing its
+    pair stage needs) the assignment stage alone grows ~n²/target.
+    Here the cluster id is the sign-random-projection signature — a
+    pure per-row expression whose cost is O(num_planes × dim), and
+    ``num_planes`` tracks **log2** of the corpus (:func:`lsh_sem_planes`),
+    so per-row assignment cost grows logarithmically and bucket sizes
+    stay ~constant: total work is O(n log n + n × bucket). At 100 TB
+    the corpus is written partitioned by the signature and the pair
+    stage is per-partition-local. Trade-off vs IVF cells: near-
+    neighbors split across a hyperplane are missed (LSH recall < 1),
+    exactly as in :func:`cosine_topk_lsh`; recall is raised by
+    Hamming-1 probing or repeated bands.
+
+    Returns one row per DROPPED vector:
+    (id, bucket, keeper = lowest matching bucket-mate id, max_sim).
+    """
+    if num_planes is None:
+        num_planes = lsh_sem_planes(corpus.count())
+    sigs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(vec_col if dim else F.col(vec_col), dim).alias("__n"),
+        hyperplane_signature(vec_col, num_planes, dim or 64).alias("bucket"),
+    )
+    a = sigs.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("bucket").alias("__bucket_a"),
+    )
+    b = sigs.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("bucket"),
+    )
+    sim = F.round(cosine_from_parts("__va", "__vb", "__na", "__nb", dim=dim), 4)
+    pairs = (
+        a.join(b, F.col("__bucket_a") == F.col("bucket"))
+        .filter(F.col("__id_a") < F.col(id_col))
+        .select(id_col, "bucket", F.col("__id_a"), sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+    )
+    return pairs.groupBy(id_col, "bucket").agg(
+        F.min("__id_a").alias("keeper"), F.max("__sim").alias("max_sim")
+    )
+
+
 def _pq_seed_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_cent: int
 ) -> list[tuple[int, list[float]]]:

@@ -90,6 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_ivf_nprobe",   # new: multi-probe IVF (recall dial)
     "pipeline_chunk_overlap",  # new: sliding-window chunking
     "dedup_semantic",        # cells now track corpus count
+    "dedup_semantic_lsh",    # new: sub-quadratic LSH-bucketed variant
     "cdc_apply",             # integer-div bump
     "pipeline_snapshot_diff",  # integer-div bump
     # all 9 streaming entries: checkpoints moved to repo-local scratch
@@ -116,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_quantized",
-    "graph_pagerank",
     "pipeline_decontaminate",
 )
 

@@ -441,6 +441,49 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_lsh",
+    f"""
+    WITH params AS (
+      SELECT greatest({S.LSH_SEM_MIN_PLANES}, least({S.LSH_SEM_MAX_PLANES},
+               CAST(ceil(log2(greatest(count(*) // 64, 1))) AS INT))) AS p
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, embedding,
+             substr({_sig_expr(S.LSH_SEM_MAX_PLANES).format(v="embedding")},
+                    1, (SELECT p FROM params)) AS bucket
+      FROM embeddings
+    )
+    SELECT b.vec_id AS vec_id, b.bucket AS bucket,
+           min(a.vec_id)  AS keeper,
+           max({_COS_AB}) AS max_sim
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= {_TAU_SEM}
+    GROUP BY b.vec_id, b.bucket
+    """,
+    doc=(
+        "Sub-quadratic semantic dedup: SemDeDup keeper/max-sim "
+        "semantics over hyperplane-LSH buckets instead of IVF cells. "
+        "Cluster assignment is a pure per-row expression whose plane "
+        "count tracks LOG2 of the corpus (ceil(log2(n/64)), computed "
+        "by the same integer formula in both engines; the oracle "
+        "buckets on the matching prefix of a max-plane signature), so "
+        "assignment cost grows logarithmically where IVF's grows "
+        "linearly in the cell count — total work O(n log n + n x "
+        "bucket size). The 100 TB shape: corpus written partitioned by "
+        "signature; the pair stage never leaves a partition."
+    ),
+)
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    num_planes = S.lsh_sem_planes(e.count())
+    return S.semantic_dedup_lsh(
+        spread(e), "vec_id", "embedding",
+        num_planes=num_planes, threshold=_TAU_SEM, dim=_DIM,
+    )
+
+
+@register(
     "sim_recall_eval",
     f"""
     WITH exact AS (
