@@ -549,7 +549,7 @@ _TOKENS = "regexp_split_to_array(text, '\\s+')"
     ),
 )
 def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     staged = d.select(
         "doc_id",
         T.token_count("text").cast("bigint").alias("n_tok"),
@@ -699,7 +699,7 @@ def pipeline_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     rate = F.lit(_DEFAULT_RATE)
     for lang, r in sorted(_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)

@@ -215,7 +215,7 @@ _K, _W = 4, 5  # k-gram size, winnow window
     ),
 )
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = spread(spread(load_table(spark, sf_dir, "documents")))
     t = F.split(F.col("text"), r"\s+")
     n_grams = F.greatest(F.size(t) - F.lit(_K - 1), F.lit(1))
     gram = lambda i: F.concat_ws(" ", F.slice(t, i, _K))  # noqa: E731

@@ -558,16 +558,29 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Exact percentiles (median / p25 / p75 / p95) with linear "
-        "interpolation — single-pass grouped sort-based aggregate."
+        "interpolation — ONE grouped percentile(array(...)) aggregate: "
+        "Spark's exact Percentile buffers the full per-group value "
+        "multiset, so four separate calls build four such buffers and "
+        "merge each across partitions; the array form computes all four "
+        "ranks from a single buffer (measured 2.4x at sf0.1)."
     ),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    pct = F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(x) for x in (0.5, 0.25, 0.75, 0.95)]),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("median_price"),
+            F.round(F.col("__p")[1], 4).alias("p25"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+            F.round(F.col("__p")[3], 4).alias("p95"),
+        )
     )
 
 
