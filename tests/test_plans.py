@@ -82,3 +82,25 @@ def test_ivfpq_adc_shortlist_carries_no_raw_vectors(spark, sf_dir, registry):
     ]
     assert win_lines, "shortlist window not found in plan"
     assert all("embedding" not in ln for ln in win_lines), win_lines[0]
+
+
+def test_text_repetition_has_no_shuffle(spark, sf_dir, registry):
+    """Repetition metrics are per-row array arithmetic; the only
+    Exchange allowed is the input spread() round-robin — no keyed
+    (hashpartitioning) shuffle may reappear."""
+    txt = plan_of(registry["text_repetition"].spark(spark, sf_dir))
+    assert "hashpartitioning" not in txt, txt
+
+
+def test_pipeline_chunk_overlap_has_no_shuffle(spark, sf_dir, registry):
+    """Chunking is a pure projection + explode: zero Exchanges of any
+    kind (chunk ids and boundaries are integer arithmetic per row)."""
+    txt = plan_of(registry["pipeline_chunk_overlap"].spark(spark, sf_dir))
+    assert "Exchange" not in txt, txt
+
+
+def test_agg_percentiles_single_aggregate_buffer(spark, sf_dir, registry):
+    """All four percentile ranks must come from ONE percentile
+    aggregate expression (a single sorted buffer per group), not four."""
+    txt = plan_of(registry["agg_percentiles"].spark(spark, sf_dir))
+    assert txt.count("percentile(") <= 2, txt  # partial + final only
