@@ -91,6 +91,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_chunk_overlap",  # new: sliding-window chunking
     "dedup_semantic",        # cells now track corpus count
     "dedup_semantic_lsh",    # new: sub-quadratic LSH-bucketed variant
+    "join_salted_skew",      # new: skew-salted join == plain join
+    "dedup_source_overlap",  # new: per-source MinHash sketch matrix
+    "text_entropy",          # new: char-entropy quality signal
+    "text_repetition",       # rewritten zero-shuffle this round
     "cdc_apply",             # integer-div bump
     "pipeline_snapshot_diff",  # integer-div bump
     # all 9 streaming entries: checkpoints moved to repo-local scratch
@@ -112,12 +116,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q09_profit_by_nation",
     "agg_percentiles",
     "events_ohlc",
-    "events_interpolate",
     "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
     "sim_topk_quantized",
-    "pipeline_decontaminate",
 )
 
 

@@ -370,3 +370,73 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         d, "doc_id", "text", threshold_ppm=_CONT_PPM, shingle_n=3, max_df=_MAX_DF
     )
+
+
+_XS_HASHES = 16
+_XS_SIG = ", ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
+    for i in range(_XS_HASHES)
+)
+_XS_MINS = ", ".join(f"min(h{i}) AS h{i}" for i in range(_XS_HASHES))
+_XS_AGREE = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_XS_HASHES)
+)
+
+
+@register(
+    "dedup_source_overlap",
+    f"""
+    WITH sh AS (SELECT source, {{shingles}} AS sh FROM documents),
+    sigs AS (SELECT source, {_XS_SIG} FROM sh),
+    per AS (SELECT source, {_XS_MINS} FROM sigs GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             {_XS_AGREE} AS n_agree
+      FROM per a JOIN per b ON a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(n_agree AS BIGINT)                        AS n_agree,
+           (CAST(n_agree AS BIGINT) * 1000000) // {_XS_HASHES} AS jaccard_est_ppm
+    FROM pairs
+    """.format(shingles=_SHINGLES),
+    doc=(
+        "Cross-source content-overlap matrix: per-source MinHash sketch "
+        "(elementwise min of the per-doc 16-seed signatures == the "
+        "MinHash of the source's shingle-set UNION — mergeability is "
+        "the point), then every source pair's Jaccard estimate is the "
+        "fraction of agreeing seeds, as exact integer ppm. The corpus-"
+        "mixing diagnostic a training pipeline runs before weighting "
+        "sources: near-duplicate sources show up as high-overlap pairs "
+        "without any cross-source doc join. Scale shape: one scan + one "
+        "16-row-per-source aggregate; the pair comparison is "
+        "|sources|^2 over sketches, independent of corpus size."
+    ),
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sig = D.minhash_signature("text", num_hashes=_XS_HASHES, shingle_n=3)
+    pos = d.select("source", F.posexplode(sig).alias("pos", "h"))
+    per_src = pos.groupBy("source", "pos").agg(F.min("h").alias("h"))
+    a = per_src.select(
+        F.col("source").alias("source_a"), "pos", F.col("h").alias("__ha")
+    )
+    b = per_src.select(
+        F.col("source").alias("source_b"), "pos", F.col("h").alias("__hb")
+    )
+    agree = F.sum(
+        F.when(F.col("__ha") == F.col("__hb"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        a.join(b, "pos")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(agree.alias("n_agree"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_agree",
+            F.expr(f"(n_agree * 1000000) div {_XS_HASHES}").alias(
+                "jaccard_est_ppm"
+            ),
+        )
+    )

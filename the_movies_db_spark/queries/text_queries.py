@@ -458,3 +458,60 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
         F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
     )
+
+
+@register(
+    "text_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             string_split(text, '') AS chars,
+             length(text)           AS n_chars,
+             list_sort(list_distinct(string_split(text, ''))) AS dchars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)     AS n_chars,
+           CAST(len(dchars) AS BIGINT) AS n_distinct,
+           round(-list_aggregate(list_transform(dchars,
+               ch -> (len(list_filter(chars, x -> x = ch)) * 1.0 / n_chars)
+                     * log2(len(list_filter(chars, x -> x = ch)) * 1.0 / n_chars)),
+             'sum'), 4)                AS entropy_bits
+    FROM c
+    """,
+    doc=(
+        "Character-level Shannon entropy per document — the cheap "
+        "gibberish / encoding-damage / compression-artifact signal a "
+        "quality pipeline computes alongside stopword ratios (very low "
+        "entropy = repeated chars, very high = binary soup). Pure "
+        "per-row array arithmetic, zero shuffles; the distinct-char "
+        "list is SORTED on both engines so the float summation order "
+        "is identical, and the only cross-engine risk is log2's last "
+        "ulp, absorbed by round(,4)."
+    ),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select(
+        "doc_id",
+        F.split(F.col("text"), "").alias("__chars"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.array_sort(F.array_distinct(F.split(F.col("text"), ""))).alias(
+            "__dchars"
+        ),
+    )
+    p = lambda ch: (  # noqa: E731
+        F.size(F.filter("__chars", lambda x: x == ch)) * F.lit(1.0)
+        / F.col("n_chars")
+    )
+    ent = -F.aggregate(
+        F.transform("__dchars", lambda ch: p(ch) * F.log2(p(ch))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        F.size("__dchars").cast("bigint").alias("n_distinct"),
+        F.round(ent, 4).alias("entropy_bits"),
+    )
