@@ -472,3 +472,42 @@ def test_containment_catches_doc_in_doc_where_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0].containment_ppm == 1000000
     jac = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
     assert jac == []
+
+
+def test_multiprobe_lsh_recall_at_least_single_bucket(spark):
+    """Hamming-1 probing can only ADD candidates: multiprobe recall vs
+    exact brute force must be >= the single-bucket LSH recall, and the
+    probe set must contain the original signature plus num_planes
+    distinct 1-bit variants."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(e, q, "vec_id", "embedding", k=5, dim=64).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_lsh(
+            e, q, "vec_id", "embedding", k=5, num_planes=8, dim=64
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_lsh_multiprobe(
+            e, q, "vec_id", "embedding", k=5, num_planes=8, dim=64
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+
+    probes = e.limit(1).select(
+        S.hamming1_probes(
+            S.hyperplane_signature("embedding", 8, 64), 8
+        ).alias("p")
+    ).collect()[0].p
+    assert len(probes) == 9 and len(set(probes)) == 9
+    orig = probes[0]
+    assert all(
+        sum(a != b for a, b in zip(orig, v)) == 1 for v in probes[1:]
+    )

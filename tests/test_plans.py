@@ -104,3 +104,74 @@ def test_agg_percentiles_single_aggregate_buffer(spark, sf_dir, registry):
     aggregate expression (a single sorted buffer per group), not four."""
     txt = plan_of(registry["agg_percentiles"].spark(spark, sf_dir))
     assert txt.count("percentile(") <= 2, txt  # partial + final only
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path):
+    """Partitioned-table pruning, both flavors, pinned on a real
+    partitioned parquet table:
+
+    - a LITERAL dim filter on the join key propagates through the join
+      (InferFiltersFromConstraints) and lands as a STATIC
+      PartitionFilter on the fact scan — only matching partition dirs
+      are listed;
+    - a dim filter on a NON-join column can't be inferred statically,
+      so Dynamic Partition Pruning must insert a
+      dynamicpruningexpression into the fact scan's PartitionFilters
+      (the subquery/broadcast result prunes partitions at runtime).
+
+    This is the mechanism the 100 TB layout docs rely on: facts
+    written partitioned by a join/filter column turn dim filters into
+    partition-directory skips.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    fact_path = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_path)
+    dim_path = str(tmp_path / "type_dim")
+    (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(
+                F.col("event_type").isin("click", "view"), "engagement"
+            ).otherwise("other"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path).withColumn("v2", F.col("value") * 2)
+
+    def fact_partition_filters(df) -> str:
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        filters = re.findall(r"PartitionFilters: \[[^\]]*\]", txt)
+        assert filters, txt
+        return filters[0]  # fact scan is the first/probe side
+
+    # static: literal join-key filter on the dim propagates to the scan
+    dim_lit = spark.read.parquet(dim_path).filter(F.col("event_type") == "click")
+    static = fact_partition_filters(
+        fact.join(dim_lit, "event_type").agg(F.sum("v2").alias("s"))
+    )
+    assert "event_type" in static and "click" in static, static
+
+    # dynamic: non-join-column filter → dynamicpruningexpression
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        dim_cat = spark.read.parquet(dim_path).filter(
+            F.col("category") == "engagement"
+        )
+        dyn = fact_partition_filters(
+            fact.join(dim_cat, "event_type").agg(F.sum("v2").alias("s"))
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev
+        )
+    assert "dynamicpruning" in dyn.lower(), dyn

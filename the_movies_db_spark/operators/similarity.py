@@ -188,6 +188,68 @@ def cosine_topk_lsh(
     )
 
 
+def hamming1_probes(sig: Column, num_planes: int) -> Column:
+    """Multi-probe LSH probe set: the signature itself plus every
+    Hamming-distance-1 variant (one bit flipped) — ``num_planes + 1``
+    bucket strings. The standard recall dial that does NOT grow the
+    index: the corpus keeps ONE bucket per vector; only the query side
+    fans out, so at rest this is ``nprobe`` extra partition reads, not
+    a bigger index. Probes are distinct strings, so candidates need no
+    dedup."""
+    def flip(i: int) -> Column:
+        bit = F.substring(sig, i, 1)
+        return F.concat(
+            F.substring(sig, 1, i - 1),
+            F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring(sig, i + 1, num_planes - i),
+        )
+
+    return F.array(sig, *[flip(i) for i in range(1, num_planes + 1)])
+
+
+def cosine_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k with Hamming-1 multi-probe: candidates come
+    from the query's own LSH bucket AND every bucket one flipped bit
+    away (:func:`hamming1_probes`) — near-neighbors split across a
+    single hyperplane are recovered, the classic LSH miss mode. Exact
+    cosine ranks the candidate union."""
+    sig = hyperplane_signature(vec_col, num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col, dim).alias("__cn"),
+        sig.alias("__csig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col, dim).alias("__qn"),
+        F.explode(hamming1_probes(sig, num_planes)).alias("__probe"),
+    )
+    simcol = F.round(
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("__probe") == F.col("__csig"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", simcol.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def squared_l2(a: Column, b: Column) -> Column:
     """Sequential-order double-precision squared L2 distance
     (expression-only, deterministic across engines; uses x*x, never

@@ -98,6 +98,56 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(e, q, "vec_id", "embedding", k=5, num_planes=_PLANES, dim=_DIM)
 
 
+_PROBE_ARMS = "\n      UNION ALL\n".join(
+    "      SELECT vec_id, embedding, "
+    f"substr(sig, 1, {i - 1}) || "
+    f"(CASE WHEN substr(sig, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+    f"substr(sig, {i + 1}, {_PLANES - i}) AS probe FROM qsigs"
+    for i in range(1, _PLANES + 1)
+)
+
+
+@register(
+    "sim_topk_lsh_multiprobe",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {_SIG_EXPR.format(v="embedding")} AS sig
+      FROM embeddings
+    ),
+    qsigs AS (SELECT * FROM sigs WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT vec_id, embedding, sig AS probe FROM qsigs
+      UNION ALL
+{_PROBE_ARMS}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS} DESC, c.vec_id) AS rank
+      FROM probes q JOIN sigs c ON q.probe = c.sig AND q.vec_id <> c.vec_id
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "Hamming-1 multi-probe LSH top-k: candidates come from the "
+        "query's own bucket AND every bucket one flipped bit away "
+        "(9 probes at 8 planes) — recovers near-neighbors split across "
+        "a single hyperplane, the classic LSH miss, WITHOUT growing "
+        "the index: the corpus keeps one bucket per vector and only "
+        "the query side fans out (at rest: nprobe extra partition "
+        "reads per query). Probes are distinct buckets, so the "
+        "candidate union needs no dedup."
+    ),
+)
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_lsh_multiprobe(
+        e, q, "vec_id", "embedding", k=5, num_planes=_PLANES, dim=_DIM
+    )
+
+
 @register(
     "sim_lsh_bucket_stats",
     f"""
