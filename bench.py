@@ -69,6 +69,16 @@ HEADLINE = [
     # search + time-series (round 2, late)
     "search_bm25_topk",
     "events_ohlc",
+    # round-4 additions: composed ANN, sub-quadratic semantic dedup,
+    # persisted index, chunking, sketch analytics
+    "sim_topk_ivfpq",
+    "sim_topk_pq",
+    "dedup_semantic_lsh",
+    "search_index_persisted",
+    "pipeline_chunk_overlap",
+    "dedup_source_overlap",
+    "text_entropy",
+    "sim_topk_lsh_multiprobe",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one

@@ -511,3 +511,26 @@ def test_multiprobe_lsh_recall_at_least_single_bucket(spark):
     assert all(
         sum(a != b for a, b in zip(orig, v)) == 1 for v in probes[1:]
     )
+
+
+def test_ivfpq_all_cells_probed_full_shortlist_equals_bruteforce(spark):
+    """nprobe = n_cells probes every cell — with a corpus-wide
+    shortlist the composed index must again equal exact brute force
+    (the recall dial reaches 1.0 at full probe width)."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    n = e.count()
+    exact = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk_ivfpq(
+            e, q, "vec_id", "embedding",
+            k=5, shortlist_factor=n, n_cells=4, nprobe=4, dim=64,
+        ).collect()
+    }
+    assert got == exact

@@ -275,6 +275,35 @@ def squared_l2_static(a: str, b: str, dim: int) -> Column:
     return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
 
 
+def _lit_centroid_array(
+    cents: list[tuple[int, list[float]]],
+    lo: int | None = None,
+    hi: int | None = None,
+    cid_type: str = "bigint",
+) -> Column:
+    """Literal array<struct<cid, cvec>> of collected centroids as ONE
+    parsed SQL expression. Building it through nested ``F.lit`` calls
+    costs one py4j round trip per float — thousands per plan (16
+    centroids × 64 dims × 8 subspaces ≈ 8k calls ≈ seconds of DRIVER
+    time per query build, measured in the bench medians); a single
+    ``F.expr`` parse is milliseconds. Values go through ``repr`` →
+    ``CAST(string AS DOUBLE)`` (Java parseDouble), which round-trips
+    every IEEE double exactly, so the plan is bit-identical to the
+    ``F.lit`` form."""
+    elems = ", ".join(
+        "named_struct('cid', CAST({} AS {}), 'cvec', array({}))".format(
+            cid,
+            cid_type,
+            ", ".join(
+                f"CAST('{x!r}' AS DOUBLE)"
+                for x in (v[lo:hi] if lo is not None else v)
+            ),
+        )
+        for cid, v in cents
+    )
+    return F.expr(f"array({elems})")
+
+
 def ivf_assign(
     corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8,
     dim: int | None = None, collect_centroids: bool = True,
@@ -307,15 +336,7 @@ def ivf_assign(
             .collect()
         )
         cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).cast("bigint").alias("cid"),
-                    F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-                )
-                for cid, vec in cents
-            ]
-        )
+        cent_arr = _lit_centroid_array(cents)
         scored = F.transform(
             cent_arr,
             lambda c: F.struct(
@@ -366,15 +387,7 @@ def ivf_probe_cells(
         src.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
     )
     cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("bigint").alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in cents
-        ]
-    )
+    cent_arr = _lit_centroid_array(cents)
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
@@ -790,16 +803,8 @@ def _pq_parts(
     cents = _pq_seed_centroids(corpus, id_col, vec_col, n_cent)
 
     def cent_arr(m: int) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(cid).cast("int").alias("cid"),
-                    F.array(
-                        *[F.lit(v[m * sub_dim + i]) for i in range(sub_dim)]
-                    ).alias("cvec"),
-                )
-                for cid, v in cents
-            ]
+        return _lit_centroid_array(
+            cents, m * sub_dim, (m + 1) * sub_dim, cid_type="int"
         )
 
     def sub(col: Column, m: int) -> Column:
@@ -950,6 +955,7 @@ def cosine_topk_ivfpq(
     n_cent: int = 16,
     n_sub: int = 8,
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF×PQ composition — the canonical billion-scale ANN index
     (Jégou et al.'s IVFADC): the coarse IVF quantizer prunes the scan
@@ -962,8 +968,9 @@ def cosine_topk_ivfpq(
     touches ~|corpus|/n_cells code rows instead of the whole corpus —
     the per-query ADC work is bounded by the probed cells, not the
     corpus. Raw vectors appear only in the final re-rank, joined back
-    by shortlisted id. nprobe=1 here; recall is raised by unioning more
-    probe cells (nearest-centroid order), exactly as in FAISS."""
+    by shortlisted id. ``nprobe`` unions the query's nearest cells in
+    centroid-distance order — the FAISS recall dial; probe cells are
+    disjoint, so the ADC candidate union needs no dedup."""
     encode, luts = _pq_parts(corpus, id_col, vec_col, n_cent, n_sub, dim)
     assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
     c = assigned.select(
@@ -971,9 +978,15 @@ def cosine_topk_ivfpq(
         F.col("cell").alias("__ccell"),
         *encode(),
     )
-    q = assigned.join(
-        queries.select(id_col), id_col
-    ).select(
+    qsrc = (
+        ivf_probe_cells(
+            queries, id_col, vec_col, n_cells, nprobe, dim=dim,
+            centroid_source=corpus,
+        )
+        if nprobe > 1
+        else assigned.join(queries.select(id_col), id_col)
+    )
+    q = qsrc.select(
         F.col(id_col).alias("query_id"),
         F.col("cell").alias("__qcell"),
         *luts(),
