@@ -167,6 +167,23 @@ def main() -> None:
         semantic_dedup_lsh(embn, "vec_id", "embedding", threshold=0.3, dim=64),
     )
 
+    # composed IVF x PQ: per-query ADC work is bounded by the probed
+    # cell (~corpus/n_cells code rows), so growth should track the
+    # probed-cell population, and the PQ encode pass is linear per row
+    from the_movies_db_spark.operators.similarity import cosine_topk_ivfpq
+
+    q1 = emb1.filter(F.col("vec_id") < 5)
+    timed(
+        "ivfpq_1x",
+        cosine_topk_ivfpq(emb1, q1, "vec_id", "embedding",
+                          k=5, shortlist_factor=4, n_cells=8, dim=64),
+    )
+    timed(
+        f"ivfpq_{n}x",
+        cosine_topk_ivfpq(embn, q1, "vec_id", "embedding",
+                          k=5, shortlist_factor=4, n_cells=8, dim=64),
+    )
+
     # incremental admission: batch-vs-corpus pair cost should track the
     # BATCH size — replicating the corpus n× with a fixed batch must not
     # grow n²×.
