@@ -318,25 +318,52 @@ def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
     )
     # One FIXED repo-local dir per sf (build contract: no writes outside
-    # the repo) — mode("overwrite") below means repeated runs reuse the
-    # same path instead of leaking a fresh index copy per invocation.
+    # the repo). Build-once/search-many for real: a fingerprint of the
+    # SOURCE file (path + size + mtime) is stamped next to the index;
+    # when it matches, the build is skipped entirely and the call is
+    # search-only — repeated driver sweeps and bench runs pay one build.
+    import json
+
     work = scratch_dir(
         "invindex_" + os.path.basename(sf_dir.rstrip("/")), unique=False
     )
-    # Build: one explode + one combining agg → postings at rest,
-    # partitioned by a stable hash bucket of the term.
-    postings = (
-        d.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("term_bucket", F.crc32(F.col("term")) % _N_TERM_BUCKETS)
-    )
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        work + "/postings"
-    )
-    d.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    ).write.mode("overwrite").parquet(work + "/stats")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = {
+        "src": src,
+        "size": st.st_size,
+        "mtime": st.st_mtime_ns,
+        # index-format version: bump when tokenization / bucketing /
+        # schema changes so an old on-disk index can never be served
+        "fmt": ["ws-lower-v1", _N_TERM_BUCKETS],
+    }
+    stamp_path = os.path.join(work, "_SOURCE")
+    fresh = False
+    try:
+        with open(stamp_path) as fh:
+            fresh = json.load(fh) == stamp
+    except (OSError, json.JSONDecodeError):
+        fresh = False
+    if not fresh:
+        # Build: one explode + one combining agg → postings at rest,
+        # partitioned by a stable hash bucket of the term.
+        postings = (
+            d.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "term_bucket", F.crc32(F.col("term")) % _N_TERM_BUCKETS
+            )
+        )
+        postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            work + "/postings"
+        )
+        d.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+        ).write.mode("overwrite").parquet(work + "/stats")
+        # stamp AFTER both writes commit, so a crashed build re-runs
+        with open(stamp_path, "w") as fh:
+            json.dump(stamp, fh)
 
     # Search: prune to the query vocabulary's buckets (partition
     # pruning), then exact filter, df via window, BIGINT BM25 scoring.
