@@ -440,3 +440,78 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_recall_eval",
+    f"""
+    WITH sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) >= 0.2
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG} FROM sh),
+    banded AS (SELECT doc_id, {_BANDS} FROM sig),
+    cand AS (
+      {" UNION ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM banded a JOIN banded b ON a.b{j} = b.b{j} AND a.doc_id < b.doc_id"
+        for j in range(_NUM_BANDS)
+      )}
+    ),
+    hit AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand)  AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit)   AS n_hit,
+           (SELECT count(*) FROM hit) * 1000000
+             // greatest((SELECT count(*) FROM cand), 1)  AS precision_ppm,
+           (SELECT count(*) FROM hit) * 1000000
+             // greatest((SELECT count(*) FROM truth), 1) AS recall_ppm
+    """,
+    doc=(
+        "Dedup index-quality evaluation (the dedup-side sibling of "
+        "sim_recall_eval): banded MinHash-LSH CANDIDATE pairs scored "
+        "against exact uncapped n-gram-Jaccard ground truth at the "
+        "same threshold — candidate precision bounds wasted exact-"
+        "verification work, recall is the fraction of true near-dup "
+        "pairs the bands surface (8 hashes / 4 bands here; more bands "
+        "raise recall, fewer raise precision — the S-curve every LSH "
+        "deployment tunes). All counts exact BIGINTs, ratios exact "
+        "integer ppm, so the evaluation itself value-hashes."
+    ),
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    truth = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.2, shingle_n=3, max_df=None
+    ).select("id_a", "id_b")
+    cand = D.minhash_lsh_candidates(
+        d, "doc_id", "text",
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    hit = cand.intersect(truth)
+    one = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return one.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.expr("(n_hit * 1000000) div greatest(n_candidates, 1)").alias(
+            "precision_ppm"
+        ),
+        F.expr("(n_hit * 1000000) div greatest(n_truth, 1)").alias(
+            "recall_ppm"
+        ),
+    )
