@@ -64,6 +64,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # highest-recurrence-risk greens (the round()/1-ulp family and the
     # full streaming set, whose checkpoint handling changed this round).
     #
+    # Registered AFTER this rotation (queue for the round-5 window):
+    # sim_topk_ivf_kmeans (rows-only), dedup_recall_eval — both locally
+    # oracle-green at sf0.001/0.01/0.1.
+    #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",
     "cdc_scd2",
