@@ -260,3 +260,31 @@ def test_vacuum_keeps_current_version(spark, tmp_path):
     versions = [d for d in os.listdir(path) if U._VERSION_RE.fullmatch(d)]
     assert versions == [U._current_version(path)]  # keep=1 vacuumed the rest
     assert _as_map(U.read_table(spark, path))[1].val == "v2"
+
+
+def test_time_travel_reads_and_retention(spark, tmp_path):
+    """keep_versions=2 retains the previous version after a second
+    commit: version-addressed reads return the OLD data unchanged,
+    default reads follow _CURRENT, unknown versions raise, and the
+    default retention (1) vacuums history."""
+    import pytest
+
+    from the_movies_db_spark.upsert import list_versions, read_table, write_upsert
+
+    tbl = str(tmp_path / "tt")
+    v1_rows = [(1, "a"), (2, "b")]
+    v2_rows = [(2, "B"), (3, "c")]
+    df = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_upsert(spark, tbl, df(v1_rows), "k", order_col=None, keep_versions=2)
+    write_upsert(spark, tbl, df(v2_rows), "k", order_col=None, keep_versions=2)
+    versions = list_versions(tbl)
+    assert len(versions) == 2
+    old = {(r.k, r.v) for r in read_table(spark, tbl, version=versions[0]).collect()}
+    cur = {(r.k, r.v) for r in read_table(spark, tbl).collect()}
+    assert old == set(v1_rows)
+    assert cur == {(1, "a"), (2, "B"), (3, "c")}
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, tbl, version="v99999999")
+    # default retention: third commit with keep_versions=1 drops history
+    write_upsert(spark, tbl, df([(4, "d")]), "k", order_col=None)
+    assert len(list_versions(tbl)) == 1

@@ -291,3 +291,97 @@ def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("o_orderdate + INTERVAL 1 DAY").alias("ts"),
     )
     return scd2_upsert(target, batch, "o_orderkey", "ts")
+
+
+@register(
+    "upsert_time_travel",
+    """
+    WITH t AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 != 0
+    ), b AS (
+      SELECT o_orderkey,
+             round(o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END, 2) AS price,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), m AS (
+      SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN t.o_orderkey IS NULL
+                    OR (b.o_orderkey IS NOT NULL
+                        AND ((t.price  IS DISTINCT FROM b.price)
+                          OR (t.status IS DISTINCT FROM b.status)))
+                  THEN b.price  ELSE t.price  END AS price,
+             CASE WHEN t.o_orderkey IS NULL
+                    OR (b.o_orderkey IS NOT NULL
+                        AND ((t.price  IS DISTINCT FROM b.price)
+                          OR (t.status IS DISTINCT FROM b.status)))
+                  THEN b.status ELSE t.status END AS status
+      FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_v1,
+           (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_current,
+           (SELECT CAST(count(*) AS BIGINT) FROM m
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)) AS n_inserted,
+           (SELECT CAST(count(*) AS BIGINT) FROM m JOIN t USING (o_orderkey)
+             WHERE (m.price  IS DISTINCT FROM t.price)
+                OR (m.status IS DISTINCT FROM t.status)) AS n_updated,
+           (SELECT CAST(count(*) AS BIGINT) FROM m JOIN t USING (o_orderkey)
+             WHERE (m.price  IS NOT DISTINCT FROM t.price)
+               AND (m.status IS NOT DISTINCT FROM t.status)) AS n_unchanged
+    """,
+    doc=(
+        "Version time travel on the plain-Parquet versioned table: two "
+        "real write_upsert commits with a retention window of 2, then "
+        "read_table(version=...) reads the FIRST version (Delta's "
+        "VERSION AS OF analog — the pointer flip never rewrote it) and "
+        "the diff against current classifies every key as inserted / "
+        "updated / unchanged. Exercises the atomic-commit + vacuum-"
+        "retention machinery end-to-end inside the correctness gate."
+    ),
+)
+def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.upsert import list_versions, read_table, write_upsert
+
+    tbl = scratch_dir("ttravel") + "/orders_tbl"
+    write_upsert(
+        spark, tbl, _target(spark, sf_dir), "o_orderkey",
+        keep_versions=2,
+    )
+    write_upsert(
+        spark, tbl, _batch(spark, sf_dir), "o_orderkey",
+        keep_versions=2,
+    )
+    versions = list_versions(tbl)
+    v1 = read_table(spark, tbl, version=versions[0]).select(
+        F.col("o_orderkey"),
+        F.col("price").alias("__p1"),
+        F.col("status").alias("__s1"),
+    )
+    cur = read_table(spark, tbl).select(
+        "o_orderkey",
+        F.col("price").alias("__p2"),
+        F.col("status").alias("__s2"),
+    )
+    # membership by key presence (a left join flag), not value
+    # nullability — status legitimately holds NULLs after the merge
+    jm = cur.alias("c").join(
+        v1.alias("o"), "o_orderkey", "left_outer"
+    ).select(
+        "o_orderkey",
+        F.col("__p2"), F.col("__s2"), F.col("__p1"), F.col("__s1"),
+        F.col("o.o_orderkey").isNotNull().alias("__in_v1"),
+    )
+    changed = (~F.col("__p2").eqNullSafe(F.col("__p1"))) | (
+        ~F.col("__s2").eqNullSafe(F.col("__s1"))
+    )
+    return (
+        jm.agg(
+            F.sum(F.when(F.col("__in_v1"), 0).otherwise(1)).cast("bigint").alias("n_inserted"),
+            F.sum(F.when(F.col("__in_v1") & changed, 1).otherwise(0)).cast("bigint").alias("n_updated"),
+            F.sum(F.when(F.col("__in_v1") & ~changed, 1).otherwise(0)).cast("bigint").alias("n_unchanged"),
+            F.count(F.lit(1)).cast("bigint").alias("n_current"),
+        )
+        .crossJoin(v1.agg(F.count(F.lit(1)).cast("bigint").alias("n_v1")))
+        .select("n_v1", "n_current", "n_inserted", "n_updated", "n_unchanged")
+    )

@@ -154,9 +154,33 @@ def table_data_path(target_path: str) -> str:
     return os.path.join(target_path, v) if v else target_path
 
 
-def read_table(spark: SparkSession, target_path: str) -> DataFrame:
-    """Read a table written by ``write_upsert`` (version-pointer aware)."""
+def read_table(
+    spark: SparkSession, target_path: str, version: str | None = None
+) -> DataFrame:
+    """Read a table written by ``write_upsert`` (version-pointer aware).
+
+    ``version`` time-travels to a specific retained version dir (a
+    ``list_versions`` name) instead of the ``_CURRENT`` pointer — the plain-Parquet
+    analog of Delta's ``VERSION AS OF``. Old versions stay readable
+    until ``vacuum_table`` retires them; asking for a vacuumed or
+    unknown version raises rather than silently reading current."""
+    if version is not None:
+        path = os.path.join(target_path, version)
+        if not (_VERSION_RE.fullmatch(version) and os.path.isdir(path)):
+            raise FileNotFoundError(
+                f"version {version!r} not present under {target_path} "
+                f"(retained: {list_versions(target_path)})"
+            )
+        return spark.read.parquet(path)
     return spark.read.parquet(table_data_path(target_path))
+
+
+def list_versions(target_path: str) -> list[str]:
+    """Retained version dirs, oldest first (numeric order)."""
+    if not os.path.exists(target_path):
+        return []
+    vs = [d for d in os.listdir(target_path) if _VERSION_RE.fullmatch(d)]
+    return sorted(vs, key=lambda v: int(v[1:]))
 
 
 def _next_version_name(target_path: str) -> str:
@@ -207,13 +231,19 @@ def write_upsert(
     batch: DataFrame,
     pk: str | Sequence[str],
     order_col: str | None = AUDIT_COLUMN,
+    keep_versions: int = 1,
 ) -> None:
     """Materialized upsert against a Parquet table root: read current
     version → merge → write a complete new version dir → atomic
     pointer-file commit (manifest-guarded; a crash mid-upsert leaves
     the previous version readable). With Delta/Iceberg this whole
     function is a native MERGE INTO; the versioned layout is the
-    plain-Parquet stand-in for their transaction log."""
+    plain-Parquet stand-in for their transaction log.
+
+    ``keep_versions`` is the retention window: how many committed
+    versions survive the post-commit vacuum. 1 (default) keeps only
+    current; >1 enables time travel via ``read_table(version=...)`` —
+    the plain-Parquet analog of Delta's VERSION AS OF + RETAIN."""
     exists = os.path.exists(target_path)
     current = table_data_path(target_path) if exists else None
     has_data = exists and (
@@ -232,7 +262,7 @@ def write_upsert(
     if _before_pointer_flip is not None:
         _before_pointer_flip()
     _commit_version(target_path, version)
-    vacuum_table(target_path, keep=1)
+    vacuum_table(target_path, keep=keep_versions)
 
 
 def write_upsert_partitioned(
