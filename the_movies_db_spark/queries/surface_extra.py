@@ -882,3 +882,77 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+_KMV_K = 32
+_KMV_SCALE = float(16 ** 15)  # 2^60, exactly representable as a double
+
+
+@register(
+    "agg_kmv_distinct",
+    f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh
+    ),
+    sk AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             max(h)                   AS kth_hash
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, e.n_exact, s.m, s.kth_hash,
+           round(CAST(s.m - 1 AS DOUBLE) * {_KMV_SCALE!r}
+                 / CAST(('0x' || substr(s.kth_hash, 1, 15)) AS BIGINT), 2)
+             AS est_distinct
+    FROM sk s JOIN exact e ON s.event_type = e.event_type
+    """,
+    doc=(
+        "K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — a "
+        "MERGEABLE cardinality estimator that, unlike HLL, is exactly "
+        "reproducible from md5 order statistics, so the sketch AND its "
+        "estimate value-hash against the oracle: per group keep the "
+        f"{_KMV_K} smallest hashes of the key (union of sketches = "
+        "merge + re-truncate, the same shape as HLL merge); the "
+        "estimate is (k-1)/fraction-of-hash-space at the kth hash. "
+        "Scale shape: distinct (group, hash) shuffle + windowed top-k "
+        "per group — never a per-group value buffer. Exact distinct "
+        "joined alongside, so the query itself shows estimator error."
+    ),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dh = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    v = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("bigint")
+    est = F.round(
+        (F.col("m") - 1).cast("double") * F.lit(_KMV_SCALE) / v.cast("double"),
+        2,
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select("event_type", "n_exact", "m", "kth_hash", est.alias("est_distinct"))
+    )

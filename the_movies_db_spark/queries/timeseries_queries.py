@@ -434,3 +434,68 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("__num DIV __tot").cast("bigint").alias("prob_micro"),
     )
+
+
+@register(
+    "events_autocorr",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+      FROM hourly
+    ),
+    parts AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr_lag1
+    FROM parts
+    """,
+    doc=(
+        "Lag-1 autocorrelation of hourly event counts per type — the "
+        "seasonality/burstiness diagnostic of a time-series pipeline. "
+        "Every covariance part (n, sums, cross-sums) is an exact BIGINT "
+        "(integer counts, order-free summation); floats appear only in "
+        "the final Pearson ratio, computed by the identical double-op "
+        "sequence in both engines and rounded. One shuffle to the "
+        "hourly grain, one window lag, one hash aggregate."
+    ),
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.withColumn("y", F.lag("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    parts = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+    den = F.sqrt(F.expr("CAST(n * sxx - sx * sx AS DOUBLE)")) * F.sqrt(
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)")
+    )
+    return parts.select(
+        "event_type", "n", F.round(num / den, 6).alias("autocorr_lag1")
+    )
