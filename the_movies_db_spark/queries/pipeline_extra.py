@@ -558,3 +558,88 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_md5"
         ),
     )
+
+
+_APPORTION_BUDGET = 1_000_000
+
+
+@register(
+    "pipeline_token_apportion",
+    f"""
+    WITH dom AS (
+      SELECT lang, source,
+             CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang, source
+    ),
+    base AS (
+      SELECT lang, source, tokens,
+             ({_APPORTION_BUDGET} * tokens) // (SELECT sum(tokens) FROM dom)  AS base_alloc,
+             ({_APPORTION_BUDGET} * tokens) %  (SELECT sum(tokens) FROM dom)  AS remainder
+      FROM dom
+    ),
+    ranked AS (
+      SELECT lang, source, tokens, base_alloc,
+             row_number() OVER (ORDER BY remainder DESC, lang, source) AS rr,
+             {_APPORTION_BUDGET} - sum(base_alloc) OVER ()             AS leftover
+      FROM base
+    )
+    SELECT lang, source, tokens,
+           CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+    doc=(
+        "Largest-remainder apportionment of a global token budget "
+        "across (lang, source) domains — the exact-allocation step "
+        "after domain-mixture weighting: floor shares by integer "
+        "division, then the domains with the largest remainders absorb "
+        "the leftover so allocations SUM EXACTLY to the budget (a "
+        "training dataloader can't consume 999,997.3 tokens). Every "
+        "number is BIGINT arithmetic — deterministic tie-break on "
+        "(remainder, lang, source) — so the allocation value-hashes. "
+        "Windows run over the ~#domains aggregate, driver-cheap at any "
+        "corpus scale."
+    ),
+)
+def pipeline_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    dom = d.groupBy("lang", "source").agg(
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens")
+    )
+    wall = Window.partitionBy()
+    base = dom.select(
+        "lang",
+        "source",
+        "tokens",
+        F.expr(
+            f"({_APPORTION_BUDGET} * tokens) div sum(tokens) OVER ()"
+        ).alias("base_alloc"),
+        F.expr(
+            f"({_APPORTION_BUDGET} * tokens) % sum(tokens) OVER ()"
+        ).alias("remainder"),
+    )
+    ranked = base.select(
+        "lang",
+        "source",
+        "tokens",
+        "base_alloc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), F.asc("lang"), F.asc("source")))
+        .alias("rr"),
+        (F.lit(_APPORTION_BUDGET) - F.sum("base_alloc").over(wall)).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

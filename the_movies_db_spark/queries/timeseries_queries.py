@@ -499,3 +499,87 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         "event_type", "n", F.round(num / den, 6).alias("autocorr_lag1")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, h, x,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)                                        AS cx,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                  AS BIGINT)                                        AS t,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)  AS total,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hourly
+    ),
+    scored AS (
+      SELECT event_type, h, n, abs(n * cx - t * total) AS c_abs
+      FROM cum
+    ),
+    ranked AS (
+      SELECT event_type, h, n, c_abs,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c_abs DESC, h) AS rn
+      FROM scored
+    )
+    SELECT event_type,
+           n                                AS n_hours,
+           CAST(c_abs AS BIGINT)            AS cusum_abs_max,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS changepoint_hour
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "CUSUM changepoint detection over hourly event counts per "
+        "type: the hour maximizing |n*CumSum_t - t*Total| — the "
+        "n-scaled cumulative deviation from the global mean, kept in "
+        "EXACT BIGINT arithmetic (no mean division, no floats "
+        "anywhere), earliest-hour tie-break. The burst/level-shift "
+        "locator of a monitoring pipeline: one shuffle to the hourly "
+        "grain, two window passes, a top-1 per type."
+    ),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wp = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("cx"),
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.sum("x").over(wp).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    scored = cum.select(
+        "event_type",
+        "h",
+        "n",
+        F.abs(F.col("n") * F.col("cx") - F.col("t") * F.col("total")).alias(
+            "c_abs"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("c_abs"), F.asc("h"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("c_abs").cast("bigint").alias("cusum_abs_max"),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias(
+                "changepoint_hour"
+            ),
+        )
+    )
