@@ -607,6 +607,65 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    )
+    SELECT user_id, ts AS click_ts, next_purchase_ts,
+           CAST(date_diff('microsecond', ts, next_purchase_ts) AS BIGINT)
+             // 1000000 AS latency_s
+    FROM tagged
+    WHERE event_type = 'click' AND next_purchase_ts IS NOT NULL
+      AND next_purchase_ts <= ts + INTERVAL 30 MINUTE
+    """,
+    doc=(
+        "FORWARD as-of join with tolerance (the complement of join_asof's "
+        "latest-prior direction): each click matched to the EARLIEST "
+        "following purchase within 30 minutes, via a 1-FOLLOWING window "
+        "over the unioned event stream — one shuffle on user_id, no "
+        "pairwise interval join. Latency is an exact integer: "
+        "microsecond diff (both engines exact at that grain) integer-"
+        "divided to seconds — never a truncating SECOND-diff."
+    ),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_ts", nxt)
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("next_purchase_ts").isNotNull()
+            & (
+                F.col("next_purchase_ts")
+                <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+            )
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "next_purchase_ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, ts, next_purchase_ts) div 1000000"
+            ).alias("latency_s"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY §2.6)
 # ---------------------------------------------------------------------------

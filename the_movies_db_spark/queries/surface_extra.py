@@ -956,3 +956,54 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.join(exact, "event_type")
         .select("event_type", "n_exact", "m", "kth_hash", est.alias("est_distinct"))
     )
+
+
+@register(
+    "window_cume_distinct",
+    """
+    WITH first_seen AS (
+      SELECT event_type, user_id,
+             min(date_trunc('hour', ts)) AS h
+      FROM events GROUP BY event_type, user_id
+    ),
+    hourly_new AS (
+      SELECT event_type, h, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY event_type, h
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_distinct_users
+    FROM hourly_new
+    """,
+    doc=(
+        "Running COUNT(DISTINCT) over an ordered window — the window "
+        "shape Spark has no native form for (and collect_set-over-"
+        "window buffers every value per row). The scale-sane "
+        "formulation: each user counts once at their FIRST hour per "
+        "type (one hash aggregate), hourly new-user counts, then a "
+        "plain cumulative sum — state per row is one BIGINT, never a "
+        "set. Exact and engine-portable."
+    ),
+)
+def window_cume_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("h")
+    )
+    hourly_new = first_seen.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hourly_new.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    )
