@@ -57,16 +57,15 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 DRIVER_WINDOW: tuple[str, ...] = (
     # Round-4 rotation: rounds 1-3 accumulated 144 driver-green rows
     # over 145 checked (1 rows-only by design). This window closes the
-    # loop: all 20 entries that have NEVER had a driver row (including
-    # the 7 registered after the round-3 rotation and the 3 rows-only
-    # ones, so the driver at least records their row counts), plus
-    # everything ADDED or CHANGED this round, plus the
-    # highest-recurrence-risk greens (the round()/1-ulp family and the
-    # full streaming set, whose checkpoint handling changed this round).
-    #
-    # Registered AFTER this rotation (queue for the round-5 window):
-    # sim_topk_ivf_kmeans (rows-only), dedup_recall_eval — both locally
-    # oracle-green at sf0.001/0.01/0.1.
+    # loop completely: all 37 entries that have NEVER had a driver row
+    # (the 20 carried from rounds 1-3, including the 3 rows-only-by-
+    # design ones so the driver at least records their row counts, plus
+    # all 17 round-4 additions) and the 13 entries whose code CHANGED
+    # this round (dedup_semantic cell sizing, the zero-shuffle
+    # text_repetition rewrite, the integer-div bumps, and all 9
+    # streaming entries, whose checkpoint handling moved to repo-local
+    # scratch). 37 + 13 = 50: after this round every registry entry has
+    # at least one hard driver row.
     #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",
@@ -111,17 +110,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stateful_counter",
     "streaming_stream_join",
     "streaming_static_join",
-    # -- highest-recurrence-risk greens (round()/1-ulp + exact-cents) -----
-    "window_percent_rank",
-    "pipeline_sample_weighted",
-    "fn_json",
-    "events_sessionize",
-    "q01_pricing_summary",
-    "q09_profit_by_nation",
-    "agg_percentiles",
-    "events_ohlc",
-    "sim_topk_bruteforce",
-    "sim_topk_quantized",
+    # -- round-4 additions registered after the first rotation pass -------
+    "dedup_recall_eval",
+    "pipeline_token_apportion",
+    "join_asof_forward",
+    "sim_topk_lsh_multiprobe",
+    "sim_topk_ivf_kmeans",   # rows-only by design (MLlib KMeans internals)
+    "agg_kmv_distinct",
+    "window_cume_distinct",
+    "events_autocorr",
+    "events_cusum_changepoint",
+    "upsert_time_travel",
 )
 
 
