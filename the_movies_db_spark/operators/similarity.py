@@ -1070,3 +1070,60 @@ def cosine_topk_ivfpq(
     return _rerank_by_id(
         shortlist, corpus, queries, id_col, vec_col, k, dim
     )
+
+
+def cosine_topk_matryoshka(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """Matryoshka (MRL) two-tier ANN: rank with a PREFIX of the
+    embedding dimensions, re-rank the shortlist with the full vector.
+
+    Matryoshka-trained embeddings pack most of the signal into the
+    leading dimensions, so the cheap pass reads a ``prefix_dim/dim``
+    slice of every vector (4x less memory bandwidth at 16/64 — at rest
+    the prefix is the column you materialize hot) and the exact pass
+    touches only ``shortlist`` rows per query, joined back BY ID so the
+    scan never carries full vectors.
+
+    Both passes rank on ROUNDED cosine with id tie-break, so the result
+    set is deterministic and oracle-verifiable."""
+
+    def pref(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.slice(F.col(vec_col), 1, prefix_dim).alias(f"__{out}_p"),
+        ).select(
+            out,
+            f"__{out}_p",
+            norm(f"__{out}_p", prefix_dim).alias(f"__{out}_n"),
+        )
+
+    q = pref(queries, "query_id")
+    c = pref(corpus, "neighbor_id")
+    psim = F.round(
+        cosine_from_parts(
+            "__query_id_p", "__neighbor_id_p", "__query_id_n", "__neighbor_id_n",
+            dim=prefix_dim,
+        ),
+        4,
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("__psim"), F.asc("neighbor_id")
+    )
+    ids = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", psim.alias("__psim"))
+        .withColumn("__srank", F.row_number().over(w_short))
+        .filter(F.col("__srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_by_id(ids, corpus, queries, id_col, vec_col, k, dim, carry=())

@@ -67,6 +67,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # scratch). 37 + 13 = 50: after this round every registry entry has
     # at least one hard driver row.
     #
+    # Registered AFTER this rotation (queue for the round-5 window):
+    # search_hybrid_rrf, sim_topk_matryoshka, events_streaks,
+    # basket_brand_pairs — all locally oracle-green at sf0.01.
+    #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",
     "cdc_scd2",
@@ -128,6 +132,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module so their registrations run, then
     return the registry ordered with the curated driver window first."""
     from the_movies_db_spark.queries import (  # noqa: F401
+        basket_queries,
         dedup_queries,
         graph_queries,
         llm_pipeline,

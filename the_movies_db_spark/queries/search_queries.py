@@ -65,7 +65,7 @@ _SCORE_TERM = (
 
 _QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in QUERIES)
 
-_ORACLE = f"""
+_ORACLE_TEMPLATE = """
 WITH q(query_id, term) AS (VALUES {_QUERY_VALUES}),
 docs AS (
   SELECT doc_id,
@@ -95,7 +95,7 @@ scored AS (
 ),
 contrib AS (
   SELECT doc_id, term,
-         {_SCORE_TERM.format(div='//')} AS score_term
+         {_SCORE_TERM} AS score_term
   FROM scored
 ),
 per_query AS (
@@ -111,8 +111,22 @@ FROM (
                                  ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
   FROM per_query
 )
-WHERE rank <= {TOP_K}
+WHERE rank <= {top_k}
 """
+
+
+def _bm25_oracle(top_k: int) -> str:
+    """The BM25 oracle SQL, parameterized by the per-query cutoff so
+    composed queries (hybrid fusion) can reuse it at a deeper pool."""
+    return _ORACLE_TEMPLATE.format(
+        _QUERY_VALUES=_QUERY_VALUES,
+        _IDF_MILLI=_IDF_MILLI,
+        _SCORE_TERM=_SCORE_TERM.format(div="//"),
+        top_k=top_k,
+    )
+
+
+_ORACLE = _bm25_oracle(TOP_K)
 
 
 @register(
@@ -241,7 +255,9 @@ def phrase_counts(
     )
 
 
-def bm25_topk(spark: SparkSession, documents: DataFrame) -> DataFrame:
+def bm25_topk(
+    spark: SparkSession, documents: DataFrame, top_k: int = TOP_K
+) -> DataFrame:
     """Core BM25 plan over any (doc_id, text) DataFrame — split out so
     the scale probe can run it on replicated corpora."""
     d = (
@@ -282,7 +298,7 @@ def bm25_topk(spark: SparkSession, documents: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score_milli"), F.asc("doc_id"))
     return (
         per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "rank", "doc_id", "score_milli")
     )
 
@@ -395,4 +411,121 @@ def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "doc_id", "score_milli")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding ANN
+# ---------------------------------------------------------------------------
+#
+# The standard RAG-prep retrieval stack runs BOTH a keyword ranker and a
+# vector ranker and fuses them; RRF (Cormack et al., SIGIR'09) is the
+# fusion every production system reaches for because it needs no score
+# calibration — only ranks. Query q's fused score for doc d is
+# sum over systems s of 1/(k0 + rank_s(d)), k0 = 60.
+#
+# Exactness: each contribution is the exact integer 1000000 div (60 +
+# rank) — BIGINT on both engines — so fused scores value-hash. Query
+# ids are shared across systems: text query i uses the QUERIES terms
+# with query_id == i AND the embedding of vector i (a "more like this
+# seed doc + keywords" query, the common hybrid shape). Missing ranks
+# contribute 0 via the full-outer join.
+
+_POOL = 20       # per-system candidate pool depth
+_RRF_K0 = 60     # rank damping (the SIGIR'09 constant)
+_HYBRID_K = 10   # fused results per query
+_HYBRID_QIDS = (1, 2, 3)
+
+
+def _hybrid_oracle() -> str:
+    from the_movies_db_spark.queries.similarity_queries import _COS
+
+    qids = ", ".join(str(q) for q in _HYBRID_QIDS)
+    return f"""
+    WITH bm AS ({_bm25_oracle(_POOL)}),
+    ann AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN ({qids})
+      ) t WHERE rank <= {_POOL}
+    ),
+    fused AS (
+      SELECT CAST(coalesce(b.query_id, a.query_id) AS BIGINT) AS query_id,
+             CAST(coalesce(b.doc_id, a.neighbor_id) AS BIGINT) AS doc_id,
+             CAST(coalesce(1000000 // ({_RRF_K0} + b.rank), 0)
+                + coalesce(1000000 // ({_RRF_K0} + a.rank), 0) AS BIGINT)
+               AS rrf_ppm,
+             CAST(coalesce(b.rank, 0) AS BIGINT) AS bm25_rank,
+             CAST(coalesce(a.rank, 0) AS BIGINT) AS ann_rank
+      FROM bm b FULL OUTER JOIN ann a
+        ON b.query_id = a.query_id AND b.doc_id = a.neighbor_id
+      WHERE coalesce(b.query_id, a.query_id) IN ({qids})
+    )
+    SELECT query_id, rank, doc_id, rrf_ppm, bm25_rank, ann_rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank
+      FROM fused
+    ) WHERE rank <= {_HYBRID_K}
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    _hybrid_oracle(),
+    doc=(
+        "Hybrid retrieval: BM25 top-20 and exact-cosine ANN top-20 per "
+        "query fused by reciprocal-rank fusion (1/(60+rank), exact "
+        "integer ppm). Docs surfaced by either system rank; ranks fuse "
+        "without score calibration."
+    ),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of keyword and vector retrieval.
+
+    Scale notes (100 TB): each side's pool is a bounded top-k per query
+    (BM25's shuffle is pruned by the broadcast query vocabulary; the
+    ANN side here is the exact brute-force ranker but any indexed
+    variant — IVF x PQ, LSH — slots in unchanged because fusion only
+    consumes (query_id, doc_id, rank)). The fusion join itself touches
+    2 * POOL rows per query — negligible at any corpus size; the full
+    outer join keys on (query_id, doc_id) so a doc surfaced by one
+    system only still ranks with the other contribution at 0.
+    """
+    from the_movies_db_spark.operators import similarity as S
+
+    bm = bm25_topk(
+        spark, load_table(spark, sf_dir, "documents"), top_k=_POOL
+    ).select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(list(_HYBRID_QIDS)))
+    ann = (
+        S.cosine_topk(e, q, "vec_id", "embedding", k=_POOL, dim=64)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("ann_rank"),
+        )
+    )
+    contrib = "coalesce(1000000 div (%d + %s), 0)" % (_RRF_K0, "%s")
+    fused = (
+        bm.join(ann, ["query_id", "doc_id"], "full_outer")
+        .filter(F.col("query_id").isin(list(_HYBRID_QIDS)))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.expr(
+                f"CAST({contrib % 'bm25_rank'} + {contrib % 'ann_rank'} AS BIGINT)"
+            ).alias("rrf_ppm"),
+            F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("bigint").alias("bm25_rank"),
+            F.coalesce(F.col("ann_rank"), F.lit(0)).cast("bigint").alias("ann_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _HYBRID_K)
+        .select("query_id", "rank", "doc_id", "rrf_ppm", "bm25_rank", "ann_rank")
     )

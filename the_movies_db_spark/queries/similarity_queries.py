@@ -823,3 +823,66 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, shortlist_factor=4,
         n_cells=_N_CELLS, n_cent=_PQ_CENT, n_sub=_PQ_SUB, dim=_DIM,
     )
+
+
+_MAT_PREFIX = 16
+_MAT_SHORT = 50
+_COS_PREF = (
+    "round(list_inner_product(q.p::DOUBLE[], c.p::DOUBLE[]) /"
+    " (sqrt(list_inner_product(q.p::DOUBLE[], q.p::DOUBLE[])) *"
+    "  sqrt(list_inner_product(c.p::DOUBLE[], c.p::DOUBLE[]))), 4)"
+)
+_COS_RR = (
+    "round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /"
+    " (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *"
+    "  sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)"
+)
+
+
+@register(
+    "sim_topk_matryoshka",
+    f"""
+    WITH pref AS (
+      SELECT vec_id, embedding[1:{_MAT_PREFIX}] AS p FROM embeddings
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS_PREF} DESC, c.vec_id) AS srank
+        FROM pref q JOIN pref c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) s WHERE srank <= {_MAT_SHORT}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {_COS_RR} AS cosine_sim,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY {_COS_RR} DESC, s.neighbor_id) AS rank
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+    ) t WHERE rank <= {_K}
+    """,
+    doc=(
+        "Matryoshka two-tier ANN: rank every vector by the rounded "
+        "cosine of its FIRST 16 dimensions (4x less bandwidth than the "
+        "full vector), then exact full-dim re-rank of the 50-deep "
+        "shortlist joined back by id."
+    ),
+)
+def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL prefix-dimension ANN with full-dim re-rank.
+
+    Scale notes (100 TB): the prefix pass reads a 16/64 slice of the
+    corpus (materialize the prefix as its own column at rest and the
+    scan does 4x less IO); the full vectors are read only for the
+    shortlisted ids via the re-rank-by-id join. Unlike PQ/IVF there is
+    no codebook to train — the index IS the layout.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_matryoshka(
+        e, q, "vec_id", "embedding",
+        k=_K, prefix_dim=_MAT_PREFIX, shortlist=_MAT_SHORT, dim=_DIM,
+    )

@@ -583,3 +583,68 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_streaks",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, h,
+             h - row_number() OVER (PARTITION BY user_id ORDER BY h)
+               AS island
+      FROM active
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_hours,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    doc=(
+        "Gaps-and-islands: longest run of consecutive active hours per "
+        "user. Island key = hour_index - row_number() per user, so "
+        "consecutive hours share a key; two aggregations finish it."
+    ),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-hour streak per user.
+
+    The classic gaps-and-islands pattern: an integer hour index minus
+    the per-user row_number is constant exactly along a run of
+    consecutive hours, turning streak detection into a plain groupBy.
+
+    Scale notes (100 TB): one distinct (user, hour) aggregation
+    (map-side combine collapses the raw events), one window partitioned
+    by user (bounded state: a row counter), two hash aggregations.
+    All integer arithmetic — no timestamps survive the first projection.
+    """
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    islands = active.withColumn(
+        "island", F.col("h") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_hours"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
