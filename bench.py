@@ -79,6 +79,11 @@ HEADLINE = [
     "dedup_source_overlap",
     "text_entropy",
     "sim_topk_lsh_multiprobe",
+    # round-4 closers: hybrid retrieval, MRL ANN, basket mining, streaks
+    "search_hybrid_rrf",
+    "sim_topk_matryoshka",
+    "basket_brand_pairs",
+    "events_streaks",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
