@@ -105,3 +105,32 @@ def test_basket_pair_counts_match_manual(spark):
     assert row.lift_ppm == (pair * n_orders * 1_000_000) // (
         len(orders_a) * len(orders_b)
     )
+
+
+def test_curriculum_order_is_dense_and_bucket_monotone(spark):
+    """global_rank must be a dense 1..N permutation, and every doc in a
+    higher-quality bucket must rank before every doc in a lower one."""
+    rows = REGISTRY["pipeline_curriculum_order"].spark(spark, SF).collect()
+    ranks = sorted(r.global_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    worst_by_bucket: dict[int, int] = {}
+    best_by_bucket: dict[int, int] = {}
+    for r in rows:
+        worst_by_bucket[r.bucket] = max(worst_by_bucket.get(r.bucket, 0), r.global_rank)
+        best_by_bucket[r.bucket] = min(
+            best_by_bucket.get(r.bucket, 1 << 60), r.global_rank
+        )
+    buckets = sorted(worst_by_bucket, reverse=True)
+    for hi, lo in zip(buckets, buckets[1:]):
+        assert worst_by_bucket[hi] < best_by_bucket[lo]
+
+
+def test_kmv_intersection_jaccard_bounds(spark):
+    """Sketch-estimated Jaccard must stay in [0, 1e6] ppm and the
+    estimated intersection within the union bound of the exacts."""
+    rows = REGISTRY["agg_kmv_intersection"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.jaccard_ppm <= 1_000_000
+        assert r.matches <= r.m_union
+        assert r.est_intersection >= 0.0

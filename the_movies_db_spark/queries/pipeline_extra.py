@@ -643,3 +643,93 @@ def pipeline_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_tokens"),
     )
+
+
+def _curriculum_oracle() -> str:
+    from the_movies_db_spark.queries.text_queries import _TOKENS, _ratio_sql
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS n_tok,
+             {_ratio_sql("en")} AS stop_r,
+             list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum')
+               * 1.0 / len({_TOKENS}) AS awl,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               * 1.0 / length(text) AS punct_r
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST((CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END
+                 + CASE WHEN stop_r >= 0.02 THEN 0.25 ELSE 0.0 END
+                 + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+                 + CASE WHEN punct_r <= 0.2 THEN 0.25 ELSE 0.0 END) * 4
+                  AS INT) AS bucket,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS skey
+      FROM q
+    )
+    SELECT doc_id, bucket,
+           CAST(row_number() OVER (ORDER BY bucket DESC, skey, doc_id)
+                AS BIGINT) AS global_rank
+    FROM scored
+    """
+
+
+@register(
+    "pipeline_curriculum_order",
+    _curriculum_oracle(),
+    doc=(
+        "Curriculum training order: quality-quartile buckets descending "
+        "(cleanest data first), md5-hash shuffle within each bucket, and "
+        "a GLOBAL rank assembled as broadcast bucket offsets + per-"
+        "bucket row_number — never a single-partition global sort."
+    ),
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order assignment.
+
+    Curriculum learning wants high-quality documents first but shuffled
+    within each quality band. The naive global
+    ``row_number() OVER (ORDER BY ...)`` collapses to ONE partition at
+    any scale; here the rank is two-level: per-bucket ``row_number``
+    (distributed window, 5 buckets) plus each bucket's starting offset
+    from a 5-row size aggregate joined back by broadcast — the same
+    values, fully parallel. The shuffle key is an md5 hash, so the
+    order is reproducible run-to-run and engine-to-engine (no RNG).
+
+    Scale notes (100 TB): one projection pass to score, one windowed
+    pass per bucket partition for the rank, one tiny aggregate for the
+    offsets. The quality score is pure column arithmetic (exact 0.25
+    steps, so bucket boundaries are engine-stable).
+    """
+    from the_movies_db_spark.operators import text as T
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        (T.quality_score("text") * 4).cast("int").alias("bucket"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("skey"),
+    )
+    sizes = scored.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+    )
+    w_rank = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    return (
+        scored.withColumn("r", F.row_number().over(w_rank).cast("bigint"))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("off") + F.col("r")).cast("bigint").alias("global_rank"),
+        )
+    )

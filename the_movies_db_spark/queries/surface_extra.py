@@ -1007,3 +1007,154 @@ def window_cume_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
     )
+
+
+@register(
+    "agg_kmv_intersection",
+    f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dh
+      ) r WHERE rn <= {_KMV_K}
+    ),
+    tp AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM sk) a
+      JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type
+    ),
+    u AS (
+      SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT tp.ta, tp.tb, s.h, 1 AS in_a, 0 AS in_b
+        FROM tp JOIN sk s ON s.event_type = tp.ta
+        UNION ALL
+        SELECT tp.ta, tp.tb, s.h, 0, 1
+        FROM tp JOIN sk s ON s.event_type = tp.tb
+      ) x GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT ta, tb, h, in_a, in_b,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+      FROM u
+    ),
+    est AS (
+      SELECT ta, tb,
+             CAST(count(*) AS BIGINT)           AS m_union,
+             max(h)                             AS kth_hash,
+             CAST(sum(in_a * in_b) AS BIGINT)   AS matches
+      FROM merged WHERE rn <= {_KMV_K} GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(count(*) AS BIGINT) AS n_exact_inter
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.ta AS type_a, e.tb AS type_b,
+           x.n_exact_inter, e.m_union, e.matches,
+           CAST(e.matches * 1000000 // e.m_union AS BIGINT) AS jaccard_ppm,
+           round(CAST(e.m_union - 1 AS DOUBLE) * {_KMV_SCALE!r}
+                 / CAST(('0x' || substr(e.kth_hash, 1, 15)) AS BIGINT)
+                 * e.matches / e.m_union, 2) AS est_intersection
+    FROM est e JOIN exact x ON e.ta = x.ta AND e.tb = x.tb
+    """,
+    doc=(
+        "KMV sketch SET OPERATIONS: per-group k-minimum-values sketches "
+        "merged pairwise (union + re-truncate to k), Jaccard estimated "
+        "as the fraction of the merged k-mins present in BOTH input "
+        "sketches (exact integer ppm), intersection as jaccard x "
+        "union-estimate. Everything derives from md5 order statistics, "
+        "so even the ESTIMATES value-hash across engines; the exact "
+        "intersection joined alongside shows estimator error in-query. "
+        "This is the mergeability story HLL gives you for counts, but "
+        "reproducibly — and it extends to any group pair without "
+        "rescanning the facts: the sketch table is |groups| x k rows."
+    ),
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types via KMV.
+
+    Scale notes (100 TB): the fact table is touched twice (sketch
+    build + the exact-overlap audit; drop the audit in production and
+    it is ONE distinct aggregation). Pair enumeration runs over the
+    sketch table only — |groups|² x k rows, independent of fact
+    volume, which is the entire point of mergeable sketches.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dh = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    types = sk.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb"))
+    )
+    ra = tp.join(sk, sk.event_type == tp.ta).select(
+        "ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    rb = tp.join(sk, sk.event_type == tp.tb).select(
+        "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        ra.union(rb)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("h")
+    est = (
+        u.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_union"),
+            F.max("h").alias("kth_hash"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("matches"),
+        )
+    )
+    du = e.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("tb"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_inter"))
+    )
+    kth_v = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("bigint")
+    est_inter = F.round(
+        (F.col("m_union") - 1).cast("double")
+        * F.lit(_KMV_SCALE)
+        / kth_v.cast("double")
+        * F.col("matches")
+        / F.col("m_union"),
+        2,
+    )
+    return (
+        est.join(exact, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_exact_inter",
+            "m_union",
+            "matches",
+            F.expr("CAST(matches * 1000000 div m_union AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+            est_inter.alias("est_intersection"),
+        )
+    )
