@@ -175,3 +175,44 @@ def test_partition_pruning_static_and_dynamic(spark, tmp_path):
             "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev
         )
     assert "dynamicpruning" in dyn.lower(), dyn
+
+
+def test_basket_single_pass_reads_lineitem_once(spark, sf_dir, registry):
+    """The single-pass rewrite's whole point: orders, brand counts, and
+    pair counts all derive from ONE fact scan + ONE basket aggregation.
+    The naive branch-per-count formulation scanned lineitem 4-5x."""
+    txt = plan_of(registry["basket_brand_pairs"].spark(spark, sf_dir))
+    assert txt.count("lineitem.parquet") == 1, txt
+
+
+def test_curriculum_rank_window_is_partitioned_by_bucket(spark, sf_dir, registry):
+    """The heavy row_number must run per-bucket (distributed), never as
+    a global single-partition window over the documents."""
+    txt = plan_of(registry["pipeline_curriculum_order"].spark(spark, sf_dir))
+    import re
+
+    wins = re.findall(r"Window \[row_number\(\).*?\]", txt)
+    assert wins, txt
+    heavy = [w for w in wins if "doc_id" in w]
+    assert all("partition" not in w or "bucket" in w for w in heavy), wins
+    # and the per-doc window must partition by bucket specifically
+    assert any("bucket" in w for w in heavy), wins
+
+
+def test_hybrid_rrf_fuses_with_full_outer_join(spark, sf_dir, registry):
+    """Fusion must keep docs surfaced by only one system (FullOuter),
+    and the ANN query side must be broadcast."""
+    txt = plan_of(registry["search_hybrid_rrf"].spark(spark, sf_dir))
+    assert "FullOuter" in txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+
+
+def test_matryoshka_rerank_joins_by_id(spark, sf_dir, registry):
+    """The prefix scan must carry only the 16-dim slice; full vectors
+    re-enter via the re-rank join keyed on neighbor_id (two broadcast
+    joins after the shortlist window)."""
+    txt = plan_of(registry["sim_topk_matryoshka"].spark(spark, sf_dir))
+    # shortlist filter happens before the rerank joins: the plan has a
+    # window (prefix rank) feeding broadcast joins back to embeddings
+    assert txt.count("embeddings.parquet") >= 3  # prefix + corpus + query sides
+    assert "BroadcastHashJoin" in txt
