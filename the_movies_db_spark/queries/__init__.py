@@ -70,7 +70,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Registered AFTER this rotation (queue for the round-5 window):
     # search_hybrid_rrf, sim_topk_matryoshka, events_streaks,
     # basket_brand_pairs, agg_kmv_intersection,
-    # pipeline_curriculum_order — all locally oracle-green at sf0.01.
+    # pipeline_curriculum_order, events_pattern_vshape — all locally
+    # oracle-green at sf0.01.
     #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",

@@ -648,3 +648,78 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+@register(
+    "events_pattern_vshape",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_c,
+             lead(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_c
+      FROM events
+    ),
+    v AS (
+      SELECT event_type,
+             CAST((prev_c - c) * 1000000 // prev_c AS BIGINT) AS drop_ppm
+      FROM s
+      WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+        AND prev_c > c AND next_c > c
+        AND (prev_c - c) * 10 >= c AND (next_c - c) * 10 >= c
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_vshapes,
+           CAST(max(drop_ppm) AS BIGINT) AS max_drop_ppm
+    FROM v GROUP BY event_type
+    """,
+    doc=(
+        "Sequence pattern matching (MATCH_RECOGNIZE shape): V-reversals "
+        "in the per-type value series — a local minimum at least 10% "
+        "below BOTH neighbors — found with one lag/lead window pass; "
+        "drop depth as exact integer ppm of the preceding value."
+    ),
+)
+def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count V-shaped reversals per event type.
+
+    The declarative form of simple MATCH_RECOGNIZE patterns: any
+    fixed-width pattern over an ordered partition is a lag/lead
+    projection + a filter — one window pass, state bounded by the
+    pattern width, no self-joins. Values are compared in exact integer
+    cents (the source prices are 2-decimal), so the pattern predicate
+    and the reported depth are engine-stable.
+
+    Scale notes (100 TB): one sort per event_type partition (the same
+    sort every per-type window op in this module shares); the pattern
+    match itself is a projection. For multi-day series, partition the
+    window by (type, day) and stitch the 1-row boundaries.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = F.expr("CAST(round(value * 100) AS BIGINT)")
+    s = e.select(
+        "event_type",
+        c.alias("c"),
+        F.lag(c).over(w).alias("prev_c"),
+        F.lead(c).over(w).alias("next_c"),
+    )
+    v = s.filter(
+        F.col("prev_c").isNotNull()
+        & F.col("next_c").isNotNull()
+        & (F.col("prev_c") > F.col("c"))
+        & (F.col("next_c") > F.col("c"))
+        & ((F.col("prev_c") - F.col("c")) * 10 >= F.col("c"))
+        & ((F.col("next_c") - F.col("c")) * 10 >= F.col("c"))
+    ).select(
+        "event_type",
+        F.expr("CAST((prev_c - c) * 1000000 div prev_c AS BIGINT)").alias(
+            "drop_ppm"
+        ),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vshapes"),
+        F.max("drop_ppm").cast("bigint").alias("max_drop_ppm"),
+    )
