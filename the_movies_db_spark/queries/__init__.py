@@ -70,8 +70,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Registered AFTER this rotation (queue for the round-5 window):
     # search_hybrid_rrf, sim_topk_matryoshka, events_streaks,
     # basket_brand_pairs, agg_kmv_intersection,
-    # pipeline_curriculum_order, events_pattern_vshape — all locally
-    # oracle-green at sf0.01.
+    # pipeline_curriculum_order, events_pattern_vshape,
+    # pipeline_semantic_pack — all locally oracle-green at sf0.01 AND
+    # sf0.1.
     #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",

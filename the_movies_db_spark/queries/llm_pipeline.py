@@ -809,3 +809,106 @@ def pipeline_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ------------------------------------------- semantic (in-context) packing
+
+_SEMPACK_PLANES = 6  # 64 semantic buckets
+
+
+def _sempack_oracle() -> str:
+    from the_movies_db_spark.queries.similarity_queries import _sig_expr
+
+    sig = _sig_expr(_SEMPACK_PLANES).format(v="c.embedding")
+    return f"""
+    WITH s AS (
+      SELECT d.doc_id, d.source,
+             {_H_SQL} AS h,
+             len(regexp_extract_all(d.text, '{T.TOKEN_PATTERN}')) AS n_tok,
+             {sig} AS bucket
+      FROM documents d JOIN embeddings c ON c.vec_id = d.doc_id
+    ),
+    ordered AS (
+      SELECT doc_id, source, bucket, n_tok,
+             sum(n_tok) OVER (PARTITION BY bucket
+                              ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT bucket,
+           CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT)                        AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)                      AS pack_tokens,
+           CAST(count(DISTINCT source) AS BIGINT)          AS n_sources
+    FROM ordered
+    GROUP BY bucket, pack_id
+    """
+
+
+@register(
+    "pipeline_semantic_pack",
+    _sempack_oracle(),
+    doc=(
+        "Semantic sequence packing (in-context-pretraining order): "
+        "documents are grouped by a 6-plane hyperplane-LSH bucket of "
+        "their embedding, so RELATED documents become adjacent and land "
+        "in the same packed training sequence; within a bucket the "
+        "pack assignment is the same shard-local running-sum chunking "
+        "as pipeline_pack_sequences."
+    ),
+)
+def pipeline_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack training sequences so each pack is topically coherent.
+
+    In-context pretraining (Shi et al. 2023-style) orders the corpus so
+    that documents sharing context are concatenated into the same
+    training sequence instead of random neighbors. Here the semantic
+    order is the hyperplane-LSH bucket of the document embedding (64
+    buckets; the same md5-derived planes every LSH operator in this
+    repo uses, so the DuckDB oracle reproduces the bucketing bit-for-
+    bit), and packing within a bucket is the deterministic running-sum
+    chunking of pipeline_pack_sequences.
+
+    Scale notes (100 TB): the signature is a per-row projection; the
+    running sum partitions by bucket, so per-task window state is
+    bounded by the largest bucket, not the corpus — with planes scaled
+    to log2(corpus/target) (the dedup_semantic_lsh rule) bucket sizes
+    track the target. Embeddings join by id (co-partitioned at rest in
+    production). The n_sources column is the cohesion signal: packs
+    drawing from few sources indicate the bucketing is grouping
+    related material.
+    """
+    from the_movies_db_spark.operators import similarity as S
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    s = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "source",
+            _doc_hash().alias("h"),
+            T.regex_token_count("text").alias("n_tok"),
+            S.hyperplane_signature("embedding", _SEMPACK_PLANES, 64).alias(
+                "bucket"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = s.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        ordered.withColumn(
+            "pack_id",
+            F.expr(f"CAST((cum - n_tok) div {_PACK_BUDGET} AS BIGINT)"),
+        )
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
