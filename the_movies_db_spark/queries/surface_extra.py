@@ -1158,3 +1158,68 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_inter.alias("est_intersection"),
         )
     )
+
+
+_MED_FRAME = 6  # preceding rows; frame width 7
+
+
+@register(
+    "window_moving_median",
+    f"""
+    WITH s AS (
+      SELECT event_id, event_type,
+             list_sort(list(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {_MED_FRAME} PRECEDING AND CURRENT ROW))
+               AS fr
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(CASE WHEN len(fr) % 2 = 1 THEN 2 * fr[(len(fr)+1)//2]
+                     ELSE fr[len(fr)//2] + fr[len(fr)//2 + 1]
+                END AS BIGINT) AS med2_cents
+    FROM s
+    """,
+    doc=(
+        "Moving MEDIAN over a 7-row window per event type — the robust "
+        "smoother a mean-based moving average can't give you. The frame "
+        "is collected, sorted, and the median read out exactly: the "
+        "output is TWICE the median in integer cents (odd frames give "
+        "2x the middle element, even frames the sum of the middle two), "
+        "so no float division ever happens and the value-hash is "
+        "engine-exact."
+    ),
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median via sorted frame collection.
+
+    Scale notes (100 TB): per-row state is the frame (7 BIGINTs), the
+    sort is O(w log w) per row with w=7 — constant — and the window
+    partitions by event_type like every other per-type series op here
+    (for day-scale partitions use (type, day) and stitch boundaries).
+    Unlike approx-percentile smoothing this is exact, deterministic,
+    and engine-portable because the median is read from an integer
+    array, never interpolated in floats.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_MED_FRAME, Window.currentRow)
+    )
+    c = F.expr("CAST(round(value * 100) AS BIGINT)")
+    s = e.select(
+        "event_id",
+        "event_type",
+        F.sort_array(F.collect_list(c).over(w)).alias("fr"),
+    )
+    n = F.size("fr")
+    med2 = F.when(
+        n % 2 == 1, 2 * F.element_at("fr", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        F.element_at("fr", (n / 2).cast("int"))
+        + F.element_at("fr", (n / 2 + 1).cast("int"))
+    )
+    return s.select(
+        "event_id", "event_type", med2.cast("bigint").alias("med2_cents")
+    )
