@@ -1223,3 +1223,51 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_id", "event_type", med2.cast("bigint").alias("med2_cents")
     )
+
+
+_K_ANON = 10
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, g.c_mktsegment AS mktsegment, g.group_size
+    FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+    WHERE g.group_size < {_K_ANON}
+    """,
+    doc=(
+        "k-anonymity audit: quasi-identifier groups (nation x market "
+        f"segment) with fewer than k={_K_ANON} members — the rows a "
+        "release would have to suppress or generalize. One hash "
+        "aggregation + a broadcast dim join; the violating-group list "
+        "is the actionable artifact (generalize these cells next)."
+    ),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier groups below the k-anonymity threshold.
+
+    Scale notes (100 TB): group cardinality is bounded by the
+    quasi-identifier domain (|nations| x |segments|), so the aggregate
+    output is tiny regardless of row count; map-side combine collapses
+    the scan. Pairs with pipeline_pii_redact: redaction handles direct
+    identifiers, this audits re-identification risk from the quasi
+    ones.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return (
+        g.filter(F.col("group_size") < _K_ANON)
+        .join(F.broadcast(n), g.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "group_size",
+        )
+    )
