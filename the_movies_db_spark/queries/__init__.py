@@ -71,8 +71,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search_hybrid_rrf, sim_topk_matryoshka, events_streaks,
     # basket_brand_pairs, agg_kmv_intersection,
     # pipeline_curriculum_order, events_pattern_vshape,
-    # pipeline_semantic_pack, window_moving_median, dq_k_anonymity —
-    # all locally oracle-green at sf0.01 AND sf0.1.
+    # pipeline_semantic_pack, window_moving_median, dq_k_anonymity,
+    # search_index_incremental — all locally oracle-green at sf0.01 AND
+    # sf0.1.
     #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",

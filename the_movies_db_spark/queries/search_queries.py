@@ -529,3 +529,91 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HYBRID_K)
         .select("query_id", "rank", "doc_id", "rrf_ppm", "bm25_rank", "ann_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: merge a document batch into base postings
+# ---------------------------------------------------------------------------
+
+_BATCH_MOD = 7  # doc_id % 7 == 0 plays the "newly arrived" batch
+
+
+@register(
+    "search_index_incremental",
+    _ORACLE,
+    doc=(
+        "Incremental inverted-index maintenance: base postings (the "
+        "at-rest index) and a new-document batch each produce "
+        "(doc, term, tf, dl) postings independently; the index UNION "
+        "and additive corpus stats (n_docs, total_len sum across "
+        "parts) score identically to a full rebuild — the oracle is "
+        "the plain full-corpus BM25 SQL, so equality IS the gate."
+    ),
+)
+def search_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over base-index + batch-delta postings.
+
+    The production shape this pins: a persisted postings index absorbs
+    a daily document batch by APPENDING the batch's postings and adding
+    its (n_docs, total_len) to the stats table — no rebuild, no touch
+    of historical postings, because tf and dl are per-document and the
+    corpus-level pieces (df, N, T) are additive across parts. Scale
+    notes (100 TB): the batch pass explodes ONLY the new documents
+    (O(batch)); df comes from a window over the unioned, vocabulary-
+    pruned postings, which at rest is the partition-pruned read the
+    persisted-index query demonstrates.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("toks"),
+        )
+        .select("doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
+    )
+    base = d.filter(F.col("doc_id") % _BATCH_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _BATCH_MOD == 0)
+
+    qterms = spark.createDataFrame(list(QUERIES), "query_id int, term string")
+    vocab = qterms.select("term").distinct()
+
+    def postings(part: DataFrame) -> DataFrame:
+        return (
+            part.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .join(F.broadcast(vocab), "term")
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    def part_stats(part: DataFrame) -> DataFrame:
+        return part.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+        )
+
+    idx = postings(base).unionByName(postings(batch))
+    stats = (
+        part_stats(base)
+        .unionByName(part_stats(batch))
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_len").cast("bigint").alias("total_len"),
+        )
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+    scored = (
+        idx.withColumn("df", df_w)
+        .join(F.broadcast(stats))
+        .withColumn("idf_milli", F.expr(_IDF_MILLI))
+        .withColumn("score_term", F.expr(_SCORE_TERM.format(div="div")))
+    )
+    per_query = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_term").alias("score_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_milli")
+    )
