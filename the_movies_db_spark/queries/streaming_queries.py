@@ -362,3 +362,111 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return E.run_available_now(agg, output_mode="complete")
+
+
+def _dedup_admission_oracle() -> str:
+    from the_movies_db_spark.queries.dedup_queries import (
+        _BANDS,
+        _NUM_BANDS,
+        _SHINGLES,
+        _SIG,
+    )
+
+    pairs = " UNION ".join(
+        f"SELECT a.doc_id AS doc_id FROM banded a JOIN banded b"
+        f" ON a.b{j} = b.b{j} AND a.doc_id > b.doc_id"
+        for j in range(_NUM_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, sh, {_SIG} FROM sh),
+    banded AS (SELECT doc_id, {_BANDS} FROM sig),
+    rejected AS (SELECT DISTINCT doc_id FROM ({pairs})),
+    flagged AS (
+      SELECT d.source,
+             CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rej
+      FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(rej) AS BIGINT)        AS n_rejected,
+           CAST(count(*) - sum(rej) AS BIGINT) AS n_admitted
+    FROM flagged GROUP BY source
+    """
+
+
+@register(
+    "streaming_dedup_admission",
+    _dedup_admission_oracle(),
+    doc=(
+        "Streaming near-dup admission: the MinHash band-signature INDEX "
+        "is maintained by a real stream (each micro-batch appends its "
+        "docs' bands — order-independent), then admission applies "
+        "first-writer-wins: a doc is rejected iff it shares a band with "
+        "any smaller-id doc. Final per-source counts must equal the "
+        "batch SQL exactly."
+    ),
+)
+def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-maintained LSH index + deterministic admission.
+
+    The production composition this pins: ingest micro-batches extend
+    the banded-signature table incrementally (an APPEND of O(batch)
+    rows — the fact corpus is never re-shingled), and admission
+    decisions join against the accumulated index. The decision rule is
+    order-independent (first-writer-wins BY DOC ID, not by arrival), so
+    a bounded replay is deterministic and value-hashes against the
+    batch formulation — the same discipline every streaming entry here
+    follows.
+
+    Scale notes (100 TB): the index append is O(batch x bands); the
+    rejection join is the banded equi-join (candidates only, never
+    all-pairs), and at rest the index is bucketed by band_hash so the
+    join co-locates. State lives in the table, not executor memory —
+    the stream itself is stateless.
+    """
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table, scratch_dir
+    from the_movies_db_spark.operators import dedup as D
+    from the_movies_db_spark.queries.dedup_queries import _NUM_BANDS, _NUM_HASHES
+
+    work = scratch_dir("streamdedup")
+    src, idx_dir = f"{work}/src", f"{work}/bandidx"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def maintain(batch_df, batch_id: int) -> None:
+        sig = D.banded_minhash_signatures(
+            batch_df, "doc_id", "text", _NUM_HASHES, _NUM_BANDS, 3
+        ).select(F.col("__id").alias("doc_id"), "band_idx", "band_hash")
+        sig.write.mode("append").parquet(idx_dir)
+
+    E.run_foreach_batch_available_now(stream, maintain)
+
+    idx = spark.read.parquet(idx_dir)
+    a, b = idx.alias("a"), idx.alias("b")
+    rejected = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = docs.join(
+        rejected.withColumn("rej", F.lit(1)), "doc_id", "left"
+    ).select("source", F.coalesce("rej", F.lit(0)).alias("rej"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("rej").cast("bigint").alias("n_rejected"),
+        (F.count(F.lit(1)) - F.sum("rej")).cast("bigint").alias("n_admitted"),
+    )
