@@ -216,3 +216,21 @@ def test_matryoshka_rerank_joins_by_id(spark, sf_dir, registry):
     # window (prefix rank) feeding broadcast joins back to embeddings
     assert txt.count("embeddings.parquet") >= 3  # prefix + corpus + query sides
     assert "BroadcastHashJoin" in txt
+
+
+def test_persisted_ann_index_scan_is_partition_pruned(spark, sf_dir, registry):
+    """The materialized IVFxPQ index must be read with a STATIC literal
+    partition filter on the probe cells, and the code scan must never
+    carry raw embedding vectors."""
+    df = registry["sim_index_persisted"].spark(spark, sf_dir)
+    txt = plan_of(df)
+    code_scans = [
+        line
+        for line in txt.splitlines()
+        if "FileScan" in line and "/codes" in line
+    ]
+    assert code_scans, txt
+    assert any("PartitionFilters: [cell" in line and " IN (" in line
+               for line in code_scans), code_scans
+    assert all("embedding" not in line.split("ReadSchema")[-1]
+               for line in code_scans), code_scans

@@ -72,8 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # basket_brand_pairs, agg_kmv_intersection,
     # pipeline_curriculum_order, events_pattern_vshape,
     # pipeline_semantic_pack, window_moving_median, dq_k_anonymity,
-    # search_index_incremental, streaming_dedup_admission — all locally
-    # oracle-green at sf0.01 AND sf0.1.
+    # search_index_incremental, streaming_dedup_admission,
+    # sim_index_persisted — all locally oracle-green at sf0.01 AND sf0.1.
     #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",

@@ -886,3 +886,97 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, "vec_id", "embedding",
         k=_K, prefix_dim=_MAT_PREFIX, shortlist=_MAT_SHORT, dim=_DIM,
     )
+
+
+from the_movies_db_spark.queries import REGISTRY as _REG
+
+
+@register(
+    "sim_index_persisted",
+    _REG["sim_topk_ivfpq"].oracle,
+    doc=(
+        "The IVF x PQ index MATERIALIZED: (id, codes) written to "
+        "parquet partitioned BY cell with a source fingerprint, so "
+        "repeated searches skip the build entirely and each query's ADC "
+        "scan is a PARTITION-PRUNED read of its probe cell's files. "
+        "Results are identical to the in-query composition, so the "
+        "oracle is the same SQL — the persisted layout is pinned "
+        "equal to the logical index."
+    ),
+)
+def sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over a build-once / search-many IVF x PQ index.
+
+    This is the at-rest shape every scale note in this module promises:
+    the index build (coarse assignment + PQ encoding) runs ONCE per
+    corpus fingerprint (path+size+mtime+format version, stamped after
+    the write commits) and lands partitioned by cell; a search then
+    (1) looks up its query cells from the index, (2) reads ONLY those
+    cell partitions — static partition pruning, the scan lists just the
+    probed dirs, (3) ADC-scores codes against the query LUTs, and
+    (4) re-ranks the shortlist by exact cosine joining raw vectors BY
+    id. At 100 TB the build is one linear pass and each query touches
+    ~|corpus|/n_cells code rows from ~1/n_cells of the files.
+    """
+    import json
+    import os
+
+    from the_movies_db_spark.io import scratch_dir
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    work = scratch_dir(
+        "annindex_" + os.path.basename(sf_dir.rstrip("/")), unique=False
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    stamp = {
+        "src": src,
+        "size": st.st_size,
+        "mtime": st.st_mtime_ns,
+        "fmt": ["ivfpq-v1", _N_CELLS, _PQ_CENT, _PQ_SUB, _DIM],
+    }
+    stamp_path = os.path.join(work, "_SOURCE")
+    fresh = False
+    try:
+        with open(stamp_path) as fh:
+            fresh = json.load(fh) == stamp
+    except (OSError, json.JSONDecodeError):
+        fresh = False
+    if not fresh:
+        encode, _ = S._pq_parts(e, "vec_id", "embedding", _PQ_CENT, _PQ_SUB, _DIM)
+        assigned = S.ivf_assign(e, "vec_id", "embedding", _N_CELLS, dim=_DIM)
+        idx = assigned.select("vec_id", "cell", *encode())
+        idx.write.mode("overwrite").partitionBy("cell").parquet(work + "/codes")
+        with open(stamp_path, "w") as fh:
+            json.dump(stamp, fh)
+
+    codes = spark.read.parquet(work + "/codes")
+    qcells = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("__qcell")
+    )
+    # bounded query set: collect the probe cells so the codes scan
+    # becomes a literal partition filter (static pruning at rest)
+    probe_cells = sorted({r["__qcell"] for r in qcells.collect()})
+    qraw = e.filter(F.col("vec_id") < _N_QUERIES)
+    _, luts = S._pq_parts(e, "vec_id", "embedding", _PQ_CENT, _PQ_SUB, _DIM)
+    q = qraw.select(F.col("vec_id").alias("query_id"), *luts()).join(
+        F.broadcast(qcells), "query_id"
+    )
+    probe = codes.filter(F.col("cell").isin(probe_cells)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("__ccell"),
+        *[F.col(f"__code{m}") for m in range(_PQ_SUB)],
+    )
+    from pyspark.sql import Window
+
+    w_short = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    shortlist = (
+        F.broadcast(q)
+        .join(probe, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", S._pq_adc(_PQ_SUB).alias("adc_micro"))
+        .withColumn("__srank", F.row_number().over(w_short))
+        .filter(F.col("__srank") <= _PQ_SHORT)
+        .drop("__srank")
+    )
+    return S._rerank_by_id(shortlist, e, qraw, "vec_id", "embedding", 5, _DIM)
