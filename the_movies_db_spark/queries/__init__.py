@@ -73,7 +73,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pipeline_curriculum_order, events_pattern_vshape,
     # pipeline_semantic_pack, window_moving_median, dq_k_anonymity,
     # search_index_incremental, streaming_dedup_admission,
-    # sim_index_persisted — all locally oracle-green at sf0.01 AND sf0.1.
+    # sim_index_persisted, orders_open_backlog — all locally
+    # oracle-green at sf0.01 AND sf0.1.
     #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",
