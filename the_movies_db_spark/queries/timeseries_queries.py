@@ -723,3 +723,252 @@ def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vshapes"),
         F.max("drop_ppm").cast("bigint").alias("max_drop_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# LTTB downsampling + continuous-aggregate cascade (round 4, late)
+# --------------------------------------------------------------------------
+
+#: Equal-count buckets for the LTTB downsample. At 100 TB this is the
+#: target display/training resolution, not a function of input size.
+_LTTB_BUCKETS = 16
+
+
+@register(
+    "events_downsample_lttb",
+    f"""
+    WITH pts AS (
+      SELECT event_type, event_id,
+             CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) - 1
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      FROM events
+    ),
+    b AS (
+      SELECT *, CAST((rn * {_LTTB_BUCKETS}) // cnt AS BIGINT) AS bucket
+      FROM pts
+    ),
+    cent AS (
+      SELECT event_type, bucket,
+             sum(x) // count(*) AS cx,
+             sum(y) // count(*) AS cy
+      FROM b GROUP BY 1, 2
+    ),
+    nbr AS (
+      SELECT event_type, bucket,
+             lag(cx)  OVER w AS cxp, lag(cy)  OVER w AS cyp,
+             lead(cx) OVER w AS cxn, lead(cy) OVER w AS cyn
+      FROM cent WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    scored AS (
+      SELECT b.*,
+             abs((n.cxp - n.cxn) * (b.y - n.cyp)
+                 - (n.cxp - b.x) * (n.cyn - n.cyp)) AS area2
+      FROM b JOIN nbr n
+        ON b.event_type = n.event_type AND b.bucket = n.bucket
+    ),
+    sel AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type, bucket
+               ORDER BY CASE WHEN bucket = 0 THEN rn
+                             WHEN bucket = {_LTTB_BUCKETS - 1} THEN -rn
+                             ELSE -coalesce(area2, 0) END, rn) AS pk
+      FROM scored
+    )
+    SELECT event_type, bucket, event_id, x AS x_sec, y / 100.0 AS value
+    FROM sel WHERE pk = 1
+    """,
+    doc=(
+        "Largest-Triangle-Three-Buckets downsampling of each event-type "
+        "series to a fixed bucket count: per bucket, keep the point "
+        "maximizing the triangle area against the neighboring buckets' "
+        "centroids (first/last points always kept). Centroids are "
+        "integer-floored (sum div n) so the area argmax is exact BIGINT "
+        "arithmetic in both engines."
+    ),
+)
+def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each per-type value series to ``_LTTB_BUCKETS`` points
+    with the LTTB shape-preserving criterion (Steinarsson 2013).
+
+    Determinism: the classic algorithm anchors each triangle on the
+    previously SELECTED point, a sequential dependency. This variant
+    anchors on the neighboring buckets' centroids instead (the same
+    simplification the reference family of time-series engines ships
+    for parallel execution) — every bucket scores independently, so
+    the operator is two hash aggregations + one bounded window over
+    the tiny per-bucket table. Coordinates are epoch-seconds x integer
+    cents; centroids are floored integer averages, so the 2x-area
+    cross product is exact BIGINT math (|terms| < ~2^35 at any SF —
+    bucket spans contribute differences, never absolutes) and the
+    argmax (tie-broken by series order) hash-matches DuckDB.
+
+    Scale notes (100 TB): per-series work is one row_number sort and
+    one per-bucket argmax — both partition by event_type; the centroid
+    neighbor table is |types| x |buckets| rows, broadcast back. For
+    billions of points per type, the rank-based bucketing stays
+    balanced by construction (equal-count, not equal-time)."""
+    e = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ts", "event_id")
+    pts = (
+        e.select(
+            "event_type",
+            "event_id",
+            F.expr(
+                "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) AS BIGINT)"
+            ).alias("x"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+            (F.row_number().over(wo) - 1).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(wt).cast("bigint").alias("cnt"),
+        )
+        .withColumn(
+            "bucket", F.expr(f"CAST(rn * {_LTTB_BUCKETS} div cnt AS BIGINT)")
+        )
+    )
+    cent = pts.groupBy("event_type", "bucket").agg(
+        F.expr("sum(x) div count(*)").alias("cx"),
+        F.expr("sum(y) div count(*)").alias("cy"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    nbr = cent.select(
+        "event_type",
+        "bucket",
+        F.lag("cx").over(wb).alias("cxp"),
+        F.lag("cy").over(wb).alias("cyp"),
+        F.lead("cx").over(wb).alias("cxn"),
+        F.lead("cy").over(wb).alias("cyn"),
+    )
+    scored = pts.join(F.broadcast(nbr), ["event_type", "bucket"]).withColumn(
+        "area2",
+        F.expr("abs((cxp - cxn) * (y - cyp) - (cxp - x) * (cyn - cyp))"),
+    )
+    pick = Window.partitionBy("event_type", "bucket").orderBy(
+        F.expr(
+            f"CASE WHEN bucket = 0 THEN rn"
+            f" WHEN bucket = {_LTTB_BUCKETS - 1} THEN -rn"
+            f" ELSE -coalesce(area2, CAST(0 AS BIGINT)) END"
+        ),
+        "rn",
+    )
+    return (
+        scored.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            "event_id",
+            F.col("x").alias("x_sec"),
+            (F.col("y") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+def _duck_day(expr: str = "ts") -> str:
+    return (
+        "TIMESTAMP '1970-01-01 00:00:00' + ((datediff('second',"
+        f" TIMESTAMP '1970-01-01 00:00:00', {expr}) // 86400) * 86400)"
+        " * INTERVAL 1 SECOND"
+    )
+
+
+@register(
+    "events_rollup_cascade",
+    f"""
+    SELECT event_type,
+           {_duck_day()} AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS volume_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT)
+             AS avg_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Continuous-aggregate cascade: minute rollup from raw, hour "
+        "rollup FROM THE MINUTE ROWS, day rollup FROM THE HOUR ROWS. "
+        "The oracle aggregates raw events directly at day grain, so "
+        "driver equality pins that re-aggregating rollups loses "
+        "nothing — the invariant incremental materialized views rely "
+        "on. All stats are decomposable (count/sum/min/max in integer "
+        "cents; avg derived at the end as sum div count)."
+    ),
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level event stats computed as a minute -> hour -> day
+    re-aggregation cascade (the TimescaleDB continuous-aggregate /
+    Druid rollup pattern).
+
+    Each level aggregates the PREVIOUS level's rows, not raw data —
+    exactly how a hypertable maintains hour rollups incrementally from
+    minute rollups. Only decomposable statistics cross levels (count,
+    sum, min, max as BIGINT cents); avg is derived once at the end
+    (sum div count, exact), never averaged-of-averages.
+
+    Scale notes (100 TB): the raw scan happens ONCE at minute grain;
+    every later level aggregates rows already ~1000x smaller. With the
+    minute level persisted (streaming_incremental_rollup maintains
+    exactly that artifact), day queries never touch raw data — the
+    cascade is the query-time contract that makes that storage layout
+    safe."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    minute = (
+        e.select(
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) div 60 AS BIGINT)"
+            ).alias("m"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("cents"),
+            F.min("c").cast("bigint").alias("lo"),
+            F.max("c").cast("bigint").alias("hi"),
+        )
+    )
+    hour = (
+        minute.withColumn("h", F.expr("m div 60"))
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.min("lo").cast("bigint").alias("lo"),
+            F.max("hi").cast("bigint").alias("hi"),
+        )
+    )
+    day = (
+        hour.withColumn("d", F.expr("h div 24"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("volume_cents"),
+            F.min("lo").cast("bigint").alias("min_cents"),
+            F.max("hi").cast("bigint").alias("hi_cents"),
+        )
+    )
+    return day.select(
+        "event_type",
+        F.expr(
+            "timestampadd(SECOND, CAST(d * 86400 AS BIGINT),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("day"),
+        "n_events",
+        "volume_cents",
+        "min_cents",
+        F.col("hi_cents").alias("max_cents"),
+        F.expr("volume_cents div n_events").cast("bigint").alias("avg_cents"),
+    )
