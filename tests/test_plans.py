@@ -234,3 +234,38 @@ def test_persisted_ann_index_scan_is_partition_pruned(spark, sf_dir, registry):
                for line in code_scans), code_scans
     assert all("embedding" not in line.split("ReadSchema")[-1]
                for line in code_scans), code_scans
+
+
+def test_bloom_prefilter_prunes_before_join(spark, sf_dir, registry):
+    df = registry["join_bloom_prefilter"].spark(spark, sf_dir)
+    txt = plan_of(df)
+    # The bitmask probe (element_at & shiftleft over xxhash64 positions)
+    # must sit in a Filter on the fact side, not after the join.
+    assert "xxhash64" in txt and "shiftleft" in txt
+    # And it must actually prune: the bloom admits far fewer fact rows
+    # than the table holds (302/1500 customers are BUILDING).
+    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.operators.joins import bloom_prefilter_join
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    total = o.count()
+    plain = o.join(c, "c_custkey").count()
+    admitted = bloom_prefilter_join(o, c, on="c_custkey").count()
+    assert plain == admitted  # exact join removes every false positive
+    # prefilter selectivity must approach the true selectivity
+    assert admitted < total * 0.5
+
+
+def test_rollup_cascade_three_aggregate_levels(spark, sf_dir, registry):
+    txt = plan_of(registry["events_rollup_cascade"].spark(spark, sf_dir))
+    # minute -> hour -> day: three distinct hash-aggregate levels
+    # (each with partial+final), but only ONE scan of events.
+    assert txt.count("events.parquet") == 1

@@ -98,3 +98,60 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )
     return big_s.join(small_s, [*keys, SALT_COL], how).drop(SALT_COL)
+
+
+def _bloom_pos_sql(key: str, i: int, bits: int) -> str:
+    """SQL for the i-th Bloom position of ``key`` — the SAME text is
+    used on the build side and the probe side, so the two can never
+    disagree (a build/probe hash mismatch would create false
+    negatives, i.e. silently dropped rows)."""
+    return f"pmod(xxhash64({key}, {i}), {bits})"
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    bits: int = 8192,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """Runtime-filter (semi-join-reduction) inner join: build a Bloom
+    filter over ``small``'s join keys, prefilter ``big`` with it BEFORE
+    the shuffle, then run the exact join.
+
+    The filter is a 64-bit-word bitmask inlined as ONE parsed literal
+    array (bits/64 BIGINTs — never per-element ``F.lit``), so the
+    probe is two O(1) bit tests per row inside whole-stage codegen.
+    False positives are removed by the exact join that follows; false
+    negatives are impossible because both sides evaluate the identical
+    position expressions. Inner joins only — a prefilter would change
+    outer-join semantics.
+
+    Scale notes (100 TB): this is what Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects adaptively;
+    the explicit form works when the build side is the OUTPUT of an
+    earlier stage the optimizer can't see through (a filtered dim, a
+    dedup survivor set). Shuffling only pre-filtered fact rows is the
+    win: at 1% dim selectivity the exchange moves ~1% of the fact.
+    The build-side collect is one distinct over at most ``bits``
+    positions — bounded by the mask size, not the dim cardinality."""
+    positions = [F.expr(_bloom_pos_sql(on, i, bits)) for i in range(num_hashes)]
+    rows = (
+        small.select(F.explode(F.array(*positions)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    mask = [0] * ((bits + 63) // 64)
+    for r in rows:
+        p = int(r["p"])
+        mask[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in mask]
+    mask_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    terms = []
+    for i in range(num_hashes):
+        p = _bloom_pos_sql(on, i, bits)
+        terms.append(
+            f"(element_at({mask_sql}, CAST(({p}) DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0"
+        )
+    return big.filter(F.expr(" AND ".join(terms))).join(small, on, "inner")

@@ -1252,3 +1252,41 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+    doc=(
+        "Runtime-filter join (operators.joins.bloom_prefilter_join): a "
+        "Bloom filter of the filtered dim's keys — one inlined "
+        "8192-bit mask, two codegen bit-tests per fact row — prunes "
+        "the fact BEFORE its shuffle; the exact join then removes the "
+        "Bloom's false positives. The oracle is the PLAIN join, so "
+        "driver equality pins no-false-negatives. The explicit form of "
+        "spark.sql.optimizer.runtime.bloomFilter's injected filter."
+    ),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.operators.joins import bloom_prefilter_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority", "o_totalprice"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    j = bloom_prefilter_join(o, c, on="c_custkey")
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

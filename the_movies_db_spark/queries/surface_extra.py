@@ -1271,3 +1271,83 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
         )
     )
+
+
+_ORD_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+@register(
+    "agg_incremental_mv",
+    f"""
+    SELECT o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({_ORD_CENTS}) AS BIGINT) AS total_cents,
+           CAST(min({_ORD_CENTS}) AS BIGINT) AS min_cents,
+           CAST(max({_ORD_CENTS}) AS BIGINT) AS max_cents,
+           CAST(sum({_ORD_CENTS}) // count(*) AS BIGINT) AS avg_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Incremental materialized-view maintenance: partial aggregates "
+        "of a historical base slice and a fresh delta slice are UNIONed "
+        "and re-aggregated; the oracle aggregates the full table "
+        "directly, so driver equality pins merge(partial(base), "
+        "partial(delta)) == full recompute — the invariant every "
+        "incremental MV (and every partial-agg shuffle) relies on. "
+        "Only decomposable stats cross the merge; avg derives at the "
+        "end as sum div count."
+    ),
+)
+def agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge base + delta partial aggregates into the day-one MV state.
+
+    The batch analog of streaming_incremental_rollup's foreachBatch
+    merge: the base partial is what a stored MV would hold, the delta
+    partial is one ingest batch, and the merge is a second-level
+    aggregation over (count, sum, min, max) in integer cents — all
+    decomposable, so the merged view is bit-identical to recomputing
+    from raw.
+
+    Scale notes (100 TB): the merge's input is two MV-grain row sets
+    (|priorities| x |months|), not fact rows — the raw scan happens
+    once per ingest batch, ever. Non-decomposable stats (exact
+    distinct, exact median) must NOT cross this merge; use the
+    mergeable sketches (agg_kmv_distinct, agg_hll_sketch) instead."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("s"),
+            F.min(cents).cast("bigint").alias("mn"),
+            F.max(cents).cast("bigint").alias("mx"),
+        )
+
+    split = F.lit("2000-01-01").cast("timestamp")
+    base = partial(o.filter(F.col("o_orderdate") < split))
+    delta = partial(o.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("priority", "ym")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("s").cast("bigint").alias("total_cents"),
+            F.min("mn").cast("bigint").alias("min_cents"),
+            F.max("mx").cast("bigint").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "priority",
+        "ym",
+        "n_orders",
+        "total_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("total_cents div n_orders").cast("bigint").alias("avg_cents"),
+    )
