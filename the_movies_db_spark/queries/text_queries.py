@@ -515,3 +515,103 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__dchars").cast("bigint").alias("n_distinct"),
         F.round(ent, 4).alias("entropy_bits"),
     )
+
+
+@register(
+    "text_collocations",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+      WHERE len({_TOKENS}) >= 2
+    ),
+    bg AS (
+      SELECT lower(u.p[1]) AS a, lower(u.p[2]) AS b
+      FROM (SELECT unnest(list_zip(t[:len(t)-1], t[2:])) AS p FROM tok) u
+    ),
+    uni AS (
+      SELECT lower(unnest(t)) AS w FROM tok
+    ),
+    cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bg),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+    cb AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY a, b HAVING count(*) >= 5
+    )
+    SELECT cb.a, cb.b, cb.c_ab,
+           ca.c AS c_a, cbb.c AS c_b,
+           CAST((((cb.c_ab * 1000 * nu.n_uni) // ca.c) * nu.n_uni)
+                // cbb.c // nb.n_bi AS BIGINT) AS lift_milli
+    FROM cb
+    JOIN cu ca  ON cb.a = ca.w
+    JOIN cu cbb ON cb.b = cbb.w
+    CROSS JOIN nb CROSS JOIN nu
+    ORDER BY lift_milli DESC, cb.a, cb.b
+    LIMIT 50
+    """,
+    doc=(
+        "Collocation (phrase) mining: adjacent-token bigrams scored by "
+        "lift = P(ab)/(P(a)P(b)) as an exact integer milli-ratio "
+        "(nested floor divisions mirrored on both engines), min "
+        "support 5, top 50 with full (lift, a, b) tie-break. The text "
+        "sibling of basket_brand_pairs — phrase discovery for "
+        "tokenizer/vocab curation."
+    ),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by lift over the document corpus.
+
+    Bigrams come from one explode of in-array adjacent pairs (a pure
+    projection — no self-join of token positions); unigram and bigram
+    totals are two scalar aggregates; the lift join touches only the
+    min-support survivors against the bounded vocabulary.
+
+    Scale notes (100 TB): the bigram stream is ~token volume; both
+    count tables shrink to vocab/vocab² with map-side partial
+    aggregation, and the final scoring join is vocab-sized (broadcast
+    at any realistic vocab). The nested integer-div lift is exact while
+    c_ab*1000*n_uni² / c_a stays under 2^63 — at ≳1e13 tokens drop the
+    milli factor or score per shard and merge."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.expr("split(text, '\\\\s+')").alias("t")
+    ).filter(F.expr("size(t) >= 2"))
+    bg = tok.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(lower(x) AS a,"
+                " lower(element_at(t, i + 2)) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = tok.select(F.explode(F.expr("transform(t, x -> lower(x))")).alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    n_bi = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    cb = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ca = cu.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    cbb = cu.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        cb.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cbb), "b")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST(((c_ab * 1000 * n_uni div c_a) * n_uni)"
+                " div c_b div n_bi AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), "a", "b")
+        .limit(50)
+    )
