@@ -470,3 +470,65 @@ def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rej").cast("bigint").alias("n_rejected"),
         (F.count(F.lit(1)) - F.sum("rej")).cast("bigint").alias("n_admitted"),
     )
+
+
+@register(
+    "streaming_append_closed",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+    doc=(
+        "APPEND-mode watermark finalization: the tumbling aggregate "
+        "emits a window exactly once, when the watermark (max event "
+        "time - 1h) passes its END — the open tail stays in state and "
+        "never reaches the sink. The oracle is the batch aggregate "
+        "HAVING window_end <= max(ts) - 1h, so driver equality pins "
+        "the emit-once-closed contract (boundary inclusive: a window "
+        "whose end equals the watermark IS emitted)."
+    ),
+)
+def streaming_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-once finalized tumbling windows (append output mode).
+
+    Complete mode (every other windowed entry here) re-emits all
+    state each trigger — fine for a memory sink, impossible for an
+    append-only production sink (files, Kafka). This entry pins the
+    append contract instead: with watermark delay D, a window emits
+    exactly once, in the first trigger whose watermark
+    floor_ms(max event time) - D is >= its end; rows keep
+    aggregating into open windows until then. AvailableNow's trailing
+    no-data micro-batch advances the final watermark, so the bounded
+    replay deterministically emits every window except the open tail.
+
+    Scale notes (100 TB/day): append + watermark is what bounds state
+    - closed windows leave the store, so state is O(open windows x
+    types), not O(history). The ms-floor in the engine's watermark
+    tracking cannot flip the inclusive end <= wm comparison for
+    ms-aligned window ends, which is why the plain-microsecond oracle
+    is exact."""
+    from pyspark.sql import functions as F
+
+    stream = E.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = E.run_available_now(agg, output_mode="append")
+    return E.to_ntz(out, "window_start")

@@ -972,3 +972,76 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi_cents").alias("max_cents"),
         F.expr("volume_cents div n_events").cast("bigint").alias("avg_cents"),
     )
+
+
+#: Truncated exponential window: alpha = 1/2 over the last 16 samples,
+#: so the weight vector is [1, 2, 4, ..., 2^15] (oldest -> newest) and
+#: the weight total is 2^16 - 1 — all integers, no float decay powers.
+_EWMA_W = 16
+_EWMA_WEIGHTS = "[" + ", ".join(str(1 << i) for i in range(_EWMA_W)) + "]"
+
+
+@register(
+    "events_ewma",
+    f"""
+    WITH s AS (
+      SELECT event_id, event_type,
+             list(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW)
+               AS fr
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(list_aggregate(
+                  list_transform(list_zip(fr, {_EWMA_WEIGHTS}),
+                                 p -> p[1] * p[2]),
+                  'sum') * 1000 // {(1 << _EWMA_W) - 1} AS BIGINT)
+             AS ewma_millicents
+    FROM s WHERE len(fr) = {_EWMA_W}
+    """,
+    doc=(
+        "Exponentially-weighted moving average (alpha=1/2) truncated "
+        "to a 16-sample frame: weights are exact powers of two and the "
+        "normalizer is 2^16-1, so the smoother is pure BIGINT "
+        "arithmetic (millicents) — the recursive float EWMA can never "
+        "hash-match across engines; this formulation does, with <2^-16 "
+        "truncation bias vs the infinite tail."
+    ),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EWMA forecast baseline per event type.
+
+    The recursion s_t = a*v_t + (1-a)*s_{t-1} is inherently sequential
+    AND float-ordered; truncating at 16 terms with a = 1/2 turns it
+    into a dot product with power-of-two weights over a bounded window
+    frame — parallel, exact, and off by at most 2^-16 of the oldest
+    mass. Emitted only for full frames, so every output row is the
+    same estimator.
+
+    Scale notes (100 TB): identical execution profile to the moving
+    median — one per-type sort shared with this module's other window
+    ops, 16 BIGINTs of frame state per row, projection-only scoring
+    (|terms| < 2^45, no overflow headroom concerns)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_W - 1), Window.currentRow)
+    )
+    c = F.expr("CAST(round(value * 100) AS BIGINT)")
+    s = e.select(
+        "event_id",
+        "event_type",
+        F.collect_list(c).over(w).alias("fr"),
+    )
+    return s.filter(F.size("fr") == _EWMA_W).select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "CAST(aggregate(zip_with(fr,"
+            f" array({', '.join(str(1 << i) + 'L' for i in range(_EWMA_W))}),"
+            " (x, w) -> x * w), 0L, (a, x) -> a + x) * 1000"
+            f" div {(1 << _EWMA_W) - 1} AS BIGINT)"
+        ).alias("ewma_millicents"),
+    )
