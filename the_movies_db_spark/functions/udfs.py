@@ -49,3 +49,41 @@ class SplitWords:
             return
         for i, w in enumerate(text.split()):
             yield i, w, len(w)
+
+
+@udtf
+class ExtractJsonProps:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is computed
+    at plan time by ``analyze`` from a CONSTANT list of JSON keys —
+    one BIGINT column per requested key. The declared-schema sibling
+    is ``SplitWords``; this one demonstrates analyze-time schema
+    resolution (catalyst sees real named columns, so pruning and
+    downstream resolution work as if the schema were static)."""
+
+    @staticmethod
+    def analyze(props, keys):
+        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not keys.isConstantExpression or keys.value is None:
+            raise ValueError("keys must be a constant array of strings")
+        return AnalyzeResult(
+            StructType(
+                [StructField(str(k), LongType()) for k in keys.value]
+            )
+        )
+
+    def eval(self, props: str, keys):
+        import json
+
+        if props is None:
+            return
+        try:
+            d = json.loads(props)
+        except ValueError:
+            d = {}
+        vals = []
+        for k in keys:
+            v = d.get(k)
+            vals.append(int(v) if isinstance(v, (int, float)) else None)
+        yield tuple(vals)

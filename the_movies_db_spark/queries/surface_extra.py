@@ -1351,3 +1351,98 @@ def agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cents",
         F.expr("total_cents div n_orders").cast("bigint").alias("avg_cents"),
     )
+
+
+@register(
+    "agg_regression",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  // 3600 AS BIGINT) AS h,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT event_type,
+             h - min(h) OVER (PARTITION BY event_type) AS x,
+             y
+      FROM hourly
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM centered GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
+             AS slope_millicents_per_hour,
+           CAST((sy * 1000 - ((n * sxy - sx * sy) * 1000
+                              // (n * sxx - sx * sx)) * sx) // n AS BIGINT)
+             AS intercept_millicents
+    FROM s
+    """,
+    doc=(
+        "Least-squares trend per event type (the REGR_SLOPE / "
+        "REGR_INTERCEPT family) over the hourly revenue rollup, in "
+        "exact integer millicents: slope = (n*Sxy - Sx*Sy)*1000 div "
+        "(n*Sxx - Sx^2) with the hour axis re-based per type (a "
+        "window min), so every moment fits BIGINT; the intercept "
+        "derives from the already-floored slope with the identical "
+        "formula on both engines."
+    ),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of hourly revenue, engine-exact.
+
+    Float REGR_* aggregates can't hash-match across engines (summation
+    order); here every sufficient statistic (n, Sx, Sy, Sxy, Sxx) is a
+    BIGINT over the hourly rollup, and both outputs are single floor
+    divisions of exact integers. Re-basing hours per type (x = h -
+    min(h) over type) bounds |n*Sxy| well under 2^63 at any SF while
+    leaving the slope invariant; the intercept is reported at each
+    type's first active hour.
+
+    Scale notes (100 TB): the raw scan collapses to |types| x |hours|
+    at the first aggregate; the regression itself runs on that rollup
+    (one window pass + one aggregate) — the standard two-level
+    sufficient-statistics plan, all map-side combinable."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) div 3600 AS BIGINT)"
+            ).alias("h"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    centered = hourly.select(
+        "event_type",
+        (F.col("h") - F.min("h").over(w)).alias("x"),
+        "y",
+    )
+    s = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = "(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"
+    return s.select(
+        "event_type",
+        "n",
+        F.expr(f"CAST({slope} AS BIGINT)").alias("slope_millicents_per_hour"),
+        F.expr(
+            f"CAST((sy * 1000 - ({slope}) * sx) div n AS BIGINT)"
+        ).alias("intercept_millicents"),
+    )

@@ -225,3 +225,38 @@ def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("line_cents").cast("bigint").alias("line_cents"),
         F.sum("order_cents").cast("bigint").alias("order_cents"),
     )
+
+
+@register(
+    "udtf_json_props_dynamic",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(count(*) AS BIGINT)                        AS n,
+           CAST(count(missing) AS BIGINT)                  AS n_missing
+    FROM (
+      SELECT props, CAST(NULL AS BIGINT) AS missing
+      FROM events WHERE event_id < 2000
+    )
+    GROUP BY 1
+    """,
+    doc=(
+        "Polymorphic Python UDTF: the output schema (one BIGINT column "
+        "per requested JSON key) is resolved at PLAN time by the "
+        "UDTF's analyze() from a constant key list — a key absent from "
+        "the data still yields a real, typed, all-NULL column. "
+        "Aggregated mod-10 so the driver row set is bounded."
+    ),
+)
+def udtf_json_props_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.functions.udfs import ExtractJsonProps
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    cols = e.lateralJoin(
+        ExtractJsonProps(
+            F.col("props").outer(), F.array(F.lit("k"), F.lit("missing"))
+        )
+    )
+    return cols.groupBy((F.col("k") % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("missing").cast("bigint").alias("n_missing"),
+    )
