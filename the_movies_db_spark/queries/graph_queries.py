@@ -205,3 +205,84 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+_BFS_SOURCE = 0
+_BFS_MAX_HOPS = 10
+
+
+@register(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    r(node, dist) AS (
+      SELECT CAST({_BFS_SOURCE} AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT CAST(e.dst AS BIGINT), CAST(r.dist + 1 AS BIGINT)
+      FROM r JOIN e ON e.src = r.node
+      WHERE r.dist < {_BFS_MAX_HOPS}
+    )
+    SELECT nat.n_name AS nation, CAST(min(r.dist) AS BIGINT) AS hops
+    FROM r JOIN nation nat ON r.node = nat.n_nationkey
+    GROUP BY nat.n_name
+    """,
+    doc=(
+        "Single-source shortest hop count (BFS) on the directed trade "
+        "graph, iterated TO CONVERGENCE — the complement of "
+        "graph_pagerank's fixed iteration count: the loop stops when "
+        "(reached count, total distance) is a fixpoint, which the "
+        "oracle's recursive CTE reaches by construction. Unreachable "
+        "nations are absent on both sides."
+    ),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-style BFS distances via iterative min-plus relaxation.
+
+    Each round joins the current distance table to the edge list,
+    relaxes dist+1 into neighbors, and re-aggregates the min — the
+    Pregel step declared in DataFrames. Convergence is detected from
+    one tiny driver-side aggregate (reached-count + distance-sum: the
+    pair is monotone, so equality == fixpoint); ``localCheckpoint``
+    truncates the growing lineage each round, exactly as
+    ``dedup.connected_components`` does.
+
+    Scale notes (100 TB / billions of nodes): every round is one
+    shuffled equi-join on node id + one aggregate; rounds = graph
+    diameter (small-world graphs: <15). The convergence aggregate is
+    2 BIGINTs to the driver per round, never the frontier itself. A
+    delta-frontier optimization (join only nodes whose dist changed)
+    drops per-round cost from |V| to |frontier| when diameters grow."""
+    edges = _edges(spark, sf_dir).cache()
+    dist = (
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(_BFS_SOURCE).cast("bigint").alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = (1, 0)  # (reached nodes, sum of distances)
+    for _ in range(_BFS_MAX_HOPS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        new_state = (row["n"], row["s"])
+        if new_state == state:
+            break
+        state = new_state
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        dist.join(nat, dist.node == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.min("dist").cast("bigint").alias("hops"))
+    )
