@@ -817,3 +817,83 @@ def containment_pairs(
                 cont.alias("containment_ppm"))
         .filter(F.col("containment_ppm") >= threshold_ppm)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_ppm: int = 500_000,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard pairs >= t via PPJoin-style PREFIX FILTERING
+    (Xiao et al., WWW'08) — the lossless alternative to the df-cap:
+    instead of dropping hot shingles, sort each document's shingle set
+    by GLOBAL rarity (df asc, shingle asc) and index only its PREFIX
+    of length |x| - ceil(t*|x|) + 1. Any pair with J >= t must share a
+    prefix element (pigeonhole on the common total order), so candidate
+    generation is complete; the exact intersection then verifies.
+
+    Why it scales: hot (stopword-like) shingles sort LAST, so they
+    almost never enter a prefix — posting lists of prefix tokens are
+    the rare tail, and the self-join cost collapses without the recall
+    caveat a df-cap carries. Higher thresholds shorten prefixes:
+    at t=0.9 only ~10% of each set is indexed.
+
+    Verification joins candidates back to the per-doc sorted arrays BY
+    ID (two hash joins) and intersects in-memory — never a second
+    posting-list join."""
+    t_num, t_den = threshold_ppm, 1_000_000
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(text_col), shingle_n))
+        ).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    keyed = sh.join(dfreq, "shingle").select(
+        "__id",
+        F.expr(
+            "concat(lpad(CAST(__df AS STRING), 10, '0'), '|', shingle)"
+        ).alias("k"),
+    )
+    sets = keyed.groupBy("__id").agg(
+        F.array_sort(F.collect_list("k")).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # prefix length |x| - ceil(t|x|) + 1, ceil in exact integers
+    plen = f"n - ((n * {t_num} + {t_den - 1}) div {t_den}) + 1"
+    prefix = sets.select(
+        "__id", F.explode(F.expr(f"slice(arr, 1, CAST({plen} AS INT))")).alias("k")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("arr").alias("arr_a"),
+                     F.col("n").alias("n_a"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("arr").alias("arr_b"),
+                     F.col("n").alias("n_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(size(array_intersect(arr_a, arr_b)) AS BIGINT)"
+            ).alias("__inter"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"CAST(__inter * {t_den} div (n_a + n_b - __inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= t_num)
+    )

@@ -515,3 +515,38 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+@register(
+    "dedup_prefix_filter",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ns
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(ns * 1000000 // (sa.n + sb.n - ns) AS BIGINT) AS jaccard_ppm
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ns * 1000000 // (sa.n + sb.n - ns) >= 500000
+    """,
+    doc=(
+        "PPJoin-style prefix filtering (operators.dedup."
+        "prefix_filter_pairs): each document indexes only the "
+        "|x|-ceil(t|x|)+1 globally-RAREST of its shingles, any "
+        "J>=t pair provably collides in that prefix, and the exact "
+        "intersection verifies candidates. The oracle is the PLAIN "
+        "quadratic posting join, so driver equality pins that the "
+        "pruning is LOSSLESS — unlike the df-cap variant "
+        "(dedup_ngram_jaccard), which trades recall on hot shingles."
+    ),
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return D.prefix_filter_pairs(
+        d, "doc_id", "text", threshold_ppm=500_000, shingle_n=3
+    )

@@ -1446,3 +1446,63 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((sy * 1000 - ({slope}) * sx) div n AS BIGINT)"
         ).alias("intercept_millicents"),
     )
+
+
+@register(
+    "profile_skew",
+    """
+    WITH freq AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM freq
+    )
+    SELECT f.l_suppkey AS suppkey, f.cnt,
+           CAST(f.cnt * 1000000 // t.n_rows AS BIGINT) AS share_ppm,
+           CAST(f.cnt * 1000 // (t.n_rows // t.n_keys) AS BIGINT)
+             AS vs_mean_milli
+    FROM freq f CROSS JOIN tot t
+    ORDER BY f.cnt DESC, f.l_suppkey
+    LIMIT 10
+    """,
+    doc=(
+        "Join-key skew profiler: per-key frequency of the fact join "
+        "key, top-10 hottest keys with their share (exact ppm) and "
+        "ratio to the mean key load (milli) — the measurement that "
+        "decides WHEN join_salted_skew's salting (or AQE skew split) "
+        "is worth its overhead. One map-side-combined aggregation; "
+        "the totals side is a 1-row broadcast."
+    ),
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N heavy-hitter join keys with exact load ratios.
+
+    Scale notes (100 TB): the frequency table is |keys| rows after one
+    partial-aggregated shuffle; the top-10 is a TakeOrderedAndProject.
+    In production this runs on a sample or the previous day's stats —
+    either way the output feeds the salt-factor choice for
+    operators.joins.salted_join (salt ~ vs_mean ratio of the hottest
+    key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "cnt",
+            F.expr("CAST(cnt * 1000000 div n_rows AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                "CAST(cnt * 1000 div (n_rows div n_keys) AS BIGINT)"
+            ).alias("vs_mean_milli"),
+        )
+        .orderBy(F.desc("cnt"), "suppkey")
+        .limit(10)
+    )
