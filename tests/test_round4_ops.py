@@ -134,3 +134,64 @@ def test_kmv_intersection_jaccard_bounds(spark):
         assert 0 <= r.jaccard_ppm <= 1_000_000
         assert r.matches <= r.m_union
         assert r.est_intersection >= 0.0
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The word-bitmap popcount must equal plain count(DISTINCT) — the
+    bitmap is an exact encoding, not an estimate."""
+    from the_movies_db_spark.io import load_table
+
+    got = {
+        r.event_type: r.n_users_bitmap
+        for r in REGISTRY["agg_bitmap_distinct"].spark(spark, SF).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_median_histogram_equals_sorted_middle(spark):
+    """med2 must equal the sum of the two middle elements of the fully
+    sorted per-type cents series (single-partition reference)."""
+    from the_movies_db_spark.io import load_table
+
+    got = {
+        r.event_type: r.med2_cents
+        for r in REGISTRY["agg_median_histogram"].spark(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in e.collect():
+        by_type.setdefault(r.event_type, []).append(r.c)
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        want = vals[(n - 1) // 2] + vals[n // 2]
+        assert got[t] == want, t
+
+
+def test_prefix_filter_candidates_complete(spark):
+    """Prefix filtering must be lossless: its pair set equals the
+    df-uncapped exact-Jaccard pair set at the same threshold."""
+    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.operators import dedup as D
+
+    d = load_table(spark, SF, "documents")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.prefix_filter_pairs(d, "doc_id", "text", 500_000, 3).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.5, shingle_n=3, max_df=None
+        ).collect()
+    }
+    assert got == want

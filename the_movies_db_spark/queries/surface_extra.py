@@ -1506,3 +1506,140 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "suppkey")
         .limit(10)
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+    WITH words AS (
+      SELECT event_type,
+             CAST(user_id // 32 AS BIGINT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_users_bitmap,
+           CAST(count(*) AS BIGINT)             AS n_words
+    FROM words GROUP BY 1
+    """,
+    doc=(
+        "Bitmap-index distinct count (the roaring-bitmap/Druid "
+        "pattern): integer user ids pack into 32-bit words (word = "
+        "id div 32, bit = id mod 32 — 32 not 64, so the sign bit "
+        "never shifts in engines with checked arithmetic), per-group bitmaps build with "
+        "bit_or — associative, so partial aggregation merges them "
+        "map-side — and popcount sums read the EXACT cardinality off. "
+        "The oracle mirrors the construction; equality with plain "
+        "count(DISTINCT) is pinned by the companion unit test."
+    ),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable distinct-count via bit_or'd word bitmaps.
+
+    Unlike count(DISTINCT) — which must shuffle every (group, id)
+    pair — the bitmap form shuffles at most |groups| x |id_range/32|
+    words, each merged map-side with bit_or (a commutative monoid,
+    like the KMV/HLL sketches but EXACT for bounded integer domains).
+    This is how bitmap-index engines make distinct-count additive
+    across segments.
+
+    Scale notes (100 TB): word count is id_range/32 per group
+    regardless of row count — for dense ids this beats the pair
+    shuffle by orders of magnitude; for sparse/huge domains switch to
+    compressed bitmaps or the KMV sketch (agg_kmv_distinct). bit_or
+    partial merge means skewed groups cost no more than one combiner
+    per partition."""
+    e = load_table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("CAST(user_id div 32 AS BIGINT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users_bitmap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
+@register(
+    "agg_median_histogram",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, c, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN c END)
+                + min(CASE WHEN cum >= tot // 2 + 1 THEN c END) AS BIGINT)
+             AS med2_cents,
+           CAST(max(tot) AS BIGINT) AS n_rows
+    FROM s GROUP BY event_type
+    """,
+    doc=(
+        "Exact distributed median WITHOUT a global sort: counting-sort "
+        "histogram per (type, cents value) — bounded by the value "
+        "domain, not the row count — then the lower/upper middle "
+        "elements read off a cumulative-count window. Output is "
+        "2x median (sum of the two middles; equal when n is odd) in "
+        "integer cents, the same no-interpolation convention as "
+        "window_moving_median."
+    ),
+)
+def agg_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram (counting-sort) exact median per event type.
+
+    agg_percentiles uses the engine's exact percentile aggregate,
+    whose buffer grows with distinct values PER GROUP in one task.
+    The histogram form shards the work: one map-side-combined count
+    per (group, value) — fine for value domains like prices/cents —
+    then one tiny window over the per-group histogram (|domain| rows
+    at most) locates the middle ranks. Every step is distributed and
+    exact; no sort of raw rows ever happens.
+
+    Scale notes (100 TB): the shuffle carries |groups| x |distinct
+    values| rows — for 2-decimal prices that's bounded (~5.6M per
+    group here) regardless of row count. For unbounded real domains,
+    bucket first (div k) and recurse into the median bucket —
+    two rounds bound the exact answer at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+        )
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    s = h.select(
+        "event_type",
+        "c",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    lo = F.min(F.when(F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("c")))
+    hi = F.min(F.when(F.col("cum") >= F.expr("tot div 2 + 1"), F.col("c")))
+    return s.groupBy("event_type").agg(
+        (lo + hi).cast("bigint").alias("med2_cents"),
+        F.max("tot").cast("bigint").alias("n_rows"),
+    )
