@@ -55,26 +55,26 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-4 rotation: rounds 1-3 accumulated 144 driver-green rows
-    # over 145 checked (1 rows-only by design). This window closes the
-    # loop completely: all 37 entries that have NEVER had a driver row
-    # (the 20 carried from rounds 1-3, including the 3 rows-only-by-
-    # design ones so the driver at least records their row counts, plus
-    # all 17 round-4 additions) and the 13 entries whose code CHANGED
-    # this round (dedup_semantic cell sizing, the zero-shuffle
-    # text_repetition rewrite, the integer-div bumps, and all 9
-    # streaming entries, whose checkpoint handling moved to repo-local
-    # scratch). 37 + 13 = 50: after this round every registry entry has
-    # at least one hard driver row.
+    # Round-4 FINAL rotation (continuation session). Registry = 211;
+    # 66 entries have never had a driver row (the 20 carried from
+    # rounds 1-3, 17 early-round-4 additions, 14 mid-round additions,
+    # 15 continuation-session additions). This window holds 47 of them
+    # plus the 3 highest-risk CHANGED entries (dedup_semantic: cell
+    # sizing now tracks the corpus; streaming_tumbling +
+    # streaming_foreachbatch_upsert: representatives for the
+    # checkpoint-relocation to repo-local scratch shared by all nine
+    # streaming runners — the other seven changed only through that
+    # shared path and keep their rounds-2/3 driver rows).
     #
-    # Registered AFTER this rotation (queue for the round-5 window):
-    # search_hybrid_rrf, sim_topk_matryoshka, events_streaks,
-    # basket_brand_pairs, agg_kmv_intersection,
-    # pipeline_curriculum_order, events_pattern_vshape,
-    # pipeline_semantic_pack, window_moving_median, dq_k_anonymity,
-    # search_index_incremental, streaming_dedup_admission,
-    # sim_index_persisted, orders_open_backlog — all locally
-    # oracle-green at sf0.01 AND sf0.1.
+    # Queue for the round-5 window (19 never-checked, all locally
+    # oracle-green at sf0.01 AND sf0.1): events_streaks,
+    # events_pattern_vshape, pipeline_curriculum_order,
+    # window_moving_median, dq_k_anonymity, orders_open_backlog,
+    # events_downsample_lttb, events_rollup_cascade, events_ewma,
+    # events_rolling_mau, join_bloom_prefilter, agg_incremental_mv,
+    # text_collocations, agg_regression, udtf_json_props_dynamic,
+    # graph_bfs_hops, profile_skew, agg_bitmap_distinct,
+    # agg_median_histogram.
     #
     # -- the 20 never-driver-checked entries ------------------------------
     "dedup_containment",
@@ -101,24 +101,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_ivfpq",        # new: IVF x PQ composition
     "sim_topk_ivf_nprobe",   # new: multi-probe IVF (recall dial)
     "pipeline_chunk_overlap",  # new: sliding-window chunking
-    "dedup_semantic",        # cells now track corpus count
+    "dedup_semantic",        # CHANGED: cells now track corpus count
     "dedup_semantic_lsh",    # new: sub-quadratic LSH-bucketed variant
     "join_salted_skew",      # new: skew-salted join == plain join
     "dedup_source_overlap",  # new: per-source MinHash sketch matrix
     "text_entropy",          # new: char-entropy quality signal
-    "text_repetition",       # rewritten zero-shuffle this round
-    "cdc_apply",             # integer-div bump
-    "pipeline_snapshot_diff",  # integer-div bump
-    # all 9 streaming entries: checkpoints moved to repo-local scratch
+    # CHANGED streaming representatives (repo-local checkpoint scratch)
     "streaming_tumbling",
-    "streaming_sliding",
-    "streaming_session_window",
-    "streaming_dedup",
     "streaming_foreachbatch_upsert",
-    "streaming_incremental_rollup",
-    "streaming_stateful_counter",
-    "streaming_stream_join",
-    "streaming_static_join",
+    # -- mid-round additions (previously queued) --------------------------
+    "search_hybrid_rrf",
+    "sim_topk_matryoshka",
+    "basket_brand_pairs",
+    "agg_kmv_intersection",
+    "pipeline_semantic_pack",
+    "search_index_incremental",
+    "streaming_dedup_admission",
+    "sim_index_persisted",
+    # -- continuation-session additions -----------------------------------
+    "dedup_prefix_filter",
+    "streaming_append_closed",
     # -- round-4 additions registered after the first rotation pass -------
     "dedup_recall_eval",
     "pipeline_token_apportion",
