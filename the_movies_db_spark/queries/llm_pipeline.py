@@ -912,3 +912,76 @@ def pipeline_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").cast("bigint").alias("n_sources"),
         )
     )
+
+
+@register(
+    "pipeline_padding_waste",
+    f"""
+    WITH s AS (
+      SELECT CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}'))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS actual,
+             CAST(sum(((n_tok + 31) // 32) * 32) AS BIGINT)   AS pad32,
+             CAST(sum(((n_tok + 63) // 64) * 64) AS BIGINT)   AS pad64,
+             CAST(sum(((n_tok + 127) // 128) * 128) AS BIGINT) AS pad128,
+             CAST(count(*) * max(n_tok) AS BIGINT)            AS padmax
+      FROM s
+    )
+    SELECT * FROM (
+      SELECT 'bucket32' AS strategy, actual, pad32 AS padded,
+             CAST((pad32 - actual) * 1000000 // pad32 AS BIGINT) AS waste_ppm
+      FROM agg
+      UNION ALL
+      SELECT 'bucket64', actual, pad64,
+             CAST((pad64 - actual) * 1000000 // pad64 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 'bucket128', actual, pad128,
+             CAST((pad128 - actual) * 1000000 // pad128 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 'pad_to_max', actual, padmax,
+             CAST((padmax - actual) * 1000000 // padmax AS BIGINT) FROM agg
+    ) u
+    """,
+    doc=(
+        "Batch padding-efficiency audit: total padded tokens and exact "
+        "waste_ppm under length-bucketing at granularity 32/64/128 "
+        "versus pad-to-corpus-max — the measurement behind choosing "
+        "sequence buckets (or sequence packing, whose waste "
+        "pipeline_pack_sequences bounds by construction). One "
+        "aggregation pass computes every strategy; rows unpivot from "
+        "the single result."
+    ),
+)
+def pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste per length-bucketing strategy, exact integers.
+
+    Scale notes (100 TB): one map-side-combinable aggregation over the
+    token counts — every strategy is an arithmetic projection of the
+    same row, so adding strategies is free; the unpivot runs on a
+    1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(T.regex_token_count("text").cast("bigint").alias("n_tok"))
+    agg = s.agg(
+        F.sum("n_tok").cast("bigint").alias("actual"),
+        F.sum(F.expr("((n_tok + 31) div 32) * 32")).cast("bigint").alias("pad32"),
+        F.sum(F.expr("((n_tok + 63) div 64) * 64")).cast("bigint").alias("pad64"),
+        F.sum(F.expr("((n_tok + 127) div 128) * 128"))
+        .cast("bigint")
+        .alias("pad128"),
+        (F.count(F.lit(1)) * F.max("n_tok")).cast("bigint").alias("padmax"),
+    )
+    return agg.selectExpr(
+        "stack(4,"
+        " 'bucket32', actual, pad32,"
+        "   CAST((pad32 - actual) * 1000000 div pad32 AS BIGINT),"
+        " 'bucket64', actual, pad64,"
+        "   CAST((pad64 - actual) * 1000000 div pad64 AS BIGINT),"
+        " 'bucket128', actual, pad128,"
+        "   CAST((pad128 - actual) * 1000000 div pad128 AS BIGINT),"
+        " 'pad_to_max', actual, padmax,"
+        "   CAST((padmax - actual) * 1000000 div padmax AS BIGINT)"
+        ") AS (strategy, actual, padded, waste_ppm)"
+    )

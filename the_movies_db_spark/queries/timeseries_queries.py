@@ -1114,3 +1114,118 @@ def events_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mau7",
         )
     )
+
+
+def _duck_med2(src: str, col: str) -> str:
+    """Histogram-median CTE chain over (event_type, {col}) in ``src``:
+    yields (event_type, med2) where med2 = lower middle + upper middle
+    — the same no-float convention as agg_median_histogram."""
+    return f"""
+      SELECT event_type,
+             CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN v END)
+                  + min(CASE WHEN cum >= tot // 2 + 1 THEN v END) AS BIGINT)
+               AS med2
+      FROM (
+        SELECT event_type, v, 
+               sum(n) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM (SELECT event_type, {col} AS v, CAST(count(*) AS BIGINT) AS n
+              FROM {src} GROUP BY 1, 2) h
+      ) s GROUP BY event_type
+    """
+
+
+@register(
+    "events_anomaly_mad",
+    f"""
+    WITH c0 AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    m1 AS ({_duck_med2("c0", "c")}),
+    d0 AS (
+      SELECT c0.event_type, abs(2 * c0.c - m1.med2) AS dev2
+      FROM c0 JOIN m1 USING (event_type)
+    ),
+    m2 AS ({_duck_med2("d0", "dev2")})
+    SELECT d0.event_type,
+           CAST(max(m1.med2) AS BIGINT) AS med2_cents,
+           CAST(max(m2.med2) AS BIGINT) AS mad4_cents,
+           CAST(count(*) AS BIGINT)     AS n,
+           CAST(sum(CASE WHEN d0.dev2 * 2 > 3 * m2.med2 THEN 1 ELSE 0 END)
+                AS BIGINT)              AS n_outliers
+    FROM d0
+    JOIN m1 ON d0.event_type = m1.event_type
+    JOIN m2 ON d0.event_type = m2.event_type
+    GROUP BY 1
+    """,
+    doc=(
+        "Robust (median/MAD) anomaly detection per event type — the "
+        "outlier-resistant sibling of events_anomaly_zscore, whose "
+        "mean/stddev an adversarial tail can drag. Both medians come "
+        "from the counting-sort histogram (agg_median_histogram's "
+        "plan, applied twice: values, then absolute deviations in "
+        "doubled-integer space), so |x-med| > 3*MAD evaluates as pure "
+        "BIGINT: dev2*2 > 3*mad4."
+    ),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier counts, exact and sort-free.
+
+    Doubled-space trick: med2 = 2x median and mad4 = 2x median of
+    (2x deviations) = 4x MAD stay integral for even counts, so the
+    classic |x - median| > 3 * MAD cutoff is the integer comparison
+    dev2 * 2 > 3 * mad4 — no float quantiles, engine-exact.
+
+    Scale notes (100 TB): two histogram-median passes (each one
+    map-side-combined count + a window over the bounded value domain)
+    plus one broadcast join of the tiny per-type medians back to the
+    deviation stream. Nothing sorts raw rows; nothing collects."""
+    e = load_table(spark, sf_dir, "events")
+    c0 = e.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+    )
+
+    def med2_of(df: DataFrame, col: str) -> DataFrame:
+        h = df.groupBy("event_type", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        wc = (
+            Window.partitionBy("event_type")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("event_type")
+        s = h.select(
+            "event_type",
+            "v",
+            F.sum("n").over(wc).alias("cum"),
+            F.sum("n").over(wt).alias("tot"),
+        )
+        lo = F.min(F.when(F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("v")))
+        hi = F.min(F.when(F.col("cum") >= F.expr("tot div 2 + 1"), F.col("v")))
+        return s.groupBy("event_type").agg(
+            (lo + hi).cast("bigint").alias("med2")
+        )
+
+    m1 = med2_of(c0, "c")
+    d0 = c0.join(F.broadcast(m1), "event_type").select(
+        "event_type", F.expr("abs(2 * c - med2)").alias("dev2")
+    )
+    m2 = med2_of(d0, "dev2").withColumnRenamed("med2", "mad4")
+    return (
+        d0.join(F.broadcast(m1), "event_type")
+        .join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med2").cast("bigint").alias("med2_cents"),
+            F.max("mad4").cast("bigint").alias("mad4_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.expr("dev2 * 2 > 3 * mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
