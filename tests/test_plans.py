@@ -269,3 +269,44 @@ def test_rollup_cascade_three_aggregate_levels(spark, sf_dir, registry):
     # minute -> hour -> day: three distinct hash-aggregate levels
     # (each with partial+final), but only ONE scan of events.
     assert txt.count("events.parquet") == 1
+
+
+def test_interval_overlap_join_is_equi_keyed(spark, sf_dir, registry):
+    txt = plan_of(registry["join_interval_overlap"].spark(spark, sf_dir))
+    # The binned rewrite must give Catalyst a real equi-key: without it
+    # the overlap predicate plans as BroadcastNestedLoopJoin (a cross
+    # product, quadratic at scale). Hash/sort-merge on __bucket only.
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt
+    assert "__bucket" in txt
+
+    # And the rewrite is lossless: bucket join == plain non-equi join.
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.operators.joins import interval_overlap_join
+
+    epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        F.expr(epoch).alias("a_start"),
+        F.expr(f"{epoch} + 600 + (event_id % 10) * 60").alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        F.expr(epoch).alias("b_start"),
+        F.expr(f"{epoch} + 300 + (event_id % 20) * 30").alias("b_end"),
+    )
+    binned = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", 3600
+    )
+    plain = a.join(
+        b,
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end")),
+    )
+    assert binned.count() == plain.count()
+    # spot-check pair identity, not just cardinality
+    lhs = {(r.a_id, r.b_id) for r in binned.select("a_id", "b_id").collect()}
+    rhs = {(r.a_id, r.b_id) for r in plain.select("a_id", "b_id").collect()}
+    assert lhs == rhs

@@ -100,6 +100,71 @@ def salted_join(
     return big_s.join(small_s, [*keys, SALT_COL], how).drop(SALT_COL)
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap join as a binned EQUI-join (closed intervals:
+    ``a_start <= b_end AND b_start <= a_end``).
+
+    A naive overlap join has no equi-key, so Spark plans it as a
+    BroadcastNestedLoopJoin — a cross product that is quadratic in the
+    fact size. The standard scale rewrite (DuckDB's IEJoin papers, the
+    GenomicsDB/AsterixDB interval-join literature) turns it into an
+    equi-join: explode each interval onto the fixed-width time buckets
+    it covers, join on bucket equality plus the exact overlap
+    predicate, and attribute each matched pair to EXACTLY ONE bucket —
+    the bucket containing ``greatest(a_start, b_start)`` (which lies
+    inside both intervals whenever they overlap) — so no dedup pass is
+    needed afterwards.
+
+    Scale notes (100 TB): work per row is O(len/bucket_width + 1)
+    replicas; the join shuffles on ``__bucket``, so co-temporal rows
+    co-locate and the per-task candidate set is bounded by bucket
+    population, not corpus size. Pick ``bucket_width`` near the median
+    interval length: too small multiplies replicas, too large degrades
+    toward per-bucket cross products. Column names must be disjoint
+    between ``a`` and ``b`` (pre-alias them).
+
+    Exactness: bucket ids are integer floor-division of the start/end
+    coordinates; the attribution equality uses the same integers, so
+    every overlapping pair appears exactly once and no pair is lost.
+    """
+    a_b = a.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{a_start} div {bucket_width}"),
+                F.expr(f"{a_end} div {bucket_width}"),
+            )
+        ),
+    )
+    b_b = b.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{b_start} div {bucket_width}"),
+                F.expr(f"{b_end} div {bucket_width}"),
+            )
+        ),
+    )
+    cond = (
+        (a_b["__bucket"] == b_b["__bucket"])
+        & (F.col(a_start) <= F.col(b_end))
+        & (F.col(b_start) <= F.col(a_end))
+        & (
+            F.expr(f"greatest({a_start}, {b_start}) div {bucket_width}")
+            == a_b["__bucket"]
+        )
+    )
+    return a_b.join(b_b, cond, "inner").drop("__bucket")
+
+
 def _bloom_pos_sql(key: str, i: int, bits: int) -> str:
     """SQL for the i-th Bloom position of ``key`` — the SAME text is
     used on the build side and the probe side, so the two can never

@@ -66,8 +66,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # streaming runners — the other seven changed only through that
     # shared path and keep their rounds-2/3 driver rows).
     #
-    # Queue for the round-5 window (19 never-checked, all locally
-    # oracle-green at sf0.01 AND sf0.1): events_streaks,
+    # Queue for the round-5 window (22 never-checked, all locally
+    # oracle-green at sf0.01 AND sf0.1; the last three were registered
+    # after this comment was first written — pipeline_padding_waste,
+    # events_anomaly_mad, join_interval_overlap): events_streaks,
     # events_pattern_vshape, pipeline_curriculum_order,
     # window_moving_median, dq_k_anonymity, orders_open_backlog,
     # events_downsample_lttb, events_rollup_cascade, events_ewma,

@@ -572,6 +572,65 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_overlap",
+    """
+    WITH a AS (
+      SELECT event_id AS a_id,
+             datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS a_start,
+             datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               + 600 + (event_id % 10) * 60 AS a_end
+      FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT event_id AS b_id,
+             datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS b_start,
+             datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               + 300 + (event_id % 20) * 30 AS b_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT CAST((a_start // 3600) % 24 AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a_id) AS BIGINT) AS n_purchases,
+           CAST(sum(least(a_end, b_end) - greatest(a_start, b_start)) AS BIGINT)
+             AS overlap_seconds
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    GROUP BY 1
+    """,
+    doc=(
+        "Interval-overlap join (purchase windows x error windows) via the binned "
+        "equi-join rewrite — the oracle runs the plain non-equi join; the Spark plan "
+        "shuffles on time buckets instead of degenerating to a nested-loop cross "
+        "product. Each pair is attributed to the bucket of greatest(starts), so the "
+        "rewrite is exactly lossless and duplicate-free by construction."
+    ),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.operators.joins import interval_overlap_join
+
+    epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        F.expr(epoch).alias("a_start"),
+        F.expr(f"{epoch} + 600 + (event_id % 10) * 60").alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        F.expr(epoch).alias("b_start"),
+        F.expr(f"{epoch} + 300 + (event_id % 20) * 30").alias("b_end"),
+    )
+    pairs = interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end", 3600)
+    return pairs.groupBy(
+        F.expr("(a_start div 3600) % 24").cast("bigint").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("a_id").alias("n_purchases"),
+        F.sum(
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("bigint").alias("overlap_seconds"),
+    )
+
+
+@register(
     "join_asof",
     """
     WITH tagged AS (
