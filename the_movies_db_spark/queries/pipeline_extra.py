@@ -733,3 +733,61 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("r")).cast("bigint").alias("global_rank"),
         )
     )
+
+
+@register(
+    "pipeline_shard_shuffle",
+    """
+    WITH hashed AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5('shuffle1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_chars, h % 64 AS shard,
+             row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS pos
+      FROM hashed
+    )
+    SELECT CAST(shard AS BIGINT)                        AS shard,
+           CAST(count(*) AS BIGINT)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)                 AS total_chars,
+           CAST(sum(pos * doc_id) AS BIGINT)            AS order_checksum,
+           CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc
+    FROM placed
+    GROUP BY shard
+    """,
+    doc=(
+        "Deterministic global corpus shuffle (the pre-training reshard): every "
+        "doc hashes to a shard via seeded md5 and gets a dense intra-shard "
+        "position by hash order — a reproducible random permutation with NO "
+        "RNG state, so any worker can recompute any shard independently. "
+        "order_checksum = sum(pos * doc_id) pins the full permutation, not "
+        "just the partition sizes. Scale notes: one shuffle on the shard key; "
+        "the intra-shard row_number is a per-shard window (shard count "
+        "scales with the corpus, e.g. corpus_bytes / 1 GiB, so no window "
+        "partition outgrows an executor; re-seeding the md5 gives epoch N's "
+        "distinct permutation at identical cost)."
+    ),
+)
+def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuffle1:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    placed = (
+        d.select("doc_id", "n_chars", h.alias("h"))
+        .withColumn("shard", F.expr("h % 64"))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id")),
+        )
+    )
+    return placed.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).cast("bigint").alias("first_doc"),
+    )

@@ -1273,6 +1273,67 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_l_diversity",
+    """
+    WITH tagged AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM customer
+    ), g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT)              AS group_size,
+             CAST(count(DISTINCT band) AS BIGINT)  AS l_distinct
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, g.c_mktsegment AS mktsegment,
+           g.group_size, g.l_distinct,
+           CAST(g.l_distinct >= 3 AS BOOLEAN) AS diverse
+    FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+    """,
+    doc=(
+        "l-diversity audit (k-anonymity's sharper sibling): per "
+        "quasi-identifier group, the number of DISTINCT sensitive "
+        "values (balance band) — a group can be large (k-anonymous) "
+        "yet expose its members if every row shares one sensitive "
+        "value. Same bounded-output shape as dq_k_anonymity: one "
+        "aggregate over the QI domain + a broadcast dim join."
+    ),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-sensitive-value diversity per quasi-identifier group.
+
+    Scale notes (100 TB): count(DISTINCT band) over a 3-value domain
+    compiles to an expand + two-level aggregate whose state is bounded
+    by |QI domain| x |bands|; output is one row per QI cell regardless
+    of corpus size. Pairs with dq_k_anonymity (group size) — together
+    they are the standard pre-release privacy gate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    g = (
+        c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("band").cast("bigint").alias("l_distinct"),
+        )
+    )
+    return g.join(F.broadcast(n), g.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "group_size",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).alias("diverse"),
+    )
+
+
 _ORD_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 
 

@@ -1229,3 +1229,90 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "events_path_topk",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT)              AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+    doc=(
+        "Top-10 session paths (first 5 event types per 30-min-gap "
+        "session): the product-analytics 'common journeys' query. "
+        "Session ids come from the lag->flag->running-sum sessionize "
+        "skeleton; the path string is built from a SORTED struct "
+        "collect (collect_list alone is shuffle-order-dependent, so "
+        "the sort_array(struct(ts,event_id,type)) form is what makes "
+        "the result deterministic and driver-hashable)."
+    ),
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent session-opening event paths.
+
+    Scale notes (100 TB): two shuffles on user_id (window + session
+    agg), then one on the bounded path domain (|event types|^5 max,
+    in practice a few hundred); the top-10 is TakeOrderedAndProject.
+    The per-session collect is capped by ``slice(..., 1, 5)`` after an
+    in-memory sort of that session's structs — sessions are bounded by
+    the inactivity gap, so no group outgrows an executor."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    sess = (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            (F.col("_prev_ts").isNull() | (gap_us > 1800 * 1_000_000)).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.collect_list(F.struct("ts", "event_id", "event_type")).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array("evs"), 1, 5), lambda x: x["event_type"]
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
