@@ -1,0 +1,51 @@
+"""global_row_number must equal the single-partition global window for
+any integer distribution — including skew, negatives, and ties broken
+by the unique key — while never planning a partitionless window over
+the data itself (only over the tiny bucket-offset table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.operators.ranks import global_row_number
+
+
+def _check(spark, values):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id bigint, v bigint"
+    )
+    got = global_row_number(df, "v", ["id"], out="rank", buckets=8)
+    expect = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    lhs = {(r.id, r.rank) for r in got.collect()}
+    rhs = {(r.id, r.rank) for r in expect.collect()}
+    assert lhs == rhs
+
+
+def test_uniform(spark):
+    _check(spark, [((i * 2654435761) % 1000) - 500 for i in range(300)])
+
+
+def test_skewed_with_ties(spark):
+    # 90% of rows share one hot value; ties resolved by id
+    _check(spark, [7 if i % 10 else i * 1000 for i in range(200)])
+
+
+def test_constant_column(spark):
+    _check(spark, [42] * 50)
+
+
+def test_rank_window_is_bucket_partitioned(spark):
+    df = spark.createDataFrame(
+        [(i, i * 37 % 1009) for i in range(500)], "id bigint, v bigint"
+    )
+    plan = (
+        global_row_number(df, "v", ["id"], buckets=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the data-side row_number must be partitioned by the bucket column
+    assert "windowspecdefinition(__rb" in plan

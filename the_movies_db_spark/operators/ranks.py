@@ -1,0 +1,68 @@
+"""Distributed global ranking (the anti-single-partition-sort operator).
+
+``row_number() OVER (ORDER BY v)`` with no PARTITION BY collapses to
+ONE partition — a non-starter on a 1000-executor cluster. The standard
+rewrite is two-level: bucket rows by a MONOTONE function of the order
+key, rank within each bucket (a distributed window), and add each
+bucket's global starting offset (a tiny cumulative aggregate joined
+back by broadcast). The values are identical to the single-partition
+form because bucket order refines value order.
+
+`pipeline_curriculum_order` hand-rolls this for its 5 quality buckets;
+``global_row_number`` generalizes it to arbitrary integer order keys by
+deriving equal-width buckets from a one-row (min, max) aggregate
+collected at plan-build time (the broadcast-the-model shape used by
+dedup_semantic's cell sizing — a metadata-scale action, not a data
+collect).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    tiebreak: Sequence[str],
+    out: str = "rank",
+    buckets: int = 64,
+) -> DataFrame:
+    """Append a 1-based dense global row number ordered by
+    ``(order_col, *tiebreak)`` without a single-partition sort.
+
+    ``order_col`` must be integer-typed (BIGINT-safe arithmetic); ties
+    beyond ``tiebreak`` must not exist (use a unique key as the last
+    tiebreak) or ranks would be nondeterministic.
+
+    Scale notes (100 TB): the (min, max) agg is one metadata-cheap
+    scan reduced to a single row; bucket sizes/offsets are ``buckets``
+    rows broadcast back; the only full-data shuffle is the per-bucket
+    window. Equal-width bucketing keeps the rewrite exact for ANY
+    distribution (monotone map); for heavily skewed keys raise
+    ``buckets`` so the largest bucket still fits an executor — the
+    offsets stay tiny either way.
+    """
+    row = df.agg(
+        F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+    ).first()
+    mn, mx = int(row["mn"]), int(row["mx"])
+    width = (mx - mn) // buckets + 1
+    bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
+    bucketed = df.withColumn("__rb", bucket)
+    sizes = bucketed.groupBy("__rb").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__rb",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("bigint").alias("__off"),
+    )
+    w_rank = Window.partitionBy("__rb").orderBy(order_col, *tiebreak)
+    return (
+        bucketed.withColumn("__r", F.row_number().over(w_rank).cast("bigint"))
+        .join(F.broadcast(offsets), "__rb")
+        .withColumn(out, (F.col("__off") + F.col("__r")).cast("bigint"))
+        .drop("__rb", "__r", "__off")
+    )

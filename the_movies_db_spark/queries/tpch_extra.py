@@ -992,3 +992,91 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum("d").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+@register(
+    "orders_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(max(datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate))
+                  AS BIGINT) AS last_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), p AS (
+      SELECT (SELECT max(last_day) FROM base) AS gday,
+             (SELECT count(*) FROM base)      AS n
+    ), ranked AS (
+      SELECT custkey, p.gday - last_day AS r_days, freq, cents, p.n,
+             row_number() OVER (ORDER BY p.gday - last_day, custkey) AS rr,
+             row_number() OVER (ORDER BY freq, custkey)              AS rf,
+             row_number() OVER (ORDER BY cents, custkey)             AS rm
+      FROM base, p
+    )
+    SELECT concat('R', CAST((rr - 1) * 4 // n + 1 AS VARCHAR),
+                  'F', CAST((rf - 1) * 4 // n + 1 AS VARCHAR),
+                  'M', CAST((rm - 1) * 4 // n + 1 AS VARCHAR)) AS segment,
+           CAST(count(*) AS BIGINT)           AS n_customers,
+           CAST(sum(cents) AS BIGINT)         AS total_cents,
+           CAST(sum(r_days) // count(*) AS BIGINT) AS avg_recency_days,
+           CAST(sum(freq) AS BIGINT)          AS total_orders
+    FROM ranked
+    GROUP BY segment
+    """,
+    doc=(
+        "RFM customer segmentation (recency/frequency/monetary "
+        "quartiles): each metric's global rank is assembled by the "
+        "two-level bucket-offset rewrite (operators/ranks.py) — NEVER "
+        "a single-partition ORDER BY window — and the quartile is the "
+        "integer formula (rank-1)*4 div n + 1 mirrored exactly in the "
+        "oracle, so segment boundaries are engine-stable."
+    ),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-coded RFM segments with distributed global ranks.
+
+    Scale notes (100 TB): the per-customer rollup is one shuffle on
+    custkey; each of the three ranks is a per-bucket window plus a
+    64-row broadcast offset join (operators/ranks.py:global_row_number)
+    — the same values a global ORDER BY window would give, fully
+    parallel. The (min,max)/count collects are metadata-scale plan
+    parameters (the dedup_semantic precedent), identical integer
+    formulas on the oracle side via scalar subqueries."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.expr(
+                "datediff(o_orderdate, TIMESTAMP '1970-01-01 00:00:00')"
+            )
+        )
+        .cast("bigint")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    gday = int(base.agg(F.max("last_day")).first()[0])
+    n = base.count()
+    base = base.withColumn("r_days", F.lit(gday) - F.col("last_day"))
+    ranked = global_row_number(base, "r_days", ["custkey"], out="rr")
+    ranked = global_row_number(ranked, "freq", ["custkey"], out="rf")
+    ranked = global_row_number(ranked, "cents", ["custkey"], out="rm")
+    seg = F.concat(
+        F.lit("R"), F.expr(f"CAST((rr - 1) * 4 div {n} + 1 AS STRING)"),
+        F.lit("F"), F.expr(f"CAST((rf - 1) * 4 div {n} + 1 AS STRING)"),
+        F.lit("M"), F.expr(f"CAST((rm - 1) * 4 div {n} + 1 AS STRING)"),
+    )
+    return (
+        ranked.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr("sum(r_days) div count(*)").cast("bigint").alias("avg_recency_days"),
+            F.sum("freq").cast("bigint").alias("total_orders"),
+        )
+    )
