@@ -84,6 +84,11 @@ HEADLINE = [
     "sim_topk_matryoshka",
     "basket_brand_pairs",
     "events_streaks",
+    # round-4 continuation: binned interval join, corpus reshard,
+    # distributed-rank RFM
+    "join_interval_overlap",
+    "pipeline_shard_shuffle",
+    "orders_rfm_segments",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one

@@ -30,6 +30,7 @@ def global_row_number(
     tiebreak: Sequence[str],
     out: str = "rank",
     buckets: int = 64,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Append a 1-based dense global row number ordered by
     ``(order_col, *tiebreak)`` without a single-partition sort.
@@ -45,11 +46,18 @@ def global_row_number(
     distribution (monotone map); for heavily skewed keys raise
     ``buckets`` so the largest bucket still fits an executor — the
     offsets stay tiny either way.
+
+    Pass ``bounds=(min, max)`` when the caller already knows them (or
+    batches several metrics' bounds into one collect — rfm does 3 ranks
+    off a single agg job): it skips this function's own (min, max) job,
+    which would otherwise recompute ``df``'s whole lineage per call.
     """
-    row = df.agg(
-        F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
-    ).first()
-    mn, mx = int(row["mn"]), int(row["mx"])
+    if bounds is None:
+        row = df.agg(
+            F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+        ).first()
+        bounds = (int(row["mn"]), int(row["mx"]))
+    mn, mx = bounds
     width = (mx - mn) // buckets + 1
     bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
     bucketed = df.withColumn("__rb", bucket)

@@ -1059,12 +1059,32 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    gday = int(base.agg(F.max("last_day")).first()[0])
-    n = base.count()
+    # ONE agg job yields every plan parameter (global max day, corpus
+    # count, and each metric's min/max for the rank bucketing) — three
+    # separate collects would recompute base's lineage three times.
+    p = base.agg(
+        F.max("last_day").alias("gday"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("last_day").alias("mn_day"),
+        F.min("freq").alias("mn_f"),
+        F.max("freq").alias("mx_f"),
+        F.min("cents").alias("mn_c"),
+        F.max("cents").alias("mx_c"),
+    ).first()
+    gday, n = int(p["gday"]), int(p["n"])
     base = base.withColumn("r_days", F.lit(gday) - F.col("last_day"))
-    ranked = global_row_number(base, "r_days", ["custkey"], out="rr")
-    ranked = global_row_number(ranked, "freq", ["custkey"], out="rf")
-    ranked = global_row_number(ranked, "cents", ["custkey"], out="rm")
+    ranked = global_row_number(
+        base, "r_days", ["custkey"], out="rr",
+        bounds=(0, gday - int(p["mn_day"])),
+    )
+    ranked = global_row_number(
+        ranked, "freq", ["custkey"], out="rf",
+        bounds=(int(p["mn_f"]), int(p["mx_f"])),
+    )
+    ranked = global_row_number(
+        ranked, "cents", ["custkey"], out="rm",
+        bounds=(int(p["mn_c"]), int(p["mx_c"])),
+    )
     seg = F.concat(
         F.lit("R"), F.expr(f"CAST((rr - 1) * 4 div {n} + 1 AS STRING)"),
         F.lit("F"), F.expr(f"CAST((rf - 1) * 4 div {n} + 1 AS STRING)"),
