@@ -49,3 +49,37 @@ def test_rank_window_is_bucket_partitioned(spark):
     )
     # the data-side row_number must be partitioned by the bucket column
     assert "windowspecdefinition(__rb" in plan
+
+
+# -- property tests -------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    values=st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=60),
+    buckets=st.sampled_from([1, 2, 7, 64]),
+)
+@_SET
+def test_matches_global_window_property(spark, values, buckets):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id bigint, v bigint"
+    )
+    got = {
+        (r.id, r.rank)
+        for r in global_row_number(df, "v", ["id"], buckets=buckets).collect()
+    }
+    want = {
+        (r.id, r.rank)
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+        ).collect()
+    }
+    assert got == want
