@@ -1704,3 +1704,78 @@ def agg_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lo + hi).cast("bigint").alias("med2_cents"),
         F.max("tot").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "agg_chisq_cells",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             (datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT c.event_type, c.dow, c.obs,
+             sum(c.obs) OVER (PARTITION BY c.event_type) AS rt,
+             sum(c.obs) OVER (PARTITION BY c.dow)        AS ct,
+             sum(c.obs) OVER ()                          AS n
+      FROM cells c
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, obs,
+           CAST((rt * ct * 1000) // n AS BIGINT) AS expected_milli,
+           CAST(
+             ((obs * n - rt * ct) * (obs * n - rt * ct)) // (n * rt * ct) * 1000
+             + (((obs * n - rt * ct) * (obs * n - rt * ct)) % (n * rt * ct) * 1000)
+               // (n * rt * ct)
+             AS BIGINT) AS chi2_milli
+    FROM tot
+    """,
+    doc=(
+        "Chi-square test of independence (event type x day-of-week), "
+        "per-cell contributions in EXACT milli-units: the textbook "
+        "(O-E)^2/E is rewritten over integers as d^2/(N*RT*CT) with "
+        "d = O*N - RT*CT, and the milli scaling uses the divmod "
+        "expansion q*1000 + r*1000 div denom so no intermediate "
+        "exceeds 2^63 and no double arithmetic enters the hash. "
+        "Day-of-week is epoch-day mod 7 — identical integers in both "
+        "engines (calendar dayofweek() conventions differ)."
+    ),
+)
+def agg_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contributions over a bounded contingency table.
+
+    Scale notes (100 TB): the contingency table is one map-side-combined
+    aggregation to |types| x 7 rows; the marginals are windows over that
+    tiny aggregate (no second scan). All downstream arithmetic is
+    integer-exact, so the statistic is reproducible bit-for-bit across
+    engines and cluster sizes — the property a data-drift monitor needs
+    when it alerts on chi2 crossing a threshold. BIGINT headroom: the
+    largest intermediate is d^2 = (obs*n - rt*ct)^2, safe while
+    n*max(obs) < 2^31.5 (~3e9) — beyond that (trillion-row tables),
+    pre-scale the counts by a common power of ten (both engines, same
+    formula) or switch the two products to DECIMAL(38,0); the cell
+    table itself stays tiny at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr(
+            "(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400) % 7"
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    tot = (
+        cells.withColumn("rt", F.sum("obs").over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum("obs").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+    )
+    d2 = "(obs * n - rt * ct) * (obs * n - rt * ct)"
+    dn = "(n * rt * ct)"
+    return tot.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "obs",
+        F.expr("(rt * ct * 1000) div n").cast("bigint").alias("expected_milli"),
+        F.expr(f"({d2} div {dn}) * 1000 + (({d2} % {dn}) * 1000) div {dn}")
+        .cast("bigint")
+        .alias("chi2_milli"),
+    )
