@@ -54,3 +54,46 @@ def test_binned_equals_plain(spark, a, b, width):
         .collect()
     }
     assert got == want
+
+
+# -- 2D grid radius join --------------------------------------------------
+
+from the_movies_db_spark.operators.joins import grid_radius_join  # noqa: E402
+
+point = st.tuples(st.integers(-60, 60), st.integers(-60, 60))
+
+
+@given(
+    a=st.lists(point, min_size=0, max_size=20),
+    b=st.lists(point, min_size=0, max_size=20),
+    radius=st.sampled_from([1, 9, 40]),
+)
+@_SET
+def test_grid_radius_equals_plain(spark, a, b, radius):
+    adf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(a)],
+        "a_id bigint, ax bigint, ay bigint",
+    )
+    bdf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(b)],
+        "b_id bigint, bx bigint, by bigint",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in grid_radius_join(adf, bdf, "ax", "ay", "bx", "by", radius)
+        .select("a_id", "b_id")
+        .collect()
+    )
+    want = sorted(
+        (r.a_id, r.b_id)
+        for r in adf.join(
+            bdf,
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= radius * radius,
+        )
+        .select("a_id", "b_id")
+        .collect()
+    )
+    # sorted lists, not sets: a duplicate-producing rewrite must fail
+    assert got == want

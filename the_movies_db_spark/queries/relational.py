@@ -631,6 +631,83 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_spatial_radius",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(concat('0x', substr(md5('cx:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS cx,
+             CAST(concat('0x', substr(md5('cy:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS cy
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             CAST(concat('0x', substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS sx,
+             CAST(concat('0x', substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS sy
+      FROM supplier
+    ), pairs AS (
+      SELECT c_nationkey, c_custkey,
+             (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+      FROM c JOIN s ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 150 * 150
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT)                 AS n_pairs,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(min(d2) AS BIGINT)                  AS min_dist2
+    FROM pairs JOIN nation n ON pairs.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc=(
+        "Radius (distance) join via grid binning — the 2D sibling of "
+        "join_interval_overlap: side A probes its 3x3 cell neighborhood, "
+        "side B keeps one home cell, the exact integer squared-distance "
+        "predicate prunes corner candidates. The oracle runs the plain "
+        "quadratic theta-join, so the driver pins losslessness. "
+        "Coordinates are md5-derived integers, exact in both engines."
+    ),
+)
+def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from the_movies_db_spark.operators.joins import grid_radius_join
+
+    def coord(seed: str, key: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed + ":"), F.col(key).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+        )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        coord("cx", "c_custkey").alias("cx"),
+        coord("cy", "c_custkey").alias("cy"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        coord("sx", "s_suppkey").alias("sx"),
+        coord("sy", "s_suppkey").alias("sy"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    pairs = grid_radius_join(c, s, "cx", "cy", "sx", "sy", 150)
+    return (
+        pairs.withColumn(
+            "d2",
+            F.expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.min("d2").cast("bigint").alias("min_dist2"),
+        )
+    )
+
+
+@register(
     "join_asof",
     """
     WITH tagged AS (
