@@ -985,3 +985,98 @@ def pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   CAST((padmax - actual) * 1000000 div padmax AS BIGINT)"
         ") AS (strategy, actual, padded, waste_ppm)"
     )
+
+
+@register(
+    "pipeline_epoch_repeat",
+    """
+    WITH planned AS (
+      SELECT doc_id, source, n_chars,
+             250000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 500000 AS f_ppm,
+             CAST(concat('0x', substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS h
+      FROM documents
+    ), copies AS (
+      SELECT doc_id, source, n_chars,
+             f_ppm // 1000000
+               + CASE WHEN h < f_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies
+      FROM planned
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(sum(n_copies) AS BIGINT)            AS n_instances,
+           CAST(sum(n_chars * n_copies) AS BIGINT)  AS out_chars,
+           CAST(sum(doc_id * n_copies) AS BIGINT)   AS copies_checksum
+    FROM copies
+    GROUP BY source
+    """,
+    doc=(
+        "Epoch-repeat data mixing (the materialization side of "
+        "pipeline_domain_mix's bookkeeping): each source gets a repeat "
+        "factor (0.25-2.25 here), every doc yields floor(f) copies plus "
+        "one more when its seeded md5 fraction falls below frac(f) — "
+        "the deterministic analog of sampling-with-replacement that "
+        "multi-epoch pretraining mixes use. The Spark side REALLY "
+        "explodes the copies (the materialization path); the oracle "
+        "mirrors the aggregate algebraically. copies_checksum pins the "
+        "per-doc copy counts, not just totals."
+    ),
+)
+def pipeline_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize per-source epoch repeats and account for the output.
+
+    Scale notes (100 TB): copies is a pure projection (no shuffle);
+    the explode multiplies rows by the mixture's expansion factor only
+    — skew-free because the repeat decision is per-doc hash, not
+    per-source batching. Downstream shuffles (the final per-source agg
+    here; in production the pack/shard stage) see the already-mixed
+    stream. Fractional repeats never cluster: every doc keeps an
+    independent hash draw, so a 0.25-factor source thins uniformly."""
+    d = load_table(spark, sf_dir, "documents")
+    f_ppm = (
+        F.lit(250000)
+        + (F.expr("CAST(substr(source, 4) AS BIGINT)") % 5) * F.lit(500000)
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    # stage f_ppm/h as real columns so the copy expression reads staged
+    # values (the HOF re-inlining trap from CLAUDE.md)
+    copies = (
+        d.withColumn("f_ppm", f_ppm)
+        .withColumn("h", h)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                F.expr("f_ppm div 1000000")
+                + F.when(F.col("h") < F.col("f_ppm") % 1000000, 1).otherwise(0)
+            ).cast("bigint").alias("n_copies"),
+        )
+    )
+    exploded = copies.filter(F.col("n_copies") > 0).withColumn(
+        "copy_idx", F.explode(F.expr("sequence(1, n_copies)"))
+    )
+    per_doc = exploded.groupBy("doc_id", "source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies")
+    )
+    # docs with zero copies still count toward n_docs
+    zero = copies.filter(F.col("n_copies") == 0)
+    return (
+        per_doc.unionByName(zero)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").cast("bigint").alias("n_instances"),
+            F.sum(F.col("n_chars") * F.col("n_copies")).cast("bigint").alias("out_chars"),
+            F.sum(F.col("doc_id") * F.col("n_copies")).cast("bigint").alias("copies_checksum"),
+        )
+    )
