@@ -980,3 +980,63 @@ def sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__srank")
     )
     return S._rerank_by_id(shortlist, e, qraw, "vec_id", "embedding", 5, _DIM)
+
+
+@register(
+    "sim_recall_ivfpq",
+    f"""
+    WITH approx AS ({_REG["sim_topk_ivfpq"].oracle}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {{cos}} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {{nq}}
+      ) t WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT)              AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT)  AS n_hits,
+           CAST(count(a.neighbor_id) * 200000 AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """.format(cos=_COS, nq=_N_QUERIES),
+    doc=(
+        "recall@5 of the composed IVF x PQ index against the exact "
+        "brute-force ground truth, per query — the acceptance metric "
+        "that gates any quantized-index rollout. The oracle NESTS the "
+        "full sim_topk_ivfpq oracle as a CTE, so the evaluated index "
+        "is exactly the shipped one, not a simplified stand-in."
+    ),
+)
+def sim_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth recall of the IVFADC pipeline.
+
+    Scale notes (100 TB): ground truth is brute-force only over the
+    small QUERY set (|Q| x corpus, the unavoidable evaluation cost —
+    run it over a sampled query panel, never the full corpus); the
+    index side reuses the exact production operator. Output is one row
+    per query, integer-exact (hits x 200000 ppm)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    approx = S.cosine_topk_ivfpq(
+        e, q, "vec_id", "embedding",
+        k=5, shortlist_factor=4,
+        n_cells=_N_CELLS, n_cent=_PQ_CENT, n_sub=_PQ_SUB, dim=_DIM,
+    ).select("query_id", "neighbor_id")
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=5, dim=_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    hit = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").cast("bigint").alias("n_hits"),
+            (F.count("__hit") * 200000).cast("bigint").alias("recall_ppm"),
+        )
+    )
