@@ -1080,3 +1080,73 @@ def pipeline_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("doc_id") * F.col("n_copies")).cast("bigint").alias("copies_checksum"),
         )
     )
+
+
+@register(
+    "pipeline_intradoc_dedup",
+    """
+    WITH s AS (
+      SELECT doc_id, source, string_split(text, '. ') AS sents
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, source,
+             len(sents) AS n_sent,
+             list_aggregate(list_transform(range(1, len(sents) + 1), i ->
+               CASE WHEN list_position(sents, sents[i]) = i THEN 1 ELSE 0 END),
+               'sum') AS kept,
+             list_aggregate(list_transform(range(1, len(sents) + 1), i ->
+               CASE WHEN list_position(sents, sents[i]) = i
+                    THEN length(sents[i]) ELSE 0 END),
+               'sum') AS kept_chars
+      FROM s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)           AS n_docs,
+           CAST(sum(n_sent) AS BIGINT)        AS total_sentences,
+           CAST(sum(kept) AS BIGINT)          AS kept_sentences,
+           CAST(sum(kept_chars) AS BIGINT)    AS kept_chars
+    FROM pos GROUP BY source
+    """,
+    doc=(
+        "Intra-document exact sentence dedup (the within-doc half of "
+        "Lee et al.'s training-data dedup): split on '. ', keep only "
+        "each sentence's FIRST occurrence (array_position == own "
+        "index), account kept sentences/chars per source. Pure "
+        "projection + one bounded aggregate — no shuffle touches the "
+        "sentence grain."
+    ),
+)
+def pipeline_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first sentence dedup inside each document.
+
+    Scale notes (100 TB): the dedup decision is per-row array algebra
+    (O(s^2) in a doc's sentence count, bounded by doc length caps) in
+    whole-stage codegen — zero shuffles before the per-source rollup.
+    The cross-doc complement is dedup_exact/minhash on chunk hashes
+    (pipeline_chunk_overlap feeds those); this operator removes the
+    boilerplate repetition INSIDE a page that survives cross-doc
+    passes. The sentence array is staged through a select so the
+    higher-order expressions are not re-inlined per reference."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source", F.split(F.col("text"), "\\. ", -1).alias("sents")
+    )
+    kept = (
+        "aggregate(transform(sequence(1, size(sents)), i -> "
+        "CASE WHEN array_position(sents, element_at(sents, i)) = i "
+        "THEN {v} ELSE 0L END), 0L, (a, x) -> a + x)"
+    )
+    per_doc = staged.select(
+        "source",
+        F.expr("CAST(size(sents) AS BIGINT)").alias("n_sent"),
+        F.expr(kept.format(v="1L")).alias("kept"),
+        F.expr(
+            kept.format(v="CAST(length(element_at(sents, i)) AS BIGINT)")
+        ).alias("kept_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sent").cast("bigint").alias("total_sentences"),
+        F.sum("kept").cast("bigint").alias("kept_sentences"),
+        F.sum("kept_chars").cast("bigint").alias("kept_chars"),
+    )
