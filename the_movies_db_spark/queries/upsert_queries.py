@@ -385,3 +385,90 @@ def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v1.agg(F.count(F.lit(1)).cast("bigint").alias("n_v1")))
         .select("n_v1", "n_current", "n_inserted", "n_updated", "n_unchanged")
     )
+
+
+from the_movies_db_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "upsert_scd2_asof",
+    f"""
+    WITH scd2 AS ({_REG["upsert_scd2"].oracle}),
+    probes AS (
+      SELECT o_orderkey,
+             o_orderdate + INTERVAL 12 HOUR AS as_of
+      FROM orders WHERE o_orderkey % 10 = 2
+      UNION ALL
+      SELECT o_orderkey,
+             o_orderdate + INTERVAL 2 DAY AS as_of
+      FROM orders WHERE o_orderkey % 10 = 2
+    )
+    SELECT p.o_orderkey, p.as_of, s.price, s.status
+    FROM probes p
+    JOIN scd2 s ON s.o_orderkey = p.o_orderkey
+              AND s.valid_from <= p.as_of
+              AND (s.valid_to IS NULL OR p.as_of < s.valid_to)
+    """,
+    doc=(
+        "Point-in-time (AS OF) lookup over the SCD2 history: each "
+        "(key, as_of) probe returns the version whose "
+        "[valid_from, valid_to) interval covers the probe instant — "
+        "one probe lands BEFORE the type-2 change, one after, so both "
+        "version selections are value-pinned. The oracle nests the "
+        "full upsert_scd2 oracle as a CTE, so the history being probed "
+        "is exactly the MERGE's output."
+    ),
+)
+def upsert_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal validity join against SCD2 output.
+
+    Scale notes (100 TB): this is an EQUI-join on the business key
+    with the validity window as a residual predicate — each key holds
+    a handful of versions, so the join shuffles once on the key and
+    never degenerates into a range-only theta join (the trap is
+    joining on the interval alone; always key-first). The probe side
+    here derives from orders; in production it is the fact table
+    asking for dimension attributes as-of each fact timestamp."""
+    from the_movies_db_spark.upsert import scd2_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast(o.schema["o_orderdate"].dataType).alias("valid_to"),
+    )
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, 1000.0).otherwise(0.0),
+            2,
+        ).alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("ts"),
+    )
+    scd2 = scd2_upsert(target, batch, "o_orderkey", "ts")
+    base = o.filter(F.col("o_orderkey") % 10 == 2)
+    probes = base.select(
+        "o_orderkey", F.expr("o_orderdate + INTERVAL 12 HOUR").alias("as_of")
+    ).unionByName(
+        base.select(
+            "o_orderkey", F.expr("o_orderdate + INTERVAL 2 DAY").alias("as_of")
+        )
+    )
+    s = scd2.select(
+        F.col("o_orderkey").alias("s_key"), "price", "status", "valid_from", "valid_to"
+    )
+    return (
+        probes.join(
+            s,
+            (F.col("s_key") == F.col("o_orderkey"))
+            & (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to"))),
+        )
+        .select("o_orderkey", "as_of", "price", "status")
+    )
