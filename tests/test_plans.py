@@ -310,3 +310,11 @@ def test_interval_overlap_join_is_equi_keyed(spark, sf_dir, registry):
     lhs = {(r.a_id, r.b_id) for r in binned.select("a_id", "b_id").collect()}
     rhs = {(r.a_id, r.b_id) for r in plain.select("a_id", "b_id").collect()}
     assert lhs == rhs
+
+
+def test_spatial_radius_join_is_equi_keyed(spark, sf_dir, registry):
+    txt = plan_of(registry["join_spatial_radius"].spark(spark, sf_dir))
+    # the 3x3 grid probe must plan as a hash/sort-merge join on the
+    # cell struct, never a nested-loop cross product
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt
+    assert "__cell" in txt

@@ -1779,3 +1779,65 @@ def agg_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_milli"),
     )
+
+
+@register(
+    "dq_id_gaps",
+    """
+    WITH ingested AS (  -- simulate dropped batches + row-level losses
+      SELECT o_orderkey FROM orders
+      WHERE NOT ((o_orderkey // 100) % 13 = 4 OR o_orderkey % 7 = 3)
+    ), seq AS (
+      SELECT o_orderkey AS k,
+             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM ingested
+    ), gaps AS (
+      SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS n_missing
+      FROM seq WHERE nxt - k > 1
+    )
+    SELECT CAST(gap_start AS BIGINT) AS gap_start,
+           CAST(gap_end AS BIGINT)   AS gap_end,
+           CAST(n_missing AS BIGINT) AS n_missing
+    FROM gaps
+    ORDER BY n_missing DESC, gap_start
+    LIMIT 10
+    """,
+    doc=(
+        "Sequence-gap audit: the 10 largest holes in the order-key "
+        "sequence (lead-minus-self over the sorted keys) — the DQ "
+        "check that catches dropped ingest batches. The global "
+        "ORDER-BY window is over ranges, not rows, at scale: compute "
+        "per-partition boundaries first (min/max per file via "
+        "metadata), or rank with the two-level bucket rewrite "
+        "(operators/ranks.py) and lead over that."
+    ),
+)
+def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest missing-id ranges in a supposedly-dense key sequence.
+
+    Scale notes (100 TB): as written the lead() window sorts globally —
+    fine for dim-sized tables; for fact-scale keys switch the window
+    to partition on ``key div RANGE`` buckets (gaps inside a bucket
+    detect locally; cross-bucket gaps come from comparing adjacent
+    buckets' min/max, a buckets-sized aggregate — same two-level trick
+    as global_row_number). Output is top-10 deterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        ~(
+            (F.expr("(o_orderkey div 100) % 13") == 4)
+            | (F.col("o_orderkey") % 7 == 3)
+        )
+    )
+    w = Window.orderBy("k")
+    seq = o.select(F.col("o_orderkey").alias("k")).withColumn(
+        "nxt", F.lead("k").over(w)
+    )
+    return (
+        seq.filter(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).cast("bigint").alias("gap_start"),
+            (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("n_missing"),
+        )
+        .orderBy(F.col("n_missing").desc(), "gap_start")
+        .limit(10)
+    )
