@@ -1841,3 +1841,64 @@ def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_missing").desc(), "gap_start")
         .limit(10)
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM cells
+    )
+    SELECT flag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM cum
+    GROUP BY flag
+    """,
+    doc=(
+        "Exact QUANTITY-weighted median price per return flag with NO "
+        "global sort: counting-histogram cells (flag, cents) -> "
+        "cumulative weight window ordered by the bounded cents domain "
+        "-> first cell where 2*cum >= total (lower weighted median). "
+        "The same shape as agg_median_histogram generalized to "
+        "weights — the distributed form of every weighted-percentile "
+        "need (cost-weighted SLOs, token-weighted length stats)."
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median via per-group counting histogram.
+
+    Scale notes (100 TB): the scan reduces to |flags| x |distinct
+    cents| cells map-side; the window runs per flag over the bounded
+    value domain, never over fact rows. Weights are exact BIGINTs
+    (quantities are integral); ties resolve to the smallest qualifying
+    cents on both engines by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("flag"))
+    )
+    return cum.groupBy("flag").agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("bigint")
+        .alias("weighted_median_cents"),
+    )
