@@ -1426,3 +1426,51 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_type,
+             max(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS signup_ts
+      FROM events
+    )
+    SELECT user_id, ts AS purchase_ts, signup_ts
+    FROM tagged
+    WHERE event_type = 'purchase' AND signup_ts IS NOT NULL
+      AND datediff('microsecond', signup_ts, ts) <= 2592000000000
+    """,
+    doc=(
+        "As-of join with a staleness tolerance (pandas merge_asof "
+        "tolerance= parity, the feature-store freshness rule): same "
+        "union+ordered-window rewrite as join_asof, but matches whose "
+        "looked-up value is older than 30 days are DROPPED rather than "
+        "served stale. The bound compares at microsecond precision; "
+        "the 30-day constant is pre-folded (int32 literal products "
+        "overflow in both engines' checked arithmetic)."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    signup_ts = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("signup_ts", signup_ts)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("signup_ts").isNotNull()
+            & F.expr(
+                "timestampdiff(MICROSECOND, signup_ts, ts) <= 2592000000000L"
+            )
+        )
+        .select("user_id", F.col("ts").alias("purchase_ts"), "signup_ts")
+    )
