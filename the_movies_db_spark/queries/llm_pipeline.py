@@ -1150,3 +1150,75 @@ def pipeline_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("bigint").alias("kept_sentences"),
         F.sum("kept_chars").cast("bigint").alias("kept_chars"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    """
+    WITH base AS (
+      SELECT source, lang, n_chars, md5(text) AS digest,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ), uniq AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+      FROM (SELECT DISTINCT source, digest FROM base) GROUP BY source
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT)                      AS n_docs,
+           CAST(sum(b.n_chars) AS BIGINT)                AS total_chars,
+           CAST(sum(b.n_tok) AS BIGINT)                  AS total_tokens,
+           CAST(count(CASE WHEN b.lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+           CAST(count(DISTINCT b.lang) AS BIGINT)        AS n_langs,
+           CAST(min(u.n_unique) AS BIGINT)               AS n_unique,
+           CAST((count(*) - min(u.n_unique)) * 1000000 // count(*) AS BIGINT)
+             AS dup_ppm,
+           CAST(sum(b.n_tok) // count(*) AS BIGINT)      AS avg_tokens
+    FROM base b JOIN uniq u ON u.source = b.source
+    GROUP BY b.source
+    """,
+    doc=(
+        "Per-source dataset card — the one-pass report a dataset "
+        "release ships: volume (docs/chars/tokens), language spread, "
+        "exact-duplicate rate (md5-digest distinct), average length. "
+        "Composes the engine's profiling + dedup accounting into one "
+        "bounded output; every ratio is integer ppm/div."
+    ),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-readiness summary per corpus source.
+
+    Scale notes (100 TB): one scan computes digests + token counts
+    map-side; the distinct-digest count is the dedup_exact shuffle
+    scoped per source; everything else folds into the same per-source
+    aggregate. Output is |sources| rows regardless of corpus size —
+    the shape a data-release pipeline materializes nightly."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.expr("size(split(text, '\\\\s+'))").cast("bigint").alias("n_tok"),
+    )
+    uniq = (
+        base.select("source", "digest")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )
+    return (
+        base.join(uniq, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n_en"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("n_unique").cast("bigint").alias("n_unique"),
+            F.expr("(count(1) - min(n_unique)) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("dup_ppm"),
+            F.expr("sum(n_tok) div count(1)").cast("bigint").alias("avg_tokens"),
+        )
+    )
