@@ -1395,3 +1395,65 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_hours_to_convert"
         ),
     )
+
+
+@register(
+    "events_top_movers",
+    """
+    WITH days AS (
+      SELECT event_type,
+             datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400 AS d
+      FROM events
+    ), bound AS (SELECT max(d) AS gd FROM days)
+    SELECT event_type,
+           CAST(count(CASE WHEN d BETWEEN gd - 6 AND gd THEN 1 END) AS BIGINT)
+             AS n_cur,
+           CAST(count(CASE WHEN d BETWEEN gd - 13 AND gd - 7 THEN 1 END) AS BIGINT)
+             AS n_prev,
+           CAST((count(CASE WHEN d BETWEEN gd - 6 AND gd THEN 1 END)
+                 - count(CASE WHEN d BETWEEN gd - 13 AND gd - 7 THEN 1 END))
+                * 1000000
+                // greatest(count(CASE WHEN d BETWEEN gd - 13 AND gd - 7 THEN 1 END), 1)
+                AS BIGINT) AS change_ppm
+    FROM days, bound
+    GROUP BY event_type
+    """,
+    doc=(
+        "Week-over-week top movers per event type: the last-7-days "
+        "vs prior-7-days counts and the exact ppm change, anchored at "
+        "the corpus's own max day (a data-derived parameter computed "
+        "with the SAME integer formula on both sides — scalar subquery "
+        "in the oracle, one metadata-cheap max() collect in Spark)."
+    ),
+)
+def events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period movement report.
+
+    Scale notes (100 TB): the anchor max() is one reduced scan; the
+    report is a single conditional aggregate over the bounded type
+    domain — both windows come from the same pass (no two-scan
+    self-join). The ppm change is integer `div` with a greatest(1)
+    floor, exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400"
+        ).alias("d"),
+    )
+    gd = int(days.agg(F.max("d")).first()[0])
+    cur = F.count(F.when(F.col("d").between(gd - 6, gd), 1))
+    prev = F.count(F.when(F.col("d").between(gd - 13, gd - 7), 1))
+    return days.groupBy("event_type").agg(
+        cur.cast("bigint").alias("n_cur"),
+        prev.cast("bigint").alias("n_prev"),
+        F.expr(
+            f"(count(CASE WHEN d BETWEEN {gd - 6} AND {gd} THEN 1 END)"
+            f" - count(CASE WHEN d BETWEEN {gd - 13} AND {gd - 7} THEN 1 END))"
+            f" * 1000000 div greatest(count(CASE WHEN d BETWEEN {gd - 13}"
+            f" AND {gd - 7} THEN 1 END), 1)"
+        )
+        .cast("bigint")
+        .alias("change_ppm"),
+    )

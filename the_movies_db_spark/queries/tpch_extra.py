@@ -1100,3 +1100,55 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").cast("bigint").alias("total_orders"),
         )
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort_m AS BIGINT) AS cohort_month,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cohort_m
+                AS BIGINT) AS months_since,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Customer-cohort LTV triangle: acquisition month x months-"
+        "since-acquisition -> active customers, orders, revenue cents "
+        "— the retention-revenue matrix every growth dashboard draws. "
+        "Month arithmetic is pure integers (year*12+month), identical "
+        "in both engines for midnight-aligned dates."
+    ),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort revenue triangle.
+
+    Scale notes (100 TB): firsts is one shuffle on custkey; the fact
+    join is co-partitioned on the same key (AQE reuses the exchange);
+    the output is |cohort months| x |offsets| — bounded by the square
+    of the data's month span, independent of row count."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
+    firsts = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort_m").cast("bigint").alias("cohort_month"),
+            (m - F.col("cohort_m")).cast("bigint").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
