@@ -23,6 +23,14 @@ QUERIES = [
     "pipeline_shard_shuffle",
     "events_path_topk",
     "orders_rfm_segments",
+    "pipeline_intradoc_dedup",
+    "pipeline_epoch_repeat",
+    "pipeline_dataset_card",
+    "upsert_scd2_asof",
+    "orders_cohort_ltv",
+    "agg_weighted_median",
+    "agg_chisq_cells",
+    "events_funnel_windowed",
 ]
 
 
@@ -47,6 +55,7 @@ def main() -> None:
     replicate("events", "event_id", "user_id")
     replicate("orders", "o_orderkey", "o_custkey")
     replicate("customer", "c_custkey")
+    replicate("lineitem", "l_orderkey")
 
     for name in QUERIES:
         for label, d in (("1x", SF_DIR), (f"{n}x", work)):

@@ -55,7 +55,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-4 FINAL rotation (continuation session). Registry = 211;
+    # Round-4 FINAL rotation (continuation session; registry was 211 at
+    # rotation time — post-rotation registrations are tallied in the
+    # round-5 queue note below). At rotation: 211 registered;
     # 66 entries have never had a driver row (the 20 carried from
     # rounds 1-3, 17 early-round-4 additions, 14 mid-round additions,
     # 15 continuation-session additions). This window holds 47 of them
