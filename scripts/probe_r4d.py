@@ -36,6 +36,7 @@ QUERIES = [
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    names = sys.argv[2:] or QUERIES
     spark = get_spark("probe_r4d", **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
@@ -57,7 +58,7 @@ def main() -> None:
     replicate("customer", "c_custkey")
     replicate("lineitem", "l_orderkey")
 
-    for name in QUERIES:
+    for name in names:
         for label, d in (("1x", SF_DIR), (f"{n}x", work)):
             t0 = time.perf_counter()
             rows = reg[name].spark(spark, d).collect()

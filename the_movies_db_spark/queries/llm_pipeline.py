@@ -1222,3 +1222,85 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(n_tok) div count(1)").cast("bigint").alias("avg_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_gate_ablation",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len({_TOKENS}) AS n_tok,
+             list_aggregate(list_transform({_TOKENS},
+               t -> CASE WHEN lower(t) IN ('the','a','of','and','to','in','is',
+                                           'on','for','with') THEN 1 ELSE 0 END),
+               'sum') * 1.0 / len({_TOKENS}) AS stop_r,
+             list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum')
+               * 1.0 / len({_TOKENS}) AS awl,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               * 1.0 / length(text) AS punct_r
+      FROM documents
+    ), g AS (
+      SELECT lang,
+             CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1 ELSE 0 END AS g_len,
+             CASE WHEN stop_r >= 0.02 THEN 1 ELSE 0 END            AS g_stop,
+             CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END  AS g_awl,
+             CASE WHEN punct_r <= 0.2 THEN 1 ELSE 0 END            AS g_punct
+      FROM m
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                      AS n_docs,
+           CAST(sum(g_len) AS BIGINT)                    AS pass_len,
+           CAST(sum(g_stop) AS BIGINT)                   AS pass_stop,
+           CAST(sum(g_awl) AS BIGINT)                    AS pass_awl,
+           CAST(sum(g_punct) AS BIGINT)                  AS pass_punct,
+           CAST(sum(g_len * g_stop) AS BIGINT)           AS cum_2,
+           CAST(sum(g_len * g_stop * g_awl) AS BIGINT)   AS cum_3,
+           CAST(sum(g_len * g_stop * g_awl * g_punct) AS BIGINT) AS survivors
+    FROM g GROUP BY lang
+    """,
+    doc=(
+        "Quality-gate ablation report: per language, each gate's solo "
+        "pass count AND the cumulative survivorship as gates stack in "
+        "pipeline order — the tuning artifact that shows WHICH rule "
+        "eats the corpus (pipeline_quality_filter only shows the "
+        "survivors). Same gate expressions as the filter, so the "
+        "ablation is exactly the production gates, one scan, "
+        "|langs|-bounded output."
+    ),
+)
+def pipeline_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate rejection accounting for the quality pipeline."""
+    from the_movies_db_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    staged = d.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        T.stopword_ratio("text").alias("stop_r"),
+        T.avg_token_length("text").alias("awl"),
+        T.punct_ratio("text").alias("punct_r"),
+    )
+    g = staged.select(
+        "lang",
+        F.when(F.col("n_tok").between(5, 5000), 1).otherwise(0).alias("g_len"),
+        F.when(F.col("stop_r") >= 0.02, 1).otherwise(0).alias("g_stop"),
+        F.when(F.col("awl").between(2.0, 12.0), 1).otherwise(0).alias("g_awl"),
+        F.when(F.col("punct_r") <= 0.2, 1).otherwise(0).alias("g_punct"),
+    )
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("g_len").cast("bigint").alias("pass_len"),
+        F.sum("g_stop").cast("bigint").alias("pass_stop"),
+        F.sum("g_awl").cast("bigint").alias("pass_awl"),
+        F.sum("g_punct").cast("bigint").alias("pass_punct"),
+        F.sum(F.col("g_len") * F.col("g_stop")).cast("bigint").alias("cum_2"),
+        F.sum(F.col("g_len") * F.col("g_stop") * F.col("g_awl"))
+        .cast("bigint")
+        .alias("cum_3"),
+        F.sum(
+            F.col("g_len") * F.col("g_stop") * F.col("g_awl") * F.col("g_punct")
+        )
+        .cast("bigint")
+        .alias("survivors"),
+    )

@@ -1720,15 +1720,25 @@ def agg_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c.obs) OVER (PARTITION BY c.dow)        AS ct,
              sum(c.obs) OVER ()                          AS n
       FROM cells c
+    ), scaled AS (  -- BIGINT headroom guard: d^2 needs n*max(obs) < ~3e9;
+                    -- beyond that, scale ALL counts down together (both
+                    -- engines mirror the integer formula, so the hash
+                    -- stays exact; s=1 -- a no-op -- below ~32k rows)
+      SELECT event_type, dow, obs,
+             obs // (1 + (n - 1) // 32768) AS o_s,
+             rt  // (1 + (n - 1) // 32768) AS rt_s,
+             ct  // (1 + (n - 1) // 32768) AS ct_s,
+             n   // (1 + (n - 1) // 32768) AS n_s
+      FROM tot
     )
     SELECT event_type, CAST(dow AS BIGINT) AS dow, obs,
-           CAST((rt * ct * 1000) // n AS BIGINT) AS expected_milli,
+           CAST((rt_s * ct_s * 1000) // n_s AS BIGINT) AS expected_milli,
            CAST(
-             ((obs * n - rt * ct) * (obs * n - rt * ct)) // (n * rt * ct) * 1000
-             + (((obs * n - rt * ct) * (obs * n - rt * ct)) % (n * rt * ct) * 1000)
-               // (n * rt * ct)
+             ((o_s * n_s - rt_s * ct_s) * (o_s * n_s - rt_s * ct_s)) // (n_s * rt_s * ct_s) * 1000
+             + (((o_s * n_s - rt_s * ct_s) * (o_s * n_s - rt_s * ct_s)) % (n_s * rt_s * ct_s) * 1000)
+               // (n_s * rt_s * ct_s)
              AS BIGINT) AS chi2_milli
-    FROM tot
+    FROM scaled
     """,
     doc=(
         "Chi-square test of independence (event type x day-of-week), "
@@ -1749,12 +1759,14 @@ def agg_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny aggregate (no second scan). All downstream arithmetic is
     integer-exact, so the statistic is reproducible bit-for-bit across
     engines and cluster sizes — the property a data-drift monitor needs
-    when it alerts on chi2 crossing a threshold. BIGINT headroom: the
-    largest intermediate is d^2 = (obs*n - rt*ct)^2, safe while
-    n*max(obs) < 2^31.5 (~3e9) — beyond that (trillion-row tables),
-    pre-scale the counts by a common power of ten (both engines, same
-    formula) or switch the two products to DECIMAL(38,0); the cell
-    table itself stays tiny at any corpus size."""
+    when it alerts on chi2 crossing a threshold. BIGINT headroom: d^2 =
+    (obs*n - rt*ct)^2 needs n*max(obs) < 2^31.5 (~3e9), so counts are
+    pre-scaled by s = 1 + (n-1) div 32768: worst case |d| <= n_s^2, so
+    capping n_s ~= 32k keeps d^2 < 2^60 for ANY cell distribution (the
+    x16 probe overflowed both the unscaled form and a 1e6-threshold
+    guard — the bound must assume one cell can hold everything).
+    Relative error is O(s/min cell count), fine for a drift monitor;
+    the cell table itself stays tiny at any size."""
     ev = load_table(spark, sf_dir, "events")
     cells = ev.groupBy(
         "event_type",
@@ -1768,13 +1780,27 @@ def agg_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ct", F.sum("obs").over(Window.partitionBy("dow")))
         .withColumn("n", F.sum("obs").over(Window.partitionBy()))
     )
-    d2 = "(obs * n - rt * ct) * (obs * n - rt * ct)"
-    dn = "(n * rt * ct)"
-    return tot.select(
+    # scale guard: identical integer formula in the oracle; s is 1 (a
+    # no-op) until the table exceeds ~32k rows, then all counts shrink
+    # together — worst case |d| <= n_s^2, so n_s ~= 32k bounds d^2
+    # under 2^60 for ANY distribution (x16 probe overflowed both the
+    # raw form and a looser 1e6 guard)
+    scaled = tot.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.expr("obs div (1 + (n - 1) div 32768)").alias("o_s"),
+        F.expr("rt div (1 + (n - 1) div 32768)").alias("rt_s"),
+        F.expr("ct div (1 + (n - 1) div 32768)").alias("ct_s"),
+        F.expr("n div (1 + (n - 1) div 32768)").alias("n_s"),
+    )
+    d2 = "(o_s * n_s - rt_s * ct_s) * (o_s * n_s - rt_s * ct_s)"
+    dn = "(n_s * rt_s * ct_s)"
+    return scaled.select(
         "event_type",
         F.col("dow").cast("bigint").alias("dow"),
         "obs",
-        F.expr("(rt * ct * 1000) div n").cast("bigint").alias("expected_milli"),
+        F.expr("(rt_s * ct_s * 1000) div n_s").cast("bigint").alias("expected_milli"),
         F.expr(f"({d2} div {dn}) * 1000 + (({d2} % {dn}) * 1000) div {dn}")
         .cast("bigint")
         .alias("chi2_milli"),
