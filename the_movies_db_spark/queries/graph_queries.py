@@ -286,3 +286,53 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.min("dist").cast("bigint").alias("hops"))
     )
+
+
+@register(
+    "graph_degree_hist",
+    """
+    WITH deg AS (
+      SELECT l.l_suppkey AS supp,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_suppkey
+    )
+    SELECT CAST(length(bin(d)) AS BIGINT) AS degree_bits,
+           CAST(count(*) AS BIGINT)       AS n_suppliers,
+           CAST(min(d) AS BIGINT)         AS min_degree,
+           CAST(max(d) AS BIGINT)         AS max_degree,
+           CAST(sum(d) AS BIGINT)         AS total_edges
+    FROM deg GROUP BY 1
+    """,
+    doc=(
+        "Degree distribution of the customer-supplier trade graph in "
+        "power-of-two buckets — the heavy-tail check that decides "
+        "whether graph joins need skew handling (a supplier whose "
+        "bucket sits orders of magnitude above the median is the "
+        "salting candidate). The log2 bucket is length(bin(d)) — "
+        "pure integer in both engines, no float log boundary risk."
+    ),
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two degree histogram over the bipartite trade graph.
+
+    Scale notes (100 TB): degrees are one distinct-count aggregate
+    keyed on the supplier (the fact shuffles once); the histogram is a
+    second aggregate over |suppliers| rows into ~64 buckets max. This
+    is the profile_skew companion for graph workloads — run it BEFORE
+    choosing between plain, salted, or vertex-cut joins."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    deg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("supp"))
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("d"))
+    )
+    return deg.groupBy(
+        F.length(F.bin("d")).cast("bigint").alias("degree_bits")
+    ).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.min("d").cast("bigint").alias("min_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.sum("d").cast("bigint").alias("total_edges"),
+    )
