@@ -7,7 +7,7 @@ division, same md5-based fingerprints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from the_movies_db_spark.io import load_table, spread
@@ -614,4 +614,75 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift_milli"), "a", "b")
         .limit(50)
+    )
+
+
+@register(
+    "text_distinctive_terms",
+    f"""
+    WITH tok AS (
+      SELECT source, lower(t) AS term
+      FROM documents, unnest({_TOKENS}) AS u(t)
+      WHERE length(t) >= 3
+    ), sc AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s
+      FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, term, tf_s,
+             sum(tf_s) OVER (PARTITION BY term)   AS tf_all,
+             sum(tf_s) OVER (PARTITION BY source) AS t_src,
+             sum(tf_s) OVER ()                    AS t_tot
+      FROM sc
+    ), lifted AS (
+      SELECT source, term, tf_s,
+             (tf_s * t_tot * 1000000) // (tf_all * t_src) AS lift_ppm,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY (tf_s * t_tot * 1000000)
+                                         // (tf_all * t_src) DESC, term) AS rnk
+      FROM tot WHERE tf_s >= 5
+    )
+    SELECT source, term, tf_s, CAST(lift_ppm AS BIGINT) AS lift_ppm,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM lifted WHERE rnk <= 5
+    """,
+    doc=(
+        "Per-source distinctive vocabulary: top-5 terms by exact "
+        "integer lift — (term share in source) / (term share in "
+        "corpus) in ppm — the contrastive view TF-IDF-per-doc can't "
+        "give (which words make THIS source different). Min count 5, "
+        "≥3 chars; ties break on the term string."
+    ),
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level contrastive term ranking.
+
+    Scale notes (100 TB): one explode → one (source, term) aggregate
+    (map-side combined); the marginals are windows over the aggregate
+    (vocab-bounded, not corpus-bounded); per-source top-5 is a window
+    over |vocab per source|. The lift is a single integer expression —
+    numerators stay under 2^63 while corpus tokens < ~9e12 per the
+    ppm scale; shard the term marginal by a term-hash prefix past
+    that."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", r"\s+")).alias("t"))
+        .filter(F.length("t") >= 3)
+        .select("source", F.lower(F.col("t")).alias("term"))
+    )
+    sc = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_s")
+    )
+    tot = (
+        sc.withColumn("tf_all", F.sum("tf_s").over(Window.partitionBy("term")))
+        .withColumn("t_src", F.sum("tf_s").over(Window.partitionBy("source")))
+        .withColumn("t_tot", F.sum("tf_s").over(Window.partitionBy()))
+    )
+    lift = F.expr("(tf_s * t_tot * 1000000) div (tf_all * t_src)")
+    w = Window.partitionBy("source").orderBy(F.desc(lift), "term")
+    return (
+        tot.filter(F.col("tf_s") >= 5)
+        .withColumn("lift_ppm", lift.cast("bigint"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf_s", "lift_ppm", "rnk")
     )
