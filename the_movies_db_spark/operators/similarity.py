@@ -228,11 +228,21 @@ def cosine_topk_lsh_multiprobe(
         norm(vec_col, dim).alias("__cn"),
         sig.alias("__csig"),
     )
+    # stage the signature BEFORE building the probe set: each Hamming-1
+    # flip references the signature 3x, so exploding probes over the raw
+    # expression would re-inline the num_planes*dim-term signature ~28x
+    # into one projection (megabyte task binaries + seconds of codegen —
+    # the HOF re-inlining trap). Staged, the probes reference a column.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(vec_col, dim).alias("__qn"),
-        F.explode(hamming1_probes(sig, num_planes)).alias("__probe"),
+        sig.alias("__qsig"),
+    ).select(
+        "query_id",
+        "__qv",
+        "__qn",
+        F.explode(hamming1_probes(F.col("__qsig"), num_planes)).alias("__probe"),
     )
     simcol = F.round(
         cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4
