@@ -1040,3 +1040,42 @@ def sim_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("__hit") * 200000).cast("bigint").alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "sim_topk_filtered",
+    f"""
+    WITH corp AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {{cos}} AS cosine_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {{cos}} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN corp c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {{nq}}
+    ) t WHERE rank <= 5
+    """.format(cos=_COS, nq=_N_QUERIES),
+    doc=(
+        "FILTERED vector search (the composition modern retrieval "
+        "needs: metadata predicate AND nearest-neighbor): top-5 "
+        "among only English documents, the filter applied BEFORE "
+        "similarity so selective predicates shrink the scan instead "
+        "of post-filtering a top-k that may then run dry. With an IVF "
+        "index the same pre-filter applies to the posting scan "
+        "(filter-aware ANN); recall-vs-filter-selectivity is the "
+        "standard tradeoff knob."
+    ),
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-prefiltered exact cosine top-k."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    ).select(F.col("doc_id").alias("vec_id"))
+    corp = e.join(docs, "vec_id")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk(corp, q, "vec_id", "embedding", k=5, dim=_DIM)

@@ -1457,3 +1457,56 @@ def events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("change_ppm"),
     )
+
+
+@register(
+    "events_stickiness",
+    """
+    WITH days AS (
+      SELECT user_id,
+             datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400 AS d
+      FROM events
+    ), bound AS (SELECT max(d) AS gd FROM days)
+    SELECT CAST(count(DISTINCT CASE WHEN d = gd THEN user_id END) AS BIGINT)
+             AS dau,
+           CAST(count(DISTINCT CASE WHEN d >= gd - 6 THEN user_id END) AS BIGINT)
+             AS wau,
+           CAST(count(DISTINCT CASE WHEN d >= gd - 29 THEN user_id END) AS BIGINT)
+             AS mau,
+           CAST(count(DISTINCT CASE WHEN d = gd THEN user_id END) * 1000000
+                // count(DISTINCT CASE WHEN d >= gd - 29 THEN user_id END)
+                AS BIGINT) AS stickiness_ppm
+    FROM days, bound
+    """,
+    doc=(
+        "DAU/WAU/MAU snapshot + stickiness (DAU/MAU ppm) anchored at "
+        "the corpus's max day — the product KPI header. All three "
+        "distinct counts come from ONE conditional expand (no three "
+        "scans); events_rolling_mau is the per-day series sibling."
+    ),
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user snapshot KPIs from one conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400"
+        ).alias("d"),
+    )
+    gd = int(days.agg(F.max("d")).first()[0])
+    dau = F.countDistinct(F.when(F.col("d") == gd, F.col("user_id")))
+    wau = F.countDistinct(F.when(F.col("d") >= gd - 6, F.col("user_id")))
+    mau = F.countDistinct(F.when(F.col("d") >= gd - 29, F.col("user_id")))
+    return days.agg(
+        dau.cast("bigint").alias("dau"),
+        wau.cast("bigint").alias("wau"),
+        mau.cast("bigint").alias("mau"),
+        F.expr(
+            f"count(DISTINCT CASE WHEN d = {gd} THEN user_id END) * 1000000"
+            f" div count(DISTINCT CASE WHEN d >= {gd - 29} THEN user_id END)"
+        )
+        .cast("bigint")
+        .alias("stickiness_ppm"),
+    )

@@ -1152,3 +1152,63 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "orders_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cents) OVER () AS tot
+      FROM rev
+    )
+    SELECT CASE WHEN (cum - cents) * 100 < tot * 80 THEN 'A'
+                WHEN (cum - cents) * 100 < tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT)   AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc=(
+        "ABC / Pareto analysis: parts classified by cumulative revenue "
+        "share (A holds the first 80%, B to 95%, C the tail). The "
+        "class test uses the PRIOR cumulative (cum - own) ALL-INTEGER "
+        "cross-multiplied ((cum-c)*100 < tot*80) — no percentage "
+        "doubles, no boundary flips. The global cumulative window "
+        "is over the part-level AGGREGATE; at extreme part counts "
+        "the same two-level offset rewrite as operators/ranks.py "
+        "applies."
+    ),
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue classification over part-level rollups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn("cum", F.sum("cents").over(w_cum)).withColumn(
+        "tot", F.sum("cents").over(Window.partitionBy())
+    )
+    cls = (
+        F.when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 80, "A")
+        .when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
