@@ -550,3 +550,48 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_pairs(
         d, "doc_id", "text", threshold_ppm=500_000, shingle_n=3
     )
+
+
+from the_movies_db_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "dedup_threshold_histogram",
+    f"""
+    WITH pairs AS ({_REG["dedup_ngram_jaccard"].oracle})
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT)            AS n_pairs,
+           CAST(min(round(jaccard * 1000000)) AS BIGINT) AS min_ppm,
+           CAST(max(round(jaccard * 1000000)) AS BIGINT) AS max_ppm
+    FROM pairs
+    GROUP BY 1
+    """,
+    doc=(
+        "Similarity-threshold tuning histogram: candidate-pair counts "
+        "per Jaccard decile (>= 0.2) — the distribution an engineer "
+        "reads BEFORE fixing the dedup threshold (a cliff between "
+        "deciles marks the near-dup/unrelated boundary; a smooth slope "
+        "means the threshold trades real pairs). Nests the exact "
+        "ngram-Jaccard oracle as a CTE, so the histogram is over "
+        "exactly the production pair set."
+    ),
+)
+def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-count distribution across similarity deciles.
+
+    Scale notes (100 TB): same df-capped posting-list join as
+    dedup_ngram_jaccard (its cost bounds apply unchanged); the
+    histogram adds one bounded aggregate. Deciles come from the
+    already-rounded 6-dp Jaccard, so bucket boundaries are
+    engine-stable by construction."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.2, shingle_n=3, max_df=_MAX_DF
+    )
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("bigint").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.round(F.col("jaccard") * 1000000)).cast("bigint").alias("min_ppm"),
+        F.max(F.round(F.col("jaccard") * 1000000)).cast("bigint").alias("max_ppm"),
+    )
