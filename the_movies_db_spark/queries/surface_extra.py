@@ -1928,3 +1928,73 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weighted_median_cents"),
     )
+
+
+@register(
+    "dq_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), expected(digit, benford_milli) AS (
+      VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+             (6, 67), (7, 58), (8, 51), (9, 46)
+    )
+    SELECT e.digit,
+           CAST(coalesce(n, 0) AS BIGINT)                    AS n,
+           CAST(coalesce(n, 0) * 1000 // tot AS BIGINT)      AS observed_milli,
+           CAST(e.benford_milli AS BIGINT)                   AS benford_milli
+    FROM expected e
+    LEFT JOIN (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             sum(count(*)) OVER () AS tot
+      FROM d GROUP BY digit
+    ) o ON o.digit = e.digit
+    """,
+    doc=(
+        "Benford's-law first-digit audit over order amounts — the "
+        "classic synthetic-data / fraud smell test. The first "
+        "significant digit comes from the CENTS STRING (substr of the "
+        "integer cast), never floor(log10(x)) — float log boundaries "
+        "flip digits at exact powers of ten. Expected shares are the "
+        "standard milli constants, identical literals both engines."
+    ),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford expectation.
+
+    Scale notes (100 TB): one conditional scan reduced map-side to 9
+    digit counts; the share window runs over 9 rows. Note the
+    synthetic TPC-H-ish prices are uniform-ish, so the EXPECTED
+    outcome here is a visible Benford violation — which is exactly
+    what the audit is for."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    )
+    expected = o.sparkSession.createDataFrame(
+        [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+         (6, 67), (7, 58), (8, 51), (9, 46)],
+        "digit bigint, benford_milli bigint",
+    )
+    return (
+        F.broadcast(expected)
+        .join(counts, "digit", "left_outer")
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.expr("n * 1000 div tot"), F.lit(0))
+            .cast("bigint")
+            .alias("observed_milli"),
+            F.col("benford_milli").cast("bigint"),
+        )
+    )

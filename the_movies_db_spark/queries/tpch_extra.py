@@ -1212,3 +1212,44 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "orders_seasonality_index",
+    """
+    WITH m AS (
+      SELECT month(o_orderdate) AS mon,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(mon AS BIGINT) AS mon, n_orders, cents,
+           CAST(cents * 12000 // sum(cents) OVER () AS BIGINT)
+             AS seasonality_milli
+    FROM m
+    """,
+    doc=(
+        "Monthly seasonality index: each calendar month's revenue vs "
+        "the uniform 1/12 baseline, in exact milli (1000 = exactly "
+        "average; cents*12000 div total). One bounded aggregate + a "
+        "12-row window — the retail demand-planning staple."
+    ),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month revenue index against the uniform baseline."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").alias("mon")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return m.select(
+        F.col("mon").cast("bigint").alias("mon"),
+        "n_orders",
+        "cents",
+        F.expr("cents * 12000 div sum(cents) OVER ()")
+        .cast("bigint")
+        .alias("seasonality_milli"),
+    )
