@@ -68,8 +68,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # streaming runners — the other seven changed only through that
     # shared path and keep their rounds-2/3 driver rows).
     #
-    # Queue for the round-5 window (48 never-checked, all locally
-    # oracle-green at sf0.01 AND sf0.1; the last twenty-nine were registered
+    # Queue for the round-5 window (50 never-checked, all locally
+    # oracle-green at sf0.01 AND sf0.1; the last thirty-one were registered
     # after this comment was first written — pipeline_padding_waste,
     # events_anomaly_mad, join_interval_overlap, pipeline_shard_shuffle,
     # dq_l_diversity, events_path_topk, orders_rfm_segments,
@@ -80,7 +80,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # orders_cohort_ltv, pipeline_gate_ablation, graph_degree_hist,
     # text_distinctive_terms, sim_topk_filtered, events_stickiness,
     # orders_abc_analysis, dedup_threshold_histogram, dq_benford_digits,
-    # orders_seasonality_index — 48 in all): events_streaks,
+    # orders_seasonality_index, pipeline_chunk_dedup, sim_bucket_purity —
+    # 50 in all, conveniently one full window): events_streaks,
     # events_pattern_vshape, pipeline_curriculum_order,
     # window_moving_median, dq_k_anonymity, orders_open_backlog,
     # events_downsample_lttb, events_rollup_cascade, events_ewma,

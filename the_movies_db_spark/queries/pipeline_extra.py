@@ -791,3 +791,55 @@ def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
         F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).cast("bigint").alias("first_doc"),
     )
+
+
+from the_movies_db_spark.queries import REGISTRY as _REG2  # noqa: E402
+
+
+@register(
+    "pipeline_chunk_dedup",
+    f"""
+    WITH chunks AS ({_REG2["pipeline_chunk_overlap"].oracle})
+    SELECT CAST(count(*) AS BIGINT)                    AS n_chunks,
+           CAST(count(DISTINCT chunk_md5) AS BIGINT)   AS n_unique,
+           CAST((count(*) - count(DISTINCT chunk_md5)) * 1000000 // count(*)
+                AS BIGINT)                             AS dup_ppm,
+           CAST(sum(n_tok) AS BIGINT)                  AS total_tokens,
+           CAST(count(DISTINCT CASE WHEN n_tok = {_CHUNK_W} THEN chunk_md5 END)
+                AS BIGINT)                             AS n_unique_full
+    FROM chunks
+    """,
+    doc=(
+        "Chunk-level exact-dedup accounting over the sliding-window "
+        "chunk stream: total vs distinct chunk hashes, the duplicate "
+        "ppm a chunk-dedup pass would remove, and the distinct count "
+        "among FULL-width chunks (tail fragments excluded — their "
+        "collisions are length artifacts, not redundancy). Nests the "
+        "chunker's oracle as a CTE so the accounting covers exactly "
+        "the production chunk stream."
+    ),
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield estimate at chunk granularity.
+
+    Scale notes (100 TB): the chunk stream is the map-side explode of
+    pipeline_chunk_overlap; the distinct-hash counts are one shuffle
+    on the 16-byte md5 (partial aggregation collapses repeats
+    map-side). This is the measurement that decides whether a
+    chunk-grain dedup pass pays for itself before training."""
+    chunks = _REG2["pipeline_chunk_overlap"].spark(spark, sf_dir)
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_md5").cast("bigint").alias("n_unique"),
+        F.expr(
+            "(count(1) - count(DISTINCT chunk_md5)) * 1000000 div count(1)"
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.countDistinct(
+            F.when(F.col("n_tok") == _CHUNK_W, F.col("chunk_md5"))
+        )
+        .cast("bigint")
+        .alias("n_unique_full"),
+    )

@@ -1079,3 +1079,69 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = e.join(docs, "vec_id")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(corp, q, "vec_id", "embedding", k=5, dim=_DIM)
+
+
+@register(
+    "sim_bucket_purity",
+    f"""
+    WITH sigs AS (
+      SELECT e.vec_id, d.lang, {_SIG_EXPR.format(v="e.embedding")} AS sig
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ), cells AS (
+      SELECT sig, lang, CAST(count(*) AS BIGINT) AS n
+      FROM sigs GROUP BY sig, lang
+    ), buckets AS (
+      SELECT sig,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(max(n) AS BIGINT) AS n_major
+      FROM cells GROUP BY sig
+    )
+    SELECT CAST(count(*) AS BIGINT)                   AS n_buckets,
+           CAST(sum(n_total) AS BIGINT)               AS n_vectors,
+           CAST(sum(n_major) AS BIGINT)               AS n_majority,
+           CAST(sum(n_major) * 1000000 // sum(n_total) AS BIGINT)
+             AS weighted_purity_ppm,
+           CAST(max(n_total) AS BIGINT)               AS max_bucket
+    FROM buckets
+    """,
+    doc=(
+        "LSH bucket purity against document language (the external-"
+        "label clustering eval): per bucket, the majority-label share; "
+        "reported as the size-weighted purity ppm — the standard "
+        "cluster-quality number that says whether the hash geometry "
+        "tracks the semantic grouping. Exact integers throughout; "
+        "complements sim_lsh_bucket_stats (occupancy/skew)."
+    ),
+)
+def sim_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted majority-label purity of LSH buckets.
+
+    Scale notes (100 TB): one broadcast-ish join to fetch labels (by
+    id, co-partitionable), one (bucket, label) aggregate, one bucket
+    aggregate — all bounded by bucket-count x label-count, never
+    pairwise. The purity ppm is a single integer division over the
+    two global sums."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    sig = S.hyperplane_signature("embedding", _PLANES, _DIM)
+    cells = (
+        e.join(d, "vec_id")
+        .select(sig.alias("sig"), "lang")
+        .groupBy("sig", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    buckets = cells.groupBy("sig").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.max("n").cast("bigint").alias("n_major"),
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_total").cast("bigint").alias("n_vectors"),
+        F.sum("n_major").cast("bigint").alias("n_majority"),
+        F.expr("sum(n_major) * 1000000 div sum(n_total)")
+        .cast("bigint")
+        .alias("weighted_purity_ppm"),
+        F.max("n_total").cast("bigint").alias("max_bucket"),
+    )
