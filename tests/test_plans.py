@@ -318,3 +318,39 @@ def test_spatial_radius_join_is_equi_keyed(spark, sf_dir, registry):
     # cell struct, never a nested-loop cross product
     assert "NestedLoop" not in txt and "CartesianProduct" not in txt
     assert "__cell" in txt
+
+
+def test_shard_shuffle_window_is_shard_partitioned(spark, sf_dir, registry):
+    df = registry["pipeline_shard_shuffle"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the intra-shard position must come from a window PARTITIONED BY
+    # the shard key — a partitionless row_number would single-thread
+    # the whole corpus
+    assert "windowspecdefinition(shard" in plan
+
+
+def test_path_topk_is_take_ordered(spark, sf_dir, registry):
+    txt = plan_of(registry["events_path_topk"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_weighted_median_window_is_group_partitioned(spark, sf_dir, registry):
+    df = registry["agg_weighted_median"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # cumulative weights run per flag over the bounded cents domain —
+    # never a global single-partition sort of the fact table
+    assert "windowspecdefinition(flag" in plan
+
+
+def test_interval_overlap_reads_events_twice_only(spark, sf_dir, registry):
+    txt = plan_of(registry["join_interval_overlap"].spark(spark, sf_dir))
+    # one scan per join side; a regression that re-derives either side
+    # per probe would multiply fact scans
+    assert txt.count("events.parquet") == 2
+
+
+def test_filtered_ann_pushes_lang_filter(spark, sf_dir, registry):
+    txt = formatted(registry["sim_topk_filtered"].spark(spark, sf_dir))
+    # the metadata predicate must reach the documents scan, not run as
+    # a post-similarity filter
+    assert "PushedFilters" in txt and "lang" in txt
