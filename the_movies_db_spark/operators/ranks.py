@@ -32,7 +32,8 @@ def global_row_number(
     buckets: int = 64,
     bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Append a 1-based dense global row number ordered by
+    """Append a gap-free 1-based global row number (``row_number``
+    semantics — NOT ``dense_rank`` tie behavior) ordered by
     ``(order_col, *tiebreak)`` without a single-partition sort.
 
     ``order_col`` must be integer-typed (BIGINT-safe arithmetic); ties

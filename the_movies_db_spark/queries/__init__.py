@@ -55,97 +55,69 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-4 FINAL rotation (continuation session; registry was 211 at
-    # rotation time — post-rotation registrations are tallied in the
-    # round-5 queue note below). At rotation: 211 registered;
-    # 66 entries have never had a driver row (the 20 carried from
-    # rounds 1-3, 17 early-round-4 additions, 14 mid-round additions,
-    # 15 continuation-session additions). This window holds 47 of them
-    # plus the 3 highest-risk CHANGED entries (dedup_semantic: cell
-    # sizing now tracks the corpus; streaming_tumbling +
-    # streaming_foreachbatch_upsert: representatives for the
-    # checkpoint-relocation to repo-local scratch shared by all nine
-    # streaming runners — the other seven changed only through that
-    # shared path and keep their rounds-2/3 driver rows).
+    # Round-5 rotation: exactly the 50-name queue left by round 4 (the
+    # round-4 window went 46/50 value-hash green + 4 rows-only-by-design,
+    # 0 failures — see CORRECTNESS_r04.json). After this window runs,
+    # every query registered through the end of round 4 (242) carries a
+    # hard driver row. Queries registered DURING round 5 are queued for
+    # the round-6 window in the comment below, at registration time.
     #
-    # Queue for the round-5 window (50 never-checked, all locally
-    # oracle-green at sf0.01 AND sf0.1; the last thirty-one were registered
-    # after this comment was first written — pipeline_padding_waste,
-    # events_anomaly_mad, join_interval_overlap, pipeline_shard_shuffle,
-    # dq_l_diversity, events_path_topk, orders_rfm_segments,
-    # agg_chisq_cells, join_spatial_radius, pipeline_epoch_repeat,
-    # sim_recall_ivfpq, pipeline_intradoc_dedup, upsert_scd2_asof,
-    # dq_id_gaps, events_funnel_windowed, agg_weighted_median,
-    # join_asof_tolerance, pipeline_dataset_card, events_top_movers,
-    # orders_cohort_ltv, pipeline_gate_ablation, graph_degree_hist,
-    # text_distinctive_terms, sim_topk_filtered, events_stickiness,
-    # orders_abc_analysis, dedup_threshold_histogram, dq_benford_digits,
-    # orders_seasonality_index, pipeline_chunk_dedup, sim_bucket_purity —
-    # 50 in all, conveniently one full window): events_streaks,
-    # events_pattern_vshape, pipeline_curriculum_order,
-    # window_moving_median, dq_k_anonymity, orders_open_backlog,
-    # events_downsample_lttb, events_rollup_cascade, events_ewma,
-    # events_rolling_mau, join_bloom_prefilter, agg_incremental_mv,
-    # text_collocations, agg_regression, udtf_json_props_dynamic,
-    # graph_bfs_hops, profile_skew, agg_bitmap_distinct,
-    # agg_median_histogram.
+    # Queue for the round-6 window (append names HERE at registration
+    # time — every query registered during round 5 lands in this list the
+    # moment its oracle is locally green): (empty so far)
     #
-    # -- the 20 never-driver-checked entries ------------------------------
-    "dedup_containment",
-    "cdc_scd2",
-    "pipeline_winsorize",
-    "search_index_persisted",
-    "sim_topk_pq",
-    "sim_topk_vectorized",   # rows-only by design (numpy SIMD sum order)
-    "sim_mllib_lsh_join",    # rows-only by design (internal hash family)
-    "agg_hll_sketch",        # rows-only by design (sketch internals)
-    "explode_lateral_months",
-    "window_range_frame",
-    "agg_argmax",
-    "agg_mode",
-    "fn_bitwise",
-    "fn_try_arithmetic",
-    "fn_variant_props",
-    "events_retention",
-    "set_intersect_all",
-    "q08_market_share",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    # -- new or changed in round 4 ----------------------------------------
-    "sim_topk_ivfpq",        # new: IVF x PQ composition
-    "sim_topk_ivf_nprobe",   # new: multi-probe IVF (recall dial)
-    "pipeline_chunk_overlap",  # new: sliding-window chunking
-    "dedup_semantic",        # CHANGED: cells now track corpus count
-    "dedup_semantic_lsh",    # new: sub-quadratic LSH-bucketed variant
-    "join_salted_skew",      # new: skew-salted join == plain join
-    "dedup_source_overlap",  # new: per-source MinHash sketch matrix
-    "text_entropy",          # new: char-entropy quality signal
-    # CHANGED streaming representatives (repo-local checkpoint scratch)
-    "streaming_tumbling",
-    "streaming_foreachbatch_upsert",
-    # -- mid-round additions (previously queued) --------------------------
-    "search_hybrid_rrf",
-    "sim_topk_matryoshka",
-    "basket_brand_pairs",
-    "agg_kmv_intersection",
-    "pipeline_semantic_pack",
-    "search_index_incremental",
-    "streaming_dedup_admission",
-    "sim_index_persisted",
-    # -- continuation-session additions -----------------------------------
-    "dedup_prefix_filter",
-    "streaming_append_closed",
-    # -- round-4 additions registered after the first rotation pass -------
-    "dedup_recall_eval",
-    "pipeline_token_apportion",
-    "join_asof_forward",
-    "sim_topk_lsh_multiprobe",
-    "sim_topk_ivf_kmeans",   # rows-only by design (MLlib KMeans internals)
-    "agg_kmv_distinct",
-    "window_cume_distinct",
-    "events_autocorr",
-    "events_cusum_changepoint",
-    "upsert_time_travel",
+    # -- the 31 continuation-2 additions -----------------------------------
+    "pipeline_padding_waste",
+    "events_anomaly_mad",
+    "join_interval_overlap",
+    "pipeline_shard_shuffle",
+    "dq_l_diversity",
+    "events_path_topk",
+    "orders_rfm_segments",
+    "agg_chisq_cells",
+    "join_spatial_radius",
+    "pipeline_epoch_repeat",
+    "sim_recall_ivfpq",
+    "pipeline_intradoc_dedup",
+    "upsert_scd2_asof",
+    "dq_id_gaps",
+    "events_funnel_windowed",
+    "agg_weighted_median",
+    "join_asof_tolerance",
+    "pipeline_dataset_card",
+    "events_top_movers",
+    "orders_cohort_ltv",
+    "pipeline_gate_ablation",
+    "graph_degree_hist",
+    "text_distinctive_terms",
+    "sim_topk_filtered",
+    "events_stickiness",
+    "orders_abc_analysis",
+    "dedup_threshold_histogram",
+    "dq_benford_digits",
+    "orders_seasonality_index",
+    "pipeline_chunk_dedup",
+    "sim_bucket_purity",
+    # -- the 19 earlier never-checked entries -------------------------------
+    "events_streaks",
+    "events_pattern_vshape",
+    "pipeline_curriculum_order",
+    "window_moving_median",
+    "dq_k_anonymity",
+    "orders_open_backlog",
+    "events_downsample_lttb",
+    "events_rollup_cascade",
+    "events_ewma",
+    "events_rolling_mau",
+    "join_bloom_prefilter",
+    "agg_incremental_mv",
+    "text_collocations",
+    "agg_regression",
+    "udtf_json_props_dynamic",
+    "graph_bfs_hops",
+    "profile_skew",
+    "agg_bitmap_distinct",
+    "agg_median_histogram",
 )
 
 

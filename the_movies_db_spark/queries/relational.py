@@ -618,7 +618,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(epoch).alias("b_start"),
         F.expr(f"{epoch} + 300 + (event_id % 20) * 30").alias("b_end"),
     )
-    pairs = interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end", 3600)
+    # bucket_width ~ the median interval length (a: 600-1140 s, b:
+    # 300-870 s) — an oversized bucket degrades toward per-bucket cross
+    # products; 900 keeps candidate sets near the true-pair count.
+    pairs = interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end", 900)
     return pairs.groupBy(
         F.expr("(a_start div 3600) % 24").cast("bigint").alias("hour")
     ).agg(

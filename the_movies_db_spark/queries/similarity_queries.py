@@ -998,7 +998,7 @@ def sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.query_id,
            CAST(count(*) AS BIGINT)              AS n_exact,
            CAST(count(a.neighbor_id) AS BIGINT)  AS n_hits,
-           CAST(count(a.neighbor_id) * 200000 AS BIGINT) AS recall_ppm
+           CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
     FROM exact e
     LEFT JOIN approx a
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -1019,7 +1019,8 @@ def sim_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     small QUERY set (|Q| x corpus, the unavoidable evaluation cost —
     run it over a sampled query panel, never the full corpus); the
     index side reuses the exact production operator. Output is one row
-    per query, integer-exact (hits x 200000 ppm)."""
+    per query, integer-exact: recall_ppm = hits * 1000000 div n_exact,
+    so the metric stays correct when a query has < k true neighbors."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     approx = S.cosine_topk_ivfpq(
@@ -1037,7 +1038,9 @@ def sim_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("__hit").cast("bigint").alias("n_hits"),
-            (F.count("__hit") * 200000).cast("bigint").alias("recall_ppm"),
+            F.expr("count(__hit) * 1000000 div count(*)")
+            .cast("bigint")
+            .alias("recall_ppm"),
         )
     )
 

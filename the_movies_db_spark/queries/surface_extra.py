@@ -1830,40 +1830,55 @@ def agg_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Sequence-gap audit: the 10 largest holes in the order-key "
-        "sequence (lead-minus-self over the sorted keys) — the DQ "
-        "check that catches dropped ingest batches. The global "
-        "ORDER-BY window is over ranges, not rows, at scale: compute "
-        "per-partition boundaries first (min/max per file via "
-        "metadata), or rank with the two-level bucket rewrite "
-        "(operators/ranks.py) and lead over that."
+        "sequence — the DQ check that catches dropped ingest batches. "
+        "Distributed two-level form: gaps INSIDE a ``key div 8192`` "
+        "bucket come from a bucket-partitioned lead(); gaps that CROSS "
+        "bucket boundaries come from lead() over the per-bucket "
+        "(min,max) aggregate — a buckets-sized input, never the fact "
+        "rows (same trick as operators/ranks.py global_row_number)."
     ),
 )
 def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest missing-id ranges in a supposedly-dense key sequence.
 
-    Scale notes (100 TB): as written the lead() window sorts globally —
-    fine for dim-sized tables; for fact-scale keys switch the window
-    to partition on ``key div RANGE`` buckets (gaps inside a bucket
-    detect locally; cross-bucket gaps come from comparing adjacent
-    buckets' min/max, a buckets-sized aggregate — same two-level trick
-    as global_row_number). Output is top-10 deterministic."""
+    Scale notes (100 TB): no global row-level sort. The row-level
+    lead() window partitions on ``k div 8192`` so each task sorts one
+    bucket; the only global ORDER BY runs over the per-bucket (lo, hi)
+    aggregate — n/8192 rows — which also covers entirely-missing
+    buckets (the boundary gap spans from the previous non-empty
+    bucket's max to the next non-empty bucket's min). Output is
+    top-10 deterministic."""
+    bucket = 8192
     o = load_table(spark, sf_dir, "orders").filter(
         ~(
             (F.expr("(o_orderkey div 100) % 13") == 4)
             | (F.col("o_orderkey") % 7 == 3)
         )
     )
-    w = Window.orderBy("k")
     seq = o.select(F.col("o_orderkey").alias("k")).withColumn(
-        "nxt", F.lead("k").over(w)
+        "b", F.expr(f"k div {bucket}")
     )
-    return (
-        seq.filter(F.col("nxt") - F.col("k") > 1)
+    intra = (
+        seq.withColumn("nxt", F.lead("k").over(Window.partitionBy("b").orderBy("k")))
+        .filter(F.col("nxt") - F.col("k") > 1)
         .select(
             (F.col("k") + 1).cast("bigint").alias("gap_start"),
             (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
             (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("n_missing"),
         )
+    )
+    bounds = seq.groupBy("b").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    cross = (
+        bounds.withColumn("nxt_lo", F.lead("lo").over(Window.orderBy("b")))
+        .filter(F.col("nxt_lo") - F.col("hi") > 1)
+        .select(
+            (F.col("hi") + 1).cast("bigint").alias("gap_start"),
+            (F.col("nxt_lo") - 1).cast("bigint").alias("gap_end"),
+            (F.col("nxt_lo") - F.col("hi") - 1).cast("bigint").alias("n_missing"),
+        )
+    )
+    return (
+        intra.unionByName(cross)
         .orderBy(F.col("n_missing").desc(), "gap_start")
         .limit(10)
     )
@@ -1943,7 +1958,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.digit,
            CAST(coalesce(n, 0) AS BIGINT)                    AS n,
-           CAST(coalesce(n, 0) * 1000 // tot AS BIGINT)      AS observed_milli,
+           CAST(coalesce(n * 1000 // tot, 0) AS BIGINT)      AS observed_milli,
            CAST(e.benford_milli AS BIGINT)                   AS benford_milli
     FROM expected e
     LEFT JOIN (
