@@ -604,3 +604,76 @@ def test_matryoshka_prefix_recall_reasonable(spark):
         ).collect()
     }
     assert len(approx & exact) >= int(0.3 * len(exact))
+
+
+def test_ivf_assign_join_form_matches_collected_form(spark):
+    """The broadcast-join assignment (auto above IVF_COLLECT_MAX_CELLS)
+    must produce cell-for-cell identical output to the collected-literal
+    form — same rounded distance, same (d, cid) tie-break."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit_form = {
+        r.vec_id: r.cell
+        for r in S.ivf_assign(
+            df, "vec_id", "embedding", n_cells=8, collect_centroids=True
+        ).collect()
+    }
+    join_form = {
+        r.vec_id: r.cell
+        for r in S.ivf_assign(
+            df, "vec_id", "embedding", n_cells=8, dim=8,
+            collect_centroids=False,
+        ).collect()
+    }
+    assert lit_form == join_form
+
+
+def test_ivf_probe_cells_join_form_matches_collected_form(spark):
+    """Both probe-cell paths must emit the same (id, cell) probe sets in
+    the same distance order semantics (set equality — explode order is
+    not part of the contract)."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit_form = {
+        (r.vec_id, r.cell)
+        for r in S.ivf_probe_cells(
+            df, "vec_id", "embedding", n_cells=8, nprobe=3,
+            collect_centroids=True,
+        ).collect()
+    }
+    join_form = {
+        (r.vec_id, r.cell)
+        for r in S.ivf_probe_cells(
+            df, "vec_id", "embedding", n_cells=8, nprobe=3, dim=8,
+            collect_centroids=False,
+        ).collect()
+    }
+    assert lit_form == join_form
+
+
+def test_ivf_kmeans_cells_track_corpus(spark):
+    """cosine_topk_ivf_kmeans with n_cells=None must size cells from the
+    corpus (semantic_cells) and still return valid per-query top-k."""
+    import random
+
+    rng = random.Random(17)
+    n = 400
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    out = S.cosine_topk_ivf_kmeans(
+        df, q, "vec_id", "embedding", k=3, dim=8
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.query_id != r.neighbor_id
+    assert set(per_q) <= set(range(5)) and len(per_q) >= 1
+    assert all(len(v) <= 3 for v in per_q.values())
+    assert S.semantic_cells(n) == max(32, n // 64)

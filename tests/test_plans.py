@@ -354,3 +354,33 @@ def test_filtered_ann_pushes_lang_filter(spark, sf_dir, registry):
     # the metadata predicate must reach the documents scan, not run as
     # a post-similarity filter
     assert "PushedFilters" in txt and "lang" in txt
+
+
+def test_ivf_assign_auto_switch_bounds_plan_size(spark):
+    """Above IVF_COLLECT_MAX_CELLS, ivf_assign must NOT collect + inline
+    a centroid literal: auto-sized cell counts (semantic_cells = n/64)
+    grow with the corpus, and the literal would grow the plan — and the
+    driver-side build time — linearly with corpus size. The join form's
+    plan is O(1) regardless of n_cells."""
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.operators import similarity as S
+
+    n = S.IVF_COLLECT_MAX_CELLS + 64
+    corpus = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "array(CAST(id % 97 AS DOUBLE), CAST(id % 89 AS DOUBLE),"
+            " CAST(id % 83 AS DOUBLE), CAST(id % 79 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    big = S.ivf_assign(
+        corpus, "vec_id", "embedding",
+        n_cells=S.IVF_COLLECT_MAX_CELLS + 1, dim=4,
+    )
+    txt = plan_of(big)
+    # no collected centroid literal in the plan, bounded plan text
+    assert "named_struct" not in txt
+    assert len(txt) < 50_000, f"plan unexpectedly large: {len(txt)} chars"
+    # the distributed form: centroids broadcast against the corpus
+    assert "Broadcast" in txt

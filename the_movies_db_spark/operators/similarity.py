@@ -314,9 +314,18 @@ def _lit_centroid_array(
     return F.expr(f"array({elems})")
 
 
+# Above this many cells the collected-centroid literal stops being a
+# win: the plan carries n_cells × dim double literals (≈ 2 MB of plan
+# text at 4k cells × 64 dims) and the per-row argmin is O(n_cells)
+# inside one projection — both grow linearly with the corpus when cells
+# are auto-sized (n/64). Past the threshold ivf_assign switches to the
+# broadcast-join + min-of-struct form whose plan size is O(1).
+IVF_COLLECT_MAX_CELLS = 4096
+
+
 def ivf_assign(
     corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8,
-    dim: int | None = None, collect_centroids: bool = True,
+    dim: int | None = None, collect_centroids: bool | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid cell. Centroids here are the deterministic seed set
@@ -324,21 +333,30 @@ def ivf_assign(
     production you'd train them with MLlib KMeans and broadcast the
     model.
 
-    Default path (``collect_centroids``): the ≤ n_cells centroid rows
-    are collected once at plan-build (bounded — this IS the broadcast-
-    the-model shape) and inlined as a literal array, so assignment is a
-    pure per-row projection: argmin over the centroid array via
-    ``array_min`` of (distance, cid) structs — NO crossJoin, NO
-    aggregate, NO exchange. The previous agg formulation
-    (corpus ⨯ broadcast(centroids) → min-of-struct groupBy) compiled to
-    two SortAggregates + two Exchanges over the full corpus — per
-    consumer — and is kept behind ``collect_centroids=False`` only for
-    corpora whose centroid set cannot be collected.
+    ``collect_centroids=None`` (default) auto-selects:
+    ``n_cells <= IVF_COLLECT_MAX_CELLS`` → collected-literal path,
+    else the broadcast-join form. Both paths produce IDENTICAL cells
+    (same rounded distance, same (d, cid) tie-break) — pinned by
+    ``tests/test_plans.py``.
+
+    Collected path: the ≤ n_cells centroid rows are collected once at
+    plan-build (bounded — this IS the broadcast-the-model shape) and
+    inlined as a literal array, so assignment is a pure per-row
+    projection: argmin over the centroid array via ``array_min`` of
+    (distance, cid) structs — NO crossJoin, NO aggregate, NO exchange.
+
+    Broadcast-join path (auto above the threshold): corpus ⨯
+    broadcast(centroids) → min-of-struct groupBy — two extra
+    Exchanges over the corpus, but plan size and driver build time
+    stay O(1) as auto-sized cell counts (``semantic_cells``: n/64)
+    grow with the corpus.
 
     Returns (id, vec, cell). At 100 TB the corpus is *written*
     partitioned by cell, so a query scans only its probe cells'
     files — the IVF analog of partition pruning.
     """
+    if collect_centroids is None:
+        collect_centroids = n_cells <= IVF_COLLECT_MAX_CELLS
     if collect_centroids:
         rows = (
             corpus.filter(F.col(id_col) < n_cells)
@@ -384,32 +402,59 @@ def ivf_probe_cells(
     nprobe: int,
     dim: int | None = None,
     centroid_source: DataFrame | None = None,
+    collect_centroids: bool | None = None,
 ) -> DataFrame:
     """Per-vector probe set: the ``nprobe`` nearest centroid cells in
     distance order (tie-break lowest cid), one output row per (id,
-    probe cell). Same collected-literal centroid convention as
-    :func:`ivf_assign`, so probing is a pure projection + explode —
-    no join, no shuffle. ``nprobe=1`` reduces to the cell assignment.
+    probe cell). ``nprobe=1`` reduces to the cell assignment.
     Centroid seeds come from ``centroid_source`` (the CORPUS — pass it
-    whenever ``df`` is a query subset that may not span the seed ids)."""
+    whenever ``df`` is a query subset that may not span the seed ids).
+
+    Same auto-switch as :func:`ivf_assign`: below
+    ``IVF_COLLECT_MAX_CELLS`` the centroids are a collected literal and
+    probing is a pure projection + explode (no join, no shuffle);
+    above it, ``df`` (the small query panel) joins
+    broadcast(centroids) and ranks the ``nprobe`` nearest per vector —
+    |df| × n_cells distributed work, O(1) plan size."""
     src = centroid_source if centroid_source is not None else df
-    rows = (
-        src.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    if collect_centroids is None:
+        collect_centroids = n_cells <= IVF_COLLECT_MAX_CELLS
+    if collect_centroids:
+        rows = (
+            src.filter(F.col(id_col) < n_cells)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+        cent_arr = _lit_centroid_array(cents)
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(squared_l2(F.col(vec_col), c["cvec"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        probes = F.transform(
+            F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+        )
+        return df.select(
+            id_col, vec_col, F.explode(probes).alias("cell")
+        )
+    cent = src.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
-    cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
-    cent_arr = _lit_centroid_array(cents)
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            F.round(squared_l2(F.col(vec_col), c["cvec"]), 6).alias("d"),
-            c["cid"].alias("cid"),
-        ),
+    l2 = squared_l2_static(vec_col, "__cvec", dim) if dim else squared_l2(
+        F.col(vec_col), F.col("__cvec")
     )
-    probes = F.transform(
-        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(l2, 6).asc(), F.col("__cid").asc()
     )
-    return df.select(
-        id_col, vec_col, F.explode(probes).alias("cell")
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__prank", F.row_number().over(w))
+        .filter(F.col("__prank") <= nprobe)
+        .select(id_col, vec_col, F.col("__cid").alias("cell"))
     )
 
 
@@ -469,7 +514,7 @@ def cosine_topk_ivf_kmeans(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     dim: int = 64,
     seed: int = 42,
     max_iter: int = 5,
@@ -482,10 +527,18 @@ def cosine_topk_ivf_kmeans(
     exists only to make the index value-verifiable against a SQL
     oracle. Balanced KMeans cells beat seed cells on recall-per-probe
     because cell populations track the data distribution. Rows-only
-    in the oracle gate: the trained centroids are MLlib-internal."""
+    in the oracle gate: the trained centroids are MLlib-internal.
+
+    ``n_cells=None`` (default) tracks the corpus like
+    :func:`semantic_dedup` does — ``semantic_cells(count)`` keeps the
+    average cell near SEMANTIC_CELL_TARGET vectors, so per-probe scan
+    cost stays flat as the corpus grows instead of degrading
+    quadratically at a fixed cell count."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_cells is None:
+        n_cells = semantic_cells(corpus.count())
     feat = corpus.select(
         id_col,
         vec_col,

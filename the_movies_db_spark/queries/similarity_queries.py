@@ -339,15 +339,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "production form of sim_topk_ivf, whose seed-centroid rule "
         "exists only for SQL-oracle verifiability. Scale shape "
         "unchanged: corpus written partitioned by trained cell, probe = "
-        "partition pruning."
+        "partition pruning. Cells track the corpus (semantic_cells: "
+        "n div 64) so per-probe cost stays flat as the corpus grows."
     ),
 )
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    return S.cosine_topk_ivf_kmeans(
-        e, q, "vec_id", "embedding", k=5, n_cells=_N_CELLS, dim=_DIM
-    )
+    return S.cosine_topk_ivf_kmeans(e, q, "vec_id", "embedding", k=5, dim=_DIM)
 
 
 @register(
