@@ -288,3 +288,114 @@ def test_time_travel_reads_and_retention(spark, tmp_path):
     # default retention: third commit with keep_versions=1 drops history
     write_upsert(spark, tbl, df([(4, "d")]), "k", order_col=None)
     assert len(list_versions(tbl)) == 1
+
+
+# --- single-writer lease (concurrent-writer contract) ----------------------
+
+
+def test_writer_lock_excludes_concurrent_writer(spark, tmp_path):
+    import the_movies_db_spark.upsert as U
+
+    root = str(tmp_path / "tbl")
+    write_upsert(spark, root, _df(spark, [(1, "a", T0)]), "id")
+    before = U._current_version(root)
+    with U.writer_lock(root):
+        with pytest.raises(U.WriterLockError):
+            write_upsert(spark, root, _df(spark, [(2, "b", T1)]), "id")
+    # pointer untouched and still valid
+    assert U._current_version(root) == before
+    assert _as_map(U.read_table(spark, root)).keys() == {1}
+
+
+def test_writer_lock_stale_lease_is_stolen(spark, tmp_path):
+    """A holder that crashed (lease file left behind, past its lease)
+    must not wedge the table forever: the next writer steals the lease
+    CAS-style and commits."""
+    import os
+
+    import the_movies_db_spark.upsert as U
+
+    root = str(tmp_path / "tbl")
+    write_upsert(spark, root, _df(spark, [(1, "a", T0)]), "id")
+    lock = os.path.join(root, U.WRITER_LOCK)
+    with open(lock, "w") as fh:  # simulated crashed holder
+        fh.write("99999 0\n")
+    os.utime(lock, (0, 0))  # ancient mtime -> stale
+    write_upsert(spark, root, _df(spark, [(2, "b", T1)]), "id")
+    assert _as_map(U.read_table(spark, root)).keys() == {1, 2}
+    assert not os.path.exists(lock)
+
+
+def test_racing_writers_serialize_without_lost_update(spark, tmp_path):
+    """Two writers racing with lock_wait > 0 must SERIALIZE: both
+    batches land (no lost update), _CURRENT always points at a
+    complete readable version (no torn pointer)."""
+    import threading
+
+    import the_movies_db_spark.upsert as U
+
+    root = str(tmp_path / "tbl")
+    write_upsert(spark, root, _df(spark, [(0, "base", T0)]), "id")
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            write_upsert(
+                spark, root,
+                _df(spark, [(i, f"w{i}", T1)]), "id",
+                keep_versions=10, lock_wait=60.0,
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert _as_map(U.read_table(spark, root)).keys() == {0, 1, 2}
+    # pointer names a complete, readable version dir
+    cur = U._current_version(root)
+    assert cur in U.list_versions(root)
+
+
+def test_crash_mid_write_leaves_valid_pointer_and_stale_lease_recovers(
+    spark, tmp_path
+):
+    """Full crash-injection cycle: writer dies between data write and
+    pointer flip (lease held at death, since a real crash cannot run
+    the release) -> table still reads the old version; a later writer
+    steals the expired lease and commits normally."""
+    import os
+
+    import the_movies_db_spark.upsert as U
+
+    root = str(tmp_path / "tbl")
+    write_upsert(spark, root, _df(spark, [(1, "a", T0)]), "id")
+    before = U._current_version(root)
+
+    class Died(RuntimeError):
+        pass
+
+    def crash():
+        # re-create the lease as a crashed process would leave it: the
+        # exception path releases it, so pin a copy back afterwards
+        raise Died()
+
+    U._before_pointer_flip = crash
+    try:
+        with pytest.raises(Died):
+            write_upsert(spark, root, _df(spark, [(2, "b", T1)]), "id")
+    finally:
+        U._before_pointer_flip = None
+    # old version still current and readable
+    assert U._current_version(root) == before
+    assert _as_map(U.read_table(spark, root)).keys() == {1}
+    # simulate the lease the dead process would have left, already stale
+    lock = os.path.join(root, U.WRITER_LOCK)
+    with open(lock, "w") as fh:
+        fh.write("dead 0\n")
+    os.utime(lock, (0, 0))
+    write_upsert(spark, root, _df(spark, [(3, "c", T1)]), "id")
+    assert _as_map(U.read_table(spark, root)).keys() == {1, 3}

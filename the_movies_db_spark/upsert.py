@@ -32,7 +32,9 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 from collections.abc import Sequence
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -136,6 +138,98 @@ _VERSION_RE = re.compile(r"v\d{8}$")
 # before the pointer flip (fault injection for crash-safety tests)
 _before_pointer_flip = None
 
+# --- writer lease ----------------------------------------------------------
+#
+# The versioned-table commit is SINGLE-WRITER by contract: without
+# exclusion, two concurrent upserts can compute the same next-version
+# name (torn data dir: both Spark jobs write into it) or, with distinct
+# names, silently drop one batch (both merge against the same base, the
+# second pointer flip wins). `writer_lock` enforces the contract with a
+# lease file created O_CREAT|O_EXCL (atomic on POSIX and on object
+# stores with if-none-match semantics). A holder that crashes leaves a
+# stale lease; a later writer STEALS it CAS-style — `os.rename` of the
+# stale lease to a unique tombstone, which exactly one stealer can win —
+# then retries acquisition. Transactional formats (Delta/Iceberg)
+# replace this whole block with their commit-log CAS.
+
+WRITER_LOCK = "_WRITER_LOCK"
+DEFAULT_LEASE_SECONDS = 600.0
+
+
+class WriterLockError(RuntimeError):
+    """Another writer holds the table's lease."""
+
+
+@contextmanager
+def writer_lock(
+    target_path: str,
+    lease_seconds: float = DEFAULT_LEASE_SECONDS,
+    wait_seconds: float = 0.0,
+    poll_seconds: float = 0.05,
+    external: bool = False,
+):
+    """Exclusive writer lease on a versioned table root.
+
+    Acquisition is an atomic ``O_CREAT|O_EXCL`` create of
+    ``_WRITER_LOCK`` (content: pid + wallclock, for operators).
+    ``wait_seconds=0`` (default) raises :class:`WriterLockError`
+    immediately when the lease is held — concurrent writers are
+    EXCLUDED, not queued; pass a wait to serialize instead. A lease
+    older than ``lease_seconds`` is presumed crashed and stolen: the
+    stale file is renamed to a per-pid tombstone (only one stealer's
+    rename succeeds) and acquisition retries.
+
+    ``external=True`` places the lease BESIDE the table root
+    (``<root>.__WRITER_LOCK``) instead of inside it — required when
+    the protected write may replace the root directory itself (the
+    partitioned table's initial static overwrite)."""
+    if external:
+        base = os.path.dirname(os.path.abspath(target_path.rstrip("/")))
+        os.makedirs(base, exist_ok=True)
+        lock = target_path.rstrip("/") + ".__" + WRITER_LOCK
+        tomb_base = lock
+    else:
+        os.makedirs(target_path, exist_ok=True)
+        lock = os.path.join(target_path, WRITER_LOCK)
+        tomb_base = os.path.join(target_path, f".{WRITER_LOCK}")
+    deadline = time.monotonic() + wait_seconds
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, f"{os.getpid()} {time.time():.3f}\n".encode())
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # released between create and stat — retry now
+            if age > lease_seconds:
+                tomb = f"{tomb_base}.stale.{os.getpid()}"
+                try:
+                    os.rename(lock, tomb)  # CAS: one stealer wins
+                    os.unlink(tomb)
+                except FileNotFoundError:
+                    pass  # another stealer won — retry acquisition
+                continue
+            if time.monotonic() >= deadline:
+                raise WriterLockError(
+                    f"writer lease held on {target_path} "
+                    f"(age {age:.1f}s < lease {lease_seconds}s); "
+                    "single-writer contract — retry with wait_seconds "
+                    "or raise lease_seconds"
+                ) from None
+            time.sleep(poll_seconds)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # lease was stolen mid-write (we exceeded it)
+
 
 def _current_version(target_path: str) -> str | None:
     f = os.path.join(target_path, CURRENT_POINTER)
@@ -232,6 +326,7 @@ def write_upsert(
     pk: str | Sequence[str],
     order_col: str | None = AUDIT_COLUMN,
     keep_versions: int = 1,
+    lock_wait: float = 0.0,
 ) -> None:
     """Materialized upsert against a Parquet table root: read current
     version → merge → write a complete new version dir → atomic
@@ -243,26 +338,36 @@ def write_upsert(
     ``keep_versions`` is the retention window: how many committed
     versions survive the post-commit vacuum. 1 (default) keeps only
     current; >1 enables time travel via ``read_table(version=...)`` —
-    the plain-Parquet analog of Delta's VERSION AS OF + RETAIN."""
-    exists = os.path.exists(target_path)
-    current = table_data_path(target_path) if exists else None
-    has_data = exists and (
-        _current_version(target_path) is not None
-        or any(not f.startswith((".", "_")) for f in os.listdir(target_path))
-    )
-    if not has_data:
-        out = batch
-        if order_col is not None and order_col in batch.columns:
-            out = keep_latest(out, pk, order_col)
-    else:
-        target = spark.read.parquet(current)
-        out = merge_upsert(target, batch, pk, order_col=order_col)
-    version = _next_version_name(target_path)
-    out.write.mode("overwrite").parquet(os.path.join(target_path, version))
-    if _before_pointer_flip is not None:
-        _before_pointer_flip()
-    _commit_version(target_path, version)
-    vacuum_table(target_path, keep=keep_versions)
+    the plain-Parquet analog of Delta's VERSION AS OF + RETAIN.
+
+    SINGLE-WRITER: the whole read→merge→commit runs under
+    :func:`writer_lock`. A concurrent writer gets
+    :class:`WriterLockError` immediately (``lock_wait=0``) or
+    serializes behind the lease (``lock_wait > 0``) — never a torn
+    version dir or a silently dropped batch."""
+    with writer_lock(target_path, wait_seconds=lock_wait):
+        exists = os.path.exists(target_path)
+        current = table_data_path(target_path) if exists else None
+        has_data = exists and (
+            _current_version(target_path) is not None
+            or any(
+                not f.startswith((".", "_"))
+                for f in os.listdir(target_path)
+            )
+        )
+        if not has_data:
+            out = batch
+            if order_col is not None and order_col in batch.columns:
+                out = keep_latest(out, pk, order_col)
+        else:
+            target = spark.read.parquet(current)
+            out = merge_upsert(target, batch, pk, order_col=order_col)
+        version = _next_version_name(target_path)
+        out.write.mode("overwrite").parquet(os.path.join(target_path, version))
+        if _before_pointer_flip is not None:
+            _before_pointer_flip()
+        _commit_version(target_path, version)
+        vacuum_table(target_path, keep=keep_versions)
 
 
 def write_upsert_partitioned(
@@ -272,10 +377,14 @@ def write_upsert_partitioned(
     pk: str | Sequence[str],
     partition_col: str,
     order_col: str | None = AUDIT_COLUMN,
+    lock_wait: float = 0.0,
 ) -> list[str]:
     """Partition-pruned MERGE into a ``partitionBy(partition_col)``
     parquet table: only the partitions the batch touches are read,
     merged, and rewritten — the rest of the table is never opened.
+    Runs under the same single-writer lease as :func:`write_upsert`
+    (two concurrent dynamic-overwrite writers on overlapping
+    partitions would interleave file replacements).
 
     This is the shape that matters at 100 TB: a daily increment
     touching 3 of 3,000 date partitions reads and rewrites 0.1% of the
@@ -295,32 +404,44 @@ def write_upsert_partitioned(
         str(r[0])
         for r in batch.select(partition_col).distinct().collect()
     ]
-    if not os.path.exists(target_path):
-        out = batch
-        if order_col is not None and order_col in batch.columns:
-            out = keep_latest(out, keys, order_col)
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    # external lease: the initial static overwrite replaces the root
+    # directory itself, which would delete an in-root lock file
+    with writer_lock(target_path, wait_seconds=lock_wait, external=True):
+        has_data = os.path.exists(target_path) and any(
+            not f.startswith((".", "_")) for f in os.listdir(target_path)
+        )
+        if not has_data:
+            out = batch
+            if order_col is not None and order_col in batch.columns:
+                out = keep_latest(out, keys, order_col)
+            out.write.mode("overwrite").partitionBy(partition_col).parquet(
+                target_path
+            )
+            return parts
+
+        target = spark.read.parquet(target_path)
+        # partition-column type inference (string dirs → date/int) must
+        # not read as schema drift: align the batch to the target's type
+        batch = batch.withColumn(
+            partition_col,
+            F.col(partition_col).cast(target.schema[partition_col].dataType),
+        )
+        affected = target.filter(F.col(partition_col).isin(parts))
+        merged = merge_upsert(affected, batch, keys, order_col=order_col)
+
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # dynamic mode: "overwrite" replaces only partitions present
+            # in `merged` — untouched directories are left as-is
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                target_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return parts
-
-    target = spark.read.parquet(target_path)
-    # partition-column type inference (string dirs → date/int) must not
-    # read as schema drift: align the batch to the target's type
-    batch = batch.withColumn(
-        partition_col,
-        F.col(partition_col).cast(target.schema[partition_col].dataType),
-    )
-    affected = target.filter(F.col(partition_col).isin(parts))
-    merged = merge_upsert(affected, batch, keys, order_col=order_col)
-
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # dynamic mode: "overwrite" replaces only partitions present in
-        # `merged` — untouched directories are left as-is
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return parts
 
 
 def additive_upsert(
