@@ -140,3 +140,102 @@ def test_transform_with_state_requires_protobuf_or_matches_batch(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_foreachbatch_upsert_restart_from_checkpoint(spark, tmp_path):
+    """Kill an AvailableNow foreachBatch run mid-stream (the sink dies
+    on its third micro-batch), then restart from the SAME checkpoint:
+    (1) the restart resumes at the first uncommitted batch — files
+    already committed to the source checkpoint are NOT redelivered;
+    (2) the final table equals keep-latest over the full input — no
+    loss from the crash, no duplicates from the retried batch (the
+    upsert sink is idempotent, absorbing foreachBatch's at-least-once
+    delivery into exactly-once table state)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pytest
+
+    from the_movies_db_spark.upsert import read_table, write_upsert
+
+    SCHEMA = "id long, val string, record_loaded_at timestamp"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 4 single-row files = 4 micro-batches under maxFilesPerTrigger=1;
+    # mtimes bumped so the file source delivers them in order
+    rows = [
+        (1, "b0", dt.datetime(2024, 1, 1)),
+        (2, "b1", dt.datetime(2024, 1, 2)),
+        (1, "b2", dt.datetime(2024, 1, 3)),  # overwrites pk 1
+        (3, "b3", dt.datetime(2024, 1, 4)),
+    ]
+    now = time.time()
+    for b, row in enumerate(rows):
+        d = f"{src}/b{b}.parquet"
+        spark.createDataFrame([row], SCHEMA).coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + b, now + b))
+        os.utime(d, (now + b, now + b))
+
+    schema = spark.read.parquet(f"{src}/b0.parquet").schema
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    target, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    committed = {"n": 0}
+
+    def dying_sink(df, batch_id):
+        if committed["n"] == 2:
+            raise RuntimeError("injected crash on third micro-batch")
+        write_upsert(
+            df.sparkSession, target, df, "id",
+            order_col="record_loaded_at",
+        )
+        committed["n"] += 1
+
+    q = (
+        make_stream().writeStream.foreachBatch(dying_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash|Terminated"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+    assert not q.isActive
+    # two batches committed before the crash
+    assert {r.id for r in read_table(spark, target).collect()} == {1, 2}
+
+    run2_ids: list[set] = []
+
+    def good_sink(df, batch_id):
+        run2_ids.append({r.id for r in df.collect()})
+        write_upsert(
+            df.sparkSession, target, df, "id",
+            order_col="record_loaded_at",
+        )
+
+    q2 = (
+        make_stream().writeStream.foreachBatch(good_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    # resume point: only rows from the two uncommitted files are
+    # redelivered — never the already-committed b0/b1 contents
+    redelivered = set().union(*run2_ids) if run2_ids else set()
+    assert redelivered == {1, 3}, run2_ids
+    # exactly-once table state: keep-latest over the full input
+    final = {r.id: r.val for r in read_table(spark, target).collect()}
+    assert final == {1: "b2", 2: "b1", 3: "b3"}
