@@ -677,3 +677,60 @@ def test_ivf_kmeans_cells_track_corpus(spark):
     assert set(per_q) <= set(range(5)) and len(per_q) >= 1
     assert all(len(v) <= 3 for v in per_q.values())
     assert S.semantic_cells(n) == max(32, n // 64)
+
+
+def test_kmeans_integer_is_partitioning_invariant(spark):
+    """The whole point of integer means: assignments must be
+    bit-identical no matter how the corpus is partitioned (float
+    accumulation order would diverge here)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = {
+        r.vec_id: r.cell
+        for r in S.kmeans_integer_assign(
+            df.coalesce(1), "vec_id", "embedding", k=4, iters=2, dim=8
+        ).collect()
+    }
+    many = {
+        r.vec_id: r.cell
+        for r in S.kmeans_integer_assign(
+            df.repartition(13), "vec_id", "embedding", k=4, iters=2, dim=8
+        ).collect()
+    }
+    assert one == many
+    assert set(one.values()) <= {0, 1, 2, 3}
+
+
+def test_kmeans_integer_iterations_refine_seed_assignment(spark):
+    """2 Lloyd iterations must actually train: with seeds drawn from a
+    single region, iteration moves centroids toward the true cluster
+    structure and changes some assignments vs the pure seed index."""
+    import random
+
+    rng = random.Random(29)
+    # two well-separated blobs; seeds (ids 0..3) all in blob A
+    rows = []
+    for i in range(100):
+        center = 0.4 if i % 2 == 0 and i >= 8 else -0.4
+        rows.append(
+            (i, [center + rng.uniform(-0.05, 0.05) for _ in range(8)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seed_only = {
+        r.vec_id: r.cell
+        for r in S.kmeans_integer_assign(
+            df, "vec_id", "embedding", k=4, iters=1, dim=8
+        ).collect()
+    }
+    trained = {
+        r.vec_id: r.cell
+        for r in S.kmeans_integer_assign(
+            df, "vec_id", "embedding", k=4, iters=3, dim=8
+        ).collect()
+    }
+    assert seed_only != trained

@@ -290,24 +290,29 @@ def _lit_centroid_array(
     lo: int | None = None,
     hi: int | None = None,
     cid_type: str = "bigint",
+    value_type: str = "DOUBLE",
 ) -> Column:
     """Literal array<struct<cid, cvec>> of collected centroids as ONE
     parsed SQL expression. Building it through nested ``F.lit`` calls
     costs one py4j round trip per float — thousands per plan (16
     centroids × 64 dims × 8 subspaces ≈ 8k calls ≈ seconds of DRIVER
     time per query build, measured in the bench medians); a single
-    ``F.expr`` parse is milliseconds. Values go through ``repr`` →
-    ``CAST(string AS DOUBLE)`` (Java parseDouble), which round-trips
+    ``F.expr`` parse is milliseconds. DOUBLE values go through ``repr``
+    → ``CAST(string AS DOUBLE)`` (Java parseDouble), which round-trips
     every IEEE double exactly, so the plan is bit-identical to the
-    ``F.lit`` form."""
+    ``F.lit`` form; ``value_type="BIGINT"`` emits exact integer
+    literals (the integer-KMeans path)."""
+
+    def fmt(x) -> str:
+        if value_type == "BIGINT":
+            return f"CAST({int(x)} AS BIGINT)"
+        return f"CAST('{x!r}' AS DOUBLE)"
+
     elems = ", ".join(
         "named_struct('cid', CAST({} AS {}), 'cvec', array({}))".format(
             cid,
             cid_type,
-            ", ".join(
-                f"CAST('{x!r}' AS DOUBLE)"
-                for x in (v[lo:hi] if lo is not None else v)
-            ),
+            ", ".join(fmt(x) for x in (v[lo:hi] if lo is not None else v)),
         )
         for cid, v in cents
     )
@@ -555,6 +560,141 @@ def cosine_topk_ivf_kmeans(
     )
     assigned = (
         km.fit(feat).transform(feat).select(id_col, vec_col, "cell")
+    )
+    q = assigned.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col, dim).alias("__qn"),
+        F.col("cell").alias("__qcell"),
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col, dim).alias("__cn"),
+        F.col("cell").alias("__ccell"),
+    )
+    sim = F.round(cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=dim), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- integer-exact deterministic KMeans ------------------------------------
+#
+# MLlib KMeans is rows-only in the oracle gate (kmeans|| init + float
+# accumulation order are engine-internal). This variant makes the WHOLE
+# trained index value-verifiable: vectors are quantized to positive
+# BIGINT micro-units, init is the deterministic seed set (id < k), each
+# Lloyd iteration assigns by exact integer L2 argmin (tie-break lowest
+# cid) and updates centroids as exact integer means (sum // count —
+# order-independent, so distributed accumulation cannot diverge from a
+# sequential SQL engine). A fixed small iteration count unrolls into
+# static oracle SQL.
+
+KMEANS_INT_SHIFT = "2.0"  # embeddings live in (-0.6, 0.6); +2 > 0 strictly
+KMEANS_INT_SCALE = "1000000.0"  # micro-units
+
+
+def quantize_micro(vec_col: str) -> Column:
+    """array<bigint> of positive micro-units:
+    round((CAST(x AS DOUBLE) + 2.0) * 1e6). float→double widening is
+    exact and both engines round positive halves away from zero, so
+    the quantization is engine-identical."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(round((CAST(x AS DOUBLE)"
+        f" + {KMEANS_INT_SHIFT}D) * {KMEANS_INT_SCALE}D) AS BIGINT))"
+    )
+
+
+def _int_l2(qv: Column, cvec: Column) -> Column:
+    """Exact integer squared L2 (micro-unit diffs ≤ 4e12/dim, ×64 dims
+    ≈ 2.6e14 — far inside BIGINT)."""
+    return F.aggregate(
+        F.zip_with(qv, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_integer_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic integer Lloyd's KMeans; returns (id, cell) after
+    ``iters`` assignment passes (the last pass does not update
+    centroids — mirroring the unrolled oracle SQL exactly).
+
+    Scale notes (100 TB): per iteration, one corpus-wide projection
+    (argmin over k collected centroids — the broadcast-the-model
+    shape) plus one k×dim-cell aggregate collected to the driver
+    (bounded by k·dim, never corpus size). Empty cells keep their
+    previous centroid on both engines."""
+    base = corpus.select(F.col(id_col), quantize_micro(vec_col).alias("__qv"))
+    cents = sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in base.filter(F.col(id_col) < k).collect()
+    )
+
+    def assign(cent_list: list[tuple[int, list[int]]]) -> DataFrame:
+        cent_arr = _lit_centroid_array(cent_list, value_type="BIGINT")
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                _int_l2(F.col("__qv"), c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return base.withColumn("cell", F.array_min(scored)["cid"])
+
+    for it in range(iters):
+        assigned = assign(cents)
+        if it == iters - 1:
+            return assigned.select(id_col, "cell")
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("__qv")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        means = {
+            int(r["cell"]): [int(r[f"s{d}"]) // int(r["n"]) for d in range(dim)]
+            for r in sums
+        }
+        cents = [(cid, means.get(cid, prev)) for cid, prev in cents]
+    raise AssertionError("iters must be >= 1")
+
+
+def cosine_topk_kmeans_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k through the integer-KMeans index: exact cosine
+    within the query's trained cell — same search shape as
+    :func:`cosine_topk_ivf`, but the quantizer is TRAINED (2 Lloyd
+    iterations) and still value-verifiable against static SQL."""
+    assigned = corpus.join(
+        kmeans_integer_assign(corpus, id_col, vec_col, n_cells, iters, dim),
+        id_col,
     )
     q = assigned.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"),

@@ -64,7 +64,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #
     # Queue for the round-6 window (append names HERE at registration
     # time — every query registered during round 5 lands in this list the
-    # moment its oracle is locally green): (empty so far)
+    # moment its oracle is locally green): sim_topk_kmeans_int,
+    # sim_recall_kmeans.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

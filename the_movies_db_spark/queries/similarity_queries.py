@@ -1147,3 +1147,158 @@ def sim_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_purity_ppm"),
         F.max("n_total").cast("bigint").alias("max_bucket"),
     )
+
+
+# --- integer-exact trained quantizer (value-hashable KMeans path) ----------
+
+_KM_K, _KM_ITERS = 8, 2
+_D2INT = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _kmeans_int_index_ctes() -> str:
+    """The CTE chain reproducing operators.similarity.
+    kmeans_integer_assign EXACTLY: quantize -> seed centroids ->
+    2 unrolled Lloyd iterations (assign by integer L2 argmin, update
+    by integer mean with empty cells keeping their centroid). All
+    arithmetic is BIGINT, so distributed accumulation order cannot
+    diverge from DuckDB's sequential evaluation."""
+    assign = (
+        "SELECT vec_id, q, cid AS cell FROM ("
+        "  SELECT v.vec_id, v.q, c.cid,"
+        "         row_number() OVER (PARTITION BY v.vec_id"
+        "                            ORDER BY " + _D2INT.format(a="v.q", b="c.c") + ", c.cid) AS rn"
+        "  FROM qvx v CROSS JOIN {cent} c"
+        ") t WHERE rn = 1"
+    )
+    return f"""
+    qvx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round((x::DOUBLE + 2.0) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id AS cid, q AS c FROM qvx WHERE vec_id < {_KM_K}),
+    a1 AS ({assign.format(cent="cent0")}),
+    upd1 AS (
+      SELECT cell, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+      FROM (SELECT cell, unnest(q) AS x, unnest(range(1, 65)) AS d FROM a1) u
+      GROUP BY cell, d
+    ),
+    cent1 AS (
+      SELECT c0.cid, coalesce(n.c, c0.c) AS c
+      FROM cent0 c0 LEFT JOIN (
+        SELECT cell AS cid, list(m ORDER BY d) AS c FROM upd1 GROUP BY cell
+      ) n USING (cid)
+    ),
+    a2 AS ({assign.format(cent="cent1")})
+    """
+
+
+_KMEANS_INT_TOPK_SQL = f"""
+    WITH {_kmeans_int_index_ctes()}
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS} DESC, c.vec_id) AS rank
+      FROM (SELECT a.vec_id, e.embedding, a.cell
+            FROM a2 a JOIN embeddings e USING (vec_id)
+            WHERE a.vec_id < {_N_QUERIES}) q
+      JOIN (SELECT a.vec_id, e.embedding, a.cell
+            FROM a2 a JOIN embeddings e USING (vec_id)) c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ) t WHERE rank <= 5
+    """
+
+
+@register(
+    "sim_topk_kmeans_int",
+    _KMEANS_INT_TOPK_SQL,
+    doc=(
+        "Top-5 through a TRAINED-and-still-value-verifiable quantizer: "
+        "integer-exact Lloyd's KMeans (positive micro-unit BIGINTs, "
+        "seed init, 2 iterations, integer-mean updates) assigns cells; "
+        "exact cosine ranks within the query's cell. The oracle unrolls "
+        "both Lloyd iterations into static SQL — the hashable sibling "
+        "of the MLlib sim_topk_ivf_kmeans path, which stays rows-only "
+        "because kmeans||-init float accumulation is engine-internal."
+    ),
+)
+def sim_topk_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer ANN with an exactly reproducible index.
+
+    Scale notes (100 TB): each Lloyd iteration is one corpus projection
+    (argmin over k collected centroids) + one k x dim aggregate —
+    model-broadcast shape, no corpus-sized shuffle; the search is the
+    standard cell equi-join. Integer means make the training
+    bit-identical regardless of partitioning."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_kmeans_int(
+        e, q, "vec_id", "embedding",
+        k=5, n_cells=_KM_K, iters=_KM_ITERS, dim=_DIM,
+    )
+
+
+@register(
+    "sim_recall_kmeans",
+    f"""
+    WITH approx AS ({_KMEANS_INT_TOPK_SQL}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) t WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT)              AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT)  AS n_hits,
+           CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc=(
+        "recall@5 of the trained integer-KMeans index against exact "
+        "brute force, per query — the value-hashable evaluation row "
+        "covering the KMeans path (the sim_recall_ivfpq pattern: the "
+        "full index oracle nests as a CTE, so the evaluated index is "
+        "exactly the shipped one)."
+    ),
+)
+def sim_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth recall of the trained integer-KMeans quantizer.
+
+    Scale notes (100 TB): ground truth is |Q| x corpus over the small
+    query panel only; the index side reuses the production operator.
+    recall_ppm = hits * 1000000 div n_exact — exact integers, correct
+    for short ground-truth lists."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    approx = S.cosine_topk_kmeans_int(
+        e, q, "vec_id", "embedding",
+        k=5, n_cells=_KM_K, iters=_KM_ITERS, dim=_DIM,
+    ).select("query_id", "neighbor_id")
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=5, dim=_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    hit = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").cast("bigint").alias("n_hits"),
+            F.expr("count(__hit) * 1000000 div count(*)")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
