@@ -65,7 +65,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-6 window (append names HERE at registration
     # time — every query registered during round 5 lands in this list the
     # moment its oracle is locally green): sim_topk_kmeans_int,
-    # sim_recall_kmeans.
+    # sim_recall_kmeans, text_lang_confusion, dq_referential_integrity,
+    # orders_pareto_gini, orders_segment_migration, events_time_to_convert,
+    # search_phrase_proximity, pipeline_classifier_gate, fn_url_parse.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

@@ -1304,3 +1304,102 @@ def pipeline_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("survivors"),
     )
+
+
+# integer linear quality classifier: fixed weights over exact integer
+# features — the deterministic stand-in for a fastText-style quality
+# model, with the same batch-scoring plan shape (per-row projection,
+# no UDF, no shuffle until the report aggregate)
+_CLS_STOPS = ",".join(f"'{w}'" for w in T.STOPWORDS["en"])
+_CLS_THRESHOLD = 900
+
+
+@register(
+    "pipeline_classifier_gate",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tok,
+             list_aggregate(list_transform(toks,
+               t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+               'sum') AS stop_hits,
+             len(list_distinct(toks)) AS n_distinct
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ) d
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(2 * stop_hits * 1000 // n_tok
+                  + n_distinct * 1000 // n_tok
+                  + least(n_tok, 500) AS BIGINT) AS score
+      FROM feats WHERE n_tok > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= {_CLS_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN score >= {_CLS_THRESHOLD} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS pass_ppm,
+           CAST(sum(score) AS BIGINT) AS sum_score
+    FROM scored GROUP BY lang
+    """,
+    doc=(
+        "Model-based quality gate: a fixed-weight integer linear "
+        "classifier (stopword density, type-token ratio, capped "
+        "length — the features of a fastText quality model, scored "
+        "without a UDF) gates each doc at a threshold; report = "
+        "per-lang pass rates in exact ppm. The batch-inference plan "
+        "shape every learned quality filter runs at corpus scale: "
+        "pure projection scoring, one small report aggregate."
+    ),
+)
+def pipeline_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer linear quality-classifier gate with per-lang pass rates.
+
+    Scale notes (100 TB): scoring is per-row expression arithmetic
+    inside whole-stage codegen (a real model swaps in ONNX/pandas-UDF
+    batches at the same seam); the only shuffle carries |langs| rows.
+    All features and the score are exact BIGINTs, so the gate decision
+    is bit-stable across engines and partitionings."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+        ).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            f"aggregate(transform(toks, t -> CASE WHEN t IN ({_CLS_STOPS})"
+            " THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+        ).alias("stop_hits"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    scored = feats.filter(F.col("n_tok") > 0).select(
+        "lang",
+        F.expr(
+            "CAST(2 * stop_hits * 1000 div n_tok"
+            " + n_distinct * 1000 div n_tok"
+            " + least(n_tok, 500L) AS BIGINT)"
+        ).alias("score"),
+    )
+    passed = F.sum(
+        F.when(F.col("score") >= _CLS_THRESHOLD, 1).otherwise(0)
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        passed.cast("bigint").alias("n_pass"),
+        F.expr(
+            f"sum(CASE WHEN score >= {_CLS_THRESHOLD} THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("pass_ppm"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+    )

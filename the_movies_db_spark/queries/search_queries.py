@@ -617,3 +617,100 @@ def search_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "doc_id", "score_milli")
     )
+
+
+# proximity query pairs: (query_id, term_a, term_b)
+PROX_PAIRS = ((1, "spark", "table"), (2, "query", "join"), (3, "batch", "stream"))
+_PROX_VALUES = ", ".join(
+    f"({qid}, '{a}', 'a'), ({qid}, '{b}', 'b')" for qid, a, b in PROX_PAIRS
+)
+
+
+@register(
+    "search_phrase_proximity",
+    f"""
+    WITH qt AS (
+      SELECT * FROM (VALUES {_PROX_VALUES}) AS t(query_id, term, role)
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ) d
+    ), post AS (
+      SELECT q.query_id, t.doc_id, t.pos, t.term
+      FROM tok t JOIN qt q USING (term)
+    ), adj AS (
+      SELECT query_id, doc_id, pos, term,
+             lag(term) OVER (PARTITION BY query_id, doc_id ORDER BY pos)
+               AS pterm,
+             lag(pos) OVER (PARTITION BY query_id, doc_id ORDER BY pos)
+               AS ppos
+      FROM post
+    ), gaps AS (
+      SELECT query_id, doc_id, CAST(min(pos - ppos) AS BIGINT) AS min_gap
+      FROM adj WHERE pterm IS NOT NULL AND term <> pterm
+      GROUP BY query_id, doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, min_gap, rank
+    FROM (
+      SELECT query_id, doc_id, min_gap,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY min_gap, doc_id) AS rank
+      FROM gaps
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "Proximity search: per (query, doc) the MINIMUM token distance "
+        "between the two query terms, top-5 closest docs per query. "
+        "Linear in postings — the min over ADJACENT different-term "
+        "postings in position order equals the global pairwise min "
+        "(two-pointer identity), so there is NO per-doc positional "
+        "self-join; postings are pruned by the broadcast query "
+        "vocabulary before the only shuffle."
+    ),
+)
+def search_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-token-distance proximity ranking via adjacent postings.
+
+    Scale notes (100 TB): tokens are pruned to query-term postings
+    map-side (broadcast vocab join), the lag window partitions on
+    (query, doc) — millions of tiny partitions, fully parallel — and
+    the candidate set never multiplies tf(a) x tf(b)."""
+    from pyspark.sql import Window
+
+    qt = spark.createDataFrame(
+        [(qid, t, role) for qid, a, b in PROX_PAIRS
+         for t, role in ((a, "a"), (b, "b"))],
+        "query_id long, term string, role string",
+    )
+    tokens = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+            ).alias("toks"),
+        )
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    )
+    post = tokens.join(F.broadcast(qt.select("query_id", "term")), "term")
+    w = Window.partitionBy("query_id", "doc_id").orderBy("pos")
+    adj = post.select(
+        "query_id", "doc_id", "pos", "term",
+        F.lag("term").over(w).alias("pterm"),
+        F.lag("pos").over(w).alias("ppos"),
+    )
+    gaps = (
+        adj.filter(F.col("pterm").isNotNull() & (F.col("term") != F.col("pterm")))
+        .groupBy("query_id", "doc_id")
+        .agg((F.min(F.col("pos") - F.col("ppos"))).cast("bigint").alias("min_gap"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("min_gap", "doc_id")
+    return (
+        gaps.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "min_gap", "rank")
+    )

@@ -2013,3 +2013,195 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("benford_milli").cast("bigint"),
         )
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS orph_ord,
+             CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS orph_part,
+             CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS orph_supp
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
+      LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        ON l.l_suppkey = s.s_suppkey
+    ), oc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS orph
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    ), ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS orph
+      FROM events e
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON e.user_id = c.c_custkey
+    )
+    SELECT fk, n_rows, n_orphans,
+           CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_ppm
+    FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk, n_rows, orph_ord AS n_orphans FROM li
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', n_rows, orph_part FROM li
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', n_rows, orph_supp FROM li
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', n_rows, orph FROM oc
+      UNION ALL
+      SELECT 'events.user_id->customer', n_rows, orph FROM ev
+    ) t
+    """,
+    doc=(
+        "Referential-integrity audit: orphan counts + exact-ppm orphan "
+        "rates for every FK edge in the schema, each fact scanned ONCE "
+        "(all of lineitem's three FK checks ride one scan via three "
+        "broadcast key-set joins). The DQ gate that catches truncated "
+        "dim loads before they silently drop fact rows in inner joins."
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK audit across all fact->dim edges.
+
+    Scale notes (100 TB): dim key sets are distinct-collapsed then
+    broadcast (dims are MBs against a TB fact); each fact contributes
+    one scan with conditional-sum aggregation — no shuffle of fact
+    rows at all, and the output is |edges| rows."""
+
+    def keyset(table: str, key: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, table)
+            .select(key)
+            .distinct()
+            .withColumn(f"__hit_{key}", F.lit(1))
+        )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(keyset("orders", "o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_outer",
+        )
+        .join(
+            F.broadcast(keyset("part", "p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_outer",
+        )
+        .join(
+            F.broadcast(keyset("supplier", "s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_outer",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("__hit_o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph_ord"),
+            F.sum(F.when(F.col("__hit_p_partkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph_part"),
+            F.sum(F.when(F.col("__hit_s_suppkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph_supp"),
+        )
+    )
+
+    def one_edge(fact: str, fk_col: str, dim: str, dim_key: str, label: str):
+        return (
+            load_table(spark, sf_dir, fact)
+            .select(fk_col)
+            .join(
+                F.broadcast(keyset(dim, dim_key)),
+                F.col(fk_col) == F.col(dim_key),
+                "left_outer",
+            )
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col(f"__hit_{dim_key}").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+
+    li_rows = li.select(
+        F.expr(
+            "stack(3,"
+            " 'lineitem.l_orderkey->orders', n_rows, orph_ord,"
+            " 'lineitem.l_partkey->part', n_rows, orph_part,"
+            " 'lineitem.l_suppkey->supplier', n_rows, orph_supp)"
+            " AS (fk, n_rows, n_orphans)"
+        )
+    )
+    edges = li_rows.unionByName(
+        one_edge("orders", "o_custkey", "customer", "c_custkey",
+                 "orders.o_custkey->customer")
+    ).unionByName(
+        one_edge("events", "user_id", "customer", "c_custkey",
+                 "events.user_id->customer")
+    )
+    return edges.select(
+        "fk",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_orphans",
+        F.expr("n_orphans * 1000000 div n_rows").cast("bigint").alias("orphan_ppm"),
+    )
+
+
+@register(
+    "fn_url_parse",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=' || (doc_id % 7) AS url
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1)     AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)       AS lang_param,
+           CAST(regexp_extract(url, '[?&]v=([^&]*)', 1) AS BIGINT) AS v_param,
+           regexp_extract(url, '^([a-z]+)://', 1)           AS protocol
+    FROM u
+    """,
+    doc=(
+        "URL parsing surface (SURVEY §2.9 string fns): Spark's "
+        "parse_url (HOST/PATH/QUERY-key/PROTOCOL) against regex "
+        "equivalents — the log-enrichment projection every clickstream "
+        "pipeline runs; pure per-row codegen, no UDF."
+    ),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url projection over synthesized doc URLs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&v="), (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+        F.expr("CAST(parse_url(url, 'QUERY', 'v') AS BIGINT)").alias("v_param"),
+        F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
+    )

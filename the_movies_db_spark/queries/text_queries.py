@@ -87,9 +87,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_langid",
-    f"""
+# the langid prediction as a standalone SELECT, so evaluation queries
+# (confusion matrix) can nest the EXACT shipped heuristic as a CTE
+_LANGID_PRED_SQL = f"""
     WITH s AS (
       SELECT doc_id, lang,
              {_ratio_sql("de")} AS s_de, {_ratio_sql("en")} AS s_en,
@@ -103,7 +103,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN s_es >= s_fr                       THEN 'es'
                 ELSE 'fr' END AS lang_pred
     FROM s
-    """,
+    """
+
+
+@register(
+    "text_langid",
+    _LANGID_PRED_SQL,
     doc=(
         "Stopword-overlap language heuristic (argmax over per-language "
         "ratios, earliest-language tie-break, 'und' below threshold)."
@@ -685,4 +690,55 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 5)
         .select("source", "term", "tf_s", "lift_ppm", "rnk")
+    )
+
+
+@register(
+    "text_lang_confusion",
+    f"""
+    WITH pred AS ({_LANGID_PRED_SQL}),
+    cm AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+             AS row_ppm,
+           CAST(CASE WHEN lang = lang_pred THEN n ELSE 0 END AS BIGINT)
+             AS n_correct
+    FROM cm
+    """,
+    doc=(
+        "Language-ID confusion matrix: the shipped heuristic's "
+        "predictions against the labeled lang column, with per-label "
+        "recall in exact ppm — the model-eval row every classifier in "
+        "the curation pipeline needs. The oracle NESTS the exact "
+        "text_langid SQL, so the evaluated predictor is the shipped "
+        "one, not a stand-in."
+    ),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-label recall of the langid heuristic.
+
+    Scale notes (100 TB): prediction is a pure per-row expression;
+    the matrix is a |langs|² aggregate (map-side combine collapses
+    it), and the recall window runs over those few rows only."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cm = (
+        d.select("lang", T.language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("n * 1000000 div sum(n) OVER (PARTITION BY lang)")
+        .cast("bigint")
+        .alias("row_ppm"),
+        F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_correct"),
     )

@@ -1510,3 +1510,96 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stickiness_ppm"),
     )
+
+
+@register(
+    "events_time_to_convert",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN
+                   datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+                 END) AS first_view_us
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id,
+             (min(datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                           e.ts)) - f.first_view_us) // 60000000 AS cell
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+        AND f.first_view_us IS NOT NULL
+        AND datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', e.ts)
+            >= f.first_view_us
+      GROUP BY e.user_id, f.first_view_us
+    ), hist AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS w FROM conv GROUP BY cell
+    ), cum AS (
+      SELECT cell, w,
+             sum(w) OVER (ORDER BY cell
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(w) OVER () AS tot
+      FROM hist
+    )
+    SELECT CAST(min(tot) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN 2 * cw >= tot THEN cell END) AS BIGINT)
+             AS median_minutes,
+           CAST(min(CASE WHEN 10 * cw >= 9 * tot THEN cell END) AS BIGINT)
+             AS p90_minutes,
+           CAST(max(cell) AS BIGINT) AS max_minutes
+    FROM cum
+    """,
+    doc=(
+        "Time-to-convert distribution: per user, first view -> first "
+        "subsequent purchase, exact median/p90/max in whole minutes via "
+        "the counting-histogram cumulative trick (agg_median_histogram "
+        "generalized to latency percentiles) — no global sort of user "
+        "deltas, the window runs over bounded minute cells. Timestamps "
+        "compared at MICROSECOND precision on both engines."
+    ),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles over view->purchase journeys.
+
+    Scale notes (100 TB): one user_id rollup for first views, one
+    filtered join + rollup for first qualifying purchases (both
+    co-partitioned on user_id), then a minute-cell histogram whose
+    cumulative window covers |cells| rows, never users."""
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.expr(us))
+            ).alias("first_view_us")
+        )
+        .filter(F.col("first_view_us").isNotNull())
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.expr(us).alias("__pus"))
+        .join(firsts, "user_id")
+        .filter(F.col("__pus") >= F.col("first_view_us"))
+        .groupBy("user_id", "first_view_us")
+        .agg(
+            F.expr("(min(__pus) - first_view_us) div 60000000").alias("cell")
+        )
+    )
+    hist = conv.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    w_cum = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tot", F.sum("w").over(Window.partitionBy())
+    )
+    return cum.agg(
+        F.min("tot").cast("bigint").alias("n_converted"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cell")))
+        .cast("bigint")
+        .alias("median_minutes"),
+        F.min(F.when(10 * F.col("cw") >= 9 * F.col("tot"), F.col("cell")))
+        .cast("bigint")
+        .alias("p90_minutes"),
+        F.max("cell").cast("bigint").alias("max_minutes"),
+    )

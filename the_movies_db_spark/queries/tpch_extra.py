@@ -1253,3 +1253,197 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seasonality_milli"),
     )
+
+
+@register(
+    "orders_pareto_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, custkey) AS rnk
+      FROM rev
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT)        AS n,
+             CAST(sum(cents) AS BIGINT)      AS s,
+             CAST(sum(rnk * cents) AS BIGINT) AS s1
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           s AS total_cents,
+           CAST((2 * s1 - (n + 1) * s) * 100 // (n * s) * 10000
+                + ((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100
+                  // (n * s) * 100
+                + (((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100 % (n * s))
+                  * 100 // (n * s) AS BIGINT) AS gini_ppm
+    FROM agg
+    """,
+    doc=(
+        "Exact Gini concentration of customer revenue in ppm — the "
+        "whale-dependence audit. Integer-cents revenue, ascending "
+        "global rank from the two-level bucket rewrite (never a "
+        "single-partition sort), and the classic 2*sum(i*x_i) formula "
+        "evaluated by divmod expansion in three *100 stages so the "
+        "ppm scaling never overflows BIGINT (the agg_chisq_cells "
+        "precedent)."
+    ),
+)
+def orders_pareto_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-ppm Gini coefficient over per-customer revenue.
+
+    Scale notes (100 TB): one custkey rollup shuffle; the ascending
+    rank is operators/ranks.py:global_row_number (per-bucket window +
+    64-row broadcast offsets); the Gini reduces to three BIGINT sums.
+    gini_ppm = (2*S1 - (n+1)*S) * 1e6 / (n*S) computed as THREE *100
+    divmod stages (ppm = q1*10^4 + q2*10^2 + q3) — exact while
+    num*100 and n*S fit BIGINT (num*1000 already overflowed at sf0.1:
+    1.16e19); beyond ~sf1-scale cents move the sums to DECIMAL."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = rev.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    ).collect()[0]
+    ranked = global_row_number(
+        rev, "cents", ["custkey"], out="rnk",
+        bounds=(int(b["mn"]), int(b["mx"])),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("rnk") * F.col("cents")).cast("bigint").alias("s1"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_cents"),
+        F.expr(
+            "CAST((2 * s1 - (n + 1) * s) * 100 div (n * s) * 10000"
+            " + ((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100"
+            "   div (n * s) * 100"
+            " + (((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100 % (n * s))"
+            "   * 100 div (n * s) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "orders_segment_migration",
+    """
+    WITH days AS (
+      SELECT (SELECT min(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                  o_orderdate)) FROM orders) AS mn,
+             (SELECT max(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                  o_orderdate)) FROM orders) AS mx
+    ), rev AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                o_orderdate)
+                       < (SELECT (mn + mx + 1) // 2 FROM days)
+                  THEN 1 ELSE 2 END AS half,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT custkey, half, cents,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY cents, custkey) AS rnk,
+             count(*) OVER (PARTITION BY half) AS n_h
+      FROM rev
+    ), seg AS (
+      SELECT custkey, half,
+             CAST((rnk - 1) * 3 // n_h + 1 AS BIGINT) AS seg
+      FROM ranked
+    )
+    SELECT coalesce(a.seg, 0) AS seg_h1,
+           coalesce(b.seg, 0) AS seg_h2,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(coalesce(a.custkey, b.custkey)) AS BIGINT)
+             AS sample_custkey
+    FROM (SELECT custkey, seg FROM seg WHERE half = 1) a
+    FULL OUTER JOIN (SELECT custkey, seg FROM seg WHERE half = 2) b
+      ON a.custkey = b.custkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Customer value-segment migration matrix: revenue terciles in "
+        "the first vs second half of the order-date range (halves and "
+        "tercile boundaries from identical integer formulas on both "
+        "engines; rank-based terciles so buckets are exactly "
+        "equal-sized), with 0 = absent that half. The churn/upgrade "
+        "flow behind every retention dashboard."
+    ),
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tercile-migration matrix across the two halves of the date range.
+
+    Scale notes (100 TB): one rollup shuffle on (custkey, half); each
+    half's ascending rank is the two-level bucket rewrite (per-bucket
+    windows + broadcast offsets) — no single-partition sort; the
+    matrix join is per-customer (co-partitioned on custkey) and the
+    output is at most 4x4 rows. Plan parameters (date bounds, per-half
+    cents bounds) are two bounded agg collects mirrored as scalar
+    subqueries in the oracle."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__day",
+        F.expr(
+            "datediff(o_orderdate, TIMESTAMP '1970-01-01 00:00:00')"
+        ).cast("bigint"),
+    )
+    d = o.agg(F.min("__day").alias("mn"), F.max("__day").alias("mx")).collect()[0]
+    mid = (int(d["mn"]) + int(d["mx"]) + 1) // 2
+    rev = (
+        o.withColumn("half", F.when(F.col("__day") < mid, 1).otherwise(2))
+        .groupBy(F.col("o_custkey").alias("custkey"), "half")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    bounds = {
+        int(r["half"]): (int(r["mn"]), int(r["mx"]), int(r["n"]))
+        for r in rev.groupBy("half")
+        .agg(
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+
+    def seg_half(h: int) -> DataFrame:
+        mn, mx, n_h = bounds[h]
+        ranked = global_row_number(
+            rev.filter(F.col("half") == h), "cents", ["custkey"],
+            out="rnk", bounds=(mn, mx),
+        )
+        return ranked.select(
+            "custkey",
+            F.expr(f"CAST((rnk - 1) * 3 div {n_h} + 1 AS BIGINT)").alias(
+                f"seg_h{h}"
+            ),
+        )
+
+    a, b = seg_half(1), seg_half(2)
+    return (
+        a.join(b, "custkey", "full_outer")
+        .groupBy(
+            F.coalesce("seg_h1", F.lit(0)).cast("bigint").alias("seg_h1"),
+            F.coalesce("seg_h2", F.lit(0)).cast("bigint").alias("seg_h2"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("custkey").cast("bigint").alias("sample_custkey"),
+        )
+    )
