@@ -1068,8 +1068,20 @@ def _pq_parts(
       correct for any id set, matching the oracle's ``code = cid``
       join).
     """
-    sub_dim = dim // n_sub
     cents = _pq_seed_centroids(corpus, id_col, vec_col, n_cent)
+    return _pq_parts_from_cents(cents, vec_col, n_sub, dim)
+
+
+def _pq_parts_from_cents(
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    n_sub: int,
+    dim: int,
+):
+    """:func:`_pq_parts` with an explicit codebook — the seam the
+    residual-PQ variant uses (its codebook lives in residual space, so
+    the seed rule cannot run on the raw corpus column)."""
+    sub_dim = dim // n_sub
 
     def cent_arr(m: int) -> Column:
         return _lit_centroid_array(
@@ -1256,6 +1268,81 @@ def cosine_topk_ivfpq(
         else assigned.join(queries.select(id_col), id_col)
     )
     q = qsrc.select(
+        F.col(id_col).alias("query_id"),
+        F.col("cell").alias("__qcell"),
+        *luts(),
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    shortlist = (
+        F.broadcast(q)
+        .join(c, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pq_adc(n_sub).alias("adc_micro"))
+        .withColumn("__srank", F.row_number().over(w_short))
+        .filter(F.col("__srank") <= k * shortlist_factor)
+        .drop("__srank")
+    )
+    return _rerank_by_id(
+        shortlist, corpus, queries, id_col, vec_col, k, dim
+    )
+
+
+def cosine_topk_ivfpq_residual(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    n_cells: int = 8,
+    n_cent: int = 16,
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """TRUE IVFADC (Jégou et al. 2011 §IV): PQ encodes the RESIDUAL
+    ``v - centroid(cell(v))`` rather than the raw vector. Residuals
+    concentrate near zero, so a fixed codebook quantizes them with far
+    less error than the raw space — the reason FAISS's IVF-PQ defaults
+    to residual encoding. Each query builds its lookup table from its
+    OWN residual in its probe cell, so ADC compares residual-to-
+    residual within the cell.
+
+    Exactness: residuals are per-element IEEE double subtractions
+    (identical in any engine), subspace distances are
+    floor(1e6 * L2²) BIGINTs, and the codebook is the residuals of the
+    seed vectors (id < n_cent) — collected AFTER assignment so both
+    engines derive the same codebook. Plan shape is identical to
+    :func:`cosine_topk_ivfpq`: the scan carries (id, cell, codes);
+    raw vectors only re-enter at the by-id re-rank."""
+    assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
+    icents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cmap = F.map_from_entries(_lit_centroid_array(icents))
+    resid = assigned.withColumn(
+        "__rv",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cmap, F.col("cell").cast("bigint")),
+            lambda a, b: a - b,
+        ),
+    )
+    seeds = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in resid.filter(F.col(id_col) < n_cent)
+        .select(id_col, "__rv")
+        .collect()
+    )
+    encode, luts = _pq_parts_from_cents(seeds, "__rv", n_sub, dim)
+    c = resid.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell").alias("__ccell"),
+        *encode(),
+    )
+    q = resid.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"),
         F.col("cell").alias("__qcell"),
         *luts(),

@@ -67,7 +67,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # moment its oracle is locally green): sim_topk_kmeans_int,
     # sim_recall_kmeans, text_lang_confusion, dq_referential_integrity,
     # orders_pareto_gini, orders_segment_migration, events_time_to_convert,
-    # search_phrase_proximity, pipeline_classifier_gate, fn_url_parse.
+    # search_phrase_proximity, pipeline_classifier_gate, fn_url_parse,
+    # join_asof_nearest, pipeline_tokenizer_fertility, upsert_partitioned,
+    # sim_topk_ivfpq_residual.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

@@ -1403,3 +1403,60 @@ def pipeline_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pass_ppm"),
         F.sum("score").cast("bigint").alias("sum_score"),
     )
+
+
+@register(
+    "pipeline_tokenizer_fertility",
+    f"""
+    SELECT lang,
+           CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')))
+                AS BIGINT) AS n_pieces,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')))
+                * 1000000
+                // sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       t -> t <> ''))) AS BIGINT)
+             AS fertility_ppm,
+           CAST(sum(length(text)) * 1000
+                // sum(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')))
+                AS BIGINT) AS chars_per_piece_milli
+    FROM documents
+    GROUP BY lang
+    """,
+    doc=(
+        "Tokenizer fertility per language: BPE-ish pieces per "
+        "whitespace word (ppm) and chars per piece (milli) — the "
+        "metric that decides how a tokenizer taxes each language's "
+        "training budget. Pure per-row regex counts reduced map-side "
+        "to |langs| rows; exact integer ratios."
+    ),
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer cost profile (pieces/word, chars/piece).
+
+    Scale notes (100 TB): both token counts are single-pass row
+    expressions in whole-stage codegen; the aggregate carries 5
+    BIGINTs per language. Swapping in a real BPE means one pandas-UDF
+    count column at the same seam."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    per_row = d.select(
+        "lang",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("bigint").alias("__w"),
+        T.regex_token_count("text").cast("bigint").alias("__p"),
+        F.length("text").cast("bigint").alias("__c"),
+    )
+    return per_row.groupBy("lang").agg(
+        F.sum("__w").cast("bigint").alias("n_words"),
+        F.sum("__p").cast("bigint").alias("n_pieces"),
+        F.sum("__c").cast("bigint").alias("n_chars"),
+        F.expr("sum(__p) * 1000000 div sum(__w)").cast("bigint").alias(
+            "fertility_ppm"
+        ),
+        F.expr("sum(__c) * 1000 div sum(__p)").cast("bigint").alias(
+            "chars_per_piece_milli"
+        ),
+    )

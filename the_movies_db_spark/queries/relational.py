@@ -1477,3 +1477,95 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("ts").alias("purchase_ts"), "signup_ts")
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_type, event_id,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_click,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click
+      FROM events
+    )
+    SELECT user_id, ts AS error_ts,
+           CASE WHEN next_click IS NULL THEN prev_click
+                WHEN prev_click IS NULL THEN next_click
+                WHEN date_diff('microsecond', prev_click, ts)
+                     <= date_diff('microsecond', ts, next_click)
+                THEN prev_click ELSE next_click END AS nearest_click_ts,
+           CAST(least(
+                  coalesce(date_diff('microsecond', prev_click, ts),
+                           9223372036854775807),
+                  coalesce(date_diff('microsecond', ts, next_click),
+                           9223372036854775807)
+                ) // 1000000 AS BIGINT) AS abs_gap_s
+    FROM tagged
+    WHERE event_type = 'error'
+      AND (prev_click IS NOT NULL OR next_click IS NOT NULL)
+    """,
+    doc=(
+        "NEAREST-direction as-of join (completing the asof family: "
+        "backward, forward, tolerance, nearest): each error matched to "
+        "the click minimizing |delta t| in either direction, ties to "
+        "the earlier click — two complementary ordered windows over one "
+        "user_id shuffle, no pairwise interval join. Gaps compared at "
+        "MICROSECOND precision; output gap integer-divided to seconds."
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest as-of match via two ordered windows.
+
+    Scale notes (100 TB): identical shape to join_asof — one shuffle
+    on the entity key, per-row min/max windows, zero candidate
+    blow-up regardless of click density."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click = F.when(F.col("event_type") == "click", F.col("ts"))
+    tagged = ev.withColumn("prev_click", F.max(click).over(wp)).withColumn(
+        "next_click", F.min(click).over(wn)
+    )
+    back_us = F.expr("timestampdiff(MICROSECOND, prev_click, ts)")
+    fwd_us = F.expr("timestampdiff(MICROSECOND, ts, next_click)")
+    return (
+        tagged.filter(
+            (F.col("event_type") == "error")
+            & (F.col("prev_click").isNotNull() | F.col("next_click").isNotNull())
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            F.when(F.col("next_click").isNull(), F.col("prev_click"))
+            .when(F.col("prev_click").isNull(), F.col("next_click"))
+            .when(back_us <= fwd_us, F.col("prev_click"))
+            .otherwise(F.col("next_click"))
+            .alias("nearest_click_ts"),
+            F.least(
+                F.coalesce(back_us, F.lit(9223372036854775807)),
+                F.coalesce(fwd_us, F.lit(9223372036854775807)),
+            )
+            .cast("bigint")
+            .alias("__gap_us"),
+        )
+        .select(
+            "user_id",
+            "error_ts",
+            "nearest_click_ts",
+            F.expr("__gap_us div 1000000").cast("bigint").alias("abs_gap_s"),
+        )
+    )

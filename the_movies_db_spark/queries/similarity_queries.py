@@ -1302,3 +1302,106 @@ def sim_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+def _resid_dmicro(a: str, b: str) -> str:
+    """_pq_dmicro over residual DOUBLE[] columns (already double — the
+    extra CASTs are no-ops kept for one shared code shape)."""
+    return _pq_dmicro(a, b)
+
+
+@register(
+    "sim_topk_ivfpq_residual",
+    f"""
+    WITH icent AS (
+      SELECT vec_id AS icid, embedding AS icvec FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, icid AS cell FROM (
+        SELECT e.vec_id, c.icid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.icvec")}, c.icid)
+                 AS rn
+        FROM embeddings e CROSS JOIN icent c
+      ) t WHERE rn = 1
+    ),
+    resid AS (
+      SELECT e.vec_id, a.cell,
+             list_transform(range(1, {_DIM} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                    - CAST(c.icvec[i] AS DOUBLE)) AS rv
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN icent c ON c.icid = a.cell
+    ),
+    cent AS (
+      SELECT vec_id AS cid, rv AS cvec FROM resid WHERE vec_id < {_PQ_CENT}
+    ),
+    s AS (SELECT unnest(range(0, {_PQ_SUB})) AS m),
+    codes AS (
+      SELECT vec_id, cell, m, cid AS code FROM (
+        SELECT r.vec_id, r.cell, s.m, c.cid,
+               row_number() OVER (PARTITION BY r.vec_id, s.m
+                                  ORDER BY {_resid_dmicro("r.rv", "c.cvec")}, c.cid)
+                 AS rn
+        FROM resid r CROSS JOIN cent c CROSS JOIN s
+      ) t WHERE rn = 1
+    ),
+    luts AS (
+      SELECT r.vec_id AS query_id, r.cell, s.m, c.cid,
+             {_resid_dmicro("r.rv", "c.cvec")} AS ld
+      FROM resid r CROSS JOIN cent c CROSS JOIN s
+      WHERE r.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(l.ld) AS BIGINT) AS adc_micro
+      FROM codes co
+      JOIN luts l ON co.m = l.m AND co.code = l.cid AND co.cell = l.cell
+      WHERE co.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT query_id, neighbor_id, adc_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_micro, neighbor_id) AS srank
+        FROM adc
+      ) t WHERE srank <= {_PQ_SHORT}
+    )
+    SELECT query_id, neighbor_id, adc_micro, cosine_sim, rank FROM (
+      SELECT sh.query_id, sh.neighbor_id, sh.adc_micro,
+             {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY sh.query_id
+                                ORDER BY {_COS} DESC, sh.neighbor_id) AS rank
+      FROM short sh
+      JOIN embeddings q ON q.vec_id = sh.query_id
+      JOIN embeddings c ON c.vec_id = sh.neighbor_id
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "TRUE residual IVFADC (FAISS's default IVF-PQ form): PQ codes "
+        "quantize v - centroid(cell) instead of v, so a small fixed "
+        "codebook captures the within-cell distribution; the query's "
+        "lookup table is built from ITS residual in the probed cell. "
+        "Residuals are exact IEEE double subtractions, subspace "
+        "distances exact floor-micro BIGINTs — the full residual "
+        "pipeline is value-hash-verified. Same at-rest shape as "
+        "sim_topk_ivfpq: (id, cell, codes) partitioned by cell."
+    ),
+)
+def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC with exact re-rank.
+
+    Scale notes (100 TB): identical scan shape to sim_topk_ivfpq —
+    the residual projection happens once at encode time (or at rest),
+    per-query ADC work is bounded by the probed cell, raw vectors
+    only join back for the shortlist."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk_ivfpq_residual(
+        e, q, "vec_id", "embedding",
+        k=5, shortlist_factor=4,
+        n_cells=_N_CELLS, n_cent=_PQ_CENT, n_sub=_PQ_SUB, dim=_DIM,
+    )

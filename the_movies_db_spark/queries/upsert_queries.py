@@ -472,3 +472,115 @@ def upsert_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "as_of", "price", "status")
     )
+
+
+@register(
+    "upsert_partitioned",
+    """
+    WITH t AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price,
+             o_orderstatus AS status,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             o_orderdate AS record_loaded_at
+      FROM orders WHERE o_orderkey % 4 != 0
+    ), b AS (
+      SELECT o_orderkey,
+             round(o_totalprice
+                   + CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END,
+                   2) AS price,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END
+               AS status,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             o_orderdate + INTERVAL 1 DAY AS record_loaded_at
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+        AND substr(strftime(o_orderdate, '%Y-%m'), 6, 2) IN ('01', '06')
+    ), m AS (
+      SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+             coalesce(t.month, b.month) AS month,
+             CASE WHEN t.o_orderkey IS NULL
+                    OR (b.o_orderkey IS NOT NULL
+                        AND ((t.price  IS DISTINCT FROM b.price)
+                          OR (t.status IS DISTINCT FROM b.status)))
+                  THEN b.price ELSE t.price END AS price,
+             CASE WHEN t.o_orderkey IS NULL
+                    OR (b.o_orderkey IS NOT NULL
+                        AND ((t.price  IS DISTINCT FROM b.price)
+                          OR (t.status IS DISTINCT FROM b.status)))
+                  THEN b.record_loaded_at ELSE t.record_loaded_at END
+               AS record_loaded_at
+      FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           max(record_loaded_at) AS last_loaded_at
+    FROM m GROUP BY month
+    """,
+    doc=(
+        "Partition-pruned MERGE (K2's at-scale form) under the "
+        "correctness gate: a REAL partitionBy(month) table is written, "
+        "a batch touching only January/June partitions is merged via "
+        "write_upsert_partitioned (read with partition-pruning IN "
+        "filter, dynamic-overwrite of ONLY those directories), and the "
+        "whole table reads back equal to the global-merge oracle — "
+        "proving untouched partitions survived byte-for-byte."
+    ),
+)
+def upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end partitioned upsert: only touched months rewritten.
+
+    Scale notes (100 TB): the batch's distinct partition values prune
+    the target scan (a daily increment reads 0.1% of a date-
+    partitioned table); dynamic partition overwrite replaces only
+    those directories. The full-outer merge shuffles only the touched
+    partitions' rows."""
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.upsert import write_upsert_partitioned
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    target = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        month.alias("month"),
+        F.col("o_orderdate").alias("record_loaded_at"),
+    )
+    batch = (
+        o.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            & F.substring(month, 6, 2).isin("01", "06")
+        )
+        .select(
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 3 == 0, 1000.0).otherwise(0.0),
+                2,
+            ).alias("price"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string")
+            )
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            month.alias("month"),
+            F.expr("o_orderdate + INTERVAL 1 DAY").alias("record_loaded_at"),
+        )
+    )
+    tbl = scratch_dir("parted") + "/orders_tbl"
+    write_upsert_partitioned(
+        spark, tbl, target, pk="o_orderkey", partition_col="month"
+    )
+    write_upsert_partitioned(
+        spark, tbl, batch, pk="o_orderkey", partition_col="month"
+    )
+    merged = spark.read.parquet(tbl)
+    return merged.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(round(price * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.max("record_loaded_at").alias("last_loaded_at"),
+    )
