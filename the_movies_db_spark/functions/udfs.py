@@ -87,3 +87,38 @@ class ExtractJsonProps:
             v = d.get(k)
             vals.append(int(v) if isinstance(v, (int, float)) else None)
         yield tuple(vals)
+
+
+# token-bucket rate-limit simulation (exact integer state machine) -----------
+
+TB_CAP = 3  # bucket capacity, tokens
+TB_REFILL_US = 120_000_000  # one token per 2 minutes of inter-arrival gap
+
+
+def token_bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user token-bucket admission over (ts_us, event_id)-ordered
+    clicks: start full (CAP); each event refills ``gap_us // REFILL_US``
+    tokens (clamped at CAP, remainder microseconds discarded — the
+    discrete-refill convention the SQL oracle mirrors), admits iff a
+    token is available, consumes one on admit. All-integer state, so
+    the simulation is engine- and partitioning-exact."""
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    tokens = TB_CAP
+    prev_us = None
+    admitted = 0
+    for ts_us in pdf["ts_us"].to_numpy():
+        if prev_us is not None:
+            tokens = min(TB_CAP, tokens + (int(ts_us) - prev_us) // TB_REFILL_US)
+        prev_us = int(ts_us)
+        if tokens >= 1:
+            tokens -= 1
+            admitted += 1
+    n = len(pdf)
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_clicks": [n],
+            "n_admitted": [admitted],
+            "n_rejected": [n - admitted],
+        }
+    )

@@ -1460,3 +1460,60 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_piece_milli"
         ),
     )
+
+
+@register(
+    "pipeline_domain_temperature",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight_micro
+      FROM counts
+    )
+    SELECT source, n_docs, weight_micro,
+           CAST(weight_micro * 1000000 // sum(weight_micro) OVER ()
+                AS BIGINT) AS share_ppm,
+           CAST(weight_micro * 1000000000 // sum(weight_micro) OVER ()
+                AS BIGINT) AS alloc_tokens
+    FROM w
+    """,
+    doc=(
+        "Temperature-scaled domain mixture (T=2: weights proportional "
+        "to sqrt(n), the standard multilingual/domain rebalancing that "
+        "upsamples small domains): per-source sampling share in exact "
+        "ppm and a 1e9-token budget allocation. sqrt of an integer is "
+        "correctly rounded IEEE in every engine, so floor(sqrt(n)*1e6) "
+        "is engine-exact — the whole schedule is value-hash-verified."
+    ),
+)
+def pipeline_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=2 temperature resampling weights + token budget per source.
+
+    Scale notes (100 TB): one |sources|-row aggregate; the windows run
+    over those few rows. Downstream, the per-source weights drive the
+    deterministic hash sampler (pipeline_sample_weighted)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = counts.withColumn(
+        "weight_micro",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"
+        ),
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        "weight_micro",
+        F.expr("weight_micro * 1000000 div sum(weight_micro) OVER ()")
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.expr("weight_micro * 1000000000 div sum(weight_micro) OVER ()")
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

@@ -260,3 +260,77 @@ def udtf_json_props_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count("missing").cast("bigint").alias("n_missing"),
     )
+
+
+@register(
+    "udf_token_bucket",
+    """
+    WITH RECURSIVE clicks AS (
+      SELECT user_id, event_id,
+             datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'click'
+    ), sim AS (
+      SELECT user_id, rn, ts_us,
+             3 - 1 AS tokens_after, 1 AS admitted
+      FROM clicks WHERE rn = 1
+      UNION ALL
+      SELECT c.user_id, c.rn, c.ts_us,
+             CASE WHEN least(3, s.tokens_after
+                               + (c.ts_us - s.ts_us) // 120000000) >= 1
+                  THEN least(3, s.tokens_after
+                                + (c.ts_us - s.ts_us) // 120000000) - 1
+                  ELSE least(3, s.tokens_after
+                                + (c.ts_us - s.ts_us) // 120000000) END,
+             CASE WHEN least(3, s.tokens_after
+                               + (c.ts_us - s.ts_us) // 120000000) >= 1
+                  THEN 1 ELSE 0 END
+      FROM sim s JOIN clicks c ON c.user_id = s.user_id AND c.rn = s.rn + 1
+    ), per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT)       AS n_clicks,
+             CAST(sum(admitted) AS BIGINT)  AS n_admitted,
+             CAST(count(*) - sum(admitted) AS BIGINT) AS n_rejected
+      FROM sim GROUP BY user_id
+    )
+    SELECT user_id, n_clicks, n_admitted, n_rejected
+    FROM per_user
+    ORDER BY n_rejected DESC, user_id
+    LIMIT 10
+    """,
+    doc=(
+        "Token-bucket rate-limit simulation (cap 3, one token per 2 min "
+        "of gap): an inherently SEQUENTIAL per-user state machine run as "
+        "a grouped-map pandas UDF — the §2.11 shape for state that "
+        "windows cannot express (the refill CLAMP makes prefix-sum "
+        "rewrites impossible). All-integer state; the oracle replays "
+        "the identical machine with a recursive CTE, so even this "
+        "stateful UDF path is value-hash-verified. Top-10 throttled "
+        "users."
+    ),
+)
+def udf_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket admission via grouped applyInPandas.
+
+    Scale notes (100 TB): state is per user, so the shuffle key is
+    user_id and each group replays only its own clicks — a billion
+    users parallelize perfectly; the Python kernel is one pass over
+    each group's rows. The streaming twin is
+    applyInPandasWithState with the same integer state."""
+    from the_movies_db_spark.functions.udfs import token_bucket_kernel
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    per_user = clicks.groupBy("user_id").applyInPandas(
+        token_bucket_kernel,
+        "user_id long, n_clicks long, n_admitted long, n_rejected long",
+    )
+    return per_user.orderBy(F.desc("n_rejected"), F.asc("user_id")).limit(10)
