@@ -1260,36 +1260,44 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT o_custkey AS custkey,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS cents
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS dollars
       FROM orders GROUP BY o_custkey
     ), ranked AS (
-      SELECT cents,
-             row_number() OVER (ORDER BY cents, custkey) AS rnk
+      SELECT dollars,
+             row_number() OVER (ORDER BY dollars, custkey) AS rnk
       FROM rev
     ), agg AS (
-      SELECT CAST(count(*) AS BIGINT)        AS n,
-             CAST(sum(cents) AS BIGINT)      AS s,
-             CAST(sum(rnk * cents) AS BIGINT) AS s1
+      SELECT CAST(count(*) AS BIGINT)           AS n,
+             CAST(sum(dollars) AS BIGINT)       AS s,
+             CAST(sum(rnk * dollars) AS BIGINT) AS s1
       FROM ranked
-    )
+    ), st0 AS (
+      SELECT n, s, CAST(2 * s1 - (n + 1) * s AS BIGINT) AS r0,
+             CAST(n * s AS BIGINT) AS den
+      FROM agg
+    ),
+    st1 AS (SELECT n, s, den, r0 * 10 // den AS q1, r0 * 10 % den AS r1 FROM st0),
+    st2 AS (SELECT *, r1 * 10 // den AS q2, r1 * 10 % den AS r2 FROM st1),
+    st3 AS (SELECT *, r2 * 10 // den AS q3, r2 * 10 % den AS r3 FROM st2),
+    st4 AS (SELECT *, r3 * 10 // den AS q4, r3 * 10 % den AS r4 FROM st3),
+    st5 AS (SELECT *, r4 * 10 // den AS q5, r4 * 10 % den AS r5 FROM st4),
+    st6 AS (SELECT *, r5 * 10 // den AS q6 FROM st5)
     SELECT n AS n_customers,
-           s AS total_cents,
-           CAST((2 * s1 - (n + 1) * s) * 100 // (n * s) * 10000
-                + ((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100
-                  // (n * s) * 100
-                + (((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100 % (n * s))
-                  * 100 // (n * s) AS BIGINT) AS gini_ppm
-    FROM agg
+           s AS total_dollars,
+           CAST(q1 * 100000 + q2 * 10000 + q3 * 1000 + q4 * 100
+                + q5 * 10 + q6 AS BIGINT) AS gini_ppm
+    FROM st6
     """,
     doc=(
         "Exact Gini concentration of customer revenue in ppm — the "
-        "whale-dependence audit. Integer-cents revenue, ascending "
+        "whale-dependence audit. Whole-dollar revenue (cent precision "
+        "adds nothing to a ppm ratio and its n*S denominator overflows "
+        "BIGINT at 16x sf0.1 — caught by the x16 probe), ascending "
         "global rank from the two-level bucket rewrite (never a "
-        "single-partition sort), and the classic 2*sum(i*x_i) formula "
-        "evaluated by divmod expansion in three *100 stages so the "
-        "ppm scaling never overflows BIGINT (the agg_chisq_cells "
-        "precedent)."
+        "single-partition sort), and the 2*sum(i*x_i) formula scaled "
+        "to ppm through SIX chained *10 divmod stages — linear CTE "
+        "chain, exact while 10*n*S fits BIGINT."
     ),
 )
 def orders_pareto_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1298,39 +1306,48 @@ def orders_pareto_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes (100 TB): one custkey rollup shuffle; the ascending
     rank is operators/ranks.py:global_row_number (per-bucket window +
     64-row broadcast offsets); the Gini reduces to three BIGINT sums.
-    gini_ppm = (2*S1 - (n+1)*S) * 1e6 / (n*S) computed as THREE *100
-    divmod stages (ppm = q1*10^4 + q2*10^2 + q3) — exact while
-    num*100 and n*S fit BIGINT (num*1000 already overflowed at sf0.1:
-    1.16e19); beyond ~sf1-scale cents move the sums to DECIMAL."""
+    gini_ppm = (2*S1 - (n+1)*S) * 1e6 / (n*S) evaluated as six *10
+    divmod stages over chained selects (each stage multiplies a
+    remainder < n*S by only 10), exact while 10*n*S fits BIGINT —
+    dollars keep that true through ~1e17 total revenue x customers;
+    beyond, move the sums to DECIMAL(38)."""
     from the_movies_db_spark.operators.ranks import global_row_number
 
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        F.sum(F.expr("CAST(round(o_totalprice) AS BIGINT)"))
         .cast("bigint")
-        .alias("cents")
+        .alias("dollars")
     )
     b = rev.agg(
-        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+        F.min("dollars").alias("mn"), F.max("dollars").alias("mx")
     ).collect()[0]
     ranked = global_row_number(
-        rev, "cents", ["custkey"], out="rnk",
+        rev, "dollars", ["custkey"], out="rnk",
         bounds=(int(b["mn"]), int(b["mx"])),
     )
-    agg = ranked.agg(
+    cur = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.sum(F.col("rnk") * F.col("cents")).cast("bigint").alias("s1"),
+        F.sum("dollars").cast("bigint").alias("s"),
+        F.sum(F.col("rnk") * F.col("dollars")).cast("bigint").alias("s1"),
+    ).select(
+        "n", "s",
+        F.expr("CAST(2 * s1 - (n + 1) * s AS BIGINT)").alias("r0"),
+        F.expr("CAST(n * s AS BIGINT)").alias("den"),
     )
-    return agg.select(
+    for i in range(1, 7):
+        prev = f"r{i - 1}"
+        cur = cur.select(
+            "*",
+            F.expr(f"{prev} * 10 div den").alias(f"q{i}"),
+            F.expr(f"{prev} * 10 % den").alias(f"r{i}"),
+        )
+    return cur.select(
         F.col("n").alias("n_customers"),
-        F.col("s").alias("total_cents"),
+        F.col("s").alias("total_dollars"),
         F.expr(
-            "CAST((2 * s1 - (n + 1) * s) * 100 div (n * s) * 10000"
-            " + ((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100"
-            "   div (n * s) * 100"
-            " + (((2 * s1 - (n + 1) * s) * 100 % (n * s)) * 100 % (n * s))"
-            "   * 100 div (n * s) AS BIGINT)"
+            "CAST(q1 * 100000 + q2 * 10000 + q3 * 1000 + q4 * 100"
+            " + q5 * 10 + q6 AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
