@@ -69,7 +69,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # orders_pareto_gini, orders_segment_migration, events_time_to_convert,
     # search_phrase_proximity, pipeline_classifier_gate, fn_url_parse,
     # join_asof_nearest, pipeline_tokenizer_fertility, upsert_partitioned,
-    # sim_topk_ivfpq_residual, udf_token_bucket, pipeline_domain_temperature.
+    # sim_topk_ivfpq_residual, udf_token_bucket, pipeline_domain_temperature,
+    # feature_store_pit, text_keyphrase_rake.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

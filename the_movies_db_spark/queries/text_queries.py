@@ -742,3 +742,113 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct"),
     )
+
+
+_RAKE_STOPS = ",".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+
+@register(
+    "text_keyphrase_rake",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ) d
+    ), t2 AS (
+      SELECT doc_id, pos, term,
+             CASE WHEN term IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END AS is_stop,
+             sum(CASE WHEN term IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pid
+      FROM tok
+    ), wp AS (
+      SELECT doc_id, pid, pos, term,
+             count(*) OVER (PARTITION BY doc_id, pid) AS plen
+      FROM t2 WHERE is_stop = 0
+    ), ws AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree,
+             CAST(sum(plen) * 1000 // count(*) AS BIGINT) AS score_milli
+      FROM wp GROUP BY term
+    ), ph AS (
+      SELECT w.doc_id, w.pid,
+             string_agg(w.term, ' ' ORDER BY w.pos) AS phrase,
+             CAST(sum(s.score_milli) AS BIGINT) AS score
+      FROM wp w JOIN ws s USING (term)
+      GROUP BY w.doc_id, w.pid
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(score) AS BIGINT) AS score_milli
+    FROM ph GROUP BY phrase
+    ORDER BY score_milli DESC, phrase LIMIT 10
+    """,
+    doc=(
+        "RAKE keyphrase extraction (Rose et al. 2010): phrases are "
+        "maximal stopword-free token runs (phrase id = running "
+        "stopword count — one window, no pairwise segmentation); "
+        "word score = degree/freq in exact milli (degree = sum of "
+        "containing-phrase lengths), phrase score = sum of member "
+        "word scores; corpus top-10 phrases. The classic "
+        "no-model keyword extractor, fully value-hash-verified."
+    ),
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyphrases via windowed segmentation.
+
+    Scale notes (100 TB): segmentation is one per-doc cumulative
+    window (partition = doc); word stats are a vocabulary-bounded
+    aggregate broadcast back onto phrase members; the final top-10 is
+    a TakeOrdered over phrase groups. No self-joins anywhere."""
+    stops = T.STOPWORDS["en"]
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("pos", "term"),
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t2 = tok.withColumn(
+        "is_stop", F.col("term").isin(*stops).cast("int")
+    ).withColumn("pid", F.sum("is_stop").over(wseg))
+    wp = t2.filter(F.col("is_stop") == 0).withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "pid"))
+    )
+    ws = wp.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+        F.expr("sum(plen) * 1000 div count(*)").cast("bigint").alias(
+            "score_milli"
+        ),
+    )
+    ph = (
+        wp.join(F.broadcast(ws.select("term", "score_milli")), "term")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, term))), x -> x.term), ' ')"
+            ).alias("phrase"),
+            F.sum("score_milli").cast("bigint").alias("score"),
+        )
+    )
+    return (
+        ph.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("score").cast("bigint").alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), F.asc("phrase"))
+        .limit(10)
+    )
