@@ -70,7 +70,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search_phrase_proximity, pipeline_classifier_gate, fn_url_parse,
     # join_asof_nearest, pipeline_tokenizer_fertility, upsert_partitioned,
     # sim_topk_ivfpq_residual, udf_token_bucket, pipeline_domain_temperature,
-    # feature_store_pit, text_keyphrase_rake.
+    # feature_store_pit, text_keyphrase_rake, sim_recall_nprobe_curve,
+    # events_inactivity_churn.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

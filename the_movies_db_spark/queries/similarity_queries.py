@@ -9,7 +9,7 @@ the approximate index is value-hash-verified against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from the_movies_db_spark.io import load_table, spread
@@ -1404,4 +1404,172 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, "vec_id", "embedding",
         k=5, shortlist_factor=4,
         n_cells=_N_CELLS, n_cent=_PQ_CENT, n_sub=_PQ_SUB, dim=_DIM,
+    )
+
+
+# a much finer quantizer than the shared 8-cell index, so the nprobe
+# dial actually moves recall (the synthetic embeddings are clustered;
+# coarse cells contain whole clusters and give 1.0 at nprobe=1)
+_CURVE_CELLS = 256
+
+
+@register(
+    "sim_recall_nprobe_curve",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_CURVE_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id, cid AS cell, prn FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS prn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < {_N_QUERIES}
+      ) t WHERE prn <= 4
+    ),
+    levels(np) AS (VALUES (1), (2), (4)),
+    cand AS (
+      SELECT l.np, qc.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_COS} AS cosine_sim
+      FROM levels l
+      JOIN qcells qc ON qc.prn <= l.np
+      JOIN assign a ON a.cell = qc.cell AND a.vec_id <> qc.vec_id
+      JOIN embeddings q ON q.vec_id = qc.vec_id
+      JOIN embeddings c ON c.vec_id = a.vec_id
+    ),
+    approx AS (
+      SELECT np, query_id, neighbor_id FROM (
+        SELECT np, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY np, query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                 AS rank
+        FROM cand
+      ) t WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) t WHERE rank <= 5
+    )
+    SELECT CAST(l.np AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM levels l
+    CROSS JOIN exact e
+    LEFT JOIN approx a
+      ON a.np = l.np AND a.query_id = e.query_id
+     AND a.neighbor_id = e.neighbor_id
+    GROUP BY l.np
+    """,
+    doc=(
+        "The IVF recall DIAL measured end-to-end: recall@5 vs brute "
+        "force at nprobe 1, 2, 4 in one query — the curve that picks "
+        "the production probe count (recall rises with probed cells at "
+        "proportional scan cost). One corpus assignment and one probe "
+        "ranking are shared across all levels (no per-level index "
+        "rebuild); exact-integer ppm."
+    ),
+)
+def sim_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 at nprobe 1/2/4 from one shared assignment.
+
+    Scale notes (100 TB): the corpus is assigned ONCE; probe ranks are
+    a pure projection over the collected centroids, exploded to <= 4
+    rows per query; each level filters that tiny candidate spine —
+    fact data is scanned once for candidates and once for the ground
+    truth panel (|Q| x corpus, the unavoidable eval cost)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    assigned = S.ivf_assign(e, "vec_id", "embedding", _CURVE_CELLS, dim=_DIM)
+    # probe RANKS (ivf_probe_cells emits cells without their rank):
+    # sort the collected-centroid score array once, posexplode the
+    # leading 4 — prn is the explode position, a pure projection
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in e.filter(F.col("vec_id") < _CURVE_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_arr = S._lit_centroid_array(cent_rows)
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(S.squared_l2(F.col("embedding"), c["cvec"]), 6).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    qcells = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.transform(F.slice(F.array_sort(scored), 1, 4), lambda s: s["cid"])
+        ).alias("__p0", "cell"),
+    ).select(
+        "query_id", "cell", (F.col("__p0") + 1).cast("bigint").alias("prn")
+    )
+    levels = spark.createDataFrame([(1,), (2,), (4,)], "np long")
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        S.norm("embedding", _DIM).alias("__qn"),
+    )
+    cv = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        S.norm("embedding", _DIM).alias("__cn"),
+        F.col("cell").alias("__ccell"),
+    )
+    from the_movies_db_spark.operators.dedup import cosine_from_parts
+
+    sim = F.round(
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=_DIM), 4
+    )
+    cand = (
+        F.broadcast(qcells.join(F.broadcast(levels), qcells.prn <= F.col("np")))
+        .join(cv, F.col("cell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select("np", "query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    wr = Window.partitionBy("np", "query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    approx = (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("np", "query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=5, dim=_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        F.broadcast(levels)
+        .crossJoin(exact)
+        .join(approx, ["np", "query_id", "neighbor_id"], "left_outer")
+        .groupBy(F.col("np").cast("bigint").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("__hit").cast("bigint").alias("n_hits"),
+            F.expr("count(__hit) * 1000000 div count(*)")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
     )

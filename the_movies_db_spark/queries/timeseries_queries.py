@@ -1690,3 +1690,75 @@ def feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("secs_since_error"),
     )
+
+
+@register(
+    "events_inactivity_churn",
+    """
+    WITH lastseen AS (
+      SELECT user_id,
+             max(datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts))
+               AS last_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT (SELECT max(last_us) FROM lastseen) AS now_us
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN g.now_us - last_us <= 604800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_active_7d,
+           CAST(sum(CASE WHEN g.now_us - last_us > 604800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_7d,
+           CAST(sum(CASE WHEN g.now_us - last_us > 604800000000
+                         THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+             AS churn_ppm,
+           CAST(sum(CASE WHEN g.now_us - last_us > 604800000000
+                         THEN n_events ELSE 0 END) AS BIGINT)
+             AS churned_event_mass
+    FROM lastseen CROSS JOIN g
+    """,
+    doc=(
+        "Inactivity churn report: users whose last event is older than "
+        "7 days relative to the corpus watermark (the data-derived "
+        "max timestamp — same scalar on both engines), with exact-ppm "
+        "churn rate and the event mass walking out the door. 7 days in "
+        "microseconds is the FOLDED constant 604800000000 (int literal "
+        "products overflow INT32 in both engines)."
+    ),
+)
+def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day inactivity churn vs the corpus watermark.
+
+    Scale notes (100 TB): one user_id rollup; the watermark is a
+    single-row aggregate broadcast into the final projection; output
+    is one row."""
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load_table(spark, sf_dir, "events")
+    lastseen = ev.groupBy("user_id").agg(
+        F.max(F.expr(us)).alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    gone = F.col("__now_us") - F.col("last_us") > 604800000000
+    return (
+        lastseen.crossJoin(
+            F.broadcast(lastseen.agg(F.max("last_us").alias("__now_us")))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(~gone, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active_7d"),
+            F.sum(F.when(gone, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned_7d"),
+            F.expr(
+                "sum(CASE WHEN __now_us - last_us > 604800000000"
+                " THEN 1 ELSE 0 END) * 1000000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("churn_ppm"),
+            F.sum(F.when(gone, F.col("n_events")).otherwise(0))
+            .cast("bigint")
+            .alias("churned_event_mass"),
+        )
+    )
