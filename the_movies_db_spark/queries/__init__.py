@@ -71,7 +71,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # join_asof_nearest, pipeline_tokenizer_fertility, upsert_partitioned,
     # sim_topk_ivfpq_residual, udf_token_bucket, pipeline_domain_temperature,
     # feature_store_pit, text_keyphrase_rake, sim_recall_nprobe_curve,
-    # events_inactivity_churn.
+    # events_inactivity_churn, events_interval_merge,
+    # pipeline_dedup_survivorship.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

@@ -10,7 +10,7 @@ just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from the_movies_db_spark.io import load_table, spread
@@ -594,4 +594,70 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min(F.round(F.col("jaccard") * 1000000)).cast("bigint").alias("min_ppm"),
         F.max(F.round(F.col("jaccard") * 1000000)).cast("bigint").alias("max_ppm"),
+    )
+
+
+@register(
+    "pipeline_dedup_survivorship",
+    f"""
+    WITH clusters AS ({_REG["dedup_clusters"].oracle}),
+    m AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical_doc FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM m
+      ) t WHERE rn = 1
+    )
+    SELECT m.cluster_id, canon.canonical_doc,
+           CAST(count(*) AS BIGINT)     AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(max(m.n_chars) AS BIGINT) AS canonical_chars
+    FROM m JOIN canon USING (cluster_id)
+    GROUP BY m.cluster_id, canon.canonical_doc
+    """,
+    doc=(
+        "Survivorship after near-dup clustering: each MinHash-LSH "
+        "cluster keeps ONE canonical document (longest, tie lowest id) "
+        "and maps the rest to it — the canonicalization step between "
+        "dedup detection and corpus rewrite. The oracle NESTS the full "
+        "dedup_clusters recursive-CTE oracle, so the evaluated "
+        "clustering is exactly the shipped one."
+    ),
+)
+def pipeline_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc election per near-dup cluster.
+
+    Scale notes (100 TB): clusters come from the banded equi-join +
+    min-label propagation (never all-pairs); the election is one
+    window over cluster members; output is |clusters| rows."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    clusters = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    m = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_doc"))
+    )
+    return (
+        m.join(canon, "cluster_id")
+        .groupBy("cluster_id", "canonical_doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+            F.max("n_chars").cast("bigint").alias("canonical_chars"),
+        )
     )

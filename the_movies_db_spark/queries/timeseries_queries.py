@@ -1762,3 +1762,99 @@ def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned_event_mass"),
         )
     )
+
+
+@register(
+    "events_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS s_us,
+             datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               + (300 + (event_id % 10) * 60) * 1000000 AS e_us
+      FROM events WHERE event_type = 'view'
+    ), flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) IS NULL
+                    OR s_us > max(e_us) OVER (PARTITION BY user_id
+                                              ORDER BY s_us, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(new_span) OVER (PARTITION BY user_id
+                                 ORDER BY s_us, e_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS span_id
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, span_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             max(e_us) - min(s_us) AS span_us
+      FROM islands GROUP BY user_id, span_id
+    )
+    SELECT user_id,
+           CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT)         AS n_spans,
+           CAST(sum(span_us) // 1000000 AS BIGINT) AS covered_secs,
+           CAST(max(span_us) // 1000000 AS BIGINT) AS max_span_secs
+    FROM spans GROUP BY user_id
+    """,
+    doc=(
+        "Interval union (merge overlapping activity windows) via "
+        "gaps-and-islands: a span starts where an interval's start "
+        "exceeds the running max of all previous ends — two ordered "
+        "windows per user, NO self-join (the naive overlap-join "
+        "approach is quadratic per user). Per-user span counts and "
+        "exact covered seconds — the utilization/SLA primitive."
+    ),
+)
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged activity spans per user via the islands technique.
+
+    Scale notes (100 TB): one shuffle on user_id; both windows are
+    single-pass ordered scans within each user partition; microsecond
+    integers end to end."""
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(us).alias("s_us"),
+        F.expr(f"{us} + (300 + (event_id % 10) * 60) * 1000000").alias("e_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn("__pmax", F.max("e_us").over(w_prev)).withColumn(
+        "new_span",
+        F.when(
+            F.col("__pmax").isNull() | (F.col("s_us") > F.col("__pmax")), 1
+        ).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("span_id", F.sum("new_span").over(w_cum))
+    spans = islands.groupBy("user_id", "span_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        (F.max("e_us") - F.min("s_us")).alias("span_us"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.expr("sum(span_us) div 1000000").cast("bigint").alias("covered_secs"),
+        F.expr("max(span_us) div 1000000").cast("bigint").alias("max_span_secs"),
+    )
