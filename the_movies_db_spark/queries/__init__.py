@@ -72,7 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_topk_ivfpq_residual, udf_token_bucket, pipeline_domain_temperature,
     # feature_store_pit, text_keyphrase_rake, sim_recall_nprobe_curve,
     # events_inactivity_churn, events_interval_merge,
-    # pipeline_dedup_survivorship.
+    # pipeline_dedup_survivorship, events_peak_concurrency,
+    # orders_decile_lift.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

@@ -1858,3 +1858,98 @@ def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(span_us) div 1000000").cast("bigint").alias("covered_secs"),
         F.expr("max(span_us) div 1000000").cast("bigint").alias("max_span_secs"),
     )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS s_us,
+             datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               + (300 + (event_id % 10) * 60) * 1000000 AS e_us
+      FROM events WHERE event_type = 'view'
+    ), deltas AS (
+      SELECT s_us AS t_us, 1 AS d FROM iv
+      UNION ALL
+      SELECT e_us AS t_us, -1 AS d FROM iv
+    ), b AS (
+      SELECT t_us, d, t_us // 3600000000 AS bucket FROM deltas
+    ), bsum AS (
+      SELECT bucket, CAST(sum(d) AS BIGINT) AS bd FROM b GROUP BY bucket
+    ), carry AS (
+      SELECT bucket,
+             coalesce(sum(bd) OVER (ORDER BY bucket
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS carry_in
+      FROM bsum
+    ), cum AS (
+      SELECT b.t_us, c.carry_in
+             + sum(b.d) OVER (PARTITION BY b.bucket
+                              ORDER BY b.t_us, b.d DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+      FROM b JOIN carry c USING (bucket)
+    )
+    SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(min(CASE WHEN conc = (SELECT max(conc) FROM cum)
+                         THEN t_us END) AS BIGINT) AS peak_t_us,
+           CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals
+    FROM cum
+    """,
+    doc=(
+        "Peak concurrency over activity windows via the DISTRIBUTED "
+        "prefix-sum: +1/-1 boundary deltas bucketed by hour, per-bucket "
+        "sums prefix-scanned (a buckets-sized window), carry-in added "
+        "to each bucket's internal cumulative — the global running "
+        "count without a single-partition global sort. Ends sort "
+        "before starts at the same microsecond (d DESC... starts "
+        "first: +1 before -1), making 'concurrent' boundary-inclusive "
+        "deterministically on both engines."
+    ),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global peak concurrent view-windows via two-level prefix sums.
+
+    Scale notes (100 TB): the only global ORDER BY runs over hour
+    buckets (n/3600s rows); within-bucket scans are partition-local.
+    The same shape serves any running-balance/occupancy metric at
+    fact scale."""
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    iv = ev.select(
+        F.expr(us).alias("s_us"),
+        F.expr(f"{us} + (300 + (event_id % 10) * 60) * 1000000").alias("e_us"),
+    )
+    deltas = iv.select(F.col("s_us").alias("t_us"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e_us").alias("t_us"), F.lit(-1).alias("d"))
+    )
+    b = deltas.withColumn("bucket", F.expr("t_us div 3600000000"))
+    bsum = b.groupBy("bucket").agg(F.sum("d").cast("bigint").alias("bd"))
+    w_pfx = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("bd").over(w_pfx), F.lit(0)).alias("carry_in"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("t_us").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(carry), "bucket").select(
+        "t_us", (F.col("carry_in") + F.sum("d").over(w_in)).alias("conc")
+    )
+    # single pass: max of (conc, -t_us) = peak concurrency with the
+    # EARLIEST time it was reached — no second job over the lineage
+    return cum.agg(
+        F.max(
+            F.struct(F.col("conc").alias("c"), (-F.col("t_us")).alias("nt"))
+        ).alias("__m")
+    ).select(
+        F.col("__m.c").cast("bigint").alias("peak_concurrency"),
+        (-F.col("__m.nt")).cast("bigint").alias("peak_t_us"),
+    ).crossJoin(iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_intervals")))

@@ -1464,3 +1464,94 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("custkey").cast("bigint").alias("sample_custkey"),
         )
     )
+
+
+@register(
+    "orders_decile_lift",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS score_cents,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS is_pos
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT custkey, score_cents, is_pos,
+             row_number() OVER (ORDER BY score_cents DESC, custkey) AS rnk,
+             count(*) OVER () AS n
+      FROM cust
+    ), dec AS (
+      SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+             is_pos
+      FROM ranked
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(is_pos) AS BIGINT) AS pos_all
+      FROM dec
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT)      AS n_customers,
+           CAST(sum(is_pos) AS BIGINT)   AS n_positives,
+           CAST(sum(is_pos) * 1000000 // count(*) AS BIGINT) AS rate_ppm,
+           CAST(sum(is_pos) * t.n_all * 1000 // (count(*) * t.pos_all)
+                AS BIGINT) AS lift_milli
+    FROM dec CROSS JOIN tot t
+    GROUP BY decile, t.n_all, t.pos_all
+    """,
+    doc=(
+        "Decile lift table — the standard propensity-model evaluation: "
+        "customers ranked by a score (here monetary value), cut into "
+        "exact-equal deciles by the rank formula, each decile's "
+        "positive rate (bought URGENT) compared to base rate as exact "
+        "integer lift_milli. Rank comes from the two-level distributed "
+        "rewrite, deciles from (rank-1)*10 div n — engine-stable cuts."
+    ),
+)
+def orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile lift/capture table with distributed ranking.
+
+    Scale notes (100 TB): one custkey rollup; the descending global
+    rank is global_row_number on the NEGATED score (per-bucket window
+    + broadcast offsets); the lift math is a 10-row aggregate join
+    against one global total row."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("score_cents"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("is_pos"),
+    ).withColumn("neg_score", -F.col("score_cents"))
+    stats = cust.agg(
+        F.min("neg_score").alias("mn"),
+        F.max("neg_score").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_pos").alias("pos"),
+    ).collect()[0]
+    n_all, pos_all = int(stats["n"]), int(stats["pos"])
+    ranked = global_row_number(
+        cust, "neg_score", ["custkey"], out="rnk",
+        bounds=(int(stats["mn"]), int(stats["mx"])),
+    )
+    dec = ranked.select(
+        F.expr(f"CAST((rnk - 1) * 10 div {n_all} + 1 AS BIGINT)").alias(
+            "decile"
+        ),
+        "is_pos",
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("is_pos").cast("bigint").alias("n_positives"),
+        F.expr("sum(is_pos) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("rate_ppm"),
+        F.expr(
+            f"sum(is_pos) * {n_all}L * 1000 div (count(*) * {pos_all}L)"
+        )
+        .cast("bigint")
+        .alias("lift_milli"),
+    )
