@@ -384,3 +384,54 @@ def test_ivf_assign_auto_switch_bounds_plan_size(spark):
     assert len(txt) < 50_000, f"plan unexpectedly large: {len(txt)} chars"
     # the distributed form: centroids broadcast against the corpus
     assert "Broadcast" in txt
+
+
+def test_phrase_proximity_is_broadcast_pruned(spark, sf_dir, registry):
+    """Postings must be pruned by the broadcast query vocabulary (one
+    BroadcastHashJoin), never a positional self-join or nested loop."""
+    txt = plan_of(registry["search_phrase_proximity"].spark(spark, sf_dir))
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt
+    assert txt.count("BroadcastHashJoin") == 1
+
+
+def test_referential_integrity_single_scan_per_fact(spark, sf_dir, registry):
+    """All three lineitem FK checks ride ONE lineitem scan via
+    broadcast key-set joins; no shuffle joins of fact rows."""
+    txt = plan_of(registry["dq_referential_integrity"].spark(spark, sf_dir))
+    assert txt.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in txt
+    assert txt.count("BroadcastHashJoin") == 5
+
+
+def test_pareto_gini_rank_is_bucket_partitioned(spark, sf_dir, registry):
+    """The ascending revenue rank must come from the two-level bucketed
+    rewrite — no partitionless row-level sort window over customers."""
+    df = registry["orders_pareto_gini"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(__rb" in plan  # per-bucket row_number
+    # the ONLY unpartitioned window is the bucket-offset prefix (over
+    # n/bucket_count rows), recognizable by its __rb ordering
+    import re
+
+    unpart = [
+        w for w in re.findall(r"windowspecdefinition\([^#]*#", plan)
+        if "__rb" not in w
+    ]
+    assert not unpart, unpart
+
+
+def test_peak_concurrency_single_delta_scan(spark, sf_dir, registry):
+    """Bucket carry-ins are a collected plan parameter, so the FINAL
+    plan reads events once per delta side (2 scans of the union), has
+    no nested loop, and its only window partitions by bucket."""
+    txt = plan_of(registry["events_peak_concurrency"].spark(spark, sf_dir))
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt
+    assert txt.count("events.parquet") == 2  # one per union branch
+    df = registry["events_peak_concurrency"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(bucket" in plan
+
+
+def test_survivorship_no_cartesian(spark, sf_dir, registry):
+    txt = plan_of(registry["pipeline_dedup_survivorship"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt

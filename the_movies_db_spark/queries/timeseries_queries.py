@@ -1894,7 +1894,7 @@ def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
            CAST(min(CASE WHEN conc = (SELECT max(conc) FROM cum)
                          THEN t_us END) AS BIGINT) AS peak_t_us,
-           CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals
+           CAST(count(*) // 2 AS BIGINT) AS n_intervals
     FROM cum
     """,
     doc=(
@@ -1911,10 +1911,12 @@ def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global peak concurrent view-windows via two-level prefix sums.
 
-    Scale notes (100 TB): the only global ORDER BY runs over hour
-    buckets (n/3600s rows); within-bucket scans are partition-local.
-    The same shape serves any running-balance/occupancy metric at
-    fact scale."""
+    Scale notes (100 TB): bucket carry-ins are a COLLECTED plan
+    parameter (bounded: hours in the time range — the global_row_number
+    offsets discipline), so the final plan scans the delta projection
+    ONCE with a bucket-partitioned window and one broadcast join; peak,
+    its earliest time, and the interval count come from one struct-max
+    aggregate (plan pinned in tests/test_plans.py)."""
     us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "view"
@@ -1927,13 +1929,21 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("e_us").alias("t_us"), F.lit(-1).alias("d"))
     )
     b = deltas.withColumn("bucket", F.expr("t_us div 3600000000"))
-    bsum = b.groupBy("bucket").agg(F.sum("d").cast("bigint").alias("bd"))
-    w_pfx = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # bucket prefix sums, collected once (|hours| rows) and broadcast
+    # back — keeps the big side single-scan
+    bsums = sorted(
+        (int(r["bucket"]), int(r["bd"]))
+        for r in b.groupBy("bucket")
+        .agg(F.sum("d").cast("bigint").alias("bd"))
+        .collect()
     )
-    carry = bsum.select(
-        "bucket",
-        F.coalesce(F.sum("bd").over(w_pfx), F.lit(0)).alias("carry_in"),
+    acc = 0
+    rows = []
+    for bucket, bd in bsums:
+        rows.append((bucket, acc))
+        acc += bd
+    carry = ev.sparkSession.createDataFrame(
+        rows, "bucket long, carry_in long"
     )
     w_in = (
         Window.partitionBy("bucket")
@@ -1943,13 +1953,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = b.join(F.broadcast(carry), "bucket").select(
         "t_us", (F.col("carry_in") + F.sum("d").over(w_in)).alias("conc")
     )
-    # single pass: max of (conc, -t_us) = peak concurrency with the
-    # EARLIEST time it was reached — no second job over the lineage
+    # one pass: max of (conc, -t_us) = peak with its EARLIEST time;
+    # count(*)/2 = interval count (every interval contributes 2 deltas)
     return cum.agg(
         F.max(
             F.struct(F.col("conc").alias("c"), (-F.col("t_us")).alias("nt"))
-        ).alias("__m")
+        ).alias("__m"),
+        F.expr("count(*) div 2").cast("bigint").alias("n_intervals"),
     ).select(
         F.col("__m.c").cast("bigint").alias("peak_concurrency"),
         (-F.col("__m.nt")).cast("bigint").alias("peak_t_us"),
-    ).crossJoin(iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_intervals")))
+        "n_intervals",
+    )
