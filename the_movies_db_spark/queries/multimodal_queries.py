@@ -195,3 +195,57 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "multimodal_dedup_exact",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 5 = 0
+    ), hashed AS (
+      SELECT doc_id, md5(text) AS content_hash FROM corpus
+    )
+    SELECT content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM hashed
+    GROUP BY content_hash
+    HAVING count(*) > 1
+    """,
+    doc=(
+        "Exact binary dedup over the multimodal content column: md5 of "
+        "the raw BYTES (Spark md5(binary) == DuckDB md5(text) for "
+        "utf-8 content) groups identical blobs; a simulated re-crawl "
+        "(every 5th doc re-ingested under a new id) is caught with "
+        "min-id survivorship. The first pass of any media pipeline — "
+        "byte-identical dupes cost nothing to find and are the bulk "
+        "of crawl duplication."
+    ),
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-hash dedup of binary media blobs (re-crawl simulation).
+
+    Scale notes (100 TB): the only shuffle carries (hash, id) pairs —
+    never the blobs; at rest you'd store the hash as a column and this
+    becomes a pure aggregate."""
+    from the_movies_db_spark.operators import multimodal as M
+
+    d = load_table(spark, sf_dir, "documents")
+    recrawl = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    blobs = M.text_as_binary(d.unionByName(recrawl), "text")
+    hashed = blobs.select("doc_id", F.md5("content").alias("content_hash"))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

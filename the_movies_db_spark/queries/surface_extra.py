@@ -2205,3 +2205,63 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(parse_url(url, 'QUERY', 'v') AS BIGINT)").alias("v_param"),
         F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
     )
+
+
+@register(
+    "io_multiformat_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status,
+           n_rows    AS n_csv,    n_rows    AS n_jsonl,
+           sum_cents AS cents_csv, sum_cents AS cents_jsonl
+    FROM base
+    """,
+    doc=(
+        "Multi-format IO under the correctness gate (S1b parity): the "
+        "orders fact round-trips through REAL CSV and JSONL writes "
+        "(header CSV, schema-on-read with an explicit schema — never "
+        "inference) and both read-backs must aggregate identically to "
+        "the parquet source. Float/timestamp pitfalls are excluded by "
+        "construction: the round-tripped columns are BIGINT cents and "
+        "strings, the only types CSV preserves exactly."
+    ),
+)
+def io_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSONL round-trip equivalence report.
+
+    Scale notes (100 TB): text formats are the interchange path, not
+    the at-rest path — no stats, no pushdown, full-scan only; this
+    query exists to pin LOSSLESSNESS of the conversion seam. Explicit
+    schemas on read keep one malformed row from silently retyping a
+    column."""
+    from the_movies_db_spark.io import read_any, scratch_dir, write_any
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    work = scratch_dir("ioround")
+    schema = "o_orderkey bigint, status string, cents bigint"
+    write_any(o, f"{work}/orders_csv", fmt="csv", header=True)
+    write_any(o, f"{work}/orders_jsonl", fmt="json")
+    csv = read_any(
+        spark, f"{work}/orders_csv", fmt="csv", schema=schema, header=True
+    )
+    jsonl = read_any(spark, f"{work}/orders_jsonl", fmt="json", schema=schema)
+
+    def roll(df: DataFrame, n: str, c: str) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.sum("cents").cast("bigint").alias(c),
+        )
+
+    return roll(csv, "n_csv", "cents_csv").join(
+        roll(jsonl, "n_jsonl", "cents_jsonl"), "status"
+    ).select("status", "n_csv", "n_jsonl", "cents_csv", "cents_jsonl")
