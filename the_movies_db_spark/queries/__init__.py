@@ -73,7 +73,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # feature_store_pit, text_keyphrase_rake, sim_recall_nprobe_curve,
     # events_inactivity_churn, events_interval_merge,
     # pipeline_dedup_survivorship, events_peak_concurrency,
-    # orders_decile_lift, io_multiformat_roundtrip, multimodal_dedup_exact.
+    # orders_decile_lift, io_multiformat_roundtrip, multimodal_dedup_exact,
+    # pipeline_curation_funnel.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

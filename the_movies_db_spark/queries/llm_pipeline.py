@@ -1517,3 +1517,164 @@ def pipeline_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_tokens"),
     )
+
+
+def _funnel_oracle() -> str:
+    # dedup_queries registers before this module in load_all, so the
+    # shipped clustering oracle is available to nest verbatim
+    from the_movies_db_spark.queries import REGISTRY
+
+    return _FUNNEL_SQL_TEMPLATE.replace(
+        "{CLUSTERS}", REGISTRY["dedup_clusters"].oracle
+    )
+
+
+_FUNNEL_SQL_TEMPLATE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t <> '')) AS n_tok,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS tl
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_tok,
+             CAST(2 * list_aggregate(list_transform(tl,
+                    t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+                    'sum') * 1000 // n_tok
+                  + len(list_distinct(tl)) * 1000 // n_tok
+                  + least(n_tok, 500) AS BIGINT) AS score
+      FROM toks WHERE n_tok > 0
+    ), gated AS (
+      SELECT doc_id, n_tok FROM scored WHERE score >= {_CLS_THRESHOLD}
+    ), clusters AS ({{CLUSTERS}}),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical_doc FROM (
+        SELECT c.cluster_id, c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM clusters c JOIN documents d USING (doc_id)
+      ) t WHERE rn = 1
+    ), dropped AS (
+      SELECT doc_id FROM clusters
+      WHERE doc_id NOT IN (SELECT canonical_doc FROM canon)
+    ), deduped AS (
+      SELECT g.doc_id, g.n_tok FROM gated g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ), chunks AS (
+      SELECT doc_id,
+             CASE WHEN n_tok <= 128 THEN 1
+                  ELSE 1 + (n_tok - 128 + 95) // 96 END AS n_chunks
+      FROM deduped
+    )
+    SELECT stage, n_units, n_tokens FROM (
+      SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM toks
+      UNION ALL
+      SELECT 'b_gated', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM gated
+      UNION ALL
+      SELECT 'c_deduped', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM deduped
+      UNION ALL
+      SELECT 'd_chunks', CAST(sum(n_chunks) AS BIGINT),
+             CAST(sum(n_chunks) * 128 AS BIGINT) FROM chunks
+    ) t
+    """
+
+
+@register(
+    "pipeline_curation_funnel",
+    _funnel_oracle(),
+    doc=(
+        "The curation FUNNEL: raw -> classifier gate -> near-dup "
+        "survivorship (non-canonical cluster members dropped) -> "
+        "128-token/96-stride chunks, with doc and token yield at every "
+        "stage — the one-glance report that says what each stage costs "
+        "the training set. Every stage NESTS its shipped oracle "
+        "(classifier formula, recursive-CTE clustering, canonical "
+        "election), so the funnel verifies the composed pipeline, not "
+        "per-stage stand-ins."
+    ),
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage doc/token yield of the composed curation path.
+
+    Scale notes (100 TB): the gate is a per-row projection; the dedup
+    stage reuses the banded LSH clustering (never all-pairs); each
+    stage's yield is one aggregate row — the funnel adds no shuffle
+    beyond its member operators."""
+    from the_movies_db_spark.operators import dedup as DD
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").alias(
+            "tl"
+        ),
+    ).select("doc_id", "tl", F.size("tl").cast("bigint").alias("n_tok"))
+    scored = toks.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            f"CAST(2 * aggregate(transform(tl, t -> CASE WHEN t IN"
+            f" ({_CLS_STOPS}) THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+            " * 1000 div n_tok"
+            " + size(array_distinct(tl)) * 1000 div n_tok"
+            " + least(n_tok, 500L) AS BIGINT)"
+        ).alias("score"),
+    )
+    gated = scored.filter(F.col("score") >= _CLS_THRESHOLD).select(
+        "doc_id", "n_tok"
+    )
+    from the_movies_db_spark.queries.dedup_queries import (
+        _NUM_BANDS,
+        _NUM_HASHES,
+    )
+
+    pairs = DD.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    clusters = DD.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("doc_id").alias("canonical_doc"))
+    )
+    dropped = clusters.join(
+        canon, clusters.doc_id == canon.canonical_doc, "left_anti"
+    ).select("doc_id")
+    deduped = gated.join(dropped, "doc_id", "left_anti")
+    chunks = deduped.select(
+        F.expr(
+            "CASE WHEN n_tok <= 128 THEN 1"
+            " ELSE 1 + (n_tok - 128 + 95) div 96 END"
+        ).alias("n_chunks")
+    )
+
+    def stage(df: DataFrame, name: str, units, tokens) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            units.cast("bigint").alias("n_units"),
+            tokens.cast("bigint").alias("n_tokens"),
+        )
+
+    return (
+        stage(toks, "a_raw", F.count(F.lit(1)), F.sum("n_tok"))
+        .unionByName(stage(gated, "b_gated", F.count(F.lit(1)), F.sum("n_tok")))
+        .unionByName(
+            stage(deduped, "c_deduped", F.count(F.lit(1)), F.sum("n_tok"))
+        )
+        .unionByName(
+            stage(
+                chunks, "d_chunks", F.sum("n_chunks"), F.sum("n_chunks") * 128
+            )
+        )
+    )
