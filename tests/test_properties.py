@@ -143,3 +143,165 @@ def test_minhash_pair_properties(spark, texts):
         dup, "doc_id", "text", threshold=0.0, num_hashes=4, num_bands=2
     ).collect()
     assert len(got) == 1 and got[0].jaccard == 1.0
+
+
+# --- round-5 operator properties (vs brute-force python references) --------
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # user
+        st.integers(min_value=0, max_value=100_000), # start (us)
+        st.integers(min_value=1, max_value=50_000),  # length (us)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(iv=intervals)
+@SET
+def test_interval_merge_islands_match_bruteforce_union(spark, iv):
+    """Gaps-and-islands covered time == brute-force interval union."""
+    rows = [
+        (u, i, s, s + ln) for i, (u, s, ln) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s_us long, e_us long"
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.withColumn("__pmax", F.max("e_us").over(w_prev)).withColumn(
+        "f",
+        F.when(F.col("__pmax").isNull() | (F.col("s_us") > F.col("__pmax")), 1)
+        .otherwise(0),
+    )
+    spans = (
+        flagged.withColumn("span", F.sum("f").over(w_cum))
+        .groupBy("user_id", "span")
+        .agg((F.max("e_us") - F.min("s_us")).alias("len"))
+        .groupBy("user_id")
+        .agg(F.sum("len").alias("covered"))
+    )
+    got = {r.user_id: r.covered for r in spans.collect()}
+    # brute force: merge sorted intervals per user
+    expect = {}
+    per_user = {}
+    for u, s, ln in iv:
+        per_user.setdefault(u, []).append((s, s + ln))
+    for u, ivs in per_user.items():
+        ivs.sort()
+        tot, cs, ce = 0, None, None
+        for s, e in ivs:
+            if cs is None:
+                cs, ce = s, e
+            elif s > ce:
+                tot += ce - cs
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        tot += ce - cs
+        expect[u] = tot
+    assert got == expect
+
+
+@given(iv=intervals)
+@SET
+def test_peak_concurrency_two_level_matches_sweep(spark, iv):
+    """Bucketed prefix-sum peak == brute-force global sweep line
+    (boundary-inclusive: starts sort before ends at equal time)."""
+    rows = [(s, s + ln) for (_, s, ln) in iv]
+    df = spark.createDataFrame(rows, "s_us long, e_us long")
+    deltas = df.select(F.col("s_us").alias("t"), F.lit(1).alias("d")).unionAll(
+        df.select(F.col("e_us").alias("t"), F.lit(-1).alias("d"))
+    )
+    b = deltas.withColumn("bucket", F.expr("t div 10000"))
+    bs = sorted(
+        (int(r["bucket"]), int(r["bd"]))
+        for r in b.groupBy("bucket").agg(F.sum("d").alias("bd")).collect()
+    )
+    acc, carry_rows = 0, []
+    for k, v in bs:
+        carry_rows.append((k, acc))
+        acc += v
+    carry = spark.createDataFrame(carry_rows, "bucket long, carry long")
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = (
+        b.join(F.broadcast(carry), "bucket")
+        .select((F.col("carry") + F.sum("d").over(w_in)).alias("conc"))
+        .agg(F.max("conc"))
+        .collect()[0][0]
+    )
+    # brute force sweep: +1 events first at equal timestamp
+    evs = sorted(
+        [(s, 0) for s, _ in rows] + [(e, 1) for _, e in rows]
+    )
+    cur = best = 0
+    for _, kind in evs:
+        cur += 1 if kind == 0 else -1
+        best = max(best, cur)
+    assert int(peak) == best
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=2, max_size=50
+    )
+)
+@SET
+def test_gini_divmod_chain_is_exact(spark, vals):
+    """The six-stage *10 divmod chain == exact Fraction arithmetic."""
+    from fractions import Fraction
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "custkey long, dollars long")
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    if sum(vals) == 0:
+        return  # degenerate: no revenue, den = 0
+    b = df.agg(F.min("dollars").alias("mn"), F.max("dollars").alias("mx")).collect()[0]
+    ranked = global_row_number(
+        df, "dollars", ["custkey"], out="rnk",
+        bounds=(int(b["mn"]), int(b["mx"])),
+    )
+    cur = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dollars").alias("s"),
+        F.sum(F.col("rnk") * F.col("dollars")).alias("s1"),
+    ).select(
+        "n", "s",
+        F.expr("CAST(2 * s1 - (n + 1) * s AS BIGINT)").alias("r0"),
+        F.expr("CAST(n * s AS BIGINT)").alias("den"),
+    )
+    for i in range(1, 7):
+        cur = cur.select(
+            "*",
+            F.expr(f"r{i-1} * 10 div den").alias(f"q{i}"),
+            F.expr(f"r{i-1} * 10 % den").alias(f"r{i}"),
+        )
+    got = cur.select(
+        F.expr(
+            "q1 * 100000 + q2 * 10000 + q3 * 1000 + q4 * 100 + q5 * 10 + q6"
+        ).alias("ppm")
+    ).collect()[0]["ppm"]
+    # exact reference with rational arithmetic
+    xs = sorted(vals)
+    n, s = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = int(Fraction((2 * s1 - (n + 1) * s) * 1_000_000, n * s))
+    assert int(got) == expect
