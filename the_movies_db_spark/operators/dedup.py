@@ -163,6 +163,7 @@ def banded_minhash_signatures(
     num_hashes: int = 8,
     num_bands: int = 4,
     shingle_n: int = 3,
+    keep_sig: bool = False,
 ) -> DataFrame:
     """(__id, __sh, band_idx, band_hash) rows — one per (document,
     band): the banded-LSH index representation. Signatures are built by
@@ -198,8 +199,9 @@ def banded_minhash_signatures(
             F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
         )
     )
+    carry = ["__id", "__sh"] + (["__sig"] if keep_sig else [])
     return sig.select(
-        "__id", "__sh",
+        *carry,
         F.posexplode(lsh_bands(F.col("__sig"), num_bands, rows)).alias(
             "band_idx", "band_hash"
         ),

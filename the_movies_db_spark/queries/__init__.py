@@ -74,7 +74,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_inactivity_churn, events_interval_merge,
     # pipeline_dedup_survivorship, events_peak_concurrency,
     # orders_decile_lift, io_multiformat_roundtrip, multimodal_dedup_exact,
-    # pipeline_curation_funnel.
+    # pipeline_curation_funnel, dedup_minhash_error_audit,
+    # sim_label_separation.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

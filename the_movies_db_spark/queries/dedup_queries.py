@@ -661,3 +661,112 @@ def pipeline_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("canonical_chars"),
         )
     )
+
+
+_MATCHES = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(_NUM_HASHES)
+)
+_HCOLS_A = ", ".join(f"a.h{i}" for i in range(_NUM_HASHES))
+
+
+@register(
+    "dedup_minhash_error_audit",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, sh, {_SIG} FROM sh),
+    banded AS (SELECT doc_id, sh,
+                      {", ".join(f"h{i}" for i in range(_NUM_HASHES))},
+                      {_BANDS} FROM sig),
+    cand AS (
+      SELECT DISTINCT id_a, id_b, matches, ni, na, nb FROM (
+        {" UNION ALL ".join(
+          f"SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+          f" {_MATCHES} AS matches,"
+          f" len(list_intersect(a.sh, b.sh)) AS ni,"
+          f" len(a.sh) AS na, len(b.sh) AS nb"
+          f" FROM banded a JOIN banded b"
+          f" ON a.b{j} = b.b{j} AND a.doc_id < b.doc_id"
+          for j in range(_NUM_BANDS)
+        )}
+      ) u
+    ), scored AS (
+      SELECT CAST(matches * 1000 // {_NUM_HASHES} AS BIGINT) AS est_milli,
+             CAST(ni * 1000 // (na + nb - ni) AS BIGINT) AS exact_milli
+      FROM cand
+    )
+    SELECT CAST(abs(est_milli - exact_milli) // 100 AS BIGINT) AS err_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(est_milli - exact_milli)) AS BIGINT) AS sum_err_milli
+    FROM scored
+    GROUP BY 1
+    """,
+    doc=(
+        "Sketch-accuracy audit: for every LSH candidate pair, the "
+        "MinHash-ESTIMATED Jaccard (matching components / 8, exact "
+        "milli) against the TRUE Jaccard, bucketed by absolute error — "
+        "the calibration table that says whether 8 hashes are enough "
+        "before trusting the sketch at corpus scale. Signatures and "
+        "shingles ride through the band join (no corpus join-backs)."
+    ),
+)
+def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate-vs-exact error distribution over candidates.
+
+    Scale notes (100 TB): same banded equi-join as the dedup path —
+    never all-pairs; the audit adds one integer comparison per
+    signature component and a |buckets|-row aggregate."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    banded = D.banded_minhash_signatures(
+        d, "doc_id", "text", _NUM_HASHES, _NUM_BANDS, 3, keep_sig=True
+    )
+    a = banded.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sha"),
+        F.col("__sig").alias("__siga"),
+        F.col("band_idx").alias("__bi"),
+        F.col("band_hash").alias("__bh"),
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__shb"),
+        F.col("__sig").alias("__sigb"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("__bi") == F.col("band_idx"))
+            & (F.col("__bh") == F.col("band_hash"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.expr(
+                "aggregate(zip_with(__siga, __sigb,"
+                " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+                " 0, (acc, v) -> acc + v)"
+            ).alias("matches"),
+            F.size(F.array_intersect("__sha", "__shb")).alias("ni"),
+            F.size("__sha").alias("na"),
+            F.size("__shb").alias("nb"),
+        )
+    )
+    scored = cand.select(
+        F.expr(f"CAST(matches * 1000 div {_NUM_HASHES} AS BIGINT)").alias(
+            "est_milli"
+        ),
+        F.expr("CAST(ni * 1000 div (na + nb - ni) AS BIGINT)").alias(
+            "exact_milli"
+        ),
+    )
+    return scored.groupBy(
+        F.expr("CAST(abs(est_milli - exact_milli) div 100 AS BIGINT)").alias(
+            "err_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("abs(est_milli - exact_milli)"))
+        .cast("bigint")
+        .alias("sum_err_milli"),
+    )

@@ -1573,3 +1573,127 @@ def sim_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+_QMICRO = (
+    "list_transform(embedding,"
+    " x -> CAST(round((x::DOUBLE + 2.0) * 1000000.0) AS BIGINT))"
+)
+_D2INT_Q = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+@register(
+    "sim_label_separation",
+    f"""
+    WITH qv AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, {_QMICRO} AS q
+      FROM embeddings
+    ), cmean AS (
+      SELECT label, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+      FROM (SELECT label, unnest(q) AS x, unnest(range(1, 65)) AS d FROM qv) u
+      GROUP BY label, d
+    ), cent AS (
+      SELECT label, list(m ORDER BY d) AS c FROM cmean GROUP BY label
+    ), within AS (
+      SELECT v.label,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum({_D2INT_Q.format(a="v.q", b="c.c")}) // count(*)
+                  AS BIGINT) AS within_mean_d2
+      FROM qv v JOIN cent c USING (label)
+      GROUP BY v.label
+    ), between_d AS (
+      SELECT a.label,
+             CAST(min({_D2INT_Q.format(a="a.c", b="b.c")}) AS BIGINT)
+               AS min_between_d2
+      FROM cent a JOIN cent b ON a.label <> b.label
+      GROUP BY a.label
+    )
+    SELECT w.label, w.n_vectors, w.within_mean_d2, b.min_between_d2,
+           CAST(b.min_between_d2 * 1000 // w.within_mean_d2 AS BIGINT)
+             AS separation_milli
+    FROM within w JOIN between_d b USING (label)
+    """,
+    doc=(
+        "Embedding-quality eval: per label, the mean squared distance "
+        "to its own integer centroid (cohesion) vs the nearest other "
+        "centroid (separation), ratio in exact milli — the "
+        "Dunn-index-style check run before trusting labels or "
+        "clustering downstream. Micro-unit BIGINT quantization makes "
+        "centroids and distances engine-exact (the integer-KMeans "
+        "machinery reused as an evaluator)."
+    ),
+)
+def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cohesion/separation over integer-exact centroids.
+
+    Scale notes (100 TB): one |labels| x dim aggregate (collected —
+    bounded model shape), one corpus projection for within-distances,
+    and a |labels|² driver-side between-matrix; no corpus self-join."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        S.quantize_micro("embedding").alias("__q"),
+    )
+    sums = (
+        qv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("__q")[d]).alias(f"s{d}") for d in range(64)],
+        )
+        .collect()
+    )
+    cents = sorted(
+        (int(r["label"]), [int(r[f"s{d}"]) // int(r["n"]) for d in range(64)])
+        for r in sums
+    )
+    # |labels|² between-centroid min distances, computed driver-side
+    between = {}
+    for la, ca in cents:
+        best = None
+        for lb, cb in cents:
+            if la == lb:
+                continue
+            d2 = sum((x - y) * (x - y) for x, y in zip(ca, cb))
+            best = d2 if best is None or d2 < best else best
+        between[la] = best
+    cmap = F.map_from_entries(
+        S._lit_centroid_array(cents, value_type="BIGINT")
+    )
+    bmap = F.map_from_entries(
+        F.expr(
+            "array({})".format(
+                ", ".join(
+                    f"named_struct('k', CAST({k} AS BIGINT),"
+                    f" 'v', CAST({v} AS BIGINT))"
+                    for k, v in sorted(between.items())
+                )
+            )
+        )
+    )
+    d2own = F.aggregate(
+        F.zip_with(
+            F.col("__q"),
+            F.element_at(cmap, F.col("label")),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qv.select("label", d2own.alias("__d2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.expr("sum(__d2) div count(*)").cast("bigint").alias(
+                "within_mean_d2"
+            ),
+        )
+        .withColumn("min_between_d2", F.element_at(bmap, F.col("label")))
+        .withColumn(
+            "separation_milli",
+            F.expr("min_between_d2 * 1000 div within_mean_d2").cast("bigint"),
+        )
+    )
