@@ -75,7 +75,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pipeline_dedup_survivorship, events_peak_concurrency,
     # orders_decile_lift, io_multiformat_roundtrip, multimodal_dedup_exact,
     # pipeline_curation_funnel, dedup_minhash_error_audit,
-    # sim_label_separation.
+    # sim_label_separation, dq_share_drift, fn_business_days,
+    # search_snippet_extraction.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

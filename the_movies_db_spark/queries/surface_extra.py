@@ -2265,3 +2265,162 @@ def io_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(csv, "n_csv", "cents_csv").join(
         roll(jsonl, "n_jsonl", "cents_jsonl"), "status"
     ).select("status", "n_csv", "n_jsonl", "cents_csv", "cents_jsonl")
+
+
+@register(
+    "dq_share_drift",
+    """
+    WITH days AS (
+      SELECT (SELECT min(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                  o_orderdate)) FROM orders) AS mn,
+             (SELECT max(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                  o_orderdate)) FROM orders) AS mx
+    ), banded AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) // 20000 AS band,
+             CASE WHEN datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                o_orderdate)
+                       < (SELECT (mn + mx + 1) // 2 FROM days)
+                  THEN 1 ELSE 2 END AS half
+      FROM orders
+    ), cells AS (
+      SELECT band,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1,
+             CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_h2
+      FROM banded GROUP BY band
+    )
+    SELECT band, n_h1, n_h2,
+           CAST(n_h1 * 1000000 // sum(n_h1) OVER () AS BIGINT) AS share1_ppm,
+           CAST(n_h2 * 1000000 // sum(n_h2) OVER () AS BIGINT) AS share2_ppm,
+           CAST(abs(n_h1 * 1000000 // sum(n_h1) OVER ()
+                    - n_h2 * 1000000 // sum(n_h2) OVER ()) AS BIGINT)
+             AS abs_drift_ppm
+    FROM cells
+    """,
+    doc=(
+        "Distribution-drift audit (the integer PSI stand-in): order-"
+        "value band shares in the first vs second half of the date "
+        "range, per-band absolute drift in exact ppm — the check that "
+        "catches an upstream pipeline silently changing a value "
+        "distribution between loads. Bands bound the output; halves "
+        "derive from the same integer midpoint formula on both engines."
+    ),
+)
+def dq_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded share drift between date-range halves.
+
+    Scale notes (100 TB): one conditional-sum scan reduced to |bands|
+    cells map-side; the share windows run over bands only."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__day",
+        F.expr(
+            "datediff(o_orderdate, TIMESTAMP '1970-01-01 00:00:00')"
+        ).cast("bigint"),
+    )
+    d = o.agg(F.min("__day").alias("mn"), F.max("__day").alias("mx")).collect()[0]
+    mid = (int(d["mn"]) + int(d["mx"]) + 1) // 2
+    cells = (
+        o.select(
+            F.expr("CAST(round(o_totalprice) AS BIGINT) div 20000").alias(
+                "band"
+            ),
+            F.when(F.col("__day") < mid, 1).otherwise(2).alias("half"),
+        )
+        .groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_h1"),
+            F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_h2"),
+        )
+    )
+    return cells.select(
+        "band",
+        "n_h1",
+        "n_h2",
+        F.expr("n_h1 * 1000000 div sum(n_h1) OVER ()")
+        .cast("bigint")
+        .alias("share1_ppm"),
+        F.expr("n_h2 * 1000000 div sum(n_h2) OVER ()")
+        .cast("bigint")
+        .alias("share2_ppm"),
+        F.expr(
+            "abs(n_h1 * 1000000 div sum(n_h1) OVER ()"
+            " - n_h2 * 1000000 div sum(n_h2) OVER ())"
+        )
+        .cast("bigint")
+        .alias("abs_drift_ppm"),
+    )
+
+
+# closed-form weekday count: epoch day 0 = Thursday; W(d) = weekdays in
+# [0, d) = 5*(d div 7) + extra(d % 7) with the Thursday-anchored table
+_BD_EXTRA = "CASE {r} WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+
+
+def _bizdays_sql(d: str, floordiv: str, mod: str) -> str:
+    return (
+        f"(5 * (({d}) {floordiv} 7) + "
+        + _BD_EXTRA.format(r=f"(({d}) {mod} 7)")
+        + ")"
+    )
+
+
+@register(
+    "fn_business_days",
+    f"""
+    WITH lat AS (
+      SELECT o.o_orderkey,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', o.o_orderdate)
+               AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                      min(l.l_shipdate)) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), biz AS (
+      SELECT CAST({_bizdays_sql("d1", "//", "%")}
+                  - {_bizdays_sql("d0", "//", "%")} AS BIGINT) AS biz_days
+      FROM lat
+    )
+    SELECT biz_days, CAST(count(*) AS BIGINT) AS n_orders
+    FROM biz GROUP BY biz_days
+    """,
+    doc=(
+        "Business-day latency (order -> first shipment) via the "
+        "CLOSED-FORM weekday count W(d) = 5*(d div 7) + table(d mod 7) "
+        "anchored on epoch-Thursday — exact integer calendar math, no "
+        "calendar table, no per-day explode; identical CASE on both "
+        "engines. The SLA metric finance actually reports."
+    ),
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency histogram in BUSINESS days."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.expr(
+                "datediff(o_orderdate, TIMESTAMP '1970-01-01 00:00:00')"
+            ).alias("d0"),
+        )
+        .agg(
+            F.expr(
+                "datediff(min(l_shipdate), TIMESTAMP '1970-01-01 00:00:00')"
+            ).alias("d1")
+        )
+    )
+    biz = lat.select(
+        F.expr(
+            "CAST("
+            + _bizdays_sql("d1", "div", "%")
+            + " - "
+            + _bizdays_sql("d0", "div", "%")
+            + " AS BIGINT)"
+        ).alias("biz_days")
+    )
+    return biz.groupBy("biz_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
