@@ -76,7 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # orders_decile_lift, io_multiformat_roundtrip, multimodal_dedup_exact,
     # pipeline_curation_funnel, dedup_minhash_error_audit,
     # sim_label_separation, dq_share_drift, fn_business_days,
-    # search_snippet_extraction.
+    # search_snippet_extraction, cdc_net_changes.
     #
     # -- the 31 continuation-2 additions -----------------------------------
     "pipeline_padding_waste",

@@ -843,3 +843,104 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unique_full"),
     )
+
+
+@register(
+    "cdc_net_changes",
+    """
+    WITH log AS (
+      -- log window starts mid-stream: keys %4=0 have no initial insert
+      SELECT o_orderkey AS key, 1 AS seq, 'I' AS op
+      FROM orders WHERE o_orderkey % 4 != 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U' FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END
+      FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 4, 'I' FROM orders WHERE o_orderkey % 21 = 0
+    ), ends AS (
+      SELECT key,
+             min_by(op, seq) AS first_op,
+             max_by(op, seq) AS last_op,
+             CAST(count(*) AS BIGINT) AS n_ops
+      FROM log GROUP BY key
+    ), net AS (
+      SELECT key, n_ops,
+             CASE
+               WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+               WHEN first_op = 'I'                   THEN 'I'
+               WHEN last_op  = 'D'                   THEN 'D'
+               ELSE 'U'
+             END AS net_op
+      FROM ends
+    )
+    SELECT net_op,
+           CAST(count(*) AS BIGINT)  AS n_keys,
+           CAST(sum(n_ops) AS BIGINT) AS n_ops_compressed,
+           CAST(sum(n_ops) - count(*) AS BIGINT) AS ops_saved
+    FROM net
+    WHERE net_op IS NOT NULL
+    GROUP BY net_op
+    """,
+    doc=(
+        "CDC net-changes compression (the Debezium/Delta CDF "
+        "'net effect per key' rewrite): a multi-op changelog collapses "
+        "to at most ONE op per key — I+...+D cancels to nothing, "
+        "I+...+U nets to I with final values, U-only chains net to one "
+        "U, trailing D nets to D. min_by/max_by over the sequence pick "
+        "the endpoint ops in one aggregate; the report shows ops saved "
+        "by net-effect batching (what a downstream MERGE actually "
+        "needs to apply)."
+    ),
+)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect compression report over a synthesized changelog.
+
+    Scale notes (100 TB): one shuffle on key with min_by/max_by
+    endpoint aggregation — no per-key sort, no window; the MERGE
+    downstream then applies one op per key instead of the full log."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    log = (
+        o.filter(k % 4 != 0)
+        .select(k.alias("key"), F.lit(1).alias("seq"), F.lit("I").alias("op"))
+        .unionAll(
+            o.filter(k % 3 == 0).select(
+                k.alias("key"), F.lit(2).alias("seq"), F.lit("U").alias("op")
+            )
+        )
+        .unionAll(
+            o.filter((k % 7 == 0) | (k % 5 == 0)).select(
+                k.alias("key"),
+                F.lit(3).alias("seq"),
+                F.when(k % 7 == 0, "D").otherwise("U").alias("op"),
+            )
+        )
+        .unionAll(
+            o.filter(k % 21 == 0).select(
+                k.alias("key"), F.lit(4).alias("seq"), F.lit("I").alias("op")
+            )
+        )
+    )
+    ends = log.groupBy("key").agg(
+        F.expr("min_by(op, seq)").alias("first_op"),
+        F.expr("max_by(op, seq)").alias("last_op"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+    )
+    net = ends.select(
+        "n_ops",
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "NONE"
+        )
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+        .alias("net_op"),
+    )
+    return net.groupBy("net_op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_ops").cast("bigint").alias("n_ops_compressed"),
+        (F.sum("n_ops") - F.count(F.lit(1))).cast("bigint").alias("ops_saved"),
+    )
