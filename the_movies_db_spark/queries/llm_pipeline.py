@@ -1520,9 +1520,12 @@ def pipeline_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _funnel_oracle() -> str:
-    # dedup_queries registers before this module in load_all, so the
-    # shipped clustering oracle is available to nest verbatim
+    # import the MODULE (not just the registry) so the clustering
+    # oracle is registered even when this module is imported directly,
+    # outside load_all's ordering (dedup_queries has no import back
+    # into this module, so the edge is acyclic)
     from the_movies_db_spark.queries import REGISTRY
+    from the_movies_db_spark.queries import dedup_queries  # noqa: F401
 
     return _FUNNEL_SQL_TEMPLATE.replace(
         "{CLUSTERS}", REGISTRY["dedup_clusters"].oracle
