@@ -1697,3 +1697,72 @@ def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min_between_d2 * 1000 div within_mean_d2").cast("bigint"),
         )
     )
+
+
+@register(
+    "sim_vector_norm_audit",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             CAST(floor(sqrt(list_inner_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))
+                        * 1000) AS BIGINT) AS norm_milli,
+             len(list_filter(embedding, x -> x = 0.0)) AS n_zero_dims,
+             len(list_filter(embedding, x -> isnan(x::DOUBLE)
+                                             OR NOT isfinite(x::DOUBLE)))
+               AS n_bad_dims
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN norm_milli = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(sum(CASE WHEN n_bad_dims > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           CAST(min(norm_milli) AS BIGINT) AS min_norm_milli,
+           CAST(max(norm_milli) AS BIGINT) AS max_norm_milli,
+           CAST(sum(norm_milli) // count(*) AS BIGINT) AS mean_norm_milli,
+           CAST(sum(n_zero_dims) AS BIGINT) AS total_zero_dims
+    FROM norms
+    """,
+    doc=(
+        "Embedding pre-flight audit: zero-norm vectors (cosine divides "
+        "by them), NaN/Inf components, and the norm range in exact "
+        "milli (floor of the correctly-rounded IEEE sqrt — engine-"
+        "exact). The gate to run before ANY similarity workload: one "
+        "degenerate vector silently poisons every ranking it appears "
+        "in."
+    ),
+)
+def sim_vector_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-norm / non-finite / norm-range audit over embeddings."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    norms = e.select(
+        F.expr(
+            "CAST(floor(sqrt(aggregate(transform(embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0.0D, (a, v) -> a + v)) * 1000) AS BIGINT)"
+        ).alias("norm_milli"),
+        F.expr(
+            "size(filter(embedding, x -> x = CAST(0.0 AS FLOAT)))"
+        ).alias("n_zero_dims"),
+        F.expr(
+            "size(filter(embedding, x -> isnan(CAST(x AS DOUBLE))"
+            " OR CAST(x AS DOUBLE) IN (CAST('Infinity' AS DOUBLE),"
+            " CAST('-Infinity' AS DOUBLE))))"
+        ).alias("n_bad_dims"),
+    )
+    return norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("norm_milli") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.sum(F.when(F.col("n_bad_dims") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.min("norm_milli").cast("bigint").alias("min_norm_milli"),
+        F.max("norm_milli").cast("bigint").alias("max_norm_milli"),
+        F.expr("sum(norm_milli) div count(*)").cast("bigint").alias(
+            "mean_norm_milli"
+        ),
+        F.sum("n_zero_dims").cast("bigint").alias("total_zero_dims"),
+    )

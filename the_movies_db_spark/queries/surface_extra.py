@@ -2424,3 +2424,63 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return biz.groupBy("biz_days").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
+
+
+@register(
+    "agg_variance_twopass",
+    """
+    WITH means AS (
+      SELECT o_orderstatus AS status,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT))
+                  // count(*) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus AS status,
+           min(mm.n) AS n_orders,
+           min(mm.m) AS mean_dollars,
+           CAST(sum((CAST(round(o_totalprice) AS BIGINT) - mm.m)
+                    * (CAST(round(o_totalprice) AS BIGINT) - mm.m))
+                // min(mm.n) AS BIGINT) AS var_dollars2,
+           CAST(max(abs(CAST(round(o_totalprice) AS BIGINT) - mm.m))
+                AS BIGINT) AS max_abs_dev
+    FROM orders o JOIN means mm ON mm.status = o.o_orderstatus
+    GROUP BY o.o_orderstatus
+    """,
+    doc=(
+        "TWO-PASS variance (the numerically stable form, exact "
+        "integers): pass 1 computes each group's integer mean, pass 2 "
+        "sums squared deviations FROM that mean — unlike the one-pass "
+        "n*Sx2 - Sx^2 form, whose catastrophic cancellation breaks "
+        "floats and whose raw-moment products overflow BIGINT at "
+        "~1e20 (they would at 10x this data). Deviations are bounded, "
+        "so their squares never overflow."
+    ),
+)
+def agg_variance_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer variance around the integer group mean.
+
+    Scale notes (100 TB): two scans (a one-row-per-group means
+    aggregate broadcast back, then the deviation aggregate) — the
+    price of exactness and overflow safety; at petabyte scale the
+    same shape runs as a broadcast join of the tiny means table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("x"),
+    )
+    means = o.groupBy("status").agg(
+        F.expr("sum(x) div count(*)").cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        o.join(F.broadcast(means), "status")
+        .groupBy("status")
+        .agg(
+            F.min("n").alias("n_orders"),
+            F.min("m").alias("mean_dollars"),
+            F.expr("sum((x - m) * (x - m)) div min(n)")
+            .cast("bigint")
+            .alias("var_dollars2"),
+            F.max(F.expr("abs(x - m)")).cast("bigint").alias("max_abs_dev"),
+        )
+    )
