@@ -18,6 +18,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_registry_count_matches_docs():
+    """The registry count documented in .claude/skills/verify/SKILL.md
+    (and cited by VERDICT) must match load_all() — stale doc counts cost
+    the next session real time. Update BOTH when registering queries."""
+    sys.path.insert(0, REPO)
+    from the_movies_db_spark.queries import DRIVER_WINDOW, load_all
+
+    qs = load_all()
+    rows_only = [n for n, q in qs.items() if q.oracle is None]
+    skill = open(
+        os.path.join(REPO, ".claude", "skills", "verify", "SKILL.md")
+    ).read()
+    assert f"{len(qs)} registered queries" in skill, (
+        f"SKILL.md stale: registry has {len(qs)} queries"
+    )
+    assert f"{len(qs) - len(rows_only)} oracle-checked" in skill, (
+        f"SKILL.md stale: {len(qs) - len(rows_only)} oracle-checked, "
+        f"{len(rows_only)} rows-only"
+    )
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+
+
 def test_driver_simulation_stock_session():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "driver_sim.py")],

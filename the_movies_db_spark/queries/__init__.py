@@ -55,81 +55,76 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-5 rotation: exactly the 50-name queue left by round 4 (the
-    # round-4 window went 46/50 value-hash green + 4 rows-only-by-design,
-    # 0 failures — see CORRECTNESS_r04.json). After this window runs,
-    # every query registered through the end of round 4 (242) carries a
-    # hard driver row. Queries registered DURING round 5 are queued for
-    # the round-6 window in the comment below, at registration time.
+    # Round-6 rotation (the round-5 window went 50/50 value-hash green,
+    # 0 failures — CORRECTNESS_r05.json). This window = the 35 queries
+    # registered during round 5 (the 33-name queue + the 2 that missed
+    # the queue comment in the final r5 snapshot commit:
+    # agg_variance_twopass, sim_vector_norm_audit), the 5 rows-only
+    # entries (re-confirm their weaker rows-only check), and 10
+    # re-check slots: 4 queries whose code changed AFTER their r5
+    # driver row recorded (044a7fb fixes), the 2 round-6 scale rewrites
+    # (text_ccnet_buckets, orders_abc_analysis), and 4 queries touched
+    # by this round's ranks.py / similarity.py changes.
     #
-    # Queue for the round-6 window (append names HERE at registration
-    # time — every query registered during round 5 lands in this list the
-    # moment its oracle is locally green): sim_topk_kmeans_int,
-    # sim_recall_kmeans, text_lang_confusion, dq_referential_integrity,
-    # orders_pareto_gini, orders_segment_migration, events_time_to_convert,
-    # search_phrase_proximity, pipeline_classifier_gate, fn_url_parse,
-    # join_asof_nearest, pipeline_tokenizer_fertility, upsert_partitioned,
-    # sim_topk_ivfpq_residual, udf_token_bucket, pipeline_domain_temperature,
-    # feature_store_pit, text_keyphrase_rake, sim_recall_nprobe_curve,
-    # events_inactivity_churn, events_interval_merge,
-    # pipeline_dedup_survivorship, events_peak_concurrency,
-    # orders_decile_lift, io_multiformat_roundtrip, multimodal_dedup_exact,
-    # pipeline_curation_funnel, dedup_minhash_error_audit,
-    # sim_label_separation, dq_share_drift, fn_business_days,
-    # search_snippet_extraction, cdc_net_changes.
+    # Queue for the round-7 window (append names HERE at registration
+    # time — every query registered during round 6 lands in this list
+    # the moment its oracle is locally green): <none yet>.
     #
-    # -- the 31 continuation-2 additions -----------------------------------
-    "pipeline_padding_waste",
-    "events_anomaly_mad",
-    "join_interval_overlap",
-    "pipeline_shard_shuffle",
-    "dq_l_diversity",
-    "events_path_topk",
-    "orders_rfm_segments",
-    "agg_chisq_cells",
-    "join_spatial_radius",
-    "pipeline_epoch_repeat",
-    "sim_recall_ivfpq",
-    "pipeline_intradoc_dedup",
-    "upsert_scd2_asof",
-    "dq_id_gaps",
-    "events_funnel_windowed",
-    "agg_weighted_median",
-    "join_asof_tolerance",
-    "pipeline_dataset_card",
-    "events_top_movers",
-    "orders_cohort_ltv",
-    "pipeline_gate_ablation",
-    "graph_degree_hist",
-    "text_distinctive_terms",
-    "sim_topk_filtered",
-    "events_stickiness",
-    "orders_abc_analysis",
-    "dedup_threshold_histogram",
+    # -- the 35 round-5 registrations --------------------------------------
+    "sim_topk_kmeans_int",
+    "sim_recall_kmeans",
+    "text_lang_confusion",
+    "dq_referential_integrity",
+    "orders_pareto_gini",
+    "orders_segment_migration",
+    "events_time_to_convert",
+    "search_phrase_proximity",
+    "pipeline_classifier_gate",
+    "fn_url_parse",
+    "join_asof_nearest",
+    "pipeline_tokenizer_fertility",
+    "upsert_partitioned",
+    "sim_topk_ivfpq_residual",
+    "udf_token_bucket",
+    "pipeline_domain_temperature",
+    "feature_store_pit",
+    "text_keyphrase_rake",
+    "sim_recall_nprobe_curve",
+    "events_inactivity_churn",
+    "events_interval_merge",
+    "pipeline_dedup_survivorship",
+    "events_peak_concurrency",
+    "orders_decile_lift",
+    "io_multiformat_roundtrip",
+    "multimodal_dedup_exact",
+    "pipeline_curation_funnel",
+    "dedup_minhash_error_audit",
+    "sim_label_separation",
+    "dq_share_drift",
+    "fn_business_days",
+    "search_snippet_extraction",
+    "cdc_net_changes",
+    "agg_variance_twopass",
+    "sim_vector_norm_audit",
+    # -- the 5 rows-only-by-design entries ---------------------------------
+    "sim_topk_ivf_kmeans",
+    "sim_topk_vectorized",
+    "sim_mllib_lsh_join",
+    "agg_approx_distinct",
+    "agg_hll_sketch",
+    # -- re-checks: changed after their r5 rows (044a7fb) ------------------
     "dq_benford_digits",
-    "orders_seasonality_index",
-    "pipeline_chunk_dedup",
-    "sim_bucket_purity",
-    # -- the 19 earlier never-checked entries -------------------------------
-    "events_streaks",
-    "events_pattern_vshape",
+    "dq_id_gaps",
+    "join_interval_overlap",
+    "sim_recall_ivfpq",
+    # -- re-checks: round-6 scale rewrites ---------------------------------
+    "text_ccnet_buckets",
+    "orders_abc_analysis",
+    # -- re-checks: touched by round-6 ranks.py / similarity work ----------
+    "orders_rfm_segments",
     "pipeline_curriculum_order",
-    "window_moving_median",
-    "dq_k_anonymity",
-    "orders_open_backlog",
-    "events_downsample_lttb",
-    "events_rollup_cascade",
-    "events_ewma",
-    "events_rolling_mau",
-    "join_bloom_prefilter",
-    "agg_incremental_mv",
-    "text_collocations",
-    "agg_regression",
-    "udtf_json_props_dynamic",
-    "graph_bfs_hops",
-    "profile_skew",
-    "agg_bitmap_distinct",
-    "agg_median_histogram",
+    "dedup_semantic",
+    "sim_topk_ivfpq",
 )
 
 
