@@ -420,6 +420,39 @@ def test_pareto_gini_rank_is_bucket_partitioned(spark, sf_dir, registry):
     assert not unpart, unpart
 
 
+def _assert_only_bucket_windows(df):
+    """Every window in the optimized plan must either partition by the
+    two-level rank bucket (__rb) or BE the tiny bucket-offset prefix
+    (recognizable by its __rb ordering) — no corpus/part-grain
+    single-partition window survives."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(__rb" in plan
+    unpart = [
+        w for w in re.findall(r"windowspecdefinition\([^#]*#", plan)
+        if "__rb" not in w
+    ]
+    assert not unpart, unpart
+
+
+def test_ccnet_tercile_is_bucket_partitioned(spark, sf_dir, registry):
+    """text_ccnet_buckets' tercile must come from the two-level rank —
+    the round-5 verdict's #1 scale-killer (single-partition ntile at
+    corpus grain) must not reappear."""
+    _assert_only_bucket_windows(
+        registry["text_ccnet_buckets"].spark(spark, sf_dir)
+    )
+
+
+def test_abc_cumulative_is_bucket_partitioned(spark, sf_dir, registry):
+    """orders_abc_analysis' running revenue must come from global_cumsum
+    — no unpartitioned part-grain cumulative window."""
+    _assert_only_bucket_windows(
+        registry["orders_abc_analysis"].spark(spark, sf_dir)
+    )
+
+
 def test_peak_concurrency_single_delta_scan(spark, sf_dir, registry):
     """Bucket carry-ins are a collected plan parameter, so the FINAL
     plan reads events once per delta side (2 scans of the union), has

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from the_movies_db_spark.operators.ranks import global_row_number
+from the_movies_db_spark.operators.ranks import global_cumsum, global_row_number
 
 
 def _check(spark, values):
@@ -83,3 +83,52 @@ def test_matches_global_window_property(spark, values, buckets):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(10**9), 10**9),   # order key (dup-able)
+            st.integers(-(10**6), 10**6),   # value to accumulate
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([1, 2, 7, 64]),
+    out_of_range_bounds=st.booleans(),
+)
+@_SET
+def test_cumsum_matches_global_window_property(spark, rows, buckets, out_of_range_bounds):
+    """global_cumsum == the single-partition running sum for any integer
+    distribution (ties by id, negatives, skew) — including when the
+    supplied bounds don't cover the data (bounds only tune widths)."""
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id bigint, k bigint, v bigint",
+    )
+    bounds = (0, 10) if out_of_range_bounds else None
+    got = {
+        (r.id, r.cum, r.tot)
+        for r in global_cumsum(
+            df, "k", ["id"], "v", buckets=buckets, bounds=bounds,
+            total_out="tot",
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.id, r.cum, r.tot)
+        for r in df.withColumn("cum", F.sum("v").over(w).cast("bigint"))
+        .withColumn(
+            "tot", F.sum("v").over(Window.partitionBy()).cast("bigint")
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_row_number_total_out(spark):
+    df = spark.createDataFrame(
+        [(i, i * 37 % 1009) for i in range(500)], "id bigint, v bigint"
+    )
+    got = global_row_number(df, "v", ["id"], buckets=8, total_out="n")
+    assert {r.n for r in got.collect()} == {500}

@@ -31,6 +31,7 @@ def global_row_number(
     out: str = "rank",
     buckets: int = 64,
     bounds: tuple[int, int] | None = None,
+    total_out: str | None = None,
 ) -> DataFrame:
     """Append a gap-free 1-based global row number (``row_number``
     semantics — NOT ``dense_rank`` tie behavior) ordered by
@@ -52,6 +53,16 @@ def global_row_number(
     batches several metrics' bounds into one collect — rfm does 3 ranks
     off a single agg job): it skips this function's own (min, max) job,
     which would otherwise recompute ``df``'s whole lineage per call.
+    Bounds only TUNE bucket widths — values outside them still bucket
+    correctly (the bucket map stays monotone for any input), so static
+    domain-knowledge bounds are always safe and avoid the extra job
+    entirely (text_ccnet_buckets does this for its score domain).
+
+    ``total_out`` additionally appends the TOTAL row count of ``df`` as
+    a BIGINT column of that name — it falls out of the already-computed
+    per-bucket sizes for free (a ``buckets``-row window), sparing
+    callers that need n (ntile-style formulas) a separate global agg
+    that would re-execute the lineage.
     """
     if bounds is None:
         row = df.agg(
@@ -64,14 +75,81 @@ def global_row_number(
     bucketed = df.withColumn("__rb", bucket)
     sizes = bucketed.groupBy("__rb").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "__rb",
+    off_cols = [
+        F.col("__rb"),
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("bigint").alias("__off"),
-    )
+    ]
+    if total_out is not None:
+        w_all = Window.orderBy("__rb").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__n").over(w_all).cast("bigint").alias(total_out))
+    offsets = sizes.select(*off_cols)
     w_rank = Window.partitionBy("__rb").orderBy(order_col, *tiebreak)
     return (
         bucketed.withColumn("__r", F.row_number().over(w_rank).cast("bigint"))
         .join(F.broadcast(offsets), "__rb")
         .withColumn(out, (F.col("__off") + F.col("__r")).cast("bigint"))
         .drop("__rb", "__r", "__off")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    tiebreak: Sequence[str],
+    val_col: str,
+    out: str = "cum",
+    buckets: int = 64,
+    bounds: tuple[int, int] | None = None,
+    total_out: str | None = None,
+) -> DataFrame:
+    """Append the running ``sum(val_col) OVER (ORDER BY order_col,
+    *tiebreak ROWS UNBOUNDED PRECEDING)`` — inclusive of the current
+    row — without a single-partition sort, via the same two-level
+    bucket rewrite as :func:`global_row_number`: per-bucket running
+    sums (a distributed window partitioned by bucket) plus each
+    bucket's broadcast prior-bucket total.
+
+    ``order_col`` must be integer-typed; ``(order_col, *tiebreak)``
+    must be unique. ``val_col`` must be integer-typed (BIGINT sums —
+    exact, no float accumulation-order divergence across the rewrite).
+    ``total_out`` appends the grand total as a column for free (the
+    Pareto/ABC share test needs it).
+
+    Scale notes (100 TB): identical profile to global_row_number — one
+    (min, max) job (skippable via ``bounds``), one ``buckets``-row
+    aggregate broadcast back, one per-bucket window over the data.
+    """
+    if bounds is None:
+        row = df.agg(
+            F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+        ).first()
+        bounds = (int(row["mn"]), int(row["mx"]))
+    mn, mx = bounds
+    width = (mx - mn) // buckets + 1
+    bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
+    bucketed = df.withColumn("__rb", bucket)
+    sums = bucketed.groupBy("__rb").agg(
+        F.sum(val_col).cast("bigint").alias("__s")
+    )
+    w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        F.col("__rb"),
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("bigint").alias("__off"),
+    ]
+    if total_out is not None:
+        w_all = Window.orderBy("__rb").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__s").over(w_all).cast("bigint").alias(total_out))
+    offsets = sums.select(*off_cols)
+    w_cum = Window.partitionBy("__rb").orderBy(order_col, *tiebreak).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        bucketed.withColumn("__c", F.sum(val_col).over(w_cum).cast("bigint"))
+        .join(F.broadcast(offsets), "__rb")
+        .withColumn(out, (F.col("__off") + F.col("__c")).cast("bigint"))
+        .drop("__rb", "__c", "__off")
     )

@@ -424,16 +424,32 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ tail terciles by perplexity proxy (higher avg logprob = "
         "more 'in-distribution'), report per-bucket boundaries. The "
         "bucket boundaries are what a curation pipeline publishes so "
-        "downstream sampling can target head+middle. ntile runs on the "
-        "per-DOCUMENT score table (corpus-count rows, one global sort "
-        "of scores — at 100 TB swap for approx_percentile cutpoints; "
-        "the exact form here is the verifiable baseline)."
+        "downstream sampling can target head+middle. The tercile "
+        "assignment is DISTRIBUTED: a two-level global rank "
+        "(operators/ranks.py:global_row_number — per-score-bucket "
+        "row_number + 64-row broadcast offsets; the oracle keeps plain "
+        "ntile) and the exact ntile identity (rank-1)*3 div n + 1, "
+        "with n falling out of the same broadcast offsets. No "
+        "corpus-grain single-partition sort anywhere in the plan."
     ),
 )
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """CCNet head/middle/tail terciles with a distributed global rank.
 
+    Order key: avg_logprob DESC, doc_id ASC. avg_logprob is round(x, 6)
+    so ``-avg_logprob * 1e6`` rounds back to an EXACT integer (the
+    product's FP error is ~k*2^-52, far below the .5 rounding margin),
+    giving global_row_number the monotone integer key it needs.
+    Bounds are STATIC domain knowledge — avg(ln(tf/n)) lies in
+    (-25, 0) for any real corpus, so negated micro-units lie in
+    (0, 25e6); out-of-range values would still bucket correctly (the
+    bucket map is monotone for any input), bounds only tune widths —
+    which spares re-executing the term-join lineage for a (min, max).
+    tercile = (rank-1)*3 div n + 1 reproduces ntile(3) exactly:
+    ntile assigns row r to bucket floor((r-1)*k/n)+1.
+    """
     from the_movies_db_spark.io import spread
+    from the_movies_db_spark.operators.ranks import global_row_number
 
     d = spread(load_table(spark, sf_dir, "documents"))
     terms = d.select(
@@ -451,8 +467,16 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
-    bucketed = scored.withColumn("__t", F.ntile(3).over(w))
+    keyed = scored.withColumn(
+        "__ord", F.round(F.col("avg_logprob") * F.lit(-1e6)).cast("bigint")
+    )
+    ranked = global_row_number(
+        keyed, "__ord", ["doc_id"], out="__rnk",
+        bounds=(0, 25_000_000), total_out="__n",
+    )
+    bucketed = ranked.withColumn(
+        "__t", F.expr("(__rnk - 1) * 3 div __n + 1")
+    )
     bucket = (
         F.when(F.col("__t") == 1, "head")
         .when(F.col("__t") == 2, "middle")

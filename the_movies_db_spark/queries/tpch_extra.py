@@ -1183,25 +1183,37 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share (A holds the first 80%, B to 95%, C the tail). The "
         "class test uses the PRIOR cumulative (cum - own) ALL-INTEGER "
         "cross-multiplied ((cum-c)*100 < tot*80) — no percentage "
-        "doubles, no boundary flips. The global cumulative window "
-        "is over the part-level AGGREGATE; at extreme part counts "
-        "the same two-level offset rewrite as operators/ranks.py "
-        "applies."
+        "doubles, no boundary flips. The cumulative is DISTRIBUTED "
+        "(operators/ranks.py:global_cumsum — per-bucket running sums "
+        "over the NEGATED cents key + 64-row broadcast prior-bucket "
+        "offsets; the grand total rides the same broadcast), so no "
+        "part-grain single-partition window survives in the plan."
     ),
 )
 def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto revenue classification over part-level rollups."""
+    """Pareto revenue classification over part-level rollups.
+
+    Scale notes (100 TB): one partkey rollup shuffle; the descending
+    cumulative revenue comes from global_cumsum on ``-cents`` (integer
+    ascending = cents DESC; BIGINT-exact sums commute across the
+    bucket rewrite), with the (min, max) bounds batched into one
+    1-row collect — the same shape orders_pareto_gini pins in
+    tests/test_plans.py."""
+    from the_movies_db_spark.operators.ranks import global_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
         .cast("bigint")
         .alias("cents")
     )
-    w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.withColumn("cum", F.sum("cents").over(w_cum)).withColumn(
-        "tot", F.sum("cents").over(Window.partitionBy())
+    keyed = rev.withColumn("__ord", (-F.col("cents")).cast("bigint"))
+    b = keyed.agg(
+        F.min("__ord").alias("mn"), F.max("__ord").alias("mx")
+    ).collect()[0]
+    ranked = global_cumsum(
+        keyed, "__ord", ["l_partkey"], "cents", out="cum",
+        bounds=(int(b["mn"]), int(b["mx"])), total_out="tot",
     )
     cls = (
         F.when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 80, "A")
