@@ -29,46 +29,44 @@ from the_movies_db_spark.queries import load_all
 from the_movies_db_spark.session import get_spark
 
 HEADLINE = [
-    # relational core
+    # relational core (q06/q13/agg_rollup/window_topk retired round 6:
+    # sub-0.45 s and flat across 4+ recorded rounds — the stdout JSON
+    # line must stay under the driver's 2000-char tail window, so slots
+    # go to queries whose perf story is still open; retired queries
+    # remain oracle-gated every round)
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier",
-    "q06_forecast_revenue",
     "q10_returned_items",
     "q07_volume_shipping",
-    "q13_order_distribution",
     "q18_large_orders",
     "q21_latest_shipper",
-    "agg_rollup",
     "agg_percentiles",
-    "window_topk_per_group",
     "window_running_total",
     "events_sessionize",
     # reference-parity pipeline ops
     "upsert_merge",
     "upsert_keep_latest",
-    # LLM-pipeline operators
-    "dedup_exact",
+    # LLM-pipeline operators (dedup_exact/text_stats retired round 6,
+    # same rationale)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
-    "text_stats",
     "text_langid",
     "text_tfidf_topk",
     "multimodal_resize",
     "streaming_tumbling",
-    # corpus-curation operators (round 2)
+    # corpus-curation operators (round 2; pack_sequences/chunk_overlap
+    # retired round 6)
     "pipeline_decontaminate",
     "pipeline_pii_redact",
-    "pipeline_pack_sequences",
     "pipeline_quality_filter",
     "dedup_semantic",
     "dedup_incremental",
     "pipeline_curate_e2e",
-    # search + time-series (round 2, late)
+    # search + time-series (round 2, late; events_ohlc retired round 6)
     "search_bm25_topk",
-    "events_ohlc",
     # round-4 additions: composed ANN, sub-quadratic semantic dedup,
     # persisted index, chunking, sketch analytics
     "sim_topk_ivfpq",
@@ -84,24 +82,34 @@ HEADLINE = [
     "sim_topk_matryoshka",
     "basket_brand_pairs",
     "events_streaks",
-    # round-4 continuation: binned interval join, corpus reshard,
-    # distributed-rank RFM
+    # round-4 continuation: binned interval join, distributed-rank RFM
+    # (pipeline_shard_shuffle retired round 6)
     "join_interval_overlap",
-    "pipeline_shard_shuffle",
     "orders_rfm_segments",
     # round-5: the 10 most expensive round-4 continuation queries at
     # sf0.1 (measured, single-run ranking in round 5) so BENCH carries
-    # medians for the continuation surface
+    # medians for the continuation surface (padding_waste retired r6)
     "sim_recall_ivfpq",
     "events_anomaly_mad",
     "dedup_threshold_histogram",
     "agg_weighted_median",
     "upsert_scd2_asof",
-    "pipeline_padding_waste",
     "dq_benford_digits",
     "pipeline_gate_ablation",
     "sim_bucket_purity",
     "events_path_topk",
+    # round-6: the 10 most expensive round-5 additions (probe-measured
+    # ranking in the round-5 verdict) so BENCH carries their medians
+    "sim_recall_nprobe_curve",
+    "pipeline_curation_funnel",
+    "udf_token_bucket",
+    "sim_topk_ivfpq_residual",
+    "upsert_partitioned",
+    "sim_recall_kmeans",
+    "sim_topk_kmeans_int",
+    "search_phrase_proximity",
+    "pipeline_dedup_survivorship",
+    "orders_pareto_gini",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
@@ -180,7 +188,9 @@ def main() -> None:
         out["vs_prev"] = {
             k: vs_prev[k] for k in ("baseline", "total") if k in vs_prev
         }
-    line = json.dumps(out)
+    # compact separators: the driver keeps only the LAST 2000 chars of
+    # stdout, and the default ", "/": " spacing costs ~2 chars per query
+    line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, f"driver tail window is 2000 chars ({len(line)})"
     print(line)
 

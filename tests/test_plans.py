@@ -468,3 +468,14 @@ def test_peak_concurrency_single_delta_scan(spark, sf_dir, registry):
 def test_survivorship_no_cartesian(spark, sf_dir, registry):
     txt = plan_of(registry["pipeline_dedup_survivorship"].spark(spark, sf_dir))
     assert "CartesianProduct" not in txt and "NestedLoop" not in txt
+
+
+def test_curation_funnel_single_tokenize_pass(spark, sf_dir, registry):
+    """The funnel's four stage yields come from ONE conditional
+    aggregate over a single tokenize/gate pass — the final plan reads
+    documents exactly twice (tokenize pass + the n_chars canon
+    ranking; the LSH subtree is behind a localCheckpoint), never once
+    per stage branch."""
+    txt = plan_of(registry["pipeline_curation_funnel"].spark(spark, sf_dir))
+    assert txt.count("documents.parquet") == 2, txt.count("documents.parquet")
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt

@@ -1603,10 +1603,18 @@ _FUNNEL_SQL_TEMPLATE = f"""
 def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage doc/token yield of the composed curation path.
 
-    Scale notes (100 TB): the gate is a per-row projection; the dedup
-    stage reuses the banded LSH clustering (never all-pairs); each
-    stage's yield is one aggregate row — the funnel adds no shuffle
-    beyond its member operators."""
+    Scale notes (100 TB): ONE tokenize/gate pass — every doc row
+    carries its stage flags (gated, dropped-by-dedup) and chunk count,
+    and all four stage yields come from a single conditional aggregate
+    unpivoted with ``stack`` (the round-4 basket-mining lesson: stage
+    branches over a shared subtree re-execute it per branch — r5 shape
+    tokenized the corpus 4x and ran the gate 3x). The LSH clustering
+    subtree executes once regardless (connected_components
+    localCheckpoints), and the non-canonical 'dropped' set comes from
+    one window over the checkpointed clusters (rn > 1), not a
+    canon-vs-clusters anti-join that would read clusters twice. Final
+    plan reads documents twice (tokenize pass + the n_chars canon
+    ranking) — pinned in tests/test_plans.py."""
     from the_movies_db_spark.operators import dedup as DD
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -1616,19 +1624,20 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tl"
         ),
     ).select("doc_id", "tl", F.size("tl").cast("bigint").alias("n_tok"))
-    scored = toks.filter(F.col("n_tok") > 0).select(
+    # score only defined for n_tok > 0 (the CASE guards the div); the
+    # gate flag is therefore false for empty docs, matching the r5
+    # filter-then-score shape
+    scored = toks.select(
         "doc_id",
         "n_tok",
         F.expr(
-            f"CAST(2 * aggregate(transform(tl, t -> CASE WHEN t IN"
+            "CASE WHEN n_tok > 0 THEN"
+            f" CAST(2 * aggregate(transform(tl, t -> CASE WHEN t IN"
             f" ({_CLS_STOPS}) THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
             " * 1000 div n_tok"
             " + size(array_distinct(tl)) * 1000 div n_tok"
-            " + least(n_tok, 500L) AS BIGINT)"
+            " + least(n_tok, 500L) AS BIGINT) END"
         ).alias("score"),
-    )
-    gated = scored.filter(F.col("score") >= _CLS_THRESHOLD).select(
-        "doc_id", "n_tok"
     )
     from the_movies_db_spark.queries.dedup_queries import (
         _NUM_BANDS,
@@ -1645,39 +1654,42 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    canon = (
+    dropped = (
         clusters.join(d.select("doc_id", "n_chars"), "doc_id")
         .withColumn("__rn", F.row_number().over(wc))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("doc_id").alias("canonical_doc"))
+        .filter(F.col("__rn") > 1)
+        .select("doc_id", F.lit(True).alias("__dropped"))
     )
-    dropped = clusters.join(
-        canon, clusters.doc_id == canon.canonical_doc, "left_anti"
-    ).select("doc_id")
-    deduped = gated.join(dropped, "doc_id", "left_anti")
-    chunks = deduped.select(
+    flagged = scored.join(dropped, "doc_id", "left").select(
+        "n_tok",
+        (F.col("score") >= _CLS_THRESHOLD).alias("__g"),
+        (
+            (F.col("score") >= _CLS_THRESHOLD)
+            & F.col("__dropped").isNull()
+        ).alias("__k"),
         F.expr(
             "CASE WHEN n_tok <= 128 THEN 1"
             " ELSE 1 + (n_tok - 128 + 95) div 96 END"
-        ).alias("n_chunks")
+        ).alias("__chunks"),
     )
-
-    def stage(df: DataFrame, name: str, units, tokens) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            units.cast("bigint").alias("n_units"),
-            tokens.cast("bigint").alias("n_tokens"),
-        )
-
-    return (
-        stage(toks, "a_raw", F.count(F.lit(1)), F.sum("n_tok"))
-        .unionByName(stage(gated, "b_gated", F.count(F.lit(1)), F.sum("n_tok")))
-        .unionByName(
-            stage(deduped, "c_deduped", F.count(F.lit(1)), F.sum("n_tok"))
-        )
-        .unionByName(
-            stage(
-                chunks, "d_chunks", F.sum("n_chunks"), F.sum("n_chunks") * 128
-            )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("a_u"),
+        F.sum("n_tok").cast("bigint").alias("a_t"),
+        F.count_if("__g").cast("bigint").alias("b_u"),
+        F.sum(F.when(F.col("__g"), F.col("n_tok"))).cast("bigint").alias("b_t"),
+        F.count_if("__k").cast("bigint").alias("c_u"),
+        F.sum(F.when(F.col("__k"), F.col("n_tok"))).cast("bigint").alias("c_t"),
+        F.sum(F.when(F.col("__k"), F.col("__chunks")))
+        .cast("bigint")
+        .alias("d_u"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 'a_raw', a_u, a_t,"
+            " 'b_gated', b_u, b_t,"
+            " 'c_deduped', c_u, c_t,"
+            " 'd_chunks', d_u, CAST(d_u * 128 AS BIGINT)"
+            ") AS (stage, n_units, n_tokens)"
         )
     )

@@ -1498,10 +1498,12 @@ def sim_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth panel (|Q| x corpus, the unavoidable eval cost)."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    assigned = S.ivf_assign(e, "vec_id", "embedding", _CURVE_CELLS, dim=_DIM)
-    # probe RANKS (ivf_probe_cells emits cells without their rank):
-    # sort the collected-centroid score array once, posexplode the
-    # leading 4 — prn is the explode position, a pure projection
+    # ONE collected-centroid literal + ONE scored-top4 projection feeds
+    # BOTH the corpus assignment (top4[0] ≡ ivf_assign's array_min —
+    # same round(d2, 6), same (d, cid) tie-break) and the query probe
+    # ranks (posexplode of the slice), instead of two independent
+    # subtrees each collecting centroids and compiling the n_cells×dim
+    # literal — this query's cost was plan-build + codegen, not data
     cent_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in e.filter(F.col("vec_id") < _CURVE_CELLS)
@@ -1516,10 +1518,15 @@ def sim_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["cid"].alias("cid"),
         ),
     )
-    qcells = q.select(
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.slice(F.array_sort(scored), 1, 4).alias("__top4"),
+    ).localCheckpoint(eager=True)
+    qcells = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.posexplode(
-            F.transform(F.slice(F.array_sort(scored), 1, 4), lambda s: s["cid"])
+            F.transform("__top4", lambda s: s["cid"])
         ).alias("__p0", "cell"),
     ).select(
         "query_id", "cell", (F.col("__p0") + 1).cast("bigint").alias("prn")
@@ -1530,11 +1537,11 @@ def sim_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
         S.norm("embedding", _DIM).alias("__qn"),
     )
-    cv = assigned.select(
+    cv = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("__cv"),
         S.norm("embedding", _DIM).alias("__cn"),
-        F.col("cell").alias("__ccell"),
+        F.col("__top4")[0]["cid"].alias("__ccell"),
     )
     from the_movies_db_spark.operators.dedup import cosine_from_parts
 
