@@ -98,11 +98,11 @@ def global_cumsum(
     df: DataFrame,
     order_col: str,
     tiebreak: Sequence[str],
-    val_col: str,
-    out: str = "cum",
+    val_col: str | Sequence[str],
+    out: str | Sequence[str] = "cum",
     buckets: int = 64,
     bounds: tuple[int, int] | None = None,
-    total_out: str | None = None,
+    total_out: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Append the running ``sum(val_col) OVER (ORDER BY order_col,
     *tiebreak ROWS UNBOUNDED PRECEDING)`` — inclusive of the current
@@ -114,13 +114,28 @@ def global_cumsum(
     ``order_col`` must be integer-typed; ``(order_col, *tiebreak)``
     must be unique. ``val_col`` must be integer-typed (BIGINT sums —
     exact, no float accumulation-order divergence across the rewrite).
-    ``total_out`` appends the grand total as a column for free (the
-    Pareto/ABC share test needs it).
+    Pass SEQUENCES for ``val_col``/``out`` (same length) to accumulate
+    several measures in ONE bucket pass — the window functions share a
+    single WindowSpec, so N measures cost one sort, not N (the KS
+    statistic runs both samples' CDFs this way). ``total_out`` appends
+    the grand total(s) as column(s) for free (the Pareto/ABC share
+    test needs it); with multiple measures it must be a sequence
+    aligned with ``val_col``.
 
     Scale notes (100 TB): identical profile to global_row_number — one
     (min, max) job (skippable via ``bounds``), one ``buckets``-row
     aggregate broadcast back, one per-bucket window over the data.
     """
+    vals = [val_col] if isinstance(val_col, str) else list(val_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if total_out is None:
+        tots: list[str | None] = [None] * len(vals)
+    elif isinstance(total_out, str):
+        tots = [total_out]
+    else:
+        tots = list(total_out)
+    if not (len(vals) == len(outs) == len(tots)):
+        raise ValueError("val_col, out, total_out lengths must match")
     if bounds is None:
         row = df.agg(
             F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
@@ -131,25 +146,36 @@ def global_cumsum(
     bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
     bucketed = df.withColumn("__rb", bucket)
     sums = bucketed.groupBy("__rb").agg(
-        F.sum(val_col).cast("bigint").alias("__s")
+        *[F.sum(v).cast("bigint").alias(f"__s{i}") for i, v in enumerate(vals)]
     )
     w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
-    off_cols = [
-        F.col("__rb"),
-        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("bigint").alias("__off"),
-    ]
-    if total_out is not None:
-        w_all = Window.orderBy("__rb").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
+    w_all = Window.orderBy("__rb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [F.col("__rb")]
+    for i, tot in enumerate(tots):
+        off_cols.append(
+            F.coalesce(F.sum(f"__s{i}").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias(f"__off{i}")
         )
-        off_cols.append(F.sum("__s").over(w_all).cast("bigint").alias(total_out))
+        if tot is not None:
+            off_cols.append(
+                F.sum(f"__s{i}").over(w_all).cast("bigint").alias(tot)
+            )
     offsets = sums.select(*off_cols)
     w_cum = Window.partitionBy("__rb").orderBy(order_col, *tiebreak).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return (
-        bucketed.withColumn("__c", F.sum(val_col).over(w_cum).cast("bigint"))
-        .join(F.broadcast(offsets), "__rb")
-        .withColumn(out, (F.col("__off") + F.col("__c")).cast("bigint"))
-        .drop("__rb", "__c", "__off")
+    res = bucketed
+    for i, v in enumerate(vals):
+        res = res.withColumn(f"__c{i}", F.sum(v).over(w_cum).cast("bigint"))
+    res = res.join(F.broadcast(offsets), "__rb")
+    for i, o in enumerate(outs):
+        res = res.withColumn(
+            o, (F.col(f"__off{i}") + F.col(f"__c{i}")).cast("bigint")
+        )
+    return res.drop(
+        "__rb", *[f"__c{i}" for i in range(len(vals))],
+        *[f"__off{i}" for i in range(len(vals))],
     )

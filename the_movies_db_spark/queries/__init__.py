@@ -68,7 +68,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #
     # Queue for the round-7 window (append names HERE at registration
     # time — every query registered during round 6 lands in this list
-    # the moment its oracle is locally green): <none yet>.
+    # the moment its oracle is locally green): agg_ks_statistic,
+    # agg_ttest_welch, orders_supplier_herfindahl.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -2484,3 +2484,203 @@ def agg_variance_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.expr("abs(x - m)")).cast("bigint").alias("max_abs_dev"),
         )
     )
+
+
+@register(
+    "agg_ks_statistic",
+    """
+    WITH ab AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END AS b
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), g AS (
+      SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+      FROM ab GROUP BY v
+    ), c AS (
+      SELECT v,
+             CAST(sum(na) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cb,
+             CAST((SELECT sum(a) FROM ab) AS BIGINT) AS n_a,
+             CAST((SELECT sum(b) FROM ab) AS BIGINT) AS n_b
+      FROM g
+    ), m AS (
+      SELECT min(n_a) AS n_a, min(n_b) AS n_b,
+             CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num
+      FROM c
+    )
+    SELECT n_a, n_b, d_num,
+           CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+    FROM m
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov distance between the URGENT and "
+        "LOW order-price distributions — the distribution-shift test a "
+        "data pipeline runs between snapshots or A/B arms. "
+        "ALL-INTEGER: prices to cents, both empirical CDFs as running "
+        "counts, D as max |ca*m - cb*n| cross-multiplied (never a "
+        "float CDF), ppm via integer div. The two running CDFs ride "
+        "ONE distributed cumulative pass (operators/ranks.py:"
+        "global_cumsum multi-measure form) — no single-partition "
+        "window at value grain."
+    ),
+)
+def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance in ppm.
+
+    Scale notes (100 TB): one groupBy on the value domain, then the
+    two-level bucketed cumulative (per-bucket windows + 64-row
+    broadcast offsets) carries BOTH samples' running counts in one
+    WindowSpec; the final max is an ordinary distributed aggregate.
+    Overflow: ca*n_b <= n_a*n_b; d_num*1e6 fits BIGINT while n_a*n_b
+    < 9.2e12 — beyond that, chain divmod stages (CLAUDE.md ppm
+    discipline)."""
+    from the_movies_db_spark.operators.ranks import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    ab = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END"
+        ).alias("a"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '5-LOW' THEN 1L ELSE 0L END"
+        ).alias("b"),
+    )
+    g = ab.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    c = global_cumsum(
+        g, "v", [], ["na", "nb"], out=["ca", "cb"],
+        total_out=["n_a", "n_b"],
+    )
+    m = c.agg(
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+        F.max(F.expr("abs(ca * n_b - cb * n_a)"))
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr("d_num * 1000000 div (n_a * n_b)")
+        .cast("bigint")
+        .alias("ks_ppm"),
+    )
+
+
+@register(
+    "agg_ttest_welch",
+    """
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) // count(*) AS BIGINT) AS mu
+      FROM x GROUP BY grp
+    ), s AS (
+      SELECT x.grp, min(m.n) AS n, min(m.mu) AS mu,
+             CAST(sum((x.v - m.mu) * (x.v - m.mu)) AS BIGINT) AS ssd
+      FROM x JOIN m ON x.grp = m.grp GROUP BY x.grp
+    ), w AS (
+      SELECT
+        max(CASE WHEN grp = '1-URGENT' THEN n   END) AS n1,
+        max(CASE WHEN grp = '1-URGENT' THEN mu  END) AS m1,
+        max(CASE WHEN grp = '1-URGENT' THEN ssd END) AS d1,
+        max(CASE WHEN grp = '5-LOW'    THEN n   END) AS n2,
+        max(CASE WHEN grp = '5-LOW'    THEN mu  END) AS m2,
+        max(CASE WHEN grp = '5-LOW'    THEN ssd END) AS d2
+      FROM s
+    ), f AS (
+      SELECT n1, n2, m1 - m2 AS md,
+             d1 // (n1 - 1) * n2 + d2 // (n2 - 1) * n1 AS se
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_1, CAST(n2 AS BIGINT) AS n_2,
+           CAST(md AS BIGINT) AS mean_diff_dollars,
+           CAST( (md * md * 1000 * n1 // se) * n2
+               + (md * md * 1000 * n1 % se) * n2 // se
+               AS BIGINT) AS t2_milli
+    FROM f
+    """,
+    doc=(
+        "Welch's unequal-variance t-test between URGENT and LOW order "
+        "values — the A/B significance staple next to the chi-square "
+        "and KS cells. t-SQUARED in exact milli, all-integer: means "
+        "as integer div (defined identically on both engines), "
+        "variances as two-pass sums of squared deviations from the "
+        "integer mean (agg_variance_twopass discipline — no q*n "
+        "catastrophic products), and t2 = md^2*1000*n1*n2/se via the "
+        "interleaved divmod chain u*n2 + (r*n2 div se) — exact floor, "
+        "every intermediate bounded by se*n2."
+    ),
+)
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-milli Welch t^2 via two-pass integer variance.
+
+    Scale notes (100 TB): two scans of the (already filtered) fact
+    side — a 2-row means aggregate broadcast back, then one combinable
+    deviation aggregate; everything after is 2-row arithmetic.
+    Overflow: ssd ~ n*sigma^2 and md^2*1000*n1 stay far inside BIGINT
+    for dollar-scale values at billions of rows; the divmod chain
+    keeps every product under se*n2 (never md^2*n1*n2 directly)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("v"),
+    )
+    m = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("sum(v) div count(*)").cast("bigint").alias("mu"),
+    )
+    s = (
+        x.join(F.broadcast(m), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("mu").alias("mu"),
+            F.sum(F.expr("(v - mu) * (v - mu)"))
+            .cast("bigint")
+            .alias("ssd"),
+        )
+    )
+    w = s.agg(
+        F.max(F.expr("CASE WHEN grp = '1-URGENT' THEN n   END")).alias("n1"),
+        F.max(F.expr("CASE WHEN grp = '1-URGENT' THEN mu  END")).alias("m1"),
+        F.max(F.expr("CASE WHEN grp = '1-URGENT' THEN ssd END")).alias("d1"),
+        F.max(F.expr("CASE WHEN grp = '5-LOW' THEN n   END")).alias("n2"),
+        F.max(F.expr("CASE WHEN grp = '5-LOW' THEN mu  END")).alias("m2"),
+        F.max(F.expr("CASE WHEN grp = '5-LOW' THEN ssd END")).alias("d2"),
+    )
+    f = w.select(
+        "n1",
+        "n2",
+        F.expr("m1 - m2").alias("md"),
+        F.expr("(d1 div (n1 - 1)) * n2 + (d2 div (n2 - 1)) * n1").alias("se"),
+    )
+    return f.select(
+        F.col("n1").cast("bigint").alias("n_1"),
+        F.col("n2").cast("bigint").alias("n_2"),
+        F.col("md").cast("bigint").alias("mean_diff_dollars"),
+        F.expr(
+            "(md * md * 1000 * n1 div se) * n2"
+            " + (md * md * 1000 * n1 % se) * n2 div se"
+        )
+        .cast("bigint")
+        .alias("t2_milli"),
+    )

@@ -1567,3 +1567,91 @@ def orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_milli"),
     )
+
+
+@register(
+    "orders_supplier_herfindahl",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT nation, CAST(sum(cents) AS BIGINT) AS tot_cents,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY nation
+    )
+    SELECT r.nation,
+           min(t.n_suppliers)                AS n_suppliers,
+           min(t.tot_cents)                  AS revenue_cents,
+           CAST(sum( (r.cents * 1000000 // t.tot_cents)
+                   * (r.cents * 1000000 // t.tot_cents) ) // 1000000
+                AS BIGINT)                   AS hhi_micro
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY r.nation
+    """,
+    doc=(
+        "Herfindahl-Hirschman supplier-concentration index per nation "
+        "— the antitrust / supply-risk audit (10000-point scale would "
+        "be hhi_micro/100): each supplier's revenue share in exact "
+        "ppm (integer div of cents), HHI = sum of squared shares "
+        "scaled back to micro. A monopoly nation scores 1e6; perfectly "
+        "split N ways scores ~1e6/N."
+    ),
+)
+def orders_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration (HHI) per nation, exact integers.
+
+    Scale notes (100 TB): one fact shuffle to (nation, suppkey) —
+    supplier and nation dims are broadcast; the share normalization
+    joins a |nations|-row broadcast total back, so no second fact
+    scan and no window over the fact. Shares in ppm via integer div;
+    sum of squares <= 1e12 before the final micro rescale — BIGINT
+    safe for any supplier count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("tot_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.min("n_suppliers").alias("n_suppliers"),
+            F.min("tot_cents").alias("revenue_cents"),
+            F.sum(
+                F.expr(
+                    "(cents * 1000000 div tot_cents)"
+                    " * (cents * 1000000 div tot_cents)"
+                )
+            )
+            .cast("bigint")
+            .alias("__sq"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            "revenue_cents",
+            F.expr("__sq div 1000000").cast("bigint").alias("hhi_micro"),
+        )
+    )
