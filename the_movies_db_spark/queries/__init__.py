@@ -69,7 +69,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-7 window (append names HERE at registration
     # time — every query registered during round 6 lands in this list
     # the moment its oracle is locally green): agg_ks_statistic,
-    # agg_ttest_welch, orders_supplier_herfindahl.
+    # agg_ttest_welch, orders_supplier_herfindahl, events_wavelet_haar,
+    # dq_freshness_lag, pipeline_mixture_greedy.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

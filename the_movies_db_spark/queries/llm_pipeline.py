@@ -1693,3 +1693,105 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stage, n_units, n_tokens)"
         )
     )
+
+
+@register(
+    "pipeline_mixture_greedy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS tl
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             CAST(len(tl) AS BIGINT) AS n_tok,
+             CAST(2 * list_aggregate(list_transform(tl,
+                    t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+                    'sum') * 1000 // len(tl)
+                  + len(list_distinct(tl)) * 1000 // len(tl)
+                  + least(len(tl), 500) AS BIGINT) AS score
+      FROM toks WHERE len(tl) > 0
+    ), c AS (
+      SELECT source, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(n_tok) OVER () AS BIGINT) AS tot
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS docs_total,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(count(*) FILTER (WHERE cum <= tot // 2) AS BIGINT)
+             AS docs_taken,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE cum <= tot // 2), 0)
+                AS BIGINT) AS tokens_taken,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE cum <= tot // 2), 0)
+                * 1000000 // sum(n_tok) AS BIGINT) AS take_ppm
+    FROM c
+    GROUP BY source
+    """,
+    doc=(
+        "Greedy mixture fill: rank the whole corpus by classifier "
+        "quality score (best first), take documents until HALF the "
+        "corpus token budget is spent (budget = tot div 2, the same "
+        "integer formula on both sides), report per-source yield — "
+        "the budgeted-mixture selection step that decides what each "
+        "source contributes to a fixed-size training run. The greedy "
+        "prefix is defined by the INCLUSIVE running token count over "
+        "(score DESC, doc_id), computed distributed."
+    ),
+)
+def pipeline_mixture_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped greedy quality mixture, per-source yield.
+
+    Scale notes (100 TB): one tokenize/score pass; the corpus-grain
+    running token sum is operators/ranks.py:global_cumsum (per-bucket
+    windows + 64-row broadcast offsets — never a single-partition
+    sort), with STATIC score bounds (the classifier score lies in
+    [0, 3500] by construction) so no lineage re-execution for a
+    (min, max) job; the grand total rides the same broadcast. Final
+    rollup is one |sources|-row aggregate."""
+    from the_movies_db_spark.operators.ranks import global_cumsum
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").alias(
+            "tl"
+        ),
+    )
+    scored = toks.filter(F.size("tl") > 0).select(
+        "doc_id",
+        "source",
+        F.size("tl").cast("bigint").alias("n_tok"),
+        F.expr(
+            f"CAST(2 * aggregate(transform(tl, t -> CASE WHEN t IN"
+            f" ({_CLS_STOPS}) THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+            " * 1000 div size(tl)"
+            " + size(array_distinct(tl)) * 1000 div size(tl)"
+            " + least(size(tl), 500L) AS BIGINT)"
+        ).alias("score"),
+    )
+    keyed = scored.withColumn("__ord", (-F.col("score")).cast("bigint"))
+    c = global_cumsum(
+        keyed, "__ord", ["doc_id"], "n_tok", out="cum",
+        bounds=(-3500, 0), total_out="tot",
+    )
+    taken = F.col("cum") <= F.expr("tot div 2")
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.count_if(taken).cast("bigint").alias("docs_taken"),
+        F.coalesce(F.sum(F.when(taken, F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_taken"),
+        F.expr(
+            "coalesce(sum(CASE WHEN cum <= tot div 2 THEN n_tok END), 0)"
+            " * 1000000 div sum(n_tok)"
+        )
+        .cast("bigint")
+        .alias("take_ppm"),
+    )

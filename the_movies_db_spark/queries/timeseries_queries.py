@@ -1965,3 +1965,178 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("__m.nt")).cast("bigint").alias("peak_t_us"),
         "n_intervals",
     )
+
+
+@register(
+    "events_wavelet_haar",
+    """
+    WITH bounds AS (
+      SELECT datediff('hour', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS h0,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS h1
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(0, h1 - h0 + 1)) AS idx, h0 FROM bounds
+    ), cnt AS (
+      SELECT datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), l0 AS (
+      SELECT s.idx AS idx, CAST(coalesce(c.c, 0) AS BIGINT) AS a
+      FROM spine s LEFT JOIN cnt c ON c.h = s.h0 + s.idx
+    ), l1 AS (
+      SELECT idx // 2 AS idx, CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+      FROM l0 GROUP BY idx // 2
+    ), l2 AS (
+      SELECT idx // 2 AS idx, CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+      FROM l1 GROUP BY idx // 2
+    ), l3 AS (
+      SELECT idx // 2 AS idx, CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+      FROM l2 GROUP BY idx // 2
+    ), l4 AS (
+      SELECT idx // 2 AS idx, CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+      FROM l3 GROUP BY idx // 2
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+             CAST(sum(d * d) AS BIGINT) AS detail_energy,
+             CAST(max(abs(d)) AS BIGINT) AS max_abs_detail
+      FROM l1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(d * d) AS BIGINT),
+             CAST(max(abs(d)) AS BIGINT) FROM l2
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(d * d) AS BIGINT),
+             CAST(max(abs(d)) AS BIGINT) FROM l3
+      UNION ALL
+      SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(d * d) AS BIGINT),
+             CAST(max(abs(d)) AS BIGINT) FROM l4
+    ) t
+    """,
+    doc=(
+        "Unnormalized Haar wavelet pyramid over the dense hourly event "
+        "series: 4 decomposition levels, each halving resolution "
+        "(approximation a = pair sum, detail d = pair difference — "
+        "integer-exact, no sqrt(2) normalization), reporting per-level "
+        "coefficient count, detail energy, and the largest burst "
+        "coefficient. The multi-resolution anomaly screen: energy "
+        "concentrated at fine levels = spiky traffic, coarse levels = "
+        "regime shifts. Dangling odd tails pair with an implicit zero "
+        "on both engines."
+    ),
+)
+def events_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-level integer Haar pyramid over hourly counts.
+
+    Scale notes (100 TB): ONE fact scan builds the |hours|-row dense
+    rollup, which is localCheckpoint-materialized; every level is a
+    halving groupBy over that bounded series (level k has |hours|/2^k
+    rows), so the four per-level stat branches re-execute only tiny
+    checkpointed-arithmetic lineage, never the fact scan. The dense
+    spine comes from a 1-row (min, max) aggregate exploded via
+    sequence — no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(HOUR, {epoch}, min(ts))").alias("h0"),
+        F.expr(f"timestampdiff(HOUR, {epoch}, max(ts))").alias("h1"),
+    )
+    spine = b.select(
+        "h0", F.explode(F.expr("sequence(0, h1 - h0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(HOUR, {epoch}, ts)").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    l0 = (
+        spine.join(cnt, cnt.h == spine.h0 + spine.idx, "left")
+        .select(
+            F.col("idx").cast("bigint").alias("idx"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    halve = lambda df: df.groupBy(  # noqa: E731
+        F.expr("idx div 2").alias("idx")
+    ).agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum(F.expr("CASE WHEN idx % 2 = 0 THEN a ELSE -a END"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    cur, stats = l0, []
+    for k in range(1, 5):
+        cur = halve(cur)
+        stats.append(
+            cur.agg(
+                F.lit(k).cast("bigint").alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.expr("d * d")).cast("bigint").alias("detail_energy"),
+                F.max(F.abs("d")).cast("bigint").alias("max_abs_detail"),
+            )
+        )
+        cur = cur.select("idx", "a")
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@register(
+    "dq_freshness_lag",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS mx
+      FROM events GROUP BY event_type
+    ), g AS (SELECT max(mx) AS gmx FROM t)
+    SELECT t.event_type,
+           t.n_events,
+           strftime(t.mx, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(datediff('microsecond', t.mx, g.gmx) AS BIGINT)
+             AS lag_micros,
+           CASE WHEN datediff('microsecond', t.mx, g.gmx)
+                     > 3600000000 THEN 1 ELSE 0 END AS stale_flag
+    FROM t CROSS JOIN g
+    """,
+    doc=(
+        "Per-source freshness audit: each event type's last-seen "
+        "timestamp and its lag behind the newest event anywhere, in "
+        "exact microseconds (the SLA monitor every ingestion pipeline "
+        "publishes; stale_flag trips past 1 hour). Timestamps compared "
+        "at MICROSECOND precision on both engines (gotcha list); "
+        "last_seen emitted as a formatted string, never a raw "
+        "DATE/TIMESTAMP."
+    ),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion freshness per event type vs the global frontier.
+
+    Scale notes (100 TB): one combinable (count, max) aggregate per
+    type; the global max is a |types|-row re-aggregate broadcast back
+    via crossJoin of a 1-row frame — no second fact scan, no window
+    over the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("mx"),
+    )
+    g = t.agg(F.max("mx").alias("gmx"))
+    return (
+        t.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            F.expr("timestampdiff(MICROSECOND, mx, gmx)")
+            .cast("bigint")
+            .alias("lag_micros"),
+            F.expr(
+                "CASE WHEN timestampdiff(MICROSECOND, mx, gmx)"
+                " > 3600000000 THEN 1 ELSE 0 END"
+            ).cast("int")
+            .alias("stale_flag"),
+        )
+    )
