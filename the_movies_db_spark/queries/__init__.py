@@ -70,7 +70,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # time — every query registered during round 6 lands in this list
     # the moment its oracle is locally green): agg_ks_statistic,
     # agg_ttest_welch, orders_supplier_herfindahl, events_wavelet_haar,
-    # dq_freshness_lag, pipeline_mixture_greedy.
+    # dq_freshness_lag, pipeline_mixture_greedy, text_zipf_slope,
+    # text_burstiness, search_query_expansion, sim_pair_margin_audit.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

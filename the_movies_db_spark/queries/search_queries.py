@@ -812,3 +812,99 @@ def search_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "snippet_start",
         F.col("n_hits").cast("bigint").alias("n_hits"), "rank",
     )
+
+
+@register(
+    "search_query_expansion",
+    """
+    WITH pres AS (
+      SELECT DISTINCT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+            FROM documents) u
+    ), seed AS (
+      SELECT doc_id FROM pres WHERE term = 'join'
+    ), joint AS (
+      SELECT p.term, CAST(count(*) AS BIGINT) AS n_joint
+      FROM pres p JOIN seed s ON p.doc_id = s.doc_id
+      WHERE p.term <> 'join'
+      GROUP BY p.term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM pres GROUP BY term
+    ), nn2 AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM seed) AS dfs
+    )
+    SELECT j.term, j.n_joint, d.df,
+           CAST(floor(ln(CAST(nn2.n * j.n_joint AS DOUBLE)
+                         / CAST(nn2.dfs * d.df AS DOUBLE)) * 1000000)
+                AS BIGINT) AS pmi_micro
+    FROM joint j JOIN df d ON j.term = d.term CROSS JOIN nn2
+    WHERE j.n_joint >= 5
+    ORDER BY pmi_micro DESC, j.term
+    LIMIT 10
+    """,
+    doc=(
+        "Query expansion by pointwise mutual information: terms that "
+        "co-occur with the seed term ('join') more than chance — "
+        "PMI(s,t) = ln(N*joint/(df_s*df_t)) over document presence, "
+        "min support 5 — the thesaurus-free relevance-feedback step a "
+        "search pipeline runs offline. pmi in floor-micro of an "
+        "identically-computed IEEE double (exact integer ratio into "
+        "one double division, then ln — the engine-exact recipe)."
+    ),
+)
+def search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI co-occurrence expansion for a seed term, top-10.
+
+    Scale notes (100 TB): per-doc DISTINCT terms come from
+    array_distinct inside the row (no dedup shuffle); seed's doc list
+    is a broadcast semi-side; df is the vocab-bounded aggregate; the
+    final top-10 is TakeOrderedAndProject. One fact scan feeds pres
+    twice (seed filter + df) — both aggregate to vocab/doc-list scale
+    immediately."""
+    d = load_table(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+            )
+        ).alias("term"),
+    )
+    seed = pres.filter(F.col("term") == "join").select("doc_id")
+    joint = (
+        pres.join(F.broadcast(seed), "doc_id")
+        .filter(F.col("term") != "join")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_joint"))
+    )
+    df = pres.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n")).crossJoin(
+        seed.agg(F.count(F.lit(1)).cast("bigint").alias("dfs"))
+    )
+    return (
+        joint.filter(F.col("n_joint") >= 5)
+        .join(df, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            "n_joint",
+            "df",
+            F.floor(
+                F.log(
+                    F.expr("CAST(n * n_joint AS DOUBLE)")
+                    / F.expr("CAST(dfs * df AS DOUBLE)")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("term"))
+        .limit(10)
+    )

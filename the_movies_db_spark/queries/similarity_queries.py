@@ -1773,3 +1773,105 @@ def sim_vector_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_zero_dims").cast("bigint").alias("total_zero_dims"),
     )
+
+
+_MARGIN_QUERIES = 50
+
+
+@register(
+    "sim_pair_margin_audit",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding FROM embeddings
+      WHERE vec_id < {_MARGIN_QUERIES}
+    ), cand AS (
+      SELECT q.qid, c.vec_id AS nid,
+             CAST(floor(
+               list_inner_product(q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) /
+               (sqrt(list_inner_product(q.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[])) *
+                sqrt(list_inner_product(c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[])))
+               * 1000000) AS BIGINT) AS sm
+      FROM q JOIN embeddings c ON q.qid <> c.vec_id
+    ), r AS (
+      SELECT qid, sm,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sm DESC, nid) AS rn
+      FROM cand
+    ), p AS (
+      SELECT qid,
+             max(CASE WHEN rn = 1 THEN sm END) AS m1,
+             max(CASE WHEN rn = 2 THEN sm END) AS m2
+      FROM r WHERE rn <= 2 GROUP BY qid
+    )
+    SELECT CAST((m1 - m2) // 10000 AS BIGINT) AS margin_band,
+           CAST(count(*) AS BIGINT)           AS n_queries,
+           CAST(min(m1 - m2) AS BIGINT)       AS min_margin_micro,
+           CAST(max(m1 - m2) AS BIGINT)       AS max_margin_micro
+    FROM p GROUP BY 1
+    """,
+    doc=(
+        "Nearest-neighbor CONFIDENCE audit: the top1-vs-top2 cosine "
+        "margin per query, banded at 0.01 — queries in the zero band "
+        "have an ambiguous nearest neighbor (ANN errors and label "
+        "noise concentrate there); wide margins mean the assignment "
+        "is robust to quantization. Margins in exact floor-micro of "
+        "identically-sequenced IEEE cosines, so band membership is "
+        "engine-exact."
+    ),
+)
+def sim_pair_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top1-top2 margin histogram over a 50-query panel.
+
+    Scale notes (100 TB): |Q| x corpus with Q = 50 — the sampled eval
+    panel shape (never corpus^2); norms staged per side before the
+    join so the pair stage carries one dot-product chain; top-2 via a
+    window partitioned by query (50 partitions). The production path
+    would swap the brute-force candidate side for the IVF index; the
+    audit's margin math is index-agnostic."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    from the_movies_db_spark.operators.dedup import cosine_from_parts
+
+    qv = e.filter(F.col("vec_id") < _MARGIN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qv"),
+        S.norm("embedding", _DIM).alias("__qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("__cv"),
+        S.norm("embedding", _DIM).alias("__cn"),
+    )
+    cand = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.floor(
+                cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=_DIM)
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("sm"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sm"), F.asc("nid"))
+    p = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("sm"))).alias("m1"),
+            F.max(F.when(F.col("rn") == 2, F.col("sm"))).alias("m2"),
+        )
+    )
+    return p.groupBy(
+        F.expr("(m1 - m2) div 10000").cast("bigint").alias("margin_band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.min(F.expr("m1 - m2")).cast("bigint").alias("min_margin_micro"),
+        F.max(F.expr("m1 - m2")).cast("bigint").alias("max_margin_micro"),
+    )

@@ -876,3 +876,173 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_milli"), F.asc("phrase"))
         .limit(10)
     )
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH t AS (
+      SELECT lower(unnest({_TOKENS})) AS term FROM documents
+    ), f AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY term
+    ), top AS (
+      SELECT term, tf FROM f ORDER BY tf DESC, term LIMIT 100
+    ), rk AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS r FROM top
+    ), arr AS (
+      SELECT list(struct_pack(r := r, f := tf) ORDER BY r) AS a FROM rk
+    ), s AS (
+      SELECT CAST(len(a) AS BIGINT) AS n,
+             list_aggregate(list_transform(a,
+               s -> ln(CAST(s.r AS DOUBLE))), 'sum') AS sx,
+             list_aggregate(list_transform(a,
+               s -> ln(CAST(s.f AS DOUBLE))), 'sum') AS sy,
+             list_aggregate(list_transform(a,
+               s -> ln(CAST(s.r AS DOUBLE)) * ln(CAST(s.f AS DOUBLE))),
+               'sum') AS sxy,
+             list_aggregate(list_transform(a,
+               s -> ln(CAST(s.r AS DOUBLE)) * ln(CAST(s.r AS DOUBLE))),
+               'sum') AS sxx
+      FROM arr
+    )
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept
+    FROM s
+    """,
+    doc=(
+        "Zipf's-law fit over the top-100 terms: OLS slope of ln(freq) "
+        "on ln(rank) — the corpus-health scalar (natural language "
+        "tracks ~-1; template/boilerplate corpora flatten, spam "
+        "steepens). Every float sum is a LEFT-TO-RIGHT fold over the "
+        "SAME rank-sorted 100-element array on both engines (the "
+        "text_entropy determinism discipline), so the OLS arithmetic "
+        "is bit-identical before the final round."
+    ),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS Zipf slope from a sorted-array fold.
+
+    Scale notes (100 TB): term frequencies are a vocab-bounded
+    aggregate; top-100 selection is TakeOrderedAndProject (never a
+    full sort); the rank window and the fold run over exactly 100
+    rows. The fact table is scanned once."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(F.explode(T.tokens("text")).alias("__raw")).select(
+        F.lower("__raw").alias("term")
+    )
+    f = t.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    top = f.orderBy(F.desc("tf"), F.asc("term")).limit(100)
+    rk = top.select(
+        "tf",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), F.asc("term")))
+        .alias("r"),
+    )
+    arr = rk.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("r").alias("r"), F.col("tf").alias("f")))
+        ).alias("a")
+    )
+    s = arr.select(
+        F.size("a").cast("bigint").alias("n"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, s) -> acc + ln(CAST(s.r AS DOUBLE)))"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, s) -> acc + ln(CAST(s.f AS DOUBLE)))"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, s) -> acc + ln(CAST(s.r AS DOUBLE))"
+            " * ln(CAST(s.f AS DOUBLE)))"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, s) -> acc + ln(CAST(s.r AS DOUBLE))"
+            " * ln(CAST(s.r AS DOUBLE)))"
+        ).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("slope"),
+        F.round(
+            (
+                F.col("sy")
+                - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.col("sx")
+            )
+            / F.col("n"),
+            4,
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "text_burstiness",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lower(unnest({_TOKENS})) AS term FROM documents
+    ), cnt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY doc_id, term
+    ), ta AS (
+      SELECT term, CAST(sum(c) AS BIGINT) AS cf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM cnt GROUP BY term
+    ), top AS (
+      SELECT term, cf, df, s2 FROM ta ORDER BY cf DESC, term LIMIT 20
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT term, cf, df,
+           CAST((n * s2 - cf * cf) * 1000 // (n * cf) AS BIGINT)
+             AS fano_milli
+    FROM top CROSS JOIN nn
+    """,
+    doc=(
+        "Term burstiness (Fano factor: variance-to-mean of per-doc "
+        "counts, zeros included) for the 20 most frequent terms — "
+        "content words clump (fano > 1000 milli), function words "
+        "spread evenly (~1000); the lexical statistic behind "
+        "stopword induction and keyword weighting. ALL-INTEGER: "
+        "fano = (N*sum(c^2) - C^2) * 1000 div (N*C) from the per-doc "
+        "count sums — no float mean or variance anywhere."
+    ),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-milli Fano factor for the top-20 terms.
+
+    Scale notes (100 TB): one (doc, term) count aggregate, one
+    vocab-bounded term rollup, top-20 via TakeOrderedAndProject; the
+    corpus size N is a 1-row broadcast crossJoin. No window over
+    unbounded data."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("__raw")
+    ).select("doc_id", F.lower("__raw").alias("term"))
+    cnt = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ta = cnt.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("s2"),
+    )
+    top = ta.orderBy(F.desc("cf"), F.asc("term")).limit(20)
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return top.crossJoin(F.broadcast(nn)).select(
+        "term",
+        "cf",
+        "df",
+        F.expr("(n * s2 - cf * cf) * 1000 div (n * cf)")
+        .cast("bigint")
+        .alias("fano_milli"),
+    )
