@@ -1795,3 +1795,90 @@ def pipeline_mixture_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("take_ppm"),
     )
+
+
+_DOC_H_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10"
+)
+
+
+def _split_leakage_oracle() -> str:
+    from the_movies_db_spark.queries import REGISTRY
+    from the_movies_db_spark.queries import dedup_queries  # noqa: F401
+
+    return f"""
+    WITH pairs AS ({REGISTRY["dedup_minhash_lsh"].oracle}),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN {_DOC_H_SQL} <= 7 THEN 'train'
+                  WHEN {_DOC_H_SQL} = 8  THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT least(sa.split, sb.split)    AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           CASE WHEN sa.split = sb.split THEN 0 ELSE 1 END AS leaked,
+           CAST(count(*) AS BIGINT)     AS n_pairs
+    FROM pairs p
+    JOIN s sa ON p.id_a = sa.doc_id
+    JOIN s sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "pipeline_split_leakage",
+    _split_leakage_oracle(),
+    doc=(
+        "Split-contamination audit: assign the NAIVE per-document "
+        "80/10/10 hash split, then count how many LSH near-dup pairs "
+        "straddle split boundaries (leaked=1 rows) — the measurement "
+        "that justifies pipeline_split_by_source's source-level "
+        "bucketing (under which near-dups from one origin can never "
+        "leak). Nests the SHIPPED minhash-LSH pair oracle, so the "
+        "audit verifies the composed pipeline, not a stand-in."
+    ),
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs crossing naive train/valid/test boundaries.
+
+    Scale notes (100 TB): candidate pairs come from the banded LSH
+    equi-join (never all-pairs); split assignment is a pure hash
+    projection joined to each pair side — at scale it rides the same
+    scan that produced the shingles. Output is a bounded 3x3 split
+    matrix."""
+    from the_movies_db_spark.operators import dedup as DD
+    from the_movies_db_spark.queries.dedup_queries import (
+        _NUM_BANDS,
+        _NUM_HASHES,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(h <= 7, F.lit("train"))
+        .when(h == 8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    s = d.select("doc_id", split.alias("split"))
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_lo"),
+            F.greatest("__sa", "__sb").alias("split_hi"),
+            F.expr("CASE WHEN __sa = __sb THEN 0 ELSE 1 END").alias("leaked"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

@@ -1655,3 +1655,117 @@ def orders_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("__sq div 1000000").cast("bigint").alias("hhi_micro"),
         )
     )
+
+
+@register(
+    "orders_cohort_survival",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0,
+             max(year(o_orderdate) * 12 + month(o_orderdate)) AS m1
+      FROM orders GROUP BY o_custkey
+    ), mx AS (SELECT max(m1) AS m FROM cust),
+    subj AS (
+      SELECT CAST(c.m1 - c.m0 AS BIGINT) AS t,
+             CASE WHEN c.m1 >= x.m - 2 THEN 1 ELSE 0 END AS cens
+      FROM cust c CROSS JOIN mx x
+    ), cnt AS (
+      SELECT t,
+             CAST(count(*) FILTER (WHERE cens = 0) AS BIGINT) AS d,
+             CAST(count(*) FILTER (WHERE cens = 1) AS BIGINT) AS c
+      FROM subj GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST((SELECT count(*) FROM subj)
+                  - coalesce(sum(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n
+      FROM cnt
+    ), ev AS (SELECT t, d, n FROM risk WHERE d > 0),
+    arr AS (
+      SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS a
+      FROM ev
+    ), idx AS (
+      SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr
+    )
+    SELECT CAST(a[i].t AS BIGINT) AS t_months,
+           CAST(a[i].n AS BIGINT) AS n_risk,
+           CAST(a[i].d AS BIGINT) AS d_events,
+           CAST(floor(exp(list_aggregate(list_transform(a[1:i],
+                  x -> ln(1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+                  'sum')) * 1000000) AS BIGINT) AS surv_micro
+    FROM idx
+    """,
+    doc=(
+        "Kaplan-Meier customer survival: lifetime = months between "
+        "first and last order, right-censored for customers still "
+        "active in the final 3 months; S(t) = prod(1 - d_i/n_i) over "
+        "event times — the churn curve a retention team actually "
+        "publishes (censoring is what plain retention tables get "
+        "wrong). S is computed as exp(sum(ln(1 - d/n))) with the SAME "
+        "sequential fold over the SAME month-sorted array on both "
+        "engines, so surv_micro is engine-exact floor-micro."
+    ),
+)
+def orders_cohort_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored KM estimator over customer lifetimes.
+
+    Scale notes (100 TB): one custkey rollup shuffle; everything after
+    is a |months|-bounded table (windows over <= ~100 rows), one
+    collect_list into a bounded sorted array, and an O(|months|^2)
+    prefix fold inside a single projection. The global max month is a
+    1-row broadcast crossJoin, not a second fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(m).alias("m0"), F.max(m).alias("m1")
+    )
+    mx = cust.agg(F.max("m1").alias("m"))
+    subj = cust.crossJoin(F.broadcast(mx)).select(
+        (F.col("m1") - F.col("m0")).cast("bigint").alias("t"),
+        F.expr("CASE WHEN m1 >= m - 2 THEN 1 ELSE 0 END").alias("cens"),
+    )
+    cnt = subj.groupBy("t").agg(
+        F.count_if(F.col("cens") == 0).cast("bigint").alias("d"),
+        F.count_if(F.col("cens") == 1).cast("bigint").alias("c"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n",
+            (
+                F.col("nn")
+                - F.coalesce(F.sum(F.expr("d + c")).over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .filter(F.col("d") > 0)
+        .select("t", "d", "n")
+    )
+    arr = risk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("t").alias("t"),
+                    F.col("d").alias("d"),
+                    F.col("n").alias("n"),
+                )
+            )
+        ).alias("a")
+    )
+    idx = arr.select(
+        "a", F.posexplode(F.expr("sequence(1, size(a))")).alias("__p", "i")
+    )
+    return idx.select(
+        F.expr("a[i - 1].t").cast("bigint").alias("t_months"),
+        F.expr("a[i - 1].n").cast("bigint").alias("n_risk"),
+        F.expr("a[i - 1].d").cast("bigint").alias("d_events"),
+        F.expr(
+            "CAST(floor(exp(aggregate(slice(a, 1, i),"
+            " CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + ln(1.0 - CAST(x.d AS DOUBLE)"
+            " / CAST(x.n AS DOUBLE)))) * 1000000) AS BIGINT)"
+        ).alias("surv_micro"),
+    )
