@@ -72,7 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_ttest_welch, orders_supplier_herfindahl, events_wavelet_haar,
     # dq_freshness_lag, pipeline_mixture_greedy, text_zipf_slope,
     # text_burstiness, search_query_expansion, sim_pair_margin_audit,
-    # pipeline_split_leakage, agg_mann_whitney, orders_cohort_survival.
+    # pipeline_split_leakage, agg_mann_whitney, orders_cohort_survival,
+    # agg_subsample_ci, dq_anomaly_iqr, events_changepoint_binseg.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

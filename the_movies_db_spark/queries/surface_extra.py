@@ -2775,3 +2775,181 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_ppm"),
     )
+
+
+@register(
+    "agg_subsample_ci",
+    """
+    WITH h AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS v,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS hh
+      FROM orders
+    ), b AS (
+      SELECT g AS bi,
+             CAST(sum(CASE WHEN (hh // (1 << g)) % 2 = 0 THEN v END)
+                  AS BIGINT) AS s,
+             CAST(count(CASE WHEN (hh // (1 << g)) % 2 = 0 THEN 1 END)
+                  AS BIGINT) AS c
+      FROM h CROSS JOIN unnest(range(0, 32)) AS t(g)
+      GROUP BY g
+    ), means AS (
+      SELECT list(s // c ORDER BY s // c, bi) AS ms FROM b
+    ), pt AS (
+      SELECT CAST(sum(v) // count(*) AS BIGINT) AS point FROM h
+    )
+    SELECT CAST(32 AS BIGINT)          AS n_resamples,
+           pt.point                    AS point_mean_dollars,
+           CAST(ms[2] AS BIGINT)       AS ci_lo_dollars,
+           CAST(ms[31] AS BIGINT)      AS ci_hi_dollars,
+           CAST(ms[31] - ms[2] AS BIGINT) AS ci_width_dollars
+    FROM means CROSS JOIN pt
+    """,
+    doc=(
+        "Distributed subsampling confidence interval for the mean "
+        "order value: 32 deterministic half-samples, one per BIT of a "
+        "single md5-derived 32-bit row hash (resample b keeps rows "
+        "whose bit b is 0 — no RNG state, no data explosion, one scan "
+        "with 32 conditional sums), CI = 2nd/31st order statistics of "
+        "the 32 integer subsample means. The map-reduce bootstrap "
+        "shape (Poisson-bootstrap family): resampling without "
+        "materializing resamples."
+    ),
+)
+def agg_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bit subsample CI in one scan, all-integer means.
+
+    Scale notes (100 TB): the 32 resample sums are 64 combinable
+    aggregate expressions over ONE fact scan (no per-resample pass, no
+    row explosion); the CI is an order statistic of a 32-element
+    sorted list. Spark's 32-way explode is avoided entirely — the
+    oracle's CROSS JOIN unnest is mirrored as conditional aggregates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("v"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hh"),
+    )
+    aggs = []
+    for g in range(32):
+        keep = f"(hh div {1 << g}L) % 2 = 0"
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {keep} THEN v END"))
+            .cast("bigint")
+            .alias(f"s{g}")
+        )
+        aggs.append(
+            F.count(F.expr(f"CASE WHEN {keep} THEN 1 END"))
+            .cast("bigint")
+            .alias(f"c{g}")
+        )
+    aggs.append(F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias("point"))
+    one = h.agg(*aggs)
+    mean_structs = ", ".join(
+        f"named_struct('m', s{g} div c{g}, 'b', {g}L)" for g in range(32)
+    )
+    return one.select(
+        F.lit(32).cast("bigint").alias("n_resamples"),
+        F.col("point").alias("point_mean_dollars"),
+        F.expr(f"array_sort(array({mean_structs}))[1].m")
+        .cast("bigint")
+        .alias("ci_lo_dollars"),
+        F.expr(f"array_sort(array({mean_structs}))[30].m")
+        .cast("bigint")
+        .alias("ci_hi_dollars"),
+        F.expr(
+            f"array_sort(array({mean_structs}))[30].m"
+            f" - array_sort(array({mean_structs}))[1].m"
+        )
+        .cast("bigint")
+        .alias("ci_width_dollars"),
+    )
+
+
+@register(
+    "dq_anomaly_iqr",
+    """
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), q AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(8 * quantile_cont(cents, 0.25) AS BIGINT) AS q1_8,
+             CAST(8 * quantile_cont(cents, 0.75) AS BIGINT) AS q3_8
+      FROM x GROUP BY grp
+    )
+    SELECT x.grp,
+           min(q.n_orders) AS n_orders,
+           CAST(min(q.q1_8) AS BIGINT) AS q1_x8cents,
+           CAST(min(q.q3_8) AS BIGINT) AS q3_x8cents,
+           CAST(count(CASE WHEN 8 * x.cents
+                                < q.q1_8 - 3 * (q.q3_8 - q.q1_8) // 2
+                           THEN 1 END) AS BIGINT) AS n_low_outliers,
+           CAST(count(CASE WHEN 8 * x.cents
+                                > q.q3_8 + 3 * (q.q3_8 - q.q1_8) // 2
+                           THEN 1 END) AS BIGINT) AS n_high_outliers
+    FROM x JOIN q ON x.grp = q.grp
+    GROUP BY x.grp
+    """,
+    doc=(
+        "Tukey 1.5-IQR outlier fences per order priority — the "
+        "standard numeric-column anomaly screen in a DQ suite. Exact "
+        "arithmetic: at p=.25/.75 the interpolation fraction is a "
+        "multiple of 1/4, so 8x the quantile of integer cents is an "
+        "exact EVEN BIGINT (the x2 form died on a .5 that Spark CAST "
+        "truncates and DuckDB CAST rounds); fences use integer "
+        "3*(q3_8-q1_8) div 2 (even difference), compared against "
+        "8*cents — no float boundary anywhere."
+    ),
+)
+def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR fences + outlier counts per group, half-cent integers.
+
+    Scale notes (100 TB): one exact-percentile aggregate per group
+    (array form — single buffer), broadcast back onto the fact for
+    the fence test — two scans, the unavoidable exact-quantile shape;
+    at extreme scale swap approx_percentile in with the same fence
+    arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    q = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.percentile("cents", F.array(F.lit(0.25), F.lit(0.75))).alias("__p"),
+    ).select(
+        "grp",
+        "n_orders",
+        F.expr("CAST(8 * __p[0] AS BIGINT)").alias("q1_8"),
+        F.expr("CAST(8 * __p[1] AS BIGINT)").alias("q3_8"),
+    )
+    return (
+        x.join(F.broadcast(q), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min("n_orders").alias("n_orders"),
+            F.min("q1_8").cast("bigint").alias("q1_x8cents"),
+            F.min("q3_8").cast("bigint").alias("q3_x8cents"),
+            F.count(
+                F.expr(
+                    "CASE WHEN 8 * cents"
+                    " < q1_8 - 3 * (q3_8 - q1_8) div 2 THEN 1 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.count(
+                F.expr(
+                    "CASE WHEN 8 * cents"
+                    " > q3_8 + 3 * (q3_8 - q1_8) div 2 THEN 1 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+        )
+    )

@@ -2140,3 +2140,110 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stale_flag"),
         )
     )
+
+
+@register(
+    "events_changepoint_binseg",
+    """
+    WITH d AS (
+      SELECT CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM d
+    ), pre AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n1,
+             CAST(sum(x) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s1
+      FROM d
+    ), scored AS (
+      SELECT p.day, p.n1, p.s1, t.n - p.n1 AS n2, t.s - p.s1 AS s2,
+             t.n, t.s,
+             CAST(p.s1 * p.s1 * 1000 // p.n1
+                  + (t.s - p.s1) * (t.s - p.s1) * 1000 // (t.n - p.n1)
+                  AS BIGINT) AS obj_milli
+      FROM pre p CROSS JOIN tot t
+      WHERE p.n1 < t.n
+    )
+    SELECT day AS split_day, n1 AS n_days_left, n2 AS n_days_right,
+           CAST(s1 // n1 AS BIGINT) AS mean_left,
+           CAST(s2 // n2 AS BIGINT) AS mean_right,
+           CAST(obj_milli - s * s * 1000 // n AS BIGINT) AS gain_milli
+    FROM scored
+    ORDER BY obj_milli DESC, day
+    LIMIT 1
+    """,
+    doc=(
+        "Binary-segmentation changepoint over the daily event-count "
+        "series: the split maximizing the between-segment objective "
+        "S1^2/n1 + S2^2/n2 (equivalently minimizing total SSE — the "
+        "sum-of-squares identity), evaluated for every split from ONE "
+        "prefix-sum pass. Objective in exact milli-scaled integers "
+        "(defined identically on both engines), argmax tie-broken by "
+        "day; gain_milli is the objective lift over the unsplit "
+        "series. Complements the CUSUM detector with the offline "
+        "segmentation shape."
+    ),
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint via prefix sums, integer objective.
+
+    Scale notes (100 TB): one fact rollup to |days| rows; the prefix
+    window and the argmax run over that bounded series (days — the
+    repo's bounded-domain window convention); totals ride a 1-row
+    broadcast crossJoin. Overflow: s1^2*1000 needs total daily-count
+    sums under ~3e7 — at larger scale divmod-chain the objective."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    d = ev.groupBy(
+        F.expr(f"CAST(timestampdiff(DAY, {epoch}, ts) AS BIGINT)").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("day")
+    pre = d.select(
+        "day",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("n1"),
+        F.sum("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("s1"),
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("n"))
+        .select(
+            "day",
+            "n1",
+            "s1",
+            (F.col("n") - F.col("n1")).alias("n2"),
+            (F.col("s") - F.col("s1")).alias("s2"),
+            "n",
+            "s",
+            F.expr(
+                "CAST(s1 * s1 * 1000 div n1"
+                " + (s - s1) * (s - s1) * 1000 div (n - n1) AS BIGINT)"
+            ).alias("obj_milli"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("obj_milli"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("n1").alias("n_days_left"),
+            F.col("n2").alias("n_days_right"),
+            F.expr("s1 div n1").cast("bigint").alias("mean_left"),
+            F.expr("s2 div n2").cast("bigint").alias("mean_right"),
+            F.expr("obj_milli - s * s * 1000 div n")
+            .cast("bigint")
+            .alias("gain_milli"),
+        )
+    )
