@@ -73,7 +73,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dq_freshness_lag, pipeline_mixture_greedy, text_zipf_slope,
     # text_burstiness, search_query_expansion, sim_pair_margin_audit,
     # pipeline_split_leakage, agg_mann_whitney, orders_cohort_survival,
-    # agg_subsample_ci, dq_anomaly_iqr, events_changepoint_binseg.
+    # agg_subsample_ci, dq_anomaly_iqr, events_changepoint_binseg,
+    # multimodal_block_dedup, sim_ivf_imbalance_audit.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

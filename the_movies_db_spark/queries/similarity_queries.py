@@ -1875,3 +1875,84 @@ def sim_pair_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.expr("m1 - m2")).cast("bigint").alias("min_margin_micro"),
         F.max(F.expr("m1 - m2")).cast("bigint").alias("max_margin_micro"),
     )
+
+
+@register(
+    "sim_ivf_imbalance_audit",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < greatest(32, (SELECT count(*) FROM embeddings) // 64)
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_aggregate(list_transform(range(1, 65),
+                   i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                        * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)),
+                   'sum'), 6), c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ), sz AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS s FROM assign GROUP BY cell
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT)     AS used,
+             CAST(sum(s) AS BIGINT)       AS n,
+             CAST(max(s) AS BIGINT)       AS mx,
+             CAST(sum(s * s) AS BIGINT)   AS s2,
+             CAST((SELECT greatest(32, (SELECT count(*) FROM embeddings)
+                                       // 64)) AS BIGINT) AS planned
+      FROM sz
+    )
+    SELECT planned AS n_cells_planned,
+           used    AS n_cells_used,
+           n       AS n_vectors,
+           mx      AS max_cell_size,
+           CAST(mx * used * 1000 // n AS BIGINT)        AS hot_factor_milli,
+           CAST((used * s2 - n * n) * 1000 // (n * n) AS BIGINT)
+             AS dispersion_milli
+    FROM st
+    """,
+    doc=(
+        "IVF index-health audit: cell-occupancy imbalance of the "
+        "auto-sized coarse quantizer — hot_factor (largest cell vs "
+        "the perfectly-balanced size, 1000 = balanced) predicts worst-"
+        "case probe latency, dispersion ((used*sum(s^2) - n^2)/n^2, "
+        "the relative-variance analog) flags skewed centroid training; "
+        "empty cells show as used < planned. Same auto-sized cell "
+        "formula as dedup_semantic (greatest(32, n div 64)) — this "
+        "audits the index the dedup/ANN paths actually build."
+    ),
+)
+def sim_ivf_imbalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size imbalance stats for the auto-sized IVF quantizer.
+
+    Scale notes (100 TB): one assignment pass (collected-literal or
+    broadcast-join per the 4096-cell auto-switch), one |cells|-row
+    size aggregate, one 1-row stat reduce — the audit costs one scan
+    and tells you whether probe latency will be tail-bound. All
+    integer outputs."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    n_vec = e.count()
+    cells = S.semantic_cells(n_vec)
+    assigned = S.ivf_assign(e, "vec_id", "embedding", cells, dim=_DIM)
+    sz = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    st = sz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.sum("s").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("mx"),
+        F.sum(F.expr("s * s")).cast("bigint").alias("s2"),
+    )
+    return st.select(
+        F.lit(cells).cast("bigint").alias("n_cells_planned"),
+        F.col("used").alias("n_cells_used"),
+        F.col("n").alias("n_vectors"),
+        F.col("mx").alias("max_cell_size"),
+        F.expr("mx * used * 1000 div n").cast("bigint").alias("hot_factor_milli"),
+        F.expr("(used * s2 - n * n) * 1000 div (n * n)")
+        .cast("bigint")
+        .alias("dispersion_milli"),
+    )
