@@ -2606,14 +2606,13 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     ), f AS (
       SELECT n1, n2, m1 - m2 AS md,
-             d1 // (n1 - 1) * n2 + d2 // (n2 - 1) * n1 AS se
+             d1 // (n1 - 1) * 1000000 // n1
+             + d2 // (n2 - 1) * 1000000 // n2 AS se_micro
       FROM w
     )
     SELECT CAST(n1 AS BIGINT) AS n_1, CAST(n2 AS BIGINT) AS n_2,
            CAST(md AS BIGINT) AS mean_diff_dollars,
-           CAST( (md * md * 1000 * n1 // se) * n2
-               + (md * md * 1000 * n1 % se) * n2 // se
-               AS BIGINT) AS t2_milli
+           CAST(md * md * 1000000000 // se_micro AS BIGINT) AS t2_milli
     FROM f
     """,
     doc=(
@@ -2623,9 +2622,11 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as integer div (defined identically on both engines), "
         "variances as two-pass sums of squared deviations from the "
         "integer mean (agg_variance_twopass discipline — no q*n "
-        "catastrophic products), and t2 = md^2*1000*n1*n2/se via the "
-        "interleaved divmod chain u*n2 + (r*n2 div se) — exact floor, "
-        "every intermediate bounded by se*n2."
+        "catastrophic products), and t2 = md^2 / (v1/n1 + v2/n2) with "
+        "the standard error held in MICRO units (v*1e6 div n) — every "
+        "term is bounded by the VALUE RANGE, not the row count (the "
+        "x16 probe killed the previous divmod chain whose r*n2 "
+        "remainder product grew with n)."
     ),
 )
 def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2634,9 +2635,10 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes (100 TB): two scans of the (already filtered) fact
     side — a 2-row means aggregate broadcast back, then one combinable
     deviation aggregate; everything after is 2-row arithmetic.
-    Overflow: ssd ~ n*sigma^2 and md^2*1000*n1 stay far inside BIGINT
-    for dollar-scale values at billions of rows; the divmod chain
-    keeps every product under se*n2 (never md^2*n1*n2 directly)."""
+    Overflow: scale-independent by construction — se_micro ~ 1e6 *
+    variance / n and md^2 * 1e9 are bounded by the dollar value range
+    (~1e17 worst case), never by row counts; only ssd grows with n
+    (~n * sigma^2, BIGINT-safe past 1e9 rows at dollar scale)."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     )
@@ -2671,16 +2673,16 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         F.expr("m1 - m2").alias("md"),
-        F.expr("(d1 div (n1 - 1)) * n2 + (d2 div (n2 - 1)) * n1").alias("se"),
+        F.expr(
+            "(d1 div (n1 - 1)) * 1000000 div n1"
+            " + (d2 div (n2 - 1)) * 1000000 div n2"
+        ).alias("se_micro"),
     )
     return f.select(
         F.col("n1").cast("bigint").alias("n_1"),
         F.col("n2").cast("bigint").alias("n_2"),
         F.col("md").cast("bigint").alias("mean_diff_dollars"),
-        F.expr(
-            "(md * md * 1000 * n1 div se) * n2"
-            " + (md * md * 1000 * n1 % se) * n2 div se"
-        )
+        F.expr("md * md * 1000000000 div se_micro")
         .cast("bigint")
         .alias("t2_milli"),
     )
