@@ -74,7 +74,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_burstiness, search_query_expansion, sim_pair_margin_audit,
     # pipeline_split_leakage, agg_mann_whitney, orders_cohort_survival,
     # agg_subsample_ci, dq_anomaly_iqr, events_changepoint_binseg,
-    # multimodal_block_dedup, sim_ivf_imbalance_audit.
+    # multimodal_block_dedup, sim_ivf_imbalance_audit,
+    # sim_pca_power_iteration.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

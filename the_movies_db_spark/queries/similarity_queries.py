@@ -1956,3 +1956,118 @@ def sim_ivf_imbalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dispersion_milli"),
     )
+
+
+def _pca_oracle() -> str:
+    # one iteration of integer power iteration as a SQL block; unrolled
+    # 3x (iterative algorithms are oracle-pinnable when every state
+    # element is an exact integer — the udf_token_bucket discipline,
+    # here with the state being a 64-vector instead of a scalar)
+    it = """
+    {d} AS (
+      SELECT xs,
+             list_aggregate(list_transform(range(1, 65),
+               k -> xs[k] * pv.v[k]), 'sum') // 1000000 AS d
+      FROM x CROSS JOIN {vprev} pv
+    ), {w} AS (
+      SELECT j, CAST(sum(xs[j] * d) AS BIGINT) AS w
+      FROM {d} CROSS JOIN unnest(range(1, 65)) AS t(j)
+      GROUP BY j
+    ), {vnext} AS (
+      SELECT list(w * 1000 // (SELECT max(abs(w)) FROM {w})
+                  ORDER BY j) AS v
+      FROM {w}
+    )"""
+    blocks = ",".join(
+        it.format(d=f"d{i}", w=f"w{i}", vprev=f"v{i - 1}", vnext=f"v{i}")
+        for i in (1, 2, 3)
+    )
+    return f"""
+    WITH x AS (
+      SELECT list_transform(embedding,
+               e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+             AS xs
+      FROM embeddings
+    ), v0 AS (
+      SELECT list_transform(range(1, 65), i -> CAST(1000 AS BIGINT)) AS v
+    ),{blocks},
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x)
+    SELECT CAST(j AS BIGINT) AS component,
+           CAST((SELECT v FROM v3)[j] AS BIGINT) AS loading_milli,
+           nn.n AS n_vectors
+    FROM unnest(range(1, 9)) AS t(j) CROSS JOIN nn
+    """
+
+
+@register(
+    "sim_pca_power_iteration",
+    _pca_oracle(),
+    doc=(
+        "Top principal direction of the embedding cloud by THREE "
+        "integer power-iteration steps (v <- X'Xv, renormalized to "
+        "milli by max-abs): the dominant-variance axis that drives "
+        "whitening, ABQ quantizer rotation, and embedding-drift "
+        "monitoring. ALL-INTEGER: vectors quantized to micro units, "
+        "every accumulation an exact BIGINT sum (order-free, so the "
+        "distributed reduce needs no sorted fold), per-step rescale "
+        "by integer div — the iteration state is value-hash exact, "
+        "the udf_token_bucket discipline applied to a 64-vector."
+    ),
+)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 loadings (milli) of the top eigenvector, 3 exact steps.
+
+    Scale notes (100 TB): each step is one corpus aggregate (64
+    combinable integer sums via posexplode + groupBy j) with the
+    64-value state vector collected and re-broadcast as a literal —
+    the broadcast-the-model shape; two steps run at plan build, the
+    third lives in the returned plan. Overflow: |x| <= 2e6 micro,
+    |v| <= 1000 milli keeps w under ~1e18 past billions of rows
+    (xs*d products bounded by value range times d <= 1.3e5)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    xs = e.select(
+        F.expr(
+            "transform(embedding,"
+            " e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xs")
+    )
+    v = [1000] * 64
+
+    def vlit(vec: list[int]) -> str:
+        return "array(" + ",".join(f"{x}L" for x in vec) + ")"
+
+    def step(vec: list[int]):
+        d = xs.select(
+            "xs",
+            F.expr(
+                f"aggregate(zip_with(xs, {vlit(vec)}, (x, vv) -> x * vv),"
+                " 0L, (a, b) -> a + b) div 1000000"
+            ).alias("d"),
+        )
+        return (
+            d.select(F.posexplode("xs").alias("j0", "xj"), "d")
+            .groupBy((F.col("j0") + 1).alias("j"))
+            .agg(F.sum(F.expr("xj * d")).cast("bigint").alias("w"))
+        )
+
+    for _ in range(2):  # two collected steps (exact integer state)
+        rows = {int(r["j"]): int(r["w"]) for r in step(v).collect()}
+        m = max(abs(w) for w in rows.values())
+        v = [
+            (abs(rows[j]) * 1000 // m) * (1 if rows[j] >= 0 else -1)
+            for j in range(1, 65)
+        ]
+    # third step stays in the returned plan
+    w3 = step(v)
+    mx = w3.agg(F.max(F.abs("w")).alias("m"))
+    nn = xs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        w3.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("j") <= 8)
+        .select(
+            F.col("j").cast("bigint").alias("component"),
+            F.expr("w * 1000 div m").cast("bigint").alias("loading_milli"),
+            F.col("n").alias("n_vectors"),
+        )
+    )
