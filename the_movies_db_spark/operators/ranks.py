@@ -32,6 +32,7 @@ def global_row_number(
     buckets: int = 64,
     bounds: tuple[int, int] | None = None,
     total_out: str | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append a gap-free 1-based global row number (``row_number``
     semantics — NOT ``dense_rank`` tie behavior) ordered by
@@ -63,6 +64,16 @@ def global_row_number(
     per-bucket sizes for free (a ``buckets``-row window), sparing
     callers that need n (ntile-style formulas) a separate global agg
     that would re-execute the lineage.
+
+    ``materialize=True`` localCheckpoints the bucketed input so the
+    offsets aggregate and the per-bucket window share ONE execution of
+    ``df``'s lineage. ReuseExchange does not fire across the two
+    branches (CLAUDE.md round-4 lesson), so without it the lineage
+    runs twice — and if ``df`` itself fans out over several scans
+    (text_ccnet_buckets' term join: 3 corpus scans per evaluation),
+    the blowup multiplies. Turn it on whenever the input lineage
+    includes a fact scan; leave it off for already-tiny inputs where
+    a re-scan is cheaper than a materialization.
     """
     if bounds is None:
         row = df.agg(
@@ -73,6 +84,8 @@ def global_row_number(
     width = (mx - mn) // buckets + 1
     bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
     bucketed = df.withColumn("__rb", bucket)
+    if materialize:
+        bucketed = bucketed.localCheckpoint(eager=True)
     sizes = bucketed.groupBy("__rb").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
@@ -103,6 +116,7 @@ def global_cumsum(
     buckets: int = 64,
     bounds: tuple[int, int] | None = None,
     total_out: str | Sequence[str] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append the running ``sum(val_col) OVER (ORDER BY order_col,
     *tiebreak ROWS UNBOUNDED PRECEDING)`` — inclusive of the current
@@ -120,7 +134,8 @@ def global_cumsum(
     statistic runs both samples' CDFs this way). ``total_out`` appends
     the grand total(s) as column(s) for free (the Pareto/ABC share
     test needs it); with multiple measures it must be a sequence
-    aligned with ``val_col``.
+    aligned with ``val_col``. ``materialize`` as in
+    :func:`global_row_number` — one lineage execution instead of two.
 
     Scale notes (100 TB): identical profile to global_row_number — one
     (min, max) job (skippable via ``bounds``), one ``buckets``-row
@@ -145,6 +160,8 @@ def global_cumsum(
     width = (mx - mn) // buckets + 1
     bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
     bucketed = df.withColumn("__rb", bucket)
+    if materialize:
+        bucketed = bucketed.localCheckpoint(eager=True)
     sums = bucketed.groupBy("__rb").agg(
         *[F.sum(v).cast("bigint").alias(f"__s{i}") for i, v in enumerate(vals)]
     )

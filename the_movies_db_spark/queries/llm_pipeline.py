@@ -1778,7 +1778,7 @@ def pipeline_mixture_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = scored.withColumn("__ord", (-F.col("score")).cast("bigint"))
     c = global_cumsum(
         keyed, "__ord", ["doc_id"], "n_tok", out="cum",
-        bounds=(-3500, 0), total_out="tot",
+        bounds=(-3500, 0), total_out="tot", materialize=True,
     )
     taken = F.col("cum") <= F.expr("tot div 2")
     return c.groupBy("source").agg(

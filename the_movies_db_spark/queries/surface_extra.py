@@ -2560,7 +2560,7 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = global_cumsum(
         g, "v", [], ["na", "nb"], out=["ca", "cb"],
-        total_out=["n_a", "n_b"],
+        total_out=["n_a", "n_b"], materialize=True,
     )
     m = c.agg(
         F.min("n_a").alias("n_a"),
@@ -2760,7 +2760,9 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("bigint").alias("na"),
         F.sum("b").cast("bigint").alias("nb"),
     )
-    c = global_cumsum(g, "v", [], ["na", "nb"], out=["ca", "cb"])
+    c = global_cumsum(
+        g, "v", [], ["na", "nb"], out=["ca", "cb"], materialize=True
+    )
     r = c.agg(
         F.sum(F.expr("na * ((ca - na) + (cb - nb) + (ca + cb) + 1)"))
         .cast("bigint")

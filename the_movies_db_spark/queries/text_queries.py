@@ -472,7 +472,7 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = global_row_number(
         keyed, "__ord", ["doc_id"], out="__rnk",
-        bounds=(0, 25_000_000), total_out="__n",
+        bounds=(0, 25_000_000), total_out="__n", materialize=True,
     )
     bucketed = ranked.withColumn(
         "__t", F.expr("(__rnk - 1) * 3 div __n + 1")

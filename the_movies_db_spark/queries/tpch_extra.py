@@ -1075,15 +1075,15 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn("r_days", F.lit(gday) - F.col("last_day"))
     ranked = global_row_number(
         base, "r_days", ["custkey"], out="rr",
-        bounds=(0, gday - int(p["mn_day"])),
+        bounds=(0, gday - int(p["mn_day"])), materialize=True,
     )
     ranked = global_row_number(
         ranked, "freq", ["custkey"], out="rf",
-        bounds=(int(p["mn_f"]), int(p["mx_f"])),
+        bounds=(int(p["mn_f"]), int(p["mx_f"])), materialize=True,
     )
     ranked = global_row_number(
         ranked, "cents", ["custkey"], out="rm",
-        bounds=(int(p["mn_c"]), int(p["mx_c"])),
+        bounds=(int(p["mn_c"]), int(p["mx_c"])), materialize=True,
     )
     seg = F.concat(
         F.lit("R"), F.expr(f"CAST((rr - 1) * 4 div {n} + 1 AS STRING)"),
@@ -1214,6 +1214,7 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_cumsum(
         keyed, "__ord", ["l_partkey"], "cents", out="cum",
         bounds=(int(b["mn"]), int(b["mx"])), total_out="tot",
+        materialize=True,
     )
     cls = (
         F.when((F.col("cum") - F.col("cents")) * 100 < F.col("tot") * 80, "A")
@@ -1336,7 +1337,7 @@ def orders_pareto_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     ranked = global_row_number(
         rev, "dollars", ["custkey"], out="rnk",
-        bounds=(int(b["mn"]), int(b["mx"])),
+        bounds=(int(b["mn"]), int(b["mx"])), materialize=True,
     )
     cur = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
