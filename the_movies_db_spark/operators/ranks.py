@@ -85,7 +85,11 @@ def global_row_number(
     bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
     bucketed = df.withColumn("__rb", bucket)
     if materialize:
-        bucketed = bucketed.localCheckpoint(eager=True)
+        # lazy: the offsets-broadcast job computes (and checkpoints)
+        # the RDD first, the window stage then reuses it — one lineage
+        # execution with no extra scheduling job (eager=True cost ~1 s
+        # of pure job overhead at sf0.1 on the 3-rank rfm chain)
+        bucketed = bucketed.localCheckpoint(eager=False)
     sizes = bucketed.groupBy("__rb").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
@@ -161,7 +165,7 @@ def global_cumsum(
     bucket: Column = F.expr(f"({order_col} - {mn}L) div {width}L").cast("bigint")
     bucketed = df.withColumn("__rb", bucket)
     if materialize:
-        bucketed = bucketed.localCheckpoint(eager=True)
+        bucketed = bucketed.localCheckpoint(eager=False)  # see above
     sums = bucketed.groupBy("__rb").agg(
         *[F.sum(v).cast("bigint").alias(f"__s{i}") for i, v in enumerate(vals)]
     )

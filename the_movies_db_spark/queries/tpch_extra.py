@@ -1072,18 +1072,24 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("mx_c"),
     ).first()
     gday, n = int(p["gday"]), int(p["n"])
-    base = base.withColumn("r_days", F.lit(gday) - F.col("last_day"))
+    # ONE lazy checkpoint of the rollup kills every fact re-scan (the
+    # three ranks' offsets branches otherwise re-executed the orders
+    # scan 8x total); the per-rank window re-executions then run over
+    # the in-memory RDD — cheaper than three chained checkpoints
+    base = base.withColumn(
+        "r_days", F.lit(gday) - F.col("last_day")
+    ).localCheckpoint(eager=False)
     ranked = global_row_number(
         base, "r_days", ["custkey"], out="rr",
-        bounds=(0, gday - int(p["mn_day"])), materialize=True,
+        bounds=(0, gday - int(p["mn_day"])),
     )
     ranked = global_row_number(
         ranked, "freq", ["custkey"], out="rf",
-        bounds=(int(p["mn_f"]), int(p["mx_f"])), materialize=True,
+        bounds=(int(p["mn_f"]), int(p["mx_f"])),
     )
     ranked = global_row_number(
         ranked, "cents", ["custkey"], out="rm",
-        bounds=(int(p["mn_c"]), int(p["mx_c"])), materialize=True,
+        bounds=(int(p["mn_c"]), int(p["mx_c"])),
     )
     seg = F.concat(
         F.lit("R"), F.expr(f"CAST((rr - 1) * 4 div {n} + 1 AS STRING)"),
