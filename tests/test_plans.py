@@ -470,6 +470,26 @@ def test_survivorship_no_cartesian(spark, sf_dir, registry):
     assert "CartesianProduct" not in txt and "NestedLoop" not in txt
 
 
+def test_static_partition_pruning(spark, sf_dir, registry):
+    """The filtered read of the partitioned-by-type layout must carry
+    the literal filter in PartitionFilters — one directory scanned."""
+    txt = plan_of(registry["io_partition_pruned_scan"].spark(spark, sf_dir))
+    import re
+
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", txt)
+    assert pf and "event_type" in pf.group(0) and "purchase" in pf.group(0)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, registry):
+    """The dim-side filter must become a runtime partition filter on
+    the fact scan (dynamicpruningexpression) — the star-join pruning
+    path, not a full scan + join."""
+    txt = plan_of(
+        registry["join_dynamic_partition_pruning"].spark(spark, sf_dir)
+    )
+    assert "dynamicpruning" in txt.lower()
+
+
 def test_curation_funnel_single_tokenize_pass(spark, sf_dir, registry):
     """The funnel's four stage yields come from ONE conditional
     aggregate over a single tokenize/gate pass — the final plan reads

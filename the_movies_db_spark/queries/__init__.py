@@ -75,7 +75,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pipeline_split_leakage, agg_mann_whitney, orders_cohort_survival,
     # agg_subsample_ci, dq_anomaly_iqr, events_changepoint_binseg,
     # multimodal_block_dedup, sim_ivf_imbalance_audit,
-    # sim_pca_power_iteration.
+    # sim_pca_power_iteration, io_partition_pruned_scan,
+    # join_dynamic_partition_pruning.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

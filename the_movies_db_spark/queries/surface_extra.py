@@ -2957,3 +2957,122 @@ def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_high_outliers"),
         )
     )
+
+
+def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once copy of events partitioned by event_type (stamped
+    with the source fingerprint, the search_index_persisted contract)
+    so pruning queries exercise a REAL partitioned layout at rest."""
+    import json
+    import os
+
+    from the_movies_db_spark.io import scratch_dir
+
+    work = scratch_dir(
+        "events_bytype_" + os.path.basename(sf_dir.rstrip("/")), unique=False
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = {"src": src, "size": st.st_size, "mtime": st.st_mtime_ns,
+             "fmt": "bytype-v1"}
+    stamp_path = os.path.join(work, "_SOURCE")
+    fresh = False
+    try:
+        with open(stamp_path) as fh:
+            fresh = json.load(fh) == stamp
+    except (OSError, json.JSONDecodeError):
+        fresh = False
+    if not fresh:
+        load_table(spark, sf_dir, "events").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(work + "/events")
+        with open(stamp_path, "w") as fh:
+            json.dump(stamp, fh)
+    return work + "/events"
+
+
+@register(
+    "io_partition_pruned_scan",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY event_type
+    """,
+    doc=(
+        "Partition pruning at rest, end to end: events are written "
+        "partitioned by event_type (build-once, fingerprint-stamped), "
+        "and the filtered aggregate reads back through the partition "
+        "column — the plan carries the filter in PartitionFilters, so "
+        "only the one matching directory is listed and scanned "
+        "(pinned in tests/test_plans.py). At 100 TB this is the "
+        "difference between scanning 1/N of the data and all of it; "
+        "the oracle computes the same aggregate from the raw table."
+    ),
+)
+def io_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _events_partitioned_path(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    """
+    WITH dim(event_type, is_conversion) AS (
+      VALUES ('purchase', 1), ('signup', 1), ('click', 0),
+             ('view', 0), ('error', 0)
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.is_conversion = 1
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "DYNAMIC partition pruning: the fact side is partitioned by "
+        "event_type but the filter lives on the DIM side "
+        "(is_conversion) — Catalyst turns the broadcast dim into a "
+        "runtime partition filter (dynamicpruningexpression in the "
+        "fact scan, pinned in tests/test_plans.py), so only the "
+        "conversion partitions are listed and read. The 100 TB "
+        "star-join staple: dim filters prune fact I/O without any "
+        "literal partition predicate in the query."
+    ),
+)
+def join_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _events_partitioned_path(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("signup", 1), ("click", 0), ("view", 0),
+         ("error", 0)],
+        "event_type string, is_conversion int",
+    )
+    return (
+        ev.join(dim.filter(F.col("is_conversion") == 1), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
