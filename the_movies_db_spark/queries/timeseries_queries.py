@@ -2247,3 +2247,105 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gain_milli"),
         )
     )
+
+
+@register(
+    "events_forecast_holt",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(0, d1 - d0 + 1)) AS idx, d0 FROM bounds
+    ), cnt AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), ser AS (
+      SELECT s.idx + 1 AS rn, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.d = s.d0 + s.idx
+    ), st AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             (SELECT x FROM ser WHERE rn = 1) * 1000 AS l,
+             ((SELECT x FROM ser WHERE rn = 2)
+              - (SELECT x FROM ser WHERE rn = 1)) * 1000 AS b
+      UNION ALL
+      SELECT d.rn,
+             (200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000,
+             (100 * ((200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000 - s.l)
+              + 900 * s.b) // 1000
+      FROM st s JOIN ser d ON d.rn = s.rn + 1
+    ), fin AS (
+      SELECT l, b FROM st WHERE rn = (SELECT max(rn) FROM ser)
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser)
+    SELECT nn.n AS n_days,
+           CAST(f.l AS BIGINT) AS level_milli,
+           CAST(f.b AS BIGINT) AS trend_milli,
+           CAST((f.l + 1 * f.b) // 1000 AS BIGINT)  AS forecast_1d,
+           CAST((f.l + 7 * f.b) // 1000 AS BIGINT)  AS forecast_7d,
+           CAST((f.l + 30 * f.b) // 1000 AS BIGINT) AS forecast_30d
+    FROM fin f CROSS JOIN nn
+    """,
+    doc=(
+        "Holt's linear-trend exponential smoothing over the dense "
+        "daily count series (alpha=.2, beta=.1 in exact milli "
+        "integers): level/trend state plus 1/7/30-day-ahead forecasts "
+        "— the capacity-planning complement to the EWMA detector "
+        "(which has no trend term). The sequential recurrence is a "
+        "LEFT-TO-RIGHT integer fold: Spark runs it as one "
+        "struct-accumulator aggregate over the day-sorted array, the "
+        "oracle replays it with a RECURSIVE CTE (the udf_token_bucket "
+        "discipline) — bit-identical state at every step."
+    ),
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Holt smoothing: fold in Spark, recursive replay in SQL.
+
+    Scale notes (100 TB): one fact rollup to |days| rows; the fold
+    runs inside a single projection over one collected bounded array
+    (the per-series state is inherently sequential — the parallel
+    part is the rollup, which is where the data is). For many series,
+    the same fold runs per group under groupBy(collect_list)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, min(ts))").alias("d0"),
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1"),
+    )
+    spine = b.select(
+        "d0", F.explode(F.expr("sequence(0, d1 - d0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ser = spine.join(cnt, cnt.d == spine.d0 + spine.idx, "left").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+    )
+    arr = ser.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("idx").alias("i"), F.col("x").alias("x")))
+        ).alias("a")
+    )
+    # seed consumes x_1 (and peeks x_2 for the initial trend); the
+    # recurrence then folds x_2..x_T — slice is 1-based, so it starts
+    # at element 2, mirroring the oracle's first recursive step rn=2
+    fold = (
+        "aggregate(slice(a, 2, size(a) - 1),"
+        " named_struct('l', a[0].x * 1000L,"
+        "              'b', (a[1].x - a[0].x) * 1000L),"
+        " (s, e) -> named_struct("
+        "   'l', (200L * e.x * 1000L + 800L * (s.l + s.b)) div 1000L,"
+        "   'b', (100L * ((200L * e.x * 1000L + 800L * (s.l + s.b))"
+        "        div 1000L - s.l) + 900L * s.b) div 1000L))"
+    )
+    st = arr.select(F.expr(fold).alias("s"), F.size("a").cast("bigint").alias("n"))
+    return st.select(
+        F.col("n").alias("n_days"),
+        F.expr("s.l").cast("bigint").alias("level_milli"),
+        F.expr("s.b").cast("bigint").alias("trend_milli"),
+        F.expr("(s.l + 1 * s.b) div 1000").cast("bigint").alias("forecast_1d"),
+        F.expr("(s.l + 7 * s.b) div 1000").cast("bigint").alias("forecast_7d"),
+        F.expr("(s.l + 30 * s.b) div 1000").cast("bigint").alias("forecast_30d"),
+    )
