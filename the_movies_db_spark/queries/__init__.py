@@ -76,7 +76,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_subsample_ci, dq_anomaly_iqr, events_changepoint_binseg,
     # multimodal_block_dedup, sim_ivf_imbalance_audit,
     # sim_pca_power_iteration, io_partition_pruned_scan,
-    # join_dynamic_partition_pruning, events_forecast_holt.
+    # join_dynamic_partition_pruning, events_forecast_holt,
+    # dq_control_chart_pchart, pipeline_quality_calibration.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

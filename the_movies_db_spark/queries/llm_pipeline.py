@@ -1882,3 +1882,119 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def _quality_calibration_oracle() -> str:
+    from the_movies_db_spark.queries import REGISTRY
+    from the_movies_db_spark.queries import dedup_queries  # noqa: F401
+
+    return f"""
+    WITH pairs AS ({REGISTRY["dedup_minhash_lsh"].oracle}),
+    dup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+      ) u
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS tl
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(2 * list_aggregate(list_transform(tl,
+                    t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+                    'sum') * 1000 // len(tl)
+                  + len(list_distinct(tl)) * 1000 // len(tl)
+                  + least(len(tl), 500) AS BIGINT) AS score
+      FROM toks WHERE len(tl) > 0
+    ), decs AS (
+      SELECT s.doc_id, s.score,
+             ntile(10) OVER (ORDER BY s.score, s.doc_id) AS decile,
+             CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM scored s LEFT JOIN dup d ON s.doc_id = d.doc_id
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup,
+           CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM decs GROUP BY decile
+    """
+
+
+@register(
+    "pipeline_quality_calibration",
+    _quality_calibration_oracle(),
+    doc=(
+        "Quality-score CALIBRATION against duplication: corpus split "
+        "into classifier-score deciles (decile 1 = worst), each "
+        "decile's near-dup membership rate in exact ppm — the check "
+        "that tells you whether the quality gate and the dedup stage "
+        "are redundant or complementary (dup mass concentrated in low "
+        "deciles = the gate already removes it). Nests BOTH shipped "
+        "oracles (classifier formula, banded minhash pairs); the "
+        "decile is the distributed two-level rank with the exact "
+        "ntile identity."
+    ),
+)
+def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score deciles x LSH dup density — calibration of gate vs dedup.
+
+    Scale notes (100 TB): one tokenize/score pass feeding the
+    materialized two-level rank (no single-partition ntile); dup
+    membership is the banded LSH pair set reduced to a distinct-id
+    table joined back by id; output is 10 rows."""
+    from the_movies_db_spark.operators import dedup as DD
+    from the_movies_db_spark.operators.ranks import global_row_number
+    from the_movies_db_spark.queries.dedup_queries import (
+        _NUM_BANDS,
+        _NUM_HASHES,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").alias(
+            "tl"
+        ),
+    )
+    scored = toks.filter(F.size("tl") > 0).select(
+        "doc_id",
+        F.expr(
+            f"CAST(2 * aggregate(transform(tl, t -> CASE WHEN t IN"
+            f" ({_CLS_STOPS}) THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+            " * 1000 div size(tl)"
+            " + size(array_distinct(tl)) * 1000 div size(tl)"
+            " + least(size(tl), 500L) AS BIGINT)"
+        ).alias("score"),
+    )
+    ranked = global_row_number(
+        scored, "score", ["doc_id"], out="__rnk",
+        bounds=(0, 3500), total_out="__n", materialize=True,
+    )
+    pairs = DD.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    dup = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    decs = ranked.join(dup, "doc_id", "left").select(
+        "score",
+        F.expr("(__rnk - 1) * 10 div __n + 1").alias("decile"),
+        F.coalesce("__d", F.lit(0)).alias("is_dup"),
+    )
+    return decs.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup"),
+        F.expr("sum(is_dup) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("dup_ppm"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )

@@ -3076,3 +3076,100 @@ def join_dynamic_partition_pruning(
             .alias("value_cents"),
         )
     )
+
+
+@register(
+    "dq_control_chart_pchart",
+    """
+    WITH d AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+               AS day,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+               AS x_d
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_d) AS BIGINT) AS n, CAST(sum(x_d) AS BIGINT) AS x
+      FROM d
+    ), m AS (
+      SELECT d.day, d.n_d, d.x_d,
+             x * 1000 // n AS pbar_milli,
+             d.x_d * 1000 // d.n_d - x * 1000 // n AS diff_milli
+      FROM d CROSS JOIN tot
+    ), flags AS (
+      SELECT day, n_d, pbar_milli, diff_milli,
+             CASE WHEN diff_milli * diff_milli * n_d
+                       > 9 * pbar_milli * (1000 - pbar_milli)
+                  THEN CASE WHEN diff_milli > 0 THEN 1 ELSE -1 END
+                  ELSE 0 END AS ooc
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_days,
+           min(pbar_milli)                                   AS pbar_milli,
+           CAST(count(CASE WHEN ooc = 1  THEN 1 END) AS BIGINT)
+             AS n_ooc_high,
+           CAST(count(CASE WHEN ooc = -1 THEN 1 END) AS BIGINT)
+             AS n_ooc_low,
+           CAST(max(CASE WHEN ooc <> 0 THEN abs(diff_milli) END) AS BIGINT)
+             AS worst_dev_milli
+    FROM flags
+    """,
+    doc=(
+        "Shewhart p-chart over the daily return rate — the statistical "
+        "process control screen a DQ suite runs on any rate metric: a "
+        "day is out of control when its rate deviates from the "
+        "centerline by more than 3 sigma of the binomial proportion. "
+        "The 3-sigma test is SQUARED into exact integers: "
+        "diff_milli^2 * n_d > 9 * pbar * (1000 - pbar) — no sqrt, no "
+        "float boundary, every term bounded by the milli value range "
+        "times one day's count."
+    ),
+)
+def dq_control_chart_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer 3-sigma p-chart summary for daily return rates.
+
+    Scale notes (100 TB): one fact rollup to |days| rows; totals via a
+    1-row broadcast crossJoin; everything else is bounded-domain
+    arithmetic. The squared control test keeps worst-case terms under
+    1e12 at x16 — no row-count-scaled products."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.expr(
+            "datediff(l_shipdate, TIMESTAMP '1970-01-01 00:00:00')"
+        ).cast("bigint").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("bigint")
+        .alias("x_d"),
+    )
+    tot = d.agg(
+        F.sum("n_d").cast("bigint").alias("n"),
+        F.sum("x_d").cast("bigint").alias("x"),
+    )
+    m = d.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_d",
+        F.expr("x * 1000 div n").alias("pbar_milli"),
+        F.expr("x_d * 1000 div n_d - x * 1000 div n").alias("diff_milli"),
+    )
+    flags = m.select(
+        "day",
+        "pbar_milli",
+        "diff_milli",
+        F.expr(
+            "CASE WHEN diff_milli * diff_milli * n_d"
+            " > 9 * pbar_milli * (1000 - pbar_milli)"
+            " THEN CASE WHEN diff_milli > 0 THEN 1 ELSE -1 END"
+            " ELSE 0 END"
+        ).alias("ooc"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min("pbar_milli").alias("pbar_milli"),
+        F.count(F.when(F.col("ooc") == 1, 1)).cast("bigint").alias("n_ooc_high"),
+        F.count(F.when(F.col("ooc") == -1, 1)).cast("bigint").alias("n_ooc_low"),
+        F.max(F.when(F.col("ooc") != 0, F.abs("diff_milli")))
+        .cast("bigint")
+        .alias("worst_dev_milli"),
+    )
