@@ -126,6 +126,32 @@ def test_cumsum_matches_global_window_property(spark, rows, buckets, out_of_rang
     assert got == want
 
 
+@given(
+    n=st.integers(10, 200),
+    k=st.sampled_from([2, 3, 4, 10]),
+)
+@_SET
+def test_ntile_identity(spark, n, k):
+    """(rank-1)*k div n + 1 == ntile(k) whenever n >= k — the identity
+    text_ccnet_buckets / pipeline_quality_calibration / rfm rely on to
+    replace the single-partition ntile with the two-level rank. For
+    n < k the two differ (ntile hands each row its own bucket; the
+    formula spreads rows across the range) — every production caller
+    has n = corpus/customer count >> k, and hypothesis confirmed the
+    divergence at (n=2, k=4) when this test allowed it."""
+    df = spark.range(1, n + 1).select(F.col("id").alias("r"))
+    got = df.select(
+        "r", F.expr(f"(r - 1) * {k} div {n} + 1").alias("t")
+    )
+    want = df.select(
+        "r",
+        F.ntile(k).over(Window.orderBy("r")).cast("bigint").alias("t"),
+    )
+    assert {(x.r, x.t) for x in got.collect()} == {
+        (x.r, x.t) for x in want.collect()
+    }
+
+
 def test_row_number_total_out(spark):
     df = spark.createDataFrame(
         [(i, i * 37 % 1009) for i in range(500)], "id bigint, v bigint"
