@@ -127,21 +127,22 @@ def test_cumsum_matches_global_window_property(spark, rows, buckets, out_of_rang
 
 
 @given(
-    n=st.integers(10, 200),
-    k=st.sampled_from([2, 3, 4, 10]),
+    n=st.integers(1, 200),
+    k=st.sampled_from([2, 3, 4, 7, 10]),
 )
 @_SET
-def test_ntile_identity(spark, n, k):
-    """(rank-1)*k div n + 1 == ntile(k) whenever n >= k — the identity
-    text_ccnet_buckets / pipeline_quality_calibration / rfm rely on to
-    replace the single-partition ntile with the two-level rank. For
-    n < k the two differ (ntile hands each row its own bucket; the
-    formula spreads rows across the range) — every production caller
-    has n = corpus/customer count >> k, and hypothesis confirmed the
-    divergence at (n=2, k=4) when this test allowed it."""
+def test_ntile_expr_matches_ntile(spark, n, k):
+    """ntile_expr reproduces SQL ntile(k) for EVERY n and k — the
+    closed form ccnet/quality-calibration use on top of the two-level
+    rank. (The naive (rank-1)*k div n + 1 identity distributes
+    oversized buckets Bresenham-style and diverges from ntile's
+    front-loading whenever n % k is outside {0, 1, k-1} — hypothesis
+    falsified it at n=10, k=4: 3,2,3,2 vs 3,3,2,2.)"""
+    from the_movies_db_spark.operators.ranks import ntile_expr
+
     df = spark.range(1, n + 1).select(F.col("id").alias("r"))
     got = df.select(
-        "r", F.expr(f"(r - 1) * {k} div {n} + 1").alias("t")
+        "r", F.expr(ntile_expr("r", str(n), k)).cast("bigint").alias("t")
     )
     want = df.select(
         "r",

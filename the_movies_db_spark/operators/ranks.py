@@ -200,3 +200,31 @@ def global_cumsum(
         "__rb", *[f"__c{i}" for i in range(len(vals))],
         *[f"__off{i}" for i in range(len(vals))],
     )
+
+
+def ntile_expr(rank_col: str, n_col: str, k: int) -> str:
+    """SQL expression computing EXACT ``ntile(k)`` from a 1-based
+    gap-free global rank and the total row count — for use on top of
+    :func:`global_row_number` so quantile bucketing never needs a
+    single-partition ntile window.
+
+    The naive identity ``(rank-1)*k div n + 1`` distributes the
+    oversized buckets evenly across the range (Bresenham), while SQL
+    ntile front-loads them: the two agree only when ``n % k`` is in
+    {0, 1, k-1} (always true for k=3 — hypothesis found the k=4
+    divergence at n=10: formula 3,2,3,2 vs ntile 3,3,2,2). This
+    closed form reproduces ntile for EVERY n, k: with q = n div k and
+    s = n % k, the first s buckets hold q+1 rows, so
+    rank <= (q+1)*s  ->  bucket = ceil(rank / (q+1)),
+    otherwise           bucket = s + ceil((rank - (q+1)*s) / q).
+    The else branch only evaluates when n >= k (q >= 1) — for n < k
+    every rank satisfies the first branch since (q+1)*s = n.
+    """
+    q = f"({n_col} div {k})"
+    s = f"({n_col} % {k})"
+    big = f"(({q} + 1) * {s})"
+    return (
+        f"CASE WHEN {rank_col} <= {big}"
+        f" THEN ({rank_col} + {q}) div ({q} + 1)"
+        f" ELSE {s} + ({rank_col} - {big} + {q} - 1) div {q} END"
+    )

@@ -1984,9 +1984,11 @@ def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__d", F.lit(1))
     )
+    from the_movies_db_spark.operators.ranks import ntile_expr
+
     decs = ranked.join(dup, "doc_id", "left").select(
         "score",
-        F.expr("(__rnk - 1) * 10 div __n + 1").alias("decile"),
+        F.expr(ntile_expr("__rnk", "__n", 10)).alias("decile"),
         F.coalesce("__d", F.lit(0)).alias("is_dup"),
     )
     return decs.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(

@@ -474,8 +474,10 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, "__ord", ["doc_id"], out="__rnk",
         bounds=(0, 25_000_000), total_out="__n", materialize=True,
     )
+    from the_movies_db_spark.operators.ranks import ntile_expr
+
     bucketed = ranked.withColumn(
-        "__t", F.expr("(__rnk - 1) * 3 div __n + 1")
+        "__t", F.expr(ntile_expr("__rnk", "__n", 3))
     )
     bucket = (
         F.when(F.col("__t") == 1, "head")
