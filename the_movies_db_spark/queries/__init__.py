@@ -77,7 +77,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal_block_dedup, sim_ivf_imbalance_audit,
     # sim_pca_power_iteration, io_partition_pruned_scan,
     # join_dynamic_partition_pruning, events_forecast_holt,
-    # dq_control_chart_pchart, pipeline_quality_calibration.
+    # dq_control_chart_pchart, pipeline_quality_calibration,
+    # sim_mmr_diversify, search_ndcg_eval, pipeline_importance_dsir.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

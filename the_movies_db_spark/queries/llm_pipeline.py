@@ -2000,3 +2000,115 @@ def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("bigint").alias("min_score"),
         F.max("score").cast("bigint").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting: target-domain resampling scores
+# ---------------------------------------------------------------------------
+
+_DSIR_TOP = 15
+_DSIR_W = (
+    "CAST(floor(ln(CAST((c_tgt + 1) * (t_raw + v) AS DOUBLE)"
+    " / CAST((c_raw + 1) * (t_tgt + v) AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "pipeline_importance_dsir",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c_raw,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_tgt
+      FROM tok GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+             CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+             CAST(count(*) AS BIGINT) AS v
+      FROM stats
+    ),
+    wt AS (
+      SELECT term, {_DSIR_W} AS w_micro
+      FROM stats CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(x.w_micro) AS BIGINT) AS s
+      FROM tok t JOIN wt x ON t.term = x.term
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_tokens, CAST(s // n_tokens AS BIGINT) AS dsir_micro
+    FROM doc
+    ORDER BY dsir_micro DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+    doc=(
+        "DSIR-style importance weighting (Xie et al. 2023): per-token "
+        "log-ratio of target-domain (lang='en') vs raw unigram "
+        "probabilities with add-1 smoothing, averaged per document — "
+        "the importance-resampling score that up-weights raw docs "
+        "distributionally closest to the target domain. Per-term "
+        "weights are floored to micro BEFORE the per-doc sum, so the "
+        "accumulation is exact BIGINT and the top-15 is engine-exact."
+    ),
+)
+def pipeline_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling scores against a target domain.
+
+    Scale notes (100 TB): one shuffle builds the vocab-bounded term
+    table (c_raw + c_tgt as conditional sums in the SAME aggregation —
+    no second stats pass); smoothing totals are a 1-row aggregate OF
+    that table, broadcast back. Scoring re-shuffles the token stream
+    once on term against the weight table, then reduces per doc. The
+    corpus is tokenized twice (stats pass + scoring pass) — at 100 TB
+    persist the weight table instead of the token stream (vocab-sized,
+    not corpus-sized). The (count+1)*(total+V) products approach int64
+    around 1e18 joint token counts — downscale totals to kilotokens
+    there (the ratio is scale-invariant)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("term"),
+    )
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_tgt"),
+    )
+    tot = stats.agg(
+        F.sum("c_raw").cast("bigint").alias("t_raw"),
+        F.sum("c_tgt").cast("bigint").alias("t_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    wt = stats.crossJoin(F.broadcast(tot)).select(
+        "term", F.expr(_DSIR_W).alias("w_micro")
+    )
+    doc = (
+        tok.join(wt, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_micro").cast("bigint").alias("s"),
+        )
+    )
+    return (
+        doc.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("CAST(s div n_tokens AS BIGINT)").alias("dsir_micro"),
+        )
+        .orderBy(F.desc("dsir_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+    )

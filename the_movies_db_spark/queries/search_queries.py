@@ -908,3 +908,132 @@ def search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), F.asc("term"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Graded-relevance retrieval evaluation: nDCG@10 of the BM25 ranker
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+#: rel = number of distinct query terms present in the doc (0..3);
+#: gain = 2^rel - 1, written as a CASE so both engines fold it exactly.
+_NDCG_GAIN = (
+    "CASE WHEN rel >= 3 THEN 7 WHEN rel = 2 THEN 3 "
+    "WHEN rel = 1 THEN 1 ELSE 0 END"
+)
+
+
+def _dcg_contrib(rank_col: str) -> str:
+    """Floor-micro DCG contribution gain/log2(rank+1) — identical
+    expression text on both engines (ln of small-integer doubles, one
+    division chain, floor)."""
+    return (
+        f"CAST(floor(CAST({_NDCG_GAIN} AS DOUBLE) / "
+        f"(ln(CAST({rank_col} + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) "
+        f"* 1000000) AS BIGINT)"
+    )
+
+
+_NDCG_ORACLE = f"""
+WITH bm AS ({{bm}}),
+q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+pres AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> x <> '')) AS t
+        FROM documents) u
+),
+rel AS (
+  SELECT q.query_id, p.doc_id, CAST(count(*) AS BIGINT) AS rel
+  FROM pres p JOIN q ON p.term = q.term
+  GROUP BY 1, 2
+),
+sys AS (
+  SELECT b.query_id, CAST(sum({_dcg_contrib('b.rank')}) AS BIGINT) AS dcg_micro
+  FROM bm b JOIN rel ON b.query_id = rel.query_id AND b.doc_id = rel.doc_id
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, CAST(sum({_dcg_contrib('irank')}) AS BIGINT) AS idcg_micro
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS irank
+    FROM rel
+  ) t WHERE irank <= {_NDCG_K}
+  GROUP BY 1
+)
+SELECT CAST(s.query_id AS BIGINT) AS query_id,
+       s.dcg_micro, i.idcg_micro,
+       CAST(s.dcg_micro * 1000000 // i.idcg_micro AS BIGINT) AS ndcg_ppm
+FROM sys s JOIN ideal i ON s.query_id = i.query_id
+""".format(bm=_bm25_oracle(_NDCG_K))
+
+
+@register(
+    "search_ndcg_eval",
+    _NDCG_ORACLE,
+    doc=(
+        "Retrieval quality eval: nDCG@10 of the BM25 ranker against "
+        "graded relevance (rel = distinct query terms present, gain = "
+        "2^rel - 1). DCG and ideal-DCG accumulate exact floor-micro "
+        "contributions (ln of small-integer ranks only), nDCG in exact "
+        "ppm — the offline eval loop a search team runs per index "
+        "build, value-hash-stable across engines."
+    ),
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of BM25 vs term-overlap graded relevance.
+
+    Scale notes (100 TB): rel is computed once over the
+    vocabulary-pruned presence stream (broadcast query terms filter
+    BEFORE any shuffle) and lazily checkpointed — the system-DCG and
+    ideal-DCG branches would otherwise each re-execute the corpus
+    tokenization (ReuseExchange does not fire across branches). The
+    ideal ranking is a per-query window over the bounded relevant set;
+    BM25's plan is the shipped vocabulary-pruned index build."""
+    d = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(spark, d, top_k=_NDCG_K)
+    qterms = spark.createDataFrame(list(QUERIES), "query_id int, term string")
+    pres = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+            )
+        ).alias("term"),
+    )
+    rel = (
+        pres.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+        .localCheckpoint(eager=False)
+    )
+    sys_dcg = (
+        bm.join(rel, ["query_id", "doc_id"])
+        .select("query_id", F.expr(_dcg_contrib("rank")).alias("c"))
+        .groupBy("query_id")
+        .agg(F.sum("c").cast("bigint").alias("dcg_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        rel.withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= _NDCG_K)
+        .select("query_id", F.expr(_dcg_contrib("irank")).alias("c"))
+        .groupBy("query_id")
+        .agg(F.sum("c").cast("bigint").alias("idcg_micro"))
+    )
+    return (
+        sys_dcg.join(ideal, "query_id")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("CAST(dcg_micro * 1000000 div idcg_micro AS BIGINT)").alias(
+                "ndcg_ppm"
+            ),
+        )
+    )

@@ -2071,3 +2071,196 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification: greedy re-ranking of a retrieval shortlist
+# ---------------------------------------------------------------------------
+
+_MMR_QID = 0     # query vector
+_MMR_POOL = 12   # shortlist depth fed to the greedy stage
+_MMR_K = 5       # diversified results returned
+_MMR_LAM = 700   # lambda in milli: score = .7*rel - .3*max-sim-to-selected
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    """Floor-micro cosine between two embedding table aliases — the
+    identically-sequenced IEEE recipe (one inner product, two norms,
+    one division, floor) used by the Spark side."""
+    return (
+        f"CAST(floor(list_inner_product({a}.embedding::DOUBLE[], "
+        f"{b}.embedding::DOUBLE[]) / "
+        f"(sqrt(list_inner_product({a}.embedding::DOUBLE[], "
+        f"{a}.embedding::DOUBLE[])) * "
+        f"sqrt(list_inner_product({b}.embedding::DOUBLE[], "
+        f"{b}.embedding::DOUBLE[]))) * 1000000) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR (the sim_pca_power_iteration pattern: one
+    static CTE block per iteration, all-integer state)."""
+    head = f"""
+    WITH sl AS (
+      SELECT vec_id, embedding, qsim FROM (
+        SELECT c.vec_id, c.embedding, {_mmr_cos('q', 'c')} AS qsim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = {_MMR_QID}
+      ) t ORDER BY qsim DESC, vec_id LIMIT {_MMR_POOL}
+    ), pr AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid, {_mmr_cos('a', 'b')} AS psim
+      FROM sl a JOIN sl b ON a.vec_id <> b.vec_id
+    ), s1 AS (
+      SELECT vec_id, qsim, CAST(0 AS BIGINT) AS mp
+      FROM sl ORDER BY qsim DESC, vec_id LIMIT 1
+    ), sel1 AS (SELECT vec_id FROM s1)"""
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(f""", c{k} AS (
+      SELECT c.vec_id, c.qsim,
+             (SELECT max(p.psim) FROM pr p
+              WHERE p.aid = c.vec_id
+                AND p.bid IN (SELECT vec_id FROM sel{k - 1})) AS mp
+      FROM sl c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+    ), s{k} AS (
+      SELECT vec_id, qsim, mp FROM c{k}
+      ORDER BY {_MMR_LAM} * qsim - {1000 - _MMR_LAM} * mp DESC, vec_id
+      LIMIT 1
+    ), sel{k} AS (
+      SELECT vec_id FROM sel{k - 1} UNION ALL SELECT vec_id FROM s{k}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS rank, vec_id, qsim, mp FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    tail = f"""
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(qsim AS BIGINT) AS qsim_micro,
+           CAST(mp AS BIGINT) AS maxpair_micro,
+           CAST({_MMR_LAM} * qsim - {1000 - _MMR_LAM} * mp AS BIGINT)
+             AS mmr_nano
+    FROM ({union}) u"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "sim_mmr_diversify",
+    _mmr_oracle(),
+    doc=(
+        "Maximal-marginal-relevance re-ranking: greedy selection of 5 "
+        "results from a cosine top-12 shortlist, each step maximizing "
+        "0.7*query-sim - 0.3*max-sim-to-already-selected — the "
+        "diversification pass a RAG retriever runs after ANN so the "
+        "context window isn't five near-duplicates. All state is exact "
+        "BIGINT (floor-micro cosines, milli lambda weights), ties by "
+        "vec_id; the oracle unrolls the 5 greedy steps as static CTE "
+        "blocks."
+    ),
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over a retrieval shortlist (exact integer scores).
+
+    Scale notes (100 TB): the only corpus-scale stage is the shortlist
+    — a broadcast-query cosine scan into TakeOrderedAndProject (swap in
+    the IVF index at scale; the greedy stage consumes only (id, vec,
+    qsim) and is index-agnostic). The greedy iteration is inherently
+    sequential but runs on the eagerly-checkpointed 12-row pool:
+    pool^2 pair sims once, then K tiny argmax jobs — no corpus
+    re-scan per step (the ReuseExchange-across-branches trap)."""
+    from the_movies_db_spark.operators.dedup import cosine_from_parts
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = e.filter(F.col("vec_id") == _MMR_QID).select(
+        F.col("embedding").alias("__qv"),
+        S.norm("embedding", _DIM).alias("__qn"),
+    )
+    sl = (
+        e.filter(F.col("vec_id") != _MMR_QID)
+        .select("vec_id", "embedding", S.norm("embedding", _DIM).alias("__n"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            "__n",
+            F.floor(
+                cosine_from_parts("__qv", "embedding", "__qn", "__n", dim=_DIM)
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("qsim"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a = sl.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("__av"),
+        F.col("__n").alias("__an"),
+    )
+    b = sl.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("__bv"),
+        F.col("__n").alias("__bn"),
+    )
+    pr = (
+        a.crossJoin(b)
+        .filter(F.col("aid") != F.col("bid"))
+        .select(
+            "aid",
+            "bid",
+            F.floor(
+                cosine_from_parts("__av", "__bv", "__an", "__bn", dim=_DIM)
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("psim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand0 = sl.select("vec_id", "qsim")
+    first = (
+        cand0.orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("rank"),
+            "vec_id",
+            "qsim",
+            F.lit(0).cast("bigint").alias("mp"),
+        )
+    )
+    picks = [first]
+    selected = first.select("vec_id")
+    score = f"{_MMR_LAM} * qsim - {1000 - _MMR_LAM} * mp"
+    for k in range(2, _MMR_K + 1):
+        mp = (
+            pr.join(
+                F.broadcast(selected.withColumnRenamed("vec_id", "bid")),
+                "bid",
+            )
+            .groupBy("aid")
+            .agg(F.max("psim").alias("mp"))
+        )
+        pick = (
+            cand0.join(selected, "vec_id", "left_anti")
+            .join(F.broadcast(mp), F.col("vec_id") == F.col("aid"))
+            .orderBy(F.desc(F.expr(score)), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(k).cast("bigint").alias("rank"), "vec_id", "qsim", "mp"
+            )
+        )
+        picks.append(pick)
+        selected = selected.union(pick.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rank",
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("qsim").cast("bigint").alias("qsim_micro"),
+        F.col("mp").cast("bigint").alias("maxpair_micro"),
+        F.expr(f"CAST({score} AS BIGINT)").alias("mmr_nano"),
+    )
