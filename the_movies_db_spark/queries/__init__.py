@@ -78,7 +78,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_pca_power_iteration, io_partition_pruned_scan,
     # join_dynamic_partition_pruning, events_forecast_holt,
     # dq_control_chart_pchart, pipeline_quality_calibration,
-    # sim_mmr_diversify, search_ndcg_eval, pipeline_importance_dsir.
+    # sim_mmr_diversify, search_ndcg_eval, pipeline_importance_dsir,
+    # events_seasonal_anomaly, orders_price_elasticity.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -1776,3 +1776,110 @@ def orders_cohort_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(x.n AS DOUBLE)))) * 1000000) AS BIGINT)"
         ).alias("surv_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-log price elasticity of demand per brand (OLS over monthly points)
+# ---------------------------------------------------------------------------
+
+_ELAST_X = "CAST(floor(ln(CAST(price_c AS DOUBLE)) * 1000) AS BIGINT)"
+_ELAST_Y = "CAST(floor(ln(CAST(qty AS DOUBLE)) * 1000) AS BIGINT)"
+
+
+@register(
+    "orders_price_elasticity",
+    f"""
+    WITH pts AS (
+      SELECT p.p_brand AS brand, strftime(o.o_orderdate, '%Y-%m') AS mon,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT brand,
+             {_ELAST_X.replace('price_c', '(cents // qty)')} AS x,
+             {_ELAST_Y} AS y
+      FROM pts
+    ),
+    s AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM xy GROUP BY 1
+    )
+    SELECT brand, n AS n_months,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                AS BIGINT) AS elasticity_micro
+    FROM s
+    WHERE n * sxx - sx * sx <> 0
+    ORDER BY brand
+    """,
+    doc=(
+        "Price elasticity of demand: per brand, OLS slope of "
+        "ln(monthly quantity) on ln(monthly avg unit price) — the "
+        "log-log regression whose slope IS the elasticity estimate a "
+        "pricing team reads. Points are (brand, month) aggregates "
+        "(integer cents / integer quantity), ln values floored to "
+        "milli BEFORE the OLS sums, so every moment is exact BIGINT "
+        "and the closed-form slope is an exact integer division; "
+        "bounded by months^2 * milli^2 — scale-independent of row "
+        "count (the Welch-t lesson)."
+    ),
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS elasticity per brand over monthly demand points.
+
+    Scale notes (100 TB): the fact scan reduces to |brands| x |months|
+    points in one hash aggregation (the join to orders is the usual
+    orderkey equi-join; part is broadcast); all OLS moments are a
+    second tiny aggregation over those points. No windows, no
+    corpus-grain state — the plan is two hash aggregates regardless of
+    fact size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    pts = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    xy = pts.select(
+        "brand",
+        F.expr(_ELAST_X.replace("price_c", "(cents div qty)")).alias("x"),
+        F.expr(_ELAST_Y).alias("y"),
+    )
+    s = xy.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    return (
+        s.filter(F.expr("n * sxx - sx * sx != 0"))
+        .select(
+            "brand",
+            F.col("n").alias("n_months"),
+            F.expr(
+                "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+                " AS BIGINT)"
+            ).alias("elasticity_micro"),
+        )
+        .orderBy("brand")
+    )
