@@ -79,7 +79,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # join_dynamic_partition_pruning, events_forecast_holt,
     # dq_control_chart_pchart, pipeline_quality_calibration,
     # sim_mmr_diversify, search_ndcg_eval, pipeline_importance_dsir,
-    # events_seasonal_anomaly, orders_price_elasticity.
+    # events_seasonal_anomaly, orders_price_elasticity,
+    # sim_embedding_drift, dq_table_profile.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -3173,3 +3173,103 @@ def dq_control_chart_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("worst_dev_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: per-column nulls / distincts / min / max in one pass
+# ---------------------------------------------------------------------------
+
+#: (column, null-check expr, distinct expr, string-rendered min/max expr).
+#: Money renders as integer cents, timestamps as yyyy-MM-dd — the
+#: repr rules that keep the profile value-hash engine-exact.
+_PROFILE_COLS: tuple[tuple[str, str, str], ...] = (
+    ("o_orderkey", "o_orderkey", "CAST({m}(o_orderkey) AS VARCHAR)"),
+    ("o_custkey", "o_custkey", "CAST({m}(o_custkey) AS VARCHAR)"),
+    (
+        "o_totalprice",
+        "CAST(round(o_totalprice * 100) AS BIGINT)",
+        "CAST({m}(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)",
+    ),
+    ("o_orderstatus", "o_orderstatus", "{m}(o_orderstatus)"),
+    ("o_orderpriority", "o_orderpriority", "{m}(o_orderpriority)"),
+    (
+        "o_orderdate",
+        "o_orderdate",
+        "{dfmt}",
+    ),
+)
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for name, dexpr, rexpr in _PROFILE_COLS:
+        mn = rexpr.format(
+            m="min", dfmt=f"strftime(min(o_orderdate), '%Y-%m-%d')"
+        )
+        mx = rexpr.format(
+            m="max", dfmt=f"strftime(max(o_orderdate), '%Y-%m-%d')"
+        )
+        selects.append(
+            f"SELECT '{name}' AS col_name, "
+            f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"CAST(count(DISTINCT {dexpr}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_repr, {mx} AS max_repr FROM orders"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq_table_profile",
+    _profile_oracle(),
+    doc=(
+        "One-pass table profile of orders: per column, null count, "
+        "exact distinct count, and string-rendered min/max (money as "
+        "integer cents, dates as yyyy-MM-dd) — the column-statistics "
+        "scan a catalog/DQ layer runs on ingest. Spark computes all "
+        "24 aggregates in ONE aggregation (the multi-distinct Expand "
+        "plan) and unpivots via stack; the oracle mirrors with a "
+        "UNION ALL per column."
+    ),
+)
+def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (nulls / distincts / min / max) of orders.
+
+    Scale notes (100 TB): one aggregation pass — multiple exact
+    count(DISTINCT) aggregates compile to Spark's Expand plan (a 6x
+    row multiplier before partial aggregation, still one scan and one
+    shuffle); at extreme widths swap exact distincts for
+    approx_count_distinct and the multiplier disappears. The stack
+    unpivot runs on the single 1-row aggregate — free."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, dexpr, rexpr in _PROFILE_COLS:
+        aggs.append(
+            F.expr(f"sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"{name}__nulls")
+        )
+        aggs.append(
+            F.expr(f"count(DISTINCT {dexpr})")
+            .cast("bigint")
+            .alias(f"{name}__distinct")
+        )
+        mn = rexpr.format(
+            m="min", dfmt="date_format(min(o_orderdate), 'yyyy-MM-dd')"
+        ).replace("AS VARCHAR", "AS STRING")
+        mx = rexpr.format(
+            m="max", dfmt="date_format(max(o_orderdate), 'yyyy-MM-dd')"
+        ).replace("AS VARCHAR", "AS STRING")
+        aggs.append(F.expr(mn).alias(f"{name}__min"))
+        aggs.append(F.expr(mx).alias(f"{name}__max"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nulls, {name}__distinct, {name}__min, {name}__max"
+        for name, _, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    )
