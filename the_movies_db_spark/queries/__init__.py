@@ -80,7 +80,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dq_control_chart_pchart, pipeline_quality_calibration,
     # sim_mmr_diversify, search_ndcg_eval, pipeline_importance_dsir,
     # events_seasonal_anomaly, orders_price_elasticity,
-    # sim_embedding_drift, dq_table_profile.
+    # sim_embedding_drift, dq_table_profile, text_bigram_logprob,
+    # dq_functional_deps.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -3273,3 +3273,77 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit: does det -> dep hold, and how nearly?
+# ---------------------------------------------------------------------------
+
+#: (table, determinant, dependent) candidates — one true FD by
+#: construction (o_orderkey is the orders PK) among plausible-but-false
+#: ones, so the audit's two outcomes are both exercised.
+_FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        selects.append(f"""
+    SELECT '{tbl}' AS table_name, '{det}' AS determinant,
+           '{dep}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST((count(*) - sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END))
+                * 1000000 // count(*) AS BIGINT) AS support_ppm
+    FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+          FROM {tbl} GROUP BY 1) g""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq_functional_deps",
+    _fd_oracle(),
+    doc=(
+        "Functional-dependency audit: for candidate det -> dep pairs, "
+        "the number of determinant keys whose dependent is not unique "
+        "and the FD's support in exact ppm — the profiling step that "
+        "discovers real constraints (o_orderkey -> o_custkey holds; "
+        "l_partkey -> l_suppkey does not) before they are declared or "
+        "relied on by an optimizer."
+    ),
+)
+def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support of candidate functional dependencies.
+
+    Scale notes (100 TB): each candidate is one hash aggregation on
+    its determinant (count distinct dependent per key) followed by a
+    1-row reduce — candidates sharing a determinant could share the
+    groupBy, and the per-key distinct is map-side combinable. No
+    windows, no joins; output bounded by the candidate list."""
+    out = None
+    for tbl, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        row = g.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        ).select(
+            "*",
+            F.expr(
+                "CAST((n_keys - n_violating) * 1000000 div n_keys AS BIGINT)"
+            ).alias("support_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

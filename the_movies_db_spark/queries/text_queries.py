@@ -1048,3 +1048,126 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fano_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (the higher-order sibling of
+# text_unigram_logprob — the CCNet-style LM filter shape)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_W = (
+    "CAST(floor(ln(CAST(c_bi + 1 AS DOUBLE) / CAST(c_uni + v AS DOUBLE))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, lang, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
+      FROM (SELECT doc_id, lang,
+                   unnest(list_zip(t[:len(t) - 1], t[2:])) AS p
+            FROM d WHERE len(t) >= 2) u
+    ),
+    cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi
+           FROM bi GROUP BY 1),
+    cu AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c_uni
+      FROM (SELECT unnest(t) AS term FROM d) u GROUP BY 1
+    ),
+    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu),
+    wt AS (
+      SELECT cb.bigram, {_BIGRAM_W} AS w_micro
+      FROM cb JOIN cu ON cb.bigram LIKE cu.term || ' %'
+                     AND split_part(cb.bigram, ' ', 1) = cu.term
+      CROSS JOIN vv
+    ),
+    doc AS (
+      SELECT b.doc_id, b.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(w.w_micro) AS BIGINT) AS s
+      FROM bi b JOIN wt w ON b.bigram = w.bigram
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_bigrams,
+           CAST(s // n_bigrams AS BIGINT) AS lp_micro
+    FROM doc
+    ORDER BY lp_micro ASC, doc_id
+    LIMIT 15
+    """,
+    doc=(
+        "Bigram language-model scoring with add-V smoothing: "
+        "p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V), per-document mean "
+        "log-probability — the higher-order LM filter (CCNet runs a "
+        "5-gram LM; the conditional-count machinery is identical at "
+        "n=2). Bottom-15 = most improbable documents, the reject list "
+        "of a perplexity gate. Per-bigram weights floor to micro "
+        "BEFORE the per-doc sum — exact BIGINT throughout."
+    ),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM doc scoring (most-surprising documents first).
+
+    Scale notes (100 TB): bigram and unigram count tables are
+    vocab-bounded aggregates of the token stream; the weight table
+    joins them on the context word (vocab-scale, never corpus-scale);
+    scoring re-shuffles the bigram stream once against the weight
+    table and reduces per doc. Corpus is tokenized twice (counting +
+    scoring) — at 100 TB persist the weight table, not the stream.
+    The DuckDB mirror splits the bigram key with split_part; Spark
+    carries w1 alongside the bigram so no re-parse happens JVM-side."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    )
+    bi = d.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(concat(t[i - 1], ' ', t[i]) AS bigram,"
+                " t[i - 1] AS w1))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
+    cb = bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_bi"),
+        F.first("w1").alias("w1"),
+    )
+    cu = (
+        d.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    )
+    vv = cu.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    wt = (
+        cb.join(cu, cb.w1 == cu.term)
+        .crossJoin(F.broadcast(vv))
+        .select("bigram", F.expr(_BIGRAM_W).alias("w_micro"))
+    )
+    doc = (
+        bi.join(wt, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("w_micro").cast("bigint").alias("s"),
+        )
+    )
+    return (
+        doc.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.expr("CAST(s div n_bigrams AS BIGINT)").alias("lp_micro"),
+        )
+        .orderBy(F.asc("lp_micro"), F.asc("doc_id"))
+        .limit(15)
+    )
