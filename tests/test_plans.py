@@ -499,3 +499,62 @@ def test_curation_funnel_single_tokenize_pass(spark, sf_dir, registry):
     txt = plan_of(registry["pipeline_curation_funnel"].spark(spark, sf_dir))
     assert txt.count("documents.parquet") == 2, txt.count("documents.parquet")
     assert "CartesianProduct" not in txt and "NestedLoop" not in txt
+
+
+def test_ndcg_rel_checkpoint_bounds_doc_scans(spark, sf_dir, registry):
+    """search_ndcg_eval reads documents exactly twice in-plan (the BM25
+    token stream + its corpus-stats branch); the relevance table feeds
+    both the system-DCG and ideal-DCG branches through ONE lazily
+    checkpointed subtree, not a re-tokenization per branch."""
+    txt = plan_of(registry["search_ndcg_eval"].spark(spark, sf_dir))
+    assert txt.count("documents.parquet") == 2, txt.count("documents.parquet")
+    assert "CartesianProduct" not in txt
+
+
+def test_dsir_single_inplan_scan(spark, sf_dir, registry):
+    """pipeline_importance_dsir's weight table (vocab-bounded) is
+    checkpointed: the returned plan carries ONE corpus scan (scoring);
+    the counting scan runs exactly once at checkpoint materialization
+    instead of once per downstream branch."""
+    txt = plan_of(registry["pipeline_importance_dsir"].spark(spark, sf_dir))
+    assert txt.count("documents.parquet") == 1, txt.count("documents.parquet")
+
+
+def test_bigram_count_tables_checkpointed(spark, sf_dir, registry):
+    txt = plan_of(registry["text_bigram_logprob"].spark(spark, sf_dir))
+    assert txt.count("documents.parquet") == 1, txt.count("documents.parquet")
+
+
+def test_mmr_greedy_runs_off_checkpointed_pool(spark, sf_dir, registry):
+    """sim_mmr_diversify: every greedy step runs on the eagerly
+    checkpointed 12-row pool — the returned plan contains NO corpus
+    scan and no nested-loop join (the pool pair join is behind the
+    checkpoint)."""
+    txt = plan_of(registry["sim_mmr_diversify"].spark(spark, sf_dir))
+    assert txt.count("embeddings.parquet") == 0
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt
+
+
+def test_elasticity_broadcasts_dims(spark, sf_dir, registry):
+    """orders_price_elasticity: one lineitem scan, part broadcast —
+    no shuffle join of fact rows against the part dim."""
+    txt = plan_of(registry["orders_price_elasticity"].spark(spark, sf_dir))
+    assert txt.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in txt
+
+
+def test_profile_single_scan_with_expand(spark, sf_dir, registry):
+    """dq_table_profile computes all 24 aggregates in one scan; the
+    exact multi-distinct compiles to the Expand plan (the documented
+    trade — swap to approx_count_distinct to drop it at scale)."""
+    txt = plan_of(registry["dq_table_profile"].spark(spark, sf_dir))
+    assert txt.count("orders.parquet") == 1
+    assert "Expand" in txt
+
+
+def test_embedding_drift_is_one_aggregation(spark, sf_dir, registry):
+    """sim_embedding_drift: one embeddings scan into a 64-group
+    aggregation — no joins at all."""
+    txt = plan_of(registry["sim_embedding_drift"].spark(spark, sf_dir))
+    assert txt.count("embeddings.parquet") == 1
+    assert "Join" not in txt

@@ -2080,11 +2080,17 @@ def pipeline_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
         ).alias("term"),
     )
-    stats = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("c_tgt"),
+    stats = (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_tgt"),
+        )
+        # vocab-bounded; checkpointed so the totals branch and the
+        # weight projection don't each re-run the corpus tokenization
+        .localCheckpoint(eager=False)
     )
     tot = stats.agg(
         F.sum("c_raw").cast("bigint").alias("t_raw"),

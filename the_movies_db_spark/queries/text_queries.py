@@ -1138,14 +1138,17 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "lang", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
+    # both count tables are vocab-bounded; checkpointed so the weight
+    # join and the V-count branch don't re-run the corpus tokenization
     cb = bi.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_bi"),
         F.first("w1").alias("w1"),
-    )
+    ).localCheckpoint(eager=False)
     cu = (
         d.select(F.explode("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+        .localCheckpoint(eager=False)
     )
     vv = cu.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     wt = (
