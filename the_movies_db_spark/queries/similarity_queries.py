@@ -2353,3 +2353,100 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta_nano")).desc(), F.asc("dim"))
         .limit(8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimension-correlation audit over the first 16 embedding dims
+# ---------------------------------------------------------------------------
+
+_CORR_DIMS = 16
+_CORR_MILLI = (
+    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000) AS BIGINT)"
+)
+
+
+@register(
+    "sim_dim_correlation",
+    f"""
+    WITH el AS (
+      SELECT vec_id, generate_subscripts(e16, 1) AS dim,
+             CAST(floor(CAST(unnest(e16) AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, embedding[1:{_CORR_DIMS}] AS e16 FROM embeddings) t
+    ),
+    p AS (
+      SELECT a.dim AS di, b.dim AS dj, a.q AS x, b.q AS y
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.dim < b.dim
+    ),
+    s AS (
+      SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j, n,
+           {_CORR_MILLI} AS corr_milli
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY abs({_CORR_MILLI}) DESC, di, dj
+    LIMIT 10
+    """,
+    doc=(
+        "Feature-correlation audit: Pearson correlation between every "
+        "pair of the first 16 embedding dimensions (milli-quantized "
+        "elements, exact BIGINT moments, one IEEE-identical closed "
+        "form at the end) — highly correlated dims mean the encoder "
+        "wastes capacity and PQ subspaces should be rotated. Top-10 "
+        "pairs by |corr|."
+    ),
+)
+def sim_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top correlated dimension pairs (exact integer moments).
+
+    Scale notes (100 TB): pairs are generated per ROW by a nested
+    transform expression (dims^2/2 structs per row, no self-join, no
+    second scan — the oracle's equi-self-join is the semantic spec,
+    not the plan); one hash aggregation over 120 groups. Milli (not
+    micro) quantization keeps n*sxy inside BIGINT to ~1e6 rows per
+    aggregation — shard-and-merge moments beyond that (moments are
+    additive)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    d = _CORR_DIMS
+    qarr = (
+        f"transform(slice(embedding, 1, {d}),"
+        " v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    # stage the quantized array in its own projection (HOF expressions
+    # re-inline per reference otherwise — CLAUDE.md perf trap)
+    staged = e.select("vec_id", F.expr(qarr).alias("qa"))
+    pairs = (
+        f"flatten(transform(sequence(0, {d - 2}), i ->"
+        f" transform(sequence(i + 1, {d - 1}), j -> struct("
+        " i + 1 AS di, j + 1 AS dj,"
+        " element_at(qa, i + 1) AS x, element_at(qa, j + 1) AS y))))"
+    )
+    p = staged.select(F.explode(F.expr(pairs)).alias("p")).select(
+        "p.di", "p.dj", "p.x", "p.y"
+    )
+    s = p.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    return (
+        s.filter(F.expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"))
+        .select(
+            F.col("di").cast("bigint").alias("dim_i"),
+            F.col("dj").cast("bigint").alias("dim_j"),
+            "n",
+            F.expr(_CORR_MILLI).alias("corr_milli"),
+        )
+        .orderBy(F.abs(F.col("corr_milli")).desc(), F.asc("dim_i"), F.asc("dim_j"))
+        .limit(10)
+    )

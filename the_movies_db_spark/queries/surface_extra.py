@@ -3347,3 +3347,93 @@ def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Column entropy profile: Shannon entropy of categorical columns
+# ---------------------------------------------------------------------------
+
+_ENTROPY_COLS: tuple[tuple[str, str], ...] = (
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+)
+
+#: H = ln(n) - (1/n) * sum(c * ln(c)): per-value ln floored to micro,
+#: weighted by the exact count, one truncated division at the end.
+_ENTROPY_MICRO = (
+    "CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1000000) AS BIGINT)"
+    " - CAST(s {div} n_rows AS BIGINT)"
+)
+
+
+def _entropy_oracle() -> str:
+    selects = []
+    for tbl, col in _ENTROPY_COLS:
+        selects.append(f"""
+    SELECT '{tbl}' AS table_name, '{col}' AS col_name, n_rows, n_distinct,
+           CAST({_ENTROPY_MICRO.format(div='//')} AS BIGINT) AS entropy_micro
+    FROM (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM {tbl} GROUP BY {col}) g
+    ) t""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq_column_entropy",
+    _entropy_oracle(),
+    doc=(
+        "Shannon-entropy profile of categorical columns across four "
+        "tables — the skew/informativeness statistic a DQ layer pairs "
+        "with distinct counts (entropy near 0 = constant column; near "
+        "ln(k) = uniform). Computed as ln(n) - sum(c*ln c)/n with "
+        "per-value ln floored to micro and BIGINT-weighted by exact "
+        "counts, so the distributed aggregation is order-free and "
+        "engine-exact."
+    ),
+)
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy (micro-nats) over value counts.
+
+    Scale notes (100 TB): one hash aggregation per column to its value
+    domain, then a 1-row reduce — both map-side combinable; output
+    bounded by the audited column list. The per-value ln is applied to
+    COUNTS (domain-bounded distinct values), never per row."""
+    out = None
+    for tbl, col in _ENTROPY_COLS:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        row = (
+            g.agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("col_name"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.sum(
+                    F.expr(
+                        "c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)"
+                        " AS BIGINT)"
+                    )
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+            .select(
+                "table_name",
+                "col_name",
+                "n_rows",
+                "n_distinct",
+                F.expr(
+                    f"CAST({_ENTROPY_MICRO.format(div='div')} AS BIGINT)"
+                ).alias("entropy_micro"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
