@@ -81,7 +81,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_mmr_diversify, search_ndcg_eval, pipeline_importance_dsir,
     # events_seasonal_anomaly, orders_price_elasticity,
     # sim_embedding_drift, dq_table_profile, text_bigram_logprob,
-    # dq_functional_deps, sim_dim_correlation, dq_column_entropy.
+    # dq_functional_deps, sim_dim_correlation, dq_column_entropy,
+    # search_hard_negatives.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -1037,3 +1037,88 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: lexically retrieved, semantically distant
+# ---------------------------------------------------------------------------
+
+_HN_POOL = 20  # per-system candidate pool per query
+_HN_K = 5      # hard negatives kept per query
+
+
+def _hn_oracle() -> str:
+    from the_movies_db_spark.queries.similarity_queries import _COS
+
+    qids = ", ".join(str(q) for q in _HYBRID_QIDS)
+    return f"""
+    WITH bm AS ({_bm25_oracle(_HN_POOL)}),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN ({qids})
+      ) t WHERE rank <= {_HN_POOL}
+    ),
+    neg AS (
+      SELECT b.query_id, b.doc_id, b.score_milli,
+             row_number() OVER (PARTITION BY b.query_id
+                                ORDER BY b.rank) AS neg_rank
+      FROM bm b
+      WHERE b.query_id IN ({qids})
+        AND NOT EXISTS (SELECT 1 FROM ann a
+                        WHERE a.query_id = b.query_id
+                          AND a.neighbor_id = b.doc_id)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neg_rank AS BIGINT) AS neg_rank,
+           doc_id, score_milli
+    FROM neg WHERE neg_rank <= {_HN_K}
+    """
+
+
+@register(
+    "search_hard_negatives",
+    _hn_oracle(),
+    doc=(
+        "Hard-negative mining for dual-encoder training: documents "
+        "the BM25 ranker retrieves (top-20 pool) that the embedding "
+        "side does NOT place in its exact-cosine top-20 — lexically "
+        "confusable but semantically distant, exactly the negatives "
+        "contrastive retrieval training needs (random negatives are "
+        "too easy; BM25 negatives are the standard recipe). Top-5 per "
+        "query in BM25 order, all-integer scores."
+    ),
+)
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine BM25-retrieved docs outside the semantic top-20.
+
+    Scale notes (100 TB): both pools are bounded top-k per query (the
+    BM25 side is the vocabulary-pruned index build; the ANN side here
+    is the exact ranker, but any indexed variant slots in unchanged —
+    the anti-join consumes only (query_id, id) pairs). The anti-join
+    and ranking window touch <= 20 rows per query."""
+    from the_movies_db_spark.operators import similarity as S
+
+    bm = bm25_topk(
+        spark, load_table(spark, sf_dir, "documents"), top_k=_HN_POOL
+    ).filter(F.col("query_id").isin(list(_HYBRID_QIDS)))
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(list(_HYBRID_QIDS)))
+    ann = S.cosine_topk(e, q, "vec_id", "embedding", k=_HN_POOL, dim=64).select(
+        "query_id", F.col("neighbor_id").alias("doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    return (
+        bm.join(ann, ["query_id", "doc_id"], "left_anti")
+        .withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= _HN_K)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "neg_rank",
+            "doc_id",
+            "score_milli",
+        )
+    )
