@@ -53,14 +53,11 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
-    "text_langid",
     "text_tfidf_topk",
-    "multimodal_resize",
     "streaming_tumbling",
     # corpus-curation operators (round 2; pack_sequences/chunk_overlap
     # retired round 6)
     "pipeline_decontaminate",
-    "pipeline_pii_redact",
     "pipeline_quality_filter",
     "dedup_semantic",
     "dedup_incremental",
@@ -73,7 +70,6 @@ HEADLINE = [
     "sim_topk_pq",
     "dedup_semantic_lsh",
     "search_index_persisted",
-    "pipeline_chunk_overlap",
     "dedup_source_overlap",
     "text_entropy",
     "sim_topk_lsh_multiprobe",
@@ -81,7 +77,6 @@ HEADLINE = [
     "search_hybrid_rrf",
     "sim_topk_matryoshka",
     "basket_brand_pairs",
-    "events_streaks",
     # round-4 continuation: binned interval join, distributed-rank RFM
     # (pipeline_shard_shuffle retired round 6)
     "join_interval_overlap",
@@ -94,10 +89,20 @@ HEADLINE = [
     "dedup_threshold_histogram",
     "agg_weighted_median",
     "upsert_scd2_asof",
-    "dq_benford_digits",
     "pipeline_gate_ablation",
     "sim_bucket_purity",
     "events_path_topk",
+    # round-6 continuation: greedy MMR re-rank, retrieval eval + hard
+    # negatives, DSIR + bigram-LM scoring, dim-correlation audit
+    # (text_langid/multimodal_resize/pipeline_pii_redact/
+    # pipeline_chunk_overlap/events_streaks/dq_benford_digits retired —
+    # flat sub-0.45 s honest medians, still oracle-gated every round)
+    "sim_mmr_diversify",
+    "search_ndcg_eval",
+    "search_hard_negatives",
+    "pipeline_importance_dsir",
+    "text_bigram_logprob",
+    "sim_dim_correlation",
     # round-6: the 10 most expensive round-5 additions (probe-measured
     # ranking in the round-5 verdict) so BENCH carries their medians
     "sim_recall_nprobe_curve",
