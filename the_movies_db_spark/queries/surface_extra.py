@@ -3437,3 +3437,95 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew audit: would this key distribute evenly across reducers?
+# ---------------------------------------------------------------------------
+
+_SKEW_BUCKETS = 32
+#: engine-identical bucket: md5-prefix of the key string, mod buckets
+#: (Spark's internal Murmur3 partitioning hash has no DuckDB mirror —
+#: the md5 bucket models the same mechanism deterministically).
+_SKEW_KEYS: tuple[tuple[str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orderkey"),
+    ("lineitem", "l_partkey", "partkey"),
+    ("events", "user_id", "user_id"),
+    ("documents", "lang", "lang"),
+)
+
+
+def _skew_oracle() -> str:
+    selects = []
+    for tbl, key, label in _SKEW_KEYS:
+        selects.append(f"""
+    SELECT '{label}' AS key_name, n_buckets, total_rows, max_bucket_rows,
+           CAST(max_bucket_rows * {_SKEW_BUCKETS} * 1000 // total_rows
+                AS BIGINT) AS skew_milli
+    FROM (
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(c) AS BIGINT) AS total_rows,
+             CAST(max(c) AS BIGINT) AS max_bucket_rows
+      FROM (
+        SELECT CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_SKEW_BUCKETS} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {tbl} GROUP BY 1
+      ) g
+    ) t""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq_shuffle_skew",
+    _skew_oracle(),
+    doc=(
+        "Shuffle-skew audit: hash candidate join/agg keys into 32 "
+        "buckets (md5-derived, engine-identical) and measure the "
+        "hottest bucket vs the uniform share — skew_milli = 1000 "
+        "means perfectly even, 32000 means one reducer gets "
+        "everything (documents.lang: 5 values into 32 buckets — the "
+        "low-cardinality key every salting/AQE-skew-join decision is "
+        "about). The pre-flight a 1000-executor job runs before "
+        "keying a 100 TB shuffle."
+    ),
+)
+def dq_shuffle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducer-skew projection for candidate shuffle keys.
+
+    Scale notes (100 TB): per key, one hash aggregation to 32 bucket
+    counts then a 1-row reduce — map-side combinable, output bounded
+    by the key list. The md5 bucket stands in for the partitioner
+    hash; the DIAGNOSIS (max/uniform ratio) transfers because any
+    decent hash spreads a high-cardinality key the same way."""
+    out = None
+    for tbl, key, label in _SKEW_KEYS:
+        t = load_table(spark, sf_dir, tbl)
+        b = (
+            t.select(
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col(key).cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % _SKEW_BUCKETS
+                ).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        row = b.agg(
+            F.lit(label).alias("key_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("c").cast("bigint").alias("total_rows"),
+            F.max("c").cast("bigint").alias("max_bucket_rows"),
+        ).select(
+            "*",
+            F.expr(
+                f"CAST(max_bucket_rows * {_SKEW_BUCKETS} * 1000"
+                " div total_rows AS BIGINT)"
+            ).alias("skew_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

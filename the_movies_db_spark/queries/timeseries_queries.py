@@ -2476,3 +2476,86 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z_milli")).desc(), F.asc("day"), F.asc("hour"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean: robust location without the array (order-stat windows)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_trimmed_mean",
+    """
+    WITH q AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n) // 10 AS BIGINT) AS k,
+           CAST(sum(cents) * 1000 // max(n) AS BIGINT) AS mean_milli,
+           CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                         THEN cents ELSE 0 END) * 1000
+                // (max(n) - 2 * (max(n) // 10)) AS BIGINT)
+             AS trimmed_milli
+    FROM r GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "10% trimmed mean of event value per type — the robust "
+        "location estimate that survives the heavy tails plain AVG "
+        "chases. Values quantized to integer cents; trimming is "
+        "POSITIONAL via a deterministic (value, id) row_number, so "
+        "both engines drop exactly the same rows and the conditional "
+        "sum is exact BIGINT (milli-cents output)."
+    ),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 10% trimmed mean via order-stat windows.
+
+    Scale notes (100 TB): no sorted arrays are materialized — one
+    window pass partitioned by type assigns positions (each partition
+    sorts distributed within its group), one hash aggregation computes
+    the conditional sum. At extreme per-group cardinalities the
+    row_number window is the two-level-rank candidate, but unlike a
+    GLOBAL rank it is already partitioned by the group key — it scales
+    with the widest single group, not the table."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("cents"), F.asc("event_id")
+    )
+    wc = Window.partitionBy("event_type")
+    r = q.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.expr("CAST(max(n) div 10 AS BIGINT)").alias("k"),
+            F.expr("CAST(sum(cents) * 1000 div max(n) AS BIGINT)").alias(
+                "mean_milli"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN rn > n div 10 AND rn <= n - n div 10"
+                " THEN cents ELSE 0 END) * 1000"
+                " div (max(n) - 2 * (max(n) div 10)) AS BIGINT)"
+            ).alias("trimmed_milli"),
+        )
+        .orderBy("event_type")
+    )
