@@ -1174,3 +1174,147 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("lp_micro"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth over deterministic corpus prefixes
+# ---------------------------------------------------------------------------
+
+_HEAPS_POINTS = 8
+_HEAPS_SLOPE = (
+    "CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)"
+)
+
+
+@register(
+    "text_vocab_growth_heaps",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM d),
+    cps AS (
+      SELECT CAST(unnest(range(1, {_HEAPS_POINTS} + 1)) AS BIGINT) AS k
+    ),
+    cuts AS (
+      SELECT k, CAST((mx + 1) * k // {_HEAPS_POINTS} AS BIGINT) AS cut
+      FROM cps CROSS JOIN mx
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM d),
+    firsts AS (
+      SELECT term, CAST(min(doc_id) AS BIGINT) AS fd
+      FROM (SELECT doc_id, unnest(t) AS term FROM d) u
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT c.k,
+             (SELECT CAST(sum(n_tok) AS BIGINT) FROM dl
+              WHERE doc_id < c.cut) AS n_tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM firsts
+              WHERE fd < c.cut) AS vocab
+      FROM cuts c
+    ),
+    lp AS (
+      SELECT k, n_tokens, vocab,
+             CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM pts
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM lp
+    )
+    SELECT lp.k, lp.n_tokens, lp.vocab,
+           {_HEAPS_SLOPE} AS beta_micro
+    FROM lp CROSS JOIN fit
+    ORDER BY lp.k
+    """,
+    doc=(
+        "Heaps'-law vocabulary growth: distinct vocabulary vs total "
+        "tokens at 8 deterministic corpus prefixes (doc_id order), "
+        "with the fitted growth exponent beta from a ln-ln OLS over "
+        "the 8 points (milli-lns, exact-integer closed form) — the "
+        "corpus-linguistics audit that says whether a corpus is still "
+        "finding new vocabulary (beta near 0.5) or saturating (near "
+        "0), which calibrates tokenizer retraining and dedup budgets. "
+        "Prefix cut points derive from max(doc_id) with the same "
+        "integer formula on both sides."
+    ),
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-vs-tokens growth curve + Heaps exponent.
+
+    Scale notes (100 TB): per-term FIRST-appearance (min doc_id) is
+    one vocab-bounded aggregation — prefix vocabularies then need no
+    re-scan per checkpoint (count firsts below each cut over the
+    broadcast 8-row cut table); token totals likewise aggregate
+    per-doc counts once. No corpus re-tokenization per prefix — the
+    naive 8-scan formulation is the trap."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    )
+    mx = d.agg(F.max("doc_id").cast("bigint").alias("mx"))
+    cuts = (
+        spark.range(1, _HEAPS_POINTS + 1)
+        .select(F.col("id").cast("bigint").alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "k",
+            F.expr(
+                f"CAST((mx + 1) * k div {_HEAPS_POINTS} AS BIGINT)"
+            ).alias("cut"),
+        )
+    )
+    dl = d.select("doc_id", F.size("t").cast("bigint").alias("n_tok"))
+    firsts = (
+        d.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").cast("bigint").alias("fd"))
+    )
+    toks = (
+        dl.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") < F.col("cut"))
+        .groupBy("k")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fd") < F.col("cut"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    lp = toks.join(vocab, "k").select(
+        "k",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("y"),
+    ).localCheckpoint(eager=False)
+    fit = lp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    return (
+        lp.crossJoin(F.broadcast(fit))
+        .select(
+            "k",
+            "n_tokens",
+            "vocab",
+            F.expr(_HEAPS_SLOPE.replace("//", "div")).alias("beta_micro"),
+        )
+        .orderBy("k")
+    )

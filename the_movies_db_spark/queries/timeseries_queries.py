@@ -2559,3 +2559,118 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength: variance explained by the hour-of-day profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_seasonality_strength",
+    """
+    WITH c AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(hour(ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM c),
+    hours AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS hr),
+    dense AS (
+      SELECT d.day, h.hr, CAST(2 * coalesce(c.cnt, 0) AS BIGINT) AS x
+      FROM days d CROSS JOIN hours h
+      LEFT JOIN c ON c.day = d.day AND c.hr = h.hr
+    ),
+    med AS (
+      SELECT hr,
+             arr[CAST((n + 1) // 2 AS INT)]
+               + arr[CAST(n // 2 + 1 AS INT)] AS med2
+      FROM (SELECT hr, list_sort(list(x // 2)) AS arr,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM dense GROUP BY 1) t
+    ),
+    r AS (
+      SELECT d.x, d.x - m.med2 AS res
+      FROM dense d JOIN med m ON d.hr = m.hr
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(res) AS BIGINT) AS sr,
+             CAST(sum(res * res) AS BIGINT) AS srr
+      FROM r
+    )
+    SELECT n AS n_cells,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_total_num,
+           CAST(n * srr - sr * sr AS BIGINT) AS var_resid_num,
+           CAST(((n * sxx - sx * sx) - (n * srr - sr * sr)) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS strength_ppm
+    FROM s
+    """,
+    doc=(
+        "Seasonality STRENGTH: share of hourly-count variance "
+        "explained by the hour-of-day median profile, 1 - "
+        "var(residual)/var(total) in exact ppm — the companion "
+        "statistic to events_seasonal_anomaly that says whether the "
+        "seasonal baseline is worth deseasonalizing against at all. "
+        "Counts x2-scaled so the median baseline stays integer; both "
+        "variances as exact n*sum(x^2)-sum(x)^2 numerators over the "
+        "same n, so the ratio needs one final division."
+    ),
+)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance explained by the hour-of-day profile (exact ppm).
+
+    Scale notes (100 TB): identical reduction shape to
+    events_seasonal_anomaly — fact to |days|x24 cells in one hash agg,
+    bounded-grid work after (checkpointed against branch re-scans).
+    The x2-scaled squared sums bound at cells*(2*count)^2 — downscale
+    counts to kilo-events once per-cell counts approach 1e9."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .groupBy("day", "hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    days = c.select("day").distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hr"))
+    dense = (
+        days.crossJoin(F.broadcast(hours))
+        .join(c, ["day", "hr"], "left")
+        .select(
+            "day",
+            "hr",
+            (2 * F.coalesce("cnt", F.lit(0))).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mid = (
+        "arr[CAST((n + 1) div 2 AS INT) - 1]"
+        " + arr[CAST(n div 2 + 1 AS INT) - 1]"
+    )
+    med = dense.groupBy("hr").agg(
+        F.sort_array(F.collect_list(F.expr("x div 2"))).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select("hr", F.expr(mid).alias("med2"))
+    r = dense.join(F.broadcast(med), "hr").select(
+        "x", F.expr("x - med2").alias("res")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum("res").cast("bigint").alias("sr"),
+        F.sum(F.expr("res * res")).cast("bigint").alias("srr"),
+    )
+    return s.select(
+        F.col("n").alias("n_cells"),
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("var_total_num"),
+        F.expr("CAST(n * srr - sr * sr AS BIGINT)").alias("var_resid_num"),
+        F.expr(
+            "CAST(((n * sxx - sx * sx) - (n * srr - sr * sr)) * 1000000"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("strength_ppm"),
+    )
