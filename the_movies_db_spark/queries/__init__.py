@@ -83,7 +83,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_embedding_drift, dq_table_profile, text_bigram_logprob,
     # dq_functional_deps, sim_dim_correlation, dq_column_entropy,
     # search_hard_negatives, dq_shuffle_skew, agg_trimmed_mean,
-    # events_seasonality_strength, text_vocab_growth_heaps.
+    # events_seasonality_strength, text_vocab_growth_heaps,
+    # udf_mapinarrow_norm.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -334,3 +334,81 @@ def udf_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_clicks long, n_admitted long, n_rejected long",
     )
     return per_user.orderBy(F.desc("n_rejected"), F.asc("user_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: zero-copy Arrow batch kernel (Spark-4 API surface)
+# ---------------------------------------------------------------------------
+
+_ARROW_Q = (
+    "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "udf_mapinarrow_norm",
+    f"""
+    WITH q AS (
+      SELECT label,
+             CAST(list_aggregate(list_transform(embedding,
+                    v -> {_ARROW_Q} * {_ARROW_Q}), 'sum') AS BIGINT) AS qn
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(qn) AS BIGINT) AS min_qnorm2,
+           CAST(max(qn) AS BIGINT) AS max_qnorm2,
+           CAST(sum(qn) AS BIGINT) AS sum_qnorm2
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "mapInArrow kernel: per-vector squared norm in micro-quantized "
+        "BIGINT computed on raw Arrow batches (zero-copy flatten to a "
+        "numpy int64 matrix — no pandas conversion), then a JVM-side "
+        "per-label aggregation on top. The kernel is ORDER-FREE "
+        "integer arithmetic (floor-micro per element, then integer "
+        "squares/sums), so arbitrary Arrow batch boundaries and "
+        "summation orders cannot change the value-hash — the design "
+        "rule that makes a python-kernel op oracle-pinnable at all."
+    ),
+)
+def udf_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch kernel + JVM aggregation.
+
+    Scale notes (100 TB): the kernel is embarrassingly parallel per
+    Arrow batch (vectorized int64 ops over a zero-copy flatten;
+    ~10-100x a row-at-a-time Python UDF); the reduction after it is an
+    ordinary label-keyed hash aggregate. Fixed dim = 64 is asserted
+    against the flattened length, so a ragged batch fails loudly
+    rather than mis-reshaping."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        import numpy as np
+
+        for b in batches:
+            emb = b.column(b.schema.get_field_index("embedding"))
+            v = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            assert v.size == b.num_rows * 64, (v.size, b.num_rows)
+            q = np.floor(v * 1000000.0).astype(np.int64)
+            s = (q * q).reshape(-1, 64).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("label")),
+                    pa.array(s, type=pa.int64()),
+                ],
+                ["label", "qn"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("label", "embedding").mapInArrow(kernel, "label int, qn long")
+    return (
+        q.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("qn").cast("bigint").alias("min_qnorm2"),
+            F.max("qn").cast("bigint").alias("max_qnorm2"),
+            F.sum("qn").cast("bigint").alias("sum_qnorm2"),
+        )
+        .orderBy("label")
+    )
