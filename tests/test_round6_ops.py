@@ -121,3 +121,116 @@ def test_elasticity_deterministic(spark, sf_dir):
     assert 0 < len(a) <= 25
     for brand, n_months, el in a:
         assert n_months >= 1
+
+
+def test_shuffle_skew_bounds(spark, sf_dir):
+    rows = {
+        r["key_name"]: r
+        for r in REGISTRY["dq_shuffle_skew"].spark(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"orderkey", "partkey", "user_id", "lang"}
+    for r in rows.values():
+        # hottest bucket is at least the uniform share, at most everything
+        assert 1000 <= int(r["skew_milli"]) <= 32000
+        assert int(r["n_buckets"]) <= 32
+        assert int(r["max_bucket_rows"]) <= int(r["total_rows"])
+    # a 5-value key cannot use more than 5 of 32 buckets
+    assert int(rows["lang"]["n_buckets"]) <= 5
+    assert int(rows["lang"]["skew_milli"]) > int(
+        rows["orderkey"]["skew_milli"]
+    )
+
+
+def test_trimmed_mean_matches_numpy_reference(spark, sf_dir):
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for et, eid, v in zip(t["event_type"], t["event_id"], t["value"]):
+        by_type.setdefault(et, []).append(
+            (math.floor(float(v) * 100), int(eid))
+        )
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_trimmed_mean"].spark(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(by_type)
+    for et, pairs in by_type.items():
+        pairs.sort()
+        n = len(pairs)
+        k = n // 10
+        kept = [c for c, _ in pairs[k : n - k]]
+        assert int(rows[et]["n"]) == n and int(rows[et]["k"]) == k
+        assert int(rows[et]["trimmed_milli"]) == _tdiv(
+            sum(kept) * 1000, n - 2 * k
+        )
+
+
+def test_seasonality_strength_bounded(spark, sf_dir):
+    (r,) = REGISTRY["events_seasonality_strength"].spark(
+        spark, sf_dir
+    ).collect()
+    assert int(r["strength_ppm"]) <= 1000000
+    assert int(r["var_total_num"]) > 0
+
+
+def test_heaps_growth_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["text_vocab_growth_heaps"].spark(spark, sf_dir).collect(),
+        key=lambda r: int(r["k"]),
+    )
+    assert len(rows) == 8
+    toks = [int(r["n_tokens"]) for r in rows]
+    vocab = [int(r["vocab"]) for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    betas = {int(r["beta_micro"]) for r in rows}
+    assert len(betas) == 1  # one fitted exponent, broadcast to all rows
+    # sublinear growth; 0 is legitimate at the smoke SF (the tiny
+    # synthetic vocabulary saturates within the first prefix)
+    assert 0 <= betas.pop() < 1000000
+
+
+def test_mapinarrow_norm_matches_expression(spark, sf_dir):
+    """The Arrow kernel must equal the pure-expression computation of
+    the same integer norm (batch boundaries can't matter)."""
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table
+
+    got = {
+        int(r["label"]): (
+            int(r["n_vecs"]),
+            int(r["min_qnorm2"]),
+            int(r["max_qnorm2"]),
+            int(r["sum_qnorm2"]),
+        )
+        for r in REGISTRY["udf_mapinarrow_norm"].spark(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings")
+    q = "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"
+    ref = {
+        int(r["label"]): (
+            int(r["n"]),
+            int(r["mn"]),
+            int(r["mx"]),
+            int(r["s"]),
+        )
+        for r in e.select(
+            "label",
+            F.expr(
+                f"aggregate(transform(embedding, v -> {q} * {q}),"
+                " 0L, (a, b) -> a + b)"
+            ).alias("qn"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("qn").alias("mn"),
+            F.max("qn").alias("mx"),
+            F.sum("qn").alias("s"),
+        )
+        .collect()
+    }
+    assert got == ref
