@@ -3529,3 +3529,109 @@ def dq_shuffle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Engine-exact HLL: md5-derived registers, all-integer estimator
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256      # registers (b = 8 bits of the md5 prefix)
+_HLL_CAP = 40     # rank cap so register contributions stay integer
+#: rank of the 52-bit hash suffix: leading zeros + 1, capped.
+#: bin() drops leading zeros in BOTH engines (bin(0) = '0' -> 52, capped).
+_HLL_RANK = "least(53 - length(bin(v)), 40)"
+#: alpha_256 = 0.7213/(1 + 1.079/256) in ppm, folded to a literal.
+_HLL_EST = (
+    "CAST((72057594037927936 {div} s_all) * 718273 {div} 1000000 AS BIGINT)"
+)
+
+
+@register(
+    "agg_hll_exact_mirror",
+    f"""
+    WITH kv AS (
+      SELECT CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS r,
+             CAST(concat('0x', substr(h, 3, 13)) AS BIGINT) AS v
+      FROM (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem) t
+    ),
+    regs AS (
+      SELECT r, CAST(max({_HLL_RANK}) AS BIGINT) AS rk
+      FROM kv GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(1::BIGINT << CAST(40 - rk AS INT)) AS BIGINT) AS s_pres
+      FROM regs
+    ),
+    ex AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+      FROM lineitem
+    ),
+    f AS (
+      SELECT ex.n_exact, s.n_used,
+             s.s_pres + ({_HLL_M} - s.n_used) * (1::BIGINT << 40) AS s_all
+      FROM s CROSS JOIN ex
+    )
+    SELECT n_exact, n_used AS n_registers_used,
+           {_HLL_EST.format(div='//')} AS hll_estimate,
+           CAST(abs({_HLL_EST.format(div='//')} - n_exact) * 1000000
+                // n_exact AS BIGINT) AS err_ppm
+    FROM f
+    """,
+    doc=(
+        "HyperLogLog with a value-hash-exact twin: 256 md5-derived "
+        "registers, rank = leading zeros of the 52-bit hash suffix "
+        "(capped at 40), harmonic sum as exact BIGINT powers of two, "
+        "and the alpha*m^2/S estimator as one integer division chain "
+        "— the same sketch on both engines, unlike the builtin "
+        "datasketches HLL (rows-only by necessity). Reports the "
+        "estimate AND its true error vs exact count(DISTINCT) in ppm "
+        "— the accuracy audit that justifies replacing exact distinct "
+        "counts at 100 TB."
+    ),
+)
+def agg_hll_exact_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed HLL + accuracy vs exact distinct.
+
+    Scale notes (100 TB): the sketch is one hash aggregation to 256
+    registers (map-side combinable max — the classic HLL merge), then
+    a 1-row reduce; the exact-distinct branch exists only for the
+    audit and is the part you drop at scale. All register math is
+    BIGINT (rank capped at 40 keeps 2^(40-rk) exact and the 256-term
+    sum under 2^48)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kv = li.select(
+        F.md5(F.col("l_orderkey").cast("string")).alias("h")
+    ).select(
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("r"),
+        F.conv(F.substring("h", 3, 13), 16, 10).cast("bigint").alias("v"),
+    )
+    regs = kv.groupBy("r").agg(
+        F.expr(f"CAST(max({_HLL_RANK}) AS BIGINT)").alias("rk")
+    )
+    s = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.expr("shiftleft(1L, CAST(40 - rk AS INT))"))
+        .cast("bigint")
+        .alias("s_pres"),
+    )
+    ex = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_exact"))
+    est = _HLL_EST.format(div="div")
+    return (
+        s.crossJoin(F.broadcast(ex))
+        .select(
+            "n_exact",
+            "n_used",
+            F.expr(
+                f"s_pres + ({_HLL_M} - n_used) * shiftleft(1L, 40)"
+            ).alias("s_all"),
+        )
+        .select(
+            "n_exact",
+            F.col("n_used").alias("n_registers_used"),
+            F.expr(est).alias("hll_estimate"),
+            F.expr(
+                f"CAST(abs({est} - n_exact) * 1000000 div n_exact AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
