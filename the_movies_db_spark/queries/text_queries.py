@@ -1085,8 +1085,7 @@ _BIGRAM_W = (
     vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu),
     wt AS (
       SELECT cb.bigram, {_BIGRAM_W} AS w_micro
-      FROM cb JOIN cu ON cb.bigram LIKE cu.term || ' %'
-                     AND split_part(cb.bigram, ' ', 1) = cu.term
+      FROM cb JOIN cu ON split_part(cb.bigram, ' ', 1) = cu.term
       CROSS JOIN vv
     ),
     doc AS (
