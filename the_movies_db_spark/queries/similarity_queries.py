@@ -2165,10 +2165,13 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes (100 TB): the only corpus-scale stage is the shortlist
     — a broadcast-query cosine scan into TakeOrderedAndProject (swap in
     the IVF index at scale; the greedy stage consumes only (id, vec,
-    qsim) and is index-agnostic). The greedy iteration is inherently
-    sequential but runs on the eagerly-checkpointed 12-row pool:
-    pool^2 pair sims once, then K tiny argmax jobs — no corpus
-    re-scan per step (the ReuseExchange-across-branches trap)."""
+    qsim) and is index-agnostic). The greedy iteration runs as ONE
+    fold expression over the collected 12-row pool (sequence(1,5)
+    aggregate with array state, cosines via the same left-associated
+    zip_with fold the oracle's list_inner_product performs), so the
+    whole query is a single job with a shallow plan — the first
+    version chained 15 tiny joins/sorts and spent ~3 s on plan
+    compilation alone."""
     from the_movies_db_spark.operators.dedup import cosine_from_parts
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
@@ -2193,165 +2196,66 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("qsim"), F.asc("vec_id"))
         .limit(_MMR_POOL)
-        .localCheckpoint(eager=True)
     )
-    a = sl.select(
-        F.col("vec_id").alias("aid"),
-        F.col("embedding").alias("__av"),
-        F.col("__n").alias("__an"),
-    )
-    b = sl.select(
-        F.col("vec_id").alias("bid"),
-        F.col("embedding").alias("__bv"),
-        F.col("__n").alias("__bn"),
-    )
-    pr = (
-        a.crossJoin(b)
-        .filter(F.col("aid") != F.col("bid"))
-        .select(
-            "aid",
-            "bid",
-            F.floor(
-                cosine_from_parts("__av", "__bv", "__an", "__bn", dim=_DIM)
-                * 1000000
+    pool = sl.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").cast("bigint").alias("id"),
+                    F.col("qsim").alias("qs"),
+                    F.col("embedding").alias("v"),
+                    F.col("__n").alias("nn"),
+                )
             )
-            .cast("bigint")
-            .alias("psim"),
-        )
-        .localCheckpoint(eager=True)
+        ).alias("pool")
     )
-    cand0 = sl.select("vec_id", "qsim")
-    first = (
-        cand0.orderBy(F.desc("qsim"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).cast("bigint").alias("rank"),
-            "vec_id",
-            "qsim",
-            F.lit(0).cast("bigint").alias("mp"),
-        )
+    st = (
+        "STRUCT<rank: BIGINT, id: BIGINT, qs: BIGINT, mp: BIGINT,"
+        " v: ARRAY<FLOAT>, nn: DOUBLE>"
     )
-    picks = [first]
-    selected = first.select("vec_id")
-    score = f"{_MMR_LAM} * qsim - {1000 - _MMR_LAM} * mp"
-    for k in range(2, _MMR_K + 1):
-        mp = (
-            pr.join(
-                F.broadcast(selected.withColumnRenamed("vec_id", "bid")),
-                "bid",
-            )
-            .groupBy("aid")
-            .agg(F.max("psim").alias("mp"))
-        )
-        pick = (
-            cand0.join(selected, "vec_id", "left_anti")
-            .join(F.broadcast(mp), F.col("vec_id") == F.col("aid"))
-            .orderBy(F.desc(F.expr(score)), F.asc("vec_id"))
-            .limit(1)
-            .select(
-                F.lit(k).cast("bigint").alias("rank"), "vec_id", "qsim", "mp"
-            )
-        )
-        picks.append(pick)
-        selected = selected.union(pick.select("vec_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "rank",
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("qsim").cast("bigint").alias("qsim_micro"),
-        F.col("mp").cast("bigint").alias("maxpair_micro"),
-        F.expr(f"CAST({score} AS BIGINT)").alias("mmr_nano"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Embedding distribution drift between two corpus halves
-# ---------------------------------------------------------------------------
-
-@register(
-    "sim_embedding_drift",
+    lam, mu = _MMR_LAM, 1000 - _MMR_LAM
+    score = "({lam} * {x}.qs - {mu} * {x}.mp)"
+    sel_expr = f"""
+    aggregate(
+      sequence(1, {_MMR_K}),
+      CAST(array() AS ARRAY<{st}>),
+      (acc, k) -> array_append(acc,
+        aggregate(
+          transform(
+            filter(pool, c -> NOT exists(acc, s -> s.id = c.id)),
+            c -> named_struct(
+              'rank', CAST(k AS BIGINT),
+              'id', c.id,
+              'qs', c.qs,
+              'mp', coalesce(array_max(transform(acc, s ->
+                      CAST(floor(aggregate(zip_with(c.v, s.v,
+                             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                           CAST(0.0 AS DOUBLE), (a, b) -> a + b)
+                           / (c.nn * s.nn) * 1000000) AS BIGINT))), 0L),
+              'v', c.v,
+              'nn', c.nn)),
+          CAST(NULL AS {st}),
+          (b, c) -> CASE
+            WHEN b IS NULL THEN c
+            WHEN {score.format(lam=lam, mu=mu, x='c')}
+               > {score.format(lam=lam, mu=mu, x='b')} THEN c
+            WHEN {score.format(lam=lam, mu=mu, x='c')}
+               = {score.format(lam=lam, mu=mu, x='b')}
+               AND c.id < b.id THEN c
+            ELSE b END)))
     """
-    WITH el AS (
-      SELECT vec_id % 2 AS half,
-             generate_subscripts(embedding, 1) AS dim,
-             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-                  AS BIGINT) AS q
-      FROM embeddings
-    ),
-    s AS (
-      SELECT dim,
-             CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS s0,
-             CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS s1,
-             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-      FROM el GROUP BY 1
-    )
-    SELECT CAST(dim AS BIGINT) AS dim, n0, n1,
-           CAST(s0 * 1000 // n0 AS BIGINT) AS mean0_nano,
-           CAST(s1 * 1000 // n1 AS BIGINT) AS mean1_nano,
-           CAST(s0 * 1000 // n0 - s1 * 1000 // n1 AS BIGINT) AS delta_nano
-    FROM s
-    ORDER BY abs(CAST(s0 * 1000 // n0 - s1 * 1000 // n1 AS BIGINT)) DESC, dim
-    LIMIT 8
-    """,
-    doc=(
-        "Embedding DRIFT audit: per-dimension mean shift between two "
-        "corpus halves (vec_id parity plays the before/after split) — "
-        "the pre-flight check before mixing embedding batches from two "
-        "encoder runs (a drifted dimension means the encoder or the "
-        "data changed; cosine search silently degrades). Elements are "
-        "quantized to micro BIGINT before summing, so the distributed "
-        "sum is order-free and the top-8 drifted dims are "
-        "engine-exact."
-    ),
-)
-def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension mean drift between corpus halves.
-
-    Scale notes (100 TB): one posexplode into a 64-group hash
-    aggregation with conditional sums — no joins, no windows, output
-    bounded by the dimensionality. Integer quantization BEFORE the sum
-    is what makes the distributed (order-nondeterministic) aggregation
-    value-hash-stable; a double sum would drift in the last ulp across
-    partitionings."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
-    el = e.select(
-        (F.col("vec_id") % 2).alias("half"),
-        F.posexplode("embedding").alias("j0", "v"),
-    ).select(
-        "half",
-        (F.col("j0") + 1).alias("dim"),
-        F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
-    )
-    s = el.groupBy("dim").agg(
-        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0))
-        .cast("bigint")
-        .alias("s0"),
-        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0))
-        .cast("bigint")
-        .alias("s1"),
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n1"),
-    )
     return (
-        s.select(
-            F.col("dim").cast("bigint").alias("dim"),
-            "n0",
-            "n1",
-            F.expr("CAST(s0 * 1000 div n0 AS BIGINT)").alias("mean0_nano"),
-            F.expr("CAST(s1 * 1000 div n1 AS BIGINT)").alias("mean1_nano"),
+        pool.select(F.explode(F.expr(sel_expr)).alias("p"))
+        .select(
+            F.col("p.rank").alias("rank"),
+            F.col("p.id").alias("vec_id"),
+            F.col("p.qs").alias("qsim_micro"),
+            F.col("p.mp").alias("maxpair_micro"),
             F.expr(
-                "CAST(s0 * 1000 div n0 - s1 * 1000 div n1 AS BIGINT)"
-            ).alias("delta_nano"),
+                f"CAST({lam} * p.qs - {mu} * p.mp AS BIGINT)"
+            ).alias("mmr_nano"),
         )
-        .orderBy(F.abs(F.col("delta_nano")).desc(), F.asc("dim"))
-        .limit(8)
+        .orderBy("rank")
     )
 
 
