@@ -84,7 +84,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dq_functional_deps, sim_dim_correlation, dq_column_entropy,
     # search_hard_negatives, dq_shuffle_skew, agg_trimmed_mean,
     # events_seasonality_strength, text_vocab_growth_heaps,
-    # udf_mapinarrow_norm, agg_hll_exact_mirror.
+    # udf_mapinarrow_norm, agg_hll_exact_mirror, orders_promo_did,
+    # text_source_divergence_js.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -1317,3 +1317,144 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+#: KL term weight: p-side contribution ln(2*a*B / (a*B + b*A)), exact
+#: integer ratio into one double division, floor-micro.
+_JS_W = (
+    "CAST(floor(ln(CAST(2 * {a} * {bt} AS DOUBLE)"
+    " / CAST({a} * {bt} + {b} * {at} AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "text_source_divergence_js",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, t.term, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT source FROM c) s
+      CROSS JOIN (SELECT DISTINCT term FROM c) t
+      LEFT JOIN c ON c.source = s.source AND c.term = t.term
+    ),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS tt FROM grid GROUP BY 1
+    ),
+    p AS (
+      SELECT g1.source AS src_a, g2.source AS src_b, g1.term,
+             g1.c AS a, g2.c AS b, t1.tt AS at, t2.tt AS bt
+      FROM grid g1
+      JOIN grid g2 ON g1.term = g2.term AND g1.source < g2.source
+      JOIN tot t1 ON t1.source = g1.source
+      JOIN tot t2 ON t2.source = g2.source
+    ),
+    kl AS (
+      SELECT src_a, src_b,
+             CAST(sum(CASE WHEN a > 0
+               THEN a * {_JS_W.format(a='a', b='b', at='at', bt='bt')}
+               ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN b > 0
+               THEN b * {_JS_W.format(a='b', b='a', at='bt', bt='at')}
+               ELSE 0 END) AS BIGINT) AS s2,
+             CAST(max(at) AS BIGINT) AS at, CAST(max(bt) AS BIGINT) AS bt
+      FROM p GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST((s1 // at + s2 // bt) // 2 AS BIGINT) AS jsd_micro
+    FROM kl
+    ORDER BY jsd_micro DESC, src_a, src_b
+    LIMIT 10
+    """,
+    doc=(
+        "Jensen-Shannon divergence between the unigram distributions "
+        "of every source pair, top-10 most divergent — the "
+        "domain-mixing diagnostic that says which sources actually "
+        "add distributional diversity (JSD near 0 = redundant source; "
+        "large = genuinely different domain). Each KL term is "
+        "ln(2aB/(aB+bA)) — an exact integer ratio into one double "
+        "division — floored to micro and weighted by exact counts, so "
+        "the pair ranking is engine-exact."
+    ),
+)
+def text_source_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JSD over source unigram distributions.
+
+    Scale notes (100 TB): the corpus reduces to a (source x vocab)
+    count grid in one shuffle (zero-filled from the tiny
+    distinct-source x distinct-term frames, both derived from the
+    checkpointed count table); the pair join is grid x grid on term —
+    vocab x pairs rows, source-bounded, never corpus-scale. The 2aB
+    products bound at 2 * max_count * max_total — downscale counts to
+    per-mille before ~1e9-token sources."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("term"),
+    )
+    c = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    grid = (
+        c.select("source")
+        .distinct()
+        .crossJoin(c.select("term").distinct())
+        .join(c, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = grid.groupBy("source").agg(F.sum("c").cast("bigint").alias("tt"))
+    g1 = grid.select(
+        F.col("source").alias("src_a"), "term", F.col("c").alias("a")
+    )
+    g2 = grid.select(
+        F.col("source").alias("src_b"),
+        F.col("term").alias("term2"),
+        F.col("c").alias("b"),
+    )
+    t1 = tot.select(F.col("source").alias("src_a"), F.col("tt").alias("at"))
+    t2 = tot.select(F.col("source").alias("src_b"), F.col("tt").alias("bt"))
+    p = (
+        g1.join(g2, (F.col("term") == F.col("term2")) & (F.col("src_a") < F.col("src_b")))
+        .join(F.broadcast(t1), "src_a")
+        .join(F.broadcast(t2), "src_b")
+    )
+    w1 = _JS_W.format(a="a", b="b", at="at", bt="bt")
+    w2 = _JS_W.format(a="b", b="a", at="bt", bt="at")
+    kl = p.groupBy("src_a", "src_b").agg(
+        F.sum(F.expr(f"CASE WHEN a > 0 THEN a * {w1} ELSE 0L END"))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.expr(f"CASE WHEN b > 0 THEN b * {w2} ELSE 0L END"))
+        .cast("bigint")
+        .alias("s2"),
+        F.max("at").cast("bigint").alias("at"),
+        F.max("bt").cast("bigint").alias("bt"),
+    )
+    return (
+        kl.select(
+            "src_a",
+            "src_b",
+            F.expr("CAST((s1 div at + s2 div bt) div 2 AS BIGINT)").alias(
+                "jsd_micro"
+            ),
+        )
+        .orderBy(F.desc("jsd_micro"), F.asc("src_a"), F.asc("src_b"))
+        .limit(10)
+    )

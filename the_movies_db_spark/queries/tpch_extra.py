@@ -1883,3 +1883,108 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: promo-part revenue uplift
+# ---------------------------------------------------------------------------
+
+_DID_CUT = "1998-01-01"
+_DID_CENTS = (
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+)
+
+
+@register(
+    "orders_promo_did",
+    f"""
+    WITH x AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treat,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '{_DID_CUT} 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             {_DID_CENTS} AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+      SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM x GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        CAST(max(CASE WHEN treat = 1 AND post = 0 THEN s * 1000 // n END)
+             AS BIGINT) AS tr_before_milli,
+        CAST(max(CASE WHEN treat = 1 AND post = 1 THEN s * 1000 // n END)
+             AS BIGINT) AS tr_after_milli,
+        CAST(max(CASE WHEN treat = 0 AND post = 0 THEN s * 1000 // n END)
+             AS BIGINT) AS ct_before_milli,
+        CAST(max(CASE WHEN treat = 0 AND post = 1 THEN s * 1000 // n END)
+             AS BIGINT) AS ct_after_milli,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM g
+    )
+    SELECT tr_before_milli, tr_after_milli, ct_before_milli, ct_after_milli,
+           n_total,
+           CAST((tr_after_milli - tr_before_milli)
+              - (ct_after_milli - ct_before_milli) AS BIGINT) AS did_milli
+    FROM w
+    """,
+    doc=(
+        "Difference-in-differences: promo-part revenue per line item, "
+        "treatment (PROMO parts) vs control, before/after a fixed "
+        "cutoff — the causal-inference shape behind every 'did the "
+        "promotion work' question, where the control group's drift "
+        "nets out the seasonal trend a naive before/after would "
+        "swallow. Means in exact milli-cents (integer-cents sums, one "
+        "truncated division per cell), DiD as their exact difference."
+    ),
+)
+def orders_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 DiD table + estimate from one conditional aggregation.
+
+    Scale notes (100 TB): one pass — the fact joins orders on the
+    orderkey equi-join and broadcasts part, reduces to a 4-cell
+    aggregate; the pivot runs on those 4 rows. No windows, no
+    re-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    x = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("treat"),
+            F.when(
+                F.col("o_orderdate") >= F.lit(f"{_DID_CUT} 00:00:00").cast("timestamp"),
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.expr(_DID_CENTS).alias("cents"),
+        )
+    )
+    g = x.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    cell = "max(CASE WHEN treat = {t} AND post = {p} THEN s * 1000 div n END)"
+    w = g.agg(
+        F.expr(f"CAST({cell.format(t=1, p=0)} AS BIGINT)").alias("tr_before_milli"),
+        F.expr(f"CAST({cell.format(t=1, p=1)} AS BIGINT)").alias("tr_after_milli"),
+        F.expr(f"CAST({cell.format(t=0, p=0)} AS BIGINT)").alias("ct_before_milli"),
+        F.expr(f"CAST({cell.format(t=0, p=1)} AS BIGINT)").alias("ct_after_milli"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return w.select(
+        "tr_before_milli",
+        "tr_after_milli",
+        "ct_before_milli",
+        "ct_after_milli",
+        "n_total",
+        F.expr(
+            "CAST((tr_after_milli - tr_before_milli)"
+            " - (ct_after_milli - ct_before_milli) AS BIGINT)"
+        ).alias("did_milli"),
+    )
