@@ -85,7 +85,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search_hard_negatives, dq_shuffle_skew, agg_trimmed_mean,
     # events_seasonality_strength, text_vocab_growth_heaps,
     # udf_mapinarrow_norm, agg_hll_exact_mirror, orders_promo_did,
-    # text_source_divergence_js.
+    # text_source_divergence_js, agg_mutual_information,
+    # agg_moments_skew_kurt.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -3635,3 +3635,187 @@ def agg_hll_exact_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical column pairs
+# ---------------------------------------------------------------------------
+
+_MI_PAIRS: tuple[tuple[str, str, str], ...] = (
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("documents", "lang", "source"),
+)
+
+#: per-cell pointwise log-ratio ln(p_xy / (p_x p_y)) = ln(c_xy*n / (c_x*c_y)),
+#: floored to micro-nats on the IDENTICAL double both engines build from
+#: exact integer counts (products stay < 2^53 at test SFs; beyond that the
+#: correctly-rounded product is still the same double in both engines).
+_MI_LNR = (
+    "CAST(floor(ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)) /"
+    " (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+
+def _mi_oracle() -> str:
+    selects = []
+    for tbl, x, y in _MI_PAIRS:
+        selects.append(f"""
+    SELECT '{tbl}' AS table_name, '{x}' AS x_col, '{y}' AS y_col,
+           CAST(max(n) AS BIGINT)            AS n_rows,
+           CAST(count(*) AS BIGINT)          AS n_cells,
+           CAST(sum(c_xy * {_MI_LNR}) // max(n) AS BIGINT) AS mi_micro
+    FROM (
+      SELECT c_xy,
+             CAST(sum(c_xy) OVER (PARTITION BY x) AS BIGINT) AS c_x,
+             CAST(sum(c_xy) OVER (PARTITION BY y) AS BIGINT) AS c_y,
+             CAST(sum(c_xy) OVER () AS BIGINT)               AS n
+      FROM (SELECT {x} AS x, {y} AS y, CAST(count(*) AS BIGINT) AS c_xy
+            FROM {tbl} GROUP BY 1, 2) j
+    ) m""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "agg_mutual_information",
+    _mi_oracle(),
+    doc=(
+        "Mutual information (micro-nats) between categorical column "
+        "pairs — the dependence audit behind feature selection and "
+        "leakage checks (MI ~ 0 = independent columns; MI near "
+        "min(H_x, H_y) = one column determines the other). Joint "
+        "counts are exact integers; the per-cell pointwise log-ratio "
+        "is floored to micro BEFORE the count-weighted sum, so the "
+        "distributed aggregation is order-free and engine-exact."
+    ),
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI of three categorical column pairs via exact joint counts.
+
+    Scale notes (100 TB): one hash aggregation per pair to the joint
+    value domain (map-side combinable), then marginal sums as windows
+    over the DOMAIN-BOUNDED joint table (|x|x|y| cells, never rows) —
+    the corpus is scanned once per pair and everything after the first
+    aggregate is cell-grain."""
+    out = None
+    for tbl, x, y in _MI_PAIRS:
+        t = load_table(spark, sf_dir, tbl)
+        joint = t.groupBy(
+            F.col(x).alias("x"), F.col(y).alias("y")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        m = joint.select(
+            "c_xy",
+            F.sum("c_xy").over(Window.partitionBy("x")).cast("bigint").alias("c_x"),
+            F.sum("c_xy").over(Window.partitionBy("y")).cast("bigint").alias("c_y"),
+            F.sum("c_xy")
+            .over(Window.partitionBy(F.lit(1)))
+            .cast("bigint")
+            .alias("n"),
+        )
+        row = m.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(x).alias("x_col"),
+            F.lit(y).alias("y_col"),
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.expr(f"CAST(sum(c_xy * {_MI_LNR}) div max(n) AS BIGINT)").alias(
+                "mi_micro"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Moment-based skewness / excess kurtosis from exact integer power sums
+# ---------------------------------------------------------------------------
+
+#: central moments assembled in doubles from EXACT integer power sums,
+#: with the identical expression text on both engines: +,-,*,/ and sqrt
+#: are all correctly-rounded IEEE ops, so every intermediate double is
+#: bit-identical — only then floored to micro.
+_MOM_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_MOM_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_MOM_MU} * {_MOM_MU})"
+_MOM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3.0 * {_MOM_MU} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 2.0 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+_MOM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4.0 * {_MOM_MU} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 6.0 * {_MOM_MU} * {_MOM_MU} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - 3.0 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+_MOM_SKEW = (
+    f"CAST(floor({_MOM_M3} / ({_MOM_M2} * sqrt({_MOM_M2})) * 1000000)"
+    " AS BIGINT)"
+)
+_MOM_KURT = (
+    f"CAST(floor(({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3.0) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "agg_moments_skew_kurt",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT)                AS n_rows,
+           CAST(s1 * 1000000 // n AS BIGINT) AS mean_micro,
+           {_MOM_SKEW}                      AS skew_micro,
+           {_MOM_KURT}                      AS kurt_excess_micro
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT)         AS s1,
+             CAST(sum(q * q) AS BIGINT)     AS s2,
+             CAST(sum(q * q * q) AS BIGINT) AS s3,
+             CAST(sum(q * q * q * q) AS BIGINT) AS s4
+      FROM (SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
+      GROUP BY 1, 2
+    ) g
+    """,
+    doc=(
+        "Moment-based skewness and excess kurtosis of order quantity "
+        "per (returnflag, linestatus) — the shape statistics a data "
+        "profiler pairs with mean/stddev to flag heavy tails before "
+        "choosing outlier fences. One pass collects the exact integer "
+        "power sums S1..S4 (quantity is a small integer, so S4 fits "
+        "BIGINT by orders of magnitude); the central-moment assembly "
+        "runs in doubles whose +,-,*,/ and sqrt are correctly-rounded "
+        "IEEE ops over identical expression trees, so the floored "
+        "micro outputs are engine-exact."
+    ),
+)
+def agg_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis from one-pass integer power sums.
+
+    Scale notes (100 TB): a single map-side-combinable aggregation of
+    four integer power sums per group — no second pass, no sort, no
+    window; the moment assembly is a scalar projection over |groups|
+    rows. The anchor-free raw-sum form is safe exactly because the
+    measure is a SMALL integer (<= 50); for wide-range measures the
+    two-pass anchored variant (subtract the integer mean first) keeps
+    the sums in range."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("s2"),
+        F.sum(F.expr("q * q * q")).cast("bigint").alias("s3"),
+        F.sum(F.expr("q * q * q * q")).cast("bigint").alias("s4"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").alias("n_rows"),
+        F.expr("CAST(s1 * 1000000 div n AS BIGINT)").alias("mean_micro"),
+        F.expr(_MOM_SKEW).alias("skew_micro"),
+        F.expr(_MOM_KURT).alias("kurt_excess_micro"),
+    )
