@@ -2354,3 +2354,142 @@ def sim_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("corr_milli")).desc(), F.asc("dim_i"), F.asc("dim_j"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP sketch-distance ANN: Hamming-ranked shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+_SRP_PLANES = 16
+_SRP_QUERIES = 8
+_SRP_SHORTLIST = 20
+_SRP_K = 5
+
+_SRP_COS_MICRO = (
+    "CAST(floor("
+    "list_inner_product(qv::DOUBLE[], cv::DOUBLE[]) /"
+    " (sqrt(list_inner_product(qv::DOUBLE[], qv::DOUBLE[])) *"
+    "  sqrt(list_inner_product(cv::DOUBLE[], cv::DOUBLE[])))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "sim_topk_srp_hamming",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {_sig_expr(_SRP_PLANES).format(v="embedding")} AS sig
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qv, c.embedding AS cv,
+             CAST(len(list_filter(range(1, {_SRP_PLANES} + 1),
+                                  i -> q.sig[i] <> c.sig[i])) AS BIGINT)
+               AS hamming,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY len(list_filter(range(1, {_SRP_PLANES} + 1),
+                                        i -> q.sig[i] <> c.sig[i])),
+                        c.vec_id) AS short_rn
+      FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_SRP_QUERIES}
+    ),
+    rerank AS (
+      SELECT query_id, neighbor_id, hamming,
+             {_SRP_COS_MICRO} AS cosine_micro
+      FROM cand WHERE short_rn <= {_SRP_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, hamming, cosine_micro,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_micro DESC, neighbor_id)
+                  AS rank
+      FROM rerank
+    ) t WHERE rank <= {_SRP_K}
+    """,
+    doc=(
+        "Sign-random-projection sketch ANN ranked by HAMMING DISTANCE "
+        "— the multi-bit sibling of bucket-equality LSH: every "
+        "candidate gets a 16-bit SRP signature (the same md5-derived "
+        "±1 plane family the bucketed index uses), the shortlist is "
+        "the 20 candidates with the fewest disagreeing sign bits, and "
+        "the shortlist alone is re-ranked by exact floor-micro cosine. "
+        "Spark packs the bits into a BIGINT (conv base-2) and scores "
+        "pairs with one xor + bit_count; the oracle compares signature "
+        "strings positionally — identical distances either way."
+    ),
+)
+def sim_topk_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ranked SRP shortlist with exact cosine re-rank.
+
+    Scale notes (100 TB): signatures are computed once per row (a
+    projection — map-only) and the pair stage costs one xor+popcount
+    per candidate instead of a 64-term dot product; the exact cosine
+    runs only on the |Q|x20 shortlist. The panel side is broadcast, so
+    the corpus is scanned once with no shuffle. At index scale the
+    same BIGINT signature becomes the partition key (prefix buckets =
+    the shipped LSH index) and Hamming ranking runs within the probed
+    buckets — this query pins the sketch-distance math that path
+    reuses."""
+    from the_movies_db_spark.operators.dedup import cosine_from_parts
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        S.hyperplane_signature("embedding", _SRP_PLANES, _DIM).alias("sigstr"),
+        S.norm("embedding", _DIM).alias("nrm"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.expr("CAST(conv(sigstr, 2, 10) AS BIGINT)").alias("sig_int"),
+        "nrm",
+    )
+    q = sigs.filter(F.col("vec_id") < _SRP_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("sig_int").alias("__qsig"),
+        F.col("nrm").alias("__qn"),
+    )
+    cand = (
+        sigs.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "__qv",
+            "embedding",
+            "__qn",
+            "nrm",
+            F.expr("CAST(bit_count(sig_int ^ __qsig) AS BIGINT)").alias(
+                "hamming"
+            ),
+        )
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = cand.withColumn("short_rn", F.row_number().over(wshort)).filter(
+        F.col("short_rn") <= _SRP_SHORTLIST
+    )
+    rerank = short.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.floor(
+            cosine_from_parts("__qv", "embedding", "__qn", "nrm", dim=_DIM)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("cosine_micro"),
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_micro"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.col("rank") <= _SRP_K)
+        .select("query_id", "neighbor_id", "hamming", "cosine_micro", "rank")
+    )
