@@ -2674,3 +2674,139 @@ def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * sxx - sx * sx) AS BIGINT)"
         ).alias("strength_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day periodogram: DFT power at the 24/12/8/6-hour harmonics
+# ---------------------------------------------------------------------------
+
+#: micro-scaled trig tables generated ONCE in Python and embedded as the
+#: IDENTICAL integer literals in both engines — no runtime cos/sin, so the
+#: whole statistic is exact BIGINT arithmetic end to end.
+_PERIOD_KS = (1, 2, 3, 4)
+
+
+def _trig_micro() -> tuple[list[list[int]], list[list[int]]]:
+    import math
+
+    cos_t, sin_t = [], []
+    for k in _PERIOD_KS:
+        cos_t.append(
+            [round(math.cos(2 * math.pi * k * h / 24) * 1_000_000) for h in range(24)]
+        )
+        sin_t.append(
+            [round(math.sin(2 * math.pi * k * h / 24) * 1_000_000) for h in range(24)]
+        )
+    return cos_t, sin_t
+
+
+_COS_T, _SIN_T = _trig_micro()
+
+#: deterministic double share: one correctly-rounded division of exact
+#: BIGINTs — overflow-free at any scale, identical in both engines.
+_PERIOD_SHARE = (
+    "CAST(floor(CAST(power AS DOUBLE) / CAST(power_total AS DOUBLE)"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def _period_oracle() -> str:
+    cos_lit = "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in _COS_T) + "]"
+    sin_lit = "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in _SIN_T) + "]"
+    ks = ", ".join(f"({i + 1}, {k})" for i, k in enumerate(_PERIOD_KS))
+    return f"""
+    WITH hourly AS (
+      SELECT CAST(hour(ts) AS INT) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hourly),
+    centered AS (
+      SELECT hr, 24 * c - n AS d FROM hourly, tot
+    ),
+    harm(ki, k) AS (VALUES {ks}),
+    sums AS (
+      SELECT k,
+             CAST(sum(d * ({cos_lit})[ki][hr + 1]) AS BIGINT) AS a,
+             CAST(sum(d * ({sin_lit})[ki][hr + 1]) AS BIGINT) AS b
+      FROM centered CROSS JOIN harm GROUP BY k
+    ),
+    pw AS (
+      SELECT k, (a // 1000000) * (a // 1000000)
+                + (b // 1000000) * (b // 1000000) AS power
+      FROM sums
+    )
+    SELECT CAST(k AS BIGINT) AS harmonic_k,
+           CAST(24 // k AS BIGINT) AS period_hours,
+           CAST(power AS BIGINT) AS power,
+           {_PERIOD_SHARE} AS power_share_ppm
+    FROM (SELECT k, power, sum(power) OVER () AS power_total FROM pw) t
+    """
+
+
+@register(
+    "events_periodogram",
+    _period_oracle(),
+    doc=(
+        "Hour-of-day periodogram: DFT power of the mean-centered "
+        "hourly event-count profile at the 24/12/8/6-hour harmonics — "
+        "the spectral sibling of the seasonality-strength ratio (which "
+        "harmonic carries the cycle, not just how much variance the "
+        "profile explains). Trig tables are micro-scaled integer "
+        "LITERALS generated once and embedded identically in both "
+        "engines, centering is exact (24*c - n), so every sum is "
+        "order-free BIGINT; the share is one correctly-rounded double "
+        "division — overflow-free at any corpus size."
+    ),
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power at fixed harmonics over the hourly profile.
+
+    Scale notes (100 TB): one hash aggregation to 24 rows, then a
+    4x24-term integer projection — everything past the first aggregate
+    is constant-size regardless of corpus. The trig tables ride in the
+    plan as literals (no per-row transcendentals, no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.hour("ts").cast("int").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = hourly.agg(F.sum("c").cast("bigint").alias("n"))
+    centered = hourly.crossJoin(F.broadcast(tot)).select(
+        "hr", F.expr("24 * c - n").alias("d")
+    )
+    cos_lit = (
+        "array(" + ", ".join("array(" + ", ".join(map(str, r)) + ")" for r in _COS_T) + ")"
+    )
+    sin_lit = (
+        "array(" + ", ".join("array(" + ", ".join(map(str, r)) + ")" for r in _SIN_T) + ")"
+    )
+    harm = e.sparkSession.createDataFrame(
+        [(i + 1, k) for i, k in enumerate(_PERIOD_KS)], "ki INT, k INT"
+    )
+    sums = (
+        centered.crossJoin(F.broadcast(harm))
+        .groupBy("k")
+        .agg(
+            F.sum(F.expr(f"d * element_at(element_at({cos_lit}, ki), hr + 1)"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.expr(f"d * element_at(element_at({sin_lit}, ki), hr + 1)"))
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    pw = sums.select(
+        "k",
+        F.expr(
+            "(a div 1000000) * (a div 1000000)"
+            " + (b div 1000000) * (b div 1000000)"
+        ).alias("power"),
+    )
+    t = pw.select(
+        "k", "power", F.sum("power").over(Window.partitionBy(F.lit(1))).alias("power_total")
+    )
+    return t.select(
+        F.col("k").cast("bigint").alias("harmonic_k"),
+        F.expr("24 div k").cast("bigint").alias("period_hours"),
+        F.col("power").cast("bigint").alias("power"),
+        F.expr(_PERIOD_SHARE).alias("power_share_ppm"),
+    )
