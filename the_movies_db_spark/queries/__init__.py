@@ -86,7 +86,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_seasonality_strength, text_vocab_growth_heaps,
     # udf_mapinarrow_norm, agg_hll_exact_mirror, orders_promo_did,
     # text_source_divergence_js, agg_mutual_information,
-    # agg_moments_skew_kurt, sim_topk_srp_hamming, events_periodogram.
+    # agg_moments_skew_kurt, sim_topk_srp_hamming, events_periodogram,
+    # search_mrr_eval.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -1122,3 +1122,109 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR / hit-rate retrieval eval: first relevant rank per query
+# ---------------------------------------------------------------------------
+
+_MRR_K = 10
+_MRR_MIN_REL = 2  # relevant = at least 2 distinct query terms present
+
+_MRR_ORACLE = f"""
+WITH bm AS ({{bm}}),
+q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+pres AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> x <> '')) AS t
+        FROM documents) u
+),
+rel AS (
+  SELECT q.query_id, p.doc_id
+  FROM pres p JOIN q ON p.term = q.term
+  GROUP BY 1, 2
+  HAVING count(*) >= {_MRR_MIN_REL}
+),
+hits AS (
+  SELECT b.query_id,
+         CAST(min(b.rank) AS BIGINT) AS first_rank,
+         CAST(count(*) AS BIGINT)    AS n_hits
+  FROM bm b JOIN rel r ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+  GROUP BY 1
+)
+SELECT CAST(qs.query_id AS BIGINT)          AS query_id,
+       CAST(COALESCE(h.first_rank, 0) AS BIGINT) AS first_relevant_rank,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT)     AS n_relevant_topk,
+       CAST(CASE WHEN h.first_rank IS NULL THEN 0
+                 ELSE 1000000 // h.first_rank END AS BIGINT) AS rr_ppm
+FROM (SELECT DISTINCT query_id FROM q) qs
+LEFT JOIN hits h ON qs.query_id = h.query_id
+""".format(bm=_bm25_oracle(_MRR_K))
+
+
+@register(
+    "search_mrr_eval",
+    _MRR_ORACLE,
+    doc=(
+        "Retrieval eval #2: reciprocal rank of the FIRST relevant "
+        "result (relevant = >= 2 distinct query terms present) in the "
+        "BM25 top-10, plus the hit count — MRR is the navigational "
+        "metric search teams track next to nDCG's graded view. "
+        "RR is 1e6 div first_rank, an exact integer: the whole eval is "
+        "BIGINT end to end with zero float risk."
+    ),
+)
+def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 + hit count of BM25 vs term-overlap relevance.
+
+    Scale notes (100 TB): the relevance table is vocabulary-pruned
+    BEFORE any shuffle (broadcast query terms into the token stream)
+    and grouped to |Q|x|relevant| rows; the join to the top-k table is
+    |Q|x10. One corpus tokenization for relevance, BM25's own passes
+    for the ranking — nothing else touches the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(spark, d, top_k=_MRR_K)
+    qterms = spark.createDataFrame(list(QUERIES), "query_id int, term string")
+    pres = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+            )
+        ).alias("term"),
+    )
+    rel = (
+        pres.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") >= _MRR_MIN_REL)
+        .select("query_id", "doc_id")
+    )
+    hits = (
+        bm.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.min("rank").cast("bigint").alias("first_rank"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+    qs = qterms.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.coalesce("first_rank", F.lit(0)).cast("bigint").alias(
+                "first_relevant_rank"
+            ),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias(
+                "n_relevant_topk"
+            ),
+            F.expr(
+                "CAST(CASE WHEN first_rank IS NULL THEN 0"
+                " ELSE 1000000 div first_rank END AS BIGINT)"
+            ).alias("rr_ppm"),
+        )
+    )
