@@ -2810,3 +2810,125 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("power").cast("bigint").alias("power"),
         F.expr(_PERIOD_SHARE).alias("power_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution: unrolled power iteration on the
+# event-type transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 4
+
+_MARKOV_MAT_SQL = """
+      SELECT prev_type, next_type,
+             CAST(n * 1000000 // (CAST(sum(n) OVER (PARTITION BY prev_type)
+                                       AS BIGINT)) AS BIGINT) AS p_micro
+      FROM (
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT event_type AS next_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ) seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+      ) pairs
+"""
+
+
+def _markov_oracle() -> str:
+    ctes = [
+        f"mat AS ({_MARKOV_MAT_SQL})",
+        "types AS (SELECT DISTINCT prev_type AS event_type FROM mat)",
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types)",
+        "p0 AS (SELECT event_type, CAST(1000000 // nt.k AS BIGINT) AS pi"
+        " FROM types, nt)",
+    ]
+    prev = "p0"
+    for i in range(1, _MARKOV_ITERS + 1):
+        ctes.append(
+            f"""p{i} AS (
+              SELECT m.next_type AS event_type,
+                     CAST(sum(p.pi * m.p_micro) // 1000000 AS BIGINT) AS pi
+              FROM mat m JOIN {prev} p ON m.prev_type = p.event_type
+              GROUP BY 1
+            )"""
+        )
+        prev = f"p{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT f.event_type, f.pi AS pi_micro,
+               CAST(f.pi - z.pi AS BIGINT) AS shift_vs_uniform_micro
+        FROM {prev} f JOIN p0 z ON f.event_type = z.event_type
+        """
+    )
+
+
+@register(
+    "events_markov_stationary",
+    _markov_oracle(),
+    doc=(
+        "Stationary behavior distribution: four unrolled power-"
+        "iteration steps of pi' = pi P over the row-normalized event-"
+        "type transition matrix (exact micro integers; each step sums "
+        "exact BIGINT products then floor-divides once, so the vector "
+        "is engine-exact). The long-run 'where do sessions spend their "
+        "time' statistic that complements the one-step transition "
+        "matrix; shift_vs_uniform exposes which states accumulate "
+        "mass."
+    ),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pi P^4 in exact micro units over the transition matrix.
+
+    Scale notes (100 TB): the corpus cost is the same one user-keyed
+    lag shuffle the transition matrix itself needs; every iteration is
+    a join+aggregate over the |types|^2-bounded matrix (25 cells here
+    — broadcast-joined against the |types|-row vector). Iterations are
+    matrix-grain, so 4 or 40 steps cost corpus-nothing."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    mat = pairs.select(
+        "prev_type",
+        "next_type",
+        F.expr(
+            "CAST(n * 1000000 div (CAST(sum(n) OVER (PARTITION BY prev_type)"
+            " AS BIGINT)) AS BIGINT)"
+        ).alias("p_micro"),
+    ).localCheckpoint(eager=False)
+    types = mat.select(F.col("prev_type").alias("event_type")).distinct()
+    nt = types.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    p0 = types.crossJoin(F.broadcast(nt)).select(
+        "event_type", F.expr("CAST(1000000 div k AS BIGINT)").alias("pi")
+    )
+    pi = p0
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            mat.join(
+                F.broadcast(pi.withColumnRenamed("event_type", "prev_type")),
+                "prev_type",
+            )
+            .groupBy(F.col("next_type").alias("event_type"))
+            .agg(
+                F.expr("CAST(sum(pi * p_micro) div 1000000 AS BIGINT)").alias(
+                    "pi"
+                )
+            )
+        )
+    return pi.join(
+        p0.withColumnRenamed("pi", "pi0"), "event_type"
+    ).select(
+        "event_type",
+        F.col("pi").alias("pi_micro"),
+        F.expr("CAST(pi - pi0 AS BIGINT)").alias("shift_vs_uniform_micro"),
+    )
