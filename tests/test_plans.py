@@ -562,3 +562,21 @@ def test_embedding_drift_is_one_aggregation(spark, sf_dir, registry):
     txt = plan_of(registry["sim_embedding_drift"].spark(spark, sf_dir))
     assert txt.count("embeddings.parquet") == 1
     assert "Join" not in txt
+
+
+def test_rules_confidence_checkpoint_bounds_fact_scans(spark, sf_dir, registry):
+    """basket_rules_confidence: the direction-flip union references the
+    brand-pair aggregate from two branches — the lazy checkpoint of the
+    |brands|²-bounded frame must collapse the fact lineage so the
+    returned plan re-reads lineitem zero times (one scan happens inside
+    the checkpoint materialization)."""
+    txt = plan_of(registry["basket_rules_confidence"].spark(spark, sf_dir))
+    assert txt.count("lineitem.parquet") == 0
+
+
+def test_markov_stationary_iterates_at_matrix_grain(spark, sf_dir, registry):
+    """events_markov_stationary: the transition matrix is checkpointed,
+    so the four power-iteration joins run over the bounded matrix with
+    no events re-scan in the returned plan."""
+    txt = plan_of(registry["events_markov_stationary"].spark(spark, sf_dir))
+    assert txt.count("events.parquet") == 0

@@ -127,3 +127,162 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed association rules: confidence + conviction over brand pairs
+# ---------------------------------------------------------------------------
+
+_RULES_MIN_PAIR = 10
+_RULES_TOP = 15
+
+#: conviction = (1 - supp_b) / (1 - conf_ab) assembled in doubles from
+#: exact integer counts (identical expression text both engines; every
+#: op correctly-rounded IEEE), floored to milli. A rule whose head
+#: always fires (c_a = c_ab) has infinite conviction → sentinel -1.
+_CONVICTION_MILLI = (
+    "CAST(CASE WHEN c_a = c_ab THEN -1 ELSE "
+    "floor((CAST(n_orders AS DOUBLE) - CAST(c_b AS DOUBLE))"
+    " * CAST(c_a AS DOUBLE)"
+    " / (CAST(n_orders AS DOUBLE)"
+    "    * (CAST(c_a AS DOUBLE) - CAST(c_ab AS DOUBLE)))"
+    " * 1000) END AS BIGINT)"
+)
+
+_RULES_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY 1),
+pr AS (
+  SELECT a.brand AS x, b.brand AS y, CAST(count(*) AS BIGINT) AS c_xy
+  FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+rules AS (
+  SELECT x AS antecedent, y AS consequent, c_xy FROM pr
+  UNION ALL
+  SELECT y, x, c_xy FROM pr
+),
+m AS (
+  SELECT r.antecedent, r.consequent, r.c_xy AS c_ab,
+         ca.cnt AS c_a, cb.cnt AS c_b, n.n_orders
+  FROM rules r
+  JOIN bc ca ON r.antecedent = ca.brand
+  JOIN bc cb ON r.consequent = cb.brand
+  CROSS JOIN n
+  WHERE r.c_xy >= {_RULES_MIN_PAIR}
+)
+SELECT antecedent, consequent, c_ab AS pair_count,
+       confidence_ppm, conviction_milli,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT antecedent, consequent, c_ab,
+         CAST(c_ab * 1000000 // c_a AS BIGINT) AS confidence_ppm,
+         {_CONVICTION_MILLI} AS conviction_milli,
+         row_number() OVER (ORDER BY c_ab * 1000000 // c_a DESC,
+                            antecedent, consequent) AS rk
+  FROM m
+) t WHERE rk <= {_RULES_TOP}
+"""
+
+
+@register(
+    "basket_rules_confidence",
+    _RULES_ORACLE,
+    doc=(
+        "Directed association rules a→b over the brand co-occurrence "
+        "counts: confidence (exact ppm, c_ab div c_a) and conviction "
+        "((1-supp_b)/(1-conf), floor-milli of IEEE-deterministic "
+        "doubles; always-fires rules get sentinel -1), min-support "
+        "pruned, top-15 by confidence — the rule-extraction stage that "
+        "follows pair mining in every market-basket pipeline."
+    ),
+)
+def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 directed rules by confidence with conviction.
+
+    Scale notes (100 TB): reuses the single-scan basket shape — one
+    distinct (order, brand) projection with the dim broadcast, one
+    self-join at order grain for pairs, then everything below runs at
+    |brands|²-bounded rule grain: the direction flip is a union of the
+    tiny aggregate, metrics are projections, and the final top-15 is a
+    window over at most |brands|² rows (global but domain-bounded)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    counts = (
+        baskets.select(F.explode(F.expr(_TOKENS)).alias("t"))
+        .select("t.a", "t.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    brand_cnt = F.max(
+        F.when(F.col("b").isNull() & F.col("a").isNotNull(), F.col("cnt"))
+    )
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy(F.coalesce("b", "a"))
+    w_all = Window.partitionBy()
+    n_orders = F.max(F.when(F.col("a").isNull(), F.col("cnt"))).over(w_all)
+    # The direction flip below references this frame from two branches;
+    # it is |brands|²-bounded, so the lazy checkpoint collapses the
+    # fact-scan lineage once instead of re-executing it per branch.
+    enriched = (
+        counts.select(
+            "a",
+            "b",
+            "cnt",
+            brand_cnt.over(w_a).alias("cnt_a"),
+            brand_cnt.over(w_b).alias("cnt_b"),
+            n_orders.alias("n_orders"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    m = (
+        enriched.select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("cnt").alias("c_ab"),
+            F.col("cnt_a").alias("c_a"),
+            F.col("cnt_b").alias("c_b"),
+            "n_orders",
+        )
+        .unionByName(
+            enriched.select(
+                F.col("b").alias("antecedent"),
+                F.col("a").alias("consequent"),
+                F.col("cnt").alias("c_ab"),
+                F.col("cnt_b").alias("c_a"),
+                F.col("cnt_a").alias("c_b"),
+                "n_orders",
+            )
+        )
+        .filter(F.col("c_ab") >= _RULES_MIN_PAIR)
+    )
+    ranked = m.select(
+        "antecedent",
+        "consequent",
+        F.col("c_ab").alias("pair_count"),
+        F.expr("CAST(c_ab * 1000000 div c_a AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+        F.expr(_CONVICTION_MILLI).alias("conviction_milli"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.expr("c_ab * 1000000 div c_a").desc(),
+                F.asc("antecedent"),
+                F.asc("consequent"),
+            )
+        )
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= _RULES_TOP)
