@@ -87,7 +87,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # udf_mapinarrow_norm, agg_hll_exact_mirror, orders_promo_did,
     # text_source_divergence_js, agg_mutual_information,
     # agg_moments_skew_kurt, sim_topk_srp_hamming, events_periodogram,
-    # search_mrr_eval, events_markov_stationary, basket_rules_confidence.
+    # search_mrr_eval, events_markov_stationary, basket_rules_confidence,
+    # search_spell_symspell, graph_link_jaccard.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

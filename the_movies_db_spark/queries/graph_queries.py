@@ -24,7 +24,7 @@ declared in DataFrames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from the_movies_db_spark.io import load_table
@@ -336,3 +336,99 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("bigint").alias("max_degree"),
         F.sum("d").cast("bigint").alias("total_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor Jaccard over the bipartite trade graph
+# ---------------------------------------------------------------------------
+
+_LINK_TOP = 20
+
+
+@register(
+    "graph_link_jaccard",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    com AS (
+      SELECT a.s AS supp_a, b.s AS supp_b, CAST(count(*) AS BIGINT) AS common
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, common, jaccard_ppm, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT supp_a, supp_b, common,
+             CAST(common * 1000000 // (d1.d + d2.d - common) AS BIGINT)
+               AS jaccard_ppm,
+             row_number() OVER (
+               ORDER BY common * 1000000 // (d1.d + d2.d - common) DESC,
+                        supp_a, supp_b) AS rk
+      FROM com JOIN deg d1 ON com.supp_a = d1.s
+               JOIN deg d2 ON com.supp_b = d2.s
+    ) t WHERE rk <= {_LINK_TOP}
+    """,
+    doc=(
+        "Link prediction on the bipartite customer-supplier graph: "
+        "Jaccard similarity of customer neighborhoods for every "
+        "supplier pair sharing at least one customer (common neighbors "
+        "via an equi-join on the shared customer — never an all-pairs "
+        "product), exact integer ppm, top-20. The collaborative-"
+        "filtering / 'suppliers like this one' primitive."
+    ),
+)
+def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by customer-neighborhood Jaccard.
+
+    Scale notes (100 TB): the distinct edge list is checkpointed once
+    (three consumers — degree table and both self-join sides — would
+    otherwise each re-execute the fact join); pair generation is an
+    equi-join keyed on the shared customer, so cost tracks sum of
+    per-customer degree² — the co-occurrence shape, df-cappable per
+    customer when hub customers appear; degrees join back broadcast.
+    The top-20 is orderBy+limit → TakeOrderedAndProject (distributed
+    partial top-k, no global sort), ranked after the cut over 20
+    rows."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = e.select("c", F.col("s").alias("supp_a"))
+    b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b"))
+    com = (
+        a.join(b, (a.c == b.c2) & (F.col("supp_a") < F.col("supp_b")))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    j = (
+        com.join(
+            F.broadcast(deg.select(F.col("s"), F.col("d").alias("d1"))),
+            F.col("supp_a") == F.col("s"),
+        )
+        .drop("s")
+        .join(
+            F.broadcast(deg.select(F.col("s"), F.col("d").alias("d2"))),
+            F.col("supp_b") == F.col("s"),
+        )
+        .drop("s")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common",
+            F.expr(
+                "CAST(common * 1000000 div (d1 + d2 - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    top = j.orderBy(
+        F.desc("jaccard_ppm"), F.asc("supp_a"), F.asc("supp_b")
+    ).limit(_LINK_TOP)
+    w = Window.orderBy(F.desc("jaccard_ppm"), F.asc("supp_a"), F.asc("supp_b"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -1228,3 +1228,155 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rr_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell spell correction: deletion-neighborhood equi-join
+# ---------------------------------------------------------------------------
+
+_SPELL_MIN_LEN = 3   # vocabulary floor (drops bare articles)
+_SPELL_Q_LEN = 5     # misspelling sources must be at least this long
+_SPELL_QUERIES = 8
+_SPELL_TOP = 3
+
+_SPELL_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+vocab AS (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE len(t) >= {_SPELL_MIN_LEN} GROUP BY 1
+),
+qsel AS (
+  SELECT substr(term, 1, 2) || substr(term, 4, 100) AS query_term
+  FROM (
+    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rk
+    FROM vocab WHERE len(term) >= {_SPELL_Q_LEN}
+  ) t WHERE rk <= {_SPELL_QUERIES}
+),
+vkeys AS (
+  SELECT term,
+         unnest(list_append(
+           list_transform(range(1, len(term) + 1),
+                          i -> substr(term, 1, i - 1)
+                               || substr(term, i + 1, 100)),
+           term)) AS k
+  FROM vocab
+),
+qkeys AS (
+  SELECT query_term,
+         unnest(list_append(
+           list_transform(range(1, len(query_term) + 1),
+                          i -> substr(query_term, 1, i - 1)
+                               || substr(query_term, i + 1, 100)),
+           query_term)) AS k
+  FROM qsel
+),
+cand AS (
+  SELECT DISTINCT q.query_term, v.term
+  FROM qkeys q JOIN vkeys v ON q.k = v.k
+),
+scored AS (
+  SELECT c.query_term, c.term AS suggestion,
+         CAST(levenshtein(c.query_term, c.term) AS BIGINT) AS distance,
+         v.n AS n_occurrences
+  FROM cand c JOIN vocab v ON c.term = v.term
+  WHERE levenshtein(c.query_term, c.term) <= 1
+)
+SELECT query_term, suggestion, distance, n_occurrences,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_term
+                               ORDER BY distance, n_occurrences DESC,
+                                        suggestion) AS rk
+  FROM scored
+) t WHERE rk <= {_SPELL_TOP}
+"""
+
+
+@register(
+    "search_spell_symspell",
+    _SPELL_ORACLE,
+    doc=(
+        "SymSpell spell correction: candidate pairs come from an "
+        "EQUI-JOIN on single-deletion keys (term plus every "
+        "one-character deletion, both sides), then only the tiny "
+        "candidate set pays a levenshtein verification (<= 1) and a "
+        "frequency-ranked top-3. The deletion-neighborhood trick "
+        "turns fuzzy matching into hash-joinable exact keys — no "
+        "cross join, no per-pair edit distance over the vocabulary. "
+        "Misspelled queries are derived deterministically from the "
+        "corpus itself (3rd character deleted from the top frequent "
+        "long terms)."
+    ),
+)
+def search_spell_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-key spell correction over the corpus vocabulary.
+
+    Scale notes (100 TB): one corpus tokenization collapses to the
+    vocabulary aggregate (lazily checkpointed — every later branch is
+    vocab-grain, zero corpus re-scans in the returned plan); deletion
+    keys multiply the vocab by ~term length, stay hash-partitionable,
+    and the expensive verification runs only on key-collision pairs.
+    This is how spell indexes scale to billion-term vocabularies —
+    the key space is the index, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("t")
+    )
+    vocab = (
+        toks.filter(F.length("t") >= _SPELL_MIN_LEN)
+        .groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    qsel = (
+        vocab.filter(F.length("term") >= _SPELL_Q_LEN)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))),
+        )
+        .filter(F.col("rk") <= _SPELL_QUERIES)
+        .select(
+            F.expr("concat(substring(term, 1, 2), substring(term, 4, 100))")
+            .alias("query_term")
+        )
+    )
+    del_keys = (
+        "explode(concat(transform(sequence(1, length({c})),"
+        " i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1, 100))),"
+        " array({c})))"
+    )
+    vkeys = vocab.select("term", F.expr(del_keys.format(c="term")).alias("k"))
+    qkeys = qsel.select(
+        "query_term", F.expr(del_keys.format(c="query_term")).alias("k")
+    )
+    cand = (
+        qkeys.join(vkeys, "k")
+        .select("query_term", "term")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(vocab), "term")
+        .withColumn(
+            "distance", F.levenshtein("query_term", "term").cast("bigint")
+        )
+        .filter(F.col("distance") <= 1)
+        .select(
+            "query_term",
+            F.col("term").alias("suggestion"),
+            "distance",
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+    w = Window.partitionBy("query_term").orderBy(
+        F.asc("distance"), F.desc("n_occurrences"), F.asc("suggestion")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _SPELL_TOP)
+    )
