@@ -88,7 +88,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_source_divergence_js, agg_mutual_information,
     # agg_moments_skew_kurt, sim_topk_srp_hamming, events_periodogram,
     # search_mrr_eval, events_markov_stationary, basket_rules_confidence,
-    # search_spell_symspell, graph_link_jaccard.
+    # search_spell_symspell, graph_link_jaccard, orders_fulfillment_lag,
+    # events_audience_overlap.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

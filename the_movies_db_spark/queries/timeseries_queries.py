@@ -2932,3 +2932,89 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pi").alias("pi_micro"),
         F.expr("CAST(pi - pi0 AS BIGINT)").alias("shift_vs_uniform_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: Jaccard / containment between event-type audiences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_audience_overlap",
+    """
+    WITH aud AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    deg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS d FROM aud GROUP BY 1
+    ),
+    com AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS common_users
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, common_users,
+           CAST(common_users * 1000000
+                // (da.d + db.d - common_users) AS BIGINT) AS jaccard_ppm,
+           CAST(common_users * 1000000
+                // least(da.d, db.d) AS BIGINT) AS containment_ppm
+    FROM com JOIN deg da ON com.type_a = da.event_type
+             JOIN deg db ON com.type_b = db.event_type
+    """,
+    doc=(
+        "Audience overlap between event types: Jaccard and containment "
+        "of distinct-user sets for every type pair — the segmentation "
+        "primitive behind 'do purchasers also view' questions and "
+        "behavioral cohort design. Common users come from an equi-join "
+        "on user_id (never an all-pairs product); ratios are exact "
+        "integer ppm."
+    ),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise event-type audience Jaccard + containment.
+
+    Scale notes (100 TB): the distinct audience table is checkpointed
+    once for its three consumers (degree table + both self-join
+    sides); pair generation is keyed on user_id, so cost is sum of
+    per-user type-set size squared — bounded by |types|² per user.
+    Output is |types|² rows."""
+    e = load_table(spark, sf_dir, "events")
+    aud = (
+        e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    )
+    deg = aud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("u2"))
+    com = (
+        a.join(b, (F.col("user_id") == F.col("u2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_users"))
+    )
+    return (
+        com.join(
+            F.broadcast(deg.select(F.col("event_type"), F.col("d").alias("da"))),
+            F.col("type_a") == F.col("event_type"),
+        )
+        .drop("event_type")
+        .join(
+            F.broadcast(deg.select(F.col("event_type"), F.col("d").alias("db"))),
+            F.col("type_b") == F.col("event_type"),
+        )
+        .drop("event_type")
+        .select(
+            "type_a",
+            "type_b",
+            "common_users",
+            F.expr(
+                "CAST(common_users * 1000000 div (da + db - common_users)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST(common_users * 1000000 div least(da, db) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )

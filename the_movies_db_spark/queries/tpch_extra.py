@@ -1988,3 +1988,108 @@ def orders_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (ct_after_milli - ct_before_milli) AS BIGINT)"
         ).alias("did_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment lag: exact bounded-domain quantiles from a value histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_fulfillment_lag",
+    """
+    WITH lag AS (
+      SELECT n.n_name AS nation,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lag_days
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    ),
+    hist AS (
+      SELECT nation, lag_days, CAST(count(*) AS BIGINT) AS c
+      FROM lag GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT nation, lag_days, c,
+             CAST(sum(c) OVER (PARTITION BY nation ORDER BY lag_days)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY nation) AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT nation,
+           CAST(max(n) AS BIGINT) AS n_lineitems,
+           CAST(sum(lag_days * c) * 1000 // max(n) AS BIGINT)
+             AS mean_lag_milli,
+           CAST(min(CASE WHEN cum * 2 >= n THEN lag_days END) AS BIGINT)
+             AS p50_lag_days,
+           CAST(min(CASE WHEN cum * 10 >= n * 9 THEN lag_days END) AS BIGINT)
+             AS p90_lag_days,
+           CAST(sum(CASE WHEN lag_days < 0 THEN c ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM cum GROUP BY nation
+    """,
+    doc=(
+        "Order-to-ship fulfillment lag per supplier nation: mean in "
+        "exact milli-days plus EXACT p50/p90 — not approximations — "
+        "computed from the value-domain histogram (lag in whole days "
+        "is a bounded integer domain, so the cumulative window runs "
+        "over |nations|x|days| histogram rows, never over lineitems; "
+        "the ceil-free order-stat predicate cum*k >= n*q is pure "
+        "integer). Negative lags (ship before order) are surfaced as "
+        "the data-quality counter instead of being silently folded in."
+    ),
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact histogram-based lag quantiles per nation.
+
+    Scale notes (100 TB): one fact-fact equi-join on orderkey (the
+    necessary shuffle), dims broadcast; then ONE hash aggregation to
+    the (nation, lag_day) histogram — everything after is histogram
+    grain. This is the scalable exact-quantile pattern for bounded
+    integer measures: no global sort, no positional windows over the
+    fact, and it beats approx_percentile by being exact at the same
+    cost profile."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lag = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+                "lag_days"
+            ),
+        )
+    )
+    hist = lag.groupBy("nation", "lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy("nation").orderBy("lag_days")
+    wall = Window.partitionBy("nation")
+    cum = hist.select(
+        "nation",
+        "lag_days",
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    return cum.groupBy("nation").agg(
+        F.max("n").cast("bigint").alias("n_lineitems"),
+        F.expr("CAST(sum(lag_days * c) * 1000 div max(n) AS BIGINT)").alias(
+            "mean_lag_milli"
+        ),
+        F.min(F.when(F.expr("cum * 2 >= n"), F.col("lag_days")))
+        .cast("bigint")
+        .alias("p50_lag_days"),
+        F.min(F.when(F.expr("cum * 10 >= n * 9"), F.col("lag_days")))
+        .cast("bigint")
+        .alias("p90_lag_days"),
+        F.sum(F.when(F.col("lag_days") < 0, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_negative"),
+    )
