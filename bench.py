@@ -29,12 +29,12 @@ from the_movies_db_spark.queries import load_all
 from the_movies_db_spark.session import get_spark
 
 HEADLINE = [
-    # relational core (q06/q13/agg_rollup/window_topk retired round 6:
-    # sub-0.45 s and flat across 4+ recorded rounds — the stdout JSON
-    # line must stay under the driver's 2000-char tail window, so slots
-    # go to queries whose perf story is still open; retired queries
-    # remain oracle-gated every round)
-    "q01_pricing_summary",
+    # relational core (q06/q13/agg_rollup/window_topk retired round 6;
+    # q01/join_interval_overlap/text_entropy/pipeline_gate_ablation/
+    # events_path_topk retired round-6 session 4: sub-0.62 s and flat
+    # across recorded rounds — the stdout JSON line must stay under the
+    # driver's 2000-char tail window, so slots go to queries whose perf
+    # story is still open; retired queries remain oracle-gated)
     "q03_shipping_priority",
     "q05_local_supplier",
     "q10_returned_items",
@@ -71,7 +71,6 @@ HEADLINE = [
     "dedup_semantic_lsh",
     "search_index_persisted",
     "dedup_source_overlap",
-    "text_entropy",
     "sim_topk_lsh_multiprobe",
     # round-4 closers: hybrid retrieval, MRL ANN, basket mining, streaks
     "search_hybrid_rrf",
@@ -79,7 +78,6 @@ HEADLINE = [
     "basket_brand_pairs",
     # round-4 continuation: binned interval join, distributed-rank RFM
     # (pipeline_shard_shuffle retired round 6)
-    "join_interval_overlap",
     "orders_rfm_segments",
     # round-5: the 10 most expensive round-4 continuation queries at
     # sf0.1 (measured, single-run ranking in round 5) so BENCH carries
@@ -89,9 +87,7 @@ HEADLINE = [
     "dedup_threshold_histogram",
     "agg_weighted_median",
     "upsert_scd2_asof",
-    "pipeline_gate_ablation",
     "sim_bucket_purity",
-    "events_path_topk",
     # round-6 continuation: greedy MMR re-rank, retrieval eval + hard
     # negatives, DSIR + bigram-LM scoring, dim-correlation audit
     # (text_langid/multimodal_resize/pipeline_pii_redact/
@@ -115,6 +111,13 @@ HEADLINE = [
     "search_phrase_proximity",
     "pipeline_dedup_survivorship",
     "orders_pareto_gini",
+    # round-6 session 4: the 5 most expensive of the 11 new additions
+    # (x16-probe-measured 1x ranking in scripts/probe_r6g_16x.out)
+    "search_mrr_eval",
+    "sim_topk_srp_hamming",
+    "graph_link_jaccard",
+    "basket_rules_confidence",
+    "agg_mutual_information",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
