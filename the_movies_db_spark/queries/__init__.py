@@ -89,7 +89,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_moments_skew_kurt, sim_topk_srp_hamming, events_periodogram,
     # search_mrr_eval, events_markov_stationary, basket_rules_confidence,
     # search_spell_symspell, graph_link_jaccard, orders_fulfillment_lag,
-    # events_audience_overlap.
+    # events_audience_overlap, orders_reorder_interval,
+    # sim_recall_srp_planes.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

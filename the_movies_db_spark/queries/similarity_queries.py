@@ -2493,3 +2493,163 @@ def sim_topk_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SRP_K)
         .select("query_id", "neighbor_id", "hamming", "cosine_micro", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP plane-count recall curve: 8 vs 16 planes from ONE signature table
+# ---------------------------------------------------------------------------
+
+_SRPR_QUERIES = 30
+_SRPR_GT = 10
+
+
+def _srpr_hamming_sql(nbits: int) -> str:
+    return (
+        f"len(list_filter(range(1, {nbits} + 1),"
+        " i -> q.sig[i] <> c.sig[i]))"
+    )
+
+
+@register(
+    "sim_recall_srp_planes",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {_sig_expr(_SRP_PLANES).format(v="embedding")} AS sig
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST({_srpr_hamming_sql(8)} AS BIGINT)  AS h8,
+             CAST({_srpr_hamming_sql(16)} AS BIGINT) AS h16,
+             CAST(floor(
+               list_inner_product(q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) /
+               (sqrt(list_inner_product(q.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[])) *
+                sqrt(list_inner_product(c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[])))
+               * 1000000) AS BIGINT) AS cm
+      FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_SRPR_QUERIES}
+    ),
+    ranked AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cm DESC, nid)
+               AS gt_rn,
+             row_number() OVER (PARTITION BY qid ORDER BY h8, nid)  AS rn8,
+             row_number() OVER (PARTITION BY qid ORDER BY h16, nid) AS rn16
+      FROM cand
+    ),
+    hits AS (
+      SELECT
+        CAST(sum(CASE WHEN rn8 <= {_SRP_SHORTLIST}
+                       AND gt_rn <= {_SRPR_GT} THEN 1 ELSE 0 END) AS BIGINT)
+          AS hits8,
+        CAST(sum(CASE WHEN rn16 <= {_SRP_SHORTLIST}
+                       AND gt_rn <= {_SRPR_GT} THEN 1 ELSE 0 END) AS BIGINT)
+          AS hits16
+      FROM ranked
+    )
+    SELECT CAST(8 AS BIGINT) AS n_planes, hits8 AS gt_hits,
+           CAST(hits8 * 1000000 // {_SRPR_QUERIES * _SRPR_GT} AS BIGINT)
+             AS recall_ppm
+    FROM hits
+    UNION ALL
+    SELECT CAST(16 AS BIGINT), hits16,
+           CAST(hits16 * 1000000 // {_SRPR_QUERIES * _SRPR_GT} AS BIGINT)
+    FROM hits
+    """,
+    doc=(
+        "SRP sketch recall curve: recall@20-shortlist of the Hamming "
+        "ranking against exact-cosine top-10 ground truth, at 8 vs 16 "
+        "planes — BOTH measured from ONE 16-plane signature table "
+        "(plane families are prefix-nested, so the 8-plane distance is "
+        "bit_count of the xor's top byte / the first 8 signature "
+        "chars). The accuracy-vs-bits tradeoff evidence that justifies "
+        "signature width before indexing a corpus."
+    ),
+)
+def sim_recall_srp_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of 8- vs 16-plane SRP shortlists from one signature set.
+
+    Scale notes (100 TB): |Q| x corpus with Q = 30 — the sampled eval
+    panel shape (the ground truth is the stated-unavoidable brute
+    cost); both plane counts and the ground truth rank off ONE pair
+    frame, so the corpus is scanned once and the three windows run
+    per-query (30 partitions)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        S.hyperplane_signature("embedding", _SRP_PLANES, _DIM).alias("sigstr"),
+        S.norm("embedding", _DIM).alias("nrm"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.expr("CAST(conv(sigstr, 2, 10) AS BIGINT)").alias("sig_int"),
+        "nrm",
+    )
+    from the_movies_db_spark.operators.dedup import cosine_from_parts
+
+    q = sigs.filter(F.col("vec_id") < _SRPR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qv"),
+        F.col("sig_int").alias("__qsig"),
+        F.col("nrm").alias("__qn"),
+    )
+    cand = (
+        sigs.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.expr("CAST(bit_count(shiftright(sig_int ^ __qsig, 8)) AS BIGINT)")
+            .alias("h8"),
+            F.expr("CAST(bit_count(sig_int ^ __qsig) AS BIGINT)").alias("h16"),
+            F.floor(
+                cosine_from_parts("__qv", "embedding", "__qn", "nrm", dim=_DIM)
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cm"),
+        )
+    )
+    ranked = cand.select(
+        "qid",
+        "nid",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("cm"), F.asc("nid")))
+        .alias("gt_rn"),
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.asc("h8"), F.asc("nid")))
+        .alias("rn8"),
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.asc("h16"), F.asc("nid")))
+        .alias("rn16"),
+    )
+    hits = ranked.agg(
+        F.sum(
+            F.when(
+                (F.col("rn8") <= _SRP_SHORTLIST) & (F.col("gt_rn") <= _SRPR_GT), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hits8"),
+        F.sum(
+            F.when(
+                (F.col("rn16") <= _SRP_SHORTLIST) & (F.col("gt_rn") <= _SRPR_GT),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hits16"),
+    )
+    denom = _SRPR_QUERIES * _SRPR_GT
+    return hits.select(
+        F.expr(
+            "stack(2,"
+            f" 8L, hits8, CAST(hits8 * 1000000 div {denom} AS BIGINT),"
+            f" 16L, hits16, CAST(hits16 * 1000000 div {denom} AS BIGINT))"
+            " AS (n_planes, gt_hits, recall_ppm)"
+        )
+    )

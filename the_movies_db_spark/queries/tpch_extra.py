@@ -2093,3 +2093,107 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reorder cadence: per-segment exact gap quantiles via the same
+# bounded-domain histogram machinery as orders_fulfillment_lag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_reorder_interval",
+    """
+    WITH seq AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_diff('day',
+                  lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                           ORDER BY o.o_orderdate,
+                                                    o.o_orderkey),
+                  o.o_orderdate) AS BIGINT) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    hist AS (
+      SELECT segment, gap_days, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE gap_days IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT segment, gap_days, c,
+             CAST(sum(c) OVER (PARTITION BY segment ORDER BY gap_days)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_days * c) * 1000 // max(n) AS BIGINT)
+             AS mean_gap_milli,
+           CAST(min(CASE WHEN cum * 4 >= n THEN gap_days END) AS BIGINT)
+             AS p25_gap_days,
+           CAST(min(CASE WHEN cum * 2 >= n THEN gap_days END) AS BIGINT)
+             AS p50_gap_days,
+           CAST(min(CASE WHEN cum * 4 >= n * 3 THEN gap_days END) AS BIGINT)
+             AS p75_gap_days
+    FROM cum GROUP BY segment
+    """,
+    doc=(
+        "Customer reorder cadence per market segment: consecutive "
+        "order gaps from a per-customer lag window, then EXACT "
+        "p25/p50/p75 from the (segment, gap_day) value-domain "
+        "histogram — the bounded-domain exact-quantile pattern again "
+        "(windows run over histogram rows, never orders; order-stat "
+        "predicates cum*k >= n*q are pure integer). The replenishment "
+        "statistic behind inventory and churn-risk models."
+    ),
+)
+def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact reorder-gap quantiles per market segment.
+
+    Scale notes (100 TB): one shuffle on custkey for the lag window
+    (per-customer state = one previous row), the dim broadcast, ONE
+    hash aggregation to the bounded histogram; everything after is
+    histogram grain."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            )
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+    hist = (
+        seq.filter(F.col("gap_days").isNotNull())
+        .groupBy("segment", "gap_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.partitionBy("segment").orderBy("gap_days")
+    wall = Window.partitionBy("segment")
+    cum = hist.select(
+        "segment",
+        "gap_days",
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    return cum.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.expr("CAST(sum(gap_days * c) * 1000 div max(n) AS BIGINT)").alias(
+            "mean_gap_milli"
+        ),
+        F.min(F.when(F.expr("cum * 4 >= n"), F.col("gap_days")))
+        .cast("bigint")
+        .alias("p25_gap_days"),
+        F.min(F.when(F.expr("cum * 2 >= n"), F.col("gap_days")))
+        .cast("bigint")
+        .alias("p50_gap_days"),
+        F.min(F.when(F.expr("cum * 4 >= n * 3"), F.col("gap_days")))
+        .cast("bigint")
+        .alias("p75_gap_days"),
+    )
