@@ -580,3 +580,16 @@ def test_markov_stationary_iterates_at_matrix_grain(spark, sf_dir, registry):
     no events re-scan in the returned plan."""
     txt = plan_of(registry["events_markov_stationary"].spark(spark, sf_dir))
     assert txt.count("events.parquet") == 0
+
+
+def test_bucketed_join_scan_is_shuffle_free(spark, sf_dir, registry):
+    """io_bucketed_join_scan: the fact-fact join itself must read
+    co-located buckets — no Exchange below the join (the final
+    aggregation's exchange is allowed and appears ABOVE it)."""
+    from the_movies_db_spark.operators.joins import has_shuffle
+    from the_movies_db_spark.queries.surface_extra import _bucketed_join
+
+    j = _bucketed_join(spark, sf_dir)
+    assert not has_shuffle(j)
+    txt = plan_of(j)
+    assert "SortMergeJoin" in txt

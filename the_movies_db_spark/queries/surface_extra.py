@@ -3819,3 +3819,97 @@ def agg_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MOM_SKEW).alias("skew_micro"),
         F.expr(_MOM_KURT).alias("kurt_excess_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: shuffle-free fact-fact join evidence
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+_BUCKET_BUILT: set[tuple[str, str]] = set()
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped build-once bucketed copies of lineitem/orders
+    (bucketing metadata lives in the in-memory session catalog, so each
+    NEW session rebuilds into the fixed scratch location), joined on
+    the bucket key with a MERGE hint — shuffle-free by construction
+    (`tests/test_plans.py` pins has_shuffle == False)."""
+    import os
+
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.operators import joins as J
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = "graft_bucketed"
+    li_t, o_t = f"{db}.li_{sfx}", f"{db}.o_{sfx}"
+    key = (getattr(spark, "_jsc", None) and spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKET_BUILT or not (
+        spark.catalog.tableExists(li_t) and spark.catalog.tableExists(o_t)
+    ):
+        loc = scratch_dir("bucketdb", unique=False)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        J.bucketed_write(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice"
+            ),
+            li_t,
+            "l_orderkey",
+            _BUCKETS,
+            sort_cols="l_orderkey",
+        )
+        J.bucketed_write(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            o_t,
+            "o_orderkey",
+            _BUCKETS,
+            sort_cols="o_orderkey",
+        )
+        _BUCKET_BUILT.add(key)
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    return li.hint("MERGE").join(o, li.l_orderkey == o.o_orderkey)
+
+
+@register(
+    "io_bucketed_join_scan",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Bucketed co-located fact-fact join: lineitem and orders are "
+        "persisted bucketed (+sorted) on the join key with the same "
+        "bucket count, so the sort-merge join reads co-located buckets "
+        "and skips BOTH the Exchange and the Sort — the layout "
+        "investment that turns the biggest recurring shuffle in a "
+        "warehouse into a map-side join. Values are identical to the "
+        "plain join (the oracle runs it on the raw tables); the "
+        "shuffle-free plan is pinned in tests/test_plans.py."
+    ),
+)
+def io_bucketed_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the shuffle-free bucketed join.
+
+    Scale notes (100 TB): bucketing is the at-rest co-partitioning
+    strategy — both facts shuffle ONCE at write time (amortized across
+    every downstream join), then every orderkey join is exchange-free
+    and, with matching sortBy, sort-free. The 8-bucket demo count
+    scales to thousands of buckets; the plan shape is identical."""
+    j = _bucketed_join(spark, sf_dir)
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
+            "total_qty"
+        ),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
