@@ -2653,3 +2653,118 @@ def sim_recall_srp_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (n_planes, gt_hits, recall_ppm)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook distortion audit: per-subspace quantization error + usage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_pq_distortion_audit",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_PQ_CENT}
+    ),
+    s AS (SELECT unnest(range(0, {_PQ_SUB})) AS m),
+    win AS (
+      SELECT vec_id, m, d, cid AS code FROM (
+        SELECT e.vec_id, s.m, c.cid,
+               {_pq_dmicro("e.embedding", "c.cvec")} AS d,
+               row_number() OVER (PARTITION BY e.vec_id, s.m
+                                  ORDER BY {_pq_dmicro("e.embedding", "c.cvec")},
+                                           c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c CROSS JOIN s
+      ) t WHERE rn = 1
+    ),
+    per_code AS (
+      SELECT m, code, CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(d) AS BIGINT) AS sum_d, CAST(max(d) AS BIGINT) AS max_d
+      FROM win GROUP BY 1, 2
+    )
+    SELECT CAST(m AS BIGINT)            AS subspace,
+           CAST(sum(n_c) AS BIGINT)     AS n_vectors,
+           CAST(count(*) AS BIGINT)     AS codes_used,
+           CAST(max(n_c) * 1000000 // sum(n_c) AS BIGINT)
+             AS top_code_share_ppm,
+           CAST(sum(sum_d) // sum(n_c) AS BIGINT) AS mean_err_micro,
+           CAST(max(max_d) AS BIGINT)   AS max_err_micro
+    FROM per_code GROUP BY m
+    """,
+    doc=(
+        "PQ codebook health audit: per-subspace quantization error "
+        "(mean/max winning distance in exact micro) and code usage "
+        "(distinct codes used, share of the hottest code) — the "
+        "retrain trigger for product-quantization indexes: a subspace "
+        "whose top code absorbs most vectors or whose mean error "
+        "dwarfs its siblings is under-trained and degrades every ADC "
+        "ranking that touches it. Shares the shipped PQ codebook and "
+        "integer subspace-distance machinery, so the audit is "
+        "engine-exact."
+    ),
+)
+def sim_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ assignment error and code-usage profile.
+
+    Scale notes (100 TB): one corpus scan; the encode step is a pure
+    projection against the broadcast codebook literal (the shipped
+    _pq_parts convention), the winning distance rides along, and two
+    bounded hash aggregations (|subspaces|x|codes| then |subspaces|)
+    produce the audit. No joins, no shuffles beyond the tiny
+    aggregate."""
+    sub_dim = _DIM // _PQ_SUB
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = S._pq_seed_centroids(e, "vec_id", "embedding", _PQ_CENT)
+
+    def cent_arr(m):
+        return S._lit_centroid_array(
+            cents, m * sub_dim, (m + 1) * sub_dim, cid_type="int"
+        )
+
+    def win(m):
+        return F.array_min(
+            F.transform(
+                cent_arr(m),
+                lambda ce: F.struct(
+                    S._sub_l2_micro(
+                        F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim),
+                        ce["cvec"],
+                    ).alias("d"),
+                    ce["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    cols = []
+    for m in range(_PQ_SUB):
+        w = win(m)
+        cols += [w["d"].alias(f"__d{m}"), w["cid"].alias(f"__c{m}")]
+    wide = e.select(*cols)
+    stack_args = ", ".join(f"{m}L, __d{m}, __c{m}" for m in range(_PQ_SUB))
+    rows = wide.select(
+        F.expr(f"stack({_PQ_SUB}, {stack_args}) AS (m, d, code)")
+    )
+    per_code = rows.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum("d").cast("bigint").alias("sum_d"),
+        F.max("d").cast("bigint").alias("max_d"),
+    )
+    return per_code.groupBy("m").agg(
+        F.sum("n_c").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("codes_used"),
+        F.expr("CAST(max(n_c) * 1000000 div sum(n_c) AS BIGINT)").alias(
+            "top_code_share_ppm"
+        ),
+        F.expr("CAST(sum(sum_d) div sum(n_c) AS BIGINT)").alias(
+            "mean_err_micro"
+        ),
+        F.max("max_d").cast("bigint").alias("max_err_micro"),
+    ).select(
+        F.col("m").cast("bigint").alias("subspace"),
+        "n_vectors",
+        "codes_used",
+        "top_code_share_ppm",
+        "mean_err_micro",
+        "max_err_micro",
+    )
