@@ -91,7 +91,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search_spell_symspell, graph_link_jaccard, orders_fulfillment_lag,
     # events_audience_overlap, orders_reorder_interval,
     # sim_recall_srp_planes, io_bucketed_join_scan,
-    # sim_pq_distortion_audit, graph_kcore_peel.
+    # sim_pq_distortion_audit, graph_kcore_peel,
+    # events_attribution_position.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

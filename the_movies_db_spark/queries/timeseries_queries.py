@@ -3018,3 +3018,125 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
     )
+
+
+# Position-based (U-shaped) attribution: 40/20/40 credit per journey
+# ---------------------------------------------------------------------------
+
+#: integer ppm credit for a touch at position rn of k:
+#: k=1 -> all; k=2 -> half each; else 40% ends, middles split 20%.
+_POS_CREDIT = (
+    "CASE WHEN k = 1 THEN 1000000"
+    " WHEN k = 2 THEN 500000"
+    " WHEN rn = 1 OR rn = k THEN 400000"
+    " ELSE 200000 {div} (k - 2) END"
+)
+
+
+@register(
+    "events_attribution_position",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) + 1 AS BIGINT) AS j,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') OVER (
+               PARTITION BY user_id
+             ) AS BIGINT) AS n_purch
+      FROM events
+    ),
+    pos AS (
+      SELECT event_type, j, n_purch,
+             CAST(count(*) FILTER (WHERE event_type <> 'purchase') OVER (
+               PARTITION BY user_id, j ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS rn,
+             CAST(count(*) FILTER (WHERE event_type <> 'purchase') OVER (
+               PARTITION BY user_id, j
+             ) AS BIGINT) AS k
+      FROM seq
+    ),
+    credited AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'direct'
+                  ELSE event_type END AS channel,
+             CAST({_POS_CREDIT.format(div="//")} AS BIGINT) AS credit
+      FROM pos
+      WHERE (event_type <> 'purchase' AND j <= n_purch)
+         OR (event_type = 'purchase' AND k = 0)
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(CASE WHEN channel = 'direct' THEN 1000000
+                         ELSE credit END) // 1000 AS BIGINT)
+             AS attributed_milli
+    FROM credited GROUP BY 1
+    """,
+    doc=(
+        "Position-based (U-shaped) multi-touch attribution: every "
+        "purchase defines a journey of the touches since the previous "
+        "purchase; the first and last touch earn 40% each and the "
+        "middles split 20% (single-touch journeys take all, two-touch "
+        "split halves; touchless purchases credit 'direct'). Credit is "
+        "exact integer ppm - attributed purchase mass per channel in "
+        "milli units hash-matches across engines. The credit-model "
+        "sibling of last-touch events_attribution."
+    ),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """40/20/40 journey credit per channel, exact integer ppm.
+
+    Scale notes (100 TB): ONE pass — the same user-keyed sort the
+    last-touch model uses carries journey ids (running purchase count),
+    touch positions and journey sizes (conditional counts over the
+    (user, journey) frame), and the credit projection; no joins, no
+    second scan, output |channels| rows. Touches in a trailing journey
+    with no purchase are excluded by j <= n_purch; a purchase whose
+    journey has zero touches credits 'direct' in the same projection."""
+    e = load_table(spark, sf_dir, "events")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wu = Window.partitionBy("user_id")
+    is_p = F.col("event_type") == "purchase"
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.count(F.when(is_p, 1)).over(wp) + 1).cast("bigint").alias("j"),
+        F.count(F.when(is_p, 1)).over(wu).cast("bigint").alias("n_purch"),
+    )
+    wj = Window.partitionBy("user_id", "j")
+    wj_run = wj.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    not_p = F.col("event_type") != "purchase"
+    pos = seq.select(
+        "event_type",
+        "j",
+        "n_purch",
+        F.count(F.when(not_p, 1)).over(wj_run).cast("bigint").alias("rn"),
+        F.count(F.when(not_p, 1)).over(wj).cast("bigint").alias("k"),
+    )
+    credited = pos.filter(
+        (not_p & (F.col("j") <= F.col("n_purch")))
+        | (is_p & (F.col("k") == 0))
+    ).select(
+        F.when(is_p, F.lit("direct")).otherwise(F.col("event_type")).alias(
+            "channel"
+        ),
+        F.expr("CAST(" + _POS_CREDIT.format(div="div") + " AS BIGINT)").alias(
+            "credit"
+        ),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.expr(
+            "CAST(sum(CASE WHEN channel = 'direct' THEN 1000000"
+            " ELSE credit END) div 1000 AS BIGINT)"
+        ).alias("attributed_milli"),
+    )
