@@ -92,7 +92,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_audience_overlap, orders_reorder_interval,
     # sim_recall_srp_planes, io_bucketed_join_scan,
     # sim_pq_distortion_audit, graph_kcore_peel,
-    # events_attribution_position.
+    # events_attribution_position, orders_price_index_laspeyres.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -2197,3 +2197,97 @@ def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p75_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index: base-quantity-weighted monthly price level
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_index_laspeyres",
+    """
+    WITH monthly AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ym, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, qty AS w, cents AS base_cents, qty AS base_qty
+      FROM monthly WHERE ym = (SELECT min(ym) FROM monthly)
+    ),
+    matched AS (
+      SELECT m.ym,
+             b.w * m.cents // m.qty  AS num_part,
+             b.w * b.base_cents // b.base_qty AS den_part
+      FROM monthly m JOIN base b ON m.l_partkey = b.l_partkey
+      WHERE m.qty > 0
+    )
+    SELECT ym,
+           CAST(count(*) AS BIGINT) AS n_parts_matched,
+           CAST(sum(num_part) * 1000000 // sum(den_part) AS BIGINT)
+             AS index_ppm
+    FROM matched GROUP BY ym
+    """,
+    doc=(
+        "Laspeyres price index by ship month: base-month quantities "
+        "weight each part's current average unit price, so the index "
+        "tracks pure price movement on a fixed basket. Every per-part "
+        "contribution is an exact integer (w * cents div qty — the "
+        "weighted unit price in base-quantity units), so the "
+        "distributed sums are order-free and the ppm index "
+        "hash-matches. The pricing-analytics classic that separates "
+        "price effects from mix effects (the elasticity query's "
+        "complement)."
+    ),
+)
+def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-basket monthly price index in exact ppm.
+
+    Scale notes (100 TB): one hash aggregation to (month, part) grain
+    — everything after runs on the bounded aggregate, which is lazily
+    checkpointed because BOTH the base-month extraction and the
+    per-month join consume it (two branches would otherwise re-scan
+    the fact). The base basket is broadcast back; output |months|
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base_ym = monthly.agg(F.min("ym").alias("__b"))
+    base = (
+        monthly.join(F.broadcast(base_ym), monthly.ym == F.col("__b"))
+        .select(
+            F.col("l_partkey").alias("bp"),
+            F.col("qty").alias("w"),
+            F.col("cents").alias("base_cents"),
+            F.col("qty").alias("base_qty"),
+        )
+    )
+    matched = (
+        monthly.filter(F.col("qty") > 0)
+        .join(F.broadcast(base), monthly.l_partkey == F.col("bp"))
+        .select(
+            "ym",
+            F.expr("w * cents div qty").alias("num_part"),
+            F.expr("w * base_cents div base_qty").alias("den_part"),
+        )
+    )
+    return matched.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts_matched"),
+        F.expr(
+            "CAST(sum(num_part) * 1000000 div sum(den_part) AS BIGINT)"
+        ).alias("index_ppm"),
+    )
