@@ -92,7 +92,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_audience_overlap, orders_reorder_interval,
     # sim_recall_srp_planes, io_bucketed_join_scan,
     # sim_pq_distortion_audit, graph_kcore_peel,
-    # events_attribution_position, orders_price_index_laspeyres.
+    # events_attribution_position, orders_price_index_laspeyres,
+    # text_coverage_curve, agg_theil_index.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -3847,7 +3847,13 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _BUCKET_BUILT or not (
         spark.catalog.tableExists(li_t) and spark.catalog.tableExists(o_t)
     ):
-        loc = scratch_dir("bucketdb", unique=False)
+        # pid-scoped location: bucketing metadata lives in the
+        # in-memory catalog, so a NEW session must rebuild — a FIXED
+        # location would collide with the previous session's files
+        # (saveAsTable refuses: LOCATION_ALREADY_EXISTS) and two
+        # concurrent sessions would race on it. The unique dir is
+        # removed at process exit by the scratch registry.
+        loc = scratch_dir(f"bucketdb_pid{os.getpid()}", unique=True)
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
         J.bucketed_write(
             load_table(spark, sf_dir, "lineitem").select(

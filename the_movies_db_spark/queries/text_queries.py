@@ -1458,3 +1458,99 @@ def text_source_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jsd_micro"), F.asc("src_a"), F.asc("src_b"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token coverage curve: corpus mass covered by the top-k vocabulary
+# ---------------------------------------------------------------------------
+
+_COV_KS = (1, 3, 10, 30)
+
+
+def _coverage_oracle() -> str:
+    ks = ", ".join(str(k) for k in _COV_KS)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, t) AS rk,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM vocab
+    ),
+    ks(k) AS (SELECT unnest([{ks}]))
+    SELECT CAST(k AS BIGINT) AS top_k,
+           CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) * 1000000
+                // max(total) AS BIGINT) AS coverage_ppm
+    FROM ranked CROSS JOIN ks
+    GROUP BY k
+    """
+
+
+@register(
+    "text_coverage_curve",
+    _coverage_oracle(),
+    doc=(
+        "Vocabulary coverage curve: fraction of total token mass "
+        "covered by the top-k most frequent terms, at k = 1/3/10/30 — "
+        "the Zipf-companion statistic a tokenizer designer reads "
+        "before sizing a vocabulary (and a compression-potential "
+        "proxy). One corpus tokenization collapses to the vocab "
+        "aggregate; the rank window and every k-cut run at vocabulary "
+        "grain, exact integer ppm."
+    ),
+)
+def text_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of top-k terms, exact ppm.
+
+    Scale notes (100 TB): the corpus is scanned once into the vocab
+    aggregate; ranking is a window over |vocab| rows (two-level rank
+    if the vocabulary itself is corpus-scale), and the four k-cuts are
+    conditional sums in ONE aggregation over the ranked vocab crossed
+    with the tiny k list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = vocab.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("t")))
+        .alias("rk"),
+        F.sum("n").over(Window.partitionBy(F.lit(1))).cast("bigint").alias(
+            "total"
+        ),
+    )
+    ks = d.sparkSession.createDataFrame([(k,) for k in _COV_KS], "k INT")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) * 1000000"
+                " div max(total) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("top_k"),
+            "covered_tokens",
+            "total_tokens",
+            "coverage_ppm",
+        )
+    )

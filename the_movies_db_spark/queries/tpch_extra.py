@@ -2291,3 +2291,133 @@ def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(num_part) * 1000000 div sum(den_part) AS BIGINT)"
         ).alias("index_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil index decomposition: within/between-nation revenue inequality
+# ---------------------------------------------------------------------------
+
+#: per-customer Theil term (x/mu)ln(x/mu) with r built as deterministic
+#: doubles from exact integers (x*n can overflow BIGINT at scale; the
+#: correctly-rounded double product is the same in both engines),
+#: floored to micro BEFORE the distributed sum.
+_THEIL_TERM = (
+    "CAST(floor((CAST(cents AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " / CAST({s} AS DOUBLE))"
+    " * ln(CAST(cents AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " / CAST({s} AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+
+_THEIL_BETWEEN = (
+    "CAST(floor((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))"
+    " * ln(CAST(sg AS DOUBLE) * CAST(n AS DOUBLE)"
+    " / (CAST(s AS DOUBLE) * CAST(ng AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "agg_theil_index",
+    f"""
+    WITH cust AS (
+      SELECT n.n_name AS nation, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(cents) AS BIGINT) AS sg
+      FROM cust GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s
+      FROM g
+    ),
+    terms AS (
+      SELECT c.nation,
+             {_THEIL_TERM.format(n="g.ng", s="g.sg")} AS within_term
+      FROM cust c JOIN g ON c.nation = g.nation
+    )
+    SELECT g.nation,
+           g.ng AS n_customers,
+           CAST(g.ng * 1000000 // t.n AS BIGINT) AS cust_share_ppm,
+           CAST(g.sg * 1000000 // t.s AS BIGINT) AS revenue_share_ppm,
+           CAST(w.sum_term // g.ng AS BIGINT)    AS theil_within_micro,
+           {_THEIL_BETWEEN} AS between_term_micro
+    FROM g
+    CROSS JOIN tot t
+    JOIN (SELECT nation, CAST(sum(within_term) AS BIGINT) AS sum_term
+          FROM terms GROUP BY 1) w ON g.nation = w.nation
+    """,
+    doc=(
+        "Theil-T inequality decomposition of customer revenue by "
+        "nation: each nation's internal Theil index (how concentrated "
+        "revenue is among its customers) plus its between-nations "
+        "term — unlike Gini, Theil decomposes exactly into "
+        "within + between, which is why inequality audits of "
+        "hierarchical populations use it. Per-customer terms are "
+        "floored to micro before the distributed sum; ratios that "
+        "could overflow BIGINT at scale are built as "
+        "correctly-rounded doubles from exact integers."
+    ),
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within/between Theil terms per nation, engine-exact micro.
+
+    Scale notes (100 TB): one shuffle to customer grain, one ln per
+    CUSTOMER (projection — no window over the fact), then
+    nation-bounded aggregates; the customer frame is lazily
+    checkpointed because both the nation stats and the term projection
+    consume it."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("cents").cast("bigint").alias("sg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"), F.sum("sg").cast("bigint").alias("s")
+    )
+    terms = cust.join(
+        F.broadcast(g.select(F.col("nation"), F.col("ng"), F.col("sg"))),
+        "nation",
+    ).select(
+        "nation",
+        F.expr(_THEIL_TERM.format(n="ng", s="sg")).alias("within_term"),
+    )
+    w = terms.groupBy("nation").agg(
+        F.sum("within_term").cast("bigint").alias("sum_term")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .join(w, "nation")
+        .select(
+            "nation",
+            F.col("ng").alias("n_customers"),
+            F.expr("CAST(ng * 1000000 div n AS BIGINT)").alias(
+                "cust_share_ppm"
+            ),
+            F.expr("CAST(sg * 1000000 div s AS BIGINT)").alias(
+                "revenue_share_ppm"
+            ),
+            F.expr("CAST(sum_term div ng AS BIGINT)").alias(
+                "theil_within_micro"
+            ),
+            F.expr(_THEIL_BETWEEN).alias("between_term_micro"),
+        )
+    )
