@@ -3919,3 +3919,128 @@ def io_bucketed_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: smoothed between-halves drift per feature
+# ---------------------------------------------------------------------------
+
+#: (table, band SQL over the row, band label, time column) — bands are
+#: integer buckets so cells are exact; halves split on the epoch-day
+#: midpoint exactly as dq_share_drift does.
+_PSI_FEATURES: tuple[tuple[str, str, str, str], ...] = (
+    ("orders", "CAST(round(o_totalprice) AS BIGINT) {div} 20000",
+     "totalprice_20k", "o_orderdate"),
+    ("lineitem", "CAST(l_quantity AS BIGINT) {div} 5",
+     "quantity_5", "l_shipdate"),
+    ("events", "CAST(round(value * 100) AS BIGINT) {div} 2000",
+     "value_20", "ts"),
+)
+
+#: add-1-smoothed PSI contribution per band, built as deterministic
+#: doubles from exact integers and floored to micro BEFORE the
+#: band-bounded sum: (p1 - p2) * ln(p1/p2), p_i = (c_i+1)/(N_i+B).
+_PSI_CONTRIB = (
+    "CAST(floor((CAST(n_h1 + 1 AS DOUBLE) / CAST(t1 + b AS DOUBLE)"
+    " - CAST(n_h2 + 1 AS DOUBLE) / CAST(t2 + b AS DOUBLE))"
+    " * ln((CAST(n_h1 + 1 AS DOUBLE) * CAST(t2 + b AS DOUBLE))"
+    " / (CAST(n_h2 + 1 AS DOUBLE) * CAST(t1 + b AS DOUBLE)))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def _psi_oracle() -> str:
+    selects = []
+    for tbl, band, label, tcol in _PSI_FEATURES:
+        selects.append(f"""
+    SELECT '{label}' AS feature, n_bands, psi_micro FROM (
+      SELECT CAST(count(*) AS BIGINT) AS n_bands,
+             CAST(sum({_PSI_CONTRIB}) AS BIGINT) AS psi_micro
+      FROM (
+        SELECT band, n_h1, n_h2,
+               CAST(sum(n_h1) OVER () AS BIGINT) AS t1,
+               CAST(sum(n_h2) OVER () AS BIGINT) AS t2,
+               CAST(count(*) OVER () AS BIGINT)  AS b
+        FROM (
+          SELECT band,
+                 CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_h1,
+                 CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_h2
+          FROM (
+            SELECT {band.format(div="//")} AS band,
+                   CASE WHEN datediff('day',
+                          TIMESTAMP '1970-01-01 00:00:00', {tcol})
+                        < (SELECT (min(datediff('day',
+                              TIMESTAMP '1970-01-01 00:00:00', {tcol}))
+                            + max(datediff('day',
+                              TIMESTAMP '1970-01-01 00:00:00', {tcol}))
+                            + 1) // 2 FROM {tbl})
+                        THEN 1 ELSE 2 END AS half
+            FROM {tbl}
+          ) x GROUP BY band
+        ) cells
+      ) m
+    ) t""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq_drift_psi",
+    _psi_oracle(),
+    doc=(
+        "Population Stability Index between the first and second time "
+        "halves of three banded features — the canonical model-"
+        "monitoring drift score (PSI < 0.1 stable, > 0.25 action), "
+        "complementing dq_share_drift's per-band deltas with the "
+        "ln-weighted scalar. Cells are exact integer counts; the "
+        "add-1-smoothed contribution is floored to micro before the "
+        "band-bounded sum, so the score hash-matches across engines."
+    ),
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI per feature, engine-exact micro.
+
+    Scale notes (100 TB): one scan per feature into an integer-banded
+    cell aggregate (map-side combinable); totals come from windows
+    over the band-bounded cells and the midpoint from a 1-row min/max
+    aggregate — nothing after the first aggregation touches the
+    fact."""
+    out = None
+    for tbl, band, label, tcol in _PSI_FEATURES:
+        t = load_table(spark, sf_dir, tbl)
+        day = F.expr(f"datediff({tcol}, TIMESTAMP '1970-01-01 00:00:00')")
+        mid = t.agg(
+            F.expr(
+                f"CAST((min(datediff({tcol}, TIMESTAMP '1970-01-01 00:00:00'))"
+                f" + max(datediff({tcol}, TIMESTAMP '1970-01-01 00:00:00'))"
+                " + 1) div 2 AS INT)"
+            ).alias("__mid")
+        )
+        banded = t.crossJoin(F.broadcast(mid)).select(
+            F.expr(band.format(div="div")).alias("band"),
+            F.when(day < F.col("__mid"), 1).otherwise(2).alias("half"),
+        )
+        cells = banded.groupBy("band").agg(
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_h1"),
+            F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_h2"),
+        )
+        wall = Window.partitionBy(F.lit(1))
+        m = cells.select(
+            "n_h1",
+            "n_h2",
+            F.sum("n_h1").over(wall).cast("bigint").alias("t1"),
+            F.sum("n_h2").over(wall).cast("bigint").alias("t2"),
+            F.count(F.lit(1)).over(wall).cast("bigint").alias("b"),
+        )
+        row = m.agg(
+            F.lit(label).alias("feature"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+            F.sum(F.expr(_PSI_CONTRIB)).cast("bigint").alias("psi_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
