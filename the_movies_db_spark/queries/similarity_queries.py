@@ -2768,3 +2768,93 @@ def sim_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_err_micro",
         "max_err_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Embedding distribution drift between two corpus halves
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_embedding_drift",
+    """
+    WITH el AS (
+      SELECT vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim,
+             CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM el GROUP BY 1
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n0, n1,
+           CAST(s0 * 1000 // n0 AS BIGINT) AS mean0_nano,
+           CAST(s1 * 1000 // n1 AS BIGINT) AS mean1_nano,
+           CAST(s0 * 1000 // n0 - s1 * 1000 // n1 AS BIGINT) AS delta_nano
+    FROM s
+    ORDER BY abs(CAST(s0 * 1000 // n0 - s1 * 1000 // n1 AS BIGINT)) DESC, dim
+    LIMIT 8
+    """,
+    doc=(
+        "Embedding DRIFT audit: per-dimension mean shift between two "
+        "corpus halves (vec_id parity plays the before/after split) — "
+        "the pre-flight check before mixing embedding batches from two "
+        "encoder runs (a drifted dimension means the encoder or the "
+        "data changed; cosine search silently degrades). Elements are "
+        "quantized to micro BIGINT before summing, so the distributed "
+        "sum is order-free and the top-8 drifted dims are "
+        "engine-exact."
+    ),
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean drift between corpus halves.
+
+    Scale notes (100 TB): one posexplode into a 64-group hash
+    aggregation with conditional sums — no joins, no windows, output
+    bounded by the dimensionality. Integer quantization BEFORE the sum
+    is what makes the distributed (order-nondeterministic) aggregation
+    value-hash-stable; a double sum would drift in the last ulp across
+    partitionings."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    el = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("j0", "v"),
+    ).select(
+        "half",
+        (F.col("j0") + 1).alias("dim"),
+        F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
+    )
+    s = el.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    return (
+        s.select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "n0",
+            "n1",
+            F.expr("CAST(s0 * 1000 div n0 AS BIGINT)").alias("mean0_nano"),
+            F.expr("CAST(s1 * 1000 div n1 AS BIGINT)").alias("mean1_nano"),
+            F.expr(
+                "CAST(s0 * 1000 div n0 - s1 * 1000 div n1 AS BIGINT)"
+            ).alias("delta_nano"),
+        )
+        .orderBy(F.abs(F.col("delta_nano")).desc(), F.asc("dim"))
+        .limit(8)
+    )
