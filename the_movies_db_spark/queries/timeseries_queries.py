@@ -3140,3 +3140,84 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE credit END) div 1000 AS BIGINT)"
         ).alias("attributed_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Velocity burst detection: max events in any rolling 60-minute window
+# ---------------------------------------------------------------------------
+
+_BURST_WINDOW_S = 3600
+_BURST_TOP = 10
+
+
+@register(
+    "events_velocity_burst",
+    f"""
+    WITH sec AS (
+      SELECT user_id,
+             CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) AS es
+      FROM events
+    ),
+    rolled AS (
+      SELECT user_id,
+             CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY es
+               RANGE BETWEEN {_BURST_WINDOW_S - 1} PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS burst
+      FROM sec
+    ),
+    per_user AS (
+      SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM rolled GROUP BY 1
+    )
+    SELECT user_id, max_burst, n_events, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY max_burst DESC, user_id) AS rk
+      FROM per_user
+    ) t WHERE rk <= {_BURST_TOP}
+    """,
+    doc=(
+        "Velocity-burst audit: each user's maximum event count inside "
+        "ANY rolling 60-minute window (a RANGE frame over epoch "
+        "seconds — the frame slides per event, no fixed buckets to "
+        "straddle), top-10 burstiest users. The rate-limit / abuse "
+        "screen that fixed tumbling counts systematically undercount "
+        "when a burst crosses a bucket boundary. Pure integer "
+        "counting, engine-exact."
+    ),
+)
+def events_velocity_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max rolling-hour event count per user, top-10.
+
+    Scale notes (100 TB): one shuffle on user_id; the RANGE frame is
+    evaluated in a single pass over each user's time-sorted events
+    (state = the sliding window's row span); per-user maxima reduce to
+    |users| rows and the top-10 is orderBy+limit →
+    TakeOrderedAndProject (no global sort)."""
+    e = load_table(spark, sf_dir, "events")
+    sec = e.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(SECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"
+            " AS BIGINT)"
+        ).alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-(_BURST_WINDOW_S - 1), Window.currentRow)
+    )
+    rolled = sec.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("bigint").alias("burst")
+    )
+    per_user = rolled.groupBy("user_id").agg(
+        F.max("burst").cast("bigint").alias("max_burst"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    top = per_user.orderBy(F.desc("max_burst"), F.asc("user_id")).limit(
+        _BURST_TOP
+    )
+    wr = Window.orderBy(F.desc("max_burst"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
