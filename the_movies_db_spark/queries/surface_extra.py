@@ -4044,3 +4044,91 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy release (seeded-noise testing mode)
+# ---------------------------------------------------------------------------
+
+#: inverse-CDF Laplace(b=1/eps=1) from a deterministic md5-seeded
+#: uniform: u = (2*u_ppm - 999999)/1e6 in (-1, 1) with |u| >= 1/1e6,
+#: noise = -sign(u) * ln(1 - |u|). Seeded noise makes the release
+#: value-hash-testable; production swaps the seed for a CSPRNG draw —
+#: the plan shape (one hash + projection per group) is identical.
+#: the seed integer extraction differs per engine (Spark has conv,
+#: DuckDB casts 0x-prefixed strings) but both yield the SAME BIGINT;
+#: everything after is identical expression text over exact integers.
+_DP_SEED_SPARK = "CAST(conv(substr(md5(nation), 1, 8), 16, 10) AS BIGINT)"
+_DP_SEED_DUCK = (
+    "CAST(concat('0x', substr(md5(nation), 1, 8)) AS BIGINT)"
+)
+
+
+def _dp_u(seed: str) -> str:
+    return (
+        f"(CAST(2 * ({seed} % 1000000) - 999999 AS DOUBLE) / 1000000.0)"
+    )
+
+
+def _dp_noise_milli(seed: str) -> str:
+    u = _dp_u(seed)
+    return f"CAST(floor(-sign({u}) * ln(1.0 - abs({u})) * 1000) AS BIGINT)"
+
+
+_DP_NOISE_MILLI = _dp_noise_milli(_DP_SEED_SPARK)
+_DP_NOISE_MILLI_DUCK = _dp_noise_milli(_DP_SEED_DUCK)
+
+
+@register(
+    "dq_dp_noisy_release",
+    f"""
+    WITH counts AS (
+      SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS true_count
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT nation,
+           true_count,
+           {_DP_NOISE_MILLI_DUCK} AS noise_milli,
+           CAST(true_count * 1000 + {_DP_NOISE_MILLI_DUCK} AS BIGINT)
+             AS noisy_count_milli
+    FROM counts
+    """,
+    doc=(
+        "Differentially-private count release (Laplace mechanism, "
+        "eps=1, sensitivity 1) over per-nation order counts — the "
+        "privacy-preserving publication operator of a governed data "
+        "platform. TESTING MODE: the Laplace draw comes from an "
+        "md5-seeded inverse-CDF uniform so the release is value-hash "
+        "verifiable (true_count is exposed for the same reason); "
+        "production swaps the seed for a CSPRNG and drops the true "
+        "column — the plan (one group-bounded projection) is "
+        "unchanged. Noise is floor-milli of deterministic doubles."
+    ),
+)
+def dq_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-Laplace noisy counts per nation.
+
+    Scale notes (100 TB): one aggregation to the release grain; the
+    noise is a per-GROUP projection (|nations| ln calls, not per-row).
+    The same shape serves any GROUP BY release; contributor-level
+    sensitivity capping happens upstream of the count."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    return counts.select(
+        "nation",
+        "true_count",
+        F.expr(_DP_NOISE_MILLI).alias("noise_milli"),
+        F.expr(f"CAST(true_count * 1000 + {_DP_NOISE_MILLI} AS BIGINT)").alias(
+            "noisy_count_milli"
+        ),
+    )
