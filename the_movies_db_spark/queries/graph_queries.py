@@ -537,3 +537,113 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.join(good_c, "c").localCheckpoint(eager=False)
         out = out.unionByName(census(cur, r))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks: node2vec-style walk corpus generation
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+
+#: walk-step choice: md5 of "start:step:cur" -> integer -> mod outdeg.
+#: Spark extracts the integer with conv(); DuckDB casts the 0x prefix —
+#: same BIGINT, so both engines pick the identical neighbor index.
+_WALK_SEED_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(start AS STRING), ':', "
+    "CAST({step} AS STRING), ':', CAST(cur AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT)"
+)
+_WALK_SEED_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(start AS VARCHAR) || ':' || "
+    "CAST({step} AS VARCHAR) || ':' || CAST(cur AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+def _walks_oracle() -> str:
+    ctes = [
+        f"e AS ({_EDGES_SQL})",
+        "nbrs AS (SELECT src, list(dst ORDER BY dst) AS nb,"
+        " CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        "w0 AS (SELECT src AS start, src AS cur,"
+        " CAST(src AS VARCHAR) AS path FROM nbrs)",
+    ]
+    for i in range(1, _WALK_STEPS + 1):
+        seed = _WALK_SEED_DUCK.format(step=i)
+        ctes.append(
+            f"""w{i} AS (
+              SELECT w.start,
+                     n.nb[CAST({seed} % n.deg AS INT) + 1] AS cur,
+                     w.path || '>' ||
+                       CAST(n.nb[CAST({seed} % n.deg AS INT) + 1]
+                            AS VARCHAR) AS path
+              FROM w{i - 1} w JOIN nbrs n ON w.cur = n.src
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT nat.n_name AS start_nation, w.path AS walk_path,
+               CAST(w.cur AS BIGINT) AS end_node
+        FROM w{_WALK_STEPS} w JOIN nation nat ON w.start = nat.n_nationkey
+        """
+    )
+
+
+@register(
+    "graph_random_walks",
+    _walks_oracle(),
+    doc=(
+        "Deterministic random-walk corpus over the trade graph: one "
+        "3-step walk per start node, each step choosing among the "
+        "sorted neighbors by an md5-seeded index (seed = start:step:"
+        "current, so the walk corpus is reproducible and value-hash "
+        "verifiable — swap the seed for a real RNG in production). "
+        "This is the node2vec/DeepWalk sampling stage that turns a "
+        "graph into skip-gram training data."
+    ),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 3-step walks from every node, reproducible across engines.
+
+    Scale notes (100 TB / billions of nodes): the neighbor table is
+    the adjacency list keyed by node (one shuffle to build, bounded
+    per-node by the sorted neighbor array — cap or sample hub fanouts
+    upstream); every step is one equi-join walks-vs-adjacency on the
+    current node, so W walks of L steps cost L joins at |W| rows each.
+    Walk state carries only (start, cur, path)."""
+    edges = _edges(spark, sf_dir)
+    nbrs = (
+        edges.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_set("dst")).alias("nb"),
+            F.countDistinct("dst").cast("bigint").alias("deg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    walks = nbrs.select(
+        F.col("src").alias("start"),
+        F.col("src").alias("cur"),
+        F.col("src").cast("string").alias("path"),
+    )
+    for i in range(1, _WALK_STEPS + 1):
+        seed = _WALK_SEED_SPARK.format(step=i)
+        walks = (
+            walks.join(F.broadcast(nbrs), walks.cur == nbrs.src)
+            .select(
+                "start",
+                F.expr(f"nb[CAST({seed} % deg AS INT)]").alias("__next"),
+                F.concat(
+                    "path", F.lit(">"), F.expr(
+                        f"CAST(nb[CAST({seed} % deg AS INT)] AS STRING)"
+                    )
+                ).alias("path"),
+            )
+            .withColumnRenamed("__next", "cur")
+        )
+    nat = load_table(spark, sf_dir, "nation")
+    return walks.join(nat, walks.start == nat.n_nationkey).select(
+        F.col("n_name").alias("start_nation"),
+        F.col("path").alias("walk_path"),
+        F.col("cur").cast("bigint").alias("end_node"),
+    )
