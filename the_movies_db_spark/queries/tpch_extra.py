@@ -35,6 +35,22 @@ from the_movies_db_spark.io import load_table
 from the_movies_db_spark.queries import register
 
 
+def _ppm_div(a: str, b: str, div: str) -> str:
+    """floor(a * 1e6 / b) as exact BIGINT without overflow: quotient
+    term + two-stage remainder divmod chain — every intermediate is
+    bounded by b*1000, so the expression survives cents-scale sums
+    whose *1e6 product exceeds int64 (the x16 probe caught exactly
+    that in the Theil revenue share). Identical text both engines
+    modulo the floor-division spelling."""
+    return (
+        f"((({a}) {div} ({b})) * 1000000"
+        f" + ((({a}) % ({b})) * 1000 {div} ({b})) * 1000"
+        f" + (((({a}) % ({b})) * 1000 % ({b})) * 1000 {div} ({b})))"
+    )
+
+
+
+
 def _t(df: DataFrame, column: str, value: str):
     return F.lit(value).cast(df.schema[column].dataType)
 
@@ -2206,7 +2222,7 @@ def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_price_index_laspeyres",
-    """
+    f"""
     WITH monthly AS (
       SELECT strftime(l_shipdate, '%Y-%m') AS ym, l_partkey,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -2227,7 +2243,7 @@ def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ym,
            CAST(count(*) AS BIGINT) AS n_parts_matched,
-           CAST(sum(num_part) * 1000000 // sum(den_part) AS BIGINT)
+           CAST({_ppm_div("sum(num_part)", "sum(den_part)", "//")} AS BIGINT)
              AS index_ppm
     FROM matched GROUP BY ym
     """,
@@ -2288,7 +2304,8 @@ def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("ym").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts_matched"),
         F.expr(
-            "CAST(sum(num_part) * 1000000 div sum(den_part) AS BIGINT)"
+            f"CAST({_ppm_div('sum(num_part)', 'sum(den_part)', 'div')}"
+            " AS BIGINT)"
         ).alias("index_ppm"),
     )
 
@@ -2343,8 +2360,8 @@ _THEIL_BETWEEN = (
     )
     SELECT g.nation,
            g.ng AS n_customers,
-           CAST(g.ng * 1000000 // t.n AS BIGINT) AS cust_share_ppm,
-           CAST(g.sg * 1000000 // t.s AS BIGINT) AS revenue_share_ppm,
+           CAST({_ppm_div("g.ng", "t.n", "//")} AS BIGINT) AS cust_share_ppm,
+           CAST({_ppm_div("g.sg", "t.s", "//")} AS BIGINT) AS revenue_share_ppm,
            CAST(w.sum_term // g.ng AS BIGINT)    AS theil_within_micro,
            {_THEIL_BETWEEN} AS between_term_micro
     FROM g
@@ -2409,12 +2426,12 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             F.col("ng").alias("n_customers"),
-            F.expr("CAST(ng * 1000000 div n AS BIGINT)").alias(
-                "cust_share_ppm"
-            ),
-            F.expr("CAST(sg * 1000000 div s AS BIGINT)").alias(
-                "revenue_share_ppm"
-            ),
+            F.expr(
+                f"CAST({_ppm_div('ng', 'n', 'div')} AS BIGINT)"
+            ).alias("cust_share_ppm"),
+            F.expr(
+                f"CAST({_ppm_div('sg', 's', 'div')} AS BIGINT)"
+            ).alias("revenue_share_ppm"),
             F.expr("CAST(sum_term div ng AS BIGINT)").alias(
                 "theil_within_micro"
             ),
