@@ -118,6 +118,8 @@ HEADLINE = [
     "graph_link_jaccard",
     "basket_rules_confidence",
     "agg_mutual_information",
+    "graph_kcore_peel",
+    "io_bucketed_join_scan",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
