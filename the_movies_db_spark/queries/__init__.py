@@ -94,7 +94,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_pq_distortion_audit, graph_kcore_peel,
     # events_attribution_position, orders_price_index_laspeyres,
     # text_coverage_curve, agg_theil_index, dq_drift_psi,
-    # events_velocity_burst, dq_dp_noisy_release, graph_random_walks.
+    # events_velocity_burst, dq_dp_noisy_release, graph_random_walks,
+    # text_kneser_ney_continuation.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

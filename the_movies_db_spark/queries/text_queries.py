@@ -1554,3 +1554,117 @@ def text_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney continuation probability vs raw frequency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_kneser_ney_continuation",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT DISTINCT p[1] AS w1, p[2] AS w2
+      FROM (SELECT unnest(list_zip(t[:len(t) - 1], t[2:])) AS p
+            FROM d WHERE len(t) >= 2) u
+    ),
+    cont AS (
+      SELECT w2 AS term, CAST(count(*) AS BIGINT) AS n_contexts
+      FROM bi GROUP BY 1
+    ),
+    nbt AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM bi),
+    uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c_uni
+      FROM (SELECT unnest(t) AS term FROM d) u GROUP BY 1
+    ),
+    tt AS (SELECT CAST(sum(c_uni) AS BIGINT) AS total FROM uni)
+    SELECT u.term,
+           u.c_uni AS n_occurrences,
+           c.n_contexts,
+           CAST(u.c_uni * 1000000 // t.total AS BIGINT) AS raw_ppm,
+           CAST(c.n_contexts * 1000000 // b.n_bigram_types AS BIGINT)
+             AS continuation_ppm,
+           CAST(c.n_contexts * 1000000 // b.n_bigram_types * 1000
+                // greatest(u.c_uni * 1000000 // t.total, 1) AS BIGINT)
+             AS ratio_milli
+    FROM uni u
+    JOIN cont c ON u.term = c.term
+    CROSS JOIN nbt b CROSS JOIN tt t
+    ORDER BY ratio_milli DESC, u.term
+    LIMIT 10
+    """,
+    doc=(
+        "Kneser-Ney continuation probability vs raw frequency: "
+        "P_cont(w) = distinct contexts preceding w / distinct bigram "
+        "types — the insight behind KN smoothing ('San Francisco' "
+        "makes 'Francisco' frequent but nearly context-bound, so its "
+        "continuation mass should be tiny). Top-10 terms whose "
+        "continuation probability most exceeds their raw frequency — "
+        "the versatile low-frequency vocabulary an LM backoff should "
+        "favor. All exact integer ratios over vocab-bounded counts."
+    ),
+)
+def text_kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuation-vs-raw probability divergence, top-10.
+
+    Scale notes (100 TB): distinct bigram types and unigram counts
+    are vocab-bounded aggregates of one token stream each; everything
+    downstream is vocabulary grain with the two scalar totals
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    )
+    bi = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cont = bi.groupBy(F.col("w2").alias("term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contexts")
+    )
+    nbt = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"))
+    uni = (
+        d.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    )
+    tt = uni.agg(F.sum("c_uni").cast("bigint").alias("total"))
+    return (
+        uni.join(cont, "term")
+        .crossJoin(F.broadcast(nbt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "term",
+            F.col("c_uni").alias("n_occurrences"),
+            "n_contexts",
+            F.expr("CAST(c_uni * 1000000 div total AS BIGINT)").alias(
+                "raw_ppm"
+            ),
+            F.expr(
+                "CAST(n_contexts * 1000000 div n_bigram_types AS BIGINT)"
+            ).alias("continuation_ppm"),
+            F.expr(
+                "CAST(n_contexts * 1000000 div n_bigram_types * 1000"
+                " div greatest(c_uni * 1000000 div total, 1) AS BIGINT)"
+            ).alias("ratio_milli"),
+        )
+        .orderBy(F.desc("ratio_milli"), F.asc("term"))
+        .limit(10)
+    )
