@@ -4132,3 +4132,75 @@ def dq_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noisy_count_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Primary-key uniqueness audit across all base tables
+# ---------------------------------------------------------------------------
+
+_PK_SPECS: tuple[tuple[str, str], ...] = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "concat(CAST(l_orderkey AS STRING), ':', "
+                 "CAST(l_linenumber AS STRING))"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+def _pk_oracle() -> str:
+    selects = []
+    for tbl, key in _PK_SPECS:
+        k = key.replace("AS STRING", "AS VARCHAR")
+        selects.append(f"""
+    SELECT '{tbl}' AS table_name,
+           CAST(sum(c) AS BIGINT)   AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_keys,
+           CAST(max(c) AS BIGINT)   AS max_multiplicity
+    FROM (SELECT {k} AS k, CAST(count(*) AS BIGINT) AS c
+          FROM {tbl} GROUP BY 1) g""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq_pk_uniqueness",
+    _pk_oracle(),
+    doc=(
+        "Primary-key uniqueness audit across every base table "
+        "(composite key for lineitem): row count vs distinct keys, "
+        "duplicate-key count, and worst multiplicity — the first "
+        "contract any ingestion pipeline asserts, and the check whose "
+        "silent failure corrupts every downstream join cardinality. "
+        "One hash aggregation per table to its key domain."
+    ),
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table PK uniqueness census.
+
+    Scale notes (100 TB): each table pays one map-side-combinable
+    aggregation keyed on its PK; the census reduce is key-domain
+    bounded. Run it per ingestion batch, not per query."""
+    out = None
+    for tbl, key in _PK_SPECS:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(F.expr(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        row = g.agg(
+            F.lit(tbl).alias("table_name"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_keys"),
+            F.max("c").cast("bigint").alias("max_multiplicity"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
