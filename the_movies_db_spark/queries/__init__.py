@@ -95,7 +95,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_attribution_position, orders_price_index_laspeyres,
     # text_coverage_curve, agg_theil_index, dq_drift_psi,
     # events_velocity_burst, dq_dp_noisy_release, graph_random_walks,
-    # text_kneser_ney_continuation, dq_pk_uniqueness.
+    # text_kneser_ney_continuation, dq_pk_uniqueness,
+    # sim_cosine_calibration, dq_calendar_gaps.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -2858,3 +2858,87 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta_nano")).desc(), F.asc("dim"))
         .limit(8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine calibration: similarity distribution of a random pair panel
+# ---------------------------------------------------------------------------
+
+_CAL_QUERIES = 20
+
+
+@register(
+    "sim_cosine_calibration",
+    f"""
+    WITH cand AS (
+      SELECT CAST(floor(
+               list_inner_product(q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) /
+               (sqrt(list_inner_product(q.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[])) *
+                sqrt(list_inner_product(c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[])))
+               * 1000000) AS BIGINT) AS cm
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_CAL_QUERIES}
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * 1000000 // (SELECT count(*) FROM cand)
+                AS BIGINT) AS share_ppm
+    FROM (
+      SELECT CASE WHEN cm >= 0 THEN cm // 100000
+                  ELSE -((-cm + 99999) // 100000) END AS band
+      FROM cand
+    ) b
+    GROUP BY band
+    """,
+    doc=(
+        "Cosine calibration / anisotropy audit: the similarity "
+        "distribution of a 20-query panel against the whole corpus, "
+        "banded at 0.1 (floor toward -inf so negative cosines band "
+        "correctly) — embeddings whose random-pair mass concentrates "
+        "in a narrow high-cosine band are anisotropic, and every "
+        "threshold tuned on them (dedup cutoffs, ANN radii) needs "
+        "recalibration. The distribution context for the margin "
+        "audit's per-query view."
+    ),
+)
+def sim_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded cosine histogram of panel x corpus pairs.
+
+    Scale notes (100 TB): |Q| x corpus with Q = 20 — the sampled-panel
+    shape; one broadcast join, one banded hash aggregation; the share
+    denominator is a 1-row aggregate of the band counts (no second
+    pair scan)."""
+    from the_movies_db_spark.operators.dedup import cosine_from_parts
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    base = e.select(
+        "vec_id", "embedding", S.norm("embedding", _DIM).alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") < _CAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qv"),
+        F.col("nrm").alias("__qn"),
+    )
+    cand = base.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).select(
+        F.floor(
+            cosine_from_parts("__qv", "embedding", "__qn", "nrm", dim=_DIM)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("cm")
+    )
+    bands = cand.select(
+        F.expr(
+            "CASE WHEN cm >= 0 THEN cm div 100000"
+            " ELSE -((-cm + 99999) div 100000) END"
+        ).alias("band")
+    ).groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    tot = bands.agg(F.sum("n_pairs").cast("bigint").alias("__t"))
+    return bands.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_pairs",
+        F.expr("CAST(n_pairs * 1000000 div __t AS BIGINT)").alias("share_ppm"),
+    )

@@ -4204,3 +4204,77 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Calendar completeness: missing days and longest gap per time column
+# ---------------------------------------------------------------------------
+
+_CAL_COLS: tuple[tuple[str, str], ...] = (
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+    ("events", "ts"),
+)
+
+
+def _calendar_oracle() -> str:
+    selects = []
+    for tbl, col in _CAL_COLS:
+        selects.append(f"""
+    SELECT '{tbl}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_days_present,
+           CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+           CAST(max(d) - min(d) + 1 - count(*) AS BIGINT) AS n_missing_days,
+           CAST(coalesce(max(d - prev_d - 1), 0) AS BIGINT) AS longest_gap
+    FROM (
+      SELECT d, lag(d) OVER (ORDER BY d) AS prev_d
+      FROM (SELECT DISTINCT datediff('day',
+              TIMESTAMP '1970-01-01 00:00:00', {col}) AS d FROM {tbl}) u
+    ) g""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq_calendar_gaps",
+    _calendar_oracle(),
+    doc=(
+        "Calendar completeness audit: distinct days present vs the "
+        "min-max span, missing-day count, and the LONGEST gap (lag "
+        "over the distinct-day list) for each time column — the "
+        "ingestion-hole detector that row counts alone miss (a missed "
+        "day vanishes silently; a long gap means a dead upstream). "
+        "The day list is span-bounded, so the gap window costs "
+        "nothing."
+    ),
+)
+def dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing days + longest gap per time column.
+
+    Scale notes (100 TB): one distinct aggregation per table to its
+    DAY domain (map-side combinable, output <= span days), then a lag
+    window over that bounded list — the fact is scanned once per
+    column and never sorted."""
+    out = None
+    for tbl, col in _CAL_COLS:
+        t = load_table(spark, sf_dir, tbl)
+        days = t.select(
+            F.expr(
+                f"datediff({col}, TIMESTAMP '1970-01-01 00:00:00')"
+            ).alias("d")
+        ).distinct()
+        g = days.select(
+            "d", F.lag("d").over(Window.orderBy("d")).alias("prev_d")
+        )
+        row = g.agg(
+            F.lit(tbl).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days_present"),
+            F.expr("CAST(max(d) - min(d) + 1 AS BIGINT)").alias("span_days"),
+            F.expr("CAST(max(d) - min(d) + 1 - count(*) AS BIGINT)").alias(
+                "n_missing_days"
+            ),
+            F.expr(
+                "CAST(coalesce(max(d - prev_d - 1), 0) AS BIGINT)"
+            ).alias("longest_gap"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
