@@ -96,7 +96,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_coverage_curve, agg_theil_index, dq_drift_psi,
     # events_velocity_burst, dq_dp_noisy_release, graph_random_walks,
     # text_kneser_ney_continuation, dq_pk_uniqueness,
-    # sim_cosine_calibration, dq_calendar_gaps.
+    # sim_cosine_calibration, dq_calendar_gaps, agg_median_of_means,
+    # orders_growth_yoy.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

@@ -4278,3 +4278,94 @@ def dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means: the distributed robust mean estimator
+# ---------------------------------------------------------------------------
+
+_MOM_BUCKETS = 16
+
+
+@register(
+    "agg_median_of_means",
+    f"""
+    WITH b AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_MOM_BUCKETS} AS bucket,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    means AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) * 1000 // count(*) AS BIGINT) AS mean_milli
+      FROM b GROUP BY bucket
+    ),
+    ranked AS (
+      SELECT mean_milli,
+             row_number() OVER (ORDER BY mean_milli, bucket) AS rk
+      FROM means
+    )
+    SELECT CAST({_MOM_BUCKETS} AS BIGINT) AS n_buckets,
+           CAST((SELECT sum(n) FROM means) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(mean_milli) // {_MOM_BUCKETS} FROM means)
+                AS BIGINT) AS mean_of_means_milli,
+           CAST(sum(CASE WHEN rk IN ({_MOM_BUCKETS // 2},
+                                     {_MOM_BUCKETS // 2 + 1})
+                         THEN mean_milli ELSE 0 END) AS BIGINT)
+             AS mom_x2_milli
+    FROM ranked
+    """,
+    doc=(
+        "Median-of-means robust mean estimator: rows are hashed into "
+        "16 deterministic buckets, each bucket's exact milli-cent mean "
+        "is computed map-side, and the estimator is the median of the "
+        "16 means (reported as the x2 sum of the two middle order "
+        "stats — no .5 doubles). The heavy-tail-robust aggregation "
+        "used when a single corrupted shard or outlier burst must not "
+        "move the metric; deviation of MoM from the plain mean is "
+        "itself the contamination signal."
+    ),
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket median-of-means over order totals, exact milli.
+
+    Scale notes (100 TB): the bucket assignment is a per-row
+    projection; bucket means are ONE map-side-combinable aggregation
+    to 16 rows; the median is a projection over those 16. This is the
+    canonical one-pass robust estimator for distributed settings."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_MOM_BUCKETS}"
+        ).alias("bucket"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    means = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(sum(cents) * 1000 div count(*) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+    )
+    ranked = means.select(
+        "n",
+        "mean_milli",
+        F.row_number()
+        .over(Window.orderBy("mean_milli", "bucket"))
+        .alias("rk"),
+    )
+    half = _MOM_BUCKETS // 2
+    return ranked.agg(
+        F.lit(_MOM_BUCKETS).cast("bigint").alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.expr(f"CAST(sum(mean_milli) div {_MOM_BUCKETS} AS BIGINT)").alias(
+            "mean_of_means_milli"
+        ),
+        F.sum(
+            F.when(F.col("rk").isin(half, half + 1), F.col("mean_milli")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mom_x2_milli"),
+    )

@@ -2438,3 +2438,81 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_THEIL_BETWEEN).alias("between_term_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth reporting: month-over-month and year-over-year revenue deltas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_growth_yoy",
+    f"""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT ym, cents, n_orders,
+             lag(cents, 1)  OVER (ORDER BY ym) AS prev_m,
+             lag(cents, 12) OVER (ORDER BY ym) AS prev_y
+      FROM m
+    )
+    SELECT ym, n_orders, cents,
+           CAST(CASE WHEN prev_m IS NULL THEN NULL
+                ELSE {{d}} END AS BIGINT) AS mom_ppm,
+           CAST(CASE WHEN prev_y IS NULL THEN NULL
+                ELSE {{y}} END AS BIGINT) AS yoy_ppm
+    FROM lagged
+    """.format(
+        d=_ppm_div("cents - prev_m", "prev_m", "//"),
+        y=_ppm_div("cents - prev_y", "prev_y", "//"),
+    ),
+    doc=(
+        "Month-over-month and year-over-year revenue growth in exact "
+        "ppm (the overflow-free divmod chain — cents-scale sums again) "
+        "— the reporting backbone every finance dashboard opens with, "
+        "with lag(1) and lag(12) over the bounded month list. First "
+        "month / first year rows carry NULL rather than a fake zero."
+    ),
+)
+def orders_growth_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoM / YoY growth over the month-bounded revenue series.
+
+    Scale notes (100 TB): one hash aggregation to |months| rows; the
+    lags are a window over that bounded list. Negative growth divides
+    a negative numerator by a positive base — truncation toward zero
+    is identical in both engines (documented invariant)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("ym")
+    lagged = m.select(
+        "ym",
+        "cents",
+        "n_orders",
+        F.lag("cents", 1).over(w).alias("prev_m"),
+        F.lag("cents", 12).over(w).alias("prev_y"),
+    )
+    return lagged.select(
+        "ym",
+        "n_orders",
+        "cents",
+        F.expr(
+            "CAST(CASE WHEN prev_m IS NULL THEN NULL ELSE "
+            + _ppm_div("cents - prev_m", "prev_m", "div")
+            + " END AS BIGINT)"
+        ).alias("mom_ppm"),
+        F.expr(
+            "CAST(CASE WHEN prev_y IS NULL THEN NULL ELSE "
+            + _ppm_div("cents - prev_y", "prev_y", "div")
+            + " END AS BIGINT)"
+        ).alias("yoy_ppm"),
+    )
