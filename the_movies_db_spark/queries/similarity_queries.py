@@ -2942,3 +2942,78 @@ def sim_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.expr("CAST(n_pairs * 1000000 div __t AS BIGINT)").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimension energy curve: squared-mass share of embedding prefixes
+# ---------------------------------------------------------------------------
+
+_ENERGY_DIMS = (8, 16, 32, 64)
+
+
+def _energy_sql_duck(d: int) -> str:
+    return (
+        f"list_aggregate(list_transform(embedding[1:{d}],"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT)), 'sum')"
+    )
+
+
+@register(
+    "sim_dim_energy_curve",
+    f"""
+    WITH per_vec AS (
+      SELECT {", ".join(f"CAST({_energy_sql_duck(d)} AS BIGINT) AS e{d}"
+                        for d in _ENERGY_DIMS)}
+      FROM embeddings
+    ),
+    tot AS (
+      SELECT {", ".join(f"CAST(sum(e{d}) AS BIGINT) AS e{d}"
+                        for d in _ENERGY_DIMS)}
+      FROM per_vec
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS n_dims, e{d} AS energy_micro,"
+        f" CAST(e{d} * 1000000 // e64 AS BIGINT) AS share_ppm FROM tot"
+        for d in _ENERGY_DIMS)}
+    """,
+    doc=(
+        "Dimension energy curve: the share of total squared embedding "
+        "mass carried by the first 8/16/32/64 dimensions — the "
+        "evidence that justifies (or forbids) Matryoshka-style "
+        "truncation before the truncated ANN index ships. Per-element "
+        "squares are floored to micro BEFORE summing, so every energy "
+        "total is an order-free BIGINT and the curve hash-matches."
+    ),
+)
+def sim_dim_energy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix energy shares at 8/16/32/64 dims, exact ppm.
+
+    Scale notes (100 TB): one corpus scan computing four prefix sums
+    per row (a projection), one 1-row reduce, then a 4-row stack —
+    nothing else. Shares use plain ppm here (energies are micro-sums
+    bounded by dim * 1e6 * n; switch to the _ppm_div chain past
+    ~9e12 rows)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def energy(d: int):
+        return F.expr(
+            f"aggregate(transform(slice(embedding, 1, {d}),"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+            " * 1000000) AS BIGINT)), 0L, (a, v) -> a + v)"
+        ).alias(f"e{d}")
+
+    per_vec = e.select(*[energy(d) for d in _ENERGY_DIMS])
+    tot = per_vec.agg(
+        *[F.sum(f"e{d}").cast("bigint").alias(f"e{d}") for d in _ENERGY_DIMS]
+    )
+    stack = ", ".join(
+        f"{d}L, e{d}, CAST(e{d} * 1000000 div e64 AS BIGINT)"
+        for d in _ENERGY_DIMS
+    )
+    return tot.select(
+        F.expr(
+            f"stack({len(_ENERGY_DIMS)}, {stack})"
+            " AS (n_dims, energy_micro, share_ppm)"
+        )
+    )
