@@ -593,3 +593,19 @@ def test_bucketed_join_scan_is_shuffle_free(spark, sf_dir, registry):
     assert not has_shuffle(j)
     txt = plan_of(j)
     assert "SortMergeJoin" in txt
+
+
+def test_session4_checkpoints_bound_fact_scans(spark, sf_dir, registry):
+    """Session-4 multi-consumer aggregates are lazily checkpointed, so
+    each returned plan re-reads its fact zero times (KN's two token
+    streams both collapse; spell's vocab, Theil's customer frame, and
+    the link-prediction edge list feed all their branches from the
+    checkpoint)."""
+    for name, tbl, want in [
+        ("search_spell_symspell", "documents", 0),
+        ("text_kneser_ney_continuation", "documents", 0),
+        ("agg_theil_index", "orders", 0),
+        ("graph_link_jaccard", "lineitem", 0),
+    ]:
+        txt = plan_of(registry[name].spark(spark, sf_dir))
+        assert txt.count(f"{tbl}.parquet") == want, name

@@ -1644,6 +1644,7 @@ def text_kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+        .localCheckpoint(eager=False)
     )
     tt = uni.agg(F.sum("c_uni").cast("bigint").alias("total"))
     return (
