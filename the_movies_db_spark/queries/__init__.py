@@ -97,7 +97,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_velocity_burst, dq_dp_noisy_release, graph_random_walks,
     # text_kneser_ney_continuation, dq_pk_uniqueness,
     # sim_cosine_calibration, dq_calendar_gaps, agg_median_of_means,
-    # orders_growth_yoy, pipeline_shuffle_quality, sim_dim_energy_curve.
+    # orders_growth_yoy, pipeline_shuffle_quality, sim_dim_energy_curve,
+    # dedup_cdc_chunks.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

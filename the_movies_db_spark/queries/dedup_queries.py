@@ -770,3 +770,128 @@ def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_err_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: rolling-hash boundaries
+# ---------------------------------------------------------------------------
+
+_CDC_PREFIX = 400   # chunk the first N chars (bounds per-row work)
+_CDC_MOD = 16       # boundary when the 4-gram hash % 16 == 0
+
+#: polynomial 4-gram hash at position i (31-base, pure integer — both
+#: engines' ascii() agree on every character).
+_CDC_HASH = (
+    "(ascii(substr(t, i, 1)) * 29791 + ascii(substr(t, i + 1, 1)) * 961"
+    " + ascii(substr(t, i + 2, 1)) * 31 + ascii(substr(t, i + 3, 1)))"
+)
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_CDC_PREFIX}) AS t
+      FROM documents
+    ),
+    marks AS (
+      SELECT doc_id, t, len(t) AS n,
+             list_concat(
+               [1],
+               list_filter(range(2, greatest(len(t) - 2, 2)),
+                 i -> {_CDC_HASH} % {_CDC_MOD} = 0)
+             ) AS ss
+      FROM d
+    ),
+    chunks AS (
+      SELECT doc_id, md5(chunk) AS h, len(chunk) AS b
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ss) + 1),
+                 k -> substr(t, ss[k],
+                             coalesce(ss[k + 1], n + 1) - ss[k]))) AS chunk
+        FROM marks
+      ) u WHERE chunk <> ''
+    ),
+    per_chunk AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(min(b) AS BIGINT) AS b
+      FROM chunks GROUP BY h
+    )
+    SELECT CAST(sum(n_occ) AS BIGINT)          AS total_chunks,
+           CAST(count(*) AS BIGINT)            AS unique_chunks,
+           CAST(sum(n_occ * b) AS BIGINT)      AS total_bytes,
+           CAST(sum(b) AS BIGINT)              AS unique_bytes,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS chunks_in_multiple_docs,
+           CAST((sum(n_occ * b) - sum(b)) * 1000000 // sum(n_occ * b)
+                AS BIGINT) AS dedup_savings_ppm
+    FROM per_chunk
+    """,
+    doc=(
+        "Content-defined chunking dedup (the restic/borgbackup/rsync "
+        "primitive): chunk boundaries fall where a rolling 4-gram "
+        "polynomial hash hits 0 mod 16, so an insertion early in a "
+        "document only reshapes chunks near the edit — unlike "
+        "fixed-size blocks, where one shifted byte breaks every "
+        "following block (multimodal_block_dedup is exactly that "
+        "fixed-block sibling). Chunks are content-addressed by md5; "
+        "the census reports storage-level dedup savings in exact ppm."
+    ),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunk census + storage savings, engine-exact.
+
+    Scale notes (100 TB): boundary detection and chunk slicing are
+    per-row HOF projections (no shuffle); the content-addressed census
+    is one hash aggregation keyed on the chunk digest — the shape of
+    every dedup store's ingestion path. The 4-gram hash uses pure
+    integer ascii arithmetic, so boundaries are engine-exact."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"substring(text, 1, {_CDC_PREFIX})").alias("t")
+    )
+    marks = d.select(
+        "doc_id",
+        "t",
+        F.length("t").alias("n"),
+        F.expr(
+            "concat(array(1), CASE WHEN length(t) >= 5 THEN"
+            f" filter(sequence(2, length(t) - 3),"
+            f" i -> {_CDC_HASH} % {_CDC_MOD} = 0)"
+            " ELSE CAST(array() AS ARRAY<INT>) END)"
+        ).alias("ss"),
+    )
+    chunks = (
+        marks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ss)),"
+                    " k -> substring(t, element_at(ss, k),"
+                    " (CASE WHEN k = size(ss) THEN n + 1"
+                    " ELSE element_at(ss, k + 1) END) - element_at(ss, k)))"
+                )
+            ).alias("chunk"),
+        )
+        .filter(F.col("chunk") != "")
+        .select("doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("b"))
+    )
+    per_chunk = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.min("b").cast("bigint").alias("b"),
+    )
+    return per_chunk.agg(
+        F.sum("n_occ").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("unique_chunks"),
+        F.sum(F.expr("n_occ * b")).cast("bigint").alias("total_bytes"),
+        F.sum("b").cast("bigint").alias("unique_bytes"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("chunks_in_multiple_docs"),
+        F.expr(
+            "CAST((sum(n_occ * b) - sum(b)) * 1000000"
+            " div sum(n_occ * b) AS BIGINT)"
+        ).alias("dedup_savings_ppm"),
+    )
