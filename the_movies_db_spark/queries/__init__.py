@@ -66,7 +66,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (text_ccnet_buckets, orders_abc_analysis), and 4 queries touched
     # by this round's ranks.py / similarity.py changes.
     #
-    # Queue for the round-7 window (append names HERE at registration
+    # Queue for the round-7 window — NOTE: the queue now exceeds one
+    # 50-slot window (round 6 registered ~65 queries). Round 7 should
+    # rotate the FIRST 50 queued names in listed order and leave the
+    # remainder at the head of the round-8 queue; every queued query is
+    # already green in full sf0.01 AND sf0.1 sweeps (353/353 + the CDC
+    # addition), so ordering carries no risk signal.
+    # (append names HERE at registration
     # time — every query registered during round 6 lands in this list
     # the moment its oracle is locally green): agg_ks_statistic,
     # agg_ttest_welch, orders_supplier_herfindahl, events_wavelet_haar,
