@@ -4369,3 +4369,86 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mom_x2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: order header total vs line-item detail
+# ---------------------------------------------------------------------------
+
+#: per-line charge in integer cents, rounded per ROW before summing
+#: (the q09 discipline — float cancellation across lines must not
+#: reach the aggregate).
+_RECON_LINE_CENTS = (
+    "CAST(round(l_extendedprice * (1 + l_tax) * (1 - l_discount) * 100)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "dq_order_total_reconciliation",
+    f"""
+    WITH detail AS (
+      SELECT l_orderkey,
+             CAST(sum({_RECON_LINE_CENTS}) AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             d.line_cents
+      FROM orders o JOIN detail d ON o.o_orderkey = d.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN header_cents = line_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+           CAST(sum(CASE WHEN header_cents <> line_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(sum(abs(header_cents - line_cents)) // count(*) AS BIGINT)
+             AS mean_abs_diff_cents,
+           CAST(max(abs(header_cents - line_cents)) AS BIGINT)
+             AS max_abs_diff_cents
+    FROM j
+    """,
+    doc=(
+        "Header-vs-detail reconciliation: each order's stored total "
+        "against the recomputed sum of its line charges (price x "
+        "(1+tax) x (1-discount), rounded to cents PER LINE before "
+        "summing — the float-cancellation discipline), reporting match "
+        "counts and the drift magnitude. The classic cross-table "
+        "consistency contract between a fact header and its detail — "
+        "its violation rate is the canary for partial loads and "
+        "double-applied adjustments."
+    ),
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-total vs line-sum reconciliation census.
+
+    Scale notes (100 TB): one hash aggregation of lineitem to order
+    grain, one equi-join on orderkey (the co-partitioned fact-fact
+    join the bucketed layout makes exchange-free), one census
+    reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(F.expr(_RECON_LINE_CENTS)).cast("bigint").alias("line_cents")
+    )
+    j = o.join(detail, o.o_orderkey == detail.l_orderkey).select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "header_cents"
+        ),
+        "line_cents",
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("header_cents") == F.col("line_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matching"),
+        F.sum(F.when(F.col("header_cents") != F.col("line_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.expr(
+            "CAST(sum(abs(header_cents - line_cents)) div count(*) AS BIGINT)"
+        ).alias("mean_abs_diff_cents"),
+        F.max(F.expr("abs(header_cents - line_cents)"))
+        .cast("bigint")
+        .alias("max_abs_diff_cents"),
+    )
