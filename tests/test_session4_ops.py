@@ -212,3 +212,36 @@ def test_srp_signature_matches_python(spark, registry):
             bit = 1 if round(acc, 6) >= 0 else 0
             sig = (sig << 1) | bit
         assert got[vid] == sig, vid
+
+
+# --------------------------------------------- scratch purge liveness
+
+
+def test_scratch_purge_spares_live_processes(tmp_path):
+    """unique=True scratch dirs embed the creating pid; another
+    process's eager purge must delete dead-process leftovers but never
+    a dir owned by a LIVE process (the concurrent-sweep race that
+    silently truncated an upsert table)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from the_movies_db_spark.io import _SCRATCH_ROOT, scratch_dir
+
+    mine = scratch_dir("racecheck_t")
+    marker = os.path.join(mine, "data")
+    open(marker, "w").write("x")
+    dead = os.path.join(_SCRATCH_ROOT, "racecheck_t_p999999_dead")
+    os.makedirs(dead, exist_ok=True)
+    code = textwrap.dedent(
+        """
+        import sys; sys.path.insert(0, %r)
+        from the_movies_db_spark.io import scratch_dir
+        scratch_dir("racecheck_t")
+        """
+        % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+    assert os.path.exists(marker), "live dir was purged by another process"
+    assert not os.path.exists(dead), "dead leftover not purged"

@@ -68,9 +68,13 @@ def scratch_dir(prefix: str, unique: bool = True) -> str:
     ``unique=True`` → a fresh dir per call (streaming checkpoints and
     foreachBatch targets must not be reused: a reused checkpoint would
     replay zero offsets and silently return stale results). Dirs this
-    process created are removed at exit; leftovers from PRIOR processes
-    under the same prefix are purged eagerly here — their results were
-    collected before that process exited.
+    process created are removed at exit; leftovers from DEAD prior
+    processes under the same prefix are purged eagerly here. The
+    creating pid is embedded in the dir name and checked with
+    ``kill(pid, 0)`` — a dir owned by a LIVE concurrent process is
+    never touched (two concurrent oracle sweeps once raced here: the
+    second sweep's eager purge deleted the first one's upsert table
+    mid-read and its row count silently dropped).
 
     ``unique=False`` → one fixed, reusable dir per prefix, for
     build-once artifacts written with ``mode("overwrite")`` (e.g. the
@@ -88,10 +92,25 @@ def scratch_dir(prefix: str, unique: bool = True) -> str:
         d = os.path.join(_SCRATCH_ROOT, prefix)
         os.makedirs(d, exist_ok=True)
         return d
+    import re
+
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
     for old in glob.glob(os.path.join(_SCRATCH_ROOT, prefix + "_*")):
-        if old not in _SCRATCH_LIVE:
-            shutil.rmtree(old, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix=prefix + "_", dir=_SCRATCH_ROOT)
+        if old in _SCRATCH_LIVE:
+            continue
+        m = re.search(r"_p(\d+)_", os.path.basename(old))
+        if m and _pid_alive(int(m.group(1))):
+            continue  # owned by a live concurrent process
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"{prefix}_p{os.getpid()}_", dir=_SCRATCH_ROOT)
     _SCRATCH_LIVE.add(d)
     return d
 
