@@ -104,7 +104,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_kneser_ney_continuation, dq_pk_uniqueness,
     # sim_cosine_calibration, dq_calendar_gaps, agg_median_of_means,
     # orders_growth_yoy, pipeline_shuffle_quality, sim_dim_energy_curve,
-    # dedup_cdc_chunks, dq_order_total_reconciliation.
+    # dedup_cdc_chunks, dq_order_total_reconciliation,
+    # orders_customer_concentration.
     #
     # -- the 35 round-5 registrations --------------------------------------
     "sim_topk_kmeans_int",

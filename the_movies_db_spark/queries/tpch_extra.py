@@ -2516,3 +2516,86 @@ def orders_growth_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " END AS BIGINT)"
         ).alias("yoy_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Concentration ratio: revenue share of the top-10 customers
+# ---------------------------------------------------------------------------
+
+_CR_TOP = 10
+
+
+@register(
+    "orders_customer_concentration",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s FROM cust),
+    top AS (
+      SELECT o_custkey, cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+      FROM cust
+    )
+    SELECT CAST(rk AS BIGINT) AS rank,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           cents,
+           CAST({{share}} AS BIGINT) AS share_ppm,
+           CAST({{cum}} AS BIGINT) AS cum_share_ppm
+    FROM (
+      SELECT rk, o_custkey, cents, t.s,
+             CAST(sum(cents) OVER (ORDER BY rk) AS BIGINT) AS cum_cents
+      FROM top CROSS JOIN tot t WHERE rk <= {_CR_TOP}
+    ) x
+    """.format(
+        share=_ppm_div("cents", "s", "//"),
+        cum=_ppm_div("cum_cents", "s", "//"),
+    ),
+    doc=(
+        "Customer concentration ratio: the top-10 customers by exact "
+        "revenue cents with individual and cumulative shares in "
+        "overflow-free ppm — the CR-k revenue-risk statistic "
+        "(complementing HHI's squared-share view and Gini's full-curve "
+        "view). A CR-10 above a few percent of total is key-account "
+        "dependency; a trend in it is churn exposure."
+    ),
+)
+def orders_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customer revenue shares, exact ppm.
+
+    Scale notes (100 TB): one hash aggregation to customer grain
+    (checkpointed for its two consumers), total as a 1-row reduce, the
+    top-10 via orderBy+limit -> TakeOrderedAndProject (distributed
+    partial top-k), and the cumulative window runs over 10 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = cust.agg(F.sum("cents").cast("bigint").alias("s"))
+    top = cust.orderBy(F.desc("cents"), F.asc("o_custkey")).limit(_CR_TOP)
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = (
+        top.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum_cents", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+    )
+    return ranked.select(
+        F.col("rk").cast("bigint").alias("rank"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        "cents",
+        F.expr(f"CAST({_ppm_div('cents', 's', 'div')} AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(f"CAST({_ppm_div('cum_cents', 's', 'div')} AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+    )
