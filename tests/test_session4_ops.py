@@ -232,8 +232,24 @@ def test_scratch_purge_spares_live_processes(tmp_path):
     mine = scratch_dir("racecheck_t")
     marker = os.path.join(mine, "data")
     open(marker, "w").write("x")
-    dead = os.path.join(_SCRATCH_ROOT, "racecheck_t_p999999_dead")
-    os.makedirs(dead, exist_ok=True)
+    # A guaranteed-dead pid: spawn a trivial child and reap it (a
+    # hardcoded large pid can be a LIVE process when kernel.pid_max
+    # exceeds it — ADVICE r6).
+    reaped = subprocess.Popen([sys.executable, "-c", "pass"])
+    reaped.wait()
+    dead_pid = reaped.pid
+    # dead leftovers in BOTH naming formats must be purged:
+    # new format (pid is the final segment) and legacy (pid embedded
+    # before mkdtemp's random suffix).
+    dead_new = os.path.join(_SCRATCH_ROOT, f"racecheck_t_x1y2z3_p{dead_pid}")
+    dead_legacy = os.path.join(_SCRATCH_ROOT, f"racecheck_t_p{dead_pid}_dead")
+    # a caller prefix containing `_p<digits>_` must not shadow the
+    # owner pid at the END of the name (the regex-anchor fix).
+    tricky_live = os.path.join(
+        _SCRATCH_ROOT, f"racecheck_t_p{dead_pid}_x_p{os.getpid()}"
+    )
+    for d in (dead_new, dead_legacy, tricky_live):
+        os.makedirs(d, exist_ok=True)
     code = textwrap.dedent(
         """
         import sys; sys.path.insert(0, %r)
@@ -243,5 +259,81 @@ def test_scratch_purge_spares_live_processes(tmp_path):
         % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     subprocess.run([sys.executable, "-c", code], check=True)
-    assert os.path.exists(marker), "live dir was purged by another process"
-    assert not os.path.exists(dead), "dead leftover not purged"
+    try:
+        assert os.path.exists(marker), "live dir was purged by another process"
+        assert not os.path.exists(dead_new), "dead leftover (new fmt) not purged"
+        assert not os.path.exists(dead_legacy), "dead leftover (legacy) not purged"
+        assert os.path.exists(tricky_live), (
+            "live dir purged: prefix-embedded _p<digits>_ shadowed the owner pid"
+        )
+    finally:
+        import shutil
+
+        for d in (dead_new, dead_legacy, tricky_live):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_build_once_semantics(tmp_path):
+    """build_once runs the build exactly once per stamp value, re-runs
+    on a stamp change, and never runs when the on-disk stamp matches."""
+    from the_movies_db_spark.io import build_once
+
+    work = str(tmp_path / "layout")
+    calls = []
+
+    def build():
+        calls.append(1)
+
+    assert build_once(work, {"v": 1}, build) is True
+    assert build_once(work, {"v": 1}, build) is False  # fresh → skipped
+    assert build_once(work, {"v": 2}, build) is True  # stamp changed
+    assert calls == [1, 1]
+
+
+def test_build_once_serializes_concurrent_builders(tmp_path):
+    """Two processes racing a stale stamp: exactly ONE build runs; the
+    loser serializes behind the writer lease, re-checks the stamp and
+    skips (the ADVICE-r6 overwrite race on fixed scratch layouts)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from the_movies_db_spark.io import build_once
+
+    work = str(tmp_path / "layout")
+    artifact = os.path.join(work, "artifact")
+    code = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, %r)
+        from the_movies_db_spark.io import build_once
+        work = %r
+        def build():
+            time.sleep(1.0)  # hold the lease while the parent races
+            with open(os.path.join(work, "artifact"), "w") as fh:
+                fh.write("child")
+        build_once(work, {"v": 1}, build)
+        """
+        % (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            work,
+        )
+    )
+    child = subprocess.Popen([sys.executable, "-c", code])
+    # wait until the child holds the lease (lock file appears)
+    lock = os.path.join(work, "_WRITER_LOCK")
+    deadline = time.monotonic() + 10
+    while not os.path.exists(lock) and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert os.path.exists(lock), "child never acquired the lease"
+
+    def parent_build():
+        with open(artifact, "w") as fh:
+            fh.write("parent")
+
+    ran = build_once(work, {"v": 1}, parent_build)
+    assert child.wait() == 0
+    assert ran is False, "parent rebuilt over the child's fresh layout"
+    assert open(artifact).read() == "child"

@@ -106,13 +106,25 @@ def scratch_dir(prefix: str, unique: bool = True) -> str:
     for old in glob.glob(os.path.join(_SCRATCH_ROOT, prefix + "_*")):
         if old in _SCRATCH_LIVE:
             continue
-        m = re.search(r"_p(\d+)_", os.path.basename(old))
-        if m and _pid_alive(int(m.group(1))):
+        base = os.path.basename(old)
+        # Owner pid extraction: new-format dirs end with `_p<pid>`
+        # (unambiguous — nothing follows the pid). Legacy dirs embed
+        # `_p<pid>_` before mkdtemp's random suffix; a caller prefix
+        # could itself contain `_p<digits>_`, so take the LAST such
+        # segment (the owner pid is the one closest to the suffix).
+        m = re.search(r"_p(\d+)$", base)
+        pids = [m.group(1)] if m else re.findall(r"_p(\d+)_", base)
+        if pids and _pid_alive(int(pids[-1])):
             continue  # owned by a live concurrent process
         shutil.rmtree(old, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix=f"{prefix}_p{os.getpid()}_", dir=_SCRATCH_ROOT)
-    _SCRATCH_LIVE.add(d)
-    return d
+    # mkdtemp gives collision-free uniqueness; the rename appends the
+    # creating pid as the FINAL path segment so the purge above can
+    # parse ownership without ambiguity.
+    d = tempfile.mkdtemp(prefix=f"{prefix}_", dir=_SCRATCH_ROOT)
+    owned = f"{d}_p{os.getpid()}"
+    os.rename(d, owned)
+    _SCRATCH_LIVE.add(owned)
+    return owned
 
 
 def scratch_done(path: str) -> None:
@@ -122,6 +134,50 @@ def scratch_done(path: str) -> None:
 
     shutil.rmtree(path, ignore_errors=True)
     _SCRATCH_LIVE.discard(path)
+
+
+def build_once(work: str, stamp: dict, build) -> bool:
+    """Serialize a fingerprint-stamped build-once layout.
+
+    All build-once artifacts (persisted inverted index, ANN index,
+    partitioned events copy) live in a FIXED ``unique=False`` scratch
+    dir guarded by a ``_SOURCE`` stamp. The stamp check alone races:
+    two concurrent processes that both observe a stale/absent stamp
+    would ``mode("overwrite")`` the same directory simultaneously and
+    corrupt the layout (the same race class as the upsert writer
+    lease). This helper re-checks the stamp under that lease, so at
+    most one process rebuilds and latecomers serialize then skip.
+
+    ``build()`` must write every artifact below ``work`` (never
+    replace ``work`` itself — the lock file lives inside it) and is
+    only invoked when the on-disk stamp differs from ``stamp``. The
+    stamp is written AFTER ``build()`` returns, so a crashed build
+    re-runs. Returns True when a (re)build ran in this process.
+    """
+    import json
+
+    from the_movies_db_spark.upsert import writer_lock
+
+    stamp_path = os.path.join(work, "_SOURCE")
+
+    def _fresh() -> bool:
+        try:
+            with open(stamp_path) as fh:
+                return json.load(fh) == stamp
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    # Fast path without lock traffic: once built, every process sees
+    # the matching stamp (it is written only after a complete build).
+    if _fresh():
+        return False
+    with writer_lock(work, wait_seconds=300.0):
+        if _fresh():  # another process finished the build while we waited
+            return False
+        build()
+        with open(stamp_path, "w") as fh:
+            json.dump(stamp, fh)
+    return True
 
 
 def _with_nanos_as_long(spark: SparkSession) -> None:

@@ -55,45 +55,16 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-6 rotation (the round-5 window went 50/50 value-hash green,
-    # 0 failures — CORRECTNESS_r05.json). This window = the 35 queries
-    # registered during round 5 (the 33-name queue + the 2 that missed
-    # the queue comment in the final r5 snapshot commit:
-    # agg_variance_twopass, sim_vector_norm_audit), the 5 rows-only
-    # entries (re-confirm their weaker rows-only check), and 10
-    # re-check slots: 4 queries whose code changed AFTER their r5
-    # driver row recorded (044a7fb fixes), the 2 round-6 scale rewrites
-    # (text_ccnet_buckets, orders_abc_analysis), and 4 queries touched
-    # by this round's ranks.py / similarity.py changes.
+    # Round-7 rotation (the round-6 window went 50/50 green — 45
+    # value-hash + 5 rows-only-by-design, 0 failures —
+    # CORRECTNESS_r06.json). Round 6 registered ~79 new queries, more
+    # than one 50-slot window: per the documented queue discipline this
+    # window = the FIRST 50 round-6 queue names in listed order; the
+    # remaining 29 head the round-8 queue below.
     #
-    # Queue for the round-7 window — NOTE: the queue now exceeds one
-    # 50-slot window (round 6 registered ~65 queries). Round 7 should
-    # rotate the FIRST 50 queued names in listed order and leave the
-    # remainder at the head of the round-8 queue; every queued query is
-    # already green in full sf0.01 AND sf0.1 sweeps (353/353 + the CDC
-    # addition), so ordering carries no risk signal.
-    # (append names HERE at registration
-    # time — every query registered during round 6 lands in this list
-    # the moment its oracle is locally green): agg_ks_statistic,
-    # agg_ttest_welch, orders_supplier_herfindahl, events_wavelet_haar,
-    # dq_freshness_lag, pipeline_mixture_greedy, text_zipf_slope,
-    # text_burstiness, search_query_expansion, sim_pair_margin_audit,
-    # pipeline_split_leakage, agg_mann_whitney, orders_cohort_survival,
-    # agg_subsample_ci, dq_anomaly_iqr, events_changepoint_binseg,
-    # multimodal_block_dedup, sim_ivf_imbalance_audit,
-    # sim_pca_power_iteration, io_partition_pruned_scan,
-    # join_dynamic_partition_pruning, events_forecast_holt,
-    # dq_control_chart_pchart, pipeline_quality_calibration,
-    # sim_mmr_diversify, search_ndcg_eval, pipeline_importance_dsir,
-    # events_seasonal_anomaly, orders_price_elasticity,
-    # sim_embedding_drift, dq_table_profile, text_bigram_logprob,
-    # dq_functional_deps, sim_dim_correlation, dq_column_entropy,
-    # search_hard_negatives, dq_shuffle_skew, agg_trimmed_mean,
-    # events_seasonality_strength, text_vocab_growth_heaps,
-    # udf_mapinarrow_norm, agg_hll_exact_mirror, orders_promo_did,
-    # text_source_divergence_js, agg_mutual_information,
-    # agg_moments_skew_kurt, sim_topk_srp_hamming, events_periodogram,
-    # search_mrr_eval, events_markov_stationary, basket_rules_confidence,
+    # Queue for the round-8 window (append round-7 registrations HERE
+    # at registration time — every listed query is already green in
+    # full local sf0.01 AND sf0.1 sweeps): basket_rules_confidence,
     # search_spell_symspell, graph_link_jaccard, orders_fulfillment_lag,
     # events_audience_overlap, orders_reorder_interval,
     # sim_recall_srp_planes, io_bucketed_join_scan,
@@ -106,62 +77,60 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # orders_growth_yoy, pipeline_shuffle_quality, sim_dim_energy_curve,
     # dedup_cdc_chunks, dq_order_total_reconciliation,
     # orders_customer_concentration.
+    # -- round-7 registrations follow (appended at registration time,
+    #    the moment each oracle is locally green) --
     #
-    # -- the 35 round-5 registrations --------------------------------------
-    "sim_topk_kmeans_int",
-    "sim_recall_kmeans",
-    "text_lang_confusion",
-    "dq_referential_integrity",
-    "orders_pareto_gini",
-    "orders_segment_migration",
-    "events_time_to_convert",
-    "search_phrase_proximity",
-    "pipeline_classifier_gate",
-    "fn_url_parse",
-    "join_asof_nearest",
-    "pipeline_tokenizer_fertility",
-    "upsert_partitioned",
-    "sim_topk_ivfpq_residual",
-    "udf_token_bucket",
-    "pipeline_domain_temperature",
-    "feature_store_pit",
-    "text_keyphrase_rake",
-    "sim_recall_nprobe_curve",
-    "events_inactivity_churn",
-    "events_interval_merge",
-    "pipeline_dedup_survivorship",
-    "events_peak_concurrency",
-    "orders_decile_lift",
-    "io_multiformat_roundtrip",
-    "multimodal_dedup_exact",
-    "pipeline_curation_funnel",
-    "dedup_minhash_error_audit",
-    "sim_label_separation",
-    "dq_share_drift",
-    "fn_business_days",
-    "search_snippet_extraction",
-    "cdc_net_changes",
-    "agg_variance_twopass",
-    "sim_vector_norm_audit",
-    # -- the 5 rows-only-by-design entries ---------------------------------
-    "sim_topk_ivf_kmeans",
-    "sim_topk_vectorized",
-    "sim_mllib_lsh_join",
-    "agg_approx_distinct",
-    "agg_hll_sketch",
-    # -- re-checks: changed after their r5 rows (044a7fb) ------------------
-    "dq_benford_digits",
-    "dq_id_gaps",
-    "join_interval_overlap",
-    "sim_recall_ivfpq",
-    # -- re-checks: round-6 scale rewrites ---------------------------------
-    "text_ccnet_buckets",
-    "orders_abc_analysis",
-    # -- re-checks: touched by round-6 ranks.py / similarity work ----------
-    "orders_rfm_segments",
-    "pipeline_curriculum_order",
-    "dedup_semantic",
-    "sim_topk_ivfpq",
+    # -- first 50 of the round-6 queue, in listed order --------------------
+    "agg_ks_statistic",
+    "agg_ttest_welch",
+    "orders_supplier_herfindahl",
+    "events_wavelet_haar",
+    "dq_freshness_lag",
+    "pipeline_mixture_greedy",
+    "text_zipf_slope",
+    "text_burstiness",
+    "search_query_expansion",
+    "sim_pair_margin_audit",
+    "pipeline_split_leakage",
+    "agg_mann_whitney",
+    "orders_cohort_survival",
+    "agg_subsample_ci",
+    "dq_anomaly_iqr",
+    "events_changepoint_binseg",
+    "multimodal_block_dedup",
+    "sim_ivf_imbalance_audit",
+    "sim_pca_power_iteration",
+    "io_partition_pruned_scan",
+    "join_dynamic_partition_pruning",
+    "events_forecast_holt",
+    "dq_control_chart_pchart",
+    "pipeline_quality_calibration",
+    "sim_mmr_diversify",
+    "search_ndcg_eval",
+    "pipeline_importance_dsir",
+    "events_seasonal_anomaly",
+    "orders_price_elasticity",
+    "sim_embedding_drift",
+    "dq_table_profile",
+    "text_bigram_logprob",
+    "dq_functional_deps",
+    "sim_dim_correlation",
+    "dq_column_entropy",
+    "search_hard_negatives",
+    "dq_shuffle_skew",
+    "agg_trimmed_mean",
+    "events_seasonality_strength",
+    "text_vocab_growth_heaps",
+    "udf_mapinarrow_norm",
+    "agg_hll_exact_mirror",
+    "orders_promo_did",
+    "text_source_divergence_js",
+    "agg_mutual_information",
+    "agg_moments_skew_kurt",
+    "sim_topk_srp_hamming",
+    "events_periodogram",
+    "search_mrr_eval",
+    "events_markov_stationary",
 )
 
 

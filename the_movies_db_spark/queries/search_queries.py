@@ -323,7 +323,7 @@ _N_TERM_BUCKETS = 16
     ),
 )
 def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.io import build_once, scratch_dir
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -338,7 +338,6 @@ def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SOURCE file (path + size + mtime) is stamped next to the index;
     # when it matches, the build is skipped entirely and the call is
     # search-only — repeated driver sweeps and bench runs pay one build.
-    import json
 
     work = scratch_dir(
         "invindex_" + os.path.basename(sf_dir.rstrip("/")), unique=False
@@ -353,14 +352,7 @@ def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # schema changes so an old on-disk index can never be served
         "fmt": ["ws-lower-v1", _N_TERM_BUCKETS],
     }
-    stamp_path = os.path.join(work, "_SOURCE")
-    fresh = False
-    try:
-        with open(stamp_path) as fh:
-            fresh = json.load(fh) == stamp
-    except (OSError, json.JSONDecodeError):
-        fresh = False
-    if not fresh:
+    def _build() -> None:
         # Build: one explode + one combining agg → postings at rest,
         # partitioned by a stable hash bucket of the term.
         postings = (
@@ -377,9 +369,10 @@ def search_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
         ).write.mode("overwrite").parquet(work + "/stats")
-        # stamp AFTER both writes commit, so a crashed build re-runs
-        with open(stamp_path, "w") as fh:
-            json.dump(stamp, fh)
+
+    # stamp-check + rebuild serialized under the writer lease so two
+    # concurrent processes never overwrite the same fixed dir (ADVICE r6)
+    build_once(work, stamp, _build)
 
     # Search: prune to the query vocabulary's buckets (partition
     # pruning), then exact filter, df via window, BIGINT BM25 scoring.

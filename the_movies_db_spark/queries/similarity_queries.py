@@ -917,10 +917,9 @@ def sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     id. At 100 TB the build is one linear pass and each query touches
     ~|corpus|/n_cells code rows from ~1/n_cells of the files.
     """
-    import json
     import os
 
-    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.io import build_once, scratch_dir
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
     work = scratch_dir(
@@ -934,20 +933,14 @@ def sim_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mtime": st.st_mtime_ns,
         "fmt": ["ivfpq-v1", _N_CELLS, _PQ_CENT, _PQ_SUB, _DIM],
     }
-    stamp_path = os.path.join(work, "_SOURCE")
-    fresh = False
-    try:
-        with open(stamp_path) as fh:
-            fresh = json.load(fh) == stamp
-    except (OSError, json.JSONDecodeError):
-        fresh = False
-    if not fresh:
+    def _build() -> None:
         encode, _ = S._pq_parts(e, "vec_id", "embedding", _PQ_CENT, _PQ_SUB, _DIM)
         assigned = S.ivf_assign(e, "vec_id", "embedding", _N_CELLS, dim=_DIM)
         idx = assigned.select("vec_id", "cell", *encode())
         idx.write.mode("overwrite").partitionBy("cell").parquet(work + "/codes")
-        with open(stamp_path, "w") as fh:
-            json.dump(stamp, fh)
+
+    # stamp-check + rebuild serialized under the writer lease (ADVICE r6)
+    build_once(work, stamp, _build)
 
     codes = spark.read.parquet(work + "/codes")
     qcells = codes.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -2963,10 +2963,9 @@ def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once copy of events partitioned by event_type (stamped
     with the source fingerprint, the search_index_persisted contract)
     so pruning queries exercise a REAL partitioned layout at rest."""
-    import json
     import os
 
-    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.io import build_once, scratch_dir
 
     work = scratch_dir(
         "events_bytype_" + os.path.basename(sf_dir.rstrip("/")), unique=False
@@ -2975,19 +2974,14 @@ def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     stamp = {"src": src, "size": st.st_size, "mtime": st.st_mtime_ns,
              "fmt": "bytype-v1"}
-    stamp_path = os.path.join(work, "_SOURCE")
-    fresh = False
-    try:
-        with open(stamp_path) as fh:
-            fresh = json.load(fh) == stamp
-    except (OSError, json.JSONDecodeError):
-        fresh = False
-    if not fresh:
+
+    def _build() -> None:
         load_table(spark, sf_dir, "events").write.mode(
             "overwrite"
         ).partitionBy("event_type").parquet(work + "/events")
-        with open(stamp_path, "w") as fh:
-            json.dump(stamp, fh)
+
+    # stamp-check + rebuild serialized under the writer lease (ADVICE r6)
+    build_once(work, stamp, _build)
     return work + "/events"
 
 
