@@ -79,6 +79,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # orders_customer_concentration.
     # -- round-7 registrations follow (appended at registration time,
     #    the moment each oracle is locally green) --
+    # agg_covariance_matrix, dq_mahalanobis_diag, text_hapax_share,
+    # text_postings_compress, graph_degree_assortativity,
+    # events_markov_entropy_rate, events_ab_srm_check,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

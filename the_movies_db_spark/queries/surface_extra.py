@@ -4446,3 +4446,208 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("max_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass covariance / correlation matrix (feature-profiling primitive)
+# ---------------------------------------------------------------------------
+
+#: the four lineitem measures, as EXACT integers. Price is floored to
+#: whole dollars (cents div 100) so sum(pd*pd) stays far inside BIGINT
+#: (pd <= ~1e5 -> pd^2 <= 1e10; safe to ~9e8 rows — beyond that, anchor
+#: each measure by its integer mean before the power sums).
+_COVM_MEASURES: tuple[tuple[str, str], ...] = (
+    ("q", "CAST(l_quantity AS BIGINT)"),
+    ("pd", "CAST(round(l_extendedprice * 100) AS BIGINT) {div} 100"),
+    ("dp", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tx", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+_COVM_PAIRS: tuple[tuple[str, str], ...] = (
+    ("q", "pd"), ("q", "dp"), ("q", "tx"),
+    ("pd", "dp"), ("pd", "tx"), ("dp", "tx"),
+)
+
+
+def _covm_mu(x: str) -> str:
+    return f"(CAST(s_{x} AS DOUBLE) / CAST(n AS DOUBLE))"
+
+
+def _covm_cov(x: str, y: str) -> str:
+    # E[xy] - E[x]E[y], assembled from exact integer sums with the
+    # identical expression text in both engines (IEEE-exact doubles).
+    order = [n for n, _ in _COVM_MEASURES]
+    a, b = sorted((x, y), key=order.index)
+    return (
+        f"(CAST(s_{a}{b} AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - {_covm_mu(x)} * {_covm_mu(y)})"
+    )
+
+
+def _covm_corr(x: str, y: str) -> str:
+    return (
+        f"({_covm_cov(x, y)} / sqrt({_covm_cov(x, x)} * {_covm_cov(y, y)}))"
+    )
+
+
+def _covm_sums_sql(div: str) -> str:
+    """The one-row power-sum aggregate, shared expression text."""
+    meas = ", ".join(
+        f"{expr.format(div=div)} AS {name}" for name, expr in _COVM_MEASURES
+    )
+    names = [n for n, _ in _COVM_MEASURES]
+    sums = ", ".join(f"CAST(sum({x}) AS BIGINT) AS s_{x}" for x in names)
+    prods = ", ".join(
+        f"CAST(sum({a} * {b}) AS BIGINT) AS s_{a}{b}"
+        for i, a in enumerate(names)
+        for b in names[i:]
+    )
+    return (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {prods} "
+        f"FROM (SELECT {meas} FROM lineitem) t"
+    )
+
+
+_COVM_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{x}' AS x_col, '{y}' AS y_col, CAST(n AS BIGINT) AS n_rows,
+           CAST(floor({_covm_cov(x, y)} * 1000000) AS BIGINT) AS cov_micro,
+           CAST(floor({_covm_corr(x, y)} * 1000000) AS BIGINT) AS corr_micro
+    FROM ({_covm_sums_sql("//")}) s
+    """
+    for x, y in _COVM_PAIRS
+)
+
+
+@register(
+    "agg_covariance_matrix",
+    _COVM_ORACLE,
+    doc=(
+        "One-pass covariance + correlation matrix over four lineitem "
+        "measures (quantity, floor-dollar price, discount pct, tax "
+        "pct): a single map-side-combinable aggregation collects the "
+        "exact integer power sums (4 sums + 10 pair products + n), and "
+        "all 6 off-diagonal (cov, corr) cells are assembled from that "
+        "ONE row as IEEE-identical double expressions floored to "
+        "micro. The feature-profiling primitive that feeds feature "
+        "selection and multicollinearity checks."
+    ),
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/correlation matrix from one aggregation pass.
+
+    Scale notes (100 TB): ONE scan, one partial-aggregable reduce to a
+    single row; the 6-cell matrix is an explode of literal structs over
+    that row — no per-pair re-scan (the ReuseExchange-across-branches
+    trap), no shuffle beyond the one global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    names = [n for n, _ in _COVM_MEASURES]
+    meas = li.selectExpr(
+        *[f"{expr.format(div='div')} AS {name}" for name, expr in _COVM_MEASURES]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(x).cast("bigint").alias(f"s_{x}") for x in names]
+    aggs += [
+        F.sum(F.expr(f"{a} * {b}")).cast("bigint").alias(f"s_{a}{b}")
+        for i, a in enumerate(names)
+        for b in names[i:]
+    ]
+    one = meas.agg(*aggs)
+    structs = ", ".join(
+        "named_struct("
+        f"'x_col', '{x}', 'y_col', '{y}', 'n_rows', n, "
+        f"'cov_micro', CAST(floor({_covm_cov(x, y)} * 1000000) AS BIGINT), "
+        f"'corr_micro', CAST(floor({_covm_corr(x, y)} * 1000000) AS BIGINT))"
+        for x, y in _COVM_PAIRS
+    )
+    return one.select(
+        F.explode(F.expr(f"array({structs})")).alias("p")
+    ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-Mahalanobis multivariate outlier census
+# ---------------------------------------------------------------------------
+
+_MAHA_Z2 = " + ".join(
+    f"(CAST({x} AS DOUBLE) - {_covm_mu(x)}) * (CAST({x} AS DOUBLE) - {_covm_mu(x)})"
+    f" / {_covm_cov(x, x)}"
+    for x in ("q", "pd", "dp")
+)
+#: chi-square(3 dof) 0.999 quantile — rows whose diagonal-Mahalanobis
+#: distance exceeds it are multivariate outliers.
+_MAHA_CUT = "16.266"
+
+
+def _maha_oracle() -> str:
+    meas = ", ".join(
+        f"{expr.format(div='//')} AS {name}"
+        for name, expr in _COVM_MEASURES
+        if name != "tx"
+    )
+    return f"""
+    WITH m AS (SELECT l_returnflag, {meas} FROM lineitem),
+    s AS ({_covm_sums_sql("//")})
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN {_MAHA_Z2} > {_MAHA_CUT} THEN 1 END)
+                AS BIGINT) AS n_outliers,
+           CAST((count(CASE WHEN {_MAHA_Z2} > {_MAHA_CUT} THEN 1 END)
+                 * 1000000) // count(*) AS BIGINT) AS outlier_ppm
+    FROM m CROSS JOIN s
+    GROUP BY 1
+    """
+
+
+@register(
+    "dq_mahalanobis_diag",
+    _maha_oracle(),
+    doc=(
+        "Multivariate outlier census via diagonal Mahalanobis distance "
+        "over (quantity, floor-dollar price, discount): pass 1 is the "
+        "same one-row power-sum aggregate as the covariance matrix; "
+        "pass 2 broadcasts that row and counts rows whose standardized "
+        "squared distance exceeds the chi-square(3, 0.999) cut, per "
+        "return flag. Catches jointly-implausible rows that every "
+        "univariate z-score test passes."
+    ),
+)
+def dq_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass multivariate outlier count per return flag.
+
+    Scale notes (100 TB): pass 1 reduces to ONE stats row (broadcast
+    back — no shuffle of the fact); pass 2 is a pure projection +
+    group-by-flag count. The z2 expression is the IDENTICAL double
+    text in both engines over exact integer sums, so the > cut verdict
+    is bit-deterministic (no boundary flakes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    meas = li.selectExpr(
+        "l_returnflag",
+        *[
+            f"{expr.format(div='div')} AS {name}"
+            for name, expr in _COVM_MEASURES
+            if name != "tx"
+        ],
+    )
+    names = [n for n, _ in _COVM_MEASURES]
+    full = load_table(spark, sf_dir, "lineitem").selectExpr(
+        *[f"{expr.format(div='div')} AS {name}" for name, expr in _COVM_MEASURES]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(x).cast("bigint").alias(f"s_{x}") for x in names]
+    aggs += [
+        F.sum(F.expr(f"{a} * {b}")).cast("bigint").alias(f"s_{a}{b}")
+        for i, a in enumerate(names)
+        for b in names[i:]
+    ]
+    stats = full.agg(*aggs)
+    flagged = meas.join(F.broadcast(stats))
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.expr(f"CASE WHEN {_MAHA_Z2} > {_MAHA_CUT} THEN 1 END"))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.expr(
+            f"CAST(count(CASE WHEN {_MAHA_Z2} > {_MAHA_CUT} THEN 1 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("outlier_ppm"),
+    )

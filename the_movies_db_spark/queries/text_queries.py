@@ -1669,3 +1669,154 @@ def text_kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ratio_milli"), F.asc("term"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical richness: hapax share / type-token ratio per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_share",
+    f"""
+    WITH t AS (
+      SELECT source, lower(unnest({_TOKENS})) AS term FROM documents
+    ), f AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(tf) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT)  AS vocab_size,
+           CAST(count(CASE WHEN tf = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           CAST(count(CASE WHEN tf = 2 THEN 1 END) AS BIGINT) AS n_dis,
+           CAST(count(CASE WHEN tf = 1 THEN 1 END) * 1000000
+                // count(*) AS BIGINT)             AS hapax_share_ppm,
+           CAST(count(*) * 1000000 // sum(tf) AS BIGINT) AS ttr_ppm
+    FROM f GROUP BY 1
+    """,
+    doc=(
+        "Lexical-richness profile per source: hapax/dis legomena counts "
+        "and shares plus type-token ratio — the quick corpus-health "
+        "scalars that flag template spam (low hapax share) and OCR "
+        "noise (inflated hapax share) before heavier quality gates. "
+        "All-integer outputs (ppm via exact floor division)."
+    ),
+)
+def text_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share + TTR per source.
+
+    Scale notes (100 TB): one explode → one combining (source, term)
+    count — map-side combinable, vocab-bounded output; the final agg
+    runs over |sources|×|vocab| rows, never corpus tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return f.groupBy("source").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.count(F.expr("CASE WHEN tf = 1 THEN 1 END"))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.count(F.expr("CASE WHEN tf = 2 THEN 1 END"))
+        .cast("bigint")
+        .alias("n_dis"),
+        F.expr(
+            "CAST(count(CASE WHEN tf = 1 THEN 1 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("hapax_share_ppm"),
+        F.expr("CAST(count(*) * 1000000 div sum(tf) AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index storage estimate: delta-gap + varint postings compression
+# ---------------------------------------------------------------------------
+
+#: varint byte length of a non-negative BIGINT (7 bits per byte) —
+#: identical CASE text in both engines, pure integer.
+_VARINT_BYTES = (
+    "(CASE WHEN {x} < 128 THEN 1 WHEN {x} < 16384 THEN 2"
+    " WHEN {x} < 2097152 THEN 3 WHEN {x} < 268435456 THEN 4"
+    " ELSE 5 END)"
+)
+_POSTING_STORED = "coalesce(doc_id - lag(doc_id) OVER w, doc_id)"
+
+
+@register(
+    "text_postings_compress",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, lower(unnest({_TOKENS})) AS term
+      FROM documents
+    ), p AS (
+      SELECT DISTINCT source, term, doc_id FROM t
+    ), g AS (
+      SELECT source, term,
+             {_POSTING_STORED} AS stored
+      FROM p
+      WINDOW w AS (PARTITION BY source, term ORDER BY doc_id)
+    )
+    SELECT source,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT)             AS n_postings,
+           CAST(count(*) * 8 AS BIGINT)         AS raw_bytes,
+           CAST(sum({_VARINT_BYTES.format(x="stored")}) AS BIGINT)
+             AS varint_bytes,
+           CAST((count(*) * 8 - sum({_VARINT_BYTES.format(x="stored")}))
+                * 1000000 // (count(*) * 8) AS BIGINT) AS savings_ppm
+    FROM g GROUP BY 1
+    """,
+    doc=(
+        "Inverted-index storage estimate per source: postings lists "
+        "are delta-gap encoded (first entry absolute, then doc-id "
+        "gaps) and costed at varint (LEB128) byte length vs raw int64 "
+        "— the capacity-planning number for a search index build, and "
+        "a density probe (dense terms compress to ~1 byte/posting). "
+        "Pure integer CASE arithmetic, engine-exact."
+    ),
+)
+def text_postings_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-gap + varint postings size estimate per source.
+
+    Scale notes (100 TB): distinct (source, term, doc_id) postings are
+    one combining aggregate; the gap window is keyed by (source, term)
+    so it scales with the LONGEST postings list, not the corpus — the
+    same group-keyed-window discipline as positional trimming. No
+    global sort, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    p = (
+        d.select(
+            "source",
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    g = p.select(
+        "source",
+        "term",
+        F.expr(
+            "coalesce(doc_id - lag(doc_id) OVER (PARTITION BY source, term"
+            " ORDER BY doc_id), doc_id)"
+        ).alias("stored"),
+    )
+    vb = _VARINT_BYTES.format(x="stored")
+    return g.groupBy("source").agg(
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.expr("CAST(count(*) * 8 AS BIGINT)").alias("raw_bytes"),
+        F.expr(f"CAST(sum({vb}) AS BIGINT)").alias("varint_bytes"),
+        F.expr(
+            f"CAST((count(*) * 8 - sum({vb})) * 1000000"
+            " div (count(*) * 8) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )

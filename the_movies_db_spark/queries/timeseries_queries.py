@@ -3221,3 +3221,156 @@ def events_velocity_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy(F.desc("max_burst"), F.asc("user_id"))
     return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Markov conditional entropy / entropy rate of the event-type chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cells AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT prev_type,
+             CAST(sum(c) AS BIGINT) AS c_i,
+             CAST(count(*) AS BIGINT) AS n_next_states,
+             CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+               - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                                   AS BIGINT)) // sum(c) AS BIGINT)
+               AS h_cond_micro
+      FROM cells GROUP BY 1
+    )
+    SELECT prev_type,
+           c_i AS n_transitions,
+           n_next_states,
+           h_cond_micro,
+           CAST(sum(c_i * h_cond_micro) OVER ()
+                // sum(c_i) OVER () AS BIGINT) AS entropy_rate_micro
+    FROM st
+    """,
+    doc=(
+        "Conditional entropy H(next | prev) per source state of the "
+        "event-type Markov chain, plus the chain's entropy rate "
+        "(stationary-weighted by empirical state mass) — the "
+        "predictability scalar behind session-modeling features: low "
+        "rate = scripted/bot traffic, high = exploratory. Uses the "
+        "established per-distinct-count floor(ln)*1e6 discipline, so "
+        "every downstream op is exact BIGINT."
+    ),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy + entropy rate, engine-exact.
+
+    Scale notes (100 TB): one user-keyed lag window (the sessionize
+    shuffle), one combining count to the |types|^2-bounded cell table;
+    everything after is cell-grain, and the rate is an unpartitioned
+    window over |types| rows — bounded domain, not corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    cells = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    st = cells.groupBy("prev_type").agg(
+        F.sum("c").cast("bigint").alias("c_i"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next_states"),
+        F.expr(
+            "CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)"
+            " AS BIGINT)) div sum(c) AS BIGINT)"
+        ).alias("h_cond_micro"),
+    )
+    return st.select(
+        "prev_type",
+        F.col("c_i").alias("n_transitions"),
+        "n_next_states",
+        "h_cond_micro",
+        F.expr(
+            "CAST(sum(c_i * h_cond_micro) OVER (PARTITION BY 1)"
+            " div sum(c_i) OVER (PARTITION BY 1) AS BIGINT)"
+        ).alias("entropy_rate_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-ratio-mismatch (SRM) check
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_srm_check",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), arms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_arm0
+      FROM u
+    )
+    SELECT n AS n_users,
+           n_arm0,
+           CAST(n - n_arm0 AS BIGINT) AS n_arm1,
+           CAST(((2 * n_arm0 - n) * (2 * n_arm0 - n) // n) * 1000
+                + (((2 * n_arm0 - n) * (2 * n_arm0 - n) % n) * 1000) // n
+                AS BIGINT) AS chi2_milli,
+           CAST(CASE WHEN ((2 * n_arm0 - n) * (2 * n_arm0 - n) // n) * 1000
+                          + (((2 * n_arm0 - n) * (2 * n_arm0 - n) % n)
+                             * 1000) // n > 3841
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+    FROM arms
+    """,
+    doc=(
+        "Sample-ratio-mismatch guardrail for a 50/50 A/B assignment "
+        "(arm = user_id parity): the 1-dof chi-square statistic "
+        "reduces exactly to (2*n0 - n)^2 / n, computed as an "
+        "overflow-free integer divmod chain in millis and compared to "
+        "the 0.05 critical value 3.841. The first check every "
+        "experimentation platform runs before trusting a readout."
+    ),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square SRM test on the user-parity arm split.
+
+    Scale notes (100 TB): one distinct-user aggregate (map-side
+    combinable partial distinct) to a single row; the statistic is a
+    scalar projection. Nothing here grows with events volume beyond
+    the distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.expr("CASE WHEN user_id % 2 = 0 THEN 1 END"))
+        .cast("bigint")
+        .alias("n_arm0"),
+    )
+    chi = (
+        "((2 * n_arm0 - n) * (2 * n_arm0 - n) div n) * 1000"
+        " + (((2 * n_arm0 - n) * (2 * n_arm0 - n) % n) * 1000) div n"
+    )
+    return arms.select(
+        F.col("n").alias("n_users"),
+        "n_arm0",
+        F.expr("CAST(n - n_arm0 AS BIGINT)").alias("n_arm1"),
+        F.expr(f"CAST({chi} AS BIGINT)").alias("chi2_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {chi} > 3841 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_detected"),
+    )
