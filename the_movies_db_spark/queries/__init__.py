@@ -82,6 +82,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_covariance_matrix, dq_mahalanobis_diag, text_hapax_share,
     # text_postings_compress, graph_degree_assortativity,
     # events_markov_entropy_rate, events_ab_srm_check,
+    # orders_theilsen_trend, orders_survival_km, sim_knn_graph_stats,
+    # events_burst_detect,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

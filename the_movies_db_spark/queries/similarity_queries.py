@@ -3010,3 +3010,99 @@ def sim_dim_energy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (n_dims, energy_micro, share_ppm)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph quality audit on a bounded panel
+# ---------------------------------------------------------------------------
+
+_KNNG_PANEL = 128
+_KNNG_K = 5
+
+
+@register(
+    "sim_knn_graph_stats",
+    f"""
+    WITH pe AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {_KNNG_PANEL}
+    ),
+    edges AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM pe q JOIN pe c ON q.vec_id <> c.vec_id
+      ) t WHERE rank <= {_KNNG_K}
+    )
+    SELECT CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(r.query_id) * 1000000 // count(*) AS BIGINT)
+             AS reciprocal_ppm,
+           CAST(count(CASE WHEN lq.label = ln.label THEN 1 END)
+                * 1000000 // count(*) AS BIGINT) AS same_label_ppm
+    FROM edges e
+    LEFT JOIN edges r ON e.query_id = r.neighbor_id
+                     AND e.neighbor_id = r.query_id
+    JOIN pe lq ON e.query_id = lq.vec_id
+    JOIN pe ln ON e.neighbor_id = ln.vec_id
+    """,
+    doc=(
+        "kNN-graph quality audit on a fixed 128-vector panel: builds "
+        "the exact cosine k=5 neighbor graph and reports edge "
+        "reciprocity (mutual-neighbor share — low reciprocity flags "
+        "hubness, the classic high-dim ANN pathology) and same-label "
+        "edge share (the clusterability signal SemDeDup-style semantic "
+        "dedup depends on). The diagnostic to run before trusting a "
+        "kNN graph for clustering or dedup."
+    ),
+)
+def sim_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity + label purity of the panel kNN graph.
+
+    Scale notes (100 TB): the panel is FIXED (128 vectors, broadcast),
+    so the pair join is |panel|^2 regardless of corpus size; the edge
+    set (<= 128*5 rows) is lazily checkpointed so the reciprocity
+    self-join and both label joins never re-execute the scoring
+    subtree. The production-scale kNN graph build is the IVF path
+    (sim_topk_ivf*); this is its quality harness."""
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.filter(F.col("vec_id") < _KNNG_PANEL)
+    edges = (
+        S.cosine_topk(panel, panel, "vec_id", "embedding", k=_KNNG_K, dim=_DIM)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    labels = panel.select("vec_id", "label")
+    rev = edges.select(
+        F.col("query_id").alias("r_nb"), F.col("neighbor_id").alias("r_q")
+    )
+    j = (
+        edges.join(
+            rev,
+            (F.col("query_id") == F.col("r_q"))
+            & (F.col("neighbor_id") == F.col("r_nb")),
+            "left",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"),
+                                      F.col("label").alias("q_label"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("neighbor_id"),
+                                      F.col("label").alias("n_label"))),
+            "neighbor_id",
+        )
+    )
+    return j.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.expr(
+            "CAST(count(r_q) * 1000000 div count(*) AS BIGINT)"
+        ).alias("reciprocal_ppm"),
+        F.expr(
+            "CAST(count(CASE WHEN q_label = n_label THEN 1 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("same_label_ppm"),
+    )

@@ -3374,3 +3374,137 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN {chi} > 3841 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis burst detection over the dense daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_burst_detect",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(0, d1 - d0 + 1)) AS idx, d0 FROM bounds
+    ), cnt AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), ser AS (
+      SELECT s.idx + 1 AS rn, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.d = s.d0 + s.idx
+    ), mm AS (
+      SELECT CAST(sum(x) * 1000 // count(*) AS BIGINT) AS mean_milli,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM ser
+    ), st AS (
+      SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS inb,
+             CAST(0 AS BIGINT) AS nb, CAST(0 AS BIGINT) AS cur,
+             CAST(0 AS BIGINT) AS mx, CAST(0 AS BIGINT) AS bd
+      UNION ALL
+      SELECT d.rn,
+             CASE WHEN (s.inb = 0 AND d.x * 1000 >= 2 * m.mean_milli)
+                    OR (s.inb = 1 AND d.x * 1000 >= m.mean_milli)
+                  THEN 1 ELSE 0 END,
+             s.nb + CASE WHEN s.inb = 0 AND d.x * 1000 >= 2 * m.mean_milli
+                         THEN 1 ELSE 0 END,
+             CASE WHEN s.inb = 0 AND d.x * 1000 >= 2 * m.mean_milli THEN 1
+                  WHEN s.inb = 1 AND d.x * 1000 >= m.mean_milli
+                  THEN s.cur + 1 ELSE 0 END,
+             greatest(s.mx,
+               CASE WHEN s.inb = 0 AND d.x * 1000 >= 2 * m.mean_milli THEN 1
+                    WHEN s.inb = 1 AND d.x * 1000 >= m.mean_milli
+                    THEN s.cur + 1 ELSE 0 END),
+             s.bd + CASE WHEN (s.inb = 0 AND d.x * 1000 >= 2 * m.mean_milli)
+                           OR (s.inb = 1 AND d.x * 1000 >= m.mean_milli)
+                         THEN 1 ELSE 0 END
+      FROM st s JOIN ser d ON d.rn = s.rn + 1 CROSS JOIN mm m
+    )
+    SELECT m.n_days, m.mean_milli,
+           CAST(f.nb AS BIGINT) AS n_bursts,
+           CAST(f.bd AS BIGINT) AS burst_days,
+           CAST(f.mx AS BIGINT) AS max_burst_len
+    FROM (SELECT * FROM st WHERE rn = (SELECT max(rn) FROM st)) f
+    CROSS JOIN mm m
+    """,
+    doc=(
+        "Hysteresis burst detection on the dense daily count series: "
+        "enter a burst when the day's volume clears 2x the corpus "
+        "daily mean, stay in it while volume holds above 1x (the "
+        "hysteresis band kills the flip-flopping a single threshold "
+        "produces), report burst count / total burst days / longest "
+        "burst. All-integer sequential state — Spark folds a "
+        "struct accumulator over the day-sorted array, the oracle "
+        "replays the identical recurrence as a RECURSIVE CTE."
+    ),
+)
+def events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold burst state machine, engine-exact integers.
+
+    Scale notes (100 TB): the fact reduces to |days| rows (one
+    combining aggregate); the inherently-sequential fold runs inside
+    ONE projection over one bounded collected array — the parallel
+    work is the rollup, which is where the bytes are. Per-series
+    variants group the same fold under groupBy(collect_list)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, min(ts))").alias("d0"),
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1"),
+    )
+    spine = b.select(
+        "d0", F.explode(F.expr("sequence(0, d1 - d0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ser = spine.join(cnt, cnt.d == spine.d0 + spine.idx, "left").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+    )
+    arr = ser.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("idx").alias("i"), F.col("x").alias("x")))
+        ).alias("a")
+    )
+    # stage 1: the array + the data-derived thresholds (same integer
+    # formula as the oracle's mm CTE); stage 2: the fold referencing
+    # them as plain columns (HOF expressions re-inline per reference —
+    # keep exactly one fold expression).
+    staged = arr.select(
+        "a",
+        F.expr(
+            "CAST(aggregate(a, 0L, (acc, s) -> acc + s.x) * 1000"
+            " div size(a) AS BIGINT)"
+        ).alias("mean_milli"),
+        F.size("a").cast("bigint").alias("n_days"),
+    )
+    enter = "(s.inb = 0L AND e.x * 1000L >= 2L * mean_milli)"
+    cont = "(s.inb = 1L AND e.x * 1000L >= mean_milli)"
+    newcur = (
+        f"CASE WHEN {enter} THEN 1L WHEN {cont} THEN s.cur + 1L ELSE 0L END"
+    )
+    fold = (
+        "aggregate(a,"
+        " named_struct('inb', 0L, 'nb', 0L, 'cur', 0L, 'mx', 0L, 'bd', 0L),"
+        " (s, e) -> named_struct("
+        f"   'inb', CASE WHEN {enter} OR {cont} THEN 1L ELSE 0L END,"
+        f"   'nb', s.nb + CASE WHEN {enter} THEN 1L ELSE 0L END,"
+        f"   'cur', {newcur},"
+        f"   'mx', greatest(s.mx, {newcur}),"
+        f"   'bd', s.bd + CASE WHEN {enter} OR {cont} THEN 1L ELSE 0L END))"
+    )
+    st = staged.select(
+        "n_days", "mean_milli", F.expr(fold).alias("s")
+    )
+    return st.select(
+        "n_days",
+        "mean_milli",
+        F.expr("s.nb").cast("bigint").alias("n_bursts"),
+        F.expr("s.bd").cast("bigint").alias("burst_days"),
+        F.expr("s.mx").cast("bigint").alias("max_burst_len"),
+    )

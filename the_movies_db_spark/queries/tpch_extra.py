@@ -2599,3 +2599,305 @@ def orders_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             "cum_share_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of monthly national revenue
+# ---------------------------------------------------------------------------
+
+#: exact truncating micro-slope of a (month, cents) pair — divmod chain
+#: so no intermediate exceeds |diff| * 1e6 / dm stage bounds.
+_TS_SLOPE = (
+    "(((c2 - c1) {div} (m2 - m1)) * 1000000"
+    " + (((c2 - c1) % (m2 - m1)) * 1000000) {div} (m2 - m1))"
+)
+
+
+@register(
+    "orders_theilsen_trend",
+    f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                  AS BIGINT) AS m_idx,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.nation, a.m_idx AS m1, b.m_idx AS m2,
+             a.cents AS c1, b.cents AS c2
+      FROM m a JOIN m b ON a.nation = b.nation AND b.m_idx > a.m_idx
+    ),
+    s AS (
+      SELECT nation, {_TS_SLOPE.format(div="//")} AS slope_micro, m1, m2
+      FROM p
+    ),
+    r AS (
+      SELECT nation, slope_micro,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY slope_micro, m1, m2) AS rn,
+             count(*) OVER (PARTITION BY nation) AS n_pairs
+      FROM s
+    )
+    SELECT nation,
+           CAST((SELECT count(*) FROM m mm WHERE mm.nation = r.nation)
+                AS BIGINT) AS n_months,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_micro AS BIGINT) AS slope_med_micro
+    FROM r WHERE rn = (n_pairs + 1) // 2
+    """,
+    doc=(
+        "Theil-Sen robust trend of monthly revenue per nation: the "
+        "median of all pairwise month-to-month slopes — immune to the "
+        "outlier months that wreck an OLS fit. Slopes are exact "
+        "truncating integer micro-cents/month via a divmod chain; the "
+        "median is the lower order statistic over the nation-bounded "
+        "pair set (|months|^2 per nation, ~300 rows)."
+    ),
+)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median pairwise slope per nation (Theil-Sen estimator).
+
+    Scale notes (100 TB): the fact reduces to a nation x month
+    aggregate (bounded: 25 x |months|) which is lazily checkpointed so
+    the pair self-join does not re-execute the corpus scan per branch;
+    every subsequent op is pair-grain (<= 25 * C(|months|,2) rows).
+    The rank window is nation-keyed — no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)),
+               o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+            ).alias("m_idx"),
+        )
+        .agg(
+            F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = m.select(
+        "nation",
+        F.col("m_idx").alias("m1"),
+        F.col("cents").alias("c1"),
+    )
+    b = m.select(
+        F.col("nation").alias("nation_b"),
+        F.col("m_idx").alias("m2"),
+        F.col("cents").alias("c2"),
+    )
+    p = a.join(b, (a.nation == b.nation_b) & (F.col("m2") > F.col("m1")))
+    s = p.select(
+        "nation",
+        F.expr(_TS_SLOPE.format(div="div")).alias("slope_micro"),
+        "m1",
+        "m2",
+    )
+    wn = Window.partitionBy("nation")
+    r = s.select(
+        "nation",
+        "slope_micro",
+        F.row_number()
+        .over(wn.orderBy("slope_micro", "m1", "m2"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    months = m.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months")
+    )
+    return (
+        r.filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .join(F.broadcast(months), "nation")
+        .select(
+            "nation",
+            "n_months",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("slope_micro").cast("bigint").alias("slope_med_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-reorder survival with right-censoring
+# ---------------------------------------------------------------------------
+
+_KM_HORIZONS = (30, 90, 180, 365)
+#: per-event-day log survival factor, floored to micro IMMEDIATELY so
+#: the cross-day accumulation is order-free integer addition (the same
+#: per-distinct-value floor(ln)*1e6 discipline as the entropy queries).
+_KM_LNF = (
+    "CAST(floor(ln(CAST(n_risk - d_n AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "orders_survival_km",
+    f"""
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    cust AS (
+      SELECT o_custkey,
+             max(CASE WHEN rn = 1 THEN o_orderdate END) AS dfirst,
+             max(CASE WHEN rn = 2 THEN o_orderdate END) AS dsecond
+      FROM ord WHERE rn <= 2 GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    tt AS (
+      SELECT CASE WHEN dsecond IS NOT NULL
+                  THEN date_diff('day', dfirst, dsecond)
+                  ELSE date_diff('day', dfirst, dmax) END AS day,
+             CASE WHEN dsecond IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM cust CROSS JOIN mx
+    ),
+    days AS (
+      SELECT day, CAST(sum(ev) AS BIGINT) AS d_n,
+             CAST(count(*) - sum(ev) AS BIGINT) AS c_n
+      FROM tt GROUP BY 1
+    ),
+    rsk AS (
+      SELECT day, d_n, c_n,
+             CAST(sum(d_n + c_n) OVER ()
+                  - coalesce(sum(d_n + c_n) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM days
+    ),
+    f AS (
+      SELECT day, d_n, c_n, n_risk,
+             CASE WHEN d_n > 0 AND d_n < n_risk THEN {_KM_LNF}
+                  ELSE CAST(0 AS BIGINT) END AS lnf_micro,
+             CASE WHEN d_n > 0 AND d_n >= n_risk THEN 1 ELSE 0 END
+               AS absorbed
+      FROM rsk
+    ),
+    h(horizon_days) AS (VALUES (30), (90), (180), (365))
+    SELECT CAST(h.horizon_days AS BIGINT) AS horizon_days,
+           CAST(coalesce(sum(CASE WHEN day <= horizon_days THEN d_n END), 0)
+                AS BIGINT) AS n_reordered,
+           CAST(coalesce(sum(CASE WHEN day <= horizon_days THEN c_n END), 0)
+                AS BIGINT) AS n_censored,
+           CASE WHEN coalesce(max(CASE WHEN day <= horizon_days
+                                       THEN absorbed END), 0) = 1
+                THEN NULL
+                ELSE CAST(coalesce(sum(CASE WHEN day <= horizon_days
+                                            THEN lnf_micro END), 0)
+                          AS BIGINT) END AS km_logsurv_micro
+    FROM h CROSS JOIN f
+    GROUP BY 1
+    """,
+    doc=(
+        "Kaplan-Meier survival of time-to-second-order with "
+        "right-censoring at the corpus horizon: per-day risk sets from "
+        "a cumulative window over the DAY DOMAIN (bounded, never "
+        "customer-grain), per-event-day log factors floored to micro "
+        "immediately so accumulation is order-free BIGINT addition, "
+        "and log-survival read out at 30/90/180/365-day horizons. The "
+        "censoring-aware retention curve that naive 'reordered within "
+        "N days' rates get wrong for recent cohorts."
+    ),
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM log-survival at fixed horizons, censoring-aware.
+
+    Scale notes (100 TB): one user-keyed rank window (the sessionize
+    shuffle shape) reduces orders to one row per customer; the max
+    order date is a separate single-column scan (column-pruned, cheap)
+    broadcast back; everything after the day-grain aggregate runs over
+    the bounded lag-day domain (~|days| rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    ordw = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    cust = (
+        ordw.filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.expr("CASE WHEN rn = 1 THEN o_orderdate END")).alias("dfirst"),
+            F.max(F.expr("CASE WHEN rn = 2 THEN o_orderdate END")).alias("dsecond"),
+        )
+    )
+    mx = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("dmax")
+    )
+    tt = cust.join(F.broadcast(mx)).select(
+        F.expr(
+            "CASE WHEN dsecond IS NOT NULL THEN datediff(dsecond, dfirst)"
+            " ELSE datediff(dmax, dfirst) END"
+        ).alias("day"),
+        F.expr("CASE WHEN dsecond IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+    )
+    days = tt.groupBy("day").agg(
+        F.sum("ev").cast("bigint").alias("d_n"),
+        F.expr("CAST(count(*) - sum(ev) AS BIGINT)").alias("c_n"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rsk = days.select(
+        "day",
+        "d_n",
+        "c_n",
+        (
+            F.sum(F.expr("d_n + c_n")).over(w_all)
+            - F.coalesce(F.sum(F.expr("d_n + c_n")).over(w_cum), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    f = rsk.select(
+        "day",
+        "d_n",
+        "c_n",
+        F.expr(
+            f"CASE WHEN d_n > 0 AND d_n < n_risk THEN {_KM_LNF}"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("lnf_micro"),
+        F.expr(
+            "CASE WHEN d_n > 0 AND d_n >= n_risk THEN 1 ELSE 0 END"
+        ).alias("absorbed"),
+    )
+    h = spark.createDataFrame(
+        [(x,) for x in _KM_HORIZONS], "horizon_days int"
+    )
+    return (
+        F.broadcast(h)
+        .crossJoin(f)
+        .groupBy(F.col("horizon_days").cast("bigint").alias("horizon_days"))
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN day <= horizon_days THEN d_n END), 0)"
+                " AS BIGINT)"
+            ).alias("n_reordered"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN day <= horizon_days THEN c_n END), 0)"
+                " AS BIGINT)"
+            ).alias("n_censored"),
+            F.expr(
+                "CASE WHEN coalesce(max(CASE WHEN day <= horizon_days"
+                " THEN absorbed END), 0) = 1 THEN NULL"
+                " ELSE CAST(coalesce(sum(CASE WHEN day <= horizon_days"
+                " THEN lnf_micro END), 0) AS BIGINT) END"
+            ).alias("km_logsurv_micro"),
+        )
+    )
