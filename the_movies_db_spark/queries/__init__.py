@@ -83,7 +83,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_postings_compress, graph_degree_assortativity,
     # events_markov_entropy_rate, events_ab_srm_check,
     # orders_theilsen_trend, orders_survival_km, sim_knn_graph_stats,
-    # events_burst_detect,
+    # events_burst_detect, io_zonemap_effectiveness, dq_event_disorder,
+    # events_forecast_holt_grouped,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

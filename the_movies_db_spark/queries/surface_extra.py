@@ -4651,3 +4651,174 @@ def dq_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*) AS BIGINT)"
         ).alias("outlier_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max file-skipping) effectiveness under two layouts
+# ---------------------------------------------------------------------------
+
+_ZM_BLOCK = 2048
+#: predicate month: 1995-03 (the q03 shipping month)
+_ZM_LO = "DATE '1995-03-01'"
+_ZM_HI = "DATE '1995-04-01'"
+
+
+@register(
+    "io_zonemap_effectiveness",
+    f"""
+    WITH nat_blocks AS (
+      SELECT l_orderkey // {_ZM_BLOCK} AS block_id,
+             min(l_shipdate) AS lo, max(l_shipdate) AS hi
+      FROM lineitem GROUP BY 1
+    ),
+    clu_blocks AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+               // 7 AS block_id,
+             min(l_shipdate) AS lo, max(l_shipdate) AS hi
+      FROM lineitem GROUP BY 1
+    ),
+    both_layouts AS (
+      SELECT 'natural' AS layout, lo, hi FROM nat_blocks
+      UNION ALL
+      SELECT 'clustered' AS layout, lo, hi FROM clu_blocks
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(CASE WHEN hi >= {_ZM_LO} AND lo < {_ZM_HI}
+                           THEN 1 END) AS BIGINT) AS n_blocks_read,
+           CAST(count(CASE WHEN NOT (hi >= {_ZM_LO} AND lo < {_ZM_HI})
+                           THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS skip_ppm
+    FROM both_layouts GROUP BY 1
+    """,
+    doc=(
+        "Zone-map skipping effectiveness for a one-month shipdate "
+        "predicate under two physical layouts: arrival order (blocks "
+        "by orderkey range — every block straddles the predicate, "
+        "~zero skipping) vs shipdate-clustered (week blocks — all but "
+        "the predicate's weeks skip). The quantified argument for "
+        "clustering/z-ordering a 100 TB fact on its hottest filter "
+        "column: per-block min/max are what parquet row-group stats "
+        "give the reader for free."
+    ),
+)
+def io_zonemap_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max block-skipping rates: natural vs clustered layout.
+
+    Scale notes (100 TB): each layout is ONE combining min/max
+    aggregate keyed by a computed block id (no sort, no window); the
+    verdict table is block-grain. This is the estimator you run
+    BEFORE paying for a rewrite — layout_zorder is the rewrite."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    nat = li.groupBy(
+        F.expr(f"l_orderkey div {_ZM_BLOCK}").alias("block_id")
+    ).agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    clu = li.groupBy(
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " l_shipdate) div 7"
+        ).alias("block_id")
+    ).agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    both = nat.select(F.lit("natural").alias("layout"), "lo", "hi").unionByName(
+        clu.select(F.lit("clustered").alias("layout"), "lo", "hi")
+    )
+    ov = f"hi >= {_ZM_LO} AND lo < {_ZM_HI}"
+    return both.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.count(F.expr(f"CASE WHEN {ov} THEN 1 END"))
+        .cast("bigint")
+        .alias("n_blocks_read"),
+        F.expr(
+            f"CAST(count(CASE WHEN NOT ({ov}) THEN 1 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("skip_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time disorder audit (watermark planning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_event_disorder",
+    """
+    WITH runm AS (
+      SELECT epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS run_us
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN ts_us < run_us THEN 1 END) AS BIGINT)
+             AS n_late,
+           CAST(count(CASE WHEN ts_us < run_us THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS late_ppm,
+           CAST(coalesce(max(CASE WHEN ts_us < run_us
+                                  THEN (run_us - ts_us) // 1000000 END), 0)
+                AS BIGINT) AS max_late_sec,
+           CAST(CASE WHEN count(CASE WHEN ts_us < run_us THEN 1 END) = 0
+                     THEN 0
+                     ELSE sum(CASE WHEN ts_us < run_us
+                                   THEN run_us - ts_us ELSE 0 END)
+                          // (1000 * count(CASE WHEN ts_us < run_us
+                                                THEN 1 END)) END
+                AS BIGINT) AS avg_late_milli
+    FROM runm
+    """,
+    doc=(
+        "Event-time disorder audit per arrival order (event_id as the "
+        "arrival proxy): share of events arriving with a timestamp "
+        "behind the user's running max, plus max and mean lateness — "
+        "exactly the distribution a streaming watermark delay must "
+        "cover. Run this BEFORE choosing withWatermark(): the p100/"
+        "mean lateness here bound the late-drop rate there. All "
+        "integer microsecond arithmetic (the SKILL timestamp "
+        "discipline — no truncating second-diffs)."
+    ),
+)
+def dq_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival rates + lateness bounds.
+
+    Scale notes (100 TB): one user-keyed running-max window (the
+    sessionize shuffle shape) and one global aggregate — no global
+    sort; lateness stays in exact int64 micros."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    runm = base.select(
+        "ts_us",
+        F.max("ts_us")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("run_us"),
+    )
+    late = "CASE WHEN ts_us < run_us THEN 1 END"
+    return runm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.expr(late)).cast("bigint").alias("n_late"),
+        F.expr(
+            f"CAST(count({late}) * 1000000 div count(*) AS BIGINT)"
+        ).alias("late_ppm"),
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN ts_us < run_us"
+            " THEN (run_us - ts_us) div 1000000 END), 0) AS BIGINT)"
+        ).alias("max_late_sec"),
+        F.expr(
+            f"CAST(CASE WHEN count({late}) = 0 THEN 0"
+            " ELSE sum(CASE WHEN ts_us < run_us THEN run_us - ts_us"
+            f" ELSE 0 END) div (1000 * count({late})) END AS BIGINT)"
+        ).alias("avg_late_milli"),
+    )
