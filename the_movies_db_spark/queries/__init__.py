@@ -84,7 +84,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_markov_entropy_rate, events_ab_srm_check,
     # orders_theilsen_trend, orders_survival_km, sim_knn_graph_stats,
     # events_burst_detect, io_zonemap_effectiveness, dq_event_disorder,
-    # events_forecast_holt_grouped,
+    # events_forecast_holt_grouped, search_rank_agreement,
+    # pipeline_ngram_novelty, graph_clustering_coefficient,
+    # io_schema_merge_scan,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

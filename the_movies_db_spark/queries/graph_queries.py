@@ -151,7 +151,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangles",
     f"""
     WITH dir_edges AS ({_EDGES_SQL}),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM dir_edges WHERE src <> dst
     ),
@@ -750,4 +750,98 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor({_ASSORT_R} * 1000000) AS BIGINT)").alias(
             "assortativity_micro"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient (triangles / wedges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coefficient",
+    f"""
+    WITH dir_edges AS ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dir_edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) t GROUP BY 1
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wed AS (
+      SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) // 2 AS BIGINT) AS n_edges
+      FROM deg
+    )
+    SELECT w.n_nodes, w.n_edges, w.n_wedges,
+           CAST(t.n_tri AS BIGINT) AS n_triangles,
+           CAST(3 * t.n_tri * 1000000 // w.n_wedges AS BIGINT)
+             AS global_cc_ppm
+    FROM wed w CROSS JOIN tri t
+    """,
+    doc=(
+        "Global clustering coefficient of the undirected nation trade "
+        "graph: 3 x triangles / wedges, where wedges are sum C(deg,2) "
+        "over the degree table and triangles come from the oriented "
+        "(a<b) edge-join — each triangle counted exactly once, no "
+        "direction double-count. The one-number transitivity summary "
+        "that separates hub-and-spoke topologies (low cc) from "
+        "clique-y ones (high cc); exact integer ppm."
+    ),
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transitivity = 3*triangles/wedges, all integer.
+
+    Scale notes (100 TB): edges dedupe to the oriented (a<b) set once
+    (checkpointed — the triangle join and degree aggregate reuse it,
+    zero fact re-reads); the triangle join is the standard oriented
+    wedge-close equi-join, never an all-pairs product."""
+    und = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e2 = und.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = (
+        und.join(e2, und.b == e2.b2a)
+        .join(e3, (e3.t_a == und.a) & (e3.t_c == e2.c))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    wed = deg.agg(
+        F.expr("CAST(sum(d * (d - 1) div 2) AS BIGINT)").alias("n_wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
+    )
+    return wed.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("n_tri").cast("bigint").alias("n_triangles"),
+        F.expr(
+            "CAST(3 * n_tri * 1000000 div n_wedges AS BIGINT)"
+        ).alias("global_cc_ppm"),
     )

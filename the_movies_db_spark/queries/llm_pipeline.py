@@ -2118,3 +2118,105 @@ def pipeline_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_micro"), F.asc("doc_id"))
         .limit(_DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Marginal n-gram novelty over corpus order (diminishing-returns curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT DISTINCT doc_id,
+             p[1] || ' ' || p[2] AS bg
+      FROM (
+        SELECT doc_id, unnest(list_zip(t[:len(t)-1], t[2:])) AS p
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    firsts AS (SELECT bg, CAST(min(doc_id) AS BIGINT) AS first_doc
+               FROM big GROUP BY 1),
+    mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_ids FROM documents),
+    marked AS (
+      SELECT b.doc_id * 10 // m.n_ids AS decile,
+             b.doc_id,
+             CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END AS novel
+      FROM big b JOIN firsts f ON b.bg = f.bg CROSS JOIN mx m
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           CAST(sum(novel) * 1000000 // count(*) AS BIGINT) AS novel_ppm
+    FROM marked GROUP BY 1
+    """,
+    doc=(
+        "Marginal bigram novelty by corpus-order decile: a bigram is "
+        "novel in the doc where it FIRST appears (min doc_id over the "
+        "corpus), so the per-decile novel share is the "
+        "diminishing-returns curve of adding more data — the "
+        "quantitative case for dedup + curation over raw volume "
+        "(novelty collapsing toward zero = the corpus is repeating "
+        "itself). Uses the first-appearance trick from the Heaps "
+        "curve: ONE vocab-bounded min aggregate, never re-tokenize "
+        "per prefix."
+    ),
+)
+def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile share of first-appearance bigrams.
+
+    Scale notes (100 TB): one explode to distinct (doc, bigram), one
+    vocab-bounded min-reduce for first appearances, one equi-join back
+    on the bigram key, one decile aggregate — all combining hash
+    aggregates; the decile cut is integer arithmetic on doc_id with a
+    single broadcast scalar (max id), no sort and no window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("t"),
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    firsts = big.groupBy("bg").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    mx = d.agg(F.expr("CAST(max(doc_id) + 1 AS BIGINT)").alias("n_ids"))
+    marked = (
+        big.join(firsts, "bg")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("doc_id * 10 div n_ids").alias("decile"),
+            "doc_id",
+            F.expr(
+                "CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END"
+            ).alias("novel"),
+        )
+    )
+    return marked.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        F.expr("CAST(sum(novel) * 1000000 div count(*) AS BIGINT)").alias(
+            "novel_ppm"
+        ),
+    )

@@ -1373,3 +1373,128 @@ def search_spell_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _SPELL_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-system rank agreement: BM25 vs embedding retrieval (Spearman)
+# ---------------------------------------------------------------------------
+
+_RA_POOL = 20
+
+
+def _ra_oracle() -> str:
+    from the_movies_db_spark.queries.similarity_queries import _COS
+
+    qids = ", ".join(str(q) for q in _HYBRID_QIDS)
+    qid_rows = ", ".join(f"({q})" for q in _HYBRID_QIDS)
+    return f"""
+    WITH bm AS ({_bm25_oracle(_RA_POOL)}),
+    ann AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN ({qids})
+      ) t WHERE rank <= {_RA_POOL}
+    ),
+    common AS (
+      SELECT b.query_id,
+             row_number() OVER (PARTITION BY b.query_id
+                                ORDER BY b.rank) AS r1,
+             row_number() OVER (PARTITION BY b.query_id
+                                ORDER BY a.rank) AS r2
+      FROM bm b JOIN ann a ON a.query_id = b.query_id
+                          AND a.neighbor_id = b.doc_id
+      WHERE b.query_id IN ({qids})
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(count(*) * 1000000 // {_RA_POOL} AS BIGINT) AS overlap_ppm,
+             CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+             CASE WHEN count(*) >= 2
+                  THEN CAST(1000000
+                            - (6 * sum((r1 - r2) * (r1 - r2)) * 1000000)
+                            // (count(*) * (count(*) * count(*) - 1))
+                            AS BIGINT)
+                  ELSE NULL END AS spearman_micro
+      FROM common GROUP BY 1
+    ),
+    spine(query_id) AS (VALUES {qid_rows})
+    SELECT CAST(s.query_id AS BIGINT) AS query_id,
+           CAST(coalesce(a.n_common, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(a.overlap_ppm, 0) AS BIGINT) AS overlap_ppm,
+           CAST(coalesce(a.sum_d2, 0) AS BIGINT) AS sum_d2,
+           a.spearman_micro
+    FROM spine s LEFT JOIN agg a ON a.query_id = s.query_id
+    """
+
+
+@register(
+    "search_rank_agreement",
+    _ra_oracle(),
+    doc=(
+        "Cross-system retrieval agreement per query: the top-20 BM25 "
+        "pool is intersected with the top-20 embedding pool, both "
+        "rankings are re-ranked within the intersection, and Spearman "
+        "rho comes out as EXACT integer micros (1 - 6*sum d^2 / "
+        "n(n^2-1) needs no floats for integer ranks). Low overlap + "
+        "high rho = the systems agree where they overlap (fusion adds "
+        "recall); high overlap + low rho = they disagree on order "
+        "(fusion adds ranking signal). The diagnostic that tells you "
+        "WHY hybrid RRF wins."
+    ),
+)
+def search_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement between lexical and semantic retrieval.
+
+    Scale notes (100 TB): both pools are bounded top-k per query; the
+    join, re-rank windows and aggregate touch <= 20 rows per query.
+    Either ranker swaps for its indexed variant unchanged — the
+    agreement math consumes only (query_id, id, rank) triples."""
+    from the_movies_db_spark.operators import similarity as S
+
+    bm = bm25_topk(
+        spark, load_table(spark, sf_dir, "documents"), top_k=_RA_POOL
+    ).filter(F.col("query_id").isin(list(_HYBRID_QIDS)))
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(list(_HYBRID_QIDS)))
+    ann = S.cosine_topk(e, q, "vec_id", "embedding", k=_RA_POOL, dim=64).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("ann_rank"),
+    )
+    wq = Window.partitionBy("query_id")
+    common = bm.join(ann, ["query_id", "doc_id"]).select(
+        "query_id",
+        F.row_number().over(wq.orderBy("rank")).alias("r1"),
+        F.row_number().over(wq.orderBy("ann_rank")).alias("r2"),
+    )
+    agg = common.groupBy(
+        F.col("query_id").cast("bigint").alias("query_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.expr(
+            f"CAST(count(*) * 1000000 div {_RA_POOL} AS BIGINT)"
+        ).alias("overlap_ppm"),
+        F.expr("CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT)").alias("sum_d2"),
+        F.expr(
+            "CASE WHEN count(*) >= 2"
+            " THEN CAST(1000000 - (6 * sum((r1 - r2) * (r1 - r2)) * 1000000)"
+            " div (count(*) * (count(*) * count(*) - 1)) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("spearman_micro"),
+    )
+    spine = spark.createDataFrame(
+        [(q,) for q in _HYBRID_QIDS], "query_id bigint"
+    )
+    return F.broadcast(spine).join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        F.coalesce("overlap_ppm", F.lit(0))
+        .cast("bigint")
+        .alias("overlap_ppm"),
+        F.coalesce("sum_d2", F.lit(0)).cast("bigint").alias("sum_d2"),
+        "spearman_micro",
+    )

@@ -4822,3 +4822,62 @@ def dq_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 0 END) div (1000 * count({late})) END AS BIGINT)"
         ).alias("avg_late_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Read-side schema evolution: mergeSchema over mixed-generation parquet
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "io_schema_merge_scan",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT)
+             AS n_with_lang,
+           CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+             AS n_lang_null,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc=(
+        "Read-side schema evolution end to end: the corpus is written "
+        "as TWO parquet generations into one directory — an old one "
+        "without the lang column (even doc_ids) and a new one with it "
+        "(odd doc_ids) — then read back with mergeSchema=true; the "
+        "missing column surfaces as NULL for old-generation rows. "
+        "Pins the read seam the write-side drift operators "
+        "(schema_drift_add/type) rely on: adding a column never "
+        "requires rewriting history. The oracle recomputes the same "
+        "aggregate from the source table directly."
+    ),
+)
+def io_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema scan over a two-generation parquet directory.
+
+    Scale notes (100 TB): schema merge is footer-only work per file;
+    the data path stays columnar and pruned. Generations are split on
+    a deterministic key so the result is value-hashable."""
+    from the_movies_db_spark.io import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    work = scratch_dir("schemamerge")
+    d.filter(F.expr("doc_id % 2 = 0")).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{work}/docs/gen=old")
+    d.filter(F.expr("doc_id % 2 = 1")).select(
+        "doc_id", "source", "n_chars", "lang"
+    ).write.mode("overwrite").parquet(f"{work}/docs/gen=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{work}/docs")
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.expr("CASE WHEN doc_id % 2 = 1 THEN lang END"))
+        .cast("bigint")
+        .alias("n_with_lang"),
+        F.count(F.expr("CASE WHEN lang IS NULL THEN 1 END"))
+        .cast("bigint")
+        .alias("n_lang_null"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
