@@ -39,7 +39,6 @@ HEADLINE = [
     "q05_local_supplier",
     "q10_returned_items",
     "q07_volume_shipping",
-    "q18_large_orders",
     "q21_latest_shipper",
     "agg_percentiles",
     "window_running_total",
@@ -58,7 +57,6 @@ HEADLINE = [
     # corpus-curation operators (round 2; pack_sequences/chunk_overlap
     # retired round 6)
     "pipeline_decontaminate",
-    "pipeline_quality_filter",
     "dedup_semantic",
     "dedup_incremental",
     "pipeline_curate_e2e",
@@ -93,12 +91,10 @@ HEADLINE = [
     # (text_langid/multimodal_resize/pipeline_pii_redact/
     # pipeline_chunk_overlap/events_streaks/dq_benford_digits retired —
     # flat sub-0.45 s honest medians, still oracle-gated every round)
-    "sim_mmr_diversify",
     "search_ndcg_eval",
     "search_hard_negatives",
     "pipeline_importance_dsir",
     "text_bigram_logprob",
-    "sim_dim_correlation",
     # round-6: the 10 most expensive round-5 additions (probe-measured
     # ranking in the round-5 verdict) so BENCH carries their medians
     "sim_recall_nprobe_curve",
@@ -108,18 +104,29 @@ HEADLINE = [
     "upsert_partitioned",
     "sim_recall_kmeans",
     "sim_topk_kmeans_int",
-    "search_phrase_proximity",
     "pipeline_dedup_survivorship",
-    "orders_pareto_gini",
     # round-6 session 4: the 5 most expensive of the 11 new additions
     # (x16-probe-measured 1x ranking in scripts/probe_r6g_16x.out)
     "search_mrr_eval",
     "sim_topk_srp_hamming",
     "graph_link_jaccard",
     "basket_rules_confidence",
-    "agg_mutual_information",
     "graph_kcore_peel",
-    "io_bucketed_join_scan",
+    # round-7: the most expensive new additions (x16-probe 1x ranking
+    # in scripts/probe_r7_16x.out). Retired this round as flat with
+    # closed perf stories (plan-pinned or multi-round-flat medians,
+    # all still oracle-gated): q18_large_orders, pipeline_quality_filter,
+    # search_phrase_proximity, orders_pareto_gini, sim_mmr_diversify,
+    # sim_dim_correlation, agg_mutual_information, io_bucketed_join_scan.
+    "graph_degree_assortativity",
+    "orders_survival_km",
+    "sim_knn_graph_stats",
+    "search_rank_agreement",
+    "agg_covariance_matrix",
+    "dq_mahalanobis_diag",
+    "text_hapax_share",
+    "text_postings_compress",
+    "orders_theilsen_trend",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
