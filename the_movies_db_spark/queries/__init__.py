@@ -86,7 +86,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_burst_detect, io_zonemap_effectiveness, dq_event_disorder,
     # events_forecast_holt_grouped, search_rank_agreement,
     # pipeline_ngram_novelty, graph_clustering_coefficient,
-    # io_schema_merge_scan,
+    # io_schema_merge_scan, text_sentence_stats, dq_table_checksum,
+    # fn_decimal_exact_money, window_running_distinct,
+    # fn_listagg_ordered,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

@@ -4881,3 +4881,219 @@ def io_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_lang_null"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-free content checksum (migration / replication parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_table_checksum",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR) || ':'
+                                      || event_type), 1, 8))
+                  AS BIGINT) AS h32
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h32) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h32) AS BIGINT) AS checksum_xor
+    FROM h GROUP BY 1
+    """,
+    doc=(
+        "Order-free per-partition content checksum: each row hashes "
+        "its key columns to a 32-bit md5 prefix, aggregated with SUM "
+        "and XOR — both commutative, so ANY re-partitioning, re-sort "
+        "or engine produces the identical digest. The cheap parity "
+        "check you run after a migration, backfill or replication "
+        "copy instead of a row-by-row diff; a single flipped row "
+        "moves both digests."
+    ),
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commutative SUM/XOR digests over md5 row hashes.
+
+    Scale notes (100 TB): one projection + one combining aggregate —
+    map-side partials make the digest effectively free next to the
+    scan; comparing two copies is comparing |partitions| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING) || ':'"
+            " || CAST(user_id AS STRING) || ':' || event_type), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h32"),
+    )
+    return h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("h32").cast("bigint").alias("checksum_sum"),
+        F.expr("CAST(bit_xor(h32) AS BIGINT)").alias("checksum_xor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact DECIMAL money arithmetic (the non-integer-cents exact path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_decimal_exact_money",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS gross_cents,
+           CAST(floor(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS DECIMAL(18,2))
+                          * CAST(CAST(round(l_discount * 100) AS BIGINT)
+                                 AS DECIMAL(18,2))) / 100)
+                AS BIGINT) AS discount_cents
+    FROM lineitem GROUP BY 1
+    """,
+    doc=(
+        "Exact DECIMAL money arithmetic: the discount amount is "
+        "accumulated as DECIMAL(18,2) x DECIMAL(18,2) products (exact "
+        "fixed-point — scales add, no binary-float rounding anywhere) "
+        "and only floored to integer cents at the very end. The "
+        "decimal-native alternative to the repo's integer-cents "
+        "discipline, pinning that BOTH exact-money paths agree across "
+        "engines: sum-then-divide of exact decimals equals the "
+        "integer-cents formulation."
+    ),
+)
+def fn_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-path money sums vs integer cents, engine-exact.
+
+    Scale notes (100 TB): decimal sums are Tungsten-native (128-bit
+    accumulation) and map-side combinable like any other sum; the
+    point of the query is type-surface parity, not a new plan
+    shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("gross_cents"),
+        F.expr(
+            "CAST(floor(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " AS DECIMAL(18,2))"
+            " * CAST(CAST(round(l_discount * 100) AS BIGINT)"
+            " AS DECIMAL(18,2))) / 100) AS BIGINT)"
+        ).alias("discount_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running DISTINCT count (the unsupported-window rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_distinct",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS day,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events WHERE user_id < 10
+    ),
+    daily AS (
+      SELECT user_id, day, CAST(sum(first_seen) AS BIGINT) AS new_types
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day, new_types,
+           CAST(sum(new_types) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_types
+    FROM daily
+    """,
+    doc=(
+        "Running COUNT(DISTINCT) over event time — the window SQL "
+        "cannot express directly (DISTINCT is unsupported in window "
+        "frames in both engines): rewritten as a first-occurrence "
+        "flag (row_number = 1 per (user, type)) plus a running SUM, "
+        "which IS supported and shuffles once. The standard rewrite "
+        "for discovery curves, feature-coverage ramps and "
+        "cumulative-unique dashboards."
+    ),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence flag + running sum = running distinct.
+
+    Scale notes (100 TB): both windows are user-keyed (the sessionize
+    shuffle); nothing is corpus-global. The panel filter (user_id <
+    10) bounds the OUTPUT for the oracle hash — the plan is identical
+    without it."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    firsts = ev.select(
+        "user_id",
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("day"),
+        F.expr(
+            "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END"
+        ).alias("first_seen"),
+    )
+    daily = firsts.groupBy("user_id", "day").agg(
+        F.sum("first_seen").cast("bigint").alias("new_types")
+    )
+    return daily.select(
+        "user_id",
+        F.col("day").cast("bigint").alias("day"),
+        "new_types",
+        F.sum("new_types")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cum_distinct_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered set aggregate (LISTAGG ... WITHIN GROUP parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_listagg_ordered",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses_csv
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "Ordered set aggregate — LISTAGG(DISTINCT ... ORDER BY) "
+        "parity: Spark lacks the ordered string_agg form, so the "
+        "deterministic equivalent is array_join(array_sort("
+        "collect_set(...))) — set-dedup, explicit sort, then join, "
+        "which makes the concatenation order a DEFINED property "
+        "instead of partition luck. The report-formatting primitive "
+        "every warehouse migration trips over."
+    ),
+)
+def fn_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG via sort-then-join.
+
+    Scale notes (100 TB): collect_set is bounded by the value domain
+    (statuses), never row count; for unbounded domains cap with
+    slice() after the sort to keep result rows small."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses_csv"),
+    )
