@@ -88,7 +88,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pipeline_ngram_novelty, graph_clustering_coefficient,
     # io_schema_merge_scan, text_sentence_stats, dq_table_checksum,
     # fn_decimal_exact_money, window_running_distinct,
-    # fn_listagg_ordered,
+    # fn_listagg_ordered, events_ab_cuped, orders_croston_intermittent,
+    # events_forecast_holt_winters,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

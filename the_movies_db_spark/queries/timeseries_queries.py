@@ -3634,3 +3634,306 @@ def events_forecast_holt_grouped(
         F.expr("(s.l + 7 * s.b) div 1000").cast("bigint").alias("forecast_7d"),
         F.expr("(s.l + 30 * s.b) div 1000").cast("bigint").alias("forecast_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+_CUPED_MU = "(CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE))"
+_CUPED_COV = (
+    "(CAST(g_sxy AS DOUBLE) / CAST(g_n AS DOUBLE)"
+    " - (CAST(g_sx AS DOUBLE) / CAST(g_n AS DOUBLE))"
+    " * (CAST(g_sy AS DOUBLE) / CAST(g_n AS DOUBLE)))"
+)
+_CUPED_VARX = (
+    "(CAST(g_sxx AS DOUBLE) / CAST(g_n AS DOUBLE)"
+    " - (CAST(g_sx AS DOUBLE) / CAST(g_n AS DOUBLE))"
+    " * (CAST(g_sx AS DOUBLE) / CAST(g_n AS DOUBLE)))"
+)
+_CUPED_VARY = (
+    "(CAST(g_syy AS DOUBLE) / CAST(g_n AS DOUBLE)"
+    " - (CAST(g_sy AS DOUBLE) / CAST(g_n AS DOUBLE))"
+    " * (CAST(g_sy AS DOUBLE) / CAST(g_n AS DOUBLE)))"
+)
+_CUPED_THETA = f"({_CUPED_COV} / {_CUPED_VARX})"
+#: per-arm adjusted mean: mean_y_arm - theta * (mean_x_arm - mean_x_all)
+_CUPED_ADJ = (
+    f"((CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE))"
+    f" - {_CUPED_THETA}"
+    f" * ((CAST(a_sx AS DOUBLE) / CAST(a_n AS DOUBLE))"
+    f" - (CAST(g_sx AS DOUBLE) / CAST(g_n AS DOUBLE))))"
+)
+_CUPED_VR = (
+    f"(1.0 - ({_CUPED_VARY} - {_CUPED_THETA} * {_CUPED_THETA} * {_CUPED_VARX})"
+    f" / {_CUPED_VARY})"
+)
+
+
+@register(
+    "events_ab_cuped",
+    f"""
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CASE WHEN epoch_us(ts) < mid_us
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= mid_us
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS a_n,
+             CAST(sum(x) AS BIGINT) AS a_sx,
+             CAST(sum(y) AS BIGINT) AS a_sy
+      FROM per_user GROUP BY 1
+    ),
+    gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS g_n,
+             CAST(sum(x) AS BIGINT) AS g_sx,
+             CAST(sum(y) AS BIGINT) AS g_sy,
+             CAST(sum(x * x) AS BIGINT) AS g_sxx,
+             CAST(sum(y * y) AS BIGINT) AS g_syy,
+             CAST(sum(x * y) AS BIGINT) AS g_sxy
+      FROM per_user
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           a_n AS n_users,
+           CAST(floor((CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE))
+                      * 1000000) AS BIGINT) AS mean_post_micro,
+           CAST(floor({_CUPED_ADJ} * 1000000) AS BIGINT)
+             AS mean_adjusted_micro,
+           CAST(floor({_CUPED_THETA} * 1000000) AS BIGINT) AS theta_micro,
+           CAST(floor({_CUPED_VR} * 1000000) AS BIGINT)
+             AS variance_reduction_ppm
+    FROM arms CROSS JOIN gstats
+    """,
+    doc=(
+        "CUPED variance-reduced A/B readout: per-user pre-period spend "
+        "(first half of the time range) is the covariate, theta = "
+        "cov(pre, post)/var(pre) from pooled exact integer sums, and "
+        "each arm's adjusted mean needs NO second pass — it folds to "
+        "mean_y_arm - theta*(mean_x_arm - mean_x_all). Reports the "
+        "variance-reduction share, i.e. how much experiment runtime "
+        "CUPED buys. All moments via IEEE-identical double text over "
+        "exact integer sums, floored to micro."
+    ),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-reduced experiment readout from one user-grain pass.
+
+    Scale notes (100 TB): one fact scan to user-grain sums, then one
+    tiny grouped aggregate per arm plus a one-row global moment
+    reduce (broadcast back) — the covariate adjustment is algebra on
+    aggregates, never a per-user second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    us = f"timestampdiff(MICROSECOND, {epoch}, ts)"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", F.expr("user_id % 2").alias("arm"))
+        .agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN {us} < mid_us"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                f"CAST(sum(CASE WHEN {us} >= mid_us"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a_n"),
+        F.sum("x").cast("bigint").alias("a_sx"),
+        F.sum("y").cast("bigint").alias("a_sy"),
+    )
+    glob = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g_n"),
+        F.sum("x").cast("bigint").alias("g_sx"),
+        F.sum("y").cast("bigint").alias("g_sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("g_sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("g_syy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("g_sxy"),
+    )
+    return arms.crossJoin(F.broadcast(glob)).select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("a_n").alias("n_users"),
+        F.expr(
+            "CAST(floor((CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("mean_post_micro"),
+        F.expr(f"CAST(floor({_CUPED_ADJ} * 1000000) AS BIGINT)").alias(
+            "mean_adjusted_micro"
+        ),
+        F.expr(f"CAST(floor({_CUPED_THETA} * 1000000) AS BIGINT)").alias(
+            "theta_micro"
+        ),
+        F.expr(f"CAST(floor({_CUPED_VR} * 1000000) AS BIGINT)").alias(
+            "variance_reduction_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (period 7, daily counts)
+# ---------------------------------------------------------------------------
+
+#: oracle-side recurrence pieces (alpha=.2, beta=.1, gamma=.3 in exact
+#: milli integers). The 7-slot seasonal VECTOR state is carried as
+#: explicit columns s0..s6 in the RECURSIVE CTE; the Spark fold carries
+#: it as an array field updated with an indexed transform.
+_HW_SJ = (
+    "CASE (d.rn - 1) % 7 "
+    + " ".join(f"WHEN {k} THEN s.s{k}" for k in range(7))
+    + " END"
+)
+_HW_LNEW = f"(200 * (d.x * 1000 - ({_HW_SJ})) + 800 * (s.l + s.b)) // 1000"
+_HW_BNEW = f"(100 * (({_HW_LNEW}) - s.l) + 900 * s.b) // 1000"
+
+
+def _hw_sknew(k: int) -> str:
+    return (
+        f"CASE WHEN (d.rn - 1) % 7 = {k}"
+        f" THEN (300 * (d.x * 1000 - ({_HW_LNEW})) + 700 * s.s{k}) // 1000"
+        f" ELSE s.s{k} END"
+    )
+
+
+_HW_SEED_L = "(SELECT sum(x) FROM ser WHERE rn <= 7) * 1000 // 7"
+_HW_ORACLE = f"""
+    WITH RECURSIVE bounds AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(0, d1 - d0 + 1)) AS idx, d0 FROM bounds
+    ), cnt AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), ser AS (
+      SELECT s.idx + 1 AS rn, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.d = s.d0 + s.idx
+    ), st AS (
+      SELECT CAST(7 AS BIGINT) AS rn,
+             {_HW_SEED_L} AS l,
+             CAST(0 AS BIGINT) AS b,
+             {", ".join(
+                 f"(SELECT x FROM ser WHERE rn = {k + 1}) * 1000"
+                 f" - ({_HW_SEED_L}) AS s{k}"
+                 for k in range(7)
+             )}
+      UNION ALL
+      SELECT d.rn, {_HW_LNEW}, {_HW_BNEW},
+             {", ".join(_hw_sknew(k) for k in range(7))}
+      FROM st s JOIN ser d ON d.rn = s.rn + 1
+    ), nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM ser),
+    fin AS (SELECT * FROM st WHERE rn = (SELECT n FROM nn))
+    SELECT nn.n AS n_days,
+           CAST(f.l AS BIGINT) AS level_milli,
+           CAST(f.b AS BIGINT) AS trend_milli,
+           CAST(f.l + f.b + (CASE nn.n % 7 {" ".join(
+               f"WHEN {k} THEN f.s{k}" for k in range(7)
+           )} END) AS BIGINT) AS forecast_1d_milli,
+           {", ".join(f"CAST(f.s{k} AS BIGINT) AS s{k}_milli"
+                      for k in range(7))}
+    FROM fin f CROSS JOIN nn
+"""
+
+
+@register(
+    "events_forecast_holt_winters",
+    _HW_ORACLE,
+    doc=(
+        "Holt-Winters additive seasonal smoothing (period 7) over the "
+        "dense daily series: level + trend + a 7-slot seasonal vector "
+        "in exact milli integers (alpha=.2, beta=.1, gamma=.3), "
+        "seeded from the first week. The seasonal-aware member of the "
+        "forecasting family (EWMA -> Holt -> HW) that the weekday "
+        "cycle actually requires. The VECTOR state rides an array "
+        "field in Spark's struct fold (indexed transform update) and "
+        "explicit s0..s6 columns in the oracle's RECURSIVE CTE — "
+        "bit-identical integer state at every step."
+    ),
+)
+def events_forecast_holt_winters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer Holt-Winters: array-state fold vs recursive replay.
+
+    Scale notes (100 TB): identical shape to Holt — one fact rollup
+    to |days| rows, one fold in a single projection; the seasonal
+    array adds 7 bigints to the accumulator, nothing to the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, min(ts))").alias("d0"),
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1"),
+    )
+    spine = b.select(
+        "d0", F.explode(F.expr("sequence(0, d1 - d0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ser = spine.join(cnt, cnt.d == spine.d0 + spine.idx, "left").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+    )
+    arr = ser.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("idx").alias("i"), F.col("x").alias("x")))
+        ).alias("a")
+    )
+    staged = arr.select(
+        "a",
+        F.expr(
+            "CAST(aggregate(slice(a, 1, 7), 0L, (acc, s) -> acc + s.x)"
+            " * 1000 div 7 AS BIGINT)"
+        ).alias("l0"),
+        F.size("a").cast("bigint").alias("n_days"),
+    )
+    sj = "element_at(s.s, CAST(e.i % 7 AS INT) + 1)"
+    lnew = f"(200L * (e.x * 1000L - {sj}) + 800L * (s.l + s.b)) div 1000L"
+    bnew = f"(100L * (({lnew}) - s.l) + 900L * s.b) div 1000L"
+    snew = (
+        "transform(s.s, (v, k) -> CASE WHEN k = CAST(e.i % 7 AS INT)"
+        f" THEN (300L * (e.x * 1000L - ({lnew})) + 700L * v) div 1000L"
+        " ELSE v END)"
+    )
+    fold = (
+        "aggregate(slice(a, 8, size(a) - 7),"
+        " named_struct('l', l0, 'b', 0L,"
+        "              's', transform(slice(a, 1, 7),"
+        "                             e -> e.x * 1000L - l0)),"
+        f" (s, e) -> named_struct('l', {lnew}, 'b', {bnew}, 's', {snew}))"
+    )
+    st = staged.select("n_days", F.expr(fold).alias("s"))
+    return st.select(
+        "n_days",
+        F.expr("s.l").cast("bigint").alias("level_milli"),
+        F.expr("s.b").cast("bigint").alias("trend_milli"),
+        F.expr(
+            "CAST(s.l + s.b + element_at(s.s, CAST(n_days % 7 AS INT) + 1)"
+            " AS BIGINT)"
+        ).alias("forecast_1d_milli"),
+        *[
+            F.expr(f"CAST(element_at(s.s, {k + 1}) AS BIGINT)").alias(
+                f"s{k}_milli"
+            )
+            for k in range(7)
+        ],
+    )

@@ -2901,3 +2901,106 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("km_logsurv_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (panel parts)
+# ---------------------------------------------------------------------------
+
+_CROSTON_PARTS = 20  # panel: p_partkey < 20
+
+
+@register(
+    "orders_croston_intermittent",
+    f"""
+    WITH RECURSIVE dem AS (
+      SELECT l_partkey AS g,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+               // 7 AS w,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem WHERE l_partkey < {_CROSTON_PARTS}
+      GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT g, w, x,
+             row_number() OVER (PARTITION BY g ORDER BY w) AS rn
+      FROM dem
+    ),
+    st AS (
+      SELECT g, CAST(1 AS BIGINT) AS rn,
+             x * 1000 AS z, CAST(1000 AS BIGINT) AS p, w
+      FROM ser WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.rn,
+             (200 * d.x * 1000 + 800 * s.z) // 1000,
+             (200 * (d.w - s.w) * 1000 + 800 * s.p) // 1000,
+             d.w
+      FROM st s JOIN ser d ON d.g = s.g AND d.rn = s.rn + 1
+    ),
+    last_rn AS (SELECT g, max(rn) AS mx FROM ser GROUP BY g)
+    SELECT st.g AS partkey,
+           CAST(l.mx AS BIGINT) AS n_demand_weeks,
+           CAST(st.z AS BIGINT) AS size_milli,
+           CAST(st.p AS BIGINT) AS interval_milli,
+           CAST(st.z * 1000 // st.p AS BIGINT) AS forecast_per_week_milli
+    FROM st JOIN last_rn l ON st.g = l.g AND st.rn = l.mx
+    """,
+    doc=(
+        "Croston's method for intermittent demand on a fixed part "
+        "panel: separate exponential smoothing (alpha=.2, exact milli "
+        "integers) of demand SIZES and inter-demand INTERVALS — the "
+        "estimator that replaces plain SES when most periods are zero "
+        "(SES over intermittent series chases zeros; Croston's "
+        "size/interval ratio does not). Forecast = size/interval per "
+        "week. Spark folds one struct accumulator per part; the "
+        "oracle replays every part with one group-keyed RECURSIVE "
+        "CTE."
+    ),
+)
+def orders_croston_intermittent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-part Croston size/interval states + forecast.
+
+    Scale notes (100 TB): the fact reduces to (part, week) demand
+    points for the panel (filter pushed to the scan); folds
+    parallelize across parts — a million-part panel runs the same
+    plan. Intervals come from the fold's carried previous week, so
+    the series never needs densifying."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < _CROSTON_PARTS
+    )
+    dem = li.groupBy(
+        F.col("l_partkey").alias("g"),
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " l_shipdate) div 7"
+        ).alias("w"),
+    ).agg(F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias("x"))
+    arr = dem.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("w").alias("w"), F.col("x").alias("x")))
+        ).alias("a")
+    )
+    fold = (
+        "aggregate(slice(a, 2, size(a) - 1),"
+        " named_struct('z', a[0].x * 1000L, 'p', 1000L, 'w', a[0].w),"
+        " (s, e) -> named_struct("
+        "   'z', (200L * e.x * 1000L + 800L * s.z) div 1000L,"
+        "   'p', (200L * (e.w - s.w) * 1000L + 800L * s.p) div 1000L,"
+        "   'w', e.w))"
+    )
+    st = arr.select(
+        F.col("g").alias("partkey"),
+        F.size("a").cast("bigint").alias("n_demand_weeks"),
+        F.expr(fold).alias("s"),
+    )
+    return st.select(
+        "partkey",
+        "n_demand_weeks",
+        F.expr("s.z").cast("bigint").alias("size_milli"),
+        F.expr("s.p").cast("bigint").alias("interval_milli"),
+        F.expr("s.z * 1000 div s.p").cast("bigint").alias(
+            "forecast_per_week_milli"
+        ),
+    )
