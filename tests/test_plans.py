@@ -609,3 +609,56 @@ def test_session4_checkpoints_bound_fact_scans(spark, sf_dir, registry):
     ]:
         txt = plan_of(registry[name].spark(spark, sf_dir))
         assert txt.count(f"{tbl}.parquet") == want, name
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling, pinned end to end: a join keyed 90% on
+    one hot value must show skew=true in the FINAL adaptive plan —
+    i.e. the runtime actually split the hot partition instead of
+    letting one task carry 90% of the shuffle. This is the automatic
+    complement to the manual salted join (operators/joins.py): AQE
+    handles skew discovered at runtime, salting handles skew you know
+    about at plan time."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    left_p = str(tmp_path / "skew_left")
+    right_p = str(tmp_path / "skew_right")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        ).write.mode("overwrite").parquet(left_p)
+        # right side unique-keyed: the skew lives entirely in the
+        # LEFT shuffle partition (hot key 0), and the join output
+        # stays linear in the left size.
+        spark.range(0, 200_001).select(
+            F.col("id").alias("k"), F.col("id").alias("r")
+        ).write.mode("overwrite").parquet(right_p)
+        j = spark.read.parquet(left_p).join(
+            spark.read.parquet(right_p), "k"
+        )
+        n = j.count()
+        assert n > 0
+        # trigger + inspect the FINAL (post-execution) adaptive plan
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, (
+            "AQE did not split the skewed partition:\n" + final[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
