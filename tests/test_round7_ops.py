@@ -334,3 +334,37 @@ def test_event_disorder_matches_python(spark, registry):
     assert got["avg_late_milli"] == (
         0 if late == 0 else late_sum // (1000 * late)
     )
+
+
+# --------------------------------------------------------- delete_keys
+
+
+def test_delete_keys_lifecycle(spark, tmp_path):
+    """delete_keys removes exactly the doomed keys, commits a NEW
+    version (pre-delete state stays time-travelable inside the
+    retention window), and returns the removed-row count."""
+    from the_movies_db_spark.upsert import (
+        delete_keys,
+        list_versions,
+        read_table,
+        write_upsert,
+    )
+
+    tbl = str(tmp_path / "t")
+    base = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    write_upsert(spark, tbl, base, "k", order_col=None, keep_versions=2)
+    doomed = spark.range(0, 100).selectExpr("id AS k").filter("k % 10 = 3")
+    removed = delete_keys(spark, tbl, doomed, "k", keep_versions=2)
+    assert removed == 10
+    cur = read_table(spark, tbl)
+    assert cur.count() == 90
+    assert cur.filter("k % 10 = 3").count() == 0
+    pre = read_table(spark, tbl, version=list_versions(tbl)[0])
+    assert pre.count() == 100
+    # deleting absent keys is a no-op version with 0 removed
+    removed2 = delete_keys(
+        spark, tbl, spark.range(1000, 1010).selectExpr("id AS k"), "k",
+        keep_versions=2,
+    )
+    assert removed2 == 0
+    assert read_table(spark, tbl).count() == 90

@@ -89,7 +89,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # io_schema_merge_scan, text_sentence_stats, dq_table_checksum,
     # fn_decimal_exact_money, window_running_distinct,
     # fn_listagg_ordered, events_ab_cuped, orders_croston_intermittent,
-    # events_forecast_holt_winters,
+    # events_forecast_holt_winters, upsert_delete_purge,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

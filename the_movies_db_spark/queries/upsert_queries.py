@@ -584,3 +584,82 @@ def upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.max("record_loaded_at").alias("last_loaded_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE ... WHEN MATCHED THEN DELETE (right-to-erasure purge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_delete_purge",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 != 0
+    )
+    SELECT status,
+           CAST(count(CASE WHEN o_orderkey % 10 != 1 THEN 1 END) AS BIGINT)
+             AS n_rows_current,
+           CAST(count(*) AS BIGINT) AS n_rows_predelete,
+           CAST(count(CASE WHEN o_orderkey % 10 = 1 THEN 1 END) AS BIGINT)
+             AS n_deleted,
+           CAST(0 AS BIGINT) AS n_residue
+    FROM t GROUP BY 1
+    """,
+    doc=(
+        "MERGE ... WHEN MATCHED THEN DELETE against the versioned "
+        "table (upsert.delete_keys): a deterministic key batch is "
+        "purged under the writer lease, the new version commits via "
+        "the atomic pointer, and the result proves three things per "
+        "status: the purge removed exactly the doomed keys "
+        "(n_residue = 0 — the oracle pins the literal), current "
+        "counts match the source minus the batch, and TIME TRAVEL to "
+        "the pre-delete version still reads the full table until the "
+        "retention window vacuums it — the right-to-erasure lifecycle "
+        "end to end."
+    ),
+)
+def upsert_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned DELETE + residue proof + pre-delete time travel.
+
+    Scale notes (100 TB): the purge is one anti-join writing a new
+    version (with Delta/Iceberg this is a native MERGE DELETE with
+    file-level pruning); the proof aggregates are status-grain."""
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.upsert import (
+        delete_keys,
+        list_versions,
+        read_table,
+        write_upsert,
+    )
+
+    tbl = scratch_dir("delpurge") + "/orders_tbl"
+    write_upsert(
+        spark, tbl, _target(spark, sf_dir), "o_orderkey", keep_versions=2
+    )
+    doomed = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderkey % 10 = 1"))
+        .select("o_orderkey")
+    )
+    delete_keys(spark, tbl, doomed, "o_orderkey", keep_versions=2)
+    versions = list_versions(tbl)
+    cur = read_table(spark, tbl).groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_current"),
+        F.count(F.expr("CASE WHEN o_orderkey % 10 = 1 THEN 1 END"))
+        .cast("bigint")
+        .alias("n_residue"),
+    )
+    pre = read_table(spark, tbl, version=versions[0]).groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_predelete")
+    )
+    return cur.join(pre, "status").select(
+        "status",
+        "n_rows_current",
+        "n_rows_predelete",
+        F.expr(
+            "CAST(n_rows_predelete - n_rows_current AS BIGINT)"
+        ).alias("n_deleted"),
+        "n_residue",
+    )

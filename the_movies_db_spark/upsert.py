@@ -370,6 +370,46 @@ def write_upsert(
         vacuum_table(target_path, keep=keep_versions)
 
 
+def delete_keys(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    pk: str | Sequence[str],
+    keep_versions: int = 1,
+    lock_wait: float = 0.0,
+) -> int:
+    """MERGE ... WHEN MATCHED THEN DELETE for the versioned table —
+    the K2-family operation the reference's upsert surface lacks and
+    Delta/Iceberg expose natively. The current version is anti-joined
+    against the key batch and the survivors commit as a NEW version
+    under the same writer lease / atomic-pointer discipline as
+    :func:`write_upsert`.
+
+    This is the right-to-erasure shape: the purge is immediately
+    visible to readers, while prior versions remain until the
+    retention window (``keep_versions``) vacuums them — after which
+    the deletion is durable on disk. Returns the number of rows
+    removed."""
+    pks = [pk] if isinstance(pk, str) else list(pk)
+    with writer_lock(target_path, wait_seconds=lock_wait):
+        current = table_data_path(target_path)
+        target = spark.read.parquet(current)
+        survivors = target.join(keys.select(*pks).distinct(), pks, "left_anti")
+        n_before = target.count()
+        version = _next_version_name(target_path)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(target_path, version)
+        )
+        n_after = spark.read.parquet(
+            os.path.join(target_path, version)
+        ).count()
+        if _before_pointer_flip is not None:
+            _before_pointer_flip()
+        _commit_version(target_path, version)
+        vacuum_table(target_path, keep=keep_versions)
+    return n_before - n_after
+
+
 def write_upsert_partitioned(
     spark: SparkSession,
     target_path: str,
