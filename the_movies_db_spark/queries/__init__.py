@@ -90,6 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fn_decimal_exact_money, window_running_distinct,
     # fn_listagg_ordered, events_ab_cuped, orders_croston_intermittent,
     # events_forecast_holt_winters, upsert_delete_purge,
+    # pipeline_feature_hashing,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

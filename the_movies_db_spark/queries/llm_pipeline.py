@@ -2220,3 +2220,86 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novel_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing (hashing trick) collision design table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_feature_hashing",
+    """
+    WITH vals AS (
+      SELECT DISTINCT event_type || ':' || CAST(user_id % 1000 AS VARCHAR)
+               AS fv
+      FROM events
+    ),
+    h AS (
+      SELECT fv, CAST(('0x' || substr(md5(fv), 1, 8)) AS BIGINT) AS h32
+      FROM vals
+    ),
+    b(n_buckets) AS (VALUES (64), (256), (1024)),
+    loads AS (
+      SELECT b.n_buckets, h.h32 % b.n_buckets AS bkt,
+             CAST(count(*) AS BIGINT) AS ld
+      FROM h CROSS JOIN b GROUP BY 1, 2
+    )
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(sum(ld) AS BIGINT) AS n_values,
+           CAST(count(*) AS BIGINT) AS n_occupied,
+           CAST(coalesce(sum(CASE WHEN ld > 1 THEN ld END), 0) AS BIGINT)
+             AS n_colliding_values,
+           CAST(coalesce(sum(CASE WHEN ld > 1 THEN ld END), 0) * 1000000
+                // sum(ld) AS BIGINT) AS collision_ppm,
+           CAST(max(ld) AS BIGINT) AS max_bucket_load
+    FROM loads GROUP BY 1
+    """,
+    doc=(
+        "Feature-hashing design table: the (event_type x user-bucket) "
+        "cross feature is hashed into 64/256/1024 buckets via a 32-bit "
+        "md5 prefix, reporting occupied buckets, the share of feature "
+        "values that collide, and the max bucket load — exactly the "
+        "table you consult before choosing the hashing-trick width for "
+        "a model's categorical crosses (collisions alias gradients; "
+        "too wide wastes parameters). Per-engine hex extraction, "
+        "shared integer arithmetic."
+    ),
+)
+def pipeline_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision profile of the hashing trick at three widths.
+
+    Scale notes (100 TB): the value domain is deduped FIRST (one
+    combining distinct), so the 3-width cross join touches |values|
+    rows, never events; everything after is bucket-grain."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.expr(
+            "event_type || ':' || CAST(user_id % 1000 AS STRING)"
+        ).alias("fv")
+    ).distinct()
+    h = vals.select(
+        F.expr(
+            "CAST(conv(substring(md5(fv), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h32")
+    )
+    b = spark.createDataFrame([(64,), (256,), (1024,)], "n_buckets int")
+    loads = (
+        h.crossJoin(F.broadcast(b))
+        .groupBy("n_buckets", F.expr("h32 % n_buckets").alias("bkt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ld"))
+    )
+    return loads.groupBy(
+        F.col("n_buckets").cast("bigint").alias("n_buckets")
+    ).agg(
+        F.sum("ld").cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occupied"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN ld > 1 THEN ld END), 0) AS BIGINT)"
+        ).alias("n_colliding_values"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN ld > 1 THEN ld END), 0) * 1000000"
+            " div sum(ld) AS BIGINT)"
+        ).alias("collision_ppm"),
+        F.max("ld").cast("bigint").alias("max_bucket_load"),
+    )
