@@ -90,7 +90,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fn_decimal_exact_money, window_running_distinct,
     # fn_listagg_ordered, events_ab_cuped, orders_croston_intermittent,
     # events_forecast_holt_winters, upsert_delete_purge,
-    # pipeline_feature_hashing,
+    # pipeline_feature_hashing, io_dynamic_partition_overwrite,
+    # orders_double_charge_audit, events_ab_sprt,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

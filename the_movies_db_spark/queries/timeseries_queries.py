@@ -3937,3 +3937,87 @@ def events_forecast_holt_winters(
             for k in range(7)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (SPRT) for conversion A/B
+# ---------------------------------------------------------------------------
+
+#: H0 p=0.30 vs H1 p=0.35, alpha=beta=0.05 — per-outcome log-likelihood
+#: increments and Wald boundaries as floor-micro integers, computed
+#: from IDENTICAL rational-literal ln text in both engines.
+_SPRT_L1 = "CAST(floor(ln(0.35 / 0.30) * 1000000) AS BIGINT)"
+_SPRT_L0 = "CAST(floor(ln(0.65 / 0.70) * 1000000) AS BIGINT)"
+_SPRT_UP = "CAST(floor(ln(19.0) * 1000000) AS BIGINT)"
+_SPRT_LO = "CAST(floor(ln(1.0 / 19.0) * 1000000) AS BIGINT)"
+
+
+@register(
+    "events_ab_sprt",
+    f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM u GROUP BY 1
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n_users,
+           n_conv AS n_converted,
+           CAST(n_conv * 1000000 // n_users AS BIGINT) AS conv_ppm,
+           CAST(n_conv * {_SPRT_L1} + (n_users - n_conv) * {_SPRT_L0}
+                AS BIGINT) AS llr_micro,
+           CASE WHEN n_conv * {_SPRT_L1} + (n_users - n_conv) * {_SPRT_L0}
+                     >= {_SPRT_UP} THEN 'accept_h1'
+                WHEN n_conv * {_SPRT_L1} + (n_users - n_conv) * {_SPRT_L0}
+                     <= {_SPRT_LO} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM arms
+    """,
+    doc=(
+        "Wald's sequential probability ratio test on per-arm "
+        "conversion (H0 p=.30 vs H1 p=.35, alpha=beta=.05): the "
+        "log-likelihood ratio accumulates per user as one of two "
+        "integer micro increments, so the test is a pure aggregate — "
+        "the early-stopping machinery that lets an experiment platform "
+        "call a result mid-flight instead of waiting for fixed n. "
+        "Boundaries ln(19), ln(1/19) as floor-micro literals."
+    ),
+)
+def events_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPRT decision per arm from one user-grain aggregate.
+
+    Scale notes (100 TB): conversion flags reduce user-grain in one
+    combining pass; the LLR and verdict are scalar projections over
+    |arms| rows. Sequential-in-time semantics need only this same
+    aggregate re-run per look."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", F.expr("user_id % 2").alias("arm")).agg(
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("converted")
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    llr = f"n_conv * {_SPRT_L1} + (n_users - n_conv) * {_SPRT_L0}"
+    return arms.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        "n_users",
+        F.col("n_conv").alias("n_converted"),
+        F.expr("CAST(n_conv * 1000000 div n_users AS BIGINT)").alias(
+            "conv_ppm"
+        ),
+        F.expr(f"CAST({llr} AS BIGINT)").alias("llr_micro"),
+        F.expr(
+            f"CASE WHEN {llr} >= {_SPRT_UP} THEN 'accept_h1'"
+            f" WHEN {llr} <= {_SPRT_LO} THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    )

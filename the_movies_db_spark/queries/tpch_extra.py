@@ -3004,3 +3004,84 @@ def orders_croston_intermittent(
             "forecast_per_week_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Double-charge audit: same customer, same amount, within 7 days
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_double_charge_audit",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS ck,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+               AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.ck, a.cents
+      FROM o a JOIN o b
+        ON a.ck = b.ck AND a.cents = b.cents AND a.okey < b.okey
+       AND abs(a.d - b.d) <= 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT ck) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS flagged_cents
+    FROM pairs
+    """,
+    doc=(
+        "Double-charge audit: order pairs by the same customer for the "
+        "IDENTICAL amount within 7 days — the classic duplicate-"
+        "payment fraud/DQ rule. The Spark plan is a binned equi-join "
+        "on (customer, cents, week-bucket) with a +-1 bucket delta "
+        "explode, so each qualifying pair matches EXACTLY once (the "
+        "bucket delta of a real pair is a single value) and the "
+        "theta predicate never becomes a nested-loop join; the oracle "
+        "runs the plain theta join."
+    ),
+)
+def orders_double_charge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once binned pair detection for near-duplicate charges.
+
+    Scale notes (100 TB): the join key (customer, cents, bucket) is
+    selective — candidates are only same-amount same-customer orders
+    in adjacent weeks; a plain |orders|^2 date-window theta join would
+    plan as BroadcastNestedLoop (the round-4 lesson the interval
+    operators exist to avoid)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " o_orderdate)"
+        ).alias("d"),
+    )
+    a = o.select(
+        "okey", "ck", "cents", "d", F.expr("d div 7").alias("bkt")
+    ).select(
+        "*", F.explode(F.expr("array(-1, 0, 1)")).alias("delta")
+    )
+    b = o.select(
+        F.col("okey").alias("okey_b"),
+        F.col("ck").alias("ck_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("d_b"),
+        F.expr("d div 7").alias("bkt_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ck") == F.col("ck_b"))
+        & (F.col("cents") == F.col("cents_b"))
+        & (F.col("bkt_b") == F.col("bkt") + F.col("delta"))
+        & (F.col("okey") < F.col("okey_b"))
+        & (F.expr("abs(d - d_b)") <= 7),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("ck").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("flagged_cents"),
+    )
