@@ -5161,3 +5161,99 @@ def io_dynamic_partition_overwrite(
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
         ).alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with share-of-parent at every level
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_share_of_parent",
+    """
+    WITH r AS (
+      SELECT CASE WHEN GROUPING(rg.r_name) = 1 THEN '__ALL__'
+                  ELSE rg.r_name END AS region,
+             CASE WHEN GROUPING(n.n_name) = 1 THEN '__ALL__'
+                  ELSE n.n_name END AS nation,
+             CAST(GROUPING(rg.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
+               AS lvl,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region rg  ON n.n_regionkey = rg.r_regionkey
+      GROUP BY ROLLUP(rg.r_name, n.n_name)
+    )
+    SELECT region, nation, lvl, cents,
+           CAST(CASE
+                  WHEN lvl = 3 THEN 1000000
+                  WHEN lvl = 1 THEN cents * 1000000
+                       // (sum(CASE WHEN lvl = 3 THEN cents END) OVER ())
+                  ELSE cents * 1000000
+                       // (sum(CASE WHEN lvl = 1 THEN cents END)
+                           OVER (PARTITION BY region))
+                END AS BIGINT) AS share_of_parent_ppm
+    FROM r
+    """,
+    doc=(
+        "ROLLUP(region, nation) with each row's share of its PARENT "
+        "level computed in the same plan: nation rows divide by their "
+        "region subtotal (a window partitioned by region over the "
+        "rollup output), region rows by the grand total — no self "
+        "join, no second scan. GROUPING() bits disambiguate subtotal "
+        "rows from a real nation named like a placeholder; the "
+        "hierarchy-report primitive on top of one aggregate."
+    ),
+)
+def agg_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical shares over one ROLLUP pass.
+
+    Scale notes (100 TB): one shuffle for the rollup aggregate; the
+    parent-share windows run over the |regions x nations|-bounded
+    rollup OUTPUT, never the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    rg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+    )
+    r = j.rollup("r_name", "n_name").agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents"),
+        F.expr(
+            "CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT)"
+        ).alias("lvl"),
+    ).select(
+        F.expr(
+            "CASE WHEN lvl >= 2 THEN '__ALL__' ELSE r_name END"
+        ).alias("region"),
+        F.expr(
+            "CASE WHEN lvl % 2 = 1 THEN '__ALL__' ELSE n_name END"
+        ).alias("nation"),
+        "lvl",
+        "cents",
+    )
+    return r.select(
+        "region",
+        "nation",
+        "lvl",
+        "cents",
+        F.expr(
+            "CAST(CASE"
+            " WHEN lvl = 3 THEN 1000000"
+            " WHEN lvl = 1 THEN cents * 1000000"
+            " div (sum(CASE WHEN lvl = 3 THEN cents END)"
+            " OVER (PARTITION BY 1))"
+            " ELSE cents * 1000000"
+            " div (sum(CASE WHEN lvl = 1 THEN cents END)"
+            " OVER (PARTITION BY region)) END AS BIGINT)"
+        ).alias("share_of_parent_ppm"),
+    )

@@ -3085,3 +3085,132 @@ def orders_double_charge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ck").cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("flagged_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix bridge (revenue change decomposition)
+# ---------------------------------------------------------------------------
+
+_PVM_Y0, _PVM_Y1 = 1996, 1997
+
+
+@register(
+    "orders_price_volume_mix",
+    f"""
+    WITH pl AS (
+      SELECT n.n_name AS nation, l.l_partkey AS pk,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {_PVM_Y0}
+                           THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS q0,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {_PVM_Y0}
+                           THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS r0,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {_PVM_Y1}
+                           THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {_PVM_Y1}
+                           THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS r1
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE year(o.o_orderdate) IN ({_PVM_Y0}, {_PVM_Y1})
+      GROUP BY 1, 2
+    ),
+    eff AS (
+      SELECT nation, r0, r1,
+             CASE WHEN q0 > 0 AND q1 > 0
+                  THEN (q1 - q0) * r0 // q0 ELSE 0 END AS vol,
+             CASE WHEN q0 > 0 AND q1 > 0
+                  THEN r1 - r0 - ((q1 - q0) * r0 // q0) ELSE 0 END AS prc,
+             CASE WHEN q0 = 0 THEN r1 ELSE 0 END AS newp,
+             CASE WHEN q1 = 0 THEN -r0 ELSE 0 END AS exitp
+      FROM pl
+    )
+    SELECT nation,
+           CAST(sum(r0) AS BIGINT) AS cents_y0,
+           CAST(sum(r1) AS BIGINT) AS cents_y1,
+           CAST(sum(r1) - sum(r0) AS BIGINT) AS delta_cents,
+           CAST(sum(vol) AS BIGINT) AS volume_effect_cents,
+           CAST(sum(prc) AS BIGINT) AS price_effect_cents,
+           CAST(sum(newp) AS BIGINT) AS new_product_cents,
+           CAST(sum(exitp) AS BIGINT) AS exited_product_cents
+    FROM eff GROUP BY 1
+    """,
+    doc=(
+        "Price-volume-mix bridge per nation between two years: each "
+        "part's revenue change splits into a volume effect at "
+        "base-year unit price ((q1-q0)*r0//q0, exact truncating "
+        "integer), a price effect (the per-part residual, so the "
+        "bridge closes by construction: delta = volume + price + new "
+        "+ exited), and new/exited product effects. The standard "
+        "finance revenue-bridge decomposition, computed in ONE "
+        "conditional-aggregation pass — no per-year self-join."
+    ),
+)
+def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge: volume/price/new/exit effects per nation.
+
+    Scale notes (100 TB): the year pivot is conditional aggregation
+    inside one (nation, part) groupBy — one shuffle, no full-outer
+    join of year snapshots; everything after is part-grain then
+    nation-grain. The year filter prunes the scan via the orders
+    join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.expr("year(o_orderdate)").alias("yr")
+    ).filter(F.col("yr").isin(_PVM_Y0, _PVM_Y1))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    pl = j.groupBy(F.col("n_name").alias("nation"), F.col("l_partkey")).agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN yr = {_PVM_Y0}"
+            " THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("q0"),
+        F.expr(
+            f"CAST(sum(CASE WHEN yr = {_PVM_Y0}"
+            " THEN CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("r0"),
+        F.expr(
+            f"CAST(sum(CASE WHEN yr = {_PVM_Y1}"
+            " THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("q1"),
+        F.expr(
+            f"CAST(sum(CASE WHEN yr = {_PVM_Y1}"
+            " THEN CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("r1"),
+    )
+    eff = pl.select(
+        "nation",
+        "r0",
+        "r1",
+        F.expr(
+            "CASE WHEN q0 > 0 AND q1 > 0"
+            " THEN (q1 - q0) * r0 div q0 ELSE 0 END"
+        ).alias("vol"),
+        F.expr(
+            "CASE WHEN q0 > 0 AND q1 > 0"
+            " THEN r1 - r0 - ((q1 - q0) * r0 div q0) ELSE 0 END"
+        ).alias("prc"),
+        F.expr("CASE WHEN q0 = 0 THEN r1 ELSE 0 END").alias("newp"),
+        F.expr("CASE WHEN q1 = 0 THEN -r0 ELSE 0 END").alias("exitp"),
+    )
+    return eff.groupBy("nation").agg(
+        F.sum("r0").cast("bigint").alias("cents_y0"),
+        F.sum("r1").cast("bigint").alias("cents_y1"),
+        F.expr("CAST(sum(r1) - sum(r0) AS BIGINT)").alias("delta_cents"),
+        F.sum("vol").cast("bigint").alias("volume_effect_cents"),
+        F.sum("prc").cast("bigint").alias("price_effect_cents"),
+        F.sum("newp").cast("bigint").alias("new_product_cents"),
+        F.sum("exitp").cast("bigint").alias("exited_product_cents"),
+    )
