@@ -2155,7 +2155,10 @@ def pipeline_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(novel) AS BIGINT) AS n_novel,
-           CAST(sum(novel) * 1000000 // count(*) AS BIGINT) AS novel_ppm
+           CAST((sum(novel) // count(*)) * 1000000
+                + ((sum(novel) % count(*)) * 1000 // count(*)) * 1000
+                + (((sum(novel) % count(*)) * 1000 % count(*)) * 1000
+                   // count(*)) AS BIGINT) AS novel_ppm
     FROM marked GROUP BY 1
     """,
     doc=(
@@ -2216,9 +2219,13 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.sum("novel").cast("bigint").alias("n_novel"),
-        F.expr("CAST(sum(novel) * 1000000 div count(*) AS BIGINT)").alias(
-            "novel_ppm"
-        ),
+        # overflow-free ppm (bigram counts can exceed ~9.2e12 at scale)
+        F.expr(
+            "CAST((sum(novel) div count(*)) * 1000000"
+            " + ((sum(novel) % count(*)) * 1000 div count(*)) * 1000"
+            " + (((sum(novel) % count(*)) * 1000 % count(*)) * 1000"
+            " div count(*)) AS BIGINT)"
+        ).alias("novel_ppm"),
     )
 
 

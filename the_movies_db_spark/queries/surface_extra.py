@@ -4901,7 +4901,7 @@ def io_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(h32) AS BIGINT) AS checksum_sum,
+           CAST(sum(h32) % 999999999989 AS BIGINT) AS checksum_sum,
            CAST(bit_xor(h32) AS BIGINT) AS checksum_xor
     FROM h GROUP BY 1
     """,
@@ -4932,7 +4932,14 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("h32").cast("bigint").alias("checksum_sum"),
+        # digest reduced mod a 12-digit prime: the raw int64 sum of
+        # 32-bit hashes overflows past ~2^31 rows per group; the wide
+        # sum is exact on both engines (Spark DECIMAL accumulation,
+        # DuckDB HUGEINT) and the mod keeps it commutative + BIGINT
+        F.expr(
+            "CAST(sum(CAST(h32 AS DECIMAL(38,0))) % 999999999989"
+            " AS BIGINT)"
+        ).alias("checksum_sum"),
         F.expr("CAST(bit_xor(h32) AS BIGINT)").alias("checksum_xor"),
     )
 
@@ -5187,15 +5194,19 @@ def io_dynamic_partition_overwrite(
       GROUP BY ROLLUP(rg.r_name, n.n_name)
     )
     SELECT region, nation, lvl, cents,
-           CAST(CASE
-                  WHEN lvl = 3 THEN 1000000
-                  WHEN lvl = 1 THEN cents * 1000000
-                       // (sum(CASE WHEN lvl = 3 THEN cents END) OVER ())
-                  ELSE cents * 1000000
-                       // (sum(CASE WHEN lvl = 1 THEN cents END)
-                           OVER (PARTITION BY region))
-                END AS BIGINT) AS share_of_parent_ppm
-    FROM r
+           CAST((cents // parent) * 1000000
+                + ((cents % parent) * 1000 // parent) * 1000
+                + (((cents % parent) * 1000 % parent) * 1000 // parent)
+                AS BIGINT) AS share_of_parent_ppm
+    FROM (
+      SELECT region, nation, lvl, cents,
+             CASE WHEN lvl = 3 THEN cents
+                  WHEN lvl = 1 THEN
+                       (sum(CASE WHEN lvl = 3 THEN cents END) OVER ())
+                  ELSE (sum(CASE WHEN lvl = 1 THEN cents END)
+                        OVER (PARTITION BY region)) END AS parent
+      FROM r
+    ) p
     """,
     doc=(
         "ROLLUP(region, nation) with each row's share of its PARENT "
@@ -5241,19 +5252,30 @@ def agg_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lvl",
         "cents",
     )
-    return r.select(
+    staged = r.select(
         "region",
         "nation",
         "lvl",
         "cents",
         F.expr(
-            "CAST(CASE"
-            " WHEN lvl = 3 THEN 1000000"
-            " WHEN lvl = 1 THEN cents * 1000000"
-            " div (sum(CASE WHEN lvl = 3 THEN cents END)"
+            "CASE WHEN lvl = 3 THEN cents"
+            " WHEN lvl = 1 THEN (sum(CASE WHEN lvl = 3 THEN cents END)"
             " OVER (PARTITION BY 1))"
-            " ELSE cents * 1000000"
-            " div (sum(CASE WHEN lvl = 1 THEN cents END)"
-            " OVER (PARTITION BY region)) END AS BIGINT)"
+            " ELSE (sum(CASE WHEN lvl = 1 THEN cents END)"
+            " OVER (PARTITION BY region)) END"
+        ).alias("parent"),
+    )
+    # overflow-free share: cents * 1e6 exceeds int64 once subtotal
+    # cents pass ~9.2e12 (the x16 probe caught it) — divmod ppm chain
+    return staged.select(
+        "region",
+        "nation",
+        "lvl",
+        "cents",
+        F.expr(
+            "CAST((cents div parent) * 1000000"
+            " + ((cents % parent) * 1000 div parent) * 1000"
+            " + (((cents % parent) * 1000 % parent) * 1000 div parent)"
+            " AS BIGINT)"
         ).alias("share_of_parent_ppm"),
     )

@@ -1771,8 +1771,13 @@ _POSTING_STORED = "coalesce(doc_id - lag(doc_id) OVER w, doc_id)"
            CAST(count(*) * 8 AS BIGINT)         AS raw_bytes,
            CAST(sum({_VARINT_BYTES.format(x="stored")}) AS BIGINT)
              AS varint_bytes,
-           CAST((count(*) * 8 - sum({_VARINT_BYTES.format(x="stored")}))
-                * 1000000 // (count(*) * 8) AS BIGINT) AS savings_ppm
+           CAST(((count(*) * 8 - sum({_VARINT_BYTES.format(x="stored")}))
+                 // (count(*) * 8)) * 1000000
+                + (((count(*) * 8 - sum({_VARINT_BYTES.format(x="stored")}))
+                    % (count(*) * 8)) * 1000 // (count(*) * 8)) * 1000
+                + ((((count(*) * 8 - sum({_VARINT_BYTES.format(x="stored")}))
+                     % (count(*) * 8)) * 1000 % (count(*) * 8)) * 1000
+                   // (count(*) * 8)) AS BIGINT) AS savings_ppm
     FROM g GROUP BY 1
     """,
     doc=(
@@ -1815,9 +1820,15 @@ def text_postings_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_postings"),
         F.expr("CAST(count(*) * 8 AS BIGINT)").alias("raw_bytes"),
         F.expr(f"CAST(sum({vb}) AS BIGINT)").alias("varint_bytes"),
+        # overflow-free ppm: the *1e6 product exceeds int64 once a
+        # source's postings pass ~1.2e12 — divmod chain instead
         F.expr(
-            f"CAST((count(*) * 8 - sum({vb})) * 1000000"
-            " div (count(*) * 8) AS BIGINT)"
+            f"CAST(((count(*) * 8 - sum({vb})) div (count(*) * 8))"
+            " * 1000000"
+            f" + (((count(*) * 8 - sum({vb})) % (count(*) * 8)) * 1000"
+            " div (count(*) * 8)) * 1000"
+            f" + ((((count(*) * 8 - sum({vb})) % (count(*) * 8)) * 1000"
+            " % (count(*) * 8)) * 1000 div (count(*) * 8)) AS BIGINT)"
         ).alias("savings_ppm"),
     )
 
