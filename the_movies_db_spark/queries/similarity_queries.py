@@ -3106,3 +3106,104 @@ def sim_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*) AS BIGINT)"
         ).alias("same_label_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection via kNN disagreement (confident-learning-lite)
+# ---------------------------------------------------------------------------
+
+_LN_PANEL = 128
+_LN_K = 5
+_LN_AGREE = 2  # suspect when fewer than this many neighbors share the label
+
+
+@register(
+    "pipeline_label_noise_knn",
+    f"""
+    WITH pe AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {_LN_PANEL}
+    ),
+    edges AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM pe q JOIN pe c ON q.vec_id <> c.vec_id
+      ) t WHERE rank <= {_LN_K}
+    ),
+    votes AS (
+      SELECT e.query_id, lq.label,
+             CAST(count(CASE WHEN ln.label = lq.label THEN 1 END)
+                  AS BIGINT) AS n_agree
+      FROM edges e
+      JOIN pe lq ON e.query_id = lq.vec_id
+      JOIN pe ln ON e.neighbor_id = ln.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_panel,
+           CAST(count(CASE WHEN n_agree < {_LN_AGREE} THEN 1 END)
+                AS BIGINT) AS n_suspect,
+           CAST(count(CASE WHEN n_agree < {_LN_AGREE} THEN 1 END)
+                * 1000000 // count(*) AS BIGINT) AS suspect_ppm
+    FROM votes GROUP BY 1
+    """,
+    doc=(
+        "Label-noise detection via kNN disagreement (the confident-"
+        "learning recipe, lite): a panel vector whose label is shared "
+        "by fewer than 2 of its 5 exact-cosine neighbors is a "
+        "suspected mislabel — per-label suspect counts tell you WHICH "
+        "classes are noisy before training consumes them. Reuses the "
+        "kNN-graph machinery; at corpus scale the neighbor source "
+        "swaps to the IVF index unchanged."
+    ),
+)
+def pipeline_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label suspected-mislabel census from neighbor votes.
+
+    Scale notes (100 TB): the panel is fixed and broadcast; votes are
+    one |panel|*k-row aggregate. The full-corpus variant runs the
+    same vote over IVF-probed neighbors — still one aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.filter(F.col("vec_id") < _LN_PANEL)
+    edges = S.cosine_topk(
+        panel, panel, "vec_id", "embedding", k=_LN_K, dim=_DIM
+    ).select("query_id", "neighbor_id")
+    labels = panel.select("vec_id", "label")
+    votes = (
+        edges.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.count(F.expr("CASE WHEN n_label = q_label THEN 1 END"))
+            .cast("bigint")
+            .alias("n_agree")
+        )
+    )
+    return votes.groupBy(F.col("q_label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_panel"),
+        F.count(F.expr(f"CASE WHEN n_agree < {_LN_AGREE} THEN 1 END"))
+        .cast("bigint")
+        .alias("n_suspect"),
+        F.expr(
+            f"CAST(count(CASE WHEN n_agree < {_LN_AGREE} THEN 1 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("suspect_ppm"),
+    )

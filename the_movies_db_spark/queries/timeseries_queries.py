@@ -4021,3 +4021,95 @@ def events_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'continue' END"
         ).alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis: minimum detectable effect at current n
+# ---------------------------------------------------------------------------
+
+#: z_{0.975} + z_{0.8} for alpha=.05 two-sided, power .8 — the literal
+#: constant every power calculator uses (2.8016... as exact micro).
+_MDE_Z = "2801585"
+
+
+@register(
+    "events_power_mde",
+    f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss
+      FROM u GROUP BY 1
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           n AS n_users,
+           CAST((s // n) * 1000000 + ((s % n) * 1000 // n) * 1000
+                + (((s % n) * 1000 % n) * 1000 // n) AS BIGINT)
+             AS mean_cents_micro,
+           CAST(floor((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS var_micro,
+           CAST(floor({_MDE_Z} / 1000000.0
+                      * sqrt(2.0 * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                             / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+             AS mde_cents_micro
+    FROM arms
+    """,
+    doc=(
+        "Experiment power analysis at the current sample: the minimum "
+        "detectable effect per arm, (z_0.975 + z_0.8) * sqrt(2 "
+        "sigma^2 / n), from exact integer per-user spend moments — "
+        "the answer to 'can this experiment even see the lift we "
+        "care about?' BEFORE it runs to fixed horizon. Completes the "
+        "experimentation toolkit (SRM guardrail, CUPED adjustment, "
+        "SPRT early stop, DID readout). IEEE-identical double text "
+        "(sqrt is correctly rounded), floored to micro."
+    ),
+)
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDE per arm from one user-grain moment pass.
+
+    Scale notes (100 TB): one combining user-grain sum, one 2-row arm
+    aggregate; the power algebra is a scalar projection. The raw
+    ss power sum bounds at ~1e18 / max_user_spend^2 users — past
+    that, anchor per-user spend by its integer mean first (the
+    agg_variance_twopass recipe)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", F.expr("user_id % 2").alias("arm")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("y")
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("ss"),
+    )
+    var = (
+        "(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    return arms.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n").alias("n_users"),
+        F.expr(
+            "CAST((s div n) * 1000000 + ((s % n) * 1000 div n) * 1000"
+            " + (((s % n) * 1000 % n) * 1000 div n) AS BIGINT)"
+        ).alias("mean_cents_micro"),
+        F.expr(f"CAST(floor({var} * 1000000) AS BIGINT)").alias("var_micro"),
+        F.expr(
+            f"CAST(floor({_MDE_Z} / 1000000.0"
+            f" * sqrt(2.0 * {var} / CAST(n AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("mde_cents_micro"),
+    )
