@@ -368,3 +368,142 @@ def test_delete_keys_lifecycle(spark, tmp_path):
     )
     assert removed2 == 0
     assert read_table(spark, tbl).count() == 90
+
+
+# ------------------------------------------------- later-wave references
+
+
+def test_price_volume_mix_bridge_closes(spark, registry):
+    """The revenue bridge must close exactly by construction:
+    delta = volume + price + new + exited, per nation."""
+    for r in registry["orders_price_volume_mix"].spark(spark, SF).collect():
+        assert r["delta_cents"] == r["cents_y1"] - r["cents_y0"]
+        assert r["delta_cents"] == (
+            r["volume_effect_cents"]
+            + r["price_effect_cents"]
+            + r["new_product_cents"]
+            + r["exited_product_cents"]
+        ), r["nation"]
+
+
+def test_rollup_shares_sum_to_parent(spark, registry):
+    """Children's shares of each parent must sum to ~1e6 ppm (floor
+    truncation loses at most |children| ppm), and the grand-total row
+    carries exactly 1e6."""
+    rows = registry["agg_rollup_share_of_parent"].spark(spark, SF).collect()
+    grand = [r for r in rows if r["lvl"] == 3]
+    assert len(grand) == 1 and grand[0]["share_of_parent_ppm"] == 1_000_000
+    regions = [r for r in rows if r["lvl"] == 1]
+    s = sum(r["share_of_parent_ppm"] for r in regions)
+    assert 1_000_000 - len(regions) <= s <= 1_000_000
+    for reg in regions:
+        kids = [
+            r
+            for r in rows
+            if r["lvl"] == 0 and r["region"] == reg["region"]
+        ]
+        ks = sum(r["share_of_parent_ppm"] for r in kids)
+        assert 1_000_000 - len(kids) <= ks <= 1_000_000, reg["region"]
+
+
+def test_croston_matches_python_replay(spark, registry):
+    got = {
+        r["partkey"]: r
+        for r in registry["orders_croston_intermittent"].spark(spark, SF).collect()
+    }
+    raw = duckdb.sql(
+        f"""
+        SELECT l_partkey,
+               datediff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+                 // 7,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        FROM '{SF}/lineitem.parquet' WHERE l_partkey < 20
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    per: dict[int, list[tuple[int, int]]] = {}
+    for pk, w, x in raw:
+        per.setdefault(pk, []).append((w, x))
+    for pk, pts in per.items():
+        z, p, prev = pts[0][1] * 1000, 1000, pts[0][0]
+        for w, x in pts[1:]:
+            z = (200 * x * 1000 + 800 * z) // 1000
+            p = (200 * (w - prev) * 1000 + 800 * p) // 1000
+            prev = w
+        r = got[pk]
+        assert r["n_demand_weeks"] == len(pts), pk
+        assert r["size_milli"] == z and r["interval_milli"] == p, pk
+        assert r["forecast_per_week_milli"] == z * 1000 // p, pk
+
+
+def test_holt_winters_matches_python_replay(spark, registry):
+    got = registry["events_forecast_holt_winters"].spark(spark, SF).collect()[0]
+    raw = dict(
+        duckdb.sql(
+            f"""
+            SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts),
+                   CAST(count(*) AS BIGINT)
+            FROM '{SF}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    d0, d1 = min(raw), max(raw)
+    xs = [raw.get(d, 0) for d in range(d0, d1 + 1)]
+
+    def tdiv(a: int, b: int) -> int:
+        # both engines truncate integer division toward zero; Python //
+        # floors — they differ on the negative seasonal intermediates
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    l0 = sum(xs[:7]) * 1000 // 7
+    sv = [x * 1000 - l0 for x in xs[:7]]
+    l, b = l0, 0
+    for i in range(7, len(xs)):
+        j = i % 7
+        lnew = tdiv(200 * (xs[i] * 1000 - sv[j]) + 800 * (l + b), 1000)
+        bnew = tdiv(100 * (lnew - l) + 900 * b, 1000)
+        sv[j] = tdiv(300 * (xs[i] * 1000 - lnew) + 700 * sv[j], 1000)
+        l, b = lnew, bnew
+    assert got["n_days"] == len(xs)
+    assert got["level_milli"] == l and got["trend_milli"] == b
+    for k in range(7):
+        assert got[f"s{k}_milli"] == sv[k], k
+    assert got["forecast_1d_milli"] == l + b + sv[len(xs) % 7]
+
+
+def test_cuped_matches_python(spark, registry):
+    got = {
+        r["arm"]: r
+        for r in registry["events_ab_cuped"].spark(spark, SF).collect()
+    }
+    raw = duckdb.sql(
+        f"""
+        WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+                   FROM '{SF}/events.parquet')
+        SELECT user_id % 2,
+               CAST(sum(CASE WHEN epoch_us(ts) < m
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN epoch_us(ts) >= m
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT)
+        FROM '{SF}/events.parquet' CROSS JOIN b
+        GROUP BY user_id, 1
+        """
+    ).fetchall()
+    n = len(raw)
+    sx = sum(r[1] for r in raw)
+    sy = sum(r[2] for r in raw)
+    sxx = sum(r[1] * r[1] for r in raw)
+    sxy = sum(r[1] * r[2] for r in raw)
+    cov = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    theta = cov / varx
+    for arm in (0, 1):
+        a = [r for r in raw if r[0] == arm]
+        an, asx, asy = len(a), sum(r[1] for r in a), sum(r[2] for r in a)
+        adj = (asy / an) - theta * ((asx / an) - (sx / n))
+        assert got[arm]["n_users"] == an
+        assert got[arm]["mean_adjusted_micro"] == math.floor(adj * 1e6), arm
+        assert got[arm]["theta_micro"] == math.floor(theta * 1e6)
