@@ -94,6 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # orders_double_charge_audit, events_ab_sprt,
     # agg_rollup_share_of_parent, orders_price_volume_mix,
     # pipeline_label_noise_knn, events_power_mde,
+    # dedup_sketch_merge_audit, events_forecast_backtest,
     #
     # -- first 50 of the round-6 queue, in listed order --------------------
     "agg_ks_statistic",

@@ -895,3 +895,103 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n_occ * b) AS BIGINT)"
         ).alias("dedup_savings_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch mergeability audit (the distributed-sketch foundation)
+# ---------------------------------------------------------------------------
+
+_SMA_SRC_SIG = ", ".join(
+    f"min(h{i}) AS h{i}" for i in range(_NUM_HASHES)
+)
+_SMA_EQ_GLOBAL = " + ".join(
+    f"CASE WHEN s.h{i} = g.h{i} THEN 1 ELSE 0 END" for i in range(_NUM_HASHES)
+)
+_SMA_MERGE_EQ = " AND ".join(
+    f"m.h{i} = g.h{i}" for i in range(_NUM_HASHES)
+)
+
+
+@register(
+    "dedup_sketch_merge_audit",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source, {_SIG} FROM docs
+    ),
+    per_source AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs, {_SMA_SRC_SIG}
+      FROM per_doc GROUP BY source
+    ),
+    global_direct AS (
+      SELECT {_SMA_SRC_SIG} FROM per_doc
+    ),
+    merged AS (
+      SELECT {_SMA_SRC_SIG} FROM per_source
+    )
+    SELECT s.source, s.n_docs,
+           CAST(({_SMA_EQ_GLOBAL}) * 1000000 // {_NUM_HASHES} AS BIGINT)
+             AS est_containment_ppm,
+           CAST(CASE WHEN {_SMA_MERGE_EQ} THEN 1 ELSE 0 END AS BIGINT)
+             AS merge_equals_direct
+    FROM per_source s CROSS JOIN global_direct g CROSS JOIN merged m
+    """,
+    doc=(
+        "MinHash sketch MERGEABILITY audit — the property every "
+        "distributed sketch pipeline stands on: per-source sketches "
+        "(elementwise min over each shard's docs) merged by another "
+        "elementwise min must EQUAL the sketch computed directly over "
+        "the whole corpus. merge_equals_direct pins it per row; the "
+        "per-source slot-match rate against the global sketch is the "
+        "standard containment estimate (which shard dominates the "
+        "corpus's minima). Shard-map + tiny merge = one combining "
+        "aggregate per level, which is why sketches scale where exact "
+        "dedup state does not."
+    ),
+)
+def dedup_sketch_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-merge == direct-global, pinned per source.
+
+    Scale notes (100 TB): per-source sketches are ONE map-side
+    combinable aggregate (k min columns); the merge is an aggregate
+    over |sources| rows. The direct-global recompute here is the
+    audit's witness — production merges shard sketches and never
+    re-reads the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", D.minhash_signature("text", _NUM_HASHES).alias("sig")
+    ).select(
+        "source",
+        *[F.expr(f"sig[{i}]").alias(f"h{i}") for i in range(_NUM_HASHES)],
+    )
+    mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(_NUM_HASHES)]
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"), *mins
+    ).localCheckpoint(eager=False)
+    global_direct = per_doc.agg(*mins).select(
+        *[F.col(f"h{i}").alias(f"g{i}") for i in range(_NUM_HASHES)]
+    )
+    merged = per_source.agg(*mins).select(
+        *[F.col(f"h{i}").alias(f"m{i}") for i in range(_NUM_HASHES)]
+    )
+    eq_global = " + ".join(
+        f"CASE WHEN h{i} = g{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    merge_eq = " AND ".join(f"m{i} = g{i}" for i in range(_NUM_HASHES))
+    return (
+        per_source.crossJoin(F.broadcast(global_direct))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                f"CAST(({eq_global}) * 1000000 div {_NUM_HASHES} AS BIGINT)"
+            ).alias("est_containment_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN {merge_eq} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("merge_equals_direct"),
+        )
+    )

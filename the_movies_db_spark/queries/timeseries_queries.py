@@ -4113,3 +4113,187 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mde_cents_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: Holt vs naive vs seasonal-naive on a holdout
+# ---------------------------------------------------------------------------
+
+#: per-day absolute percentage error in ppm, denominator floored at 1
+#: so zero-count days stay defined; exact integer divmod chain.
+_BT_APE = (
+    "((abs({x} - ({f})) // greatest({x}, 1)) * 1000000"
+    " + ((abs({x} - ({f})) % greatest({x}, 1)) * 1000"
+    "    // greatest({x}, 1)) * 1000"
+    " + (((abs({x} - ({f})) % greatest({x}, 1)) * 1000 % greatest({x}, 1))"
+    "    * 1000 // greatest({x}, 1)))"
+)
+
+
+@register(
+    "events_forecast_backtest",
+    f"""
+    WITH RECURSIVE bounds AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(0, d1 - d0 + 1)) AS idx, d0 FROM bounds
+    ), cnt AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), ser AS (
+      SELECT s.idx + 1 AS rn, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.d = s.d0 + s.idx
+    ), nn AS (
+      SELECT CAST(max(rn) AS BIGINT) AS n,
+             CAST((max(rn) * 4) // 5 AS BIGINT) AS cut
+      FROM ser
+    ), st AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             (SELECT x FROM ser WHERE rn = 1) * 1000 AS l,
+             ((SELECT x FROM ser WHERE rn = 2)
+              - (SELECT x FROM ser WHERE rn = 1)) * 1000 AS b
+      UNION ALL
+      SELECT d.rn,
+             (200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000,
+             (100 * ((200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000 - s.l)
+              + 900 * s.b) // 1000
+      FROM st s JOIN ser d CROSS JOIN nn
+        ON d.rn = s.rn + 1 AND d.rn <= nn.cut
+    ), fin AS (
+      SELECT l, b FROM st CROSS JOIN nn WHERE rn = nn.cut
+    ), test AS (
+      SELECT t.rn, t.x,
+             greatest((f.l + (t.rn - nn.cut) * f.b) // 1000, 0) AS f_holt,
+             (SELECT x FROM ser WHERE rn = nn.cut) AS f_naive,
+             (SELECT x FROM ser s2 CROSS JOIN nn n2
+              WHERE s2.rn = n2.cut - 7 + 1 + ((t.rn - n2.cut - 1) % 7))
+               AS f_snaive
+      FROM ser t CROSS JOIN fin f CROSS JOIN nn
+      WHERE t.rn > nn.cut
+    ),
+    models AS (
+      SELECT 'holt' AS model,
+             {_BT_APE.format(x="x", f="f_holt")} AS ape FROM test
+      UNION ALL
+      SELECT 'naive_last',
+             {_BT_APE.format(x="x", f="f_naive")} FROM test
+      UNION ALL
+      SELECT 'seasonal_naive',
+             {_BT_APE.format(x="x", f="f_snaive")} FROM test
+    )
+    SELECT model,
+           CAST((SELECT cut FROM nn) AS BIGINT) AS n_train_days,
+           CAST(count(*) AS BIGINT) AS n_test_days,
+           CAST(sum(ape) // count(*) AS BIGINT) AS mape_ppm
+    FROM models GROUP BY 1
+    """,
+    doc=(
+        "Forecast backtest on an 80/20 day split: Holt state frozen at "
+        "the cutoff projects h-step-ahead; naive-last and "
+        "seasonal-naive (last train week, cycled) are the baselines "
+        "every forecast must beat before anyone trusts it. MAPE in "
+        "exact integer ppm (per-day divmod chain, zero-count days "
+        "floored to denominator 1). The eval harness for the "
+        "forecasting family — what recall evals are to the ANN "
+        "operators."
+    ),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout MAPE for Holt vs the two naive baselines.
+
+    Scale notes (100 TB): one fact rollup to |days| rows; the train
+    fold and the test-day error sums all run inside projections over
+    ONE collected bounded array — no per-model re-scan."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, min(ts))").alias("d0"),
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1"),
+    )
+    spine = b.select(
+        "d0", F.explode(F.expr("sequence(0, d1 - d0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ser = spine.join(cnt, cnt.d == spine.d0 + spine.idx, "left").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+    )
+    arr = ser.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("idx").alias("i"), F.col("x").alias("x")))
+        ).alias("a")
+    )
+    staged = arr.select(
+        "a",
+        F.size("a").cast("bigint").alias("n"),
+        F.expr("CAST((size(a) * 4) div 5 AS BIGINT)").alias("cut"),
+    )
+    fold = (
+        "aggregate(slice(a, 2, CAST(cut AS INT) - 1),"
+        " named_struct('l', a[0].x * 1000L,"
+        "              'b', (a[1].x - a[0].x) * 1000L),"
+        " (s, e) -> named_struct("
+        "   'l', (200L * e.x * 1000L + 800L * (s.l + s.b)) div 1000L,"
+        "   'b', (100L * ((200L * e.x * 1000L + 800L * (s.l + s.b))"
+        "        div 1000L - s.l) + 900L * s.b) div 1000L))"
+    )
+    st = staged.select("a", "n", "cut", F.expr(fold).alias("s"))
+    # test slice: elements cut+1..n (1-based slice start cut+1)
+    test = st.select(
+        "n",
+        "cut",
+        F.expr("s.l").alias("l"),
+        F.expr("s.b").alias("b"),
+        F.expr("element_at(a, CAST(cut AS INT)).x").alias("f_naive"),
+        F.expr("a").alias("a"),
+        F.explode(
+            F.expr("slice(a, CAST(cut AS INT) + 1, CAST(n - cut AS INT))")
+        ).alias("t"),
+    ).select(
+        "n",
+        "cut",
+        F.expr("t.x").alias("x"),
+        F.expr("t.i + 1").alias("rn"),
+        F.expr("greatest((l + (t.i + 1 - cut) * b) div 1000, 0L)").alias(
+            "f_holt"
+        ),
+        "f_naive",
+        F.expr(
+            "element_at(a, CAST(cut - 7 + 1 + ((t.i + 1 - cut - 1) % 7)"
+            " AS INT)).x"
+        ).alias("f_snaive"),
+    )
+    # all three models' error sums in ONE aggregate over the test
+    # rows, then an exploded literal-struct unpivot — a per-model
+    # union would re-execute the fact lineage once per branch (the
+    # ReuseExchange-across-branches trap)
+    apes = {
+        name: _BT_APE.format(x="x", f=f).replace("//", "div")
+        for name, f in (
+            ("holt", "f_holt"),
+            ("naive_last", "f_naive"),
+            ("seasonal_naive", "f_snaive"),
+        )
+    }
+    one = test.agg(
+        F.max("cut").cast("bigint").alias("n_train_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        *[
+            F.expr(f"CAST(sum({ape}) AS BIGINT)").alias(f"s_{name}")
+            for name, ape in apes.items()
+        ],
+    )
+    structs = ", ".join(
+        f"named_struct('model', '{name}', 'n_train_days', n_train_days,"
+        f" 'n_test_days', n_test_days,"
+        f" 'mape_ppm', CAST(s_{name} div n_test_days AS BIGINT))"
+        for name in apes
+    )
+    return one.select(
+        F.explode(F.expr(f"array({structs})")).alias("p")
+    ).select("p.*")
