@@ -918,7 +918,7 @@ _SMA_MERGE_EQ = " AND ".join(
     WITH docs AS (
       SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
     ),
-    per_doc AS (
+    per_doc AS MATERIALIZED (
       SELECT doc_id, source, {_SIG} FROM docs
     ),
     per_source AS (
@@ -960,16 +960,26 @@ def dedup_sketch_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit's witness — production merges shard sketches and never
     re-reads the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    per_doc = d.select(
-        "source", D.minhash_signature("text", _NUM_HASHES).alias("sig")
-    ).select(
-        "source",
-        *[F.expr(f"sig[{i}]").alias(f"h{i}") for i in range(_NUM_HASHES)],
+    # checkpoint the per-doc signatures: the 8 element extractions
+    # would otherwise re-inline the whole HOF fold 8x (the round-2
+    # staging lesson — projection collapse undoes a bare .select),
+    # and the direct-global branch would recompute the corpus
+    # signatures a second time. Production runs this audit on a
+    # sample, where the materialization is equally bounded.
+    per_doc = (
+        d.select(
+            "source", D.minhash_signature("text", _NUM_HASHES).alias("sig")
+        )
+        .localCheckpoint(eager=False)
+        .select(
+            "source",
+            *[F.expr(f"sig[{i}]").alias(f"h{i}") for i in range(_NUM_HASHES)],
+        )
     )
     mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(_NUM_HASHES)]
     per_source = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"), *mins
-    ).localCheckpoint(eager=False)
+    )
     global_direct = per_doc.agg(*mins).select(
         *[F.col(f"h{i}").alias(f"g{i}") for i in range(_NUM_HASHES)]
     )
