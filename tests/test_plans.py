@@ -662,3 +662,35 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_coverage_curve_ranks_only_post_limit(spark, sf_dir, registry):
+    """text_coverage_curve (round-7 weak item): the head cut must be
+    orderBy().limit() -> TakeOrderedAndProject, with the lone rank
+    window consuming the <=30-row limited stream — never a
+    single-partition row_number over the whole vocabulary, and never a
+    sum() OVER () total (the total is a 1-row aggregate)."""
+    txt = plan_of(registry["text_coverage_curve"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt
+    wins = [
+        ln for ln in txt.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert len(wins) == 1, wins
+    # parents print above children: the window sits ON TOP of the
+    # TakeOrdered limit, i.e. it ranks the post-limit rows only
+    assert txt.index("Window") < txt.index("TakeOrderedAndProject")
+
+
+def test_spell_panel_is_take_ordered(spark, sf_dir, registry):
+    """search_spell_symspell (round-7 weak item): the query panel must
+    come from orderBy().limit() -> TakeOrderedAndProject; the only
+    remaining window is the final suggestion rank, partitioned by
+    query_term (bounded groups), never an unpartitioned full-vocab
+    rank."""
+    txt = plan_of(registry["search_spell_symspell"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt
+    wins = [
+        ln for ln in txt.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert len(wins) == 1, wins
+    assert "query_term#" in wins[0]

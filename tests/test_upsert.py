@@ -399,3 +399,24 @@ def test_crash_mid_write_leaves_valid_pointer_and_stale_lease_recovers(
     os.utime(lock, (0, 0))
     write_upsert(spark, root, _df(spark, [(3, "c", T1)]), "id")
     assert _as_map(U.read_table(spark, root)).keys() == {1, 3}
+
+
+def test_delete_keys_rejects_partitioned_layout(spark, tmp_path):
+    """delete_keys assumes the flat versioned-dir layout and the
+    INTERNAL writer lease; calling it on a write_upsert_partitioned
+    table (external sibling lock, flat partition dirs, no _CURRENT
+    pointer) must be rejected up front — committing a version dir into
+    the flat root would silently change the table layout."""
+    import pytest
+
+    from the_movies_db_spark.upsert import delete_keys, write_upsert_partitioned
+
+    path = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01", 1), (2, "b", "2024-01-02", 1)],
+        "pk long, v string, day string, ver int",
+    )
+    write_upsert_partitioned(spark, path, base, "pk", "day", order_col="ver")
+    doomed = spark.createDataFrame([(1,)], "pk long")
+    with pytest.raises(ValueError, match="flat versioned-dir"):
+        delete_keys(spark, path, doomed, "pk")

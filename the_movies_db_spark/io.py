@@ -117,12 +117,14 @@ def scratch_dir(prefix: str, unique: bool = True) -> str:
         if pids and _pid_alive(int(pids[-1])):
             continue  # owned by a live concurrent process
         shutil.rmtree(old, ignore_errors=True)
-    # mkdtemp gives collision-free uniqueness; the rename appends the
-    # creating pid as the FINAL path segment so the purge above can
-    # parse ownership without ambiguity.
-    d = tempfile.mkdtemp(prefix=f"{prefix}_", dir=_SCRATCH_ROOT)
-    owned = f"{d}_p{os.getpid()}"
-    os.rename(d, owned)
+    # mkdtemp gives collision-free uniqueness; the pid suffix is part
+    # of the ATOMICALLY-created final name (a create-then-rename window
+    # would let a concurrent purge see a pid-less dir, treat it as a
+    # dead leftover and rmtree a live process's scratch — the exact
+    # race the pid marker exists to prevent).
+    owned = tempfile.mkdtemp(
+        prefix=f"{prefix}_", suffix=f"_p{os.getpid()}", dir=_SCRATCH_ROOT
+    )
     _SCRATCH_LIVE.add(owned)
     return owned
 

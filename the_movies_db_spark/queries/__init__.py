@@ -55,98 +55,82 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-7 rotation (the round-6 window went 50/50 green — 45
-    # value-hash + 5 rows-only-by-design, 0 failures —
-    # CORRECTNESS_r06.json). Round 6 registered ~79 new queries, more
-    # than one 50-slot window: per the documented queue discipline this
-    # window = the FIRST 50 round-6 queue names in listed order; the
-    # remaining 29 head the round-8 queue below.
+    # Round-8 rotation (the round-7 window went 50/50 green, 0
+    # failures — CORRECTNESS_r07.json; cumulative driver coverage 327
+    # distinct queries, 0 failures ever). The round-8 queue held 66
+    # names (29 round-6 tail + 37 round-7 registrations): per the
+    # documented queue discipline this window = the FIRST 50 of that
+    # queue in listed order; the remaining 16 head the round-9 queue
+    # below. Round-8 registrations are CAPPED at 34 so the round-9
+    # window clears the backlog completely (16 + 34 = 50).
     #
-    # Queue for the round-8 window (append round-7 registrations HERE
-    # at registration time — every listed query is already green in
-    # full local sf0.01 AND sf0.1 sweeps): basket_rules_confidence,
-    # search_spell_symspell, graph_link_jaccard, orders_fulfillment_lag,
-    # events_audience_overlap, orders_reorder_interval,
-    # sim_recall_srp_planes, io_bucketed_join_scan,
-    # sim_pq_distortion_audit, graph_kcore_peel,
-    # events_attribution_position, orders_price_index_laspeyres,
-    # text_coverage_curve, agg_theil_index, dq_drift_psi,
-    # events_velocity_burst, dq_dp_noisy_release, graph_random_walks,
-    # text_kneser_ney_continuation, dq_pk_uniqueness,
-    # sim_cosine_calibration, dq_calendar_gaps, agg_median_of_means,
-    # orders_growth_yoy, pipeline_shuffle_quality, sim_dim_energy_curve,
-    # dedup_cdc_chunks, dq_order_total_reconciliation,
-    # orders_customer_concentration.
-    # -- round-7 registrations follow (appended at registration time,
-    #    the moment each oracle is locally green) --
-    # agg_covariance_matrix, dq_mahalanobis_diag, text_hapax_share,
-    # text_postings_compress, graph_degree_assortativity,
-    # events_markov_entropy_rate, events_ab_srm_check,
-    # orders_theilsen_trend, orders_survival_km, sim_knn_graph_stats,
-    # events_burst_detect, io_zonemap_effectiveness, dq_event_disorder,
-    # events_forecast_holt_grouped, search_rank_agreement,
-    # pipeline_ngram_novelty, graph_clustering_coefficient,
-    # io_schema_merge_scan, text_sentence_stats, dq_table_checksum,
-    # fn_decimal_exact_money, window_running_distinct,
-    # fn_listagg_ordered, events_ab_cuped, orders_croston_intermittent,
-    # events_forecast_holt_winters, upsert_delete_purge,
-    # pipeline_feature_hashing, io_dynamic_partition_overwrite,
-    # orders_double_charge_audit, events_ab_sprt,
-    # agg_rollup_share_of_parent, orders_price_volume_mix,
-    # pipeline_label_noise_knn, events_power_mde,
-    # dedup_sketch_merge_audit, events_forecast_backtest,
+    # Queue for the round-9 window (round-7 tail first; append round-8
+    # registrations HERE at registration time — every listed query is
+    # already green in full local sf0.01 sweeps):
+    # window_running_distinct, fn_listagg_ordered, events_ab_cuped,
+    # orders_croston_intermittent, events_forecast_holt_winters,
+    # upsert_delete_purge, pipeline_feature_hashing,
+    # io_dynamic_partition_overwrite, orders_double_charge_audit,
+    # events_ab_sprt, agg_rollup_share_of_parent,
+    # orders_price_volume_mix, pipeline_label_noise_knn,
+    # events_power_mde, dedup_sketch_merge_audit,
+    # events_forecast_backtest,
+    # -- round-8 registrations follow (appended at registration time,
+    #    the moment each oracle is locally green; HARD CAP 34) --
     #
-    # -- first 50 of the round-6 queue, in listed order --------------------
-    "agg_ks_statistic",
-    "agg_ttest_welch",
-    "orders_supplier_herfindahl",
-    "events_wavelet_haar",
-    "dq_freshness_lag",
-    "pipeline_mixture_greedy",
-    "text_zipf_slope",
-    "text_burstiness",
-    "search_query_expansion",
-    "sim_pair_margin_audit",
-    "pipeline_split_leakage",
-    "agg_mann_whitney",
-    "orders_cohort_survival",
-    "agg_subsample_ci",
-    "dq_anomaly_iqr",
-    "events_changepoint_binseg",
-    "multimodal_block_dedup",
-    "sim_ivf_imbalance_audit",
-    "sim_pca_power_iteration",
-    "io_partition_pruned_scan",
-    "join_dynamic_partition_pruning",
-    "events_forecast_holt",
-    "dq_control_chart_pchart",
-    "pipeline_quality_calibration",
-    "sim_mmr_diversify",
-    "search_ndcg_eval",
-    "pipeline_importance_dsir",
-    "events_seasonal_anomaly",
-    "orders_price_elasticity",
-    "sim_embedding_drift",
-    "dq_table_profile",
-    "text_bigram_logprob",
-    "dq_functional_deps",
-    "sim_dim_correlation",
-    "dq_column_entropy",
-    "search_hard_negatives",
-    "dq_shuffle_skew",
-    "agg_trimmed_mean",
-    "events_seasonality_strength",
-    "text_vocab_growth_heaps",
-    "udf_mapinarrow_norm",
-    "agg_hll_exact_mirror",
-    "orders_promo_did",
-    "text_source_divergence_js",
-    "agg_mutual_information",
-    "agg_moments_skew_kurt",
-    "sim_topk_srp_hamming",
-    "events_periodogram",
-    "search_mrr_eval",
-    "events_markov_stationary",
+    # -- first 50 of the round-8 queue, in listed order --------------------
+    # (29 round-6 tail names)
+    "basket_rules_confidence",
+    "search_spell_symspell",
+    "graph_link_jaccard",
+    "orders_fulfillment_lag",
+    "events_audience_overlap",
+    "orders_reorder_interval",
+    "sim_recall_srp_planes",
+    "io_bucketed_join_scan",
+    "sim_pq_distortion_audit",
+    "graph_kcore_peel",
+    "events_attribution_position",
+    "orders_price_index_laspeyres",
+    "text_coverage_curve",
+    "agg_theil_index",
+    "dq_drift_psi",
+    "events_velocity_burst",
+    "dq_dp_noisy_release",
+    "graph_random_walks",
+    "text_kneser_ney_continuation",
+    "dq_pk_uniqueness",
+    "sim_cosine_calibration",
+    "dq_calendar_gaps",
+    "agg_median_of_means",
+    "orders_growth_yoy",
+    "pipeline_shuffle_quality",
+    "sim_dim_energy_curve",
+    "dedup_cdc_chunks",
+    "dq_order_total_reconciliation",
+    "orders_customer_concentration",
+    # (first 21 round-7 registrations, in listed order)
+    "agg_covariance_matrix",
+    "dq_mahalanobis_diag",
+    "text_hapax_share",
+    "text_postings_compress",
+    "graph_degree_assortativity",
+    "events_markov_entropy_rate",
+    "events_ab_srm_check",
+    "orders_theilsen_trend",
+    "orders_survival_km",
+    "sim_knn_graph_stats",
+    "events_burst_detect",
+    "io_zonemap_effectiveness",
+    "dq_event_disorder",
+    "events_forecast_holt_grouped",
+    "search_rank_agreement",
+    "pipeline_ngram_novelty",
+    "graph_clustering_coefficient",
+    "io_schema_merge_scan",
+    "text_sentence_stats",
+    "dq_table_checksum",
+    "fn_decimal_exact_money",
 )
 
 

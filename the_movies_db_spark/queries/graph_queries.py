@@ -348,14 +348,21 @@ _LINK_TOP = 20
 @register(
     "graph_link_jaccard",
     f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cap AS (
+      SELECT greatest(64, 8 * (count(*) // count(DISTINCT c))) AS v FROM e
+    ),
+    keep AS (
+      SELECT c FROM e GROUP BY c HAVING count(*) <= (SELECT v FROM cap)
     ),
     deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
     com AS (
       SELECT a.s AS supp_a, b.s AS supp_b, CAST(count(*) AS BIGINT) AS common
-      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      FROM e a JOIN keep k ON a.c = k.c
+                JOIN e b ON a.c = b.c AND a.s < b.s
       GROUP BY 1, 2
     )
     SELECT supp_a, supp_b, common, jaccard_ppm, CAST(rk AS BIGINT) AS rank
@@ -375,22 +382,31 @@ _LINK_TOP = 20
         "Jaccard similarity of customer neighborhoods for every "
         "supplier pair sharing at least one customer (common neighbors "
         "via an equi-join on the shared customer — never an all-pairs "
-        "product), exact integer ppm, top-20. The collaborative-"
-        "filtering / 'suppliers like this one' primitive."
+        "product), exact integer ppm, top-20. Hub customers above a "
+        "data-derived degree cap (8x the mean, floor 64 — the same "
+        "integer formula in both engines) are excluded from pair "
+        "generation, bounding per-customer pair fan-out. The "
+        "collaborative-filtering / 'suppliers like this one' "
+        "primitive."
     ),
 )
 def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 supplier pairs by customer-neighborhood Jaccard.
 
     Scale notes (100 TB): the distinct edge list is checkpointed once
-    (three consumers — degree table and both self-join sides — would
-    otherwise each re-execute the fact join); pair generation is an
-    equi-join keyed on the shared customer, so cost tracks sum of
-    per-customer degree² — the co-occurrence shape, df-cappable per
-    customer when hub customers appear; degrees join back broadcast.
-    The top-20 is orderBy+limit → TakeOrderedAndProject (distributed
-    partial top-k, no global sort), ranked after the cut over 20
-    rows."""
+    (degree table, cap scalar, keep filter and both self-join sides
+    would otherwise each re-execute the fact join); pair generation is
+    an equi-join keyed on the shared customer, so cost tracks sum of
+    per-customer degree². That sum is BOUNDED by the df-cap: customers
+    with degree > greatest(64, 8 * mean_degree) are dropped from pair
+    generation (the `dedup_ngram_jaccard` max_df recipe — a hub
+    customer connected to everything carries no similarity signal and
+    would emit deg² pairs into one task). The cap is computed with the
+    identical integer formula in Spark (one scalar agg over the
+    checkpointed edges) and the DuckDB oracle (scalar subquery), so
+    values still hash. Degrees join back broadcast; the top-20 is
+    orderBy+limit → TakeOrderedAndProject (distributed partial top-k,
+    no global sort), ranked after the cut over 20 rows."""
     l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
     o = load_table(spark, sf_dir, "orders")
     e = (
@@ -399,8 +415,21 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    cap = int(
+        e.agg(
+            F.expr(
+                "greatest(64L, 8 * (count(*) div count(DISTINCT c)))"
+            ).alias("v")
+        ).collect()[0]["v"]
+    )
+    keep = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") <= F.lit(cap))
+        .select("c")
+    )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a = e.select("c", F.col("s").alias("supp_a"))
+    a = e.join(keep, "c").select("c", F.col("s").alias("supp_a"))
     b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b"))
     com = (
         a.join(b, (a.c == b.c2) & (F.col("supp_a") < F.col("supp_b")))

@@ -1327,13 +1327,14 @@ def search_spell_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint(eager=False)
     )
+    # Panel selection is limit-then-rank: orderBy().limit() compiles to
+    # TakeOrderedAndProject (distributed partial top-k) — never a
+    # row_number window over the full vocabulary (round-7 weak item;
+    # same pattern as search_phrase's pool cut below).
     qsel = (
         vocab.filter(F.length("term") >= _SPELL_Q_LEN)
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))),
-        )
-        .filter(F.col("rk") <= _SPELL_QUERIES)
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_SPELL_QUERIES)
         .select(
             F.expr("concat(substring(term, 1, 2), substring(term, 4, 100))")
             .alias("query_term")

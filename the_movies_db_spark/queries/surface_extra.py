@@ -4836,8 +4836,8 @@ def dq_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT)
              AS n_with_lang,
-           CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
-             AS n_lang_null,
+           CAST(count(CASE WHEN doc_id % 2 = 0 OR lang IS NULL THEN 1 END)
+                AS BIGINT) AS n_lang_null,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1

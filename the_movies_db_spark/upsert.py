@@ -389,8 +389,24 @@ def delete_keys(
     visible to readers, while prior versions remain until the
     retention window (``keep_versions``) vacuums them — after which
     the deletion is durable on disk. Returns the number of rows
-    removed."""
+    removed.
+
+    Flat versioned-dir tables ONLY: partitioned tables
+    (:func:`write_upsert_partitioned`) serialize on an external
+    sibling lock and store flat partition dirs — this function's
+    internal lease would not exclude a concurrent partitioned writer,
+    and committing a version dir into the flat root would silently
+    change the table layout, so the mismatch is rejected up front."""
     pks = [pk] if isinstance(pk, str) else list(pk)
+    if os.path.isdir(target_path) and not os.path.exists(
+        os.path.join(target_path, CURRENT_POINTER)
+    ):
+        raise ValueError(
+            f"delete_keys requires a flat versioned-dir table (no "
+            f"{CURRENT_POINTER} pointer found in {target_path}); for "
+            "partitioned tables delete via write_upsert_partitioned "
+            "with the surviving rows instead"
+        )
     with writer_lock(target_path, wait_seconds=lock_wait):
         current = table_data_path(target_path)
         target = spark.read.parquet(current)
