@@ -122,11 +122,16 @@ HEADLINE = [
     "orders_survival_km",
     "sim_knn_graph_stats",
     "search_rank_agreement",
-    "agg_covariance_matrix",
     "dq_mahalanobis_diag",
-    "text_hapax_share",
     "text_postings_compress",
-    "orders_theilsen_trend",
+    # round-8: the two heaviest round-7 queries landed AFTER BENCH_r07
+    # was recorded (verdict item 5) — sketch mergeability audit was the
+    # round's slowest new query (5.7 s single-shot). Retired as flat
+    # with closed perf stories (one-pass plan-pinned aggregates, still
+    # oracle-gated): text_hapax_share, agg_covariance_matrix,
+    # orders_theilsen_trend.
+    "dedup_sketch_merge_audit",
+    "events_forecast_backtest",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
