@@ -77,6 +77,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_forecast_backtest,
     # -- round-8 registrations follow (appended at registration time,
     #    the moment each oracle is locally green; HARD CAP 34) --
+    # orders_margin_waterfall, orders_basket_size_dist,
+    # text_simpson_diversity, dq_benford_digits2, dq_completeness_rules,
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

@@ -5279,3 +5279,175 @@ def agg_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_of_parent_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford second-digit audit (the fraud-check complement to first-digit)
+# ---------------------------------------------------------------------------
+
+#: P2(d) = sum_{d1=1..9} log10(1 + 1/(10*d1 + d)), rounded to milli —
+#: identical literal constants in both engines (sum = 1000).
+_BEN2 = (
+    "(0, 120), (1, 114), (2, 109), (3, 104), (4, 100),"
+    " (5, 97), (6, 93), (7, 90), (8, 88), (9, 85)"
+)
+
+
+@register(
+    "dq_benford_digits2",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(s, 2, 1) AS BIGINT) AS digit
+      FROM (SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR) AS s
+            FROM orders WHERE o_totalprice > 0) t
+      WHERE length(s) >= 2
+    ), expected(digit, benford_milli) AS (VALUES {_BEN2})
+    SELECT e.digit,
+           CAST(coalesce(n, 0) AS BIGINT)               AS n,
+           CAST(coalesce(n * 1000 // tot, 0) AS BIGINT) AS observed_milli,
+           CAST(e.benford_milli AS BIGINT)              AS benford_milli,
+           CAST(abs(coalesce(n * 1000 // tot, 0) - e.benford_milli)
+                AS BIGINT)                              AS abs_dev_milli
+    FROM expected e
+    LEFT JOIN (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             sum(count(*)) OVER () AS tot
+      FROM d GROUP BY digit
+    ) o ON o.digit = e.digit
+    """,
+    doc=(
+        "Benford's-law SECOND-digit audit over order amounts: the "
+        "second significant digit comes from the cents string (substr "
+        "of the integer cast — never float log10). Second-digit "
+        "Benford is much flatter than first-digit (120...85 milli) "
+        "and is the standard escalation when a first-digit test is "
+        "inconclusive or the data has a constrained leading digit "
+        "(price points, thresholds)."
+    ),
+)
+def dq_benford_digits2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-significant-digit distribution vs Benford expectation.
+
+    Scale notes (100 TB): one conditional scan reduced map-side to 10
+    digit counts; the share window runs over 10 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.expr(
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"
+        ).alias("s")
+    ).filter(F.length("s") >= 2).select(
+        F.expr("CAST(substr(s, 2, 1) AS BIGINT)").alias("digit")
+    )
+    counts = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    )
+    expected = o.sparkSession.createDataFrame(
+        [(0, 120), (1, 114), (2, 109), (3, 104), (4, 100),
+         (5, 97), (6, 93), (7, 90), (8, 88), (9, 85)],
+        "digit bigint, benford_milli bigint",
+    )
+    return (
+        F.broadcast(expected)
+        .join(counts, "digit", "left_outer")
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.expr("n * 1000 div tot"), F.lit(0))
+            .cast("bigint")
+            .alias("observed_milli"),
+            F.col("benford_milli").cast("bigint"),
+            F.expr(
+                "CAST(abs(coalesce(n * 1000 div tot, 0) - benford_milli)"
+                " AS BIGINT)"
+            ).alias("abs_dev_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative completeness / validity rule evaluation in one scan
+# ---------------------------------------------------------------------------
+
+#: (rule_name, violation predicate) — predicate text shared across
+#: engines except the regex function name (rlike vs regexp_matches).
+_CR_RULES = [
+    ("totalprice_positive",
+     "o_totalprice IS NULL OR o_totalprice <= 0"),
+    ("orderdate_in_range",
+     "o_orderdate IS NULL OR year(o_orderdate) < 1992"
+     " OR year(o_orderdate) > 1998"),
+    ("status_in_domain",
+     "o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("priority_format",
+     "o_orderpriority IS NULL OR NOT ({regex})"),
+    ("custkey_positive",
+     "o_custkey IS NULL OR o_custkey <= 0"),
+]
+_CR_SPARK_RE = "o_orderpriority rlike '^[1-5]-'"
+_CR_DUCK_RE = "regexp_matches(o_orderpriority, '^[1-5]-')"
+
+
+def _cr_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN {pred.format(regex=_CR_DUCK_RE)} THEN 1"
+        f" ELSE 0 END) AS BIGINT) AS v{i}"
+        for i, (_, pred) in enumerate(_CR_RULES)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule_name, n_rows, v{i} AS n_violations,"
+        f" CAST(v{i} * 1000000 // n_rows AS BIGINT) AS violation_ppm"
+        f" FROM a"
+        for i, (name, _) in enumerate(_CR_RULES)
+    )
+    return (
+        f"WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, {sums}"
+        f" FROM orders) {rows}"
+    )
+
+
+@register(
+    "dq_completeness_rules",
+    _cr_oracle(),
+    doc=(
+        "Declarative data-quality rule evaluation: five "
+        "completeness/validity rules (not-null, positivity, domain "
+        "membership, date range, format regex) evaluated in ONE "
+        "conditional-sum scan of the table, unpivoted to rule-grain "
+        "rows with violation ppm. The contract-check primitive every "
+        "ingestion pipeline runs before publishing a partition — and "
+        "the shape (N rules = N counters in one aggregate, never N "
+        "scans) is the part that matters at scale."
+    ),
+)
+def dq_completeness_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-grain completeness report from a single scan.
+
+    Scale notes (100 TB): one scan, one 1-row aggregate with a counter
+    per rule (map-side combinable), then a 5-row stack() unpivot — no
+    per-rule re-scan, no shuffle beyond the global aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
+        F.expr(
+            f"CAST(sum(CASE WHEN {pred.format(regex=_CR_SPARK_RE)} THEN 1"
+            f" ELSE 0 END) AS BIGINT)"
+        ).alias(f"v{i}")
+        for i, (_, pred) in enumerate(_CR_RULES)
+    ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(_CR_RULES)
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_CR_RULES)}, {stack}) AS (rule_name, n_violations)",
+    ).select(
+        "rule_name",
+        "n_rows",
+        F.col("n_violations").cast("bigint"),
+        F.expr("CAST(n_violations * 1000000 div n_rows AS BIGINT)").alias(
+            "violation_ppm"
+        ),
+    )

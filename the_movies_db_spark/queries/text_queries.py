@@ -1917,3 +1917,99 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(n_long) * 1000000 div sum(n_sents) AS BIGINT)"
         ).alias("long_sentence_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the term distribution per source
+# ---------------------------------------------------------------------------
+
+#: lambda = sum n_t(n_t-1) / (N(N-1)) — the probability two tokens
+#: drawn without replacement are the same type. Assembled in doubles
+#: from exact integer sums with IDENTICAL expression text both engines
+#: (IEEE *, / are correctly rounded), floored to micro. The N*(N-1)
+#: product is formed in DOUBLE so a trillion-token source cannot
+#: overflow BIGINT (the integer power-sum s stays exact far longer —
+#: bounded by sum of per-term squares, the agg_moments exposure).
+_SIMPSON = (
+    "CAST(s AS DOUBLE) * 1000000.0"
+    " / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE))"
+)
+
+
+@register(
+    "text_simpson_diversity",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS s
+      FROM vocab GROUP BY 1
+    )
+    SELECT source,
+           nt AS n_tokens,
+           vocab_size,
+           CAST(floor({_SIMPSON}) AS BIGINT) AS simpson_micro,
+           CAST(CASE WHEN s = 0 THEN vocab_size
+                     ELSE CAST(floor(CAST(nt AS DOUBLE)
+                                     * CAST(nt - 1 AS DOUBLE)
+                                     / CAST(s AS DOUBLE)) AS BIGINT)
+                END AS BIGINT) AS effective_vocab
+    FROM agg
+    ORDER BY source
+    """,
+    doc=(
+        "Simpson diversity index of the term distribution per source: "
+        "the probability two tokens drawn without replacement are the "
+        "same type (exact integer sums, IEEE-identical double "
+        "assembly, floor-micro), plus the inverse-Simpson effective "
+        "vocabulary — the 'how repetitive is this corpus slice' "
+        "number that complements Zipf slope and entropy when weighing "
+        "training-data sources."
+    ),
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson index and effective vocabulary.
+
+    Scale notes (100 TB): one tokenization collapses to the
+    (source, term) vocab aggregate; everything after is vocab-bounded
+    then source-bounded. No windows, no joins — two map-side
+    combinable aggregations."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("t"),
+    )
+    vocab = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    agg = vocab.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.expr("CAST(sum(n * (n - 1)) AS BIGINT)").alias("s"),
+    )
+    return agg.select(
+        "source",
+        F.col("nt").alias("n_tokens"),
+        "vocab_size",
+        F.expr(f"CAST(floor({_SIMPSON}) AS BIGINT)").alias("simpson_micro"),
+        F.expr(
+            "CAST(CASE WHEN s = 0 THEN vocab_size"
+            " ELSE CAST(floor(CAST(nt AS DOUBLE)"
+            " * CAST(nt - 1 AS DOUBLE)"
+            " / CAST(s AS DOUBLE)) AS BIGINT)"
+            " END AS BIGINT)"
+        ).alias("effective_vocab"),
+    ).orderBy("source")

@@ -3214,3 +3214,156 @@ def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("newp").cast("bigint").alias("new_product_cents"),
         F.sum("exitp").cast("bigint").alias("exited_product_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin waterfall: gross -> discount -> tax decomposition by ship year
+# ---------------------------------------------------------------------------
+
+#: all-integer charge decomposition: cents / pct come from round() of
+#: 2-decimal SOURCE columns (the only safe round), every derived step
+#: is integer div — no float .5 boundary can diverge across engines.
+_MW_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_MW_DISC = "CAST(round(l_discount * 100) AS BIGINT)"
+_MW_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
+
+
+@register(
+    "orders_margin_waterfall",
+    f"""
+    SELECT order_year,
+           CAST(sum(cents) AS BIGINT) AS gross_cents,
+           CAST(sum(disc_cents) AS BIGINT) AS discount_cents,
+           CAST(sum((cents - disc_cents) * taxpct // 100) AS BIGINT)
+             AS tax_cents,
+           CAST(sum(cents - disc_cents
+                    + (cents - disc_cents) * taxpct // 100) AS BIGINT)
+             AS net_cents,
+           CAST(sum(disc_cents) * 1000000 // sum(cents) AS BIGINT)
+             AS discount_ppm
+    FROM (SELECT year(l_shipdate) AS order_year,
+                 {_MW_CENTS} AS cents,
+                 {_MW_CENTS} * {_MW_DISC} // 100 AS disc_cents,
+                 {_MW_TAX} AS taxpct
+          FROM lineitem) r
+    GROUP BY 1
+    """,
+    doc=(
+        "Revenue waterfall by ship year: gross charge, discount given, "
+        "tax collected and net receivable, decomposed per line item in "
+        "EXACT integer arithmetic (cents x integer pct div 100 — the "
+        "fn_decimal discipline; round() touches only 2-decimal source "
+        "columns, so no float .5 boundary exists). The margin-bridge "
+        "report a finance team reads before pricing changes."
+    ),
+)
+def orders_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross -> discount -> tax -> net charge decomposition by year.
+
+    Scale notes (100 TB): one projection + one map-side-combinable
+    aggregation to the |years| domain; every component is an integer
+    sum, so partial aggregation is exact and the final reduce is
+    |years| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.expr("year(l_shipdate)").alias("order_year"),
+        F.expr(_MW_CENTS).alias("cents"),
+        F.expr(f"{_MW_CENTS} * {_MW_DISC} div 100").alias("disc_cents"),
+        F.expr(_MW_TAX).alias("taxpct"),
+    )
+    return r.groupBy("order_year").agg(
+        F.sum("cents").cast("bigint").alias("gross_cents"),
+        F.sum("disc_cents").cast("bigint").alias("discount_cents"),
+        F.expr(
+            "CAST(sum((cents - disc_cents) * taxpct div 100) AS BIGINT)"
+        ).alias("tax_cents"),
+        F.expr(
+            "CAST(sum(cents - disc_cents"
+            " + (cents - disc_cents) * taxpct div 100) AS BIGINT)"
+        ).alias("net_cents"),
+        F.expr(
+            "CAST(sum(disc_cents) * 1000000 div sum(cents) AS BIGINT)"
+        ).alias("discount_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Basket size distribution: lines per order, share and value by size
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_size_dist",
+    """
+    WITH b AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS basket_size,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * basket_size AS BIGINT) AS n_lines,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
+             AS share_ppm,
+           CAST(sum(count(*)) OVER (ORDER BY basket_size
+                                    ROWS UNBOUNDED PRECEDING)
+                * 1000000 // sum(count(*)) OVER () AS BIGINT) AS cum_ppm,
+           CAST(sum(cents) // count(*) AS BIGINT) AS avg_order_cents
+    FROM b GROUP BY basket_size
+    """,
+    doc=(
+        "Basket-size distribution: orders bucketed by line count with "
+        "order share, cumulative share and average order value per "
+        "size — the order-profile statistic behind picking/packing "
+        "capacity models and basket-growth experiments. Exact integer "
+        "cents and ppm."
+    ),
+)
+def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution with value per basket size.
+
+    Scale notes (100 TB): one groupBy(l_orderkey) rollup (map-side
+    combinable), then a second aggregation to the BOUNDED basket-size
+    domain (TPC-H: 1-7); the share/cumulative windows run over those
+    few rows only — the classic bounded-domain collapse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("basket_size"),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    g = b.groupBy("basket_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("CAST(count(*) * basket_size AS BIGINT)").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+            "avg_order_cents"
+        ),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = Window.orderBy("basket_size").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "basket_size",
+        "n_orders",
+        "n_lines",
+        "revenue_cents",
+        F.expr("n_orders * 1000000").alias("__num"),
+        F.sum("n_orders").over(w_all).alias("__tot"),
+        F.sum("n_orders").over(w_cum).alias("__cum"),
+        "avg_order_cents",
+    ).select(
+        "basket_size",
+        "n_orders",
+        "n_lines",
+        "revenue_cents",
+        F.expr("CAST(__num div __tot AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(__cum * 1000000 div __tot AS BIGINT)").alias("cum_ppm"),
+        "avg_order_cents",
+    )
