@@ -79,6 +79,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    the moment each oracle is locally green; HARD CAP 34) --
     # orders_margin_waterfall, orders_basket_size_dist,
     # text_simpson_diversity, dq_benford_digits2, dq_completeness_rules,
+    # events_hourly_entropy, events_session_gap_dist,
+    # agg_winsorized_corr, search_idf_drift, graph_adamic_adar,
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

@@ -874,3 +874,104 @@ def graph_clustering_coefficient(
             "CAST(3 * n_tri * 1000000 div n_wedges AS BIGINT)"
         ).alias("global_cc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (inverse-log-degree weighted common neighbors)
+# ---------------------------------------------------------------------------
+
+_AA_TOP = 20
+
+#: per-customer Adamic-Adar weight floor(1e6 / ln(degree)) — floored to
+#: an INTEGER at the shared-neighbor grain, so the pair score is an
+#: exact integer SUM (a double sum would be aggregation-order
+#: dependent); degree >= 2 by construction (a pair needs 2 suppliers).
+_AA_W = "CAST(floor(1000000 / ln(CAST(cd AS DOUBLE))) AS BIGINT)"
+
+
+@register(
+    "graph_adamic_adar",
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cap AS (
+      SELECT greatest(64, 8 * (count(*) // count(DISTINCT c))) AS v FROM e
+    ),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS cd FROM e GROUP BY 1),
+    keep AS (
+      SELECT c, {_AA_W} AS w FROM cdeg
+      WHERE cd >= 2 AND cd <= (SELECT v FROM cap)
+    )
+    SELECT supp_a, supp_b, common, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, supp_a, supp_b)
+                AS BIGINT) AS rank
+    FROM (
+      SELECT a.s AS supp_a, b.s AS supp_b,
+             CAST(count(*) AS BIGINT) AS common,
+             CAST(sum(k.w) AS BIGINT) AS score_micro
+      FROM e a JOIN keep k ON a.c = k.c
+               JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    ) t
+    ORDER BY score_micro DESC, supp_a, supp_b
+    LIMIT {_AA_TOP}
+    """,
+    doc=(
+        "Adamic-Adar link prediction on the bipartite trade graph: "
+        "supplier pairs scored by the sum of 1/ln(degree) over shared "
+        "customers — rare shared neighbors count more than hubs, the "
+        "refinement that beats raw common-neighbor counts on every "
+        "link-prediction benchmark. Per-neighbor weights are floored "
+        "to integer micro BEFORE the sum (order-free exact "
+        "aggregation); hub customers above the data-derived degree "
+        "cap are excluded (same formula both engines)."
+    ),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by Adamic-Adar score.
+
+    Scale notes (100 TB): identical shape to graph_link_jaccard — one
+    checkpointed distinct edge list, customer-keyed pair equi-join
+    bounded by the df-cap, integer weights riding the same shuffle;
+    top-20 via orderBy+limit (TakeOrderedAndProject), rank applied to
+    the 20 survivors."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cap = int(
+        e.agg(
+            F.expr(
+                "greatest(64L, 8 * (count(*) div count(DISTINCT c)))"
+            ).alias("v")
+        ).collect()[0]["v"]
+    )
+    keep = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cd"))
+        .filter((F.col("cd") >= 2) & (F.col("cd") <= F.lit(cap)))
+        .select("c", F.expr(_AA_W).alias("w"))
+    )
+    a = e.join(keep, "c").select("c", "w", F.col("s").alias("supp_a"))
+    b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b"))
+    pairs = (
+        a.join(b, (a.c == b.c2) & (F.col("supp_a") < F.col("supp_b")))
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum("w").cast("bigint").alias("score_micro"),
+        )
+    )
+    top = pairs.orderBy(
+        F.desc("score_micro"), F.asc("supp_a"), F.asc("supp_b")
+    ).limit(_AA_TOP)
+    w = Window.orderBy(
+        F.desc("score_micro"), F.asc("supp_a"), F.asc("supp_b")
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -1499,3 +1499,120 @@ def search_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_d2", F.lit(0)).cast("bigint").alias("sum_d2"),
         "spearman_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# IDF drift between corpus halves (index-staleness audit)
+# ---------------------------------------------------------------------------
+
+_IDF_MIN_DF = 3
+_IDF_TOP = 20
+
+#: BM25-style idf from integer (N, df) — identical text both engines,
+#: floored to micro as ONE expression (ln is correctly rounded on this
+#: host; the difference of the two already-floored integers is exact).
+_IDF_MICRO = (
+    "CAST(floor(ln((CAST({n} AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+    " / (CAST({df} AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "search_idf_drift",
+    f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 2 AS half,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')))
+               AS t
+      FROM documents
+    ),
+    nh AS (
+      SELECT CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0
+                                      THEN doc_id END) AS BIGINT) AS na,
+             CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1
+                                      THEN doc_id END) AS BIGINT) AS nb
+      FROM documents
+    ),
+    df AS (
+      SELECT t,
+             CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS dfa,
+             CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS dfb
+      FROM d GROUP BY 1
+    ),
+    scored AS (
+      SELECT t AS term, dfa, dfb,
+             {_IDF_MICRO.format(n="na", df="dfa")} AS idf_a_micro,
+             {_IDF_MICRO.format(n="nb", df="dfb")} AS idf_b_micro
+      FROM df CROSS JOIN nh
+      WHERE dfa >= {_IDF_MIN_DF} AND dfb >= {_IDF_MIN_DF}
+    )
+    SELECT term, dfa AS df_a, dfb AS df_b, idf_a_micro, idf_b_micro,
+           idf_b_micro - idf_a_micro AS drift_micro
+    FROM scored
+    ORDER BY abs(idf_b_micro - idf_a_micro) DESC, term
+    LIMIT {_IDF_TOP}
+    """,
+    doc=(
+        "IDF drift between the two corpus halves (doc_id parity as "
+        "the generation split): per-term BM25 idf in each half from "
+        "exact (N, df) integers, top movers by absolute drift. The "
+        "index-staleness audit — terms whose rarity shifted most are "
+        "exactly where a stale IDF table misranks, and the signal "
+        "that schedules a relevance-index rebuild."
+    ),
+)
+def search_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top IDF movers between corpus halves.
+
+    Scale notes (100 TB): one tokenization collapses to the vocab-
+    bounded (term, df_a, df_b) table; half sizes are a 1-row broadcast
+    aggregate; the top-20 is orderBy+limit -> TakeOrderedAndProject
+    (distributed partial top-k), never a global rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr("doc_id % 2").alias("half"),
+        F.explode(
+            F.expr(
+                "array_distinct(filter(split(lower(text), '\\\\s+'),"
+                " x -> x != ''))"
+            )
+        ).alias("t"),
+    )
+    nh = docs.agg(
+        F.expr(
+            "CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0"
+            " THEN doc_id END) AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1"
+            " THEN doc_id END) AS BIGINT)"
+        ).alias("nb"),
+    )
+    df = d.groupBy("t").agg(
+        F.expr("CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT)").alias(
+            "dfa"
+        ),
+        F.expr("CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT)").alias(
+            "dfb"
+        ),
+    )
+    scored = (
+        df.filter(
+            (F.col("dfa") >= _IDF_MIN_DF) & (F.col("dfb") >= _IDF_MIN_DF)
+        )
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("t").alias("term"),
+            F.col("dfa").alias("df_a"),
+            F.col("dfb").alias("df_b"),
+            F.expr(_IDF_MICRO.format(n="na", df="dfa")).alias("idf_a_micro"),
+            F.expr(_IDF_MICRO.format(n="nb", df="dfb")).alias("idf_b_micro"),
+        )
+        .withColumn(
+            "drift_micro", F.col("idf_b_micro") - F.col("idf_a_micro")
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("drift_micro")).desc(), F.asc("term")
+    ).limit(_IDF_TOP)

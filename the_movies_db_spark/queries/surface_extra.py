@@ -5451,3 +5451,159 @@ def dq_completeness_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized correlation over bounded integer domains (qty vs discount pct)
+# ---------------------------------------------------------------------------
+
+#: Pearson r assembled in doubles from EXACT integer power sums with
+#: the identical expression text both engines — floor-micro at the end.
+_WC_CORR = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+#: same formula over the RAW (unclamped) power sums — derived by token
+#: rename so the expression text stays engine-identical by construction.
+_WC_CORR_RAW = _WC_CORR.replace("sx", "rsx").replace("sy", "rsy")
+
+
+@register(
+    "agg_winsorized_corr",
+    f"""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT v, sum(cn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cn) OVER () AS n
+      FROM (SELECT q AS v, sum(c) AS cn FROM cells GROUP BY 1) t
+    ),
+    cutx AS (
+      SELECT CAST(min(CASE WHEN cum * 10 >= n THEN v END) AS BIGINT) AS lox,
+             CAST(min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT)
+               AS hix
+      FROM mx
+    ),
+    my AS (
+      SELECT v, sum(cn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cn) OVER () AS n
+      FROM (SELECT d AS v, sum(c) AS cn FROM cells GROUP BY 1) t
+    ),
+    cuty AS (
+      SELECT CAST(min(CASE WHEN cum * 10 >= n THEN v END) AS BIGINT) AS loy,
+             CAST(min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT)
+               AS hiy
+      FROM my
+    ),
+    w AS (
+      SELECT greatest(least(q, hix), lox) AS wq,
+             greatest(least(d, hiy), loy) AS wd,
+             q, d, c, lox, hix, loy, hiy
+      FROM cells CROSS JOIN cutx CROSS JOIN cuty
+    ),
+    sums AS (
+      SELECT max(lox) AS lox, max(hix) AS hix,
+             max(loy) AS loy, max(hiy) AS hiy,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * q) AS BIGINT) AS rsx,
+             CAST(sum(c * d) AS BIGINT) AS rsy,
+             CAST(sum(c * q * q) AS BIGINT) AS rsxx,
+             CAST(sum(c * d * d) AS BIGINT) AS rsyy,
+             CAST(sum(c * q * d) AS BIGINT) AS rsxy,
+             CAST(sum(c * wq) AS BIGINT) AS sx,
+             CAST(sum(c * wd) AS BIGINT) AS sy,
+             CAST(sum(c * wq * wq) AS BIGINT) AS sxx,
+             CAST(sum(c * wd * wd) AS BIGINT) AS syy,
+             CAST(sum(c * wq * wd) AS BIGINT) AS sxy
+      FROM w
+    )
+    SELECT n AS n_rows, lox AS lo_x, hix AS hi_x, loy AS lo_y, hiy AS hi_y,
+           CAST(floor({_WC_CORR_RAW} * 1000000) AS BIGINT) AS corr_raw_micro,
+           CAST(floor({_WC_CORR} * 1000000) AS BIGINT) AS corr_winsor_micro
+    FROM sums
+    """,
+    doc=(
+        "Winsorized Pearson correlation of quantity vs discount "
+        "percent: p10/p90 cutpoints come from EXACT cumulative "
+        "histograms over the bounded integer value domains (never a "
+        "positional window over the fact), values are clamped, and "
+        "both the raw and winsorized r are assembled from integer "
+        "power sums as IEEE-identical doubles, floored to micro. The "
+        "outlier-robust dependence check run before trusting a plain "
+        "corr on heavy-tailed data."
+    ),
+)
+def agg_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw vs p10/p90-winsorized correlation from one scan.
+
+    Scale notes (100 TB): ONE fact scan reduces map-side to the
+    |qty| x |discount| cell table (~51 x 11); cutpoints, clamping and
+    every power sum are cell-grain arithmetic — the fact is never
+    rescanned and no window touches an unbounded domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = cells.localCheckpoint(eager=False)
+
+    def cuts(col: str, lo: str, hi: str):
+        marg = cells.groupBy(F.col(col).alias("v")).agg(
+            F.sum("c").alias("cn")
+        )
+        m = marg.select(
+            "v",
+            F.sum("cn")
+            .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("cn").over(Window.partitionBy(F.lit(1))).alias("n"),
+        )
+        return m.agg(
+            F.expr("CAST(min(CASE WHEN cum * 10 >= n THEN v END) AS BIGINT)")
+            .alias(lo),
+            F.expr(
+                "CAST(min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT)"
+            ).alias(hi),
+        )
+    w = cells.crossJoin(F.broadcast(cuts("q", "lox", "hix"))).crossJoin(
+        F.broadcast(cuts("d", "loy", "hiy"))
+    ).select(
+        "q", "d", "c", "lox", "hix", "loy", "hiy",
+        F.expr("greatest(least(q, hix), lox)").alias("wq"),
+        F.expr("greatest(least(d, hiy), loy)").alias("wd"),
+    )
+    sums = w.agg(
+        F.max("lox").alias("lox"), F.max("hix").alias("hix"),
+        F.max("loy").alias("loy"), F.max("hiy").alias("hiy"),
+        F.expr("CAST(sum(c) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(c * q) AS BIGINT)").alias("rsx"),
+        F.expr("CAST(sum(c * d) AS BIGINT)").alias("rsy"),
+        F.expr("CAST(sum(c * q * q) AS BIGINT)").alias("rsxx"),
+        F.expr("CAST(sum(c * d * d) AS BIGINT)").alias("rsyy"),
+        F.expr("CAST(sum(c * q * d) AS BIGINT)").alias("rsxy"),
+        F.expr("CAST(sum(c * wq) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(c * wd) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(c * wq * wq) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(c * wd * wd) AS BIGINT)").alias("syy"),
+        F.expr("CAST(sum(c * wq * wd) AS BIGINT)").alias("sxy"),
+    )
+    raw = _WC_CORR_RAW
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        F.col("lox").alias("lo_x"), F.col("hix").alias("hi_x"),
+        F.col("loy").alias("lo_y"), F.col("hiy").alias("hi_y"),
+        F.expr(f"CAST(floor({raw} * 1000000) AS BIGINT)").alias(
+            "corr_raw_micro"
+        ),
+        F.expr(f"CAST(floor({_WC_CORR} * 1000000) AS BIGINT)").alias(
+            "corr_winsor_micro"
+        ),
+    )

@@ -4297,3 +4297,185 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.explode(F.expr(f"array({structs})")).alias("p")
     ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day behavioral entropy profile (conditional entropy H(type|hour))
+# ---------------------------------------------------------------------------
+
+#: per-cell term: c_ht * floor_micro(ln(c_h / c_ht)) — the log-ratio is
+#: floored to an INTEGER before the distributed sum (the agg_mutual_
+#: information recipe), so aggregation order cannot move the result.
+_EHE_TERM = (
+    "c * CAST(floor(ln(CAST(ch AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "events_hourly_entropy",
+    f"""
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hr, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT hr, event_type, c,
+             CAST(sum(c) OVER (PARTITION BY hr) AS BIGINT) AS ch
+      FROM cells
+    ), hourly AS (
+      SELECT hr,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum({_EHE_TERM}) // sum(c) AS BIGINT) AS entropy_micro
+      FROM m GROUP BY 1
+    ), spine AS (SELECT unnest(range(0, 24)) AS hr)
+    SELECT CAST(s.hr AS BIGINT) AS hr,
+           CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(h.n_types, 0) AS BIGINT) AS n_types,
+           CAST(coalesce(h.entropy_micro, 0) AS BIGINT) AS entropy_micro,
+           CAST(coalesce(h.n_events, 0) * 1000000
+                // (SELECT sum(n_events) FROM hourly) AS BIGINT)
+             AS weight_ppm
+    FROM spine s LEFT JOIN hourly h ON h.hr = s.hr
+    """,
+    doc=(
+        "Hour-of-day behavioral entropy profile: the conditional "
+        "entropy of event type within each hour (micro-nats, per-cell "
+        "log-ratios floored BEFORE the distributed sum so aggregation "
+        "order cannot move the value) plus each hour's traffic weight. "
+        "Low-entropy hours = predictable traffic (cache/prefetch "
+        "opportunities); the 24-row spine keeps silent hours visible."
+    ),
+)
+def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(event_type | hour) profile over a 24-hour spine.
+
+    Scale notes (100 TB): one scan reduced map-side to |hours|x|types|
+    cells; the per-hour total is a window over that bounded cell
+    table, and everything downstream is 24-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = cells.select(
+        "hr",
+        "c",
+        F.sum("c").over(Window.partitionBy("hr")).cast("bigint").alias("ch"),
+    )
+    hourly = m.groupBy("hr").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(f"CAST(sum({_EHE_TERM}) div sum(c) AS BIGINT)").alias(
+            "entropy_micro"
+        ),
+    )
+    total = hourly.agg(F.sum("n_events").cast("bigint").alias("tot"))
+    spine = ev.sparkSession.range(0, 24).select(
+        F.col("id").cast("bigint").alias("hr")
+    )
+    return (
+        F.broadcast(spine)
+        .join(hourly, "hr", "left_outer")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "hr",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
+            F.coalesce("entropy_micro", F.lit(0))
+            .cast("bigint")
+            .alias("entropy_micro"),
+            F.expr(
+                "CAST(coalesce(n_events, 0) * 1000000 div tot AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-session gap distribution (30-min sessionization, hour buckets)
+# ---------------------------------------------------------------------------
+
+_SGD_GAP_US = 30 * 60 * 1000000  # session break: > 30 min silence
+_SGD_CAP_H = 72  # histogram tail cap (hours)
+
+
+@register(
+    "events_session_gap_dist",
+    f"""
+    WITH t AS (
+      SELECT user_id,
+             datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS us
+      FROM events
+    ), g AS (
+      SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+               AS gap_us
+      FROM t
+    ), inter AS (
+      SELECT least(gap_us // 3600000000, {_SGD_CAP_H}) AS gap_hours
+      FROM g WHERE gap_us > {_SGD_GAP_US}
+    )
+    SELECT CAST(gap_hours AS BIGINT) AS gap_hours,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
+             AS share_ppm,
+           CAST(sum(count(*)) OVER (ORDER BY gap_hours
+                                    ROWS UNBOUNDED PRECEDING)
+                * 1000000 // sum(count(*)) OVER () AS BIGINT) AS cum_ppm
+    FROM inter GROUP BY gap_hours
+    """,
+    doc=(
+        "Inter-session gap distribution: sessionize each user's "
+        "stream with a 30-minute silence rule, then histogram the "
+        "between-session gaps in hour buckets (tail-capped at "
+        f"{_SGD_CAP_H} h) with share and cumulative ppm. The "
+        "return-frequency curve that drives notification timing, "
+        "churn-risk thresholds and session-timeout tuning — and the "
+        "empirical justification for the 30-minute rule itself."
+    ),
+)
+def events_session_gap_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of inter-session gaps in capped hour buckets.
+
+    Scale notes (100 TB): the only window is user-keyed lag (bounded
+    per-user partitions); gaps reduce map-side to the CAPPED hour
+    domain (<= 73 rows), over which the share/cumulative windows run.
+    No global sort, no unbounded-domain window."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    t = ev.select(
+        "user_id",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("us"),
+    )
+    g = t.select(
+        (
+            F.col("us")
+            - F.lag("us").over(Window.partitionBy("user_id").orderBy("us"))
+        ).alias("gap_us")
+    )
+    inter = g.filter(F.col("gap_us") > _SGD_GAP_US).select(
+        F.expr(f"least(gap_us div 3600000000, {_SGD_CAP_H}L)").alias(
+            "gap_hours"
+        )
+    )
+    cnt = inter.groupBy("gap_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = Window.orderBy("gap_hours").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cnt.select(
+        F.col("gap_hours").cast("bigint"),
+        "n_gaps",
+        F.sum("n_gaps").over(w_all).alias("__tot"),
+        F.sum("n_gaps").over(w_cum).alias("__cum"),
+    ).select(
+        "gap_hours",
+        "n_gaps",
+        F.expr("CAST(n_gaps * 1000000 div __tot AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr("CAST(__cum * 1000000 div __tot AS BIGINT)").alias("cum_ppm"),
+    )
