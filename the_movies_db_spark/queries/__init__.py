@@ -81,6 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_simpson_diversity, dq_benford_digits2, dq_completeness_rules,
     # events_hourly_entropy, events_session_gap_dist,
     # agg_winsorized_corr, search_idf_drift, graph_adamic_adar,
+    # dedup_lsh_cost_model, events_capacity_plan,
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

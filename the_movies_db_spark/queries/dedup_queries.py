@@ -1005,3 +1005,143 @@ def dedup_sketch_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_equals_direct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band cost model: predicted candidate volume per band vs distinct pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_cost_model",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG} FROM sh),
+    bands AS (SELECT doc_id, {_BANDS} FROM sig),
+    long AS (
+      SELECT doc_id, 0 AS band, b0 AS k FROM bands
+      UNION ALL SELECT doc_id, 1, b1 FROM bands
+      UNION ALL SELECT doc_id, 2, b2 FROM bands
+      UNION ALL SELECT doc_id, 3, b3 FROM bands
+    ),
+    buckets AS (
+      SELECT band, k, CAST(count(*) AS BIGINT) AS sz
+      FROM long GROUP BY 1, 2
+    ),
+    per_band AS (
+      SELECT CAST(band AS BIGINT) AS band_id,
+             CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_buckets,
+             CAST(max(sz) AS BIGINT) AS max_bucket_size,
+             CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS gen_pairs
+      FROM buckets GROUP BY band
+    ),
+    uniq AS (
+      SELECT CAST(count(*) AS BIGINT) AS u FROM (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM long a JOIN long b
+          ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+      ) t
+    )
+    SELECT band_id, n_multi_buckets, max_bucket_size, gen_pairs,
+           gen_pairs AS uniq_pairs, CAST(0 AS BIGINT) AS overhead_ppm
+    FROM per_band
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(sum(n_multi_buckets) AS BIGINT),
+           CAST(max(max_bucket_size) AS BIGINT),
+           CAST(sum(gen_pairs) AS BIGINT),
+           (SELECT u FROM uniq),
+           CAST((sum(gen_pairs) - (SELECT u FROM uniq)) * 1000000
+                // greatest(sum(gen_pairs), 1) AS BIGINT)
+    FROM per_band
+    """,
+    doc=(
+        "LSH band cost model: per band, the bucket-size profile and "
+        "the candidate-pair volume it will generate (sum of C(sz,2) — "
+        "the join's true output size), plus a TOTAL row (band_id -1) "
+        "comparing generated vs DISTINCT candidate pairs: the overhead "
+        "ppm is the fraction of verification work wasted on pairs "
+        "found by multiple bands. This is the planning query you run "
+        "BEFORE a corpus-scale dedup to size the band count and spot "
+        "a degenerate hot bucket."
+    ),
+)
+def dedup_lsh_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band candidate volume + cross-band dedup overhead.
+
+    Scale notes (100 TB): the banded signature table (4 rows/doc, ids
+    and hashes only — the shingle payload is dropped BEFORE the lazy
+    checkpoint) feeds all three consumers without re-tokenizing; the
+    cost prediction itself is bucket-grain (sum C(sz,2) over bucket
+    sizes — no pair join needed), and only the distinct-pair audit
+    pays the banded equi-join, exactly the join being modeled."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    banded = (
+        D.banded_minhash_signatures(
+            d, "doc_id", "text",
+            num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+        )
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.col("band_idx").cast("bigint").alias("band"),
+            F.col("band_hash").alias("k"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    buckets = banded.groupBy("band", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    per_band = buckets.groupBy(F.col("band").alias("band_id")).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_multi_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket_size"),
+        F.expr("CAST(sum(sz * (sz - 1) div 2) AS BIGINT)").alias("gen_pairs"),
+    )
+    a = banded.select("band", "k", F.col("doc_id").alias("ia"))
+    b = banded.select(
+        F.col("band").alias("b2"), F.col("k").alias("k2"),
+        F.col("doc_id").alias("ib"),
+    )
+    uniq = (
+        a.join(
+            b,
+            (a.band == b.b2) & (a.k == b.k2) & (F.col("ia") < F.col("ib")),
+        )
+        .select("ia", "ib")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    )
+    band_rows = per_band.select(
+        "band_id",
+        "n_multi_buckets",
+        "max_bucket_size",
+        "gen_pairs",
+        F.col("gen_pairs").alias("uniq_pairs"),
+        F.lit(0).cast("bigint").alias("overhead_ppm"),
+    )
+    total = (
+        per_band.agg(
+            F.expr("CAST(sum(n_multi_buckets) AS BIGINT)").alias(
+                "n_multi_buckets"
+            ),
+            F.expr("CAST(max(max_bucket_size) AS BIGINT)").alias(
+                "max_bucket_size"
+            ),
+            F.expr("CAST(sum(gen_pairs) AS BIGINT)").alias("gen_pairs"),
+        )
+        .crossJoin(F.broadcast(uniq))
+        .select(
+            F.lit(-1).cast("bigint").alias("band_id"),
+            "n_multi_buckets",
+            "max_bucket_size",
+            "gen_pairs",
+            F.col("u").alias("uniq_pairs"),
+            F.expr(
+                "CAST((gen_pairs - u) * 1000000"
+                " div greatest(gen_pairs, 1L) AS BIGINT)"
+            ).alias("overhead_ppm"),
+        )
+    )
+    return band_rows.unionByName(total)

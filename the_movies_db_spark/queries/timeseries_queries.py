@@ -4479,3 +4479,241 @@ def events_session_gap_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(__cum * 1000000 div __tot AS BIGINT)").alias("cum_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capacity plan from the backtest winner (forecast family composition)
+# ---------------------------------------------------------------------------
+
+_CP_H = 14  # planning horizon (days)
+
+#: winner pick — identical CASE text both engines; <= makes ties fall
+#: to the alphabetically-first model name.
+_CP_WINNER = (
+    "CASE WHEN sape_h <= sape_n AND sape_h <= sape_s THEN 'holt'"
+    " WHEN sape_n <= sape_s THEN 'naive_last'"
+    " ELSE 'seasonal_naive' END"
+)
+
+
+@register(
+    "events_capacity_plan",
+    f"""
+    WITH RECURSIVE bounds AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(0, d1 - d0 + 1)) AS idx, d0 FROM bounds
+    ), cnt AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), ser AS (
+      SELECT s.idx + 1 AS rn, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.d = s.d0 + s.idx
+    ), nn AS (
+      SELECT CAST(max(rn) AS BIGINT) AS n,
+             CAST((max(rn) * 4) // 5 AS BIGINT) AS cut
+      FROM ser
+    ), st AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             (SELECT x FROM ser WHERE rn = 1) * 1000 AS l,
+             ((SELECT x FROM ser WHERE rn = 2)
+              - (SELECT x FROM ser WHERE rn = 1)) * 1000 AS b
+      UNION ALL
+      SELECT d.rn,
+             (200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000,
+             (100 * ((200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000 - s.l)
+              + 900 * s.b) // 1000
+      FROM st s JOIN ser d CROSS JOIN nn
+        ON d.rn = s.rn + 1 AND d.rn <= nn.cut
+    ), stf AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             (SELECT x FROM ser WHERE rn = 1) * 1000 AS l,
+             ((SELECT x FROM ser WHERE rn = 2)
+              - (SELECT x FROM ser WHERE rn = 1)) * 1000 AS b
+      UNION ALL
+      SELECT d.rn,
+             (200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000,
+             (100 * ((200 * d.x * 1000 + 800 * (s.l + s.b)) // 1000 - s.l)
+              + 900 * s.b) // 1000
+      FROM stf s JOIN ser d CROSS JOIN nn
+        ON d.rn = s.rn + 1 AND d.rn <= nn.n
+    ), fin AS (
+      SELECT l, b FROM st CROSS JOIN nn WHERE rn = nn.cut
+    ), finf AS (
+      SELECT l, b FROM stf CROSS JOIN nn WHERE rn = nn.n
+    ), test AS (
+      SELECT t.rn, t.x,
+             greatest((f.l + (t.rn - nn.cut) * f.b) // 1000, 0) AS f_holt,
+             (SELECT x FROM ser WHERE rn = nn.cut) AS f_naive,
+             (SELECT x FROM ser s2 CROSS JOIN nn n2
+              WHERE s2.rn = n2.cut - 7 + 1 + ((t.rn - n2.cut - 1) % 7))
+               AS f_snaive
+      FROM ser t CROSS JOIN fin f CROSS JOIN nn
+      WHERE t.rn > nn.cut
+    ), errs AS (
+      SELECT CAST(sum({_BT_APE.format(x="x", f="f_holt")}) AS BIGINT)
+               AS sape_h,
+             CAST(sum({_BT_APE.format(x="x", f="f_naive")}) AS BIGINT)
+               AS sape_n,
+             CAST(sum({_BT_APE.format(x="x", f="f_snaive")}) AS BIGINT)
+               AS sape_s,
+             CAST(sum(abs(x - f_holt)) AS BIGINT) AS sae_h,
+             CAST(sum(abs(x - f_naive)) AS BIGINT) AS sae_n,
+             CAST(sum(abs(x - f_snaive)) AS BIGINT) AS sae_s,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM test
+    ), pick AS (
+      SELECT {_CP_WINNER} AS model,
+             CASE WHEN sape_h <= sape_n AND sape_h <= sape_s THEN sae_h
+                  WHEN sape_n <= sape_s THEN sae_n ELSE sae_s END
+               // nt AS mae
+      FROM errs
+    ), hs AS (SELECT unnest(range(1, {_CP_H} + 1)) AS h)
+    SELECT CAST(hs.h AS BIGINT) AS h,
+           p.model,
+           CAST(CASE p.model
+                WHEN 'holt' THEN greatest((ff.l + hs.h * ff.b) // 1000, 0)
+                WHEN 'naive_last'
+                  THEN (SELECT x FROM ser CROSS JOIN nn WHERE rn = nn.n)
+                ELSE (SELECT x FROM ser s2 CROSS JOIN nn n2
+                      WHERE s2.rn = n2.n - 7 + 1 + ((hs.h - 1) % 7))
+                END AS BIGINT) AS forecast,
+           CAST(p.mae AS BIGINT) AS mae,
+           CAST(CASE p.model
+                WHEN 'holt' THEN greatest((ff.l + hs.h * ff.b) // 1000, 0)
+                WHEN 'naive_last'
+                  THEN (SELECT x FROM ser CROSS JOIN nn WHERE rn = nn.n)
+                ELSE (SELECT x FROM ser s2 CROSS JOIN nn n2
+                      WHERE s2.rn = n2.n - 7 + 1 + ((hs.h - 1) % 7))
+                END + 2 * p.mae AS BIGINT) AS capacity
+    FROM hs CROSS JOIN pick p CROSS JOIN finf ff
+    """,
+    doc=(
+        "Capacity plan composed from the forecast family: the backtest "
+        "(same 80/20 split and integer MAPE as "
+        "events_forecast_backtest) picks the winning model, the winner "
+        "is refit on the FULL series, and each of the next "
+        f"{_CP_H} days gets forecast + 2x backtest-MAE headroom — the "
+        "provision-for-error loop that turns a forecast into a "
+        "capacity number. All integer state (milli-scaled Holt fold), "
+        "winner tie-breaks alphabetical via identical CASE text."
+    ),
+)
+def events_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winner-model forecast + MAE headroom for the next 14 days.
+
+    Scale notes (100 TB): one fact rollup to |days| rows collected
+    into ONE bounded array; train fold, full fold, per-model error
+    sums and the 14 projected days are all projections/HOF folds over
+    that single row — the fact is scanned once, nothing corpus-scale
+    is ever collected."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, min(ts))").alias("d0"),
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1"),
+    )
+    spine = b.select(
+        "d0", F.explode(F.expr("sequence(0, d1 - d0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ser = spine.join(cnt, cnt.d == spine.d0 + spine.idx, "left").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+    )
+    arr = ser.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("idx").alias("i"), F.col("x").alias("x"))
+            )
+        ).alias("a")
+    )
+    staged = arr.select(
+        "a",
+        F.size("a").cast("bigint").alias("n"),
+        F.expr("CAST((size(a) * 4) div 5 AS BIGINT)").alias("cut"),
+    )
+
+    def fold(upto: str) -> str:
+        return (
+            f"aggregate(slice(a, 2, CAST({upto} AS INT) - 1),"
+            " named_struct('l', a[0].x * 1000L,"
+            "              'b', (a[1].x - a[0].x) * 1000L),"
+            " (s, e) -> named_struct("
+            "   'l', (200L * e.x * 1000L + 800L * (s.l + s.b)) div 1000L,"
+            "   'b', (100L * ((200L * e.x * 1000L + 800L * (s.l + s.b))"
+            "        div 1000L - s.l) + 900L * s.b) div 1000L))"
+        )
+
+    st = staged.select(
+        "a", "n", "cut",
+        F.expr(fold("cut")).alias("s"),
+        F.expr(fold("n")).alias("sf"),
+    )
+    fh = "greatest((s.l + (e.i + 1 - cut) * s.b) div 1000, 0L)"
+    fn = "element_at(a, CAST(cut AS INT)).x"
+    fs = (
+        "element_at(a, CAST(cut - 7 + 1 + ((e.i + 1 - cut - 1) % 7)"
+        " AS INT)).x"
+    )
+
+    def test_sum(term: str) -> str:
+        return (
+            "aggregate(slice(a, CAST(cut AS INT) + 1, CAST(n - cut AS INT)),"
+            f" 0L, (acc, e) -> acc + ({term}))"
+        )
+
+    def ape(f: str) -> str:
+        return _BT_APE.format(x="e.x", f=f).replace("//", "div")
+
+    errs = st.select(
+        "a", "n", "cut",
+        F.expr("s.l").alias("l"), F.expr("s.b").alias("b"),
+        F.expr("sf.l").alias("lf"), F.expr("sf.b").alias("bf"),
+        F.expr(f"CAST({test_sum(ape(fh))} AS BIGINT)").alias("sape_h"),
+        F.expr(f"CAST({test_sum(ape(fn))} AS BIGINT)").alias("sape_n"),
+        F.expr(f"CAST({test_sum(ape(fs))} AS BIGINT)").alias("sape_s"),
+        F.expr(f"CAST({test_sum(f'abs(e.x - ({fh}))')} AS BIGINT)").alias(
+            "sae_h"
+        ),
+        F.expr(f"CAST({test_sum(f'abs(e.x - ({fn}))')} AS BIGINT)").alias(
+            "sae_n"
+        ),
+        F.expr(f"CAST({test_sum(f'abs(e.x - ({fs}))')} AS BIGINT)").alias(
+            "sae_s"
+        ),
+        F.expr("CAST(n - cut AS BIGINT)").alias("nt"),
+    )
+    pick = errs.select(
+        "a", "n", "lf", "bf",
+        F.expr(_CP_WINNER).alias("model"),
+        F.expr(
+            "CASE WHEN sape_h <= sape_n AND sape_h <= sape_s THEN sae_h"
+            " WHEN sape_n <= sape_s THEN sae_n ELSE sae_s END div nt"
+        ).alias("mae"),
+    )
+    fcast = (
+        "CASE model"
+        " WHEN 'holt' THEN greatest((lf + h * bf) div 1000, 0L)"
+        " WHEN 'naive_last' THEN element_at(a, CAST(n AS INT)).x"
+        " ELSE element_at(a, CAST(n - 7 + 1 + ((h - 1) % 7) AS INT)).x"
+        " END"
+    )
+    return (
+        pick.select(
+            "a", "n", "lf", "bf", "model", "mae",
+            F.explode(F.expr(f"sequence(1L, {_CP_H}L)")).alias("h"),
+        )
+        .select(
+            F.col("h").cast("bigint"),
+            "model",
+            F.expr(f"CAST({fcast} AS BIGINT)").alias("forecast"),
+            F.col("mae").cast("bigint"),
+            F.expr(f"CAST({fcast} + 2 * mae AS BIGINT)").alias("capacity"),
+        )
+    )
