@@ -82,6 +82,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_hourly_entropy, events_session_gap_dist,
     # agg_winsorized_corr, search_idf_drift, graph_adamic_adar,
     # dedup_lsh_cost_model, events_capacity_plan,
+    # pipeline_gopher_rules, events_retention_bitmap,
+    # agg_gini_split_stump, graph_label_propagation, agg_cramers_v,
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

@@ -2310,3 +2310,136 @@ def pipeline_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("collision_ppm"),
         F.max("ld").cast("bigint").alias("max_bucket_load"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule bundle (repetition / length / symbol heuristics)
+# ---------------------------------------------------------------------------
+
+#: stopword membership count as an explicit indicator sum — both
+#: engines' set-intersection helpers differ on dedup semantics, so the
+#: rule is written as ten exact `contains` indicators instead.
+_GOPHER_STOP = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: (rule name, shared predicate over the integer doc metrics). Every
+#: predicate is pure integer cross-multiplication — no float ratios —
+#: so the per-doc booleans are engine-exact by construction.
+_GOPHER_RULES = (
+    ("min_words", "n_tok >= 20"),
+    ("max_words", "n_tok <= 80"),
+    ("mean_word_len", "3 * n_tok <= sum_len AND sum_len <= 8 * n_tok"),
+    ("distinct_fraction", "2 * n_dist >= n_tok"),
+    ("alpha_fraction", "5 * n_alpha >= 4 * n_tok"),
+    ("stopword_count", "n_stop >= 2"),
+)
+
+
+def _gopher_flag(pred: str) -> str:
+    return f"CAST(CASE WHEN {pred} THEN 1 ELSE 0 END AS BIGINT)"
+
+
+@register(
+    "pipeline_gopher_rules",
+    f"""
+    WITH tk AS (
+      SELECT regexp_split_to_array(text, '\\s+') AS tk FROM documents
+    ), m AS (
+      SELECT CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(list_aggregate(list_transform(tk, t -> length(t)), 'sum')
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_dist,
+             CAST(list_aggregate(list_transform(tk,
+                    t -> CASE WHEN regexp_matches(t, '^[a-zA-Z]+$')
+                              THEN 1 ELSE 0 END), 'sum') AS BIGINT)
+               AS n_alpha,
+             CAST({' + '.join(f"(CASE WHEN list_contains(tk, '{w}') THEN 1 ELSE 0 END)" for w in _GOPHER_STOP)}
+                  AS BIGINT) AS n_stop
+      FROM tk
+    ), f AS (
+      SELECT {', '.join(f'{_gopher_flag(p)} AS r_{n}' for n, p in _GOPHER_RULES)},
+             {_gopher_flag(' AND '.join(p for _, p in _GOPHER_RULES))} AS r_all
+      FROM m
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             {', '.join(f'CAST(sum(r_{n}) AS BIGINT) AS p_{n}' for n, _ in _GOPHER_RULES)},
+             CAST(sum(r_all) AS BIGINT) AS p_all
+      FROM f
+    )
+    {' UNION ALL '.join(
+        f"SELECT '{n}' AS rule, n_docs, p_{n} AS n_pass, "
+        f"CAST(p_{n} * 1000000 // n_docs AS BIGINT) AS pass_ppm FROM a"
+        for n, _ in _GOPHER_RULES
+    )}
+    UNION ALL
+    SELECT 'all_rules' AS rule, n_docs, p_all AS n_pass,
+           CAST(p_all * 1000000 // n_docs AS BIGINT) AS pass_ppm FROM a
+    """,
+    doc=(
+        "Gopher-style quality rule bundle (Rae et al. 2021 heuristics "
+        "re-expressed over the documents table): word-count bounds, "
+        "mean-word-length band, distinct-token fraction, alphabetic-"
+        "word fraction, and minimum stopword hits, each reported as a "
+        "per-rule pass rate plus the all-rules survivor rate — the "
+        "first screening stage of every large-scale pretraining "
+        "curation pipeline. All predicates are integer cross-"
+        "multiplications over per-doc token metrics (no float "
+        "ratios), so both engines agree bit-for-bit."
+    ),
+)
+def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule pass rates for the Gopher quality heuristics.
+
+    Scale notes (100 TB): one corpus scan projects five integer
+    metrics per doc (the token array is staged once in its own select
+    so each higher-order expression is compiled once, not re-inlined);
+    the rule booleans collapse map-side into a single 1-row aggregate,
+    and the 7-row output is a driver-side explode of that row."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.expr("split(text, '\\\\s+')").alias("tk"))
+    contains = " + ".join(
+        f"(CASE WHEN array_contains(tk, '{w}') THEN 1 ELSE 0 END)"
+        for w in _GOPHER_STOP
+    )
+    m = tk.select(
+        F.expr("CAST(size(tk) AS BIGINT)").alias("n_tok"),
+        F.expr(
+            "aggregate(transform(tk, t -> CAST(length(t) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("sum_len"),
+        F.expr("CAST(size(array_distinct(tk)) AS BIGINT)").alias("n_dist"),
+        F.expr(
+            "aggregate(transform(tk, t -> CASE WHEN t RLIKE '^[a-zA-Z]+$'"
+            " THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)"
+        ).alias("n_alpha"),
+        F.expr(f"CAST({contains} AS BIGINT)").alias("n_stop"),
+    )
+    f = m.select(
+        *[
+            F.expr(_gopher_flag(p)).alias(f"r_{n}")
+            for n, p in _GOPHER_RULES
+        ],
+        F.expr(
+            _gopher_flag(" AND ".join(p for _, p in _GOPHER_RULES))
+        ).alias("r_all"),
+    )
+    a = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(f"r_{n}").cast("bigint").alias(f"p_{n}")
+            for n, _ in _GOPHER_RULES
+        ],
+        F.sum("r_all").cast("bigint").alias("p_all"),
+    )
+    structs = ", ".join(
+        f"named_struct('rule', '{n}', 'n_docs', n_docs, 'n_pass', p_{n},"
+        f" 'pass_ppm', CAST(p_{n} * 1000000 div n_docs AS BIGINT))"
+        for n, _ in _GOPHER_RULES
+    )
+    structs += (
+        ", named_struct('rule', 'all_rules', 'n_docs', n_docs,"
+        " 'n_pass', p_all,"
+        " 'pass_ppm', CAST(p_all * 1000000 div n_docs AS BIGINT))"
+    )
+    return a.select(
+        F.explode(F.expr(f"array({structs})")).alias("p")
+    ).select("p.*")

@@ -5607,3 +5607,236 @@ def agg_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_winsor_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finder (weighted Gini impurity over a bounded domain)
+# ---------------------------------------------------------------------------
+
+#: weighted-Gini arithmetic in exact integer ppm. Class shares are
+#: ppm-floored FIRST (counts * 1e6 div side size — side counts are the
+#: only unbounded terms, and count * 1e6 stays inside BIGINT to ~9e12
+#: rows); the squared shares then live in [0, 1e12] regardless of data
+#: scale, so the impurity never overflows no matter how large the fact
+#: grows. Identical integer steps per engine == identical hash.
+_GSS_SIDE = (
+    "(1000000 - (({p} * 1000000 {d} {n}) * ({p} * 1000000 {d} {n})"
+    " + (({n} - {p}) * 1000000 {d} {n}) * (({n} - {p}) * 1000000 {d} {n}))"
+    " {d} 1000000)"
+)
+
+
+def _gss_gini(div: str) -> str:
+    left = _GSS_SIDE.format(p="pos_l", n="n_l", d=div)
+    right = _GSS_SIDE.format(p="pos_r", n="n_r", d=div)
+    return f"CAST((n_l * {left} + n_r * {right}) {div} (n_l + n_r) AS BIGINT)"
+
+
+@register(
+    "agg_gini_split_stump",
+    f"""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT qty,
+             CAST(sum(n) OVER (ORDER BY qty) AS BIGINT) AS n_l,
+             CAST(sum(pos) OVER (ORDER BY qty) AS BIGINT) AS pos_l,
+             CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+             CAST(sum(pos) OVER () AS BIGINT) AS pos_tot
+      FROM cells
+    ), sides AS (
+      SELECT qty AS threshold, n_l, pos_l,
+             n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r
+      FROM cum WHERE n_tot - n_l > 0
+    ), scored AS (
+      SELECT threshold, n_l, pos_l, n_r, pos_r,
+             {_gss_gini('//')} AS gini_split_ppm
+      FROM sides
+    )
+    SELECT threshold, n_l, pos_l, n_r, pos_r, gini_split_ppm,
+           CAST(row_number() OVER (ORDER BY gini_split_ppm, threshold)
+                AS BIGINT) AS split_rank
+    FROM scored
+    """,
+    doc=(
+        "Decision-stump training in one pass: for every candidate "
+        "threshold over the bounded l_quantity domain, the weighted "
+        "Gini impurity of the (return-flag) label split — the exact "
+        "computation inside every tree learner's split finder, here "
+        "as a histogram + cumulative window over |domain| cells so "
+        "the fact is scanned once. Class shares are ppm-floored "
+        "before squaring, which both bounds every intermediate away "
+        "from BIGINT overflow at any corpus size and keeps the two "
+        "engines' integer arithmetic identical."
+    ),
+)
+def agg_gini_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Gini split scores for a l_quantity decision stump.
+
+    Scale notes (100 TB): the fact collapses map-side into <=50
+    (qty, n, pos) cells; the cumulative/total windows and the ranking
+    run over that bounded domain, never the fact. The same shape
+    serves any integer/binned feature — the histogram IS the split
+    finder's sufficient statistic."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    cells = l.groupBy(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("pos"),
+    )
+    wc = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(F.lit(1))
+    cum = cells.select(
+        "qty",
+        F.sum("n").over(wc).cast("bigint").alias("n_l"),
+        F.sum("pos").over(wc).cast("bigint").alias("pos_l"),
+        F.sum("n").over(wt).cast("bigint").alias("n_tot"),
+        F.sum("pos").over(wt).cast("bigint").alias("pos_tot"),
+    )
+    sides = cum.filter(F.expr("n_tot - n_l > 0")).select(
+        F.col("qty").alias("threshold"),
+        "n_l",
+        "pos_l",
+        F.expr("n_tot - n_l").alias("n_r"),
+        F.expr("pos_tot - pos_l").alias("pos_r"),
+    )
+    scored = sides.withColumn(
+        "gini_split_ppm", F.expr(_gss_gini("div"))
+    )
+    wr = Window.orderBy("gini_split_ppm", "threshold")
+    return scored.withColumn(
+        "split_rank", F.row_number().over(wr).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association table (chi-square over contingency cells)
+# ---------------------------------------------------------------------------
+
+#: per-cell chi-square contribution as IEEE doubles derived from exact
+#: integer counts with IDENTICAL expression text on both engines
+#: (+,-,*,/ are correctly rounded, so the double is bit-identical),
+#: floored to micro BEFORE the sum so aggregation order cannot move it.
+_CRV_E = "CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)"
+_CRV_TERM = (
+    "CAST(floor((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e"
+    " * 1000000) AS BIGINT)"
+)
+
+#: (pair label, table, column a, column b)
+_CRV_PAIRS = (
+    ("priority_x_status", "orders", "o_orderpriority", "o_orderstatus"),
+    ("returnflag_x_linestatus", "lineitem", "l_returnflag", "l_linestatus"),
+    ("lang_x_source", "documents", "lang", "source"),
+)
+
+
+def _crv_pair_sql(label: str, table: str, ca: str, cb: str) -> str:
+    return f"""
+    SELECT '{label}' AS pair, n,
+           CAST(r AS BIGINT) AS n_rows_cat, CAST(cc AS BIGINT) AS n_cols_cat,
+           CAST((r - 1) * (cc - 1) AS BIGINT) AS df,
+           CAST(chi2_micro // 1000 AS BIGINT) AS chi2_milli,
+           CAST(floor(sqrt(CAST(
+             (chi2_micro // (n * k)) * 1000000
+             + (chi2_micro % (n * k)) * 1000000 // (n * k)
+           AS DOUBLE))) AS BIGINT) AS v_micro
+    FROM (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             count(DISTINCT a) AS r, count(DISTINCT b) AS cc,
+             CAST(least(count(DISTINCT a) - 1, count(DISTINCT b) - 1)
+                  AS BIGINT) AS k,
+             CAST(sum({_CRV_TERM}) AS BIGINT) AS chi2_micro
+      FROM (
+        SELECT a, b, c, rt, ct, n, {_CRV_E} AS e
+        FROM (
+          SELECT a, b, c,
+                 CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS rt,
+                 CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS ct,
+                 CAST(sum(c) OVER () AS BIGINT) AS n
+          FROM (
+            SELECT {ca} AS a, {cb} AS b, CAST(count(*) AS BIGINT) AS c
+            FROM {table} GROUP BY 1, 2
+          ) cells
+        ) marg
+      ) w
+    ) s
+    """
+
+
+@register(
+    "agg_cramers_v",
+    " UNION ALL ".join(_crv_pair_sql(*p) for p in _CRV_PAIRS),
+    doc=(
+        "Cramer's V association strength for three categorical pairs "
+        "(order priority x status, return flag x line status, doc "
+        "lang x source): chi-square over the contingency cells with "
+        "per-cell contributions floored to micro before the sum "
+        "(order-free exact aggregation), then V = sqrt(chi2 / (n*k)) "
+        "computed through an overflow-safe integer divmod chain and "
+        "one correctly-rounded sqrt — the categorical screening "
+        "statistic feature-selection pipelines run before one-hot "
+        "encoding a column pair."
+    ),
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square + Cramer's V per categorical column pair.
+
+    Scale notes (100 TB): each fact collapses map-side into its
+    |cat_a| x |cat_b| contingency cells; marginals are windows over
+    those bounded cells, and the chi-square is one 1-row aggregate
+    per pair. The divmod chain keeps every intermediate <= n*k*1e6,
+    inside BIGINT to ~9e12-row tables."""
+    outs = []
+    for label, table, ca, cb in _CRV_PAIRS:
+        t = load_table(spark, sf_dir, table)
+        cells = t.groupBy(
+            F.col(ca).alias("a"), F.col(cb).alias("b")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        marg = cells.select(
+            "a",
+            "b",
+            "c",
+            F.sum("c").over(Window.partitionBy("a")).cast("bigint").alias("rt"),
+            F.sum("c").over(Window.partitionBy("b")).cast("bigint").alias("ct"),
+            F.sum("c").over(Window.partitionBy(F.lit(1))).cast("bigint").alias("n"),
+        )
+        w = marg.select("a", "b", "c", "rt", "ct", "n", F.expr(_CRV_E).alias("e"))
+        s = w.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.countDistinct("a").alias("r"),
+            F.countDistinct("b").alias("cc"),
+            F.expr(
+                "CAST(least(count(DISTINCT a) - 1, count(DISTINCT b) - 1)"
+                " AS BIGINT)"
+            ).alias("k"),
+            F.expr(f"CAST(sum({_CRV_TERM}) AS BIGINT)").alias("chi2_micro"),
+        )
+        outs.append(
+            s.select(
+                F.lit(label).alias("pair"),
+                "n",
+                F.col("r").cast("bigint").alias("n_rows_cat"),
+                F.col("cc").cast("bigint").alias("n_cols_cat"),
+                F.expr("CAST((r - 1) * (cc - 1) AS BIGINT)").alias("df"),
+                F.expr("CAST(chi2_micro div 1000 AS BIGINT)").alias("chi2_milli"),
+                F.expr(
+                    "CAST(floor(sqrt(CAST("
+                    " (chi2_micro div (n * k)) * 1000000"
+                    " + (chi2_micro % (n * k)) * 1000000 div (n * k)"
+                    " AS DOUBLE))) AS BIGINT)"
+                ).alias("v_micro"),
+            )
+        )
+    res = outs[0]
+    for other in outs[1:]:
+        res = res.unionByName(other)
+    return res

@@ -4717,3 +4717,120 @@ def events_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST({fcast} + 2 * mae AS BIGINT)").alias("capacity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention matrix via distributed 32-bit bitmap intersection
+# ---------------------------------------------------------------------------
+
+_RB_LAGS = (1, 7)  # next-day and week-over-week retention
+
+
+@register(
+    "events_retention_bitmap",
+    f"""
+    WITH w AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             CAST(user_id // 32 AS BIGINT) AS wid,
+             CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INT))
+                  AS BIGINT) AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT day_idx, CAST(sum(bit_count(bits)) AS BIGINT) AS n_active
+      FROM w GROUP BY 1
+    ),
+    lags(lag_days) AS (VALUES (1), (7)),
+    pairs AS (
+      SELECT a.day_idx, l.lag_days,
+             CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+      FROM w a CROSS JOIN lags l
+      JOIN w b ON b.wid = a.wid AND b.day_idx = a.day_idx + l.lag_days
+      GROUP BY 1, 2
+    )
+    SELECT p.day_idx, CAST(p.lag_days AS BIGINT) AS lag_days,
+           act.n_active, p.n_both,
+           CAST(p.n_both * 1000000 // act.n_active AS BIGINT)
+             AS retention_ppm
+    FROM pairs p JOIN act ON act.day_idx = p.day_idx
+    """,
+    doc=(
+        "Day-over-day and week-over-week user retention computed via "
+        "distributed bitmap intersection: per (day, user-word) 32-bit "
+        "activity bitmaps are built with one bit_or aggregate, then "
+        "retained users are popcounts of word-aligned ANDs — the "
+        "roaring-bitmap retention recipe that replaces count-distinct "
+        "self-joins at user-id scale. 32-bit words keep the sign bit "
+        "out of every shift (the checked-arithmetic rule both engines "
+        "share); all outputs are exact integers."
+    ),
+)
+def events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention grid from word-aligned bitmap AND + popcount.
+
+    Scale notes (100 TB): the fact collapses map-side into
+    |days| x |user-words| bitmap rows (a 32x reduction vs (day, user)
+    pairs, and each further day of lag reuses the same words); the
+    retention join is word-aligned equi on (wid, day) — never a
+    user-grain self-join — and the output is |days| x |lags|. The
+    32-bit word is the unit that shards: at larger id spaces the same
+    plan holds with more wid values, co-partitioned by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT)"
+            ).alias("day_idx"),
+            F.expr("user_id div 32").alias("wid"),
+        )
+        .agg(
+            F.expr(
+                "CAST(bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
+                " AS BIGINT)"
+            ).alias("bits")
+        )
+    )
+    act = w.groupBy("day_idx").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_active")
+    )
+    lags = ev.sparkSession.createDataFrame(
+        [(lag,) for lag in _RB_LAGS], "lag_days int"
+    )
+    a = w.crossJoin(F.broadcast(lags)).select(
+        "day_idx",
+        "lag_days",
+        "wid",
+        F.col("bits").alias("a_bits"),
+    )
+    b = w.select(
+        F.col("day_idx").alias("b_day"),
+        F.col("wid").alias("b_wid"),
+        F.col("bits").alias("b_bits"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.wid == b.b_wid)
+            & (b.b_day == a.day_idx + F.col("lag_days")),
+        )
+        .groupBy("day_idx", "lag_days")
+        .agg(
+            F.expr(
+                "CAST(sum(bit_count(a_bits & b_bits)) AS BIGINT)"
+            ).alias("n_both")
+        )
+    )
+    return (
+        pairs.join(act, "day_idx")
+        .select(
+            "day_idx",
+            F.col("lag_days").cast("bigint").alias("lag_days"),
+            "n_active",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000 div n_active AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
