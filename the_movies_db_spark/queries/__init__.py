@@ -84,6 +84,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_lsh_cost_model, events_capacity_plan,
     # pipeline_gopher_rules, events_retention_bitmap,
     # agg_gini_split_stump, graph_label_propagation, agg_cramers_v,
+    # upsert_vacuum_versions, text_lm_heldout_eval, sim_hubness_audit,
+    # graph_hits_bipartite, orders_rank_volatility,
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

@@ -1127,3 +1127,135 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.withColumn(
         "rank", F.row_number().over(wr).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the bipartite trade graph (integer-exact)
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 2
+_HITS_TOP = 20
+
+
+def _hits_norm(x: str, d: str, div: str) -> str:
+    """L1-normalize ``x`` to ppm of ``d`` through three *100 divmod
+    stages — every intermediate is <= x*100, so the chain never
+    overflows BIGINT no matter how large the raw score sums grow
+    (the orders_pareto_gini recipe)."""
+    return (
+        f"(({x}) {div} ({d})) * 1000000"
+        f" + ((({x}) % ({d})) * 100 {div} ({d})) * 10000"
+        f" + (((({x}) % ({d})) * 100 % ({d})) * 100 {div} ({d})) * 100"
+        f" + ((((({x}) % ({d})) * 100 % ({d})) * 100 % ({d})) * 100 {div} ({d}))"
+    )
+
+
+def _hits_oracle() -> str:
+    half = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ROUNDS + 1):
+        half.append(f"""
+    a{i}_raw AS (
+      SELECT e.s AS id, CAST(sum(h.score) AS BIGINT) AS raw
+      FROM e JOIN {prev_h} h ON e.c = h.id GROUP BY 1
+    ), a{i}_tot AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM a{i}_raw),
+    a{i} AS (
+      SELECT id, CAST({_hits_norm('raw', 't', '//')} AS BIGINT) AS score
+      FROM a{i}_raw CROSS JOIN a{i}_tot
+    ),
+    h{i}_raw AS (
+      SELECT e.c AS id, CAST(sum(a.score) AS BIGINT) AS raw
+      FROM e JOIN a{i} a ON e.s = a.id GROUP BY 1
+    ), h{i}_tot AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM h{i}_raw),
+    h{i} AS (
+      SELECT id, CAST({_hits_norm('raw', 't', '//')} AS BIGINT) AS score
+      FROM h{i}_raw CROSS JOIN h{i}_tot
+    )""")
+        prev_h = f"h{i}"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (
+      SELECT DISTINCT c AS id, CAST(1000000 AS BIGINT) AS score FROM e
+    ),{','.join(half)},
+    top AS (
+      SELECT id AS supplier, score AS authority_ppm
+      FROM a{_HITS_ROUNDS}
+      ORDER BY score DESC, id LIMIT {_HITS_TOP}
+    )
+    SELECT supplier, authority_ppm,
+           CAST(row_number() OVER (ORDER BY authority_ppm DESC, supplier)
+                AS BIGINT) AS rank
+    FROM top
+    """
+
+
+@register(
+    "graph_hits_bipartite",
+    _hits_oracle(),
+    doc=(
+        "HITS hubs-and-authorities on the bipartite customer-supplier "
+        "trade graph: customers are hubs, suppliers authorities, and "
+        f"{_HITS_ROUNDS} mutual-reinforcement rounds run entirely in "
+        "BIGINT ppm (each L1 normalization is a three-stage *100 "
+        "divmod chain, so no intermediate can overflow at any graph "
+        "size and both engines' integer arithmetic is identical). "
+        "The ranking complement to graph_pagerank: authority scores "
+        "weight endorsements by the endorser's hub quality instead "
+        "of flattening every edge equally."
+    ),
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top suppliers by HITS authority after fixed integer rounds.
+
+    Scale notes (100 TB): the distinct edge list is built once and
+    eagerly checkpointed; every half-round is one equi-join of the
+    edge list to the current score table plus one combining aggregate,
+    and each normalization total is a 1-row aggregate joined back by
+    broadcast. Rounds are fixed — no driver-side convergence loop."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select(F.col("c").alias("id")).distinct().select(
+        "id", F.lit(1000000).cast("bigint").alias("score")
+    )
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (
+            e.join(h.withColumnRenamed("id", "c"), "c")
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").cast("bigint").alias("t"))
+        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "id",
+            F.expr(
+                f"CAST({_hits_norm('raw', 't', 'div')} AS BIGINT)"
+            ).alias("score"),
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("c").alias("id"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").cast("bigint").alias("t"))
+        h = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "id",
+            F.expr(
+                f"CAST({_hits_norm('raw', 't', 'div')} AS BIGINT)"
+            ).alias("score"),
+        )
+    top = (
+        a.select(F.col("id").alias("supplier"), F.col("score").alias("authority_ppm"))
+        .orderBy(F.desc("authority_ppm"), F.asc("supplier"))
+        .limit(_HITS_TOP)
+    )
+    wr = Window.orderBy(F.desc("authority_ppm"), F.asc("supplier"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))

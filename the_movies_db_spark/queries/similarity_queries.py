@@ -3207,3 +3207,73 @@ def pipeline_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*) AS BIGINT)"
         ).alias("suspect_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hubness audit: k-occurrence distribution of exact kNN lists
+# ---------------------------------------------------------------------------
+
+_HUB_PANEL = 128
+_HUB_K = 5
+
+
+@register(
+    "sim_hubness_audit",
+    f"""
+    WITH pe AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_HUB_PANEL}
+    ),
+    edges AS (
+      SELECT neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM pe q JOIN embeddings c ON q.vec_id <> c.vec_id
+      ) t WHERE rank <= {_HUB_K}
+    ),
+    occ AS (
+      SELECT neighbor_id, CAST(count(*) AS BIGINT) AS k_occ
+      FROM edges GROUP BY 1
+    )
+    SELECT k_occ,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(k_occ * count(*) AS BIGINT) AS n_edges,
+           CAST(k_occ * count(*) * 1000000 // {_HUB_PANEL * _HUB_K}
+                AS BIGINT) AS edge_share_ppm
+    FROM occ GROUP BY k_occ
+    """,
+    doc=(
+        "Hubness audit of the embedding space: the k-occurrence "
+        "distribution N_k(x) — how many of a fixed 128-query panel's "
+        "exact top-5 lists each corpus point appears in. A heavy "
+        "right tail (few points absorbing a large edge share) is the "
+        "classic high-dimensional pathology that silently degrades "
+        "kNN classification, semantic dedup, and ANN recall; this is "
+        "the table you check before trusting cosine kNN at a new "
+        "dimensionality. Counts are exact integers end to end."
+    ),
+)
+def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence histogram of the panel kNN graph.
+
+    Scale notes (100 TB): the panel is fixed and broadcast, so
+    scoring is |panel| x corpus with the corpus scanned once (the
+    production path swaps the brute-force scorer for the IVF index —
+    same downstream histogram); the occurrence aggregate is over
+    |panel|*k edges, and the histogram domain is <= |panel|."""
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.filter(F.col("vec_id") < _HUB_PANEL)
+    edges = S.cosine_topk(
+        e, panel, "vec_id", "embedding", k=_HUB_K, dim=_DIM
+    ).select("neighbor_id")
+    occ = edges.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_occ")
+    )
+    return occ.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.expr("CAST(k_occ * count(*) AS BIGINT)").alias("n_edges"),
+        F.expr(
+            f"CAST(k_occ * count(*) * 1000000 div {_HUB_PANEL * _HUB_K}"
+            " AS BIGINT)"
+        ).alias("edge_share_ppm"),
+    )

@@ -2013,3 +2013,144 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("effective_vocab"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM evaluation (train/eval split, cross-entropy in micro-nats)
+# ---------------------------------------------------------------------------
+
+#: add-V smoothed bigram logprob of an EVAL bigram under TRAIN counts;
+#: unseen bigrams and OOV contexts coalesce to 0 before the shared
+#: IEEE expression, and the log is floored to micro per bigram TYPE so
+#: the per-language sum is exact integer arithmetic.
+_LMH_W = (
+    "CAST(floor(ln((CAST(c_bi AS DOUBLE) + 1.0)"
+    " / (CAST(c_w1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "text_lm_heldout_eval",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, doc_id % 2 AS grp,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, lang, grp, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
+      FROM (SELECT doc_id, lang, grp,
+                   unnest(list_zip(t[:len(t) - 1], t[2:])) AS p
+            FROM d WHERE len(t) >= 2) u
+    ),
+    cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi
+           FROM bi WHERE grp = 0 GROUP BY 1),
+    cu AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c_uni
+      FROM (SELECT unnest(t) AS term FROM d WHERE grp = 0) u GROUP BY 1
+    ),
+    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu),
+    ev AS (
+      SELECT lang, bigram, w1, CAST(count(*) AS BIGINT) AS cnt
+      FROM bi WHERE grp = 1 GROUP BY 1, 2, 3
+    ),
+    joined AS (
+      SELECT ev.lang, ev.cnt,
+             CASE WHEN tb0.c_bi IS NULL THEN 1 ELSE 0 END AS unseen,
+             CASE WHEN tu0.c_uni IS NULL THEN 1 ELSE 0 END AS oov,
+             coalesce(tb0.c_bi, 0) AS c_bi,
+             coalesce(tu0.c_uni, 0) AS c_w1, vv.v
+      FROM ev
+      LEFT JOIN cb tb0 ON ev.bigram = tb0.bigram
+      LEFT JOIN cu tu0 ON ev.w1 = tu0.term
+      CROSS JOIN vv
+    ),
+    scored AS (
+      SELECT lang, cnt, unseen, oov, {_LMH_W} AS w_micro FROM joined
+    )
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(sum(cnt * unseen) AS BIGINT) AS n_unseen,
+           CAST(sum(cnt * oov) * 1000000 // sum(cnt) AS BIGINT) AS oov_ppm,
+           CAST((-sum(cnt * w_micro)) // sum(cnt) AS BIGINT) AS xent_micro
+    FROM scored GROUP BY lang
+    """,
+    doc=(
+        "Held-out language-model evaluation: an add-V bigram LM is "
+        "fit on even doc_ids and scored on odd doc_ids, reporting "
+        "per-language cross-entropy in micro-nats plus unseen-bigram "
+        "and OOV-context rates — the perplexity gate evaluated the "
+        "honest way (train/eval split) instead of in-sample. Per-type "
+        "log terms are floored to micro before the integer sum."
+    ),
+)
+def text_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language held-out cross-entropy of an add-V bigram LM.
+
+    Scale notes (100 TB): train counts are vocab-bounded aggregates
+    (checkpointed so the eval join never re-tokenizes the train
+    half); eval bigrams reduce to (lang, type) grain before joining
+    the count tables, so the joins are vocab-scale. Output is
+    |languages| rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 2).alias("grp"),
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    )
+    bi = d.filter(F.size("t") >= 2).select(
+        "lang",
+        "grp",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(concat(t[i - 1], ' ', t[i]) AS bigram,"
+                " t[i - 1] AS w1))"
+            )
+        ).alias("p"),
+    ).select("lang", "grp", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
+    cb = (
+        bi.filter("grp = 0")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tb_c"))
+        .localCheckpoint(eager=False)
+    )
+    cu = (
+        d.filter("grp = 0")
+        .select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tu_c"))
+        .localCheckpoint(eager=False)
+    )
+    vv = cu.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    ev = (
+        bi.filter("grp = 1")
+        .groupBy("lang", "bigram", "w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    scored = (
+        ev.join(cb, "bigram", "left_outer")
+        .join(cu, ev.w1 == cu.term, "left_outer")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "lang",
+            "cnt",
+            F.expr("CASE WHEN tb_c IS NULL THEN 1 ELSE 0 END").alias("unseen"),
+            F.expr("CASE WHEN tu_c IS NULL THEN 1 ELSE 0 END").alias("oov"),
+            F.expr("coalesce(tb_c, 0)").alias("c_bi"),
+            F.expr("coalesce(tu_c, 0)").alias("c_w1"),
+            "v",
+        )
+        .select("lang", "cnt", "unseen", "oov", F.expr(_LMH_W).alias("w_micro"))
+    )
+    return scored.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.expr("CAST(sum(cnt * unseen) AS BIGINT)").alias("n_unseen"),
+        F.expr(
+            "CAST(sum(cnt * oov) * 1000000 div sum(cnt) AS BIGINT)"
+        ).alias("oov_ppm"),
+        F.expr(
+            "CAST((-sum(cnt * w_micro)) div sum(cnt) AS BIGINT)"
+        ).alias("xent_micro"),
+    )

@@ -3367,3 +3367,116 @@ def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(__cum * 1000000 div __tot AS BIGINT)").alias("cum_ppm"),
         "avg_order_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier revenue-rank volatility (market-position churn across months)
+# ---------------------------------------------------------------------------
+
+_RV_TOP = 20
+
+
+@register(
+    "orders_rank_volatility",
+    f"""
+    WITH rev AS (
+      SELECT l.l_suppkey AS supplier,
+             CAST((year(o.o_orderdate) - 1990) * 12
+                  + month(o.o_orderdate) AS BIGINT) AS m_idx,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT supplier, m_idx,
+             CAST(rank() OVER (PARTITION BY m_idx
+                               ORDER BY cents DESC, supplier) AS BIGINT)
+               AS r
+      FROM rev
+    ), d AS (
+      SELECT supplier,
+             abs(r - lag(r) OVER (PARTITION BY supplier ORDER BY m_idx))
+               AS dr,
+             m_idx - lag(m_idx) OVER (PARTITION BY supplier ORDER BY m_idx)
+               AS dm
+      FROM rk
+    ), vol AS (
+      SELECT supplier, CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(sum(dr) * 1000 // count(*) AS BIGINT)
+               AS avg_abs_shift_milli,
+             CAST(max(dr) AS BIGINT) AS max_shift
+      FROM d WHERE dm = 1 GROUP BY 1
+    ), top AS (
+      SELECT * FROM vol
+      ORDER BY avg_abs_shift_milli DESC, supplier LIMIT {_RV_TOP}
+    )
+    SELECT supplier, n_transitions, avg_abs_shift_milli, max_shift,
+           CAST(row_number() OVER (ORDER BY avg_abs_shift_milli DESC,
+                                   supplier) AS BIGINT) AS rank
+    FROM top
+    """,
+    doc=(
+        "Revenue-rank volatility per supplier: monthly revenue ranks "
+        "(dense months only — consecutive-month transitions) and the "
+        "mean absolute rank shift in milli-positions, surfacing the "
+        "suppliers whose market position churns most — the stability "
+        "screen behind vendor-consolidation and market-dynamics "
+        "dashboards. Integer cents, integer ranks, integer shifts."
+    ),
+)
+def orders_rank_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top suppliers by month-over-month revenue-rank churn.
+
+    Scale notes (100 TB): the fact reduces to |suppliers| x |months|
+    revenue cells in one combining aggregate; the per-month rank
+    window is supplier-grain within each month (switch to the
+    two-level rank helper if the supplier dimension itself reaches
+    fact scale), the lag window is keyed per supplier, and the final
+    top-k is orderBy+limit (TakeOrderedAndProject)."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("supplier"),
+            F.expr(
+                "CAST((year(o_orderdate) - 1990) * 12"
+                " + month(o_orderdate) AS BIGINT)"
+            ).alias("m_idx"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("cents")
+        )
+    )
+    rk = rev.select(
+        "supplier",
+        "m_idx",
+        F.rank()
+        .over(Window.partitionBy("m_idx").orderBy(F.desc("cents"), F.asc("supplier")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    ws = Window.partitionBy("supplier").orderBy("m_idx")
+    d = rk.select(
+        "supplier",
+        F.abs(F.col("r") - F.lag("r").over(ws)).alias("dr"),
+        (F.col("m_idx") - F.lag("m_idx").over(ws)).alias("dm"),
+    )
+    vol = (
+        d.filter("dm = 1")
+        .groupBy("supplier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.expr(
+                "CAST(sum(dr) * 1000 div count(*) AS BIGINT)"
+            ).alias("avg_abs_shift_milli"),
+            F.max("dr").cast("bigint").alias("max_shift"),
+        )
+    )
+    top = vol.orderBy(
+        F.desc("avg_abs_shift_milli"), F.asc("supplier")
+    ).limit(_RV_TOP)
+    wr = Window.orderBy(F.desc("avg_abs_shift_milli"), F.asc("supplier"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))

@@ -663,3 +663,104 @@ def upsert_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_deleted"),
         "n_residue",
     )
+
+
+@register(
+    "upsert_vacuum_versions",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 4 != 0
+    ), b2 AS (
+      SELECT o_orderkey,
+             round(o_totalprice
+                   + CASE WHEN o_orderkey % 3 = 0 THEN 1000.0
+                          ELSE 0.0 END, 2) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b3 AS (
+      SELECT o_orderkey, round(o_totalprice + 7.0, 2) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), u AS (
+      SELECT o_orderkey, price, 1 AS src FROM b1
+      UNION ALL SELECT o_orderkey, price, 2 FROM b2
+      UNION ALL SELECT o_orderkey, price, 3 FROM b3
+    ), cur AS (
+      SELECT o_orderkey, price FROM (
+        SELECT u.*, row_number()
+                 OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        FROM u
+      ) r WHERE rn = 1
+    )
+    SELECT CAST(3 AS BIGINT) AS n_versions_before,
+           CAST(1 AS BIGINT) AS n_versions_after,
+           CAST(2 AS BIGINT) AS n_removed,
+           CAST(count(*) AS BIGINT) AS n_current,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM cur
+    """,
+    doc=(
+        "Version-retention vacuum exercised end-to-end inside the "
+        "correctness gate: three real write_upsert commits retain "
+        "three version dirs (keep_versions=3), vacuum_table(keep=1) "
+        "removes exactly the two superseded ones and never the "
+        "current pointer target, and the surviving current state "
+        "matches the latest-writer-wins merge replayed in pure SQL "
+        "(batch-3 over batch-2 over the seed). The version counts in "
+        "the output come from the REAL directory listing before/after "
+        "the vacuum, not from the expected constants."
+    ),
+)
+def upsert_vacuum_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum retention on the versioned-dir table: counts + survivors.
+
+    Scale notes (100 TB): vacuum is pure manifest manipulation — it
+    lists version dirs (one listing, no data IO) and removes
+    superseded ones; the data verification afterward is one scan of
+    the current version only. Retention is how the versioned layout
+    bounds storage: without it every MERGE doubles the table."""
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.upsert import (
+        list_versions,
+        read_table,
+        vacuum_table,
+        write_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    tbl = scratch_dir("vacuumq") + "/orders_tbl"
+    b1 = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    b2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, 1000.0).otherwise(0.0),
+            2,
+        ).alias("price"),
+    )
+    b3 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") + 7.0, 2).alias("price")
+    )
+    for batch in (b1, b2, b3):
+        write_upsert(
+            spark, tbl, batch, "o_orderkey",
+            order_col=None, keep_versions=3,
+        )
+    n_before = len(list_versions(tbl))
+    removed = vacuum_table(tbl, keep=1)
+    n_after = len(list_versions(tbl))
+    cur = read_table(spark, tbl)
+    return cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_current"),
+        F.expr(
+            "CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("total_cents"),
+    ).select(
+        F.lit(n_before).cast("bigint").alias("n_versions_before"),
+        F.lit(n_after).cast("bigint").alias("n_versions_after"),
+        F.lit(len(removed)).cast("bigint").alias("n_removed"),
+        "n_current",
+        "total_cents",
+    )
