@@ -1,0 +1,389 @@
+"""Third-leg references + plan pins for the round-8 wave D/E operators.
+
+Engine-parity (the oracle sweep) proves Spark == DuckDB; these tests
+prove both equal an INDEPENDENT Python implementation of the math,
+and pin the scale-critical plan shapes (collapsed checkpoint scans,
+limit-then-rank top-k) so refactors can't silently reintroduce
+per-branch fact re-reads.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from the_movies_db_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _li() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def _orders() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/orders.parquet")
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _edges_cs() -> pd.DataFrame:
+    """Distinct (customer, supplier) trade edges."""
+    m = _li().merge(
+        _orders(), left_on="l_orderkey", right_on="o_orderkey"
+    )[["o_custkey", "l_suppkey"]].drop_duplicates()
+    return m
+
+
+# ------------------------------------------------------------- plan pins
+
+
+def test_round8b_fact_scan_counts(spark, registry):
+    """Checkpoint discipline: the bitmap word table, LPA edge list and
+    HITS edge list each feed several branches from ONE materialized
+    artifact (0 fact scans in the returned plan); single-pass queries
+    scan each fact exactly once."""
+    for name, tbl, want in [
+        ("events_retention_bitmap", "events", 0),
+        ("graph_label_propagation", "lineitem", 0),
+        ("graph_hits_bipartite", "lineitem", 0),
+        ("pipeline_gopher_rules", "documents", 1),
+        ("agg_gini_split_stump", "lineitem", 1),
+        ("text_lm_heldout_eval", "documents", 1),
+        ("orders_rank_volatility", "lineitem", 1),
+    ]:
+        txt = plan_of(registry[name].spark(spark, SF))
+        assert txt.count(f"{tbl}.parquet") == want, name
+
+
+def test_round8b_topk_is_take_ordered(spark, registry):
+    """Every round-8b top-k ranks AFTER orderBy().limit() — the plan
+    must contain TakeOrderedAndProject, never a global rank over the
+    unlimited candidate set."""
+    for name in (
+        "graph_label_propagation",
+        "graph_hits_bipartite",
+        "orders_rank_volatility",
+    ):
+        txt = plan_of(registry[name].spark(spark, SF))
+        assert "TakeOrderedAndProject" in txt, name
+
+
+# ------------------------------------------------ third-leg references
+
+
+def test_gopher_rules_match_python(spark, registry):
+    got = {
+        r["rule"]: r
+        for r in registry["pipeline_gopher_rules"].spark(spark, SF).collect()
+    }
+    stop = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    n_docs = 0
+    passes: Counter = Counter()
+    for _, d in _docs().iterrows():
+        tk = re.split(r"\s+", d["text"])
+        n_tok = len(tk)
+        sum_len = sum(len(t) for t in tk)
+        n_dist = len(set(tk))
+        n_alpha = sum(1 for t in tk if re.fullmatch(r"[a-zA-Z]+", t))
+        n_stop = sum(1 for w in stop if w in tk)
+        flags = {
+            "min_words": n_tok >= 20,
+            "max_words": n_tok <= 80,
+            "mean_word_len": 3 * n_tok <= sum_len <= 8 * n_tok,
+            "distinct_fraction": 2 * n_dist >= n_tok,
+            "alpha_fraction": 5 * n_alpha >= 4 * n_tok,
+            "stopword_count": n_stop >= 2,
+        }
+        flags["all_rules"] = all(flags.values())
+        n_docs += 1
+        passes.update(k for k, v in flags.items() if v)
+    assert set(got) == set(passes) | {"all_rules"}
+    for rule, row in got.items():
+        assert row["n_docs"] == n_docs
+        assert row["n_pass"] == passes[rule], rule
+        assert row["pass_ppm"] == passes[rule] * 1000000 // n_docs
+    # non-degenerate: at least one rule rejects and one accepts docs
+    rates = {r: got[r]["n_pass"] for r in got}
+    assert 0 < rates["all_rules"] < n_docs
+
+
+def test_retention_bitmap_matches_python_sets(spark, registry):
+    got = {
+        (r["day_idx"], r["lag_days"]): r
+        for r in registry["events_retention_bitmap"].spark(spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    by_day: dict[int, set] = defaultdict(set)
+    for _, r in ev.iterrows():
+        by_day[(r["ts"].normalize() - epoch).days].add(int(r["user_id"]))
+    want = {}
+    for d, users in by_day.items():
+        for lag in (1, 7):
+            if d + lag in by_day:
+                want[(d, lag)] = (len(users), len(users & by_day[d + lag]))
+    assert set(got) == set(want)
+    for key, (n_active, n_both) in want.items():
+        row = got[key]
+        assert row["n_active"] == n_active, key
+        assert row["n_both"] == n_both, key
+        assert row["retention_ppm"] == n_both * 1000000 // n_active
+
+
+def test_gini_stump_matches_python(spark, registry):
+    got = {
+        r["threshold"]: r
+        for r in registry["agg_gini_split_stump"].spark(spark, SF).collect()
+    }
+    cells: dict[int, list] = defaultdict(lambda: [0, 0])
+    for _, r in _li().iterrows():
+        q = int(r["l_quantity"])
+        cells[q][0] += 1
+        cells[q][1] += int(r["l_returnflag"] == "R")
+    qs = sorted(cells)
+    n_tot = sum(c[0] for c in cells.values())
+    pos_tot = sum(c[1] for c in cells.values())
+
+    def side(p, n):
+        pp = p * 1000000 // n
+        qq = (n - p) * 1000000 // n
+        return 1000000 - (pp * pp + qq * qq) // 1000000
+
+    n_l = pos_l = 0
+    best = None
+    for q in qs:
+        n_l += cells[q][0]
+        pos_l += cells[q][1]
+        n_r, pos_r = n_tot - n_l, pos_tot - pos_l
+        if n_r == 0:
+            continue
+        g = (n_l * side(pos_l, n_l) + n_r * side(pos_r, n_r)) // (n_l + n_r)
+        row = got[q]
+        assert (row["n_l"], row["pos_l"], row["n_r"], row["pos_r"]) == (
+            n_l, pos_l, n_r, pos_r
+        ), q
+        assert row["gini_split_ppm"] == g, q
+        best = min(best or (g, q), (g, q))
+    assert got[best[1]]["split_rank"] == 1
+
+
+def test_cramers_v_matches_python(spark, registry):
+    rows = {
+        r["pair"]: r
+        for r in registry["agg_cramers_v"].spark(spark, SF).collect()
+    }
+    li = _li()
+    cells = Counter(zip(li["l_returnflag"], li["l_linestatus"]))
+    n = sum(cells.values())
+    rt = Counter()
+    ct = Counter()
+    for (a, b), c in cells.items():
+        rt[a] += c
+        ct[b] += c
+    chi2 = 0
+    for (a, b), c in cells.items():
+        e = float(rt[a]) * float(ct[b]) / float(n)
+        chi2 += math.floor((float(c) - e) * (float(c) - e) / e * 1000000)
+    r_, c_ = len(rt), len(ct)
+    k = min(r_ - 1, c_ - 1)
+    q = (chi2 // (n * k)) * 1000000 + (chi2 % (n * k)) * 1000000 // (n * k)
+    row = rows["returnflag_x_linestatus"]
+    assert row["n"] == n
+    assert (row["n_rows_cat"], row["n_cols_cat"]) == (r_, c_)
+    assert row["df"] == (r_ - 1) * (c_ - 1)
+    assert row["chi2_milli"] == chi2 // 1000
+    assert row["v_micro"] == math.floor(math.sqrt(float(q)))
+
+
+def _lpa_python(rounds=3):
+    li = _li().merge(
+        _orders(), left_on="l_orderkey", right_on="o_orderkey"
+    )
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    li = li.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        supp, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    li = li[li["c_nationkey"] == li["s_nationkey"]]
+    spend: dict = defaultdict(int)
+    for _, r in li.iterrows():
+        spend[(int(r["o_custkey"]), int(r["l_suppkey"]))] += round(
+            r["l_extendedprice"] * 100
+        )
+    per_c: dict[int, list] = defaultdict(list)
+    for (c, s), sp in spend.items():
+        per_c[c].append((-sp, s))
+    edges = set()
+    for c, lst in per_c.items():
+        lst.sort()
+        if len(lst) >= 2:
+            s1, s2 = lst[0][1], lst[1][1]
+            edges.add((min(s1, s2), max(s1, s2)))
+    nbrs: dict[int, list] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = Counter(labels[u] for u in ns)
+            best = max((c, -l) for l, c in cnt.items())
+            new[v] = -best[1]
+        labels = new
+    return Counter(labels.values())
+
+
+def test_label_propagation_matches_python(spark, registry):
+    got = [
+        (r["community"], r["n_members"], r["rank"])
+        for r in registry["graph_label_propagation"].spark(spark, SF).collect()
+    ]
+    sizes = _lpa_python()
+    want = sorted(((lbl, n) for lbl, n in sizes.items()),
+                  key=lambda t: (-t[1], t[0]))[:20]
+    assert got == [(lbl, n, i + 1) for i, (lbl, n) in enumerate(want)]
+
+
+def _hits_norm_py(x, d):
+    return (
+        (x // d) * 1000000
+        + (x % d) * 100 // d * 10000
+        + ((x % d) * 100 % d) * 100 // d * 100
+        + (((x % d) * 100 % d) * 100 % d) * 100 // d
+    )
+
+
+def test_hits_matches_python(spark, registry):
+    got = [
+        (r["supplier"], r["authority_ppm"], r["rank"])
+        for r in registry["graph_hits_bipartite"].spark(spark, SF).collect()
+    ]
+    e = [
+        (int(r["o_custkey"]), int(r["l_suppkey"]))
+        for _, r in _edges_cs().iterrows()
+    ]
+    h = {c: 1000000 for c, _ in e}
+    a: dict[int, int] = {}
+    for _ in range(2):
+        a_raw: dict[int, int] = defaultdict(int)
+        for c, s in e:
+            a_raw[s] += h[c]
+        tot = sum(a_raw.values())
+        a = {s: _hits_norm_py(x, tot) for s, x in a_raw.items()}
+        h_raw: dict[int, int] = defaultdict(int)
+        for c, s in e:
+            h_raw[c] += a[s]
+        tot = sum(h_raw.values())
+        h = {c: _hits_norm_py(x, tot) for c, x in h_raw.items()}
+    want = sorted(((s, v) for s, v in a.items()),
+                  key=lambda t: (-t[1], t[0]))[:20]
+    assert got == [(s, v, i + 1) for i, (s, v) in enumerate(want)]
+
+
+def test_lm_heldout_matches_python(spark, registry):
+    got = {
+        r["lang"]: r
+        for r in registry["text_lm_heldout_eval"].spark(spark, SF).collect()
+    }
+    cb: Counter = Counter()
+    cu: Counter = Counter()
+    ev: dict = defaultdict(Counter)  # lang -> (bigram, w1) -> cnt
+    for _, d in _docs().iterrows():
+        t = [x for x in re.split(r"\s+", d["text"].lower()) if x]
+        bigrams = list(zip(t[:-1], t[1:]))
+        if d["doc_id"] % 2 == 0:
+            cu.update(t)
+            cb.update(bigrams)
+        else:
+            ev[d["lang"]].update(bigrams)
+    v = len(cu)
+    for lang, row in got.items():
+        n = n_unseen = n_oov = s = 0
+        for (w1, w2), cnt in ev[lang].items():
+            c_bi = cb.get((w1, w2), 0)
+            c_w1 = cu.get(w1, 0)
+            w = math.floor(
+                math.log((float(c_bi) + 1.0) / (float(c_w1) + float(v)))
+                * 1000000
+            )
+            n += cnt
+            s += cnt * w
+            n_unseen += cnt * ((w1, w2) not in cb)
+            n_oov += cnt * (w1 not in cu)
+        assert row["n_bigrams"] == n, lang
+        assert row["n_unseen"] == n_unseen, lang
+        assert row["oov_ppm"] == n_oov * 1000000 // n, lang
+        assert row["xent_micro"] == (-s) // n, lang
+
+
+def test_rank_volatility_matches_python(spark, registry):
+    got = [
+        (r["supplier"], r["n_transitions"], r["avg_abs_shift_milli"],
+         r["max_shift"], r["rank"])
+        for r in registry["orders_rank_volatility"].spark(spark, SF).collect()
+    ]
+    li = _li().merge(_orders(), left_on="l_orderkey", right_on="o_orderkey")
+    rev: dict = defaultdict(int)
+    for _, r in li.iterrows():
+        m = (r["o_orderdate"].year - 1990) * 12 + r["o_orderdate"].month
+        rev[(int(r["l_suppkey"]), m)] += round(r["l_extendedprice"] * 100)
+    by_m: dict[int, list] = defaultdict(list)
+    for (s, m), cents in rev.items():
+        by_m[m].append((-cents, s))
+    rank: dict = {}
+    for m, lst in by_m.items():
+        lst.sort()
+        for i, (negc, s) in enumerate(lst):
+            # rank() semantics: ties share the lowest position; the
+            # (cents, supplier) sort key is unique so rank == position
+            rank[(s, m)] = i + 1
+    trans: dict[int, list] = defaultdict(list)
+    for (s, m) in sorted(rank):
+        if (s, m - 1) in rank:
+            trans[s].append(abs(rank[(s, m)] - rank[(s, m - 1)]))
+    vol = [
+        (sum(d) * 1000 // len(d), s, len(d), max(d))
+        for s, d in trans.items()
+    ]
+    vol.sort(key=lambda t: (-t[0], t[1]))
+    want = [
+        (s, n, avg, mx, i + 1)
+        for i, (avg, s, n, mx) in enumerate(vol[:20])
+    ]
+    assert got == want
+
+
+def test_vacuum_versions_counts(spark, registry):
+    row = registry["upsert_vacuum_versions"].spark(spark, SF).collect()[0]
+    assert row["n_versions_before"] == 3
+    assert row["n_versions_after"] == 1
+    assert row["n_removed"] == 2
+    assert row["n_current"] > 0
+
+
+def test_hubness_edge_shares_sum(spark, registry):
+    rows = registry["sim_hubness_audit"].spark(spark, SF).collect()
+    # every edge accounted for exactly once: sum(k_occ * n_points) ==
+    # |panel| * k, and the histogram is over positive occurrence counts
+    assert sum(r["n_edges"] for r in rows) == 128 * 5
+    assert all(r["k_occ"] >= 1 for r in rows)
+    for r in rows:
+        assert r["n_edges"] == r["k_occ"] * r["n_points"]
+        assert r["edge_share_ppm"] == r["n_edges"] * 1000000 // 640

@@ -4791,6 +4791,10 @@ def events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("bits")
         )
+        # day x user-word grain (a 32x reduction of the distinct
+        # (day, user) table): checkpointed so the activity branch and
+        # both sides of the retention join share ONE fact scan.
+        .localCheckpoint(eager=False)
     )
     act = w.groupBy("day_idx").agg(
         F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_active")
