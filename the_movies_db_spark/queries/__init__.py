@@ -86,6 +86,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_gini_split_stump, graph_label_propagation, agg_cramers_v,
     # upsert_vacuum_versions, text_lm_heldout_eval, sim_hubness_audit,
     # graph_hits_bipartite, orders_rank_volatility,
+    # agg_moments_merge_audit, sim_ivf_cost_model,
+    # pipeline_span_corruption, events_rolling_wau_bitmap,
+    # pipeline_filter_lm_impact,
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

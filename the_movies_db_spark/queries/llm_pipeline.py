@@ -2443,3 +2443,365 @@ def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         F.explode(F.expr(f"array({structs})")).alias("p")
     ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption mask planning (T5 objective, deterministic seeded layout)
+# ---------------------------------------------------------------------------
+
+#: ~15% corruption at mean span length 3 => one span per 20 tokens.
+_SPANC_TOKENS_PER_SPAN = 20
+_SPANC_SPAN_LEN = 3
+
+
+def _spanc_doc_sql(h_expr: str, div: str) -> str:
+    """Per-doc span plan (shared between engines up to the md5-integer
+    extraction ``h_expr`` and the integer-division token): n_spans
+    segments, one span per segment, seeded start offset inside each
+    segment — non-overlapping by construction."""
+    return f"""
+      SELECT lang, n_tok,
+             n_spans,
+             n_spans * least({_SPANC_SPAN_LEN}, n_tok {div} n_spans)
+               AS masked,
+             sl - least({_SPANC_SPAN_LEN}, sl) + 1 AS slots,
+             {h_expr}
+      FROM (
+        SELECT lang, n_tok,
+               greatest(1, n_tok {div} {_SPANC_TOKENS_PER_SPAN}) AS n_spans,
+               n_tok {div} greatest(1, n_tok {div} {_SPANC_TOKENS_PER_SPAN})
+                 AS sl,
+               doc_id
+        FROM toks WHERE n_tok >= {_SPANC_SPAN_LEN + 1}
+      ) base
+    """
+
+
+@register(
+    "pipeline_span_corruption",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    plan AS (
+      {_spanc_doc_sql(
+          "list_transform(range(1, n_spans + 1), k -> "
+          "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+          "|| CAST(k AS VARCHAR)), 1, 8))::BIGINT) AS hs", "//")}
+    ),
+    spans AS (
+      SELECT lang, n_tok, n_spans, masked,
+             list_aggregate(list_transform(hs, h -> h % slots), 'sum')
+               AS start_sum
+      FROM plan
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(masked) AS BIGINT) AS masked_tokens,
+           CAST(sum(masked) * 1000000 // sum(n_tok) AS BIGINT)
+             AS mask_ratio_ppm,
+           CAST(sum(start_sum) AS BIGINT) AS start_checksum
+    FROM spans GROUP BY lang
+    """,
+    doc=(
+        "T5-style span-corruption planning: each document gets "
+        "ceil-free deterministic spans (one per 20-token segment, "
+        "span length 3 capped by the segment) whose start offsets "
+        "are seeded by md5(doc_id, span_idx) — the reproducible mask "
+        "layout a denoising-pretraining pipeline materializes ahead "
+        "of training so every epoch and every worker agrees. "
+        "Per-language mask ratios verify the target corruption rate; "
+        "the start checksum pins the seeded layout itself. md5-to-"
+        "integer extraction is per-engine, everything after is shared "
+        "integer arithmetic."
+    ),
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language span-corruption mask plan + layout checksum.
+
+    Scale notes (100 TB): map-only — token counts and span plans are
+    per-row projections (the seeded offsets are a bounded HOF over
+    n_spans <= n_tok/20 elements), collapsing into one |languages|-row
+    aggregate; no shuffle except the final tiny groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)").alias("n_tok"),
+    )
+    base = toks.filter(F.col("n_tok") >= _SPANC_SPAN_LEN + 1).select(
+        "lang",
+        "n_tok",
+        "doc_id",
+        F.expr(
+            f"greatest(1L, n_tok div {_SPANC_TOKENS_PER_SPAN})"
+        ).alias("n_spans"),
+        F.expr(
+            f"n_tok div greatest(1L, n_tok div {_SPANC_TOKENS_PER_SPAN})"
+        ).alias("sl"),
+    )
+    plan = base.select(
+        "lang",
+        "n_tok",
+        "n_spans",
+        F.expr(
+            f"n_spans * least({_SPANC_SPAN_LEN}L, n_tok div n_spans)"
+        ).alias("masked"),
+        F.expr(f"sl - least({_SPANC_SPAN_LEN}L, sl) + 1").alias("slots"),
+        F.expr(
+            "transform(sequence(1, CAST(n_spans AS INT)), k ->"
+            " CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    spans = plan.select(
+        "lang",
+        "n_tok",
+        "n_spans",
+        "masked",
+        F.expr(
+            "aggregate(transform(hs, h -> h % slots), 0L, (a, x) -> a + x)"
+        ).alias("start_sum"),
+    )
+    return spans.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.sum("masked").cast("bigint").alias("masked_tokens"),
+        F.expr(
+            "CAST(sum(masked) * 1000000 div sum(n_tok) AS BIGINT)"
+        ).alias("mask_ratio_ppm"),
+        F.sum("start_sum").cast("bigint").alias("start_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter impact on LM cross-entropy (curation loop closer)
+# ---------------------------------------------------------------------------
+
+#: identical IEEE text per model; only the count-column prefix differs.
+def _lmfi_w(pfx: str) -> str:
+    return (
+        f"CAST(floor(ln((CAST(c_bi_{pfx} AS DOUBLE) + 1.0)"
+        f" / (CAST(c_w1_{pfx} AS DOUBLE) + CAST(v_{pfx} AS DOUBLE)))"
+        " * 1000000) AS BIGINT)"
+    )
+
+
+def _lmfi_metric_sql() -> str:
+    """Per-doc quality metrics over the SAME lowercased token stream
+    the LM uses, so keep/drop is a pure function of the tokens."""
+    return """
+      SELECT doc_id, lang, grp, t,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_dist
+      FROM d
+    """
+
+
+_LMFI_KEEP = (
+    "n_tok >= 20 AND n_tok <= 80"
+    " AND 3 * n_tok <= sum_len AND sum_len <= 8 * n_tok"
+    " AND 2 * n_dist >= n_tok"
+)
+
+
+def _lmfi_model_sql(pfx: str, train_pred: str) -> str:
+    return f"""
+    cb_{pfx} AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c
+      FROM bi WHERE grp = 0 AND {train_pred} GROUP BY 1
+    ),
+    cu_{pfx} AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS term, keep FROM m WHERE grp = 0) u
+      WHERE {train_pred} GROUP BY 1
+    ),
+    vv_{pfx} AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu_{pfx}),
+    agg_{pfx} AS (
+      SELECT lang,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             CAST((-sum(cnt * w_micro)) // sum(cnt) AS BIGINT) AS xent
+      FROM (
+        SELECT lang, cnt, {_lmfi_w(pfx)} AS w_micro
+        FROM (
+          SELECT ev.lang, ev.cnt,
+                 coalesce(b.c, 0) AS c_bi_{pfx},
+                 coalesce(u.c, 0) AS c_w1_{pfx},
+                 vv_{pfx}.v AS v_{pfx}
+          FROM ev
+          LEFT JOIN cb_{pfx} b ON ev.bigram = b.bigram
+          LEFT JOIN cu_{pfx} u ON ev.w1 = u.term
+          CROSS JOIN vv_{pfx}
+        ) j
+      ) s GROUP BY lang
+    )"""
+
+
+@register(
+    "pipeline_filter_lm_impact",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, doc_id % 2 AS grp,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT *, CASE WHEN {_LMFI_KEEP} THEN 1 ELSE 0 END AS keep
+      FROM ({_lmfi_metric_sql()}) mm
+    ),
+    bi AS (
+      SELECT lang, grp, keep, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
+      FROM (SELECT lang, grp, keep,
+                   unnest(list_zip(t[:len(t) - 1], t[2:])) AS p
+            FROM m WHERE len(t) >= 2) u
+    ),
+    ev AS (
+      SELECT lang, bigram, w1, CAST(count(*) AS BIGINT) AS cnt
+      FROM bi WHERE grp = 1 GROUP BY 1, 2, 3
+    ),
+    {_lmfi_model_sql('raw', '1 = 1')},
+    {_lmfi_model_sql('flt', 'keep = 1')},
+    tr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_train_docs,
+             CAST(sum(keep) AS BIGINT) AS n_kept_docs
+      FROM m WHERE grp = 0
+    )
+    SELECT r.lang, r.n_bigrams,
+           r.xent AS xent_raw_micro,
+           f.xent AS xent_filtered_micro,
+           f.xent - r.xent AS delta_micro,
+           tr.n_train_docs, tr.n_kept_docs
+    FROM agg_raw r JOIN agg_flt f ON r.lang = f.lang CROSS JOIN tr
+    """,
+    doc=(
+        "The curation loop closed: fit the SAME add-V bigram LM on "
+        "the raw training half and on its quality-filtered subset "
+        "(length / mean-word-length / distinct-fraction rules over "
+        "the LM's own token stream), score both on the SAME held-out "
+        "half, and report the per-language cross-entropy shift — the "
+        "ablation table that justifies (or rejects) a filter before "
+        "it burns compute at pretraining scale. Both models share one "
+        "tokenization and one eval join; only the count tables differ."
+    ),
+)
+def pipeline_filter_lm_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language held-out xent: raw-trained vs filter-trained LM.
+
+    Scale notes (100 TB): the corpus tokenizes once into a doc-grain
+    frame carrying the keep flag; each model's count tables are
+    vocab-bounded aggregates of that stream (checkpointed), and the
+    eval side reduces to (lang, bigram type) before the two count
+    joins — so the second model costs two more vocab-scale joins, not
+    a second corpus pass."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 2).alias("grp"),
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    )
+    m = d.select(
+        "doc_id",
+        "lang",
+        "grp",
+        "t",
+        F.expr("CAST(size(t) AS BIGINT)").alias("n_tok"),
+        F.expr(
+            "aggregate(transform(t, x -> CAST(length(x) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("sum_len"),
+        F.expr("CAST(size(array_distinct(t)) AS BIGINT)").alias("n_dist"),
+    ).select(
+        "lang",
+        "grp",
+        "t",
+        F.expr(f"CASE WHEN {_LMFI_KEEP} THEN 1 ELSE 0 END").alias("keep"),
+    )
+    bi = m.filter(F.size("t") >= 2).select(
+        "lang",
+        "grp",
+        "keep",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(concat(t[i - 1], ' ', t[i]) AS bigram,"
+                " t[i - 1] AS w1))"
+            )
+        ).alias("p"),
+    ).select("lang", "grp", "keep", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
+    ev = (
+        bi.filter("grp = 1")
+        .groupBy("lang", "bigram", "w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = m.filter("grp = 0").select(
+        "keep", F.explode("t").alias("term")
+    )
+
+    def model(pfx: str, pred: str):
+        cb = (
+            bi.filter(f"grp = 0 AND {pred}")
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        cu = (
+            uni.filter(pred)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        vv = cu.agg(F.count(F.lit(1)).cast("bigint").alias(f"v_{pfx}"))
+        joined = (
+            ev.join(cb.withColumnRenamed("c", f"__cb_{pfx}"), "bigram", "left_outer")
+            .join(
+                cu.withColumnRenamed("term", "w1").withColumnRenamed(
+                    "c", f"__cu_{pfx}"
+                ),
+                "w1",
+                "left_outer",
+            )
+            .crossJoin(F.broadcast(vv))
+            .select(
+                "lang",
+                "cnt",
+                F.expr(f"coalesce(__cb_{pfx}, 0)").alias(f"c_bi_{pfx}"),
+                F.expr(f"coalesce(__cu_{pfx}, 0)").alias(f"c_w1_{pfx}"),
+                f"v_{pfx}",
+            )
+            .select("lang", "cnt", F.expr(_lmfi_w(pfx)).alias("w_micro"))
+        )
+        return joined.groupBy("lang").agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST((-sum(cnt * w_micro)) div sum(cnt) AS BIGINT)"
+            ).alias(f"xent_{pfx}"),
+        )
+    raw = model("raw", "1 = 1")
+    flt = model("flt", "keep = 1").withColumnRenamed("n_bigrams", "__nb2")
+    tr = m.filter("grp = 0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+        F.sum("keep").cast("bigint").alias("n_kept_docs"),
+    )
+    return (
+        raw.join(flt, "lang")
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "lang",
+            "n_bigrams",
+            F.col("xent_raw").alias("xent_raw_micro"),
+            F.col("xent_flt").alias("xent_filtered_micro"),
+            F.expr("xent_flt - xent_raw").alias("delta_micro"),
+            "n_train_docs",
+            "n_kept_docs",
+        )
+    )

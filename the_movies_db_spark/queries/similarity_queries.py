@@ -3277,3 +3277,114 @@ def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("edge_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index cost model (real cell occupancies at four candidate widths)
+# ---------------------------------------------------------------------------
+
+_IVFCM_MAX_BITS = 10
+_IVFCM_LEVELS = (4, 6, 8, 10)
+
+
+@register(
+    "sim_ivf_cost_model",
+    f"""
+    WITH sigs AS (
+      SELECT {_sig_expr(_IVFCM_MAX_BITS).format(v="embedding")} AS sig
+      FROM embeddings
+    ),
+    c10 AS (
+      SELECT sig AS cell, CAST(count(*) AS BIGINT) AS n
+      FROM sigs GROUP BY 1
+    ),
+    lv AS (
+      SELECT mm.m, substr(c10.cell, 1, mm.m) AS pc,
+             CAST(sum(n) AS BIGINT) AS s
+      FROM c10 CROSS JOIN (VALUES (4), (6), (8), (10)) mm(m)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(m AS BIGINT) AS planes,
+           CAST(1::BIGINT << m AS BIGINT) AS nlist,
+           CAST(greatest(1, (1::BIGINT << m) // 64) AS BIGINT) AS nprobe,
+           CAST(sum(s) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_cells_occupied,
+           CAST(max(s) AS BIGINT) AS max_cell_rows,
+           CAST(greatest(1, (1::BIGINT << m) // 64)
+                * (sum(s) // (1::BIGINT << m)) AS BIGINT)
+             AS balanced_candidates,
+           CAST(greatest(1, (1::BIGINT << m) // 64) * max(s) AS BIGINT)
+             AS worst_candidates,
+           CAST((1::BIGINT << m) * {_DIM} * 8 AS BIGINT) AS centroid_bytes,
+           CAST(greatest(1, (1::BIGINT << m) // 64) * 1000000
+                // (1::BIGINT << m) AS BIGINT) AS scan_ppm
+    FROM lv GROUP BY m
+    """,
+    doc=(
+        "IVF index design table from REAL partition occupancies: the "
+        "corpus is signed once against the 10-plane SRP family, the "
+        "1024-cell histogram rolls up to every coarser width (an "
+        "m-plane cell is a prefix of the 10-plane one), and each "
+        "candidate nlist reports occupied cells, the hottest cell, "
+        "balanced vs worst-case probe candidates at the matching "
+        "nprobe, centroid memory and scan fraction — the table you "
+        "read before choosing an ANN index width, with imbalance "
+        "measured on the actual data instead of assumed uniform."
+    ),
+)
+def sim_ivf_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-aware IVF sizing sweep over four nlist widths.
+
+    Scale notes (100 TB): one map-only signature projection + one
+    combining aggregate to <=1024 cells; every coarser level is a
+    rollup of that bounded table (prefix aggregation), so the sweep
+    costs one corpus pass regardless of how many widths it scores."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        S.hyperplane_signature("embedding", _IVFCM_MAX_BITS, _DIM).alias("sig")
+    )
+    c10 = sigs.groupBy(F.col("sig").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mm = e.sparkSession.createDataFrame(
+        [(m,) for m in _IVFCM_LEVELS], "m int"
+    )
+    lv = (
+        c10.crossJoin(F.broadcast(mm))
+        .groupBy("m", F.expr("substr(cell, 1, m)").alias("pc"))
+        .agg(F.sum("n").cast("bigint").alias("s"))
+    )
+    return lv.groupBy("m").agg(
+        F.expr("CAST(shiftleft(1L, m) AS BIGINT)").alias("nlist"),
+        F.expr(
+            "CAST(greatest(1L, shiftleft(1L, m) div 64) AS BIGINT)"
+        ).alias("nprobe"),
+        F.sum("s").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells_occupied"),
+        F.max("s").cast("bigint").alias("max_cell_rows"),
+        F.expr(
+            "CAST(greatest(1L, shiftleft(1L, m) div 64)"
+            " * (sum(s) div shiftleft(1L, m)) AS BIGINT)"
+        ).alias("balanced_candidates"),
+        F.expr(
+            "CAST(greatest(1L, shiftleft(1L, m) div 64) * max(s) AS BIGINT)"
+        ).alias("worst_candidates"),
+        F.expr(f"CAST(shiftleft(1L, m) * {_DIM} * 8 AS BIGINT)").alias(
+            "centroid_bytes"
+        ),
+        F.expr(
+            "CAST(greatest(1L, shiftleft(1L, m) div 64) * 1000000"
+            " div shiftleft(1L, m) AS BIGINT)"
+        ).alias("scan_ppm"),
+    ).select(
+        F.col("m").cast("bigint").alias("planes"),
+        "nlist",
+        "nprobe",
+        "n_vectors",
+        "n_cells_occupied",
+        "max_cell_rows",
+        "balanced_candidates",
+        "worst_candidates",
+        "centroid_bytes",
+        "scan_ppm",
+    )

@@ -5840,3 +5840,120 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     for other in outs[1:]:
         res = res.unionByName(other)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Moment mergeability audit (sufficient statistics vs averaged statistics)
+# ---------------------------------------------------------------------------
+
+_MMA_SHARDS = 8
+
+
+@register(
+    "agg_moments_merge_audit",
+    f"""
+    WITH shards AS (
+      SELECT l_orderkey % {_MMA_SHARDS} AS sh,
+             CAST(count(*) AS BIGINT)           AS n,
+             CAST(sum(q) AS BIGINT)             AS s1,
+             CAST(sum(q * q) AS BIGINT)         AS s2,
+             CAST(sum(q * q * q) AS BIGINT)     AS s3,
+             CAST(sum(q * q * q * q) AS BIGINT) AS s4
+      FROM (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem) t
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT sh, {_MOM_SKEW} AS skew_micro, {_MOM_KURT} AS kurt_micro
+      FROM shards
+    ),
+    pooled_sums AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s1) AS BIGINT) AS s1,
+             CAST(sum(s2) AS BIGINT) AS s2, CAST(sum(s3) AS BIGINT) AS s3,
+             CAST(sum(s4) AS BIGINT) AS s4
+      FROM shards
+    ),
+    pooled AS (
+      SELECT {_MOM_SKEW} AS skew_micro, {_MOM_KURT} AS kurt_micro
+      FROM pooled_sums
+    ),
+    naive AS (
+      SELECT CAST(sum(skew_micro) // count(*) AS BIGINT) AS skew_micro,
+             CAST(sum(kurt_micro) // count(*) AS BIGINT) AS kurt_micro,
+             CAST(count(*) AS BIGINT) AS n_shards
+      FROM per
+    )
+    SELECT 'skewness' AS stat, naive.n_shards,
+           pooled.skew_micro AS pooled_micro,
+           naive.skew_micro AS shard_mean_micro,
+           pooled.skew_micro - naive.skew_micro AS bias_micro
+    FROM pooled CROSS JOIN naive
+    UNION ALL
+    SELECT 'kurtosis_excess' AS stat, naive.n_shards,
+           pooled.kurt_micro, naive.kurt_micro,
+           pooled.kurt_micro - naive.kurt_micro
+    FROM pooled CROSS JOIN naive
+    """,
+    doc=(
+        "Mergeability audit for shape statistics: raw power sums "
+        "S1..S4 collected per shard merge EXACTLY into the pooled "
+        "skewness/kurtosis (the pooled row is computed from the "
+        "merged shard sums, never from re-reading the data), while "
+        "the tempting shortcut — averaging per-shard skewness — is "
+        "biased, and the bias_micro column quantifies it. The pin "
+        "that justifies shipping (n, S1..S4) as the shard-level "
+        "artifact of any distributed profiler, exactly as the sketch "
+        "mergeability audit does for distinct counts."
+    ),
+)
+def agg_moments_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled-from-sums vs averaged-per-shard skew/kurtosis.
+
+    Scale notes (100 TB): one combining aggregate reduces the fact to
+    |shards| rows of five BIGINTs each — the merge step is an
+    aggregate over those rows, so adding shards (days, files,
+    clusters) never touches the data again. Quantity is a small
+    integer, so S4 stays far inside BIGINT at any row count."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    shards = (
+        l.select(
+            (F.col("l_orderkey") % _MMA_SHARDS).alias("sh"),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        )
+        .groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(sum(q) AS BIGINT)").alias("s1"),
+            F.expr("CAST(sum(q * q) AS BIGINT)").alias("s2"),
+            F.expr("CAST(sum(q * q * q) AS BIGINT)").alias("s3"),
+            F.expr("CAST(sum(q * q * q * q) AS BIGINT)").alias("s4"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per = shards.select(
+        F.expr(_MOM_SKEW).alias("skew_micro"),
+        F.expr(_MOM_KURT).alias("kurt_micro"),
+    )
+    pooled_sums = shards.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("bigint").alias("s2"),
+        F.sum("s3").cast("bigint").alias("s3"),
+        F.sum("s4").cast("bigint").alias("s4"),
+    )
+    pooled = pooled_sums.select(
+        F.expr(_MOM_SKEW).alias("p_skew"),
+        F.expr(_MOM_KURT).alias("p_kurt"),
+    )
+    naive = per.agg(
+        F.expr("CAST(sum(skew_micro) div count(*) AS BIGINT)").alias("m_skew"),
+        F.expr("CAST(sum(kurt_micro) div count(*) AS BIGINT)").alias("m_kurt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    one = pooled.crossJoin(F.broadcast(naive))
+    return one.selectExpr(
+        "stack(2,"
+        " 'skewness', n_shards, p_skew, m_skew, p_skew - m_skew,"
+        " 'kurtosis_excess', n_shards, p_kurt, m_kurt, p_kurt - m_kurt"
+        ") AS (stat, n_shards, pooled_micro, shard_mean_micro, bias_micro)"
+    )
