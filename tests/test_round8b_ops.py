@@ -387,3 +387,206 @@ def test_hubness_edge_shares_sum(spark, registry):
     for r in rows:
         assert r["n_edges"] == r["k_occ"] * r["n_points"]
         assert r["edge_share_ppm"] == r["n_edges"] * 1000000 // 640
+
+
+# ------------------------------------------------ wave F third legs
+
+
+def test_moments_merge_audit_matches_python(spark, registry):
+    rows = {
+        r["stat"]: r
+        for r in registry["agg_moments_merge_audit"].spark(spark, SF).collect()
+    }
+    shards: dict[int, list] = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for _, r in _li().iterrows():
+        q = int(r["l_quantity"])
+        a = shards[int(r["l_orderkey"]) % 8]
+        a[0] += 1
+        for i, p in enumerate((q, q * q, q ** 3, q ** 4), start=1):
+            a[i] += p
+
+    def skew_kurt(n, s1, s2, s3, s4):
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        m4 = (
+            s4 / n
+            - 4.0 * mu * (s3 / n)
+            + 6.0 * mu * mu * (s2 / n)
+            - 3.0 * mu * mu * mu * mu
+        )
+        return (
+            math.floor(m3 / (m2 * math.sqrt(m2)) * 1000000),
+            math.floor((m4 / (m2 * m2) - 3.0) * 1000000),
+        )
+
+    per = [skew_kurt(*a) for a in shards.values()]
+    pooled = skew_kurt(*[sum(a[i] for a in shards.values()) for i in range(5)])
+    k = len(shards)
+
+    def int_div(a, b):  # both engines truncate toward zero
+        q, r = divmod(a, b)
+        return q + 1 if q < 0 and r else q
+
+    naive = (
+        int_div(sum(p[0] for p in per), k),
+        int_div(sum(p[1] for p in per), k),
+    )
+    sk, ku = rows["skewness"], rows["kurtosis_excess"]
+    assert (sk["pooled_micro"], sk["shard_mean_micro"]) == (pooled[0], naive[0])
+    assert (ku["pooled_micro"], ku["shard_mean_micro"]) == (pooled[1], naive[1])
+    assert sk["bias_micro"] == pooled[0] - naive[0]
+    # the audit is non-vacuous: averaging shard skewness is biased here
+    assert sk["bias_micro"] != 0 or ku["bias_micro"] != 0
+
+
+def test_ivf_cost_model_invariants(spark, registry):
+    rows = {
+        r["planes"]: r
+        for r in registry["sim_ivf_cost_model"].spark(spark, SF).collect()
+    }
+    assert set(rows) == {4, 6, 8, 10}
+    n = rows[4]["n_vectors"]
+    prev_cells = None
+    for m in (4, 6, 8, 10):
+        r = rows[m]
+        nlist = 1 << m
+        nprobe = max(1, nlist // 64)
+        assert r["n_vectors"] == n
+        assert r["nlist"] == nlist and r["nprobe"] == nprobe
+        assert r["scan_ppm"] == nprobe * 1000000 // nlist
+        assert r["centroid_bytes"] == nlist * 64 * 8
+        assert 1 <= r["n_cells_occupied"] <= min(nlist, n)
+        assert r["balanced_candidates"] == nprobe * (n // nlist)
+        assert r["worst_candidates"] == nprobe * r["max_cell_rows"]
+        assert r["worst_candidates"] >= r["balanced_candidates"]
+        if prev_cells is not None:  # coarser prefix can only merge cells
+            assert r["n_cells_occupied"] >= prev_cells
+        prev_cells = r["n_cells_occupied"]
+
+
+def test_span_corruption_matches_python(spark, registry):
+    import hashlib
+
+    got = {
+        r["lang"]: r
+        for r in registry["pipeline_span_corruption"].spark(spark, SF).collect()
+    }
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, tok, spans, masked, start
+    for _, d in _docs().iterrows():
+        n_tok = len(re.split(r"\s+", d["text"]))
+        a = agg[d["lang"]]
+        a[0] += 0 if n_tok >= 4 else 0
+        if n_tok < 4:
+            a[1] += 0
+            continue
+        n_spans = max(1, n_tok // 20)
+        sl = n_tok // n_spans
+        span_len = min(3, sl)
+        slots = sl - span_len + 1
+        a[0] += 1
+        a[1] += n_tok
+        a[2] += n_spans
+        a[3] += n_spans * min(3, n_tok // n_spans)
+        for k in range(1, n_spans + 1):
+            h = int(
+                hashlib.md5(f"{int(d['doc_id'])}:{k}".encode()).hexdigest()[:8],
+                16,
+            )
+            a[4] += h % slots
+    # docs with n_tok < 4 contribute nothing, including to n_tokens
+    for lang, row in got.items():
+        docs, tok, spans, masked, start = agg[lang]
+        assert row["n_docs"] == docs, lang
+        assert row["n_tokens"] == tok, lang
+        assert row["n_spans"] == spans, lang
+        assert row["masked_tokens"] == masked, lang
+        assert row["mask_ratio_ppm"] == masked * 1000000 // tok, lang
+        assert row["start_checksum"] == start, lang
+        # corruption rate lands near the 15% design target
+        assert 80000 <= row["mask_ratio_ppm"] <= 200000, lang
+
+
+def test_rolling_wau_bitmap_matches_python_sets(spark, registry):
+    got = {
+        r["day_idx"]: r
+        for r in registry["events_rolling_wau_bitmap"].spark(spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    by_day: dict[int, set] = defaultdict(set)
+    for _, r in ev.iterrows():
+        by_day[(r["ts"].normalize() - epoch).days].add(int(r["user_id"]))
+    assert set(got) == set(by_day)
+    for d, users in by_day.items():
+        wau = set().union(
+            *(by_day.get(x, set()) for x in range(d - 6, d + 1))
+        )
+        assert got[d]["dau"] == len(users), d
+        assert got[d]["wau7"] == len(wau), d
+        assert got[d]["stickiness_ppm"] == len(users) * 1000000 // len(wau)
+
+
+def test_filter_lm_impact_matches_python(spark, registry):
+    got = {
+        r["lang"]: r
+        for r in registry["pipeline_filter_lm_impact"].spark(spark, SF).collect()
+    }
+    models = {"raw": [Counter(), Counter()], "flt": [Counter(), Counter()]}
+    ev: dict = defaultdict(Counter)
+    n_train = n_kept = 0
+    for _, d in _docs().iterrows():
+        t = [x for x in re.split(r"\s+", d["text"].lower()) if x]
+        n_tok, sum_len, n_dist = len(t), sum(len(x) for x in t), len(set(t))
+        keep = (
+            20 <= n_tok <= 80
+            and 3 * n_tok <= sum_len <= 8 * n_tok
+            and 2 * n_dist >= n_tok
+        )
+        bigrams = list(zip(t[:-1], t[1:]))
+        if d["doc_id"] % 2 == 0:
+            n_train += 1
+            n_kept += keep
+            for name in ("raw",) + (("flt",) if keep else ()):
+                models[name][0].update(bigrams)
+                models[name][1].update(t)
+        else:
+            ev[d["lang"]].update(bigrams)
+
+    def xent(lang, cb, cu):
+        v = len(cu)
+        n = s = 0
+        for (w1, w2), cnt in ev[lang].items():
+            w = math.floor(
+                math.log(
+                    (float(cb.get((w1, w2), 0)) + 1.0)
+                    / (float(cu.get(w1, 0)) + float(v))
+                )
+                * 1000000
+            )
+            n += cnt
+            s += cnt * w
+        return n, (-s) // n
+
+    for lang, row in got.items():
+        n, raw = xent(lang, *models["raw"])
+        _, flt = xent(lang, *models["flt"])
+        assert row["n_bigrams"] == n, lang
+        assert row["xent_raw_micro"] == raw, lang
+        assert row["xent_filtered_micro"] == flt, lang
+        assert row["delta_micro"] == flt - raw, lang
+        assert row["n_train_docs"] == n_train
+        assert row["n_kept_docs"] == n_kept
+
+
+def test_wave_f_plan_shapes(spark, registry):
+    for name, tbl, want in [
+        # shard sums are checkpointed -> the returned plan reads the
+        # materialized 8-row artifact, not the fact
+        ("agg_moments_merge_audit", "lineitem", 0),
+        ("sim_ivf_cost_model", "embeddings", 1),
+        ("pipeline_span_corruption", "documents", 1),
+        ("events_rolling_wau_bitmap", "events", 1),
+    ]:
+        txt = plan_of(registry[name].spark(spark, SF))
+        assert txt.count(f"{tbl}.parquet") == want, name
