@@ -88,7 +88,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # graph_hits_bipartite, orders_rank_volatility,
     # agg_moments_merge_audit, sim_ivf_cost_model,
     # pipeline_span_corruption, events_rolling_wau_bitmap,
-    # pipeline_filter_lm_impact,
+    # pipeline_filter_lm_impact, streaming_bitmap_dau,
+    # pipeline_preference_pairs, window_rolling_regression,
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

@@ -2805,3 +2805,129 @@ def pipeline_filter_lm_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair mining (DPO/RLHF data prep: chosen vs rejected per group)
+# ---------------------------------------------------------------------------
+
+_PREF_BUCKET_TOKENS = 25
+_PREF_MIN_GAP_PPM = 100000  # demand a 10-point quality gap
+
+
+@register(
+    "pipeline_preference_pairs",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+               AS score_ppm
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents) d
+    ),
+    g AS (
+      SELECT lang, n_tok // {_PREF_BUCKET_TOKENS} AS len_bucket,
+             doc_id, score_ppm,
+             row_number() OVER (PARTITION BY lang, n_tok // {_PREF_BUCKET_TOKENS}
+                                ORDER BY score_ppm DESC, doc_id) AS rn_hi,
+             row_number() OVER (PARTITION BY lang, n_tok // {_PREF_BUCKET_TOKENS}
+                                ORDER BY score_ppm ASC, doc_id) AS rn_lo,
+             CAST(count(*) OVER (PARTITION BY lang,
+                                 n_tok // {_PREF_BUCKET_TOKENS}) AS BIGINT)
+               AS n_docs
+      FROM m
+    )
+    SELECT hi.lang, CAST(hi.len_bucket AS BIGINT) AS len_bucket, hi.n_docs,
+           hi.doc_id AS chosen_doc, lo.doc_id AS rejected_doc,
+           hi.score_ppm AS chosen_score_ppm,
+           lo.score_ppm AS rejected_score_ppm,
+           hi.score_ppm - lo.score_ppm AS gap_ppm
+    FROM (SELECT * FROM g WHERE rn_hi = 1) hi
+    JOIN (SELECT * FROM g WHERE rn_lo = 1) lo
+      ON hi.lang = lo.lang AND hi.len_bucket = lo.len_bucket
+    WHERE hi.n_docs >= 2
+      AND hi.score_ppm - lo.score_ppm >= {_PREF_MIN_GAP_PPM}
+    """,
+    doc=(
+        "Preference-pair mining for DPO/reward-model data prep: within "
+        "each (language, length-bucket) group the highest- and lowest-"
+        "quality documents (lexical-diversity score, deterministic "
+        "doc_id tie-break) become the chosen/rejected pair, emitted "
+        "only when the quality gap clears a margin — pairs with tiny "
+        "gaps teach a preference model noise. Grouping by length "
+        "bucket keeps the contrast about QUALITY rather than length, "
+        "the classic confounder in preference data."
+    ),
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chosen/rejected doc pairs per (lang, length-bucket).
+
+    Scale notes (100 TB): one scan projects the per-doc score; both
+    rank windows share the same group partitioning (one shuffle), and
+    the pair join runs on |groups| rows. At web scale the same shape
+    emits top-k/bottom-k per group instead of 1/1 — same windows,
+    higher rn cutoff."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    )
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(t) AS BIGINT)").alias("n_tok"),
+        F.expr(
+            "CAST(size(array_distinct(t)) * 1000000 div size(t) AS BIGINT)"
+        ).alias("score_ppm"),
+    ).withColumn(
+        "len_bucket", F.expr(f"n_tok div {_PREF_BUCKET_TOKENS}")
+    )
+    part = Window.partitionBy("lang", "len_bucket")
+    g = m.select(
+        "lang",
+        "len_bucket",
+        "doc_id",
+        "score_ppm",
+        F.row_number()
+        .over(part.orderBy(F.desc("score_ppm"), F.asc("doc_id")))
+        .alias("rn_hi"),
+        F.row_number()
+        .over(part.orderBy(F.asc("score_ppm"), F.asc("doc_id")))
+        .alias("rn_lo"),
+        F.count(F.lit(1)).over(part).cast("bigint").alias("n_docs"),
+    )
+    hi = g.filter("rn_hi = 1").select(
+        "lang", "len_bucket", "n_docs",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score_ppm").alias("chosen_score_ppm"),
+    )
+    lo = g.filter("rn_lo = 1").select(
+        F.col("lang").alias("l2"), F.col("len_bucket").alias("b2"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score_ppm").alias("rejected_score_ppm"),
+    )
+    return (
+        hi.join(lo, (hi.lang == lo.l2) & (hi.len_bucket == lo.b2))
+        .filter(
+            (F.col("n_docs") >= 2)
+            & (
+                F.col("chosen_score_ppm") - F.col("rejected_score_ppm")
+                >= _PREF_MIN_GAP_PPM
+            )
+        )
+        .select(
+            "lang",
+            F.col("len_bucket").cast("bigint").alias("len_bucket"),
+            "n_docs",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_score_ppm",
+            "rejected_score_ppm",
+            (F.col("chosen_score_ppm") - F.col("rejected_score_ppm")).alias(
+                "gap_ppm"
+            ),
+        )
+    )

@@ -1569,3 +1569,108 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("__gap_us div 1000000").cast("bigint").alias("abs_gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS regression slope inside a window frame (trend per group)
+# ---------------------------------------------------------------------------
+
+_RREG_DAYS = 7
+
+#: OLS slope over the frame's (day, daily-cents) points, milli-cents
+#: per day — pure integer arithmetic over frame sums, so the window
+#: never touches floats. Day indexes are rebased to the table minimum,
+#: keeping every cross-product term tiny at any epoch.
+_RREG_SLOPE = (
+    "CAST((n * sxy - sx * sy) * 1000 {d} (n * sxx - sx * sx) AS BIGINT)"
+)
+
+
+@register(
+    "window_rolling_regression",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    rebased AS (
+      SELECT event_type,
+             day_idx - (SELECT min(day_idx) FROM daily) AS d,
+             day_idx, cents
+      FROM daily
+    ),
+    frames AS (
+      SELECT event_type, day_idx,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(d) OVER w AS BIGINT) AS sx,
+             CAST(sum(cents) OVER w AS BIGINT) AS sy,
+             CAST(sum(d * cents) OVER w AS BIGINT) AS sxy,
+             CAST(sum(d * d) OVER w AS BIGINT) AS sxx
+      FROM rebased
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN {_RREG_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx, n AS n_days,
+           {_RREG_SLOPE.format(d='//')} AS slope_milli
+    FROM frames WHERE n >= 3 AND n * sxx - sx * sx > 0
+    """,
+    doc=(
+        "Rolling ordinary-least-squares trend inside a real window "
+        "frame: per event type, the revenue slope (milli-cents/day) "
+        "over each trailing 7-day RANGE window, computed from five "
+        "integer frame sums — the regression never leaves the window "
+        "operator, so there is no self-join, no explode, and no float "
+        "drift. The day axis is rebased to the table minimum so the "
+        "cross products stay small at any epoch; frames with fewer "
+        "than 3 days or zero x-variance are suppressed on both sides."
+    ),
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day OLS slope per event type from frame sums.
+
+    Scale notes (100 TB): the fact collapses to |types| x |days| daily
+    cells first; the frame windows run over that bounded table keyed
+    per type. The same five-sum trick gives rolling slope over ANY
+    grain — swap the partition and frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day_idx"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    dmin = daily.agg(F.min("day_idx").alias("d0"))
+    rebased = daily.crossJoin(F.broadcast(dmin)).select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.expr("day_idx - d0").alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-(_RREG_DAYS - 1), 0)
+    )
+    frames = rebased.select(
+        "event_type",
+        "day_idx",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("d").over(w).cast("bigint").alias("sx"),
+        F.sum("cents").over(w).cast("bigint").alias("sy"),
+        F.sum(F.expr("d * cents")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.expr("d * d")).over(w).cast("bigint").alias("sxx"),
+    )
+    return frames.filter("n >= 3 AND n * sxx - sx * sx > 0").select(
+        "event_type",
+        "day_idx",
+        F.col("n").alias("n_days"),
+        F.expr(_RREG_SLOPE.format(d="div")).alias("slope_milli"),
+    )

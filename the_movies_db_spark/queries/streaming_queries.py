@@ -532,3 +532,97 @@ def streaming_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = E.run_available_now(agg, output_mode="append")
     return E.to_ntz(out, "window_start")
+
+
+@register(
+    "streaming_bitmap_dau",
+    """
+    SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS day_idx,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id // 32) AS BIGINT) AS n_words
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Streaming maintenance of the day/user-word activity bitmaps: "
+        "the events stream replays in 4 micro-batches and foreachBatch "
+        "OR-merges each batch's 32-bit words into a versioned parquet "
+        "bitmap table (bit_or is idempotent AND associative, so the "
+        "merge needs no audit column and tolerates replayed rows — the "
+        "property that makes bitmap sketches the right exactly-once-"
+        "free streaming cardinality state). The final popcount per day "
+        "must equal the batch COUNT(DISTINCT) exactly."
+    ),
+)
+def streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table, scratch_dir
+
+    work = scratch_dir("bmdau")
+    src = f"{work}/src"
+    target = f"{work}/bitmaps"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def maintain(batch_df, batch_id: int) -> None:
+        import os
+
+        from the_movies_db_spark.upsert import (
+            _commit_version,
+            _current_version,
+            _next_version_name,
+            read_table,
+            vacuum_table,
+        )
+
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT)"
+            ).alias("day_idx"),
+            F.expr("user_id div 32").alias("wid"),
+        ).agg(
+            F.expr(
+                "CAST(bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
+                " AS BIGINT)"
+            ).alias("bits")
+        )
+        if os.path.exists(target) and _current_version(target) is not None:
+            cur = read_table(s, target)
+            merged = (
+                cur.withColumnRenamed("bits", "__old")
+                .join(delta.withColumnRenamed("bits", "__new"),
+                      ["day_idx", "wid"], "full_outer")
+                .select(
+                    "day_idx",
+                    "wid",
+                    F.expr(
+                        "coalesce(__old, 0L) | coalesce(__new, 0L)"
+                    ).alias("bits"),
+                )
+            )
+        else:
+            merged = delta
+        version = _next_version_name(target)
+        merged.write.mode("overwrite").parquet(os.path.join(target, version))
+        _commit_version(target, version)
+        vacuum_table(target, keep=1)
+
+    E.run_foreach_batch_available_now(stream, maintain)
+    from the_movies_db_spark.upsert import read_table
+
+    return (
+        read_table(spark, target)
+        .groupBy("day_idx")
+        .agg(
+            F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("dau"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
