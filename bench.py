@@ -37,12 +37,10 @@ HEADLINE = [
     # story is still open; retired queries remain oracle-gated)
     "q03_shipping_priority",
     "q05_local_supplier",
-    "q10_returned_items",
     "q07_volume_shipping",
     "q21_latest_shipper",
     "agg_percentiles",
     "window_running_total",
-    "events_sessionize",
     # reference-parity pipeline ops
     "upsert_merge",
     "upsert_keep_latest",
@@ -50,7 +48,6 @@ HEADLINE = [
     # same rationale)
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "sim_topk_bruteforce",
     "sim_topk_lsh",
     "text_tfidf_topk",
     "streaming_tumbling",
@@ -67,7 +64,6 @@ HEADLINE = [
     "sim_topk_ivfpq",
     "sim_topk_pq",
     "dedup_semantic_lsh",
-    "search_index_persisted",
     "dedup_source_overlap",
     "sim_topk_lsh_multiprobe",
     # round-4 closers: hybrid retrieval, MRL ANN, basket mining, streaks
@@ -93,7 +89,6 @@ HEADLINE = [
     # flat sub-0.45 s honest medians, still oracle-gated every round)
     "search_ndcg_eval",
     "search_hard_negatives",
-    "pipeline_importance_dsir",
     "text_bigram_logprob",
     # round-6: the 10 most expensive round-5 additions (probe-measured
     # ranking in the round-5 verdict) so BENCH carries their medians
@@ -122,8 +117,6 @@ HEADLINE = [
     "orders_survival_km",
     "sim_knn_graph_stats",
     "search_rank_agreement",
-    "dq_mahalanobis_diag",
-    "text_postings_compress",
     # round-8: the two heaviest round-7 queries landed AFTER BENCH_r07
     # was recorded (verdict item 5) — sketch mergeability audit was the
     # round's slowest new query (5.7 s single-shot). Retired as flat
@@ -132,6 +125,19 @@ HEADLINE = [
     # orders_theilsen_trend.
     "dedup_sketch_merge_audit",
     "events_forecast_backtest",
+    # round-8: the heaviest new additions (x16-probe 1x ranking in
+    # scripts/probe_r8*_16x.out). Retired as flat with closed perf
+    # stories (multi-round-flat honest medians, plan-pinned, all still
+    # oracle-gated every round): q10_returned_items, events_sessionize,
+    # sim_topk_bruteforce, search_index_persisted, dq_mahalanobis_diag,
+    # text_postings_compress, pipeline_importance_dsir.
+    "graph_adamic_adar",
+    "pipeline_filter_lm_impact",
+    "sim_hubness_audit",
+    "graph_label_propagation",
+    "sim_ivf_cost_model",
+    "graph_hits_bipartite",
+    "dedup_lsh_cost_model",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
