@@ -590,3 +590,87 @@ def test_wave_f_plan_shapes(spark, registry):
     ]:
         txt = plan_of(registry[name].spark(spark, SF))
         assert txt.count(f"{tbl}.parquet") == want, name
+
+
+# ------------------------------------------------ wave G third legs
+
+
+def test_streaming_bitmap_dau_matches_sets(spark, registry):
+    got = {
+        r["day_idx"]: r
+        for r in registry["streaming_bitmap_dau"].spark(spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    by_day: dict[int, set] = defaultdict(set)
+    for _, r in ev.iterrows():
+        by_day[(r["ts"].normalize() - epoch).days].add(int(r["user_id"]))
+    assert set(got) == set(by_day)
+    for d, users in by_day.items():
+        assert got[d]["dau"] == len(users), d
+        assert got[d]["n_words"] == len({u // 32 for u in users}), d
+
+
+def test_preference_pairs_match_python(spark, registry):
+    got = {
+        (r["lang"], r["len_bucket"]): r
+        for r in registry["pipeline_preference_pairs"].spark(spark, SF).collect()
+    }
+    groups: dict = defaultdict(list)
+    for _, d in _docs().iterrows():
+        t = [x for x in re.split(r"\s+", d["text"].lower()) if x]
+        score = len(set(t)) * 1000000 // len(t)
+        groups[(d["lang"], len(t) // 25)].append((score, int(d["doc_id"])))
+    want = {}
+    for key, docs in groups.items():
+        if len(docs) < 2:
+            continue
+        hi = max(docs, key=lambda p: (p[0], -p[1]))
+        lo = min(docs, key=lambda p: (p[0], p[1]))
+        if hi[0] - lo[0] >= 100000:
+            want[key] = (hi, lo, len(docs))
+    assert set(got) == set(want)
+    for key, (hi, lo, n) in want.items():
+        row = got[key]
+        assert (row["chosen_doc"], row["chosen_score_ppm"]) == (hi[1], hi[0])
+        assert (row["rejected_doc"], row["rejected_score_ppm"]) == (
+            lo[1], lo[0]
+        )
+        assert row["n_docs"] == n
+        assert row["gap_ppm"] == hi[0] - lo[0]
+
+
+def test_rolling_regression_matches_python(spark, registry):
+    got = {
+        (r["event_type"], r["day_idx"]): r
+        for r in registry["window_rolling_regression"].spark(spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    daily: dict = defaultdict(int)
+    for _, r in ev.iterrows():
+        d = (r["ts"].normalize() - epoch).days
+        daily[(r["event_type"], d)] += round(r["value"] * 100)
+    d0 = min(d for _, d in daily)
+    by_type: dict = defaultdict(dict)
+    for (t, d), cents in daily.items():
+        by_type[t][d - d0] = cents
+    want = {}
+    for t, series in by_type.items():
+        for d, _ in series.items():
+            pts = [(x, series[x]) for x in range(d - 6, d + 1) if x in series]
+            n = len(pts)
+            sx = sum(x for x, _ in pts)
+            sy = sum(y for _, y in pts)
+            sxy = sum(x * y for x, y in pts)
+            sxx = sum(x * x for x, _ in pts)
+            den = n * sxx - sx * sx
+            if n >= 3 and den > 0:
+                num = (n * sxy - sx * sy) * 1000
+                q, r_ = divmod(num, den)
+                if q < 0 and r_:  # both engines truncate toward zero
+                    q += 1
+                want[(t, d + d0)] = q
+    assert set(got) == set(want)
+    for key, slope in want.items():
+        assert got[key]["slope_milli"] == slope, key
