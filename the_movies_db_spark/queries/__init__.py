@@ -90,6 +90,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pipeline_span_corruption, events_rolling_wau_bitmap,
     # pipeline_filter_lm_impact, streaming_bitmap_dau,
     # pipeline_preference_pairs, window_rolling_regression,
+    # events_attribution_shapley, graph_modularity_score,
+    # dq_candidate_keys, sim_srp_bit_balance,
+    # -- round-8 registrations CLOSED at the 34 cap: the round-9
+    #    window is exactly these 50 names; register round-9 work to a
+    #    NEW round-10 queue comment --
     #
     # -- first 50 of the round-8 queue, in listed order --------------------
     # (29 round-6 tail names)

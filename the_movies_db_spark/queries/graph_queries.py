@@ -1005,6 +1005,69 @@ def _lpa_round_sql(prev: str, out: str) -> str:
     )"""
 
 
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA state: (edges, und, labels-after-_LPA_ROUNDS).
+
+    The edge list is customer-bounded (top-2 pivot over a
+    customer-keyed window) and eagerly checkpointed once, so the
+    rounds iterate over the supplier-grain edge table — never the
+    fact. Used by graph_label_propagation (community sizes) and
+    graph_modularity_score (partition quality)."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    spend = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust.select("c_custkey", "c_nationkey"), o.o_custkey == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("sp")
+        )
+    )
+    rk = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("sp"), F.asc("s"))
+        ),
+    )
+    a = rk.filter("rn = 1").select("c", F.col("s").alias("s1"))
+    b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    edges = (
+        a.join(b, a.c == b.c2)
+        .select(
+            F.least("s1", "s2").alias("sa"),
+            F.greatest("s1", "s2").alias("sb"),
+        )
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionAll(edges.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").cast("bigint").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        labels = cnt.groupBy(F.col("src").alias("id")).agg(
+            F.expr(
+                f"CAST({_LPA_M} - 1 - (max(cnt * {_LPA_M}"
+                f" + ({_LPA_M} - 1 - lbl)) % {_LPA_M}) AS BIGINT)"
+            ).alias("lbl")
+        )
+    return edges, und, labels
+
+
 @register(
     "graph_label_propagation",
     f"""
@@ -1058,65 +1121,12 @@ def _lpa_round_sql(prev: str, out: str) -> str:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top communities after fixed-round synchronous LPA.
 
-    Scale notes (100 TB): the edge list is customer-bounded (top-2
-    pivot over a customer-keyed window) and eagerly checkpointed once,
-    so the three rounds iterate over the supplier-grain edge table —
-    never the fact. Each round = one equi-join on node id + two
-    combining aggregates; rounds are fixed (no convergence collect).
-    At billion-node scale the same loop holds with the packed-label
-    base widened or swapped for a struct max."""
-    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
-    o = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    spend = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(cust.select("c_custkey", "c_nationkey"), o.o_custkey == F.col("c_custkey"))
-        .join(supp.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(
-            F.sum(
-                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
-            ).cast("bigint").alias("sp")
-        )
-    )
-    rk = spend.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("c").orderBy(F.desc("sp"), F.asc("s"))
-        ),
-    )
-    a = rk.filter("rn = 1").select("c", F.col("s").alias("s1"))
-    b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("s2"))
-    edges = (
-        a.join(b, a.c == b.c2)
-        .select(
-            F.least("s1", "s2").alias("sa"),
-            F.greatest("s1", "s2").alias("sb"),
-        )
-        .distinct()
-    )
-    und = (
-        edges.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-        .unionAll(edges.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    labels = und.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").cast("bigint").alias("lbl")
-    )
-    for _ in range(_LPA_ROUNDS):
-        cnt = (
-            und.join(labels, und.dst == labels.id)
-            .groupBy("src", "lbl")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-        labels = cnt.groupBy(F.col("src").alias("id")).agg(
-            F.expr(
-                f"CAST({_LPA_M} - 1 - (max(cnt * {_LPA_M}"
-                f" + ({_LPA_M} - 1 - lbl)) % {_LPA_M}) AS BIGINT)"
-            ).alias("lbl")
-        )
+    Scale notes (100 TB): see _lpa_labels — each round is one
+    equi-join on node id plus two combining aggregates over the
+    customer-bounded edge list; rounds are fixed (no convergence
+    collect). At billion-node scale the same loop holds with the
+    packed-label base widened or swapped for a struct max."""
+    _, _, labels = _lpa_labels(spark, sf_dir)
     sizes = (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -1259,3 +1269,145 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy(F.desc("authority_ppm"), F.asc("supplier"))
     return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA partition (community quality, integer-exact)
+# ---------------------------------------------------------------------------
+
+_MOD_TOP = 10
+
+
+@register(
+    "graph_modularity_score",
+    f"""
+    WITH spend AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sp
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT c, s,
+             row_number() OVER (PARTITION BY c ORDER BY sp DESC, s) AS rn
+      FROM spend
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+      FROM rk a JOIN rk b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+    ), und AS MATERIALIZED (
+      SELECT sa AS src, sb AS dst FROM edges
+      UNION ALL
+      SELECT sb AS src, sa AS dst FROM edges
+    ), l0 AS (
+      SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS lbl FROM und
+    ), {', '.join(_lpa_round_sql(f'l{i}', f'l{i + 1}') for i in range(_LPA_ROUNDS))},
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    comm AS (
+      SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS degree_sum
+      FROM l{_LPA_ROUNDS} l JOIN deg d ON l.id = d.id GROUP BY 1
+    ),
+    intra AS (
+      SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_c
+      FROM edges e
+      JOIN l{_LPA_ROUNDS} la ON e.sa = la.id
+      JOIN l{_LPA_ROUNDS} lb ON e.sb = lb.id
+      WHERE la.lbl = lb.lbl GROUP BY 1
+    ),
+    contrib AS (
+      SELECT c.community, c.n_nodes,
+             CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+             c.degree_sum,
+             CAST(coalesce(i.e_c, 0) * 1000000 // mm.m
+                  - (c.degree_sum * 1000 // (2 * mm.m))
+                    * (c.degree_sum * 1000 // (2 * mm.m)) AS BIGINT)
+               AS contribution_ppm
+      FROM comm c LEFT JOIN intra i ON c.community = i.community
+      CROSS JOIN mm
+    ),
+    top AS (
+      SELECT * FROM contrib
+      ORDER BY contribution_ppm DESC, community LIMIT {_MOD_TOP}
+    )
+    SELECT community, n_nodes, intra_edges, degree_sum, contribution_ppm
+    FROM top
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(sum(n_nodes) AS BIGINT),
+           CAST(sum(intra_edges) AS BIGINT),
+           CAST(sum(degree_sum) AS BIGINT),
+           CAST(sum(contribution_ppm) AS BIGINT)
+    FROM contrib
+    """,
+    doc=(
+        "Newman modularity of the LPA partition — the quality metric "
+        "that closes the community-detection loop: per community, "
+        "intra-edge share minus the squared degree fraction (degree "
+        "fractions truncated to milli so the squares are exact ppm "
+        "integers in both engines), top-10 contributors plus the "
+        "community=-1 total row whose contribution_ppm IS the graph's "
+        "modularity Q. Positive Q validates the partition; Q near 0 "
+        "says the labels are no better than random wiring."
+    ),
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contributions + the Q total row.
+
+    Scale notes (100 TB): reuses _lpa_labels' checkpointed edge list
+    (zero fact scans in the returned plan); degrees, community sums
+    and intra-edge counts are node/edge-grain equi-joins, and the
+    modularity arithmetic runs over |communities| rows."""
+    edges, und, labels = _lpa_labels(spark, sf_dir)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    mm = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    comm = (
+        labels.join(deg, "id")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("id").alias("sa"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("id").alias("sb"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.join(la, "sa")
+        .join(lb, "sb")
+        .filter("la = lb")
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    contrib = (
+        comm.join(intra, "community", "left_outer")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.expr("CAST(coalesce(e_c, 0) AS BIGINT)").alias("intra_edges"),
+            "degree_sum",
+            F.expr(
+                "CAST(coalesce(e_c, 0) * 1000000 div m"
+                " - (degree_sum * 1000 div (2 * m))"
+                "   * (degree_sum * 1000 div (2 * m)) AS BIGINT)"
+            ).alias("contribution_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    top = contrib.orderBy(
+        F.desc("contribution_ppm"), F.asc("community")
+    ).limit(_MOD_TOP)
+    total = contrib.agg(
+        F.lit(-1).cast("bigint").alias("community"),
+        F.sum("n_nodes").cast("bigint").alias("n_nodes"),
+        F.sum("intra_edges").cast("bigint").alias("intra_edges"),
+        F.sum("degree_sum").cast("bigint").alias("degree_sum"),
+        F.sum("contribution_ppm").cast("bigint").alias("contribution_ppm"),
+    )
+    return top.unionByName(total)

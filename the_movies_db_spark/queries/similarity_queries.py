@@ -3388,3 +3388,161 @@ def sim_ivf_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_bytes",
         "scan_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP hash-family health audit: per-plane balance + worst pair correlation
+# ---------------------------------------------------------------------------
+
+_SBB_PLANES = 16
+
+
+@register(
+    "sim_srp_bit_balance",
+    f"""
+    WITH sigs AS (
+      SELECT {_sig_expr(_SBB_PLANES).format(v="embedding")} AS sig
+      FROM embeddings
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sigs),
+    bal AS (
+      SELECT p.p AS plane,
+             CAST(sum(CASE WHEN substr(sig, p.p, 1) = '1'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ones
+      FROM sigs CROSS JOIN
+           (SELECT CAST(unnest(range(1, {_SBB_PLANES} + 1)) AS BIGINT) AS p) p
+      GROUP BY 1
+    ),
+    agree AS (
+      SELECT pq.p, pq.q,
+             CAST(sum(CASE WHEN substr(sig, pq.p, 1) = substr(sig, pq.q, 1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS eq
+      FROM sigs CROSS JOIN (
+        SELECT a.p, b.q
+        FROM (SELECT CAST(unnest(range(1, {_SBB_PLANES} + 1)) AS BIGINT) AS p) a,
+             (SELECT CAST(unnest(range(1, {_SBB_PLANES} + 1)) AS BIGINT) AS q) b
+        WHERE a.p < b.q
+      ) pq
+      GROUP BY 1, 2
+    ),
+    corr AS (
+      SELECT p AS plane, q AS partner,
+             CAST(abs(2 * eq - nn.n) * 1000000 // nn.n AS BIGINT) AS corr_ppm
+      FROM agree CROSS JOIN nn
+      UNION ALL
+      SELECT q, p, CAST(abs(2 * eq - nn.n) * 1000000 // nn.n AS BIGINT)
+      FROM agree CROSS JOIN nn
+    ),
+    worst AS (
+      SELECT plane,
+             CAST(max(corr_ppm * 100 + partner) // 100 AS BIGINT)
+               AS worst_corr_ppm,
+             CAST(max(corr_ppm * 100 + partner) % 100 AS BIGINT)
+               AS worst_partner
+      FROM corr GROUP BY 1
+    )
+    SELECT bal.plane, nn.n AS n_vectors, bal.ones,
+           CAST(bal.ones * 1000000 // nn.n AS BIGINT) AS balance_ppm,
+           worst.worst_partner, worst.worst_corr_ppm
+    FROM bal JOIN worst ON bal.plane = worst.plane CROSS JOIN nn
+    """,
+    doc=(
+        "Health audit of the SRP hyperplane family every LSH/Hamming "
+        "index in this repo hashes with: per-plane bit balance (a "
+        "plane far from 50/50 wastes a bit of the signature) and each "
+        "plane's most-correlated partner (|2*agreement - n|/n — "
+        "correlated planes make bucket collisions non-independent, "
+        "silently degrading the banding guarantees the LSH cost model "
+        "assumes). The argmax partner rides a packed-integer max; all "
+        "ratios are exact integer ppm."
+    ),
+)
+def sim_srp_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-plane balance + worst-pair correlation of SRP signatures.
+
+    Scale notes (100 TB): one map-only signature pass; the balance
+    and pair-agreement expansions are per-row HOF explodes that
+    collapse into 16 and 120 cells map-side — the shuffle moves
+    |planes|^2 rows regardless of corpus size. At extreme scale the
+    same audit runs on a uniform sample (hash-family health is a
+    distributional property)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        S.hyperplane_signature("embedding", _SBB_PLANES, _DIM).alias("sig")
+    ).localCheckpoint(eager=False)
+    nn = sigs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bal = (
+        sigs.select(
+            F.explode(F.expr(f"sequence(1, {_SBB_PLANES})")).alias("p"),
+            "sig",
+        )
+        .groupBy(F.col("p").cast("bigint").alias("plane"))
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN substr(sig, p, 1) = '1'"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("ones")
+        )
+    )
+    pq = (
+        sigs.select(
+            F.explode(F.expr(f"sequence(1, {_SBB_PLANES})")).alias("p"),
+            "sig",
+        )
+        .select(
+            "p",
+            F.explode(F.expr(f"sequence(1, {_SBB_PLANES})")).alias("q"),
+            "sig",
+        )
+        .filter("p < q")
+    )
+    agree = pq.groupBy(
+        F.col("p").cast("bigint").alias("p"),
+        F.col("q").cast("bigint").alias("q"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN substr(sig, p, 1) = substr(sig, q, 1)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("eq")
+    )
+    corr = (
+        agree.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("p").alias("plane"),
+            F.col("q").alias("partner"),
+            F.expr(
+                "CAST(abs(2 * eq - n) * 1000000 div n AS BIGINT)"
+            ).alias("corr_ppm"),
+        )
+        .unionAll(
+            agree.crossJoin(F.broadcast(nn)).select(
+                F.col("q").alias("plane"),
+                F.col("p").alias("partner"),
+                F.expr(
+                    "CAST(abs(2 * eq - n) * 1000000 div n AS BIGINT)"
+                ).alias("corr_ppm"),
+            )
+        )
+    )
+    worst = corr.groupBy("plane").agg(
+        F.expr(
+            "CAST(max(corr_ppm * 100 + partner) div 100 AS BIGINT)"
+        ).alias("worst_corr_ppm"),
+        F.expr(
+            "CAST(max(corr_ppm * 100 + partner) % 100 AS BIGINT)"
+        ).alias("worst_partner"),
+    )
+    return (
+        bal.join(worst, "plane")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "plane",
+            F.col("n").alias("n_vectors"),
+            "ones",
+            F.expr("CAST(ones * 1000000 div n AS BIGINT)").alias(
+                "balance_ppm"
+            ),
+            "worst_partner",
+            "worst_corr_ppm",
+        )
+    )

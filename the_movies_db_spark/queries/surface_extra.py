@@ -5957,3 +5957,119 @@ def agg_moments_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'kurtosis_excess', n_shards, p_kurt, m_kurt, p_kurt - m_kurt"
         ") AS (stat, n_shards, pooled_micro, shard_mean_micro, bias_micro)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery (TANE-style level-wise lattice with pruning)
+# ---------------------------------------------------------------------------
+
+_CK_COLS = (
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+)
+
+
+def _ck_oracle() -> str:
+    singles = " UNION ALL ".join(
+        f"SELECT '{c}' AS combo, CAST(count(DISTINCT {c}) AS BIGINT) AS nd"
+        " FROM orders"
+        for c in _CK_COLS
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT '{a}+{b}' AS combo, '{a}' AS ca, '{b}' AS cb,"
+        f" CAST(count(DISTINCT ({a}, {b})) AS BIGINT) AS nd FROM orders"
+        for i, a in enumerate(_CK_COLS)
+        for b in _CK_COLS[i + 1:]
+    )
+    return f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    s AS ({singles}),
+    p AS ({pairs})
+    SELECT combo, CAST(1 AS BIGINT) AS n_cols, nd AS n_distinct, nn.n AS n_rows,
+           CAST(CASE WHEN nd = nn.n THEN 1 ELSE 0 END AS BIGINT) AS is_key,
+           CAST(nd * 1000000 // nn.n AS BIGINT) AS uniqueness_ppm
+    FROM s CROSS JOIN nn
+    UNION ALL
+    SELECT p.combo, CAST(2 AS BIGINT), p.nd, nn.n,
+           CAST(CASE WHEN p.nd = nn.n THEN 1 ELSE 0 END AS BIGINT),
+           CAST(p.nd * 1000000 // nn.n AS BIGINT)
+    FROM p
+    JOIN s sa ON sa.combo = p.ca
+    JOIN s sb ON sb.combo = p.cb
+    CROSS JOIN nn
+    WHERE sa.nd < nn.n AND sb.nd < nn.n
+    """
+
+
+@register(
+    "dq_candidate_keys",
+    _ck_oracle(),
+    doc=(
+        "TANE-style level-wise candidate-key discovery over the orders "
+        "columns: level 1 profiles every single column's uniqueness; "
+        "level 2 tests ONLY pairs whose members are both non-unique "
+        "(a pair containing a key is a key trivially — the lattice "
+        "pruning that makes dependency discovery tractable as arity "
+        "grows). Every tested combination reports its exact distinct "
+        "count and uniqueness ppm; is_key = 1 rows at level 2 are "
+        "minimal composite keys by construction."
+    ),
+)
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single + pruned pair uniqueness census (minimal keys flagged).
+
+    Scale notes (100 TB): level 1 is one pass with 6 distinct
+    aggregates (map-side partial distinct); the collected 6-value row
+    drives the level-2 pruning DRIVER-SIDE — exactly TANE's lattice
+    walk — so level 2 expands the fact only for the surviving pairs.
+    Arity 3+ follows the same recurrence if ever needed."""
+    o = load_table(spark, sf_dir, "orders")
+    l1 = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}")
+            for c in _CK_COLS
+        ],
+    )
+    row = l1.collect()[0]
+    n = row["n"]
+    non_keys = [c for c in _CK_COLS if row[f"nd_{c}"] < n]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(non_keys)
+        for b in non_keys[i + 1:]
+    ]
+    entries = [
+        (c, 1, int(row[f"nd_{c}"])) for c in _CK_COLS
+    ]
+    if pairs:
+        l2 = o.agg(
+            *[
+                F.countDistinct(a, b).cast("bigint").alias(f"nd_{a}_{b}")
+                for a, b in pairs
+            ]
+        ).collect()[0]
+        entries += [
+            (f"{a}+{b}", 2, int(l2[f"nd_{a}_{b}"])) for a, b in pairs
+        ]
+    stack = ", ".join(
+        f"'{combo}', {nc}L, {nd}L" for combo, nc, nd in entries
+    )
+    return o.sparkSession.range(1).selectExpr(
+        f"stack({len(entries)}, {stack}) AS (combo, n_cols, n_distinct)"
+    ).select(
+        "combo",
+        "n_cols",
+        "n_distinct",
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.expr(
+            f"CAST(CASE WHEN n_distinct = {n}L THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_key"),
+        F.expr(
+            f"CAST(n_distinct * 1000000 div {n}L AS BIGINT)"
+        ).alias("uniqueness_ppm"),
+    )
