@@ -211,12 +211,19 @@ def test_cramers_v_matches_python(spark, registry):
     assert row["v_micro"] == math.floor(math.sqrt(float(q)))
 
 
-def _lpa_python(rounds=3):
-    li = _li().merge(
-        _orders(), left_on="l_orderkey", right_on="o_orderkey"
+# the sf0.001 co-preference graph is EMPTY (no customer has two
+# same-nation suppliers at that scale), so the LPA/modularity third
+# legs run at sf0.01 to be non-vacuous.
+SF_GRAPH = "/root/testdata/sf0.01"
+
+
+def _lpa_python(rounds=3, sf=SF_GRAPH):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet").merge(
+        pd.read_parquet(f"{sf}/orders.parquet"),
+        left_on="l_orderkey", right_on="o_orderkey",
     )
-    cust = pd.read_parquet(f"{SF}/customer.parquet")
-    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    supp = pd.read_parquet(f"{sf}/supplier.parquet")
     li = li.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
         supp, left_on="l_suppkey", right_on="s_suppkey"
     )
@@ -253,9 +260,12 @@ def _lpa_python(rounds=3):
 def test_label_propagation_matches_python(spark, registry):
     got = [
         (r["community"], r["n_members"], r["rank"])
-        for r in registry["graph_label_propagation"].spark(spark, SF).collect()
+        for r in registry["graph_label_propagation"]
+        .spark(spark, SF_GRAPH)
+        .collect()
     ]
     sizes = _lpa_python()
+    assert sizes, "graph must be non-empty at sf0.01"
     want = sorted(((lbl, n) for lbl, n in sizes.items()),
                   key=lambda t: (-t[1], t[0]))[:20]
     assert got == [(lbl, n, i + 1) for i, (lbl, n) in enumerate(want)]
@@ -674,3 +684,167 @@ def test_rolling_regression_matches_python(spark, registry):
     assert set(got) == set(want)
     for key, slope in want.items():
         assert got[key]["slope_milli"] == slope, key
+
+
+# ------------------------------------------------ wave H third legs
+
+
+def test_shapley_matches_python(spark, registry):
+    got = {
+        r["channel"]: r
+        for r in registry["events_attribution_shapley"].spark(spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    j: dict = defaultdict(lambda: [0, 0])  # (user, day) -> [mask, conv]
+    for _, r in ev.iterrows():
+        key = (int(r["user_id"]), r["ts"].normalize())
+        if r["event_type"] == "purchase":
+            j[key][1] = 1
+        else:
+            j[key][0] |= bits[r["event_type"]]
+    conv = Counter()
+    for mask, c in j.values():
+        conv[mask] += c
+
+    def v(s):
+        return sum(c for m, c in conv.items() if (m & s) == m)
+
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    phi = {}
+    for ch, bit in bits.items():
+        phi[ch] = sum(
+            w[bin(s).count("1")] * (v(s | bit) - v(s))
+            for s in range(16)
+            if not s & bit
+        )
+    tot = sum(phi.values())
+    # efficiency: phi sums to 24 * (v(full) - v(empty))
+    assert tot == 24 * (v(15) - v(0))
+    for ch, row in got.items():
+        assert row["phi_x24"] == phi[ch], ch
+        assert row["share_ppm"] == phi[ch] * 1000000 // tot
+        assert row["attributed_conversions"] == tot // 24
+
+
+def test_modularity_matches_python(spark, registry):
+    rows = registry["graph_modularity_score"].spark(spark, SF_GRAPH).collect()
+    total = [r for r in rows if r["community"] == -1][0]
+    top = {r["community"]: r for r in rows if r["community"] != -1}
+    sizes = _lpa_python()  # same labels construction, 3 rounds
+    # reconstruct edges + labels exactly as _lpa_python does
+    labels, edges = _lpa_python_labels_edges()
+    nbr_deg = Counter()
+    for a, b in edges:
+        nbr_deg[a] += 1
+        nbr_deg[b] += 1
+    m = len(edges)
+    comm: dict = defaultdict(lambda: [0, 0, 0])  # nodes, degree, intra
+    for v_, lbl in labels.items():
+        comm[lbl][0] += 1
+        comm[lbl][1] += nbr_deg[v_]
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            comm[labels[a]][2] += 1
+    contribs = {}
+    for lbl, (nn, ds, ec) in comm.items():
+        t = ds * 1000 // (2 * m)
+        contribs[lbl] = ec * 1000000 // m - t * t
+    assert total["contribution_ppm"] == sum(contribs.values())
+    assert total["n_nodes"] == sum(c[0] for c in comm.values())
+    for lbl, row in top.items():
+        assert row["contribution_ppm"] == contribs[lbl], lbl
+        assert row["n_nodes"] == comm[lbl][0]
+        assert row["intra_edges"] == comm[lbl][2]
+        assert row["degree_sum"] == comm[lbl][1]
+    # LPA community sizes agree with the sibling query's reference
+    assert {lbl: c[0] for lbl, c in comm.items()} == dict(sizes)
+
+
+def _lpa_python_labels_edges(sf=SF_GRAPH):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet").merge(
+        pd.read_parquet(f"{sf}/orders.parquet"),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    supp = pd.read_parquet(f"{sf}/supplier.parquet")
+    li = li.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        supp, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    li = li[li["c_nationkey"] == li["s_nationkey"]]
+    spend: dict = defaultdict(int)
+    for _, r in li.iterrows():
+        spend[(int(r["o_custkey"]), int(r["l_suppkey"]))] += round(
+            r["l_extendedprice"] * 100
+        )
+    per_c: dict = defaultdict(list)
+    for (c, s), sp in spend.items():
+        per_c[c].append((-sp, s))
+    edges = set()
+    for c, lst in per_c.items():
+        lst.sort()
+        if len(lst) >= 2:
+            s1, s2 = lst[0][1], lst[1][1]
+            edges.add((min(s1, s2), max(s1, s2)))
+    nbrs: dict = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(3):
+        new = {}
+        for v_, ns in nbrs.items():
+            cnt = Counter(labels[u] for u in ns)
+            best = max((c, -l) for l, c in cnt.items())
+            new[v_] = -best[1]
+        labels = new
+    return labels, edges
+
+
+def test_candidate_keys_match_python(spark, registry):
+    got = {
+        r["combo"]: r
+        for r in registry["dq_candidate_keys"].spark(spark, SF).collect()
+    }
+    o = _orders()
+    cols = sorted(
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+         "o_orderstatus", "o_totalprice"]
+    )
+    n = len(o)
+    singles = {c: o[c].nunique() for c in cols}
+    non_keys = [c for c in cols if singles[c] < n]
+    want = {c: (1, singles[c]) for c in cols}
+    for i, a in enumerate(non_keys):
+        for b in non_keys[i + 1:]:
+            want[f"{a}+{b}"] = (2, len(o[[a, b]].drop_duplicates()))
+    assert set(got) == set(want)
+    for combo, (nc, nd) in want.items():
+        row = got[combo]
+        assert (row["n_cols"], row["n_distinct"], row["n_rows"]) == (nc, nd, n)
+        assert row["is_key"] == int(nd == n)
+        assert row["uniqueness_ppm"] == nd * 1000000 // n
+    # the seed PK must always be discovered
+    assert got["o_orderkey"]["is_key"] == 1
+
+
+def test_srp_bit_balance_invariants(spark, registry):
+    rows = {
+        r["plane"]: r
+        for r in registry["sim_srp_bit_balance"].spark(spark, SF).collect()
+    }
+    assert set(rows) == set(range(1, 17))
+    n = rows[1]["n_vectors"]
+    for p, r in rows.items():
+        assert 0 <= r["ones"] <= n
+        assert r["balance_ppm"] == r["ones"] * 1000000 // n
+        assert 1 <= r["worst_partner"] <= 16 and r["worst_partner"] != p
+        assert 0 <= r["worst_corr_ppm"] <= 1000000
+    # a healthy md5-derived family: every plane reasonably balanced
+    assert all(
+        300000 <= r["balance_ppm"] <= 700000 for r in rows.values()
+    )
+    # correlation is symmetric: the worst pair appears from both sides
+    worst_global = max(r["worst_corr_ppm"] for r in rows.values())
+    ends = [p for p, r in rows.items() if r["worst_corr_ppm"] == worst_global]
+    assert len(ends) >= 2

@@ -1338,10 +1338,10 @@ _MOD_TOP = 10
     SELECT community, n_nodes, intra_edges, degree_sum, contribution_ppm
     FROM top
     UNION ALL
-    SELECT CAST(-1 AS BIGINT), CAST(sum(n_nodes) AS BIGINT),
-           CAST(sum(intra_edges) AS BIGINT),
-           CAST(sum(degree_sum) AS BIGINT),
-           CAST(sum(contribution_ppm) AS BIGINT)
+    SELECT CAST(-1 AS BIGINT), CAST(coalesce(sum(n_nodes), 0) AS BIGINT),
+           CAST(coalesce(sum(intra_edges), 0) AS BIGINT),
+           CAST(coalesce(sum(degree_sum), 0) AS BIGINT),
+           CAST(coalesce(sum(contribution_ppm), 0) AS BIGINT)
     FROM contrib
     """,
     doc=(
@@ -1405,9 +1405,15 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_MOD_TOP)
     total = contrib.agg(
         F.lit(-1).cast("bigint").alias("community"),
-        F.sum("n_nodes").cast("bigint").alias("n_nodes"),
-        F.sum("intra_edges").cast("bigint").alias("intra_edges"),
-        F.sum("degree_sum").cast("bigint").alias("degree_sum"),
-        F.sum("contribution_ppm").cast("bigint").alias("contribution_ppm"),
+        F.expr("CAST(coalesce(sum(n_nodes), 0) AS BIGINT)").alias("n_nodes"),
+        F.expr(
+            "CAST(coalesce(sum(intra_edges), 0) AS BIGINT)"
+        ).alias("intra_edges"),
+        F.expr(
+            "CAST(coalesce(sum(degree_sum), 0) AS BIGINT)"
+        ).alias("degree_sum"),
+        F.expr(
+            "CAST(coalesce(sum(contribution_ppm), 0) AS BIGINT)"
+        ).alias("contribution_ppm"),
     )
     return top.unionByName(total)
