@@ -57,6 +57,15 @@ QUERIES = [
     "streaming_bitmap_dau",
     "pipeline_preference_pairs",
     "window_rolling_regression",
+    # wave H: shapley collapses to (user, day) then 16 lattice cells;
+    # modularity reuses the checkpointed LPA edge list (linear rounds);
+    # candidate keys are two distinct-aggregate passes (Expand is the
+    # cost knob — level-2 only over surviving pairs); SRP balance is
+    # one signature pass with a 120-cell map-side collapse.
+    "events_attribution_shapley",
+    "graph_modularity_score",
+    "dq_candidate_keys",
+    "sim_srp_bit_balance",
 ]
 
 
