@@ -345,6 +345,29 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINK_TOP = 20
 
 
+#: broadcast the kept-customer filter when the customer dimension is
+#: bounded (one hash table per executor beats re-shuffling the edge
+#: list); past this, fall back to the shuffle join — the pair join
+#: shuffles on the same key, so the exchange aligns either way.
+_KEEP_BCAST_MAX = 4_000_000
+
+
+def _edge_cap(e):
+    """One scalar agg over the checkpointed edges: (df-cap, n_customers).
+
+    The cap uses the identical integer formula as the oracles
+    (greatest(64, 8 * mean degree)); n_customers drives the
+    broadcast-vs-shuffle switch for the keep filter."""
+    row = e.agg(
+        F.expr(
+            "greatest(64L, 8 * (count(*) div count(DISTINCT c)))"
+        ).alias("v"),
+        F.expr("count(DISTINCT c)").alias("nc"),
+    ).collect()[0]
+    return int(row["v"]), int(row["nc"])
+
+
+
 @register(
     "graph_link_jaccard",
     f"""
@@ -415,19 +438,15 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    cap = int(
-        e.agg(
-            F.expr(
-                "greatest(64L, 8 * (count(*) div count(DISTINCT c)))"
-            ).alias("v")
-        ).collect()[0]["v"]
-    )
+    cap, n_cust = _edge_cap(e)
     keep = (
         e.groupBy("c")
         .agg(F.count(F.lit(1)).alias("cd"))
         .filter(F.col("cd") <= F.lit(cap))
         .select("c")
     )
+    if n_cust <= _KEEP_BCAST_MAX:
+        keep = F.broadcast(keep)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = e.join(keep, "c").select("c", F.col("s").alias("supp_a"))
     b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b"))
@@ -945,19 +964,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    cap = int(
-        e.agg(
-            F.expr(
-                "greatest(64L, 8 * (count(*) div count(DISTINCT c)))"
-            ).alias("v")
-        ).collect()[0]["v"]
-    )
+    cap, n_cust = _edge_cap(e)
     keep = (
         e.groupBy("c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cd"))
         .filter((F.col("cd") >= 2) & (F.col("cd") <= F.lit(cap)))
         .select("c", F.expr(_AA_W).alias("w"))
     )
+    if n_cust <= _KEEP_BCAST_MAX:
+        keep = F.broadcast(keep)
     a = e.join(keep, "c").select("c", "w", F.col("s").alias("supp_a"))
     b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b"))
     pairs = (
