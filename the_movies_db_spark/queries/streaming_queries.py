@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from the_movies_db_spark.operators import bitmap as B
 from the_movies_db_spark.queries import register
 from the_movies_db_spark.streaming import events as E
 
@@ -582,17 +583,13 @@ def streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         s = batch_df.sparkSession
-        delta = batch_df.groupBy(
+        delta = B.word_table(
+            batch_df,
+            "user_id",
             F.expr(
                 "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
                 " AS BIGINT)"
             ).alias("day_idx"),
-            F.expr("user_id div 32").alias("wid"),
-        ).agg(
-            F.expr(
-                "CAST(bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
-                " AS BIGINT)"
-            ).alias("bits")
         )
         if os.path.exists(target) and _current_version(target) is not None:
             cur = read_table(s, target)
@@ -603,9 +600,7 @@ def streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     "day_idx",
                     "wid",
-                    F.expr(
-                        "coalesce(__old, 0L) | coalesce(__new, 0L)"
-                    ).alias("bits"),
+                    B.or_merge("__old", "__new").alias("bits"),
                 )
             )
         else:
@@ -622,7 +617,7 @@ def streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, target)
         .groupBy("day_idx")
         .agg(
-            F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("dau"),
+            B.popcount_sum("bits").alias("dau"),
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
         )
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from the_movies_db_spark.io import load_table
+from the_movies_db_spark.operators import bitmap as B
 from the_movies_db_spark.queries import register
 
 #: 15-minute buckets, anchored at the unix epoch in NTZ space —
@@ -4777,27 +4778,19 @@ def events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit word is the unit that shards: at larger id spaces the same
     plan holds with more wid values, co-partitioned by construction."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        ev.groupBy(
-            F.expr(
-                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
-                " AS BIGINT)"
-            ).alias("day_idx"),
-            F.expr("user_id div 32").alias("wid"),
-        )
-        .agg(
-            F.expr(
-                "CAST(bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
-                " AS BIGINT)"
-            ).alias("bits")
-        )
-        # day x user-word grain (a 32x reduction of the distinct
-        # (day, user) table): checkpointed so the activity branch and
-        # both sides of the retention join share ONE fact scan.
-        .localCheckpoint(eager=False)
-    )
+    # day x user-word grain (a 32x reduction of the distinct
+    # (day, user) table): checkpointed so the activity branch and
+    # both sides of the retention join share ONE fact scan.
+    w = B.word_table(
+        ev,
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("day_idx"),
+    ).localCheckpoint(eager=False)
     act = w.groupBy("day_idx").agg(
-        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_active")
+        B.popcount_sum("bits").alias("n_active")
     )
     lags = ev.sparkSession.createDataFrame(
         [(lag,) for lag in _RB_LAGS], "lag_days int"
@@ -4820,11 +4813,7 @@ def events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (b.b_day == a.day_idx + F.col("lag_days")),
         )
         .groupBy("day_idx", "lag_days")
-        .agg(
-            F.expr(
-                "CAST(sum(bit_count(a_bits & b_bits)) AS BIGINT)"
-            ).alias("n_both")
-        )
+        .agg(B.and_cardinality("a_bits", "b_bits").alias("n_both"))
     )
     return (
         pairs.join(act, "day_idx")
@@ -4895,16 +4884,12 @@ def events_rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     this shape moves 7x fewer rows because OR decomposes and explode
     is unnecessary."""
     ev = load_table(spark, sf_dir, "events")
-    w = ev.groupBy(
+    w = B.word_table(
+        ev,
+        "user_id",
         F.expr(
             "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
         ).alias("day_idx"),
-        F.expr("user_id div 32").alias("wid"),
-    ).agg(
-        F.expr(
-            "CAST(bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
-            " AS BIGINT)"
-        ).alias("bits")
     )
     frame = (
         Window.partitionBy("wid").orderBy("day_idx").rangeBetween(-6, 0)
@@ -4918,8 +4903,8 @@ def events_rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("win_bits"),
     )
     return rolled.groupBy("day_idx").agg(
-        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("dau"),
-        F.expr("CAST(sum(bit_count(win_bits)) AS BIGINT)").alias("wau7"),
+        B.popcount_sum("bits").alias("dau"),
+        B.popcount_sum("win_bits").alias("wau7"),
         F.expr(
             "CAST(sum(bit_count(bits)) * 1000000"
             " div sum(bit_count(win_bits)) AS BIGINT)"
