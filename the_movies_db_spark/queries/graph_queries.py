@@ -1164,9 +1164,12 @@ _HITS_TOP = 20
 
 def _hits_norm(x: str, d: str, div: str) -> str:
     """L1-normalize ``x`` to ppm of ``d`` through three *100 divmod
-    stages — every intermediate is <= x*100, so the chain never
-    overflows BIGINT no matter how large the raw score sums grow
-    (the orders_pareto_gini recipe)."""
+    stages — every remainder-stage intermediate is <= x*100, so the
+    chain never overflows BIGINT no matter how large the raw score
+    sums grow (the orders_pareto_gini recipe). Contract: the RESULT
+    x*1e6/d must itself fit BIGINT (x/d <= ~9.2e12) — trivially true
+    here, where x is a component of its own normalization sum d.
+    Pinned exact (== floor(x*1e6/d)) by tests/test_integer_scaling."""
     return (
         f"(({x}) {div} ({d})) * 1000000"
         f" + ((({x}) % ({d})) * 100 {div} ({d})) * 10000"
