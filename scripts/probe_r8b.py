@@ -51,8 +51,8 @@ QUERIES = [
     "events_rolling_wau_bitmap",
     "pipeline_filter_lm_impact",
     # wave G: streaming bitmap DAU is 4 foreachBatch merges over the
-    # word table (write-IO bound, linear); preference pairs are two
-    # group-keyed rank windows; rolling regression is a frame window
+    # word table (write-IO bound, linear); preference pairs are
+    # combining aggregates + broadcast join-backs (no rank windows); rolling regression is a frame window
     # over |types| x |days| daily cells (flat).
     "streaming_bitmap_dau",
     "pipeline_preference_pairs",

@@ -71,6 +71,15 @@ def test_round8b_fact_scan_counts(spark, registry):
         assert txt.count(f"{tbl}.parquet") == want, name
 
 
+def test_preference_pairs_has_no_rank_window(spark, registry):
+    """The rn=1 endpoints are combining aggregates + broadcast
+    join-backs — a rank window partitioned by ~20 groups would cap
+    parallelism at the group count at corpus scale."""
+    txt = plan_of(registry["pipeline_preference_pairs"].spark(spark, SF))
+    assert "windowspecdefinition" not in txt
+    assert "BroadcastHashJoin" in txt
+
+
 def test_round8b_topk_is_take_ordered(spark, registry):
     """Every round-8b top-k ranks AFTER orderBy().limit() — the plan
     must contain TakeOrderedAndProject, never a global rank over the

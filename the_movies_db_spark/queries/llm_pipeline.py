@@ -2865,11 +2865,16 @@ _PREF_MIN_GAP_PPM = 100000  # demand a 10-point quality gap
 def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chosen/rejected doc pairs per (lang, length-bucket).
 
-    Scale notes (100 TB): one scan projects the per-doc score; both
-    rank windows share the same group partitioning (one shuffle), and
-    the pair join runs on |groups| rows. At web scale the same shape
-    emits top-k/bottom-k per group instead of 1/1 — same windows,
-    higher rn cutoff."""
+    Scale notes (100 TB): a rank window partitioned by ~|langs x
+    buckets| groups would cap parallelism at the group count and push
+    corpus/|groups| rows through single tasks — so the rn=1 endpoints
+    are computed as COMBINING AGGREGATES instead: one groupBy for the
+    per-group score extrema (map-side partial), broadcast back onto
+    the checkpointed doc stream, and a min(doc_id) aggregate over the
+    (rare) extremum achievers resolves the deterministic tie-break.
+    Every stage is map-side-combining; nothing is ever single-task.
+    The oracle keeps the equivalent window formulation (same values
+    by the shared tie-break)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -2884,33 +2889,35 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score_ppm"),
     ).withColumn(
         "len_bucket", F.expr(f"n_tok div {_PREF_BUCKET_TOKENS}")
+    ).localCheckpoint(eager=False)
+    ext = m.groupBy("lang", "len_bucket").agg(
+        F.max("score_ppm").alias("hi_s"),
+        F.min("score_ppm").alias("lo_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
-    part = Window.partitionBy("lang", "len_bucket")
-    g = m.select(
-        "lang",
-        "len_bucket",
-        "doc_id",
-        "score_ppm",
-        F.row_number()
-        .over(part.orderBy(F.desc("score_ppm"), F.asc("doc_id")))
-        .alias("rn_hi"),
-        F.row_number()
-        .over(part.orderBy(F.asc("score_ppm"), F.asc("doc_id")))
-        .alias("rn_lo"),
-        F.count(F.lit(1)).over(part).cast("bigint").alias("n_docs"),
-    )
-    hi = g.filter("rn_hi = 1").select(
-        "lang", "len_bucket", "n_docs",
-        F.col("doc_id").alias("chosen_doc"),
-        F.col("score_ppm").alias("chosen_score_ppm"),
-    )
-    lo = g.filter("rn_lo = 1").select(
-        F.col("lang").alias("l2"), F.col("len_bucket").alias("b2"),
-        F.col("doc_id").alias("rejected_doc"),
-        F.col("score_ppm").alias("rejected_score_ppm"),
-    )
+
+    def endpoint(bound_col: str, doc_out: str, score_out: str):
+        return (
+            m.join(
+                F.broadcast(ext.select("lang", "len_bucket", bound_col)),
+                ["lang", "len_bucket"],
+            )
+            .filter(F.col("score_ppm") == F.col(bound_col))
+            .groupBy("lang", "len_bucket")
+            .agg(
+                F.min("doc_id").alias(doc_out),
+                F.first(bound_col).alias(score_out),
+            )
+        )
+
+    hi = endpoint("hi_s", "chosen_doc", "chosen_score_ppm")
+    lo = endpoint("lo_s", "rejected_doc", "rejected_score_ppm")
     return (
-        hi.join(lo, (hi.lang == lo.l2) & (hi.len_bucket == lo.b2))
+        hi.join(lo, ["lang", "len_bucket"])
+        .join(
+            F.broadcast(ext.select("lang", "len_bucket", "n_docs")),
+            ["lang", "len_bucket"],
+        )
         .filter(
             (F.col("n_docs") >= 2)
             & (
