@@ -81,3 +81,61 @@ def test_packed_argmax_decodes_mode_with_min_tie(con, pairs):
     best_cnt = max(c for _, c in pairs)
     want = min(lbl for lbl, c in pairs if c == best_cnt)
     assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    data=st.data(),
+)
+def test_gini_side_impurity_is_bounded_integer(con, n, data):
+    """agg_gini_split_stump's per-side impurity: ppm-floored class
+    shares keep every intermediate inside [0, 1e12] regardless of the
+    side size — and DuckDB's integer steps equal Python's exactly."""
+    from the_movies_db_spark.queries.surface_extra import _GSS_SIDE
+
+    p = data.draw(st.integers(min_value=0, max_value=n))
+    expr = _GSS_SIDE.format(
+        p=f"CAST({p} AS BIGINT)", n=f"CAST({n} AS BIGINT)", d="//"
+    )
+    got = con.execute(f"SELECT {expr}").fetchone()[0]
+    pp = p * 1000000 // n
+    qq = (n - p) * 1000000 // n
+    want = 1000000 - (pp * pp + qq * qq) // 1000000
+    assert got == want
+    assert 0 <= got <= 500000  # binary Gini peaks at 0.5
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    # the tested cell exists (count >= 1), as in the real cell table
+    a=st.integers(min_value=1, max_value=10**9),
+    b=st.integers(min_value=0, max_value=10**9),
+    c2=st.integers(min_value=0, max_value=10**9),
+    d=st.integers(min_value=1, max_value=10**9),
+)
+def test_chi2_term_matches_python_ieee(con, a, b, c2, d):
+    """agg_cramers_v's per-cell term: identical IEEE double expression
+    text over exact integers gives the same floored micro value in
+    DuckDB and Python (the +,-,*,/ correctly-rounded recipe). Cells
+    are drawn as a CONSISTENT 2x2 table — marginals derived from the
+    cells, as in the real query — which is what bounds each term
+    inside BIGINT (an inconsistent (c, e) pair has no such bound).
+    """
+    import math
+
+    c = a
+    rt, ct, n = a + b, a + c2, a + b + c2 + d
+
+    got = con.execute(
+        f"""
+        SELECT CAST(floor((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e)
+                    / e * 1000000) AS BIGINT)
+        FROM (SELECT CAST({c} AS BIGINT) AS c,
+                     CAST({rt} AS DOUBLE) * CAST({ct} AS DOUBLE)
+                       / CAST({n} AS DOUBLE) AS e) t
+        """
+    ).fetchone()[0]
+    e = float(rt) * float(ct) / float(n)
+    want = math.floor((float(c) - e) * (float(c) - e) / e * 1000000)
+    assert got == want
