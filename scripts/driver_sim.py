@@ -16,13 +16,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 # representative window sample: relational DQ, binned non-equi join,
-# ANN eval, windowed funnel, pipeline governance
+# ANN eval, windowed funnel, pipeline governance, plus two round-8
+# window names (capped pair-stream graph + the fixed vocab-grain
+# top-k) so the contract pytest exercises the CURRENT window's
+# heaviest shapes under the stock session every run
 DEFAULT_SAMPLE = [
     "dq_benford_digits",
     "join_interval_overlap",
     "sim_bucket_purity",
     "events_funnel_windowed",
     "pipeline_dataset_card",
+    "graph_adamic_adar",
+    "text_coverage_curve",
 ]
 
 
