@@ -52,4 +52,9 @@ def test_driver_simulation_stock_session():
     out = proc.stdout + "\n" + proc.stderr
     assert proc.returncode == 0, out[-4000:]
     assert "entry():" in proc.stdout
-    assert "5/5 OK" in proc.stdout, out[-2000:]
+    # the sample size tracks driver_sim.DEFAULT_SAMPLE — assert the
+    # run is all-green without pinning the count here
+    import re
+
+    m = re.search(r"(\d+)/(\d+) OK \(stock session", proc.stdout)
+    assert m and m.group(1) == m.group(2) and int(m.group(1)) >= 5, out[-2000:]
