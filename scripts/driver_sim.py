@@ -16,10 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 # representative window sample: relational DQ, binned non-equi join,
-# ANN eval, windowed funnel, pipeline governance, plus two round-8
-# window names (capped pair-stream graph + the fixed vocab-grain
-# top-k) so the contract pytest exercises the CURRENT window's
-# heaviest shapes under the stock session every run
+# ANN eval, windowed funnel, pipeline governance, plus two heavy graph/
+# text shapes (graph_adamic_adar is in the round-9 window;
+# text_coverage_curve went green in CORRECTNESS_r08) so the contract
+# pytest exercises the heaviest registered shapes under the stock
+# session every run
 DEFAULT_SAMPLE = [
     "dq_benford_digits",
     "join_interval_overlap",

@@ -1052,6 +1052,12 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     )
     a = rk.filter("rn = 1").select("c", F.col("s").alias("s1"))
     b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    # edges is checkpointed in its own right (not just und):
+    # graph_modularity_score consumes edges directly from two branches
+    # (edge count, intra-edge join) and without this each branch
+    # re-executed the whole 4-table fact subtree. Lazy, not eager —
+    # und's eager materialization below computes it, and per-call
+    # eager barriers cost ~0.5 s each at sf0.1 (CLAUDE.md lesson).
     edges = (
         a.join(b, a.c == b.c2)
         .select(
@@ -1059,6 +1065,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
             F.greatest("s1", "s2").alias("sb"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     und = (
         edges.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
@@ -1068,7 +1075,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     labels = und.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").cast("bigint").alias("lbl")
     )
-    for _ in range(_LPA_ROUNDS):
+    for r in range(_LPA_ROUNDS):
         cnt = (
             und.join(labels, und.dst == labels.id)
             .groupBy("src", "lbl")
@@ -1080,7 +1087,12 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
                 f" + ({_LPA_M} - 1 - lbl)) % {_LPA_M}) AS BIGINT)"
             ).alias("lbl")
         )
-    return edges, und, labels
+    # The final labels are node-grain and consumed from THREE branches
+    # by graph_modularity_score (community sizes + both intra-edge
+    # endpoints) — without this (lazy) checkpoint each branch
+    # re-executed the whole fixed-round LPA chain (caught by the
+    # round-9 scan-budget pin).
+    return edges, und, labels.localCheckpoint(eager=False)
 
 
 @register(
@@ -1255,11 +1267,19 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.lit(1000000).cast("bigint").alias("score")
     )
     a = None
-    for _ in range(_HITS_ROUNDS):
+    # Each half-round's raw score table is checkpointed BEFORE the
+    # normalization: the ppm total rides a crossJoin branch whose
+    # subtree would otherwise duplicate the raw lineage, DOUBLING the
+    # edge-scan count per half-round (22 edge scans at 2 rounds,
+    # exponential in rounds — caught by the round-9 scan-budget pin).
+    # Lazy (both branches then share ONE runtime artifact, no per-call
+    # eager job barrier); the table is id-grain, node-bounded.
+    for r in range(_HITS_ROUNDS):
         a_raw = (
             e.join(h.withColumnRenamed("id", "c"), "c")
             .groupBy(F.col("s").alias("id"))
             .agg(F.sum("score").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         a_tot = a_raw.agg(F.sum("raw").cast("bigint").alias("t"))
         a = a_raw.crossJoin(F.broadcast(a_tot)).select(
@@ -1268,10 +1288,13 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST({_hits_norm('raw', 't', 'div')} AS BIGINT)"
             ).alias("score"),
         )
+        if r == _HITS_ROUNDS - 1:
+            break  # the final hub half-round is not consumed
         h_raw = (
             e.join(a.withColumnRenamed("id", "s"), "s")
             .groupBy(F.col("c").alias("id"))
             .agg(F.sum("score").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         h_tot = h_raw.agg(F.sum("raw").cast("bigint").alias("t"))
         h = h_raw.crossJoin(F.broadcast(h_tot)).select(

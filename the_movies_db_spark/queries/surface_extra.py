@@ -6073,3 +6073,143 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(n_distinct * 1000000 div {n}L AS BIGINT)"
         ).alias("uniqueness_ppm"),
     )
+
+
+def _ck3_oracle() -> str:
+    """Arity-3 lattice level: emit ONLY triples all of whose single
+    and pair subsets are non-unique (minimal-key pruning); the oracle
+    computes every C(6,3) triple census and filters, matching the
+    Spark side's driver-side pruned aggregate set row-for-row."""
+    singles = " UNION ALL ".join(
+        f"SELECT '{c}' AS combo, CAST(count(DISTINCT {c}) AS BIGINT) AS nd"
+        " FROM orders"
+        for c in _CK_COLS
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT '{a}+{b}' AS combo,"
+        f" CAST(count(DISTINCT ({a}, {b})) AS BIGINT) AS nd FROM orders"
+        for i, a in enumerate(_CK_COLS)
+        for b in _CK_COLS[i + 1:]
+    )
+    triples = " UNION ALL ".join(
+        f"SELECT '{a}+{b}+{c}' AS combo, '{a}' AS ca, '{b}' AS cb,"
+        f" '{c}' AS cc, '{a}+{b}' AS pab, '{a}+{c}' AS pac,"
+        f" '{b}+{c}' AS pbc,"
+        f" CAST(count(DISTINCT ({a}, {b}, {c})) AS BIGINT) AS nd"
+        " FROM orders"
+        for i, a in enumerate(_CK_COLS)
+        for j, b in enumerate(_CK_COLS[i + 1:], i + 1)
+        for c in _CK_COLS[j + 1:]
+    )
+    return f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    s AS ({singles}),
+    p AS ({pairs}),
+    t AS ({triples})
+    SELECT t.combo, CAST(3 AS BIGINT) AS n_cols, t.nd AS n_distinct,
+           nn.n AS n_rows,
+           CAST(CASE WHEN t.nd = nn.n THEN 1 ELSE 0 END AS BIGINT) AS is_key,
+           CAST(t.nd * 1000000 // nn.n AS BIGINT) AS uniqueness_ppm
+    FROM t
+    JOIN s sa ON sa.combo = t.ca
+    JOIN s sb ON sb.combo = t.cb
+    JOIN s sc ON sc.combo = t.cc
+    JOIN p pab ON pab.combo = t.pab
+    JOIN p pac ON pac.combo = t.pac
+    JOIN p pbc ON pbc.combo = t.pbc
+    CROSS JOIN nn
+    WHERE sa.nd < nn.n AND sb.nd < nn.n AND sc.nd < nn.n
+      AND pab.nd < nn.n AND pac.nd < nn.n AND pbc.nd < nn.n
+    """
+
+
+@register(
+    "dq_candidate_keys3",
+    _ck3_oracle(),
+    doc=(
+        "TANE lattice level 3, closing the round-8 operator's "
+        "recurrence: triples are tested ONLY when every single and "
+        "pair subset is non-unique, so is_key = 1 rows are minimal "
+        "composite keys of arity 3 by construction. The pruning "
+        "happens driver-side from the bounded level-1/level-2 census "
+        "rows (<= C(6,2) + C(6,3) distinct aggregates total), exactly "
+        "the level-wise walk that keeps dependency discovery "
+        "tractable as arity grows."
+    ),
+)
+def dq_candidate_keys3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned arity-3 uniqueness census (minimal 3-keys flagged).
+
+    Scale notes (100 TB): three passes total, each a single
+    combining aggregate over the fact (map-side partial distinct);
+    the lattice walk itself runs over DRIVER-SIDE census rows of
+    bounded width (6 / 15 / 20 values), so the fact is never
+    shuffled by lattice level — the same shape TANE uses to scale
+    arity without blowing up the data plane."""
+    o = load_table(spark, sf_dir, "orders")
+    l1 = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}")
+            for c in _CK_COLS
+        ],
+    ).collect()[0]
+    n = l1["n"]
+    non_keys = [c for c in _CK_COLS if l1[f"nd_{c}"] < n]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(non_keys)
+        for b in non_keys[i + 1:]
+    ]
+    empty = o.sparkSession.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS combo",
+        "CAST(NULL AS BIGINT) AS n_cols",
+        "CAST(NULL AS BIGINT) AS n_distinct",
+        "CAST(NULL AS BIGINT) AS n_rows",
+        "CAST(NULL AS BIGINT) AS is_key",
+        "CAST(NULL AS BIGINT) AS uniqueness_ppm",
+    )
+    if not pairs:
+        return empty
+    l2 = o.agg(
+        *[
+            F.countDistinct(a, b).cast("bigint").alias(f"nd_{a}_{b}")
+            for a, b in pairs
+        ]
+    ).collect()[0]
+    nk_pairs = {
+        (a, b) for a, b in pairs if l2[f"nd_{a}_{b}"] < n
+    }
+    triples = [
+        (a, b, c)
+        for i, a in enumerate(non_keys)
+        for j, b in enumerate(non_keys[i + 1:], i + 1)
+        for c in non_keys[j + 1:]
+        if (a, b) in nk_pairs and (a, c) in nk_pairs and (b, c) in nk_pairs
+    ]
+    if not triples:
+        return empty
+    l3 = o.agg(
+        *[
+            F.countDistinct(a, b, c).cast("bigint").alias(f"nd_{a}_{b}_{c}")
+            for a, b, c in triples
+        ]
+    ).collect()[0]
+    stack = ", ".join(
+        f"'{a}+{b}+{c}', {int(l3[f'nd_{a}_{b}_{c}'])}L"
+        for a, b, c in triples
+    )
+    return o.sparkSession.range(1).selectExpr(
+        f"stack({len(triples)}, {stack}) AS (combo, n_distinct)"
+    ).select(
+        "combo",
+        F.lit(3).cast("bigint").alias("n_cols"),
+        "n_distinct",
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.expr(
+            f"CAST(CASE WHEN n_distinct = {n}L THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_key"),
+        F.expr(
+            f"CAST(n_distinct * 1000000 div {n}L AS BIGINT)"
+        ).alias("uniqueness_ppm"),
+    )
