@@ -66,16 +66,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-10 window (append round-9 registrations HERE
     # at registration time, the moment each oracle is locally green;
     # HARD CAP 50 so the backlog never exceeds one window):
-    # dq_candidate_keys3, agg_tdigest_quantiles, sketch_kll_quantiles,
-    # events_tdigest_latency_merge, graph_hits_capped,
-    # orders_seasonal_decompose, text_minhash_containment_audit,
-    # pipeline_dedup_survivor_stats, sim_pq_opq_rotation_audit,
-    # events_holt_winters_damped, dq_rule_mining_cfd,
-    # orders_cohort_ltv_curve, agg_exact_quantile_bands,
-    # pipeline_tokenizer_fertility, search_query_likelihood_lm,
-    # graph_bridge_edges, events_counterfactual_uplift,
-    # streaming_wau_snapshot, dedup_minhash_calibration,
-    # sim_ann_latency_model,
+    # dq_candidate_keys3, agg_quantile_sketch_merge,
+    # orders_seasonal_decompose, orders_cohort_ltv_curve,
+    # pipeline_dedup_survivor_stats, events_counterfactual_uplift,
+    # dq_rule_mining_cfd, search_query_likelihood_lm,
+    # graph_bridge_edges, graph_connected_components,
+    # dedup_minhash_calibration, events_forecast_holt_damped,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

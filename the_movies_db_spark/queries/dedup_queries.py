@@ -1145,3 +1145,111 @@ def dedup_lsh_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return band_rows.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding S-curve calibration (theory vs empirical, integer)
+# ---------------------------------------------------------------------------
+
+_CAL_BANDS_HIT = " OR ".join(
+    f"(a.h{j * _ROWS} = b.h{j * _ROWS} AND a.h{j * _ROWS + 1} = b.h{j * _ROWS + 1})"
+    for j in range(_NUM_BANDS)
+)
+_CAL_K = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_calibration",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS MATERIALIZED (SELECT doc_id, {_SIG} FROM sh),
+    pool AS (
+      SELECT CAST({_CAL_K} AS BIGINT) AS n_matching,
+             CASE WHEN {_CAL_BANDS_HIT} THEN 1 ELSE 0 END AS band_hit
+      FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+    )
+    SELECT n_matching,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(band_hit) AS BIGINT) AS n_band_hits,
+           CAST(sum(band_hit) * 1000000 // count(*) AS BIGINT)
+             AS empirical_hit_ppm,
+           CAST(1000000 - (64 - n_matching * n_matching)
+                * (64 - n_matching * n_matching)
+                * (64 - n_matching * n_matching)
+                * (64 - n_matching * n_matching) * 1000000 // 16777216
+                AS BIGINT) AS predicted_hit_ppm
+    FROM pool GROUP BY 1
+    ORDER BY n_matching
+    """,
+    doc=(
+        "LSH banding S-curve calibration: over the pool of pairs "
+        "colliding on minhash h0 (a one-row LSH — the cheapest "
+        "deterministic pair sampler the signature table affords), "
+        "compare the EMPIRICAL >=1-band collision rate per "
+        "signature-agreement level k/8 against the textbook "
+        "prediction 1-(1-s^2)^4 at s=k/8 — evaluated as the exact "
+        "integer 1e6 - (64-k^2)^4*1e6/64^4, no pow(), no doubles. "
+        "Divergence between the two columns is the design signal "
+        "(the h0-conditioning shows up at low k exactly where banding "
+        "theory's independence assumption bends)."
+    ),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical vs predicted band-collision rate by agreement level.
+
+    Scale notes (100 TB): the pool join is bucketed on h0 — the same
+    equi-join shape as the production LSH candidate join, never
+    all-pairs; agreement counting and the band test are pure
+    projections over the joined signature pairs, and the output is
+    <= 9 rows. The signature table is computed once (staged select,
+    materialized on both engines)."""
+    from the_movies_db_spark.operators.dedup import minhash_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", minhash_signature("text", _NUM_HASHES).alias("sig")
+    ).localCheckpoint(eager=False)
+    a = sig.select(F.col("doc_id").alias("ida"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("idb"), F.col("sig").alias("sb"))
+    band_hit = " OR ".join(
+        f"(element_at(sa, {j * _ROWS + 1}) = element_at(sb, {j * _ROWS + 1})"
+        f" AND element_at(sa, {j * _ROWS + 2}) = element_at(sb, {j * _ROWS + 2}))"
+        for j in range(_NUM_BANDS)
+    )
+    pool = (
+        a.join(
+            b,
+            (F.expr("element_at(sa, 1) = element_at(sb, 1)"))
+            & (F.col("ida") < F.col("idb")),
+        )
+        .select(
+            F.expr(
+                "CAST(aggregate(zip_with(sa, sb,"
+                " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+                " 0, (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("n_matching"),
+            F.expr(
+                f"CASE WHEN {band_hit} THEN 1 ELSE 0 END"
+            ).alias("band_hit"),
+        )
+    )
+    return (
+        pool.groupBy("n_matching")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("band_hit").cast("bigint").alias("n_band_hits"),
+            F.expr(
+                "CAST(sum(band_hit) * 1000000 div count(*) AS BIGINT)"
+            ).alias("empirical_hit_ppm"),
+            F.expr(
+                "CAST(1000000 - (64 - n_matching * n_matching)"
+                " * (64 - n_matching * n_matching)"
+                " * (64 - n_matching * n_matching)"
+                " * (64 - n_matching * n_matching) * 1000000 div 16777216"
+                " AS BIGINT)"
+            ).alias("predicted_hit_ppm"),
+        )
+        .orderBy("n_matching")
+    )

@@ -1458,3 +1458,214 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contribution_ppm"),
     )
     return top.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Local bridges (edges in no triangle) over the co-preference graph
+# ---------------------------------------------------------------------------
+
+_BR_TOP = 20
+_GRAPH_EDGE_SQL = """
+    spend AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sp
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT c, s,
+             row_number() OVER (PARTITION BY c ORDER BY sp DESC, s) AS rn
+      FROM spend
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+      FROM rk a JOIN rk b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+    ), und AS MATERIALIZED (
+      SELECT sa AS src, sb AS dst FROM edges
+      UNION ALL
+      SELECT sb AS src, sa AS dst FROM edges
+    )"""
+
+
+@register(
+    "graph_bridge_edges",
+    f"""
+    WITH {_GRAPH_EDGE_SQL},
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    tri AS (
+      SELECT e.sa, e.sb
+      FROM edges e
+      JOIN und u1 ON u1.src = e.sa
+      JOIN und u2 ON u2.src = e.sb AND u2.dst = u1.dst
+      GROUP BY 1, 2
+    ),
+    br AS (
+      SELECT e.sa, e.sb FROM edges e
+      LEFT JOIN tri t ON e.sa = t.sa AND e.sb = t.sb
+      WHERE t.sa IS NULL
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bridges FROM br),
+    top AS (
+      SELECT b.sa, b.sb, da.d AS deg_a, db.d AS deg_b
+      FROM br b JOIN deg da ON b.sa = da.id JOIN deg db ON b.sb = db.id
+      ORDER BY da.d + db.d DESC, b.sa, b.sb LIMIT {_BR_TOP}
+    )
+    SELECT sa, sb, deg_a, deg_b,
+           CAST(row_number() OVER (ORDER BY deg_a + deg_b DESC, sa, sb)
+                AS BIGINT) AS rank,
+           nb.n_bridges
+    FROM top CROSS JOIN nb
+    """,
+    doc=(
+        "Local bridges — edges whose endpoints share NO common "
+        "neighbor (participate in no triangle), i.e. the links whose "
+        "removal locally disconnects their neighborhoods; the "
+        "classic weak-tie detector (a true-bridge DFS doesn't "
+        "distribute, the triangle-free test is the standard scalable "
+        "relaxation). Top-20 by combined endpoint degree, plus the "
+        "global bridge count on every row."
+    ),
+)
+def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-free (local bridge) edges, ranked by endpoint degree.
+
+    Scale notes (100 TB): the triangle probe joins the checkpointed
+    edge list to the undirected adjacency twice on node keys — the
+    standard per-edge triangle shape (cost ~ sum over edges of
+    min endpoint degree, same as graph_clustering_coefficient);
+    bridges fall out as an anti-join, degrees as a node-grain
+    aggregate, and the bridge count is a 1-row broadcast."""
+    edges, und, _ = _lpa_labels(spark, sf_dir)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    u1 = und.select(F.col("src").alias("sa"), F.col("dst").alias("n"))
+    u2 = und.select(F.col("src").alias("sb"), F.col("dst").alias("n"))
+    tri = (
+        edges.join(u1, "sa").join(u2, ["sb", "n"]).groupBy("sa", "sb").agg(
+            F.count(F.lit(1)).alias("cn")
+        )
+    )
+    br = edges.join(tri, ["sa", "sb"], "left_anti")
+    nb = br.agg(F.count(F.lit(1)).cast("bigint").alias("n_bridges"))
+    da = deg.select(F.col("id").alias("sa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("id").alias("sb"), F.col("d").alias("deg_b"))
+    top = (
+        br.join(da, "sa")
+        .join(db, "sb")
+        .orderBy(
+            F.expr("deg_a + deg_b").desc(), F.asc("sa"), F.asc("sb")
+        )
+        .limit(_BR_TOP)
+    )
+    w = Window.orderBy(F.expr("deg_a + deg_b").desc(), "sa", "sb")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(nb))
+        .select("sa", "sb", "deg_a", "deg_b", "rank", "n_bridges")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components by fixed-round min-label propagation
+# ---------------------------------------------------------------------------
+
+_CC_ROUNDS = 6
+_CC_TOP = 20
+
+
+def _cc_round_sql(prev: str, out: str) -> str:
+    return f"""
+    n_{out} AS (
+      SELECT u.src AS id, CAST(min(l.lbl) AS BIGINT) AS m
+      FROM und u JOIN {prev} l ON u.dst = l.id GROUP BY 1
+    ), {out} AS (
+      SELECT l.id, CAST(least(l.lbl, n.m) AS BIGINT) AS lbl
+      FROM {prev} l JOIN n_{out} n ON n.id = l.id
+    )"""
+
+
+@register(
+    "graph_connected_components",
+    f"""
+    WITH {_GRAPH_EDGE_SQL},
+    l0 AS (
+      SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS lbl FROM und
+    ), {', '.join(_cc_round_sql(f'l{i}', f'l{i + 1}') for i in range(_CC_ROUNDS))},
+    chg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_changed_last
+      FROM l{_CC_ROUNDS} a JOIN l{_CC_ROUNDS - 1} b ON a.id = b.id
+      WHERE a.lbl <> b.lbl
+    ),
+    census AS (
+      SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM l{_CC_ROUNDS} GROUP BY 1
+    ),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_components FROM census),
+    top AS (
+      SELECT component, n_nodes FROM census
+      ORDER BY n_nodes DESC, component LIMIT {_CC_TOP}
+    )
+    SELECT component, n_nodes,
+           CAST(row_number() OVER (ORDER BY n_nodes DESC, component)
+                AS BIGINT) AS rank,
+           nc.n_components, chg.n_changed_last
+    FROM top CROSS JOIN nc CROSS JOIN chg
+    """,
+    doc=(
+        "Connected components by synchronous min-label propagation, "
+        f"{_CC_ROUNDS} fixed rounds (each node takes the least of its "
+        "own and its neighbors' labels — converges in graph-diameter "
+        "rounds). Fixed rounds keep both engines bit-identical with "
+        "no driver-side convergence loop; n_changed_last is the "
+        "published fixed-point audit (0 = fully converged), so an "
+        "unconverged run is VISIBLE in the result, never silent."
+    ),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component census after fixed min-label rounds + convergence audit.
+
+    Scale notes (100 TB): identical per-round shape to LPA — one
+    equi-join of the checkpointed adjacency to the node-grain label
+    table plus one combining min-aggregate; rounds are fixed. For
+    billion-node graphs swap in the standard large-star/small-star
+    alternation at the same seam; the census and audit are unchanged."""
+    _, und, _ = _lpa_labels(spark, sf_dir)
+    l = und.select(F.col("src").alias("id")).distinct().select(  # noqa: E741
+        "id", F.col("id").cast("bigint").alias("lbl")
+    )
+    prev = None
+    for _ in range(_CC_ROUNDS):
+        nbr = (
+            und.join(l.withColumnRenamed("id", "nid"), und.dst == F.col("nid"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("lbl").cast("bigint").alias("m"))
+        )
+        prev = l
+        l = (  # noqa: E741
+            l.join(nbr, "id")
+            .select("id", F.expr("CAST(least(lbl, m) AS BIGINT)").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    chg = (
+        l.join(prev.withColumnRenamed("lbl", "lbl_prev"), "id")
+        .filter("lbl <> lbl_prev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed_last"))
+    )
+    census = l.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).localCheckpoint(eager=False)
+    nc = census.agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+    top = census.orderBy(F.desc("n_nodes"), F.asc("component")).limit(_CC_TOP)
+    w = Window.orderBy(F.desc("n_nodes"), F.asc("component"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(chg))
+        .select("component", "n_nodes", "rank", "n_components",
+                "n_changed_last")
+    )

@@ -1053,3 +1053,101 @@ def pipeline_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ratio_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship accounting (what exact dedup actually buys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dedup_survivor_stats",
+    """
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash
+      FROM documents
+    ),
+    surv AS (
+      SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM h GROUP BY 1
+    ),
+    per_src AS (
+      SELECT h.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN h.doc_id = s.canonical_id
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN h.doc_id = s.canonical_id
+                           THEN 0 ELSE h.n_chars END) AS BIGINT)
+               AS bytes_saved
+      FROM h JOIN surv s ON h.content_hash = s.content_hash
+      GROUP BY 1
+    )
+    SELECT source, n_docs, n_dropped, bytes_saved,
+           CAST(n_dropped * 1000000 // n_docs AS BIGINT) AS drop_ppm
+    FROM per_src
+    UNION ALL
+    SELECT 'TOTAL', CAST(sum(n_docs) AS BIGINT),
+           CAST(sum(n_dropped) AS BIGINT), CAST(sum(bytes_saved) AS BIGINT),
+           CAST(sum(n_dropped) * 1000000 // sum(n_docs) AS BIGINT)
+    FROM per_src
+    ORDER BY source
+    """,
+    doc=(
+        "Survivorship accounting for exact dedup — the governance "
+        "report every corpus curation run ships: per source, how many "
+        "documents the min-id canonical policy drops and how many "
+        "bytes that saves (duplicate clusters may span sources, so "
+        "the canonical doc is chosen GLOBALLY and losses attribute to "
+        "the source whose copies lose). Same content-normalization "
+        "digest as dedup_exact, so the two reports reconcile."
+    ),
+)
+def pipeline_dedup_survivor_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source rows dropped + bytes saved by exact dedup, with total.
+
+    Scale notes (100 TB): one digest shuffle to find per-cluster
+    canonicals (same cost as dedup_exact), one hash-equi-join back,
+    one source-grain aggregate. No windows, no collects; the TOTAL
+    row is a second pass over the |sources|-bounded per-source frame."""
+    from the_movies_db_spark.operators.text import fingerprint_md5
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        fingerprint_md5("text").alias("content_hash"),
+    )
+    surv = d.groupBy("content_hash").agg(
+        F.min("doc_id").cast("bigint").alias("canonical_id")
+    )
+    per_src = (
+        d.join(surv, "content_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.expr("CASE WHEN doc_id = canonical_id THEN 0 ELSE 1 END")
+            ).cast("bigint").alias("n_dropped"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN doc_id = canonical_id THEN 0 ELSE n_chars END"
+                )
+            ).cast("bigint").alias("bytes_saved"),
+        )
+        .localCheckpoint(eager=False)  # |sources| rows, 2 consumers
+    )
+    with_ppm = per_src.withColumn(
+        "drop_ppm", F.expr("CAST(n_dropped * 1000000 div n_docs AS BIGINT)")
+    )
+    total = per_src.agg(
+        F.lit("TOTAL").alias("source"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_dropped").cast("bigint").alias("n_dropped"),
+        F.sum("bytes_saved").cast("bigint").alias("bytes_saved"),
+        F.expr(
+            "CAST(sum(n_dropped) * 1000000 div sum(n_docs) AS BIGINT)"
+        ).alias("drop_ppm"),
+    )
+    return with_ppm.unionByName(total).orderBy("source")

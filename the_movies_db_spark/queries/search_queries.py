@@ -1616,3 +1616,146 @@ def search_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.abs(F.col("drift_micro")).desc(), F.asc("term")
     ).limit(_IDF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood language-model retrieval (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000
+#: per-term Dirichlet log-likelihood, floored to integer micros.
+#: (tf + mu*cf/C) / (dl + mu) == (tf*C + mu*cf) / (C*(dl + mu)) — a
+#: rational of exact BIGINTs, so the single ln() sees the identical
+#: IEEE double in both engines (shared expression text; casts of
+#: >2^53 integers round half-even identically).
+_QL_TERM_MICRO = (
+    "CAST(floor(ln(CAST(tf * total_len + {mu} * cf AS DOUBLE)"
+    " / CAST(total_len * (dl + {mu}) AS DOUBLE)) * 1000000) AS BIGINT)"
+).format(mu=_QL_MU)
+
+
+@register(
+    "search_query_likelihood_lm",
+    f"""
+    WITH q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+    docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    dld AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
+    stats AS (SELECT CAST(sum(dl) AS BIGINT) AS total_len FROM dld),
+    tokens AS (SELECT doc_id, dl, unnest(toks) AS term FROM dld),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tokens
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2, 3
+    ),
+    cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT q.query_id, t.doc_id, t.dl
+      FROM tf t JOIN q ON t.term = q.term
+    ),
+    grid AS (
+      SELECT c.query_id, c.doc_id, c.dl, q.term
+      FROM cand c JOIN q ON q.query_id = c.query_id
+    ),
+    scored AS (
+      SELECT g.query_id, g.doc_id,
+             CAST(coalesce(t.tf, 0) AS BIGINT) AS tf, g.dl,
+             f.cf, s.total_len
+      FROM grid g
+      LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.term = g.term
+      JOIN cfs f ON f.term = g.term
+      CROSS JOIN stats s
+    ),
+    per_query AS (
+      SELECT query_id, doc_id,
+             CAST(sum({_QL_TERM_MICRO}) AS BIGINT) AS score_micro
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id, score_micro
+    FROM (
+      SELECT query_id, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+      FROM per_query
+    )
+    WHERE rank <= {TOP_K}
+    """,
+    doc=(
+        "Query-likelihood retrieval under a Dirichlet-smoothed unigram "
+        f"LM (mu={_QL_MU}) — the probabilistic-ranking complement to "
+        "BM25 over the same query panel: candidates are docs matching "
+        ">=1 query term, but every query term contributes its "
+        "background-smoothed log-probability (absent terms score the "
+        "collection model), so long documents aren't rewarded for "
+        "partial matches the way tf-only scoring would. Each term "
+        "log is ln() of a rational of exact integers, floored to "
+        "micros — the engine-exact ln recipe shared with the "
+        "Kneser-Ney and bigram-LM queries."
+    ),
+)
+def search_query_likelihood_lm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k docs per query by Dirichlet query-likelihood (micros).
+
+    Scale notes (100 TB): the broadcast query vocabulary prunes the
+    exploded token stream BEFORE any shuffle (same as BM25), so tf,
+    cf and the candidate set are all bounded by matching docs; the
+    candidate x query-term grid multiplies candidates by ~3 terms,
+    never the corpus. Corpus stats are a 1-row broadcast. Top-k is a
+    rank window partitioned by query over matching docs only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+        ).alias("toks"),
+    )
+    dld = toks.select(
+        "doc_id", F.expr("CAST(size(toks) AS BIGINT)").alias("dl"), "toks"
+    )
+    stats = dld.agg(F.sum("dl").cast("bigint").alias("total_len"))
+    qterms = spark.range(1).selectExpr(
+        f"stack({len(QUERIES)}, "
+        + ", ".join(f"{q}, '{t}'" for q, t in QUERIES)
+        + ") AS (query_id, term)"
+    )
+    qvocab = qterms.select("term").distinct()
+    tf = (
+        dld.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qvocab), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # matching-docs grain, 3 consumers
+    )
+    cfs = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cf"))
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", "dl")
+        .distinct()
+    )
+    grid = cand.join(F.broadcast(qterms), "query_id")
+    scored = (
+        grid.join(
+            tf.select("doc_id", "term", "tf"), ["doc_id", "term"], "left"
+        )
+        .withColumn("tf", F.expr("CAST(coalesce(tf, 0) AS BIGINT)"))
+        .join(F.broadcast(cfs), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    per_query = scored.groupBy("query_id", "doc_id").agg(
+        F.expr(f"CAST(sum({_QL_TERM_MICRO}) AS BIGINT)").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )

@@ -6213,3 +6213,278 @@ def dq_candidate_keys3(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(n_distinct * 1000000 div {n}L AS BIGINT)"
         ).alias("uniqueness_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (the sketch family's missing member: HLL /
+# KMV / count-min cover cardinality and frequency; this covers RANKS)
+# ---------------------------------------------------------------------------
+
+_QSK_SHARDS = 32
+_QSK_K = 64
+_QSK_QS = (10, 250, 500, 750, 990)
+
+
+def _qsk_oracle() -> str:
+    qvals = ", ".join(f"({q})" for q in _QSK_QS)
+    return f"""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(o_orderkey AS BIGINT) AS id,
+             o_orderkey % {_QSK_SHARDS} AS shard
+      FROM orders
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    pts AS (
+      SELECT v, id,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY v, id)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS ns
+      FROM base
+    ),
+    kept AS (
+      SELECT v, id,
+             least((ns + {_QSK_K - 1}) // {_QSK_K}, ns - rn + 1) AS weight
+      FROM pts WHERE (rn - 1) % ((ns + {_QSK_K - 1}) // {_QSK_K}) = 0
+    ),
+    sk AS (
+      SELECT v, id,
+             CAST(sum(weight) OVER (ORDER BY v, id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM kept
+    ),
+    tgt AS (
+      SELECT CAST(q_permille AS BIGINT) AS q_permille,
+             (q_permille * nn.n + 999) // 1000 AS r
+      FROM (VALUES {qvals}) t(q_permille) CROSS JOIN nn
+    ),
+    est AS (
+      SELECT t.q_permille, t.r,
+             (SELECT s.v FROM sk s WHERE s.cum >= t.r
+              ORDER BY s.cum LIMIT 1) AS sketch_cents,
+             (SELECT s.id FROM sk s WHERE s.cum >= t.r
+              ORDER BY s.cum LIMIT 1) AS eid
+      FROM tgt t
+    ),
+    rk AS (
+      SELECT v, CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS rn
+      FROM base
+    )
+    SELECT e.q_permille,
+           CAST(e.sketch_cents AS BIGINT) AS sketch_cents,
+           CAST(r.v AS BIGINT) AS exact_cents,
+           CAST(abs((SELECT count(*) FROM base b
+                     WHERE b.v < e.sketch_cents
+                        OR (b.v = e.sketch_cents AND b.id <= e.eid))
+                    - e.r) AS BIGINT) AS rank_err
+    FROM est e JOIN rk r ON r.rn = e.r
+    ORDER BY e.q_permille
+    """
+
+
+@register(
+    "agg_quantile_sketch_merge",
+    _qsk_oracle(),
+    doc=(
+        "Mergeable quantile summary — the rank-sketch sibling the "
+        "HLL/KMV/count-min family was missing: each of "
+        f"{_QSK_SHARDS} hash shards reduces to a {_QSK_K}-point "
+        "equi-depth summary (every step-th order statistic, carrying "
+        "the row weight it represents), the per-shard summaries merge "
+        "by weighted union — the same associative merge a KLL / "
+        "t-digest sink would do across executors or days — and the "
+        "merged cumulative weights answer any quantile. Audited "
+        "in-query against the exact order statistics: rank_err is the "
+        "TRUE rank displacement of each sketch answer, bounded by the "
+        "per-shard step by construction. Deterministic integer "
+        "arithmetic end to end (no randomized compaction), so both "
+        "engines agree bit-for-bit."
+    ),
+)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded mergeable quantile summary vs exact order statistics.
+
+    Scale notes (100 TB): the per-shard rank window parallelism IS the
+    shard count — a tuning knob (set shards ~ 8x executor count; the
+    summary stays shards*K rows). The merged summary (<= 2048 rows
+    here) is metadata-scale, so its global cumulative window is
+    bounded by design, never data-scale. The exact-side audit uses the
+    two-level distributed rank (operators/ranks.py), not a
+    single-partition sort; the rank_err probe is one broadcast
+    comparison join over the base scan. A production sink would keep
+    only the summary — merge-on-read across shards/days replaces any
+    COUNT-sorted full pass."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+        F.col("o_orderkey").cast("bigint").alias("id"),
+        F.expr(f"o_orderkey % {_QSK_SHARDS}").alias("shard"),
+    )
+    n = o.count()  # metadata-scale; oracle mirrors via scalar subquery
+    targets = [(q, (q * n + 999) // 1000) for q in _QSK_QS]
+    w_rn = Window.partitionBy("shard").orderBy("v", "id")
+    w_ns = Window.partitionBy("shard")
+    step = f"(ns + {_QSK_K - 1}) div {_QSK_K}"
+    kept = (
+        o.withColumn("rn", F.row_number().over(w_rn).cast("bigint"))
+        .withColumn("ns", F.count(F.lit(1)).over(w_ns).cast("bigint"))
+        .filter(F.expr(f"(rn - 1) % ({step}) = 0"))
+        .select(
+            "v", "id",
+            F.expr(f"least({step}, ns - rn + 1)").alias("weight"),
+        )
+    )
+    w_cum = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # <= shards*K rows: the single-partition cumulative window is
+    # bounded by design (sketch size), never by the data
+    sk = kept.withColumn(
+        "cum", F.sum("weight").over(w_cum).cast("bigint")
+    ).localCheckpoint(eager=False)
+    tgt_rows = ", ".join(f"{q}L, {r}L" for q, r in targets)
+    tgt = spark.range(1).selectExpr(
+        f"stack({len(targets)}, {tgt_rows}) AS (q_permille, r)"
+    )
+    est = (
+        sk.join(F.broadcast(tgt), sk.cum >= F.col("r"))
+        .groupBy("q_permille", "r")
+        .agg(F.min(F.struct("cum", "v", "id")).alias("m"))
+        .select(
+            "q_permille", "r",
+            F.col("m.v").alias("sketch_cents"),
+            F.col("m.id").alias("eid"),
+        )
+    )
+    ranks = [r for _, r in targets]
+    rk = global_row_number(
+        o, "v", ["id"], out="rn", materialize=True
+    ).filter(F.col("rn").isin(ranks)).select(
+        F.col("rn").alias("r"), F.col("v").alias("exact_cents")
+    )
+    err = (
+        o.join(
+            F.broadcast(est),
+            (o.v < F.col("sketch_cents"))
+            | ((o.v == F.col("sketch_cents")) & (o.id <= F.col("eid"))),
+        )
+        .groupBy("q_permille")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("est_rank"))
+    )
+    return (
+        est.join(F.broadcast(rk), "r")
+        .join(F.broadcast(err), "q_permille")
+        .select(
+            F.col("q_permille").cast("bigint"),
+            F.col("sketch_cents").cast("bigint"),
+            F.col("exact_cents").cast("bigint"),
+            F.expr("CAST(abs(est_rank - r) AS BIGINT)").alias("rank_err"),
+        )
+        .orderBy("q_permille")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency (CFD) rule mining
+# ---------------------------------------------------------------------------
+
+#: (rule name, LHS expr, RHS expr) over the orders x customer join —
+#: all bounded-domain attributes, so every per-rule group table is
+#: metadata-scale. The rule set is static; the CONFIDENCE of each is
+#: the discovered signal (an exact FD scores 1e6 ppm).
+_CFD_RULES = (
+    ("mktsegment->priority", "c_mktsegment", "o_orderpriority"),
+    ("nation->mktsegment", "CAST(c_nationkey AS STRING)", "c_mktsegment"),
+    ("priority->status", "o_orderpriority", "o_orderstatus"),
+    ("nation->status", "CAST(c_nationkey AS STRING)", "o_orderstatus"),
+    ("status->priority", "o_orderstatus", "o_orderpriority"),
+)
+
+
+def _cfd_oracle() -> str:
+    long = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, {lhs} AS lhs, {rhs} AS rhs FROM j"
+        for name, lhs, rhs in _CFD_RULES
+    )
+    return f"""
+    WITH j AS (
+      SELECT o_orderpriority, o_orderstatus, c_mktsegment, c_nationkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    long AS ({long}),
+    cells AS (
+      SELECT rule, lhs, rhs, CAST(count(*) AS BIGINT) AS cnt
+      FROM long GROUP BY 1, 2, 3
+    ),
+    per_lhs AS (
+      SELECT rule, lhs, CAST(max(cnt) AS BIGINT) AS kept,
+             CAST(sum(cnt) AS BIGINT) AS n_l,
+             CAST(count(*) AS BIGINT) AS n_rhs
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT rule,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(n_l) AS BIGINT) AS n_rows,
+           CAST(sum(n_l) - sum(kept) AS BIGINT) AS n_violations,
+           CAST(sum(kept) * 1000000 // sum(n_l) AS BIGINT)
+             AS confidence_ppm,
+           CAST(max(n_rhs) AS BIGINT) AS max_rhs_per_lhs
+    FROM per_lhs GROUP BY 1
+    ORDER BY confidence_ppm DESC, rule
+    """
+
+
+@register(
+    "dq_rule_mining_cfd",
+    _cfd_oracle(),
+    doc=(
+        "Approximate functional-dependency mining (the confidence side "
+        "of CFD discovery): for each candidate rule X -> Y, the "
+        "per-X majority-Y share — g3-style confidence = kept rows / "
+        "total after repairing every minority cell — plus violation "
+        "counts and RHS fan-out. All five rules ride ONE stacked "
+        "token stream (one fact pass, one shuffle), the "
+        "fold-every-grain-into-one-stream shape from basket mining; "
+        "kept*1e6 stays in BIGINT below ~9e12 rows."
+    ),
+)
+def dq_rule_mining_cfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence/violations for candidate approximate FDs.
+
+    Scale notes (100 TB): the stack widens each joined row to 5 rule
+    tokens BEFORE the single groupBy, so all rules share one shuffle
+    keyed (rule, lhs, rhs) — bounded-domain keys, so the aggregate is
+    metadata-scale and no per-rule re-scan of the fact exists."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    pairs = ", ".join(
+        f"'{name}', {lhs}, {rhs}" for name, lhs, rhs in _CFD_RULES
+    )
+    long = j.selectExpr(
+        f"stack({len(_CFD_RULES)}, {pairs}) AS (rule, lhs, rhs)"
+    )
+    cells = long.groupBy("rule", "lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_lhs = cells.groupBy("rule", "lhs").agg(
+        F.max("cnt").cast("bigint").alias("kept"),
+        F.sum("cnt").cast("bigint").alias("n_l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rhs"),
+    )
+    return (
+        per_lhs.groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+            F.sum("n_l").cast("bigint").alias("n_rows"),
+            F.expr("CAST(sum(n_l) - sum(kept) AS BIGINT)").alias(
+                "n_violations"
+            ),
+            F.expr(
+                "CAST(sum(kept) * 1000000 div sum(n_l) AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.max("n_rhs").cast("bigint").alias("max_rhs_per_lhs"),
+        )
+        .orderBy(F.desc("confidence_ppm"), "rule")
+    )

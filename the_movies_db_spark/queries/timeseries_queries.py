@@ -5027,3 +5027,237 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(phi_x24 * 1000000 div t AS BIGINT)").alias("share_ppm"),
         F.expr("CAST(t div 24 AS BIGINT)").alias("attributed_conversions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Observational uplift by exposure (counterfactual 2x2 per event type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_counterfactual_uplift",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             max(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) AS f_click,
+             max(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) AS f_view,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS f_signup,
+             max(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) AS f_error,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    long AS (
+      SELECT 'click' AS exposure, f_click AS e, conv FROM u
+      UNION ALL SELECT 'view', f_view, conv FROM u
+      UNION ALL SELECT 'signup', f_signup, conv FROM u
+      UNION ALL SELECT 'error', f_error, conv FROM u
+    ),
+    cells AS (
+      SELECT exposure,
+             CAST(sum(e) AS BIGINT) AS n_exposed,
+             CAST(sum(e * conv) AS BIGINT) AS conv_exposed,
+             CAST(sum(1 - e) AS BIGINT) AS n_unexposed,
+             CAST(sum((1 - e) * conv) AS BIGINT) AS conv_unexposed
+      FROM long GROUP BY 1
+    )
+    SELECT exposure, n_exposed, conv_exposed, n_unexposed, conv_unexposed,
+           CAST(conv_exposed * 1000000 // nullif(n_exposed, 0)
+                - conv_unexposed * 1000000 // nullif(n_unexposed, 0)
+                AS BIGINT) AS uplift_ppm,
+           CAST((conv_exposed * 1000000 // nullif(n_exposed, 0)) * 1000
+                // nullif(conv_unexposed * 1000000
+                          // nullif(n_unexposed, 0), 0)
+                AS BIGINT) AS lift_milli
+    FROM cells
+    ORDER BY exposure
+    """,
+    doc=(
+        "Observational uplift table: for each candidate exposure event "
+        "type, the journey-level ((user, day) — the Shapley "
+        "attribution unit) 2x2 of exposure x conversion, additive "
+        "uplift in ppm and the relative-risk lift in milli. The lift "
+        "divides the two ALREADY-ppm-scaled rates (never the raw "
+        "count cross-product, which overflows BIGINT at "
+        "fleet-scale user counts); conversion counts are bounded by "
+        "user counts so c*1e6 stays inside BIGINT below ~9e12 users."
+    ),
+)
+def events_counterfactual_uplift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-exposure conversion uplift (ppm) + relative lift (milli).
+
+    Scale notes (100 TB): one journey-grain conditional aggregate over
+    the stream (map-side combine), a 4x widening of the journey
+    table via stack (not a re-scan per exposure type), and a 4-row
+    final aggregate. No windows, no collects. Rates are guarded with
+    nullif so an all-exposed cell yields NULL, not a crash."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END")
+            ).alias(f"f_{t}")
+            for t in ("click", "view", "signup", "error")
+        ],
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("conv"),
+    )
+    long = u.selectExpr(
+        "stack(4, 'click', f_click, 'view', f_view, 'signup', f_signup,"
+        " 'error', f_error) AS (exposure, e)",
+        "conv",
+    )
+    return (
+        long.groupBy("exposure")
+        .agg(
+            F.sum("e").cast("bigint").alias("n_exposed"),
+            F.sum(F.expr("e * conv")).cast("bigint").alias("conv_exposed"),
+            F.sum(F.expr("1 - e")).cast("bigint").alias("n_unexposed"),
+            F.sum(F.expr("(1 - e) * conv")).cast("bigint").alias(
+                "conv_unexposed"
+            ),
+        )
+        .select(
+            "exposure", "n_exposed", "conv_exposed", "n_unexposed",
+            "conv_unexposed",
+            F.expr(
+                "CAST(conv_exposed * 1000000 div nullif(n_exposed, 0)"
+                " - conv_unexposed * 1000000 div nullif(n_unexposed, 0)"
+                " AS BIGINT)"
+            ).alias("uplift_ppm"),
+            F.expr(
+                "CAST((conv_exposed * 1000000 div nullif(n_exposed, 0))"
+                " * 1000 div nullif(conv_unexposed * 1000000"
+                " div nullif(n_unexposed, 0), 0) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy("exposure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Damped-trend Holt smoothing (the long-horizon-sane forecaster)
+# ---------------------------------------------------------------------------
+
+#: floor(1e6 * sum_{i=1..h} 0.9^i) — exact via Fraction, embedded as
+#: literals so both engines share the identical integer constants.
+_HWD_PHI_CUM = {1: 900000, 7: 4695327, 30: 8618479}
+
+
+@register(
+    "events_forecast_holt_damped",
+    f"""
+    WITH RECURSIVE bounds AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(0, d1 - d0 + 1)) AS idx, d0 FROM bounds
+    ), cnt AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), ser AS (
+      SELECT s.idx + 1 AS rn, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.d = s.d0 + s.idx
+    ), st AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             (SELECT x FROM ser WHERE rn = 1) * 1000 AS l,
+             ((SELECT x FROM ser WHERE rn = 2)
+              - (SELECT x FROM ser WHERE rn = 1)) * 1000 AS b
+      UNION ALL
+      SELECT d.rn,
+             (200 * d.x * 1000
+              + 800 * (s.l + (900 * s.b) // 1000)) // 1000,
+             (100 * ((200 * d.x * 1000
+                      + 800 * (s.l + (900 * s.b) // 1000)) // 1000 - s.l)
+              + 900 * ((900 * s.b) // 1000)) // 1000
+      FROM st s JOIN ser d ON d.rn = s.rn + 1
+    ), fin AS (
+      SELECT l, b FROM st WHERE rn = (SELECT max(rn) FROM ser)
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser)
+    SELECT nn.n AS n_days,
+           CAST(f.l AS BIGINT) AS level_milli,
+           CAST(f.b AS BIGINT) AS trend_milli,
+           CAST((f.l * 1000000 + {_HWD_PHI_CUM[1]} * f.b)
+                // 1000000000 AS BIGINT)  AS forecast_1d,
+           CAST((f.l * 1000000 + {_HWD_PHI_CUM[7]} * f.b)
+                // 1000000000 AS BIGINT)  AS forecast_7d,
+           CAST((f.l * 1000000 + {_HWD_PHI_CUM[30]} * f.b)
+                // 1000000000 AS BIGINT) AS forecast_30d
+    FROM fin f CROSS JOIN nn
+    """,
+    doc=(
+        "Damped-trend Holt smoothing (alpha=.2, beta=.1, phi=.9 in "
+        "exact milli integers): the damping factor shrinks the trend "
+        "each step AND geometrically caps the forecast horizon — the "
+        "fix for plain Holt's signature failure of extrapolating a "
+        "transient trend linearly into absurd 30-day numbers. The "
+        "h-step damped multipliers sum(phi^i) are exact "
+        "Fraction-derived micro literals shared by both engines; "
+        "recurrence and replay follow the events_forecast_holt "
+        "fold/RECURSIVE-CTE pair bit-for-bit."
+    ),
+)
+def events_forecast_holt_damped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer damped Holt: fold in Spark, recursive replay in SQL.
+
+    Scale notes (100 TB): identical to events_forecast_holt — one
+    fact rollup to |days| rows, then a single sequential fold over
+    the bounded day array; per-group via groupBy(collect_list) when
+    forecasting many series."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, min(ts))").alias("d0"),
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1"),
+    )
+    spine = b.select(
+        "d0", F.explode(F.expr("sequence(0, d1 - d0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ser = spine.join(cnt, cnt.d == spine.d0 + spine.idx, "left").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+    )
+    arr = ser.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("idx").alias("i"), F.col("x").alias("x"))
+            )
+        ).alias("a")
+    )
+    fold = (
+        "aggregate(slice(a, 2, size(a) - 1),"
+        " named_struct('l', a[0].x * 1000L,"
+        "              'b', (a[1].x - a[0].x) * 1000L),"
+        " (s, e) -> named_struct("
+        "   'l', (200L * e.x * 1000L"
+        "        + 800L * (s.l + (900L * s.b) div 1000L)) div 1000L,"
+        "   'b', (100L * ((200L * e.x * 1000L"
+        "        + 800L * (s.l + (900L * s.b) div 1000L)) div 1000L - s.l)"
+        "        + 900L * ((900L * s.b) div 1000L)) div 1000L))"
+    )
+    st = arr.select(
+        F.expr(fold).alias("s"), F.size("a").cast("bigint").alias("n")
+    )
+    return st.select(
+        F.col("n").alias("n_days"),
+        F.expr("s.l").cast("bigint").alias("level_milli"),
+        F.expr("s.b").cast("bigint").alias("trend_milli"),
+        F.expr(
+            f"(s.l * 1000000L + {_HWD_PHI_CUM[1]}L * s.b) div 1000000000L"
+        ).cast("bigint").alias("forecast_1d"),
+        F.expr(
+            f"(s.l * 1000000L + {_HWD_PHI_CUM[7]}L * s.b) div 1000000000L"
+        ).cast("bigint").alias("forecast_7d"),
+        F.expr(
+            f"(s.l * 1000000L + {_HWD_PHI_CUM[30]}L * s.b) div 1000000000L"
+        ).cast("bigint").alias("forecast_30d"),
+    )

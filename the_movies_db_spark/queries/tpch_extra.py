@@ -3480,3 +3480,230 @@ def orders_rank_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_RV_TOP)
     wr = Window.orderBy(F.desc("avg_abs_shift_milli"), F.asc("supplier"))
     return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (additive, integer-exact x24 scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_seasonal_decompose",
+    """
+    WITH m AS (
+      SELECT (CAST(date_part('year', o_orderdate) AS BIGINT) - 1995) * 12
+             + CAST(date_part('month', o_orderdate) AS BIGINT) - 1 AS mi,
+             min(strftime(o_orderdate, '%Y-%m')) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT a.mi, a.month, a.rev_cents,
+             CAST(sum(CASE WHEN abs(o.off) = 6 THEN b.rev_cents
+                           ELSE 2 * b.rev_cents END) AS BIGINT) AS trend_x24,
+             count(*) AS n_nbr
+      FROM m a
+      CROSS JOIN (SELECT unnest(range(-6, 7)) AS off) o
+      JOIN m b ON b.mi = a.mi + o.off
+      GROUP BY 1, 2, 3
+    ),
+    dt AS (
+      SELECT mi, month, rev_cents, trend_x24,
+             rev_cents * 24 - trend_x24 AS det_x24
+      FROM tr WHERE n_nbr = 13
+    ),
+    seas AS (
+      SELECT mi % 12 AS moy,
+             CAST(sum(det_x24) AS BIGINT) AS s_sum,
+             CAST(count(*) AS BIGINT) AS s_n
+      FROM dt GROUP BY 1
+    )
+    SELECT d.month, d.rev_cents, d.trend_x24,
+           CAST(s.s_sum // s.s_n AS BIGINT) AS seasonal_x24,
+           CAST(d.det_x24 - s.s_sum // s.s_n AS BIGINT) AS residual_x24
+    FROM dt d JOIN seas s ON d.mi % 12 = s.moy
+    ORDER BY d.month
+    """,
+    doc=(
+        "Classical additive seasonal decomposition of monthly revenue "
+        "— trend from the standard centered 2x12 moving average "
+        "(kept exact by carrying x24-scaled integer cents: endpoint "
+        "months weigh 1, interior months 2), monthly seasonal indices "
+        "as integer means of the detrended series, residual as the "
+        "remainder. The neighbor expansion is an EQUI-join of the "
+        "month aggregate against an offset spine (never a non-equi "
+        "range probe), and months missing either +-6 neighbor are "
+        "excluded by the n=13 guard rather than silently averaging a "
+        "shorter window."
+    ),
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue = trend + seasonal + residual, x24 integer scale.
+
+    Scale notes (100 TB): one fact pass reduces to the ~80-row month
+    aggregate; everything after (offset self-join, month-of-year
+    means) is metadata-scale. The decomposition grain is the CALENDAR,
+    so the operator's cost is the initial groupBy no matter how large
+    the fact grows."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.expr(
+                "(CAST(year(o_orderdate) AS BIGINT) - 1995) * 12"
+                " + CAST(month(o_orderdate) AS BIGINT) - 1"
+            ).alias("mi")
+        )
+        .agg(
+            F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("month"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("rev_cents"),
+        )
+        .localCheckpoint(eager=False)  # ~80 rows, consumed by 2 branches
+    )
+    off = spark.range(-6, 7).select(F.col("id").alias("off"))
+    b = m.select(
+        F.col("mi").alias("mj"), F.col("rev_cents").alias("rev_b")
+    )
+    tr = (
+        m.crossJoin(F.broadcast(off))
+        .withColumn("mj", F.expr("mi + off"))
+        .join(b, "mj")
+        .groupBy("mi", "month", "rev_cents")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN abs(off) = 6 THEN rev_b ELSE 2 * rev_b END")
+            ).cast("bigint").alias("trend_x24"),
+            F.count(F.lit(1)).alias("n_nbr"),
+        )
+    )
+    dt = tr.filter("n_nbr = 13").withColumn(
+        "det_x24", F.expr("rev_cents * 24 - trend_x24")
+    )
+    seas = dt.groupBy(F.expr("mi % 12").alias("moy")).agg(
+        F.sum("det_x24").cast("bigint").alias("s_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("s_n"),
+    )
+    return (
+        dt.join(F.broadcast(seas), F.expr("mi % 12") == F.col("moy"))
+        .select(
+            "month",
+            "rev_cents",
+            "trend_x24",
+            F.expr("CAST(s_sum div s_n AS BIGINT)").alias("seasonal_x24"),
+            F.expr(
+                "CAST(det_x24 - s_sum div s_n AS BIGINT)"
+            ).alias("residual_x24"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (acquisition-month cohorts x account age)
+# ---------------------------------------------------------------------------
+
+_LTV_MAX_AGE = 12
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    f"""
+    WITH om AS (
+      SELECT o_custkey,
+             (CAST(date_part('year', o_orderdate) AS BIGINT) - 1995) * 12
+             + CAST(date_part('month', o_orderdate) AS BIGINT) - 1 AS mi,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, CAST(min(mi) AS BIGINT) AS mi_c FROM om GROUP BY 1
+    ),
+    sizes AS (
+      SELECT mi_c, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.mi_c, om.mi - f.mi_c AS age_months,
+             CAST(sum(om.cents) AS BIGINT) AS rev_cents
+      FROM om JOIN first f ON om.o_custkey = f.o_custkey
+      WHERE om.mi - f.mi_c <= {_LTV_MAX_AGE}
+      GROUP BY 1, 2
+    )
+    SELECT strftime(make_date(1995 + CAST(r.mi_c // 12 AS INT),
+                              CAST(r.mi_c % 12 AS INT) + 1, 1),
+                    '%Y-%m') AS cohort,
+           s.cohort_size,
+           CAST(r.age_months AS BIGINT) AS age_months,
+           CAST(sum(r.rev_cents) OVER (PARTITION BY r.mi_c
+                ORDER BY r.age_months ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(sum(r.rev_cents) OVER (PARTITION BY r.mi_c
+                ORDER BY r.age_months ROWS UNBOUNDED PRECEDING)
+                // s.cohort_size AS BIGINT) AS ltv_cents_per_cust
+    FROM rev r JOIN sizes s ON r.mi_c = s.mi_c
+    ORDER BY cohort, age_months
+    """,
+    doc=(
+        "Customer-lifetime-value curve by acquisition cohort: each "
+        "customer joins the cohort of their first order month; "
+        "per-cohort cumulative revenue through account age "
+        f"0..{_LTV_MAX_AGE} months, normalized to integer cents per "
+        "cohort member. The cumulative window runs over the "
+        "(cohort x age) aggregate — a calendar-bounded grid — never "
+        "the fact."
+    ),
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV (cents/customer) by cohort and account age.
+
+    Scale notes (100 TB): two fact-grain aggregates (first-order month
+    per customer; cohort x age revenue roll-up) joined on customer —
+    a broadcast at dim scale, an equi-shuffle at fact scale. The
+    cumulative window is partitioned by cohort over <= 13 age rows
+    each, i.e. metadata-scale."""
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        F.expr(
+            "(CAST(year(o_orderdate) AS BIGINT) - 1995) * 12"
+            " + CAST(month(o_orderdate) AS BIGINT) - 1"
+        ).alias("mi"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    first = om.groupBy("o_custkey").agg(
+        F.min("mi").cast("bigint").alias("mi_c")
+    )
+    sizes = first.groupBy("mi_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        om.join(first, "o_custkey")
+        .withColumn("age_months", F.expr("mi - mi_c"))
+        .filter(F.col("age_months") <= _LTV_MAX_AGE)
+        .groupBy("mi_c", "age_months")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("mi_c")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "mi_c")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        .select(
+            F.expr(
+                "date_format(make_date(1995 + CAST(mi_c div 12 AS INT),"
+                " CAST(mi_c % 12 AS INT) + 1, 1), 'yyyy-MM')"
+            ).alias("cohort"),
+            "cohort_size",
+            F.col("age_months").cast("bigint"),
+            "cum_rev_cents",
+            F.expr(
+                "CAST(cum_rev_cents div cohort_size AS BIGINT)"
+            ).alias("ltv_cents_per_cust"),
+        )
+        .orderBy("cohort", "age_months")
+    )
