@@ -125,3 +125,314 @@ def test_adamic_adar_structure_sf001(spark, registry):
     # candidate pairs must span distinct suppliers on both ends
     assert len({r["supp_a"] for r in rows}) > 1
     assert len({r["supp_b"] for r in rows}) > 1
+
+
+# ---------------------------------------------- third-leg math replays
+#
+# Engine parity (oracle sweep) proves Spark == DuckDB; these replays
+# prove both equal an INDEPENDENT Python implementation of the math,
+# at sf0.001 unless the structure needs sf0.01.
+
+import math
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+import pandas as pd
+
+
+def _pq(tbl: str, sf: str = SF) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf}/{tbl}.parquet")
+
+
+def test_quantile_sketch_matches_python(spark, registry):
+    got = {
+        r["q_permille"]: r
+        for r in registry["agg_quantile_sketch_merge"].spark(spark, SF).collect()
+    }
+    o = _pq("orders")
+    vals = sorted(
+        (int(round(p * 100)), int(k))
+        for p, k in zip(o["o_totalprice"], o["o_orderkey"])
+    )
+    n = len(vals)
+    # per-shard equi-depth summaries
+    shards: dict[int, list] = defaultdict(list)
+    for v, k in vals:
+        shards[k % 32].append((v, k))
+    pts = []
+    for sh, rows in shards.items():
+        rows.sort()
+        ns = len(rows)
+        step = (ns + 63) // 64
+        for i in range(0, ns, step):
+            v, k = rows[i]
+            pts.append((v, k, min(step, ns - i)))
+    pts.sort()
+    cum = 0
+    cums = []
+    for v, k, w in pts:
+        cum += w
+        cums.append((cum, v, k))
+    for q in (10, 250, 500, 750, 990):
+        r = (q * n + 999) // 1000
+        est = next((v, k) for c, v, k in cums if c >= r)
+        exact = vals[r - 1][0]
+        est_rank = sum(
+            1 for v, k in vals if v < est[0] or (v == est[0] and k <= est[1])
+        )
+        row = got[q]
+        assert row["sketch_cents"] == est[0], q
+        assert row["exact_cents"] == exact, q
+        assert row["rank_err"] == abs(est_rank - r), q
+        # the audit's own contract: rank error bounded by the max step
+        max_step = max((len(v) + 63) // 64 for v in shards.values())
+        assert row["rank_err"] <= 32 * max_step
+
+
+def test_seasonal_decompose_matches_python(spark, registry):
+    got = {
+        r["month"]: r
+        for r in registry["orders_seasonal_decompose"].spark(spark, SF).collect()
+    }
+    o = _pq("orders")
+    rev: dict[int, int] = defaultdict(int)
+    for p, d in zip(o["o_totalprice"], o["o_orderdate"]):
+        mi = (d.year - 1995) * 12 + d.month - 1
+        rev[mi] += int(round(p * 100))
+    det = {}
+    for mi in rev:
+        if all(mi + k in rev for k in range(-6, 7)):
+            tr = rev[mi - 6] + rev[mi + 6] + 2 * sum(
+                rev[mi + k] for k in range(-5, 6)
+            )
+            det[mi] = (rev[mi] * 24 - tr, tr)
+    seas: dict[int, list] = defaultdict(list)
+    for mi, (d_, _) in det.items():
+        seas[mi % 12].append(d_)
+    assert len(got) == len(det) > 0
+    for mi, (d_, tr) in det.items():
+        m = f"{1995 + mi // 12}-{mi % 12 + 1:02d}"
+        s_sum, s_n = sum(seas[mi % 12]), len(seas[mi % 12])
+        # Spark/DuckDB integer division truncates toward zero
+        s = abs(s_sum) // s_n * (1 if s_sum >= 0 else -1)
+        row = got[m]
+        assert row["rev_cents"] == rev[mi], m
+        assert row["trend_x24"] == tr, m
+        assert row["seasonal_x24"] == s, m
+        assert row["residual_x24"] == d_ - s, m
+
+
+def test_uplift_matches_python(spark, registry):
+    got = {
+        r["exposure"]: r
+        for r in registry["events_counterfactual_uplift"].spark(spark, SF).collect()
+    }
+    ev = _pq("events")
+    j: dict = defaultdict(lambda: defaultdict(int))
+    for _, r in ev.iterrows():
+        key = (int(r["user_id"]), r["ts"].date())
+        j[key][r["event_type"]] = 1
+    for t in ("click", "view", "signup", "error"):
+        ne = sum(1 for f in j.values() if f.get(t))
+        ce = sum(1 for f in j.values() if f.get(t) and f.get("purchase"))
+        nu = sum(1 for f in j.values() if not f.get(t))
+        cu = sum(1 for f in j.values() if not f.get(t) and f.get("purchase"))
+        row = got[t]
+        assert (row["n_exposed"], row["conv_exposed"]) == (ne, ce), t
+        assert (row["n_unexposed"], row["conv_unexposed"]) == (nu, cu), t
+        re_, ru = ce * 10**6 // ne, cu * 10**6 // nu
+        assert row["uplift_ppm"] == re_ - ru, t
+        assert row["lift_milli"] == (re_ * 1000 // ru if ru else None), t
+
+
+def test_cfd_matches_python(spark, registry):
+    got = {
+        r["rule"]: r
+        for r in registry["dq_rule_mining_cfd"].spark(spark, SF).collect()
+    }
+    o = _pq("orders").merge(
+        _pq("customer"), left_on="o_custkey", right_on="c_custkey"
+    )
+    rules = {
+        "mktsegment->priority": ("c_mktsegment", "o_orderpriority"),
+        "nation->mktsegment": ("c_nationkey", "c_mktsegment"),
+        "priority->status": ("o_orderpriority", "o_orderstatus"),
+        "nation->status": ("c_nationkey", "o_orderstatus"),
+        "status->priority": ("o_orderstatus", "o_orderpriority"),
+    }
+    for name, (a, b) in rules.items():
+        cells = Counter(zip(o[a].astype(str), o[b].astype(str)))
+        per_lhs: dict = defaultdict(dict)
+        for (x, y), c in cells.items():
+            per_lhs[x][y] = c
+        kept = sum(max(d.values()) for d in per_lhs.values())
+        n = len(o)
+        row = got[name]
+        assert row["n_lhs_values"] == len(per_lhs), name
+        assert row["n_rows"] == n, name
+        assert row["n_violations"] == n - kept, name
+        assert row["confidence_ppm"] == kept * 10**6 // n, name
+        assert row["max_rhs_per_lhs"] == max(
+            len(d) for d in per_lhs.values()
+        ), name
+
+
+def test_holt_damped_matches_python(spark, registry):
+    row = registry["events_forecast_holt_damped"].spark(spark, SF).collect()[0]
+    ev = _pq("events")
+    days = [d.toordinal() for d in ev["ts"].dt.date]
+    d0, d1 = min(days), max(days)
+    cnt = Counter(days)
+    xs = [cnt.get(d, 0) for d in range(d0, d1 + 1)]
+    l, b = xs[0] * 1000, (xs[1] - xs[0]) * 1000
+
+    def tz(a, d):  # truncate-toward-zero division
+        return abs(a) // d * (1 if a >= 0 else -1)
+
+    for x in xs[1:]:
+        db = tz(900 * b, 1000)
+        nl = tz(200 * x * 1000 + 800 * (l + db), 1000)
+        b = tz(100 * (nl - l) + 900 * db, 1000)
+        l = nl
+    assert row["n_days"] == len(xs)
+    assert row["level_milli"] == l
+    assert row["trend_milli"] == b
+    for h, cum in ((1, 900000), (7, 4695327), (30, 8618479)):
+        assert int(cum) == int(
+            (Fraction(9, 10) * (1 - Fraction(9, 10) ** h))
+            / (1 - Fraction(9, 10)) * 10**6
+        )
+        assert row[f"forecast_{h}d"] == tz(l * 10**6 + cum * b, 10**9)
+
+
+def test_survivor_stats_matches_python(spark, registry):
+    import re as _re
+
+    got = {
+        r["source"]: r
+        for r in registry["pipeline_dedup_survivor_stats"].spark(spark, SF).collect()
+    }
+    d = _pq("documents")
+    import hashlib
+
+    def h(t):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.strip().lower()).encode()
+        ).hexdigest()
+
+    d = d.assign(ch=[h(t) for t in d["text"]])
+    canon = d.groupby("ch")["doc_id"].min().to_dict()
+    per: dict = defaultdict(lambda: [0, 0, 0])
+    for _, r in d.iterrows():
+        s = per[r["source"]]
+        s[0] += 1
+        if r["doc_id"] != canon[r["ch"]]:
+            s[1] += 1
+            s[2] += int(r["n_chars"])
+    for src, (nd, dr, by) in per.items():
+        row = got[src]
+        assert (row["n_docs"], row["n_dropped"], row["bytes_saved"]) == (
+            nd, dr, by
+        ), src
+    tot = got["TOTAL"]
+    assert tot["n_docs"] == sum(v[0] for v in per.values())
+    assert tot["n_dropped"] == sum(v[1] for v in per.values())
+
+
+def test_connected_components_structure(spark, registry):
+    rows = registry["graph_connected_components"].spark(spark, SF_GRAPH).collect()
+    assert 1 <= len(rows) <= 20
+    # replay min-label propagation over the same edge construction
+    labels, edges = __import__("tests.test_round8b_ops", fromlist=["x"])._lpa_python_labels_edges()
+    nbrs: dict = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lbl = {v: v for v in nbrs}
+    for _ in range(6):
+        prev = dict(lbl)
+        lbl = {
+            v: min(min(prev[u] for u in ns), prev[v]) for v, ns in nbrs.items()
+        }
+    changed = sum(1 for v in lbl if lbl[v] != prev[v])
+    sizes = Counter(lbl.values())
+    want = sorted(sizes.items(), key=lambda t: (-t[1], t[0]))[:20]
+    got = [(r["component"], r["n_nodes"]) for r in rows]
+    assert got == want
+    assert all(r["n_components"] == len(sizes) for r in rows)
+    assert all(r["n_changed_last"] == changed for r in rows)
+    # structure: the graph must have several components with spread
+    assert len(sizes) >= 3
+    assert len({n for _, n in want}) > 1
+
+
+def test_bridge_edges_matches_python(spark, registry):
+    rows = registry["graph_bridge_edges"].spark(spark, SF_GRAPH).collect()
+    labels, edges = __import__("tests.test_round8b_ops", fromlist=["x"])._lpa_python_labels_edges()
+    nbrs: dict = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    bridges = [
+        (a, b) for a, b in edges if not (nbrs[a] & nbrs[b] - {a, b})
+    ]
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    want = sorted(
+        ((deg[a] + deg[b], a, b) for a, b in bridges),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = [(r["deg_a"] + r["deg_b"], r["sa"], r["sb"]) for r in rows]
+    assert got == want
+    assert all(r["n_bridges"] == len(bridges) for r in rows)
+    assert len(rows) >= 2, "bridge set must be non-degenerate at sf0.01"
+
+
+def test_minhash_calibration_prediction_exact():
+    """The integer prediction equals the textbook 1-(1-s^2)^4 at s=k/8
+    for every agreement level, via exact Fraction arithmetic. The
+    query's form 1e6 - floor(miss*1e6) is the CEILING of p*1e6 (the
+    miss probability is floored, so the hit probability rounds up) —
+    assert that identity exactly, and that it never strays more than
+    one ppm from the real value."""
+    for k in range(0, 9):
+        s = Fraction(k, 8)
+        p = 1 - (1 - s**2) ** 4
+        want_ceil = -((-p * 10**6).__floor__())
+        got = 10**6 - (64 - k * k) ** 4 * 10**6 // 16777216
+        assert got == want_ceil, k
+        assert abs(Fraction(got) - p * 10**6) < 1, k
+
+
+# ------------------------------------------------- round-9 plan pins
+
+
+def test_round9_scan_budgets(spark, registry):
+    """Scan budgets for the round-9 registrations:
+    - quantile sketch: ONE orders scan in the returned plan (the
+      sharded summary and the two-level exact rank both collapse into
+      checkpoints; the remaining scan is the broadcast rank-err probe)
+      and the only windows are global_row_number's bucket-partitioned
+      pair — never an unpartitioned window over the fact;
+    - query-likelihood: ONE documents scan (corpus-stats branch); the
+      vocab-pruned tf table feeds cf/candidates/grid from its
+      checkpoint;
+    - bridges/CC: ZERO fact scans — everything runs over the
+      checkpointed edge artifacts; bridges' triangle probe is
+      checkpointed so the count and top-k branches share it."""
+    qsk = plan_of(registry["agg_quantile_sketch_merge"].spark(spark, SF))
+    assert qsk.count("orders.parquet") == 1
+    wins = [
+        ln for ln in qsk.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert len(wins) == 2 and all("__rb#" in w for w in wins), wins
+
+    ql = plan_of(registry["search_query_likelihood_lm"].spark(spark, SF))
+    assert ql.count("documents.parquet") == 1
+
+    for name in ("graph_bridge_edges", "graph_connected_components"):
+        txt = plan_of(registry[name].spark(spark, SF))
+        for tbl in ("lineitem", "orders", "customer", "supplier"):
+            assert txt.count(f"{tbl}.parquet") == 0, (name, tbl)
+    assert _rdd_scans(plan_of(
+        registry["graph_bridge_edges"].spark(spark, SF)
+    )) == 4

@@ -1550,7 +1550,11 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cn")
         )
     )
-    br = edges.join(tri, ["sa", "sb"], "left_anti")
+    # the triangle probe is the expensive part — checkpoint its result
+    # so the bridge-count and top-k branches don't each re-run it
+    br = edges.join(tri, ["sa", "sb"], "left_anti").localCheckpoint(
+        eager=False
+    )
     nb = br.agg(F.count(F.lit(1)).cast("bigint").alias("n_bridges"))
     da = deg.select(F.col("id").alias("sa"), F.col("d").alias("deg_a"))
     db = deg.select(F.col("id").alias("sb"), F.col("d").alias("deg_b"))
