@@ -77,10 +77,8 @@ HEADLINE = [
     # sf0.1 (measured, single-run ranking in round 5) so BENCH carries
     # medians for the continuation surface (padding_waste retired r6)
     "sim_recall_ivfpq",
-    "events_anomaly_mad",
     "dedup_threshold_histogram",
     "agg_weighted_median",
-    "upsert_scd2_asof",
     "sim_bucket_purity",
     # round-6 continuation: greedy MMR re-rank, retrieval eval + hard
     # negatives, DSIR + bigram-LM scoring, dim-correlation audit
@@ -114,8 +112,6 @@ HEADLINE = [
     # search_phrase_proximity, orders_pareto_gini, sim_mmr_diversify,
     # sim_dim_correlation, agg_mutual_information, io_bucketed_join_scan.
     "graph_degree_assortativity",
-    "orders_survival_km",
-    "sim_knn_graph_stats",
     "search_rank_agreement",
     # round-8: the two heaviest round-7 queries landed AFTER BENCH_r07
     # was recorded (verdict item 5) — sketch mergeability audit was the
@@ -124,7 +120,6 @@ HEADLINE = [
     # oracle-gated): text_hapax_share, agg_covariance_matrix,
     # orders_theilsen_trend.
     "dedup_sketch_merge_audit",
-    "events_forecast_backtest",
     # round-8: the heaviest new additions (x16-probe 1x ranking in
     # scripts/probe_r8*_16x.out). Retired as flat with closed perf
     # stories (multi-round-flat honest medians, plan-pinned, all still
@@ -134,10 +129,20 @@ HEADLINE = [
     "graph_adamic_adar",
     "pipeline_filter_lm_impact",
     "sim_hubness_audit",
-    "graph_label_propagation",
-    "sim_ivf_cost_model",
     "graph_hits_bipartite",
-    "dedup_lsh_cost_model",
+    # round-9: the heaviest new additions (x16-probe 1x ranking in
+    # scripts/probe_r9_16x.out). Retired as flat with closed perf
+    # stories (multi-round-flat honest medians, plan-pinned, all still
+    # oracle-gated every round): events_forecast_backtest,
+    # orders_survival_km, sim_knn_graph_stats, sim_ivf_cost_model,
+    # dedup_lsh_cost_model, graph_label_propagation (scan-budget pin
+    # landed r9), events_anomaly_mad, upsert_scd2_asof.
+    "dq_candidate_keys3",
+    "dedup_minhash_calibration",
+    "agg_quantile_sketch_merge",
+    "graph_connected_components",
+    "graph_bridge_edges",
+    "search_query_likelihood_lm",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one

@@ -6488,3 +6488,115 @@ def dq_rule_mining_cfd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("confidence_ppm"), "rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation audit (optimizer-statistics evidence)
+# ---------------------------------------------------------------------------
+
+#: (join name, left table, left key, right table, right key) — the
+#: equi-joins an optimizer must size when planning this star schema.
+_JCARD_JOINS = (
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+)
+
+
+def _jcard_oracle() -> str:
+    blocks = []
+    for name, lt, lk, rt, rk in _JCARD_JOINS:
+        blocks.append(f"""
+    SELECT '{name}' AS join_key,
+           (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS n_right,
+           (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS nd_left,
+           (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS nd_right,
+           (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+            FROM (SELECT {lk} AS k, count(*) AS c FROM {lt} GROUP BY 1) a
+            JOIN (SELECT {rk} AS k, count(*) AS c FROM {rt} GROUP BY 1) b
+              ON a.k = b.k) AS actual_rows""")
+    body = " UNION ALL ".join(blocks)
+    return f"""
+    WITH raw AS ({body})
+    SELECT join_key, n_left, n_right, nd_left, nd_right,
+           CAST(n_left * n_right // greatest(nd_left, nd_right) AS BIGINT)
+             AS est_rows,
+           actual_rows,
+           CAST(CASE WHEN actual_rows = 0 THEN NULL
+                ELSE (n_left * n_right // greatest(nd_left, nd_right))
+                     * 1000 // actual_rows END AS BIGINT) AS est_ratio_milli
+    FROM raw
+    ORDER BY join_key
+    """
+
+
+@register(
+    "dq_join_cardinality_model",
+    _jcard_oracle(),
+    doc=(
+        "Optimizer-statistics audit: for each star-schema equi-join, "
+        "the textbook independence estimate |L|*|R|/max(ndv_l, ndv_r) "
+        "— what a cost-based planner computes from table stats — next "
+        "to the EXACT join cardinality (sum over keys of per-side "
+        "count products, computed on the key-grain aggregates, never "
+        "by materializing the join). est_ratio_milli is the "
+        "over/under-estimation factor: the drift signal that says the "
+        "column's NDV stats are stale or its distribution is skewed "
+        "beyond what the uniformity assumption tolerates."
+    ),
+)
+def dq_join_cardinality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact equi-join cardinalities for the star joins.
+
+    Scale notes (100 TB): per join, two key-grain combining aggregates
+    plus a key-equi-join of the two count tables — the exact size
+    falls out WITHOUT executing the data-plane join; table counts and
+    NDVs are single-pass aggregates. The output is |joins| rows."""
+    out = None
+    for name, lt, lk, rt, rk in _JCARD_JOINS:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        lstats = left.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_left"),
+            F.countDistinct(lk).cast("bigint").alias("nd_left"),
+        )
+        rstats = right.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_right"),
+            F.countDistinct(rk).cast("bigint").alias("nd_right"),
+        )
+        a = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        b = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        actual = (
+            a.join(b, "k")
+            .agg(
+                F.expr("CAST(coalesce(sum(ca * cb), 0) AS BIGINT)").alias(
+                    "actual_rows"
+                )
+            )
+        )
+        row = (
+            lstats.crossJoin(F.broadcast(rstats))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_key"),
+                "n_left", "n_right", "nd_left", "nd_right",
+                F.expr(
+                    "CAST(n_left * n_right div greatest(nd_left, nd_right)"
+                    " AS BIGINT)"
+                ).alias("est_rows"),
+                "actual_rows",
+                F.expr(
+                    "CAST(CASE WHEN actual_rows = 0 THEN NULL"
+                    " ELSE (n_left * n_right div greatest(nd_left, nd_right))"
+                    " * 1000 div actual_rows END AS BIGINT)"
+                ).alias("est_ratio_milli"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_key")
