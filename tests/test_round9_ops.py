@@ -436,3 +436,25 @@ def test_round9_scan_budgets(spark, registry):
     assert _rdd_scans(plan_of(
         registry["graph_bridge_edges"].spark(spark, SF)
     )) == 4
+
+
+def test_census_fixed_scan_budgets(spark, registry):
+    """Round-9 plan census fixes: the multi-branch fan-out queries
+    found re-running fact subtrees per branch (pagerank 22 lineitem
+    scans — the HITS normalization class; the shingle-dedup family 8
+    documents scans each; KMV 8 events scans; triangles 9) now consume
+    checkpointed artifacts: ZERO fact scans in every returned plan."""
+    for name, tbls in [
+        ("graph_pagerank", ("lineitem", "orders", "customer", "supplier")),
+        ("graph_triangles", ("lineitem", "orders")),
+        ("dedup_ngram_jaccard", ("documents",)),
+        ("dedup_containment", ("documents",)),
+        ("dedup_prefix_filter", ("documents",)),
+        ("dedup_threshold_histogram", ("documents",)),
+        ("dedup_recall_eval", ("documents",)),
+        ("multimodal_block_dedup", ("documents",)),
+        ("agg_kmv_intersection", ("events",)),
+    ]:
+        txt = plan_of(registry[name].spark(spark, SF))
+        for tbl in tbls:
+            assert txt.count(f"{tbl}.parquet") == 0, (name, tbl)

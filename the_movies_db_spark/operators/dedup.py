@@ -134,7 +134,9 @@ def minhash_lsh_candidates(
         F.posexplode(lsh_bands(F.col("__sig"), num_bands, rows)).alias(
             "band_idx", "band_hash"
         ),
-    )
+    ).localCheckpoint(eager=False)  # both self-join sides share one
+    # materialization of the signature computation (the md5 fold is
+    # the expensive part — it ran twice before round 9)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -415,6 +417,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
+    # three consumers (sizes + both self-join sides) would otherwise
+    # each re-run the shingle explosion — 8 documents scans in the
+    # pre-round-9 plans. One lazy materialization of the (df-capped)
+    # postings beats three recomputes of the regex explosion (the
+    # round-8 bitmap word-table precedent for >1-branch fact tables).
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -794,6 +802,12 @@ def containment_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
+    # three consumers (sizes + both self-join sides) would otherwise
+    # each re-run the shingle explosion — 8 documents scans in the
+    # pre-round-9 plans. One lazy materialization of the (df-capped)
+    # postings beats three recomputes of the regex explosion (the
+    # round-8 bitmap word-table precedent for >1-branch fact tables).
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -859,10 +873,13 @@ def prefix_filter_pairs(
             "concat(lpad(CAST(__df AS STRING), 10, '0'), '|', shingle)"
         ).alias("k"),
     )
+    # three consumers (prefix explode + both verification sides) —
+    # checkpoint the doc-grain sorted-set table once instead of
+    # re-running the explosion + collect_list per branch
     sets = keyed.groupBy("__id").agg(
         F.array_sort(F.collect_list("k")).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     # prefix length |x| - ceil(t|x|) + 1, ceil in exact integers
     plen = f"n - ((n * {t_num} + {t_den - 1}) div {t_den}) + 1"
     prefix = sets.select(

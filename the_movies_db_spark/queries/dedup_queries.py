@@ -491,13 +491,15 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
+    # truth and cand each feed TWO branches (the intersect + their own
+    # count) — checkpoint the pair lists so neither pipeline re-runs
     truth = D.ngram_jaccard_pairs(
         d, "doc_id", "text", threshold=0.2, shingle_n=3, max_df=None
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     cand = D.minhash_lsh_candidates(
         d, "doc_id", "text",
         num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
-    )
+    ).localCheckpoint(eager=False)
     hit = cand.intersect(truth)
     one = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))

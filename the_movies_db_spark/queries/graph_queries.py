@@ -108,17 +108,24 @@ def _pagerank_oracle() -> str:
     ),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir).cache()
+    # checkpoints, not cache(): every per-round frame below references
+    # edges/nodes/base from several branches, and cache keeps the full
+    # lineage in the plan (22 fact scans in plan text pre-round-9)
+    # while still re-running everything ABOVE the cached scan per
+    # reference. The node-grain artifacts are tiny.
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg")
-    )
+    ).localCheckpoint(eager=False)
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+    base = nodes.crossJoin(F.broadcast(n_df)).localCheckpoint(eager=False)
+    ranks = base.select(
         "node", F.expr(f"CAST({_SCALE} DIV n AS BIGINT)").alias("rank")
     )
     for _ in range(_ITERS):
@@ -129,7 +136,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("rank DIV outdeg")).alias("contrib"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n_df))
+            base
             .join(contrib, "node", "left")
             .select(
                 "node",
@@ -186,14 +193,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=False)
     )
     e1 = und.select(F.col("a").alias("a"), F.col("b").alias("b"))
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tri = e1.join(e2, "b").join(
         e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
-    )
+    ).localCheckpoint(eager=False)  # three corner projections share
+    # one execution of the two-hop join
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b")))

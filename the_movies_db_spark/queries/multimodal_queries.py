@@ -325,6 +325,9 @@ def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr("substring(content, 1 + g * 64, 64)")).alias("bh"),
         )
     )
+    # sizes + both join sides consume blocks — one materialization of
+    # the block-hash table instead of three blob re-hashes
+    blocks = blocks.localCheckpoint(eager=False)
     sizes = blocks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("nb")
     )

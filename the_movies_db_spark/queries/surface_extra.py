@@ -1096,6 +1096,10 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         dh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
         .select("event_type", "h")
+        # |types| x k rows, consumed by THREE branches (type list +
+        # both pair sides) — checkpoint so the distinct+window sketch
+        # build runs once, not three times over the fact
+        .localCheckpoint(eager=False)
     )
     types = sk.select("event_type").distinct()
     tp = (
@@ -1124,7 +1128,9 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("matches"),
         )
     )
-    du = e.select("event_type", "user_id").distinct()
+    du = e.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )  # both sides of the exact-audit self-join
     exact = (
         du.select(F.col("event_type").alias("ta"), "user_id")
         .join(
