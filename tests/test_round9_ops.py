@@ -458,3 +458,63 @@ def test_census_fixed_scan_budgets(spark, registry):
         txt = plan_of(registry[name].spark(spark, SF))
         for tbl in tbls:
             assert txt.count(f"{tbl}.parquet") == 0, (name, tbl)
+
+
+def test_threshold_sensitivity_matches_python(spark, registry):
+    """Replay: pair counts and affected docs per threshold from an
+    independent pandas n-gram Jaccard (df-capped like the query)."""
+    got = {
+        r["t_ppm"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in registry["pipeline_dedup_threshold_sensitivity"]
+        .spark(spark, SF).collect()
+    }
+    d = _pq("documents")
+    import re as _re
+
+    def shingles(t):
+        w = _re.split(r"\s+", t)
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sh = {int(r["doc_id"]): shingles(r["text"]) for _, r in d.iterrows()}
+    # df-cap at 25 docs
+    from collections import Counter as _C
+    dfc = _C(s for v in sh.values() for s in v)
+    sh = {k: {s for s in v if dfc[s] <= 25} for k, v in sh.items()}
+    ids = sorted(sh)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if j >= 0.2:
+                pairs.append((a, b, round(j * 10**6)))
+    for t in range(200_000, 1_000_001, 100_000):
+        hit = [(a, b) for a, b, ppm in pairs if ppm >= t]
+        if not hit:
+            assert t not in got
+            continue
+        docs = {x for p_ in hit for x in p_}
+        assert got[t] == (len(hit), len(docs)), t
+
+
+def test_cluster_purity_consistency(spark, registry):
+    """Structure + internal consistency at sf0.01: purity is the
+    majority share, sources bounded by members, and the cluster sizes
+    reconcile with pipeline_dedup_survivorship's n_members."""
+    rows = registry["pipeline_cluster_purity"].spark(spark, SF_GRAPH).collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert 1 <= r["n_sources"] <= r["n_members"]
+        assert 0 < r["purity_ppm"] <= 10**6
+        if r["n_sources"] == 1:
+            assert r["purity_ppm"] == 10**6
+    surv = {
+        r["cluster_id"]: r["n_members"]
+        for r in registry["pipeline_dedup_survivorship"]
+        .spark(spark, SF_GRAPH).collect()
+    }
+    assert {r["cluster_id"]: r["n_members"] for r in rows} == surv

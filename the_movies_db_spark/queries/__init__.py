@@ -72,7 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dq_rule_mining_cfd, search_query_likelihood_lm,
     # graph_bridge_edges, graph_connected_components,
     # dedup_minhash_calibration, events_forecast_holt_damped,
-    # dq_join_cardinality_model,
+    # dq_join_cardinality_model, pipeline_cluster_purity,
+    # pipeline_dedup_threshold_sensitivity,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

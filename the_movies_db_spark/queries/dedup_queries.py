@@ -1255,3 +1255,184 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_matching")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster label purity (does clustering respect provenance?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_cluster_purity",
+    f"""
+    WITH clusters AS ({_REG["dedup_clusters"].oracle}),
+    m AS (
+      SELECT c.cluster_id, c.doc_id, d.source
+      FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    per_src AS (
+      SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS cnt
+      FROM m GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT cluster_id, source AS majority_source, cnt FROM (
+        SELECT cluster_id, source, cnt,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY cnt DESC, source) AS rn
+        FROM per_src
+      ) t WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM m GROUP BY 1
+    )
+    SELECT s.cluster_id, s.n_members, s.n_sources, b.majority_source,
+           CAST(b.cnt * 1000000 // s.n_members AS BIGINT) AS purity_ppm
+    FROM sizes s JOIN best b USING (cluster_id)
+    ORDER BY s.n_members DESC, s.cluster_id
+    """,
+    doc=(
+        "Provenance purity of the near-dup clusters: per MinHash-LSH "
+        "cluster, how concentrated its members are in one source — "
+        "high purity means the dedup mostly collapses within-source "
+        "re-crawls (cheap to drop); low purity flags cross-source "
+        "contamination (syndicated/mirrored content), which changes "
+        "how survivorship should attribute the canonical doc. Nests "
+        "the dedup_clusters oracle so the evaluated clustering is "
+        "exactly the shipped one (the survivorship precedent)."
+    ),
+)
+def pipeline_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-source share per near-dup cluster.
+
+    Scale notes (100 TB): clusters come from the banded equi-join +
+    min-label propagation (never all-pairs); membership joins the
+    |clustered-docs| table to sources by id; the majority election is
+    a rank window over the (cluster x source) aggregate — bounded by
+    cluster fan-out, never corpus-scale."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    clusters = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    m = clusters.join(
+        d.select("doc_id", "source"), "doc_id"
+    ).localCheckpoint(eager=False)  # membership feeds 2 aggregates
+    per_src = m.groupBy("cluster_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wb = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.asc("source")
+    )
+    best = (
+        per_src.withColumn("rn", F.row_number().over(wb))
+        .filter("rn = 1")
+        .select(
+            "cluster_id", F.col("source").alias("majority_source"), "cnt"
+        )
+    )
+    sizes = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return (
+        sizes.join(best, "cluster_id")
+        .select(
+            "cluster_id", "n_members", "n_sources", "majority_source",
+            F.expr("CAST(cnt * 1000000 div n_members AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_members"), F.asc("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity (what each threshold choice costs)
+# ---------------------------------------------------------------------------
+
+_THRESH_PPMS = tuple(range(200_000, 1_000_001, 100_000))
+
+
+@register(
+    "pipeline_dedup_threshold_sensitivity",
+    f"""
+    WITH pairs AS ({_REG["dedup_ngram_jaccard"].oracle}),
+    p AS (
+      SELECT id_a, id_b, CAST(round(jaccard * 1000000) AS BIGINT) AS ppm
+      FROM pairs
+    ),
+    spine AS (SELECT unnest([{", ".join(str(t) for t in _THRESH_PPMS)}])
+              AS t_ppm),
+    hit AS (
+      SELECT s.t_ppm, p.id_a, p.id_b
+      FROM p JOIN spine s ON p.ppm >= s.t_ppm
+    ),
+    np AS (
+      SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM hit GROUP BY 1
+    ),
+    docs AS (
+      SELECT t_ppm, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+      FROM (
+        SELECT t_ppm, id_a AS d FROM hit
+        UNION ALL SELECT t_ppm, id_b FROM hit
+      ) u GROUP BY 1
+    )
+    SELECT CAST(np.t_ppm AS BIGINT) AS t_ppm, np.n_pairs,
+           docs.n_docs_affected
+    FROM np JOIN docs USING (t_ppm)
+    ORDER BY t_ppm
+    """,
+    doc=(
+        "Threshold sensitivity table for near-dup pruning: for each "
+        "candidate Jaccard threshold, the surviving pair count and "
+        "the number of documents any pair touches — the marginal-cost "
+        "curve an engineer reads next to the decile histogram before "
+        "fixing the production threshold. One pair computation serves "
+        "every threshold (a broadcast spine join, never a re-scan per "
+        "threshold)."
+    ),
+)
+def pipeline_dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairs + affected docs per candidate dedup threshold.
+
+    Scale notes (100 TB): the df-capped posting join runs ONCE; the
+    threshold spine multiplies only the resulting pair list (bounded
+    by near-dup pairs, broadcast non-equi join against 9 rows); both
+    outputs are aggregates over that widened pair list."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.2, shingle_n=3, max_df=_MAX_DF
+    ).select(
+        "id_a", "id_b",
+        F.expr("CAST(round(jaccard * 1000000) AS BIGINT)").alias("ppm"),
+    ).localCheckpoint(eager=False)
+    spine = spark.range(1).selectExpr(
+        f"explode(array({', '.join(str(t) + 'L' for t in _THRESH_PPMS)}))"
+        " AS t_ppm"
+    )
+    hit = pairs.join(
+        F.broadcast(spine), pairs.ppm >= F.col("t_ppm")
+    ).localCheckpoint(eager=False)
+    n_pairs = hit.groupBy("t_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        hit.selectExpr("t_ppm", "stack(2, id_a, id_b) AS (d)")
+        .groupBy("t_ppm")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_affected"))
+    )
+    return (
+        n_pairs.join(docs, "t_ppm")
+        .select(
+            F.col("t_ppm").cast("bigint"), "n_pairs", "n_docs_affected"
+        )
+        .orderBy("t_ppm")
+    )
