@@ -139,3 +139,106 @@ def test_chi2_term_matches_python_ieee(con, a, b, c2, d):
     e = float(rt) * float(ct) / float(n)
     want = math.floor((float(c) - e) * (float(c) - e) / e * 1000000)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-9: mergeable quantile summary — error bound + merge invariance
+# ---------------------------------------------------------------------------
+
+
+def _qsk_summary(rows, k=8):
+    """Equi-depth summary of ONE shard (the agg_quantile_sketch_merge
+    kernel in pure Python): every step-th order statistic with the
+    weight of rows it represents."""
+    rows = sorted(rows)
+    ns = len(rows)
+    step = (ns + k - 1) // k
+    return [
+        (rows[i][0], rows[i][1], min(step, ns - i))
+        for i in range(0, ns, step)
+    ], step
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9),
+        min_size=1,
+        max_size=400,
+    ),
+    shards=st.integers(min_value=1, max_value=8),
+    q=st.integers(min_value=1, max_value=1000),
+)
+def test_quantile_summary_rank_error_bound(data, shards, q):
+    """The merged summary answers any quantile within sum-of-steps
+    rank error: the point chosen at cumulative weight >= r has TRUE
+    rank within sum(step_s - 1) of r. This is the audit contract the
+    registered query reports as rank_err, proven here over arbitrary
+    data, shard counts and quantiles."""
+    rows = [(v, i) for i, v in enumerate(data)]
+    n = len(rows)
+    per_shard = [[r for r in rows if r[1] % shards == s] for s in range(shards)]
+    pts, max_err = [], 0
+    for sh in per_shard:
+        if not sh:
+            continue
+        summ, step = _qsk_summary(sh)
+        pts += summ
+        max_err += step - 1
+    pts.sort()
+    cum = 0
+    cums = []
+    for v, i, w in pts:
+        cum += w
+        cums.append((cum, v, i))
+    r = (q * n + 999) // 1000
+    est = next((v, i) for c, v, i in cums if c >= r)
+    svals = sorted(rows)
+    true_rank = sum(1 for x in svals if x <= est)
+    assert abs(true_rank - r) <= max_err
+    # and the exact order statistic is recovered when every shard
+    # summary is lossless (step == 1)
+    if all((len(sh) + 7) // 8 == 1 for sh in per_shard if sh):
+        assert est[0] == svals[r - 1][0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=1,
+        max_size=300,
+    ),
+)
+def test_quantile_summary_merge_is_shard_invariant_when_lossless(data):
+    """MERGEABILITY: when per-shard summaries are lossless (shard
+    sizes <= k), the merged summary answers every quantile with the
+    exact order statistic regardless of HOW rows were sharded — the
+    associative-merge property a distributed/streaming sink relies on."""
+    rows = [(v, i) for i, v in enumerate(data)]
+    n = len(rows)
+    answers = []
+    for shards in (1, 3, 7):
+        per = [[r for r in rows if r[1] % shards == s] for s in range(shards)]
+        if any(len(sh) > 8 for sh in per):
+            continue  # only the lossless regime is shard-invariant
+        pts = []
+        for sh in per:
+            if sh:
+                pts += _qsk_summary(sh)[0]
+        pts.sort()
+        cum, cums = 0, []
+        for v, i, w in pts:
+            cum += w
+            cums.append((cum, v))
+        answers.append(
+            tuple(
+                next(v for c, v in cums if c >= (q * n + 999) // 1000)
+                for q in (10, 250, 500, 750, 990)
+            )
+        )
+    svals = sorted(v for v, _ in rows)
+    for a in answers:
+        assert a == tuple(
+            svals[(q * n + 999) // 1000 - 1] for q in (10, 250, 500, 750, 990)
+        )
