@@ -518,3 +518,25 @@ def test_cluster_purity_consistency(spark, registry):
         .spark(spark, SF_GRAPH).collect()
     }
     assert {r["cluster_id"]: r["n_members"] for r in rows} == surv
+
+
+def test_percentile_bands_matches_python(spark, registry):
+    got = {
+        r["day_idx"]: r
+        for r in registry["events_percentile_bands_daily"]
+        .spark(spark, SF).collect()
+    }
+    ev = _pq("events")
+    per_day: dict = defaultdict(list)
+    for _, r in ev.iterrows():
+        d = (r["ts"].date() - __import__("datetime").date(1970, 1, 1)).days
+        per_day[d].append((int(round(r["value"] * 100)), int(r["event_id"])))
+    assert len(got) == len(per_day)
+    for d, vals in per_day.items():
+        vals.sort()
+        n = len(vals)
+        row = got[d]
+        assert row["n_events"] == n
+        for q, col in ((500, "p50_cents"), (900, "p90_cents"),
+                       (990, "p99_cents")):
+            assert row[col] == vals[(n * q + 999) // 1000 - 1][0], (d, q)

@@ -5261,3 +5261,88 @@ def events_forecast_holt_damped(
             f"(s.l * 1000000L + {_HWD_PHI_CUM[30]}L * s.b) div 1000000000L"
         ).cast("bigint").alias("forecast_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily latency/value percentile bands (exact group-wise order stats)
+# ---------------------------------------------------------------------------
+
+_BANDS_QS = (500, 900, 990)
+
+
+@register(
+    "events_percentile_bands_daily",
+    f"""
+    WITH v AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    rk AS (
+      SELECT day_idx, cents,
+             CAST(row_number() OVER (PARTITION BY day_idx
+                  ORDER BY cents, event_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY day_idx) AS BIGINT) AS n
+      FROM v
+    )
+    SELECT day_idx, CAST(min(n) AS BIGINT) AS n_events,
+           {', '.join(
+               f"CAST(min(CASE WHEN rn = (n * {q} + 999) // 1000"
+               f" THEN cents END) AS BIGINT) AS p{q // 10}_cents"
+               for q in _BANDS_QS
+           )}
+    FROM rk GROUP BY day_idx
+    ORDER BY day_idx
+    """,
+    doc=(
+        "Exact per-day P50/P90/P99 bands over the event value stream — "
+        "the ops dashboard grain the global percentile family "
+        "(agg_percentiles) doesn't cover: order statistics at ceiled "
+        "ranks (q*n+999)//1000 with (value, event_id) tie-break, so "
+        "every band is an actual observed value and both engines pick "
+        "the identical row. The rank window is PARTITIONED by day — "
+        "group-wise, never a global sort."
+    ),
+)
+def events_percentile_bands_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact daily P50/P90/P99 of event values (cents).
+
+    Scale notes (100 TB): one fact pass; the only window is
+    partitioned by day, so parallelism is |days| x within-day sort —
+    at extreme per-day volumes swap in the sharded mergeable summary
+    (agg_quantile_sketch_merge) per day at the same output schema.
+    The band extraction is a conditional aggregate, not a join."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day_idx"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w_rn = Window.partitionBy("day_idx").orderBy("cents", "event_id")
+    w_n = Window.partitionBy("day_idx")
+    rk = v.select(
+        "day_idx",
+        "cents",
+        F.row_number().over(w_rn).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n"),
+    )
+    return (
+        rk.groupBy("day_idx")
+        .agg(
+            F.min("n").cast("bigint").alias("n_events"),
+            *[
+                F.expr(
+                    f"CAST(min(CASE WHEN rn = (n * {q} + 999) div 1000"
+                    f" THEN cents END) AS BIGINT)"
+                ).alias(f"p{q // 10}_cents")
+                for q in _BANDS_QS
+            ],
+        )
+        .orderBy("day_idx")
+    )
