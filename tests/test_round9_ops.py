@@ -540,3 +540,26 @@ def test_percentile_bands_matches_python(spark, registry):
         for q, col in ((500, "p50_cents"), (900, "p90_cents"),
                        (990, "p99_cents")):
             assert row[col] == vals[(n * q + 999) // 1000 - 1][0], (d, q)
+
+
+def test_ivf_filtered_consistency(spark, registry):
+    """Filtered-ANN invariants at sf0.001: every neighbor satisfies
+    the metadata predicate, ranks are contiguous from 1 per query,
+    and the published post-filter cell population bounds the result
+    count (the starved-probe signal is real, not decorative)."""
+    rows = registry["sim_topk_ivf_filtered"].spark(spark, SF).collect()
+    assert rows
+    en = set(
+        int(x["doc_id"])
+        for _, x in _pq("documents").iterrows()
+        if x["lang"] == "en"
+    )
+    per_q: dict = defaultdict(list)
+    for r in rows:
+        assert r["neighbor_id"] in en
+        per_q[r["query_id"]].append(r)
+    for qid, rs in per_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), qid
+        n = {r["n_filtered_candidates"] for r in rs}
+        assert len(n) == 1 and n.pop() >= len(rs), qid

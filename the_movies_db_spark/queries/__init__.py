@@ -74,7 +74,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_minhash_calibration, events_forecast_holt_damped,
     # dq_join_cardinality_model, pipeline_cluster_purity,
     # pipeline_dedup_threshold_sensitivity,
-    # events_percentile_bands_daily,
+    # events_percentile_bands_daily, sim_topk_ivf_filtered,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

@@ -3546,3 +3546,120 @@ def sim_srp_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_corr_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN through the IVF index (filter inside the probed cell)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_ivf_filtered",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM assign q
+      JOIN assign c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+      JOIN documents d ON d.doc_id = c.vec_id AND d.lang = 'en'
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank, n_filtered_candidates
+    FROM (
+      SELECT query_id, neighbor_id,
+             {_COS.replace("q.embedding", "qe").replace("c.embedding", "ce")}
+               AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_COS.replace("q.embedding", "qe")
+                             .replace("c.embedding", "ce")} DESC,
+                        neighbor_id) AS rank,
+             CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+               AS n_filtered_candidates
+      FROM cand
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "FILTERED ANN through the IVF index — the production "
+        "composition sim_topk_filtered's brute-force form doesn't "
+        "answer: the index is built ONCE on the full corpus, the "
+        "query probes its cell, and the metadata predicate "
+        "(lang = 'en') filters candidates INSIDE the probed cell "
+        "before exact re-scoring. n_filtered_candidates publishes the "
+        "post-filter cell population per query — the number that "
+        "tells an operator when a selective filter has starved the "
+        "probe and nprobe must rise (the filtered-search recall "
+        "failure mode)."
+    ),
+)
+def sim_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k within the query's IVF cell.
+
+    Scale notes (100 TB): cells are the partition key of the index at
+    rest, so the probe is partition pruning; the filter is an equi-join
+    of the probed cell's candidates to the (broadcast or bucketed)
+    metadata table BEFORE any scoring — candidate volume is
+    |cell| x filter selectivity, never corpus-scale. The
+    n_filtered_candidates column is the same window pass, no extra
+    job."""
+    from the_movies_db_spark.operators.similarity import (
+        cosine_from_parts,
+        ivf_assign,
+        norm,
+    )
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    ).select(F.col("doc_id").alias("neighbor_id"))
+    assigned = ivf_assign(e, "vec_id", "embedding", _N_CELLS, dim=_DIM)
+    q = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            norm("embedding", _DIM).alias("__qn"),
+            F.col("cell").alias("__qcell"),
+        )
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm("embedding", _DIM).alias("__cn"),
+        F.col("cell").alias("__ccell"),
+    ).join(F.broadcast(d), "neighbor_id")
+    sim = F.round(
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=_DIM), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    wn = Window.partitionBy("query_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn(
+            "n_filtered_candidates",
+            F.count(F.lit(1)).over(wn).cast("bigint"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim", "rank",
+            "n_filtered_candidates",
+        )
+    )
