@@ -62,6 +62,7 @@ def main() -> None:
         )
 
     replicate("documents", "doc_id")
+    replicate("embeddings", "vec_id")
     replicate("events", "event_id", "user_id")
     replicate("orders", "o_orderkey", "o_custkey")
     replicate("customer", "c_custkey")
