@@ -563,3 +563,27 @@ def test_ivf_filtered_consistency(spark, registry):
         assert ranks == list(range(1, len(ranks) + 1)), qid
         n = {r["n_filtered_candidates"] for r in rs}
         assert len(n) == 1 and n.pop() >= len(rs), qid
+
+
+def test_degree_powerlaw_matches_python(spark, registry):
+    row = registry["graph_degree_powerlaw_fit"].spark(spark, SF).collect()[0]
+    e = pd.read_parquet(f"{SF}/lineitem.parquet").merge(
+        pd.read_parquet(f"{SF}/orders.parquet"),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )[["o_custkey", "l_suppkey"]].drop_duplicates()
+    deg = Counter(e["o_custkey"])
+    hist = sorted(Counter(deg.values()).items())
+    n = len(hist)
+    sx = sy = sxy = sxx = 0.0
+    for k, nk in hist:
+        lx, ly = math.log(k), math.log(nk)
+        sx += lx
+        sy += ly
+        sxy += lx * ly
+        sxx += lx * lx
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_degree_values"] == n
+    assert row["n_nodes"] == sum(nk for _, nk in hist)
+    assert row["sum_degrees"] == sum(k * nk for k, nk in hist)
+    assert abs(row["slope"] - round(slope, 4)) <= 1e-4
+    assert abs(row["intercept"] - round((sy - slope * sx) / n, 4)) <= 1e-4

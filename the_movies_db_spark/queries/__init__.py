@@ -75,6 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dq_join_cardinality_model, pipeline_cluster_purity,
     # pipeline_dedup_threshold_sensitivity,
     # events_percentile_bands_daily, sim_topk_ivf_filtered,
+    # graph_degree_powerlaw_fit,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

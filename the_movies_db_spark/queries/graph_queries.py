@@ -1681,3 +1681,127 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", "n_nodes", "rank", "n_components",
                 "n_changed_last")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution power-law fit (is the trade graph scale-free?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_powerlaw_fit",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM e GROUP BY 1),
+    hist AS (SELECT k, CAST(count(*) AS BIGINT) AS nk FROM deg GROUP BY 1),
+    arr AS (
+      SELECT list(struct_pack(k := k, nk := nk) ORDER BY k) AS a FROM hist
+    ),
+    s AS (
+      SELECT CAST(len(a) AS BIGINT) AS n,
+             list_aggregate(list_transform(a,
+               p -> ln(CAST(p.k AS DOUBLE))), 'sum') AS sx,
+             list_aggregate(list_transform(a,
+               p -> ln(CAST(p.nk AS DOUBLE))), 'sum') AS sy,
+             list_aggregate(list_transform(a,
+               p -> ln(CAST(p.k AS DOUBLE)) * ln(CAST(p.nk AS DOUBLE))),
+               'sum') AS sxy,
+             list_aggregate(list_transform(a,
+               p -> ln(CAST(p.k AS DOUBLE)) * ln(CAST(p.k AS DOUBLE))),
+               'sum') AS sxx,
+             list_aggregate(list_transform(a, p -> p.nk), 'sum') AS nn,
+             list_aggregate(list_transform(a, p -> p.k * p.nk), 'sum') AS ne
+      FROM arr
+    )
+    SELECT n AS n_degree_values,
+           CAST(nn AS BIGINT) AS n_nodes,
+           CAST(ne AS BIGINT) AS sum_degrees,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
+             AS slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                  * sx) / n, 4) AS intercept
+    FROM s
+    """,
+    doc=(
+        "Power-law fit of the customer-side degree distribution on the "
+        "bipartite trade graph: OLS slope of ln(count) on ln(degree) "
+        "over the degree histogram — the scale-free diagnostic that "
+        "decides whether hub-capping (graph_link_jaccard's recipe) is "
+        "needed at all (a steep negative slope means heavy hubs are "
+        "rare; a flat one means the cap will bite constantly). Every "
+        "float sum is a left-to-right fold over the SAME degree-sorted "
+        "array on both engines (the text_zipf_slope determinism "
+        "discipline)."
+    ),
+)
+def graph_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS log-log fit of the degree histogram.
+
+    Scale notes (100 TB): two combining aggregates (degrees, then the
+    degree histogram) reduce the graph to a degree-domain-bounded
+    array; the fold runs over that bounded array in one projection.
+    The fact is scanned once."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    hist = deg.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk")
+    )
+    arr = hist.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("k").alias("k"), F.col("nk").alias("nk"))
+            )
+        ).alias("a")
+    )
+    s = arr.select(
+        F.size("a").cast("bigint").alias("n"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, p) -> acc + ln(CAST(p.k AS DOUBLE)))"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, p) -> acc + ln(CAST(p.nk AS DOUBLE)))"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, p) -> acc + ln(CAST(p.k AS DOUBLE))"
+            " * ln(CAST(p.nk AS DOUBLE)))"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (acc, p) -> acc + ln(CAST(p.k AS DOUBLE))"
+            " * ln(CAST(p.k AS DOUBLE)))"
+        ).alias("sxx"),
+        F.expr("aggregate(a, 0L, (acc, p) -> acc + p.nk)").alias("nn"),
+        F.expr("aggregate(a, 0L, (acc, p) -> acc + p.k * p.nk)").alias("ne"),
+    )
+    return s.select(
+        F.col("n").alias("n_degree_values"),
+        F.col("nn").cast("bigint").alias("n_nodes"),
+        F.col("ne").cast("bigint").alias("sum_degrees"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.expr("nullif(n * sxx - sx * sx, 0)"),
+            4,
+        ).alias("slope"),
+        F.round(
+            (
+                F.col("sy")
+                - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.expr("nullif(n * sxx - sx * sx, 0)")
+                * F.col("sx")
+            )
+            / F.col("n"),
+            4,
+        ).alias("intercept"),
+    )
