@@ -585,5 +585,6 @@ def test_degree_powerlaw_matches_python(spark, registry):
     assert row["n_degree_values"] == n
     assert row["n_nodes"] == sum(nk for _, nk in hist)
     assert row["sum_degrees"] == sum(k * nk for k, nk in hist)
-    assert abs(row["slope"] - round(slope, 4)) <= 1e-4
-    assert abs(row["intercept"] - round((sy - slope * sx) / n, 4)) <= 1e-4
+    assert abs(row["slope_micro"] - math.floor(slope * 1e6)) <= 1
+    intercept = (sy - slope * sx) / n
+    assert abs(row["intercept_micro"] - math.floor(intercept * 1e6)) <= 1

@@ -76,6 +76,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pipeline_dedup_threshold_sensitivity,
     # events_percentile_bands_daily, sim_topk_ivf_filtered,
     # graph_degree_powerlaw_fit,
+    # -- round-10 registrations (append at registration time) --
+    # dedup_substring_exact, dedup_edit_distance_verify,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

@@ -938,7 +938,7 @@ _SMA_MERGE_EQ = " AND ".join(
              AS est_containment_ppm,
            CAST(CASE WHEN {_SMA_MERGE_EQ} THEN 1 ELSE 0 END AS BIGINT)
              AS merge_equals_direct
-    FROM per_source s CROSS JOIN global_direct g CROSS JOIN merged m
+    FROM per_source s CROSS JOIN gtotal_direct g CROSS JOIN merged m
     """,
     doc=(
         "MinHash sketch MERGEABILITY audit — the property every "
@@ -1435,4 +1435,211 @@ def pipeline_dedup_threshold_sensitivity(
             F.col("t_ppm").cast("bigint"), "n_pairs", "n_docs_affected"
         )
         .orderBy("t_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (Lee et al. 2022 class, suffix-gram form)
+# ---------------------------------------------------------------------------
+
+_SS_L, _SS_S = 32, 8  # gram length / stride (chars)
+
+
+@register(
+    "dedup_substring_exact",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i * {_SS_S} AS BIGINT) AS pos,
+             substr(text, CAST(i * {_SS_S} + 1 AS INT), {_SS_L}) AS gram
+      FROM d, unnest(range(0, (n - {_SS_L}) // {_SS_S} + 1)) AS t(i)
+      WHERE n >= {_SS_L}
+    ),
+    occ AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+    dp AS (SELECT g.doc_id, g.pos FROM g JOIN occ USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - {_SS_S} * row_number()
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dp
+    ),
+    runs AS (
+      SELECT doc_id, grp,
+             CAST((count(*) - 1) * {_SS_S} + {_SS_L} AS BIGINT) AS span
+      FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(max(span) AS BIGINT) AS max_run_chars,
+             CAST(sum(span) AS BIGINT) AS dup_chars_ub
+      FROM runs GROUP BY 1
+    ),
+    gtot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs_with_dups,
+             CAST(sum(n_runs) AS BIGINT) AS total_dup_runs
+      FROM per_doc
+    )
+    SELECT doc_id, n_runs, max_run_chars, dup_chars_ub, rank,
+           n_docs_with_dups, total_dup_runs
+    FROM (SELECT *, CAST(row_number() OVER (
+            ORDER BY dup_chars_ub DESC, doc_id) AS BIGINT) AS rank
+          FROM per_doc) p
+    CROSS JOIN gtot
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+    doc=(
+        "Exact substring-level dedup (the Lee-et-al-2022 modality): "
+        "fixed-length character grams at a fixed stride, grams occurring "
+        ">=2 times anywhere in the corpus are 'duplicated', and adjacent "
+        "duplicated grams within a document merge into maximal duplicated "
+        "RUNS (sorted-run detection). Per-doc run stats + corpus totals "
+        "— the signal that finds boilerplate/licence blocks repeated "
+        "verbatim across documents, which shingle-Jaccard (whole-doc "
+        "grain) cannot localise."
+    ),
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact duplicated substring runs via stride grams.
+
+    Scale notes (100 TB): gram extraction is a per-row projection
+    (~len/stride grams per doc); the only corpus-scale shuffle is the
+    groupBy(gram) occurrence count and the gram-key equi-join back —
+    both key-partitioned, never all-pairs. Run merging is a per-doc
+    window (doc-partitioned). Top-20 uses orderBy+limit
+    (TakeOrderedAndProject), never a global row_number sort."""
+    L, S = _SS_L, _SS_S
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n")
+    )
+    staged = d.filter(F.col("n") >= L).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, CAST((n - {L}) div {S} AS INT)),"
+            f" i -> struct(CAST(i * {S} AS BIGINT) AS pos,"
+            f" substring(text, i * {S} + 1, {L}) AS gram))"
+        ).alias("pg"),
+    )
+    g = staged.select("doc_id", F.explode("pg").alias("p")).select(
+        "doc_id", F.col("p.pos").alias("pos"), F.col("p.gram").alias("gram")
+    )
+    occ = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    dp = g.join(occ, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dp.withColumn("grp", F.col("pos") - S * F.row_number().over(w))
+    runs = isl.groupBy("doc_id", "grp").agg(
+        ((F.count(F.lit(1)) - 1) * S + L).cast("bigint").alias("span")
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("span").cast("bigint").alias("max_run_chars"),
+        F.sum("span").cast("bigint").alias("dup_chars_ub"),
+    ).localCheckpoint(eager=False)
+    glob = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_with_dups"),
+        F.sum("n_runs").cast("bigint").alias("total_dup_runs"),
+    )
+    top = per_doc.orderBy(F.desc("dup_chars_ub"), F.asc("doc_id")).limit(20)
+    wr = Window.orderBy(F.desc("dup_chars_ub"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", "n_runs", "max_run_chars", "dup_chars_ub",
+                "rank", "n_docs_with_dups", "total_dup_runs")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+_EDV_TOP = 30
+
+
+@register(
+    "dedup_edit_distance_verify",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, text, {_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, text,
+             list_aggregate(list_transform(sh, s -> md5('0:' || s)), 'min')
+               AS h0
+      FROM sh WHERE len(sh) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+             CAST(length(a.text) AS BIGINT) AS len_a,
+             CAST(length(b.text) AS BIGINT) AS len_b
+      FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT *,
+             CAST(lev * 1000000 // greatest(len_a, len_b) AS BIGINT)
+               AS dist_ppm
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, lev, len_a, len_b, dist_ppm,
+           CAST(CASE WHEN dist_ppm <= 400000 THEN 1 ELSE 0 END AS BIGINT)
+             AS verified
+    FROM scored
+    ORDER BY dist_ppm, doc_a, doc_b
+    LIMIT {_EDV_TOP}
+    """,
+    doc=(
+        "Candidate-verification stage of a dedup cascade: block on the "
+        "first MinHash component (h0 equality — the cheapest LSH bucket), "
+        "then verify each candidate pair with EXACT Levenshtein distance "
+        "and a length-normalised ppm score. The standard two-phase "
+        "near-dup pipeline: cheap recall-oriented blocking, expensive "
+        "precision-oriented verification on the candidate set only."
+    ),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification of MinHash-h0-blocked candidates.
+
+    Scale notes (100 TB): the quadratic edit-distance kernel runs ONLY
+    on bucket-join candidates (equi-join on h0, never all-pairs); the
+    join is key-partitioned and the per-pair kernel is JVM-side
+    `levenshtein`. Top-k via orderBy+limit."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", "text",
+        D.minhash_signature(F.col("text"), num_hashes=1, shingle_n=3)[0]
+        .alias("h0"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "h0"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "h0"
+    )
+    pairs = a.join(b, "h0").filter(F.col("doc_a") < F.col("doc_b"))
+    scored = pairs.select(
+        "doc_a", "doc_b",
+        F.levenshtein("ta", "tb").cast("bigint").alias("lev"),
+        F.length("ta").cast("bigint").alias("len_a"),
+        F.length("tb").cast("bigint").alias("len_b"),
+    ).withColumn(
+        "dist_ppm",
+        F.expr("lev * 1000000 div greatest(len_a, len_b)").cast("bigint"),
+    )
+    return (
+        scored.withColumn(
+            "verified",
+            F.expr("CASE WHEN dist_ppm <= 400000 THEN 1 ELSE 0 END")
+            .cast("bigint"),
+        )
+        .orderBy("dist_ppm", "doc_a", "doc_b")
+        .limit(_EDV_TOP)
     )

@@ -1719,10 +1719,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_degree_values,
            CAST(nn AS BIGINT) AS n_nodes,
            CAST(ne AS BIGINT) AS sum_degrees,
-           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
-             AS slope,
-           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
-                  * sx) / n, 4) AS intercept
+           CAST(floor((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                      * 1e6) AS BIGINT) AS slope_micro,
+           CAST(floor((sy - (n * sxy - sx * sy)
+                            / nullif(n * sxx - sx * sx, 0)
+                  * sx) / n * 1e6) AS BIGINT) AS intercept_micro
     FROM s
     """,
     doc=(
@@ -1789,19 +1790,12 @@ def graph_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_degree_values"),
         F.col("nn").cast("bigint").alias("n_nodes"),
         F.col("ne").cast("bigint").alias("sum_degrees"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.expr("nullif(n * sxx - sx * sx, 0)"),
-            4,
-        ).alias("slope"),
-        F.round(
-            (
-                F.col("sy")
-                - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / F.expr("nullif(n * sxx - sx * sx, 0)")
-                * F.col("sx")
-            )
-            / F.col("n"),
-            4,
-        ).alias("intercept"),
+        F.expr(
+            "CAST(floor((n * sxy - sx * sy)"
+            " / nullif(n * sxx - sx * sx, 0) * 1e6) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(floor((sy - (n * sxy - sx * sy)"
+            " / nullif(n * sxx - sx * sx, 0) * sx) / n * 1e6) AS BIGINT)"
+        ).alias("intercept_micro"),
     )

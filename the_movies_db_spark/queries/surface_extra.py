@@ -5969,6 +5969,12 @@ def agg_moments_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidate-key discovery (TANE-style level-wise lattice with pruning)
 # ---------------------------------------------------------------------------
 
+# NON-NULL REQUIRED: Spark countDistinct(a, b, c) drops rows where ANY
+# column is NULL, while the DuckDB oracle's count(DISTINCT (a, b, c))
+# counts struct tuples that contain NULL fields. The two agree only
+# because every column below is non-null in TPC-H orders. Before adding
+# a nullable column, make both sides NULL-identical (e.g. filter rows
+# with any NULL on both sides) or the engines silently diverge.
 _CK_COLS = (
     "o_custkey",
     "o_orderdate",
@@ -6525,15 +6531,21 @@ def _jcard_oracle() -> str:
               ON a.k = b.k) AS actual_rows""")
     body = " UNION ALL ".join(blocks)
     return f"""
-    WITH raw AS ({body})
-    SELECT join_key, n_left, n_right, nd_left, nd_right,
-           CAST(n_left * n_right // greatest(nd_left, nd_right) AS BIGINT)
-             AS est_rows,
+    WITH raw AS ({body}),
+    est AS (
+      SELECT *,
+             CAST((n_left // greatest(nd_left, nd_right)) * n_right
+                  + (n_left % greatest(nd_left, nd_right)) * n_right
+                    // greatest(nd_left, nd_right) AS BIGINT) AS est_rows
+      FROM raw
+    )
+    SELECT join_key, n_left, n_right, nd_left, nd_right, est_rows,
            actual_rows,
            CAST(CASE WHEN actual_rows = 0 THEN NULL
-                ELSE (n_left * n_right // greatest(nd_left, nd_right))
-                     * 1000 // actual_rows END AS BIGINT) AS est_ratio_milli
-    FROM raw
+                ELSE (est_rows // actual_rows) * 1000
+                     + (est_rows % actual_rows) * 1000 // actual_rows
+                END AS BIGINT) AS est_ratio_milli
+    FROM est
     ORDER BY join_key
     """
 
@@ -6592,16 +6604,26 @@ def dq_join_cardinality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(name).alias("join_key"),
                 "n_left", "n_right", "nd_left", "nd_right",
+                # Divmod-chained |L|*|R|/g so the raw |L|x|R| product is
+                # never formed: (L div g)*R + (L%g)*R div g == L*R div g
+                # exactly for non-negative inputs. Remaining bound:
+                # (L%g)*R < g*R <= max_side^2 — safe while the LARGER
+                # side stays under ~3e9 rows per table-stat grain.
                 F.expr(
-                    "CAST(n_left * n_right div greatest(nd_left, nd_right)"
-                    " AS BIGINT)"
+                    "CAST((n_left div greatest(nd_left, nd_right)) * n_right"
+                    " + (n_left % greatest(nd_left, nd_right)) * n_right"
+                    " div greatest(nd_left, nd_right) AS BIGINT)"
                 ).alias("est_rows"),
                 "actual_rows",
+            )
+            .withColumn(
+                "est_ratio_milli",
                 F.expr(
                     "CAST(CASE WHEN actual_rows = 0 THEN NULL"
-                    " ELSE (n_left * n_right div greatest(nd_left, nd_right))"
-                    " * 1000 div actual_rows END AS BIGINT)"
-                ).alias("est_ratio_milli"),
+                    " ELSE (est_rows div actual_rows) * 1000"
+                    " + (est_rows % actual_rows) * 1000 div actual_rows"
+                    " END AS BIGINT)"
+                ),
             )
         )
         out = row if out is None else out.unionByName(row)
