@@ -78,6 +78,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # graph_degree_powerlaw_fit,
     # -- round-10 registrations (append at registration time) --
     # dedup_substring_exact, dedup_edit_distance_verify,
+    # sim_topk_ivf_adaptive, sim_cell_medoid,
+    # graph_personalized_pagerank, graph_triangle_sample_estimate,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

@@ -1799,3 +1799,315 @@ def graph_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nullif(n * sxx - sx * sx, 0) * sx) / n * 1e6) AS BIGINT)"
         ).alias("intercept_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-restart random walk with teleport to seeds)
+# ---------------------------------------------------------------------------
+
+_PPR_REGION = "ASIA"
+
+
+def _ppr_oracle() -> str:
+    ranks = "r0"
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        f"""seeds AS (
+          SELECT n_nationkey AS node FROM nation
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = '{_PPR_REGION}'
+        )""",
+        "s AS (SELECT count(*) AS s FROM seeds)",
+        f"""r0 AS (
+          SELECT nodes.node,
+                 CAST(CASE WHEN seeds.node IS NOT NULL
+                      THEN {_SCALE} // s.s ELSE 0 END AS BIGINT) AS rank
+          FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node, s
+        )""",
+    ]
+    for i in range(1, _ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+              SELECT b.node,
+                     CAST(CASE WHEN b.is_seed = 1
+                          THEN (15 * ({_SCALE} // b.s)) // 100 ELSE 0 END
+                          + (85 * COALESCE(c.contrib, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM (SELECT nodes.node,
+                           CASE WHEN seeds.node IS NOT NULL THEN 1 ELSE 0 END
+                             AS is_seed, s.s
+                    FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node,
+                         s) b
+              LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // d.outdeg) AS contrib
+                FROM edges e
+                JOIN {ranks} r ON e.src = r.node
+                JOIN deg d     ON e.src = d.node
+                GROUP BY e.dst
+              ) c ON b.node = c.node
+            )"""
+        )
+        ranks = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT nat.n_name AS nation,
+               CAST(CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_seed,
+               r.rank AS ppr_micro
+        FROM {ranks} r
+        JOIN nation nat ON r.node = nat.n_nationkey
+        LEFT JOIN seeds sd ON r.node = sd.node
+        ORDER BY ppr_micro DESC, nation
+        """
+    )
+
+
+@register(
+    "graph_personalized_pagerank",
+    _ppr_oracle(),
+    doc=(
+        "Personalized PageRank on the trade graph: the teleport vector "
+        "is concentrated on a SEED set (nations of one region) instead "
+        "of uniform — the recommendation/affinity primitive ('which "
+        "nations does ASIA's trade gravity pull hardest'). Same "
+        "integer-trillionths arithmetic as graph_pagerank (floor "
+        "divisions on non-negative integers, bit-exact cross-engine); "
+        "the oracle unrolls the iterations as chained CTEs with the "
+        "seed-conditional restart term."
+    ),
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed-restart PageRank in integer micro-units.
+
+    Scale notes (100 TB): identical plan shape to graph_pagerank —
+    per-iteration one edge-keyed join + one aggregate over the
+    node-grain rank table, with every shared artifact (edges, nodes,
+    deg, seed flags) lazily checkpointed ONCE so no branch re-derives
+    the 4-table fact subtree (the round-9 census class). Seeds are a
+    broadcast dimension join."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    ).localCheckpoint(eager=False)
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    seeds = (
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == _PPR_REGION)),
+            nat.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("node"))
+    )
+    s_df = seeds.agg(F.count(F.lit(1)).alias("s"))
+    base = (
+        nodes.join(
+            F.broadcast(seeds.withColumn("is_seed", F.lit(1))),
+            "node", "left",
+        )
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .crossJoin(F.broadcast(s_df))
+        .localCheckpoint(eager=False)
+    )
+    ranks = base.select(
+        "node",
+        F.expr(
+            f"CAST(CASE WHEN is_seed = 1 THEN {_SCALE} DIV s"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("rank"),
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank DIV outdeg")).alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN is_seed = 1"
+                    f" THEN (15 * ({_SCALE} DIV s)) DIV 100 ELSE 0 END"
+                    " + (85 * COALESCE(contrib, 0)) DIV 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.join(base.select("node", "is_seed"), "node")
+        .join(nat, ranks.node == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("is_seed").cast("bigint"),
+            F.col("rank").alias("ppr_micro"),
+        )
+        .orderBy(F.desc("ppr_micro"), F.asc("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled triangle counting (the estimator that replaces exact counting
+# when the edge list itself is too large to self-join three ways)
+# ---------------------------------------------------------------------------
+
+_TRI_SAMPLE_K = 2  # keep each edge with probability 1/K (md5-derived)
+_TRI_EDGE_BIT = (
+    "conv(substr(md5(concat(CAST(sa AS STRING), ':', CAST(sb AS STRING))),"
+    " 1, 4), 16, 10)"
+)
+_TRI_EDGE_BIT_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(sa AS VARCHAR) || ':' ||"
+    " CAST(sb AS VARCHAR)), 1, 4)) AS BIGINT)"
+)
+
+
+@register(
+    "graph_triangle_sample_estimate",
+    f"""
+    WITH spend AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sp
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT c, s,
+             row_number() OVER (PARTITION BY c ORDER BY sp DESC, s) AS rn
+      FROM spend
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+      FROM rk a JOIN rk b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+    ), samp AS MATERIALIZED (
+      SELECT sa, sb FROM edges
+      WHERE {_TRI_EDGE_BIT_DUCK} % {_TRI_SAMPLE_K} = 0
+    ), tri AS (
+      SELECT count(*) AS t FROM edges e1
+      JOIN edges e2 ON e1.sb = e2.sa
+      JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+    ), tris AS (
+      SELECT count(*) AS ts FROM samp e1
+      JOIN samp e2 ON e1.sb = e2.sa
+      JOIN samp e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+    ), ne AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sampled_edges
+    )
+    SELECT n_edges, n_sampled_edges,
+           CAST(t AS BIGINT) AS exact_triangles,
+           CAST(ts AS BIGINT) AS sampled_triangles,
+           CAST(ts * {_TRI_SAMPLE_K ** 3} AS BIGINT) AS estimate_triangles,
+           CAST(CASE WHEN t = 0 THEN NULL ELSE
+                (abs(ts * {_TRI_SAMPLE_K ** 3} - t) // t) * 1000
+                + (abs(ts * {_TRI_SAMPLE_K ** 3} - t) % t) * 1000 // t
+                END AS BIGINT) AS err_milli
+    FROM ne, tri, tris
+    """,
+    doc=(
+        "Edge-sampled triangle-count estimator on the supplier "
+        "co-preference graph: keep each undirected edge with "
+        "probability 1/k (deterministic md5 coin on the edge key), "
+        "count triangles in the sampled subgraph, scale by k^3 — the "
+        "estimator that replaces the exact three-way self-join when "
+        "the edge list is petabyte-scale — next to the EXACT count and "
+        "the realised error, so the estimator's variance is observable "
+        "rather than assumed."
+    ),
+)
+def graph_triangle_sample_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact vs k^3-scaled sampled triangle counts.
+
+    Scale notes (100 TB): the sampled self-join touches (1/k)^2 of
+    the edge-pair space and (1/k)^3 of the triangle space — the knob
+    that keeps wedge checking feasible on petabyte edge lists; both
+    counts here share ONE checkpointed edge artifact so the fact
+    subtree executes once (round-9 census discipline)."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    spend = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust.select("c_custkey", "c_nationkey"),
+              o.o_custkey == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              l.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("sp")
+        )
+    )
+    rk = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("sp"), F.asc("s"))
+        ),
+    )
+    a = rk.filter("rn = 1").select("c", F.col("s").alias("s1"))
+    b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    edges = (
+        a.join(b, a.c == b.c2)
+        .select(
+            F.least("s1", "s2").alias("sa"),
+            F.greatest("s1", "s2").alias("sb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    samp = edges.filter(
+        F.expr(f"{_TRI_EDGE_BIT} % {_TRI_SAMPLE_K} = 0")
+    ).localCheckpoint(eager=False)
+
+    def tri_count(e: DataFrame, out: str) -> DataFrame:
+        e1 = e.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+        e2 = e.select(F.col("sa").alias("b2"), F.col("sb").alias("c"))
+        e3 = e.select(F.col("sa").alias("a3"), F.col("sb").alias("c3"))
+        return (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    t = tri_count(edges, "exact_triangles")
+    ts = tri_count(samp, "sampled_triangles")
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    ns = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled_edges"))
+    k3 = _TRI_SAMPLE_K ** 3
+    return (
+        ne.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "n_edges", "n_sampled_edges", "exact_triangles",
+            "sampled_triangles",
+            F.expr(f"CAST(sampled_triangles * {k3} AS BIGINT)")
+            .alias("estimate_triangles"),
+            F.expr(
+                f"CAST(CASE WHEN exact_triangles = 0 THEN NULL ELSE"
+                f" (abs(sampled_triangles * {k3} - exact_triangles)"
+                f" DIV exact_triangles) * 1000"
+                f" + (abs(sampled_triangles * {k3} - exact_triangles)"
+                f" % exact_triangles) * 1000 DIV exact_triangles"
+                " END AS BIGINT)"
+            ).alias("err_milli"),
+        )
+    )

@@ -3663,3 +3663,288 @@ def sim_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_filtered_candidates",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-nprobe filtered ANN (closes the starved-probe loop that
+# sim_topk_ivf_filtered's n_filtered_candidates signal publishes)
+# ---------------------------------------------------------------------------
+
+_ADAPT_MIN = 8      # escalate when the first cell yields fewer candidates
+_ADAPT_NPROBE = 3   # escalation target
+
+
+@register(
+    "sim_topk_ivf_adaptive",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id, embedding, cid AS cell, rn AS pr FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < {_N_QUERIES}
+      ) t WHERE rn <= {_ADAPT_NPROBE}
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.pr,
+             q.embedding AS qe, c.embedding AS ce
+      FROM qprobe q
+      JOIN assign c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+      JOIN documents d ON d.doc_id = c.vec_id AND d.lang = 'zh'
+    ),
+    dial AS (
+      SELECT *,
+             CAST(CASE WHEN sum(CASE WHEN pr = 1 THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY query_id) >= {_ADAPT_MIN}
+                  THEN 1 ELSE {_ADAPT_NPROBE} END AS BIGINT) AS nprobe_used
+      FROM cand
+    ),
+    kept AS (SELECT * FROM dial WHERE pr <= nprobe_used)
+    SELECT query_id, neighbor_id, cosine_sim, rank, nprobe_used,
+           n_candidates
+    FROM (
+      SELECT query_id, neighbor_id, nprobe_used,
+             {_COS.replace("q.embedding", "qe").replace("c.embedding", "ce")}
+               AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_COS.replace("q.embedding", "qe")
+                             .replace("c.embedding", "ce")} DESC,
+                        neighbor_id) AS rank,
+             CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+               AS n_candidates
+      FROM kept
+    ) t WHERE rank <= 5
+    """,
+    doc=(
+        "ADAPTIVE-nprobe filtered ANN — closes the loop that "
+        "sim_topk_ivf_filtered's starved-probe signal opens: probe the "
+        "nearest cell first, and if the metadata filter (lang = 'zh') "
+        "leaves fewer than a floor of candidates there, escalate to the "
+        "query's 3 nearest cells — all inside ONE declarative plan (the "
+        "escalation decision is a window aggregate over the candidate "
+        "set, not a driver-side loop). nprobe_used publishes which dial "
+        "each query ended on."
+    ),
+)
+def sim_topk_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF top-k with per-query nprobe escalation.
+
+    Scale notes (100 TB): the 3-cell probe superset is computed once
+    (pure projection over the collected centroid literal — no join);
+    the per-query escalation decision and the final ranking are window
+    passes over that candidate set, whose size is bounded by
+    3 x |cell| x filter selectivity. No second probe job runs: the
+    nprobe=1 path is a filter (pr = 1) of the superset, so the "retry"
+    costs nothing when it does not trigger."""
+    from the_movies_db_spark.operators.similarity import (
+        cosine_from_parts,
+        ivf_assign,
+        norm,
+    )
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "zh"
+    ).select(F.col("doc_id").alias("neighbor_id"))
+    assigned = ivf_assign(e, "vec_id", "embedding", _N_CELLS, dim=_DIM)
+
+    cent_rows = (
+        e.filter(F.col("vec_id") < _N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = sorted((r[0], [float(x) for x in r[1]]) for r in cent_rows)
+    cent_arr = S._lit_centroid_array(cents)
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(S.squared_l2(F.col("embedding"), c["cvec"]), 6)
+            .alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, _ADAPT_NPROBE)
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            norm("embedding", _DIM).alias("__qn"),
+            probes.alias("__probes"),
+        )
+        .select(
+            "query_id", "__qv", "__qn",
+            F.posexplode("__probes").alias("__pos", "__p"),
+        )
+        .select(
+            "query_id", "__qv", "__qn",
+            (F.col("__pos") + 1).alias("pr"),
+            F.col("__p.cid").alias("__qcell"),
+        )
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm("embedding", _DIM).alias("__cn"),
+        F.col("cell").alias("__ccell"),
+    ).join(F.broadcast(d), "neighbor_id")
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wq = Window.partitionBy("query_id")
+    dial = cand.withColumn(
+        "nprobe_used",
+        F.when(
+            F.sum(F.when(F.col("pr") == 1, 1).otherwise(0)).over(wq)
+            >= _ADAPT_MIN,
+            F.lit(1),
+        ).otherwise(F.lit(_ADAPT_NPROBE)).cast("bigint"),
+    )
+    kept = dial.filter(F.col("pr") <= F.col("nprobe_used"))
+    sim = F.round(
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=_DIM), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        kept.select(
+            "query_id", "neighbor_id", "nprobe_used",
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wq).cast("bigint"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim", "rank",
+            "nprobe_used", "n_candidates",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-IVF-cell medoid (canonical-representative selection)
+# ---------------------------------------------------------------------------
+
+_D2RAW = (
+    "list_aggregate(list_transform(range(1, 65),"
+    " i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+    " * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), 'sum')"
+)
+
+
+@register(
+    "sim_cell_medoid",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    pd AS (
+      SELECT a.cell, a.vec_id,
+             CAST(floor({_D2RAW.format(a="a.embedding", b="b.embedding")}
+                        * 1e6) AS BIGINT) AS d_micro
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    per AS (
+      SELECT cell, vec_id, CAST(sum(d_micro) AS BIGINT) AS sum_d_micro,
+             CAST(count(*) + 1 AS BIGINT) AS n_members
+      FROM pd GROUP BY 1, 2
+    )
+    SELECT cell, vec_id AS medoid_id, n_members, sum_d_micro
+    FROM (SELECT *, row_number() OVER (PARTITION BY cell
+            ORDER BY sum_d_micro, vec_id) AS rn FROM per) t
+    WHERE rn = 1
+    ORDER BY cell
+    """,
+    doc=(
+        "Per-IVF-cell MEDOID: the member minimising the sum of squared "
+        "L2 distances to its cell siblings — the canonical-"
+        "representative selection a dedup/curation pipeline uses to "
+        "pick which near-duplicate survives, and the honest (in-set) "
+        "alternative to the centroid, which need not be a real point. "
+        "Per-pair distances floor-micro'd to BIGINT before summing so "
+        "the group sum is order-free and engine-exact."
+    ),
+)
+def sim_cell_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid of every IVF cell via within-cell pair distances.
+
+    Scale notes (100 TB): the pair join is cell-keyed (equi-join,
+    never corpus all-pairs), so cost is sum over cells of |cell|² —
+    the same budget any in-cell rerank already pays; with the
+    greatest(32, n/64) cell sizing, |cell| is ~64 regardless of
+    corpus size. The argmin is a combining aggregate + one row_number
+    over the cell-grain aggregate (|cells| rows)."""
+    from the_movies_db_spark.operators.similarity import ivf_assign
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(
+        e, "vec_id", "embedding", _N_CELLS, dim=_DIM
+    ).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id"), F.col("embedding").alias("__va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("__idb"),
+        F.col("embedding").alias("__vb"),
+    )
+    pd_ = (
+        a.join(b, "cell")
+        .filter(F.col("vec_id") != F.col("__idb"))
+        .select(
+            "cell", "vec_id",
+            F.expr(
+                "CAST(floor((" +
+                " + ".join(
+                    f"(CAST(element_at(__va, {i}) AS DOUBLE)"
+                    f" - CAST(element_at(__vb, {i}) AS DOUBLE))"
+                    f" * (CAST(element_at(__va, {i}) AS DOUBLE)"
+                    f" - CAST(element_at(__vb, {i}) AS DOUBLE))"
+                    for i in range(1, _DIM + 1)
+                )
+                + ") * 1e6) AS BIGINT)"
+            ).alias("d_micro"),
+        )
+    )
+    per = pd_.groupBy("cell", "vec_id").agg(
+        F.sum("d_micro").cast("bigint").alias("sum_d_micro"),
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_members"),
+    )
+    w = Window.partitionBy("cell").orderBy("sum_d_micro", "vec_id")
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell", F.col("vec_id").alias("medoid_id"),
+            "n_members", "sum_d_micro",
+        )
+        .orderBy("cell")
+    )
