@@ -80,6 +80,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_substring_exact, dedup_edit_distance_verify,
     # sim_topk_ivf_adaptive, sim_cell_medoid,
     # graph_personalized_pagerank, graph_triangle_sample_estimate,
+    # events_decayed_engagement, events_ab_permutation,
+    # events_forecast_ses_gridsearch, events_uplift_stump,
+    # events_attribution_markov,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

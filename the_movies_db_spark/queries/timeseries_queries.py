@@ -5346,3 +5346,784 @@ def events_percentile_bands_daily(
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement (exponential half-life scoring, integer-exact)
+# ---------------------------------------------------------------------------
+
+_DECAY_TOP = 20
+
+
+@register(
+    "events_decayed_engagement",
+    f"""
+    WITH anchor AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             least(a.d1 - datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                   ts), 62) AS age,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      FROM events, anchor a
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(sum(1000000 // (1::BIGINT << age)) AS BIGINT)
+               AS decayed_count_micro,
+             CAST(sum(cents * (1000000 // (1::BIGINT << age))) AS BIGINT)
+               AS decayed_cents_micro,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM w GROUP BY 1
+    )
+    SELECT user_id, n_events, decayed_count_micro, decayed_cents_micro, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+            ORDER BY decayed_count_micro DESC, user_id) AS BIGINT) AS rank
+          FROM per) t
+    WHERE rank <= {_DECAY_TOP}
+    ORDER BY rank
+    """,
+    doc=(
+        "Exponential time-decay engagement score with a one-day "
+        "half-life: each event contributes 2^-(age_days), each purchase "
+        "additionally value*2^-(age_days) — the recency-weighted "
+        "activity ranking behind churn/engagement dashboards. The decay "
+        "weight is an integer (1e6 >> age), so the score is an exact "
+        "BIGINT sum in micro-units: no pow(), no float accumulation, "
+        "engine-identical at any scale; ages cap at 62 so the shift "
+        "never touches the sign bit (weights are 0 past age 19 anyway)."
+    ),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed per-user engagement, top-20.
+
+    Scale notes (100 TB): one scalar anchor aggregate, one per-row
+    projection (the weight is a bit-shift), one user-keyed combining
+    aggregate; top-k via orderBy+limit. Nothing here is a window over
+    the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    anchor = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1")
+    )
+    w = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr(
+            f"least(d1 - timestampdiff(DAY, {epoch}, ts), 62)"
+        ).alias("age"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase'"
+            " THEN CAST(round(value * 100) AS BIGINT) ELSE 0L END"
+        ).alias("cents"),
+    )
+    per = w.groupBy("user_id").agg(
+        F.sum(F.expr("1000000L div shiftleft(1L, CAST(age AS INT))"))
+        .cast("bigint").alias("decayed_count_micro"),
+        F.sum(
+            F.expr("cents * (1000000L div shiftleft(1L, CAST(age AS INT)))")
+        ).cast("bigint").alias("decayed_cents_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    top = per.orderBy(
+        F.desc("decayed_count_micro"), F.asc("user_id")
+    ).limit(_DECAY_TOP)
+    wr = Window.orderBy(F.desc("decayed_count_micro"), F.asc("user_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .select(
+            "user_id", "n_events", "decayed_count_micro",
+            "decayed_cents_micro", "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Permutation test on an md5-assigned A/B split (exact, derandomised)
+# ---------------------------------------------------------------------------
+
+_PERM_K = 20
+_PERM_ASSIGN_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST({k} AS STRING), ':',"
+    " CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 2"
+)
+_PERM_ASSIGN_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR) || ':' ||"
+    " CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2"
+)
+
+
+@register(
+    "events_ab_permutation",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    obs AS (
+      SELECT abs(sum(CASE WHEN {_PERM_ASSIGN_DUCK.format(k="'obs'")} = 1
+                     THEN cents ELSE -cents END)) AS observed
+      FROM per_user
+    ),
+    perms AS (
+      SELECT k.k,
+             abs(sum(CASE WHEN {_PERM_ASSIGN_DUCK.format(k="k.k")} = 1
+                     THEN cents ELSE -cents END)) AS stat
+      FROM per_user CROSS JOIN (
+        SELECT unnest(range(0, {_PERM_K})) AS k) k
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_user) AS n_users,
+           CAST(o.observed AS BIGINT) AS observed_diff_cents,
+           CAST({_PERM_K} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN p.stat >= o.observed THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_as_extreme,
+           CAST(sum(CASE WHEN p.stat >= o.observed THEN 1 ELSE 0 END)
+                * 1000 // {_PERM_K} AS BIGINT) AS p_milli
+    FROM perms p, obs o
+    GROUP BY o.observed
+    """,
+    doc=(
+        "Permutation test for the A/B revenue difference, fully "
+        "derandomised: the observed split AND each of the 20 "
+        "permutation relabelings are md5 coins on (seed, user_id), so "
+        "the whole test — statistic, null distribution, p-value — is "
+        "deterministic and engine-exact (integer cents throughout). "
+        "The distribution-free significance test that doesn't assume "
+        "normality, as a single group-by over a user-grain aggregate."
+    ),
+)
+def events_ab_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-derandomised permutation test on purchase revenue.
+
+    Scale notes (100 TB): the fact collapses to a user-grain cents
+    table first; the K relabelings multiply only that bounded table
+    (users x K) and immediately re-aggregate — shuffle is on k, K
+    groups. Nothing quadratic, no RNG state to coordinate across
+    executors."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(round(value * 100) AS BIGINT) ELSE 0L END)"
+            " AS BIGINT)"
+        ).alias("cents")
+    ).localCheckpoint(eager=False)
+    obs = per_user.agg(
+        F.expr(
+            "abs(sum(CASE WHEN "
+            + _PERM_ASSIGN_SPARK.format(k="'obs'")
+            + " = 1 THEN cents ELSE -cents END))"
+        ).alias("observed")
+    )
+    spine = per_user.sparkSession.range(_PERM_K).select(
+        F.col("id").alias("k")
+    )
+    perms = (
+        per_user.crossJoin(F.broadcast(spine))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "abs(sum(CASE WHEN "
+                + _PERM_ASSIGN_SPARK.format(k="k")
+                + " = 1 THEN cents ELSE -cents END))"
+            ).alias("stat")
+        )
+    )
+    n_users = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("observed").cast("bigint").alias("observed_diff_cents"),
+            F.sum(
+                F.expr("CASE WHEN stat >= observed THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_as_extreme"),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "n_users",
+            "observed_diff_cents",
+            F.lit(_PERM_K).cast("bigint").alias("n_perms"),
+            "n_as_extreme",
+            F.expr(f"n_as_extreme * 1000 div {_PERM_K}").cast("bigint")
+            .alias("p_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SES grid search (model selection by one-step-ahead backtest)
+# ---------------------------------------------------------------------------
+
+_SES_ALPHAS = (100, 300, 500, 700, 900)  # alpha in milli
+
+
+@register(
+    "events_forecast_ses_gridsearch",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS d0,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS d1
+      FROM events
+    ),
+    cnt AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    ser AS (
+      SELECT CAST(i + 1 AS BIGINT) AS rn,
+             CAST(coalesce(c, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(range(0, d1 - d0 + 1)) AS i, d0 FROM b) s
+      LEFT JOIN cnt ON cnt.d = s.d0 + s.i
+    ),
+    n AS (SELECT CAST(max(rn) AS BIGINT) AS n_days FROM ser),
+    al AS (SELECT unnest([{', '.join(str(a) for a in _SES_ALPHAS)}])
+             AS alpha_milli),
+    st AS (
+      SELECT a.alpha_milli, s.rn, s.x * 1000 AS s, CAST(0 AS BIGINT) AS sse
+      FROM ser s, al a WHERE s.rn = 1
+      UNION ALL
+      SELECT st.alpha_milli, d.rn,
+             (st.alpha_milli * d.x * 1000
+              + (1000 - st.alpha_milli) * st.s) // 1000,
+             st.sse + ((d.x * 1000 - st.s) // 1000)
+                      * ((d.x * 1000 - st.s) // 1000)
+      FROM st JOIN ser d ON d.rn = st.rn + 1
+    ),
+    fin AS (
+      SELECT alpha_milli, sse AS sse_units
+      FROM st, n WHERE st.rn = n.n_days
+    )
+    SELECT CAST(alpha_milli AS BIGINT) AS alpha_milli,
+           CAST(sse_units AS BIGINT) AS sse_units,
+           (SELECT n_days FROM n) AS n_days,
+           CAST(row_number() OVER (ORDER BY sse_units, alpha_milli)
+                AS BIGINT) AS rank
+    FROM fin
+    ORDER BY rank
+    """,
+    doc=(
+        "Model selection for simple exponential smoothing: a 5-point "
+        "alpha grid, each backtested with one-step-ahead squared error "
+        "over the full daily series, ranked by SSE — the standard "
+        "'pick alpha by backtest' loop as ONE declarative plan (the "
+        "grid is a spine; the sequential smoothing state is an integer "
+        "milli fold per alpha, recursive-CTE replay in the oracle). "
+        "Errors are truncated to whole events before squaring so the "
+        "accumulator stays within BIGINT for daily volumes up to ~1e8."
+    ),
+)
+def events_forecast_ses_gridsearch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SES alpha grid search by integer one-step-ahead backtest.
+
+    Scale notes (100 TB): the fact collapses to |days| rows once; the
+    5 folds run as 5 projections over one collected bounded array
+    (sequential state is inherently serial — the parallel part is the
+    rollup). For per-series grids, the same fold runs under
+    groupBy(collect_list) keyed by series."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    b = ev.agg(
+        F.expr(f"timestampdiff(DAY, {epoch}, min(ts))").alias("d0"),
+        F.expr(f"timestampdiff(DAY, {epoch}, max(ts))").alias("d1"),
+    )
+    spine = b.select(
+        "d0", F.explode(F.expr("sequence(0, d1 - d0)")).alias("idx")
+    )
+    cnt = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ser = spine.join(cnt, cnt.d == spine.d0 + spine.idx, "left").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+    )
+    arr = ser.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("idx").alias("i"), F.col("x").alias("x"))
+            )
+        ).alias("a")
+    )
+    spine_a = arr.sparkSession.range(1).selectExpr(
+        f"explode(array({', '.join(str(a) + 'L' for a in _SES_ALPHAS)}))"
+        " AS alpha_milli"
+    )
+    fold = (
+        "aggregate(slice(a, 2, size(a) - 1),"
+        " named_struct('s', a[0].x * 1000L, 'sse', 0L),"
+        " (s, e) -> named_struct("
+        "   's', (alpha_milli * e.x * 1000L"
+        "         + (1000L - alpha_milli) * s.s) div 1000L,"
+        "   'sse', s.sse + ((e.x * 1000L - s.s) div 1000L)"
+        "          * ((e.x * 1000L - s.s) div 1000L)))"
+    )
+    st = (
+        arr.crossJoin(F.broadcast(spine_a))
+        .select(
+            "alpha_milli",
+            F.expr(fold).alias("f"),
+            F.size("a").cast("bigint").alias("n_days"),
+        )
+        .select(
+            F.col("alpha_milli").cast("bigint"),
+            F.expr("f.sse").cast("bigint").alias("sse_units"),
+            "n_days",
+        )
+    )
+    wr = Window.orderBy("sse_units", "alpha_milli")
+    return (
+        st.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uplift stump (one-split heterogeneous-treatment-effect search)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_uplift_stump",
+    """
+    WITH j AS (
+      SELECT user_id,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS treat,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT n_events,
+             CAST(sum(treat) AS BIGINT) AS n_t,
+             CAST(sum(treat * conv) AS BIGINT) AS c_t,
+             CAST(sum(1 - treat) AS BIGINT) AS n_c,
+             CAST(sum((1 - treat) * conv) AS BIGINT) AS c_c
+      FROM j GROUP BY 1
+    ),
+    cum AS (
+      SELECT n_events AS threshold,
+             CAST(sum(n_t) OVER w AS BIGINT) AS nl_t,
+             CAST(sum(c_t) OVER w AS BIGINT) AS cl_t,
+             CAST(sum(n_c) OVER w AS BIGINT) AS nl_c,
+             CAST(sum(c_c) OVER w AS BIGINT) AS cl_c,
+             CAST(sum(n_t) OVER () AS BIGINT) AS tot_n_t,
+             CAST(sum(c_t) OVER () AS BIGINT) AS tot_c_t,
+             CAST(sum(n_c) OVER () AS BIGINT) AS tot_n_c,
+             CAST(sum(c_c) OVER () AS BIGINT) AS tot_c_c
+      FROM cells
+      WINDOW w AS (ORDER BY n_events
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT threshold, nl_t, cl_t, nl_c, cl_c,
+             tot_n_t - nl_t AS nr_t, tot_c_t - cl_t AS cr_t,
+             tot_n_c - nl_c AS nr_c, tot_c_c - cl_c AS cr_c,
+             cl_t * 1000000 // nullif(nl_t, 0)
+               - cl_c * 1000000 // nullif(nl_c, 0) AS uplift_left_ppm,
+             (tot_c_t - cl_t) * 1000000 // nullif(tot_n_t - nl_t, 0)
+               - (tot_c_c - cl_c) * 1000000 // nullif(tot_n_c - nl_c, 0)
+               AS uplift_right_ppm
+      FROM cum
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold_n_events,
+           nl_t, cl_t, nl_c, cl_c, nr_t, cr_t, nr_c, cr_c,
+           CAST(uplift_left_ppm AS BIGINT) AS uplift_left_ppm,
+           CAST(uplift_right_ppm AS BIGINT) AS uplift_right_ppm,
+           CAST(abs(uplift_left_ppm - uplift_right_ppm) AS BIGINT)
+             AS score_ppm,
+           CAST(row_number() OVER (
+             ORDER BY abs(uplift_left_ppm - uplift_right_ppm) DESC,
+                      threshold) AS BIGINT) AS rank
+    FROM scored
+    WHERE uplift_left_ppm IS NOT NULL AND uplift_right_ppm IS NOT NULL
+    ORDER BY rank
+    LIMIT 5
+    """,
+    doc=(
+        "Uplift stump: one-split search for heterogeneous treatment "
+        "effect — journeys at (user, day) grain, treatment = click "
+        "exposure, outcome = purchase; for every candidate split on "
+        "journey size, the treated-vs-control conversion uplift is "
+        "computed on each side and the split maximising the uplift "
+        "GAP wins (the root node of an uplift tree). All rates are "
+        "floor-ppm integers; candidate thresholds come from the "
+        "bounded n_events domain via ONE cumulative window over the "
+        "cell histogram, never a per-threshold pass."
+    ),
+)
+def events_uplift_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single split by treated-vs-control uplift gap.
+
+    Scale notes (100 TB): the fact collapses to (user, day) journeys
+    (one combining aggregate), journeys to a value-domain histogram
+    keyed by (n_events) — the cumulative window runs over that
+    bounded domain, so threshold search costs O(|domain|), not
+    O(|journeys| x |thresholds|)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    j = ev.groupBy(
+        "user_id",
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")
+        ).alias("treat"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("conv"),
+    )
+    cells = j.groupBy("n_events").agg(
+        F.sum("treat").cast("bigint").alias("n_t"),
+        F.sum(F.expr("treat * conv")).cast("bigint").alias("c_t"),
+        F.sum(F.expr("1 - treat")).cast("bigint").alias("n_c"),
+        F.sum(F.expr("(1 - treat) * conv")).cast("bigint").alias("c_c"),
+    )
+    wc = Window.orderBy("n_events").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy("n_events").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        F.col("n_events").alias("threshold"),
+        F.sum("n_t").over(wc).cast("bigint").alias("nl_t"),
+        F.sum("c_t").over(wc).cast("bigint").alias("cl_t"),
+        F.sum("n_c").over(wc).cast("bigint").alias("nl_c"),
+        F.sum("c_c").over(wc).cast("bigint").alias("cl_c"),
+        F.sum("n_t").over(wt).cast("bigint").alias("tot_n_t"),
+        F.sum("c_t").over(wt).cast("bigint").alias("tot_c_t"),
+        F.sum("n_c").over(wt).cast("bigint").alias("tot_n_c"),
+        F.sum("c_c").over(wt).cast("bigint").alias("tot_c_c"),
+    )
+    scored = cum.select(
+        "threshold", "nl_t", "cl_t", "nl_c", "cl_c",
+        (F.col("tot_n_t") - F.col("nl_t")).alias("nr_t"),
+        (F.col("tot_c_t") - F.col("cl_t")).alias("cr_t"),
+        (F.col("tot_n_c") - F.col("nl_c")).alias("nr_c"),
+        (F.col("tot_c_c") - F.col("cl_c")).alias("cr_c"),
+        F.expr(
+            "cl_t * 1000000 div nullif(nl_t, 0)"
+            " - cl_c * 1000000 div nullif(nl_c, 0)"
+        ).alias("uplift_left_ppm"),
+        F.expr(
+            "(tot_c_t - cl_t) * 1000000 div nullif(tot_n_t - nl_t, 0)"
+            " - (tot_c_c - cl_c) * 1000000 div nullif(tot_n_c - nl_c, 0)"
+        ).alias("uplift_right_ppm"),
+    ).filter(
+        F.col("uplift_left_ppm").isNotNull()
+        & F.col("uplift_right_ppm").isNotNull()
+    )
+    wr = Window.orderBy(
+        F.desc(F.expr("abs(uplift_left_ppm - uplift_right_ppm)")),
+        F.asc("threshold"),
+    )
+    return (
+        scored.withColumn(
+            "score_ppm",
+            F.expr("abs(uplift_left_ppm - uplift_right_ppm)")
+            .cast("bigint"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("threshold").cast("bigint").alias("threshold_n_events"),
+            "nl_t", "cl_t", "nl_c", "cl_c", "nr_t", "cr_t", "nr_c", "cr_c",
+            F.col("uplift_left_ppm").cast("bigint"),
+            F.col("uplift_right_ppm").cast("bigint"),
+            "score_ppm", "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution (removal effect) — the data-driven sibling of
+# events_attribution_shapley, on (user, day) journeys
+# ---------------------------------------------------------------------------
+
+_MK_CH = ("click", "error", "signup", "view")  # non-purchase channels
+_MK_ITERS = 6
+_MK_DAY_DUCK = "datediff('day', TIMESTAMP '1970-01-01 00:00:00', {t})"
+
+
+def _mk_att_sql(re: str, s: str) -> str:
+    """Three-stage *100 divmod chain: floor(re * 1e6 / s) exactly."""
+    q1 = f"(({re}) * 100) // ({s})"
+    r1 = f"(({re}) * 100) % ({s})"
+    q2 = f"(({r1}) * 100) // ({s})"
+    r2 = f"(({r1}) * 100) % ({s})"
+    q3 = f"(({r2}) * 100) // ({s})"
+    return f"({q1}) * 10000 + ({q2}) * 100 + ({q3})"
+
+
+def _markov_oracle() -> str:
+    ch = _MK_CH
+    day = _MK_DAY_DUCK
+    srcs = ("start",) + ch
+    tm_cols = []
+    for s in srcs:
+        sl = "START" if s == "start" else s
+        out = f"sum(CASE WHEN src = '{sl}' THEN c END)"
+        for d in ch + ("conv",):
+            dl = "CONV" if d == "conv" else d
+            tm_cols.append(
+                f"coalesce(sum(CASE WHEN src = '{sl}' AND dst = '{dl}'"
+                f" THEN c END) * 1000000 // nullif({out}, 0), 0)"
+                f" AS p_{s}_{d}"
+            )
+    chains = [("c0", None)] + [(f"c{i + 1}", c) for i, c in enumerate(ch)]
+    iter_ctes = []
+    for cname, removed in chains:
+        zero = ", ".join(f"CAST(0 AS BIGINT) AS p_{c}" for c in ch)
+        iter_ctes.append(f"v_{cname}_0 AS MATERIALIZED (SELECT {zero})")
+        for k in range(1, _MK_ITERS + 1):
+            cols = []
+            for x in ch:
+                terms = [f"tm.p_{x}_conv"]
+                for y in ch:
+                    if y != removed:
+                        terms.append(f"(tm.p_{x}_{y} * v.p_{y}) // 1000000")
+                cols.append(
+                    f"CAST({' + '.join(terms)} AS BIGINT) AS p_{x}"
+                )
+            iter_ctes.append(
+                f"v_{cname}_{k} AS MATERIALIZED (SELECT {', '.join(cols)}"
+                f" FROM tm, v_{cname}_{k - 1} v)"
+            )
+        terms = ["tm.p_start_conv"]
+        for y in ch:
+            if y != removed:
+                terms.append(f"(tm.p_start_{y} * v.p_{y}) // 1000000")
+        iter_ctes.append(
+            f"pc_{cname} AS MATERIALIZED (SELECT CAST({' + '.join(terms)} AS BIGINT)"
+            f" AS pc FROM tm, v_{cname}_{_MK_ITERS} v)"
+        )
+    re_cols = ["(SELECT pc FROM pc_c0) AS pc_full"]
+    for i, c in enumerate(ch):
+        re_cols.append(
+            f"greatest(0, (SELECT pc FROM pc_c0)"
+            f" - (SELECT pc FROM pc_c{i + 1})) AS re_{c}"
+        )
+    tc_cols = [
+        f"coalesce(sum(CASE WHEN src = '{c}' THEN c END), 0) AS t_{c}"
+        for c in ch
+    ]
+    rows = []
+    for i, c in enumerate(ch):
+        att = _mk_att_sql(f"re.re_{c}", "s.s")
+        rows.append(
+            f"""SELECT '{c}' AS channel,
+                 CAST(tc.t_{c} AS BIGINT) AS n_touches,
+                 CAST(re.pc_full AS BIGINT) AS pconv_full_ppm,
+                 CAST((SELECT pc FROM pc_c{i + 1}) AS BIGINT)
+                   AS pconv_removed_ppm,
+                 CAST(re.re_{c} AS BIGINT) AS removal_effect_ppm,
+                 CAST(CASE WHEN s.s = 0 THEN 0 ELSE {att} END AS BIGINT)
+                   AS attribution_ppm
+               FROM tc, re, s"""
+        )
+    return f"""
+    WITH j AS (
+      SELECT user_id, {day.format(t='ts')} AS d,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY 1, 2
+    ),
+    tch AS (
+      SELECT e.user_id, {day.format(t='e.ts')} AS d,
+             e.event_type AS typ, e.ts, e.event_id,
+             CASE WHEN j.fp IS NULL THEN 0 ELSE 1 END AS conv
+      FROM events e
+      JOIN j ON e.user_id = j.user_id AND {day.format(t='e.ts')} = j.d
+      WHERE e.event_type <> 'purchase'
+        AND (j.fp IS NULL OR e.ts < j.fp)
+    ),
+    ordd AS (
+      SELECT user_id, d, typ, conv,
+             row_number() OVER (PARTITION BY user_id, d
+                                ORDER BY ts, event_id) AS rn,
+             lead(typ) OVER (PARTITION BY user_id, d
+                             ORDER BY ts, event_id) AS nxt
+      FROM tch
+    ),
+    jstart AS (
+      SELECT j.user_id, j.d,
+             CASE WHEN j.fp IS NULL THEN 0 ELSE 1 END AS conv,
+             f.typ AS first_typ
+      FROM j LEFT JOIN (SELECT user_id, d, typ FROM ordd WHERE rn = 1) f
+        ON j.user_id = f.user_id AND j.d = f.d
+    ),
+    raw AS (
+      SELECT 'START' AS src,
+             coalesce(first_typ,
+                      CASE WHEN conv = 1 THEN 'CONV' ELSE 'DROP' END) AS dst
+      FROM jstart
+      UNION ALL
+      SELECT typ AS src,
+             coalesce(nxt,
+                      CASE WHEN conv = 1 THEN 'CONV' ELSE 'DROP' END) AS dst
+      FROM ordd
+    ),
+    trans AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM raw GROUP BY 1, 2
+    ),
+    tm AS MATERIALIZED (SELECT {', '.join(tm_cols)} FROM trans),
+    {', '.join(iter_ctes)},
+    re AS MATERIALIZED (SELECT {', '.join(re_cols)}),
+    s AS (SELECT {' + '.join(f're_{c}' for c in ch)} AS s FROM re),
+    tc AS (SELECT {', '.join(tc_cols)} FROM trans)
+    {' UNION ALL '.join(rows)}
+    ORDER BY attribution_ppm DESC, channel
+    """
+
+
+@register(
+    "events_attribution_markov",
+    _markov_oracle(),
+    doc=(
+        "Markov-chain (removal-effect) attribution — the data-driven "
+        "counterpart of events_attribution_shapley: journeys at "
+        "(user, day) grain become START->touch->...->CONV/DROP "
+        "transitions; channel value = how much the chain's absorption "
+        "probability into CONV drops when that channel's node is "
+        "removed, L1-normalised into attribution shares. Transition "
+        "probabilities are floor-ppm integers; absorption is a "
+        "6-step value iteration over the 4-channel state vector "
+        "(unrolled single-row CTEs in the oracle), so every number is "
+        "engine-exact BIGINT arithmetic."
+    ),
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution via integer value iteration.
+
+    Scale notes (100 TB): the fact reduces to the transition-count
+    table (at most (|channels|+1) x (|channels|+2) rows) via one
+    journey window + one combining aggregate; the Markov algebra runs
+    on that bounded model state driver-side (the TANE/candidate-keys
+    shape: census rows in, constant-size computation, constant-size
+    result out). No per-iteration job, no growing lineage."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    day = f"timestampdiff(DAY, {epoch}, {{t}})"
+    withd = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.expr(day.format(t="ts")).alias("d"),
+    )
+    j = withd.groupBy("user_id", "d").agg(
+        F.min(
+            F.expr("CASE WHEN event_type = 'purchase' THEN ts END")
+        ).alias("fp")
+    )
+    tch = (
+        withd.filter(F.col("event_type") != "purchase")
+        .join(j, ["user_id", "d"])
+        .filter(F.col("fp").isNull() | (F.col("ts") < F.col("fp")))
+        .withColumn(
+            "conv", F.expr("CASE WHEN fp IS NULL THEN 0 ELSE 1 END")
+        )
+    )
+    wj = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    ordd = tch.select(
+        "user_id", "d", F.col("event_type").alias("typ"), "conv",
+        F.row_number().over(wj).alias("rn"),
+        F.lead("event_type").over(wj).alias("nxt"),
+    )
+    jstart = (
+        j.withColumn(
+            "conv", F.expr("CASE WHEN fp IS NULL THEN 0 ELSE 1 END")
+        )
+        .join(
+            ordd.filter(F.col("rn") == 1)
+            .select("user_id", "d", F.col("typ").alias("first_typ")),
+            ["user_id", "d"], "left",
+        )
+    )
+    raw = jstart.select(
+        F.lit("START").alias("src"),
+        F.expr(
+            "coalesce(first_typ,"
+            " CASE WHEN conv = 1 THEN 'CONV' ELSE 'DROP' END)"
+        ).alias("dst"),
+    ).unionByName(
+        ordd.select(
+            F.col("typ").alias("src"),
+            F.expr(
+                "coalesce(nxt,"
+                " CASE WHEN conv = 1 THEN 'CONV' ELSE 'DROP' END)"
+            ).alias("dst"),
+        )
+    )
+    trans = {
+        (r["src"], r["dst"]): r["c"]
+        for r in raw.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+
+    ch = list(_MK_CH)
+    out = {
+        s: sum(c for (a, _), c in trans.items() if a == s)
+        for s in ["START"] + ch
+    }
+    ppm = {
+        (s, d): (trans.get((s, d), 0) * 1_000_000 // out[s] if out[s] else 0)
+        for s in ["START"] + ch
+        for d in ch + ["CONV"]
+    }
+
+    def pconv(removed: str | None) -> int:
+        p = {c: 0 for c in ch}
+        for _ in range(_MK_ITERS):
+            p = {
+                x: ppm[(x, "CONV")]
+                + sum(
+                    ppm[(x, y)] * p[y] // 1_000_000
+                    for y in ch
+                    if y != removed
+                )
+                for x in ch
+            }
+        return ppm[("START", "CONV")] + sum(
+            ppm[("START", y)] * p[y] // 1_000_000
+            for y in ch
+            if y != removed
+        )
+
+    pc_full = pconv(None)
+    pc_rm = {c: pconv(c) for c in ch}
+    re = {c: max(0, pc_full - pc_rm[c]) for c in ch}
+    s_re = sum(re.values())
+
+    def att(r: int) -> int:
+        if s_re == 0:
+            return 0
+        q1, r1 = divmod(r * 100, s_re)
+        q2, r2 = divmod(r1 * 100, s_re)
+        q3 = r2 * 100 // s_re
+        return q1 * 10000 + q2 * 100 + q3
+
+    rows = sorted(
+        (
+            (c, out[c], pc_full, pc_rm[c], re[c], att(re[c]))
+            for c in ch
+        ),
+        key=lambda r: (-r[5], r[0]),
+    )
+    return spark.createDataFrame(
+        rows,
+        "channel string, n_touches bigint, pconv_full_ppm bigint,"
+        " pconv_removed_ppm bigint, removal_effect_ppm bigint,"
+        " attribution_ppm bigint",
+    ).orderBy(F.desc("attribution_ppm"), F.asc("channel"))
