@@ -83,6 +83,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_decayed_engagement, events_ab_permutation,
     # events_forecast_ses_gridsearch, events_uplift_stump,
     # events_attribution_markov,
+    # orders_newsvendor_quantile, orders_eoq_policy,
+    # orders_xyz_variability,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

@@ -3707,3 +3707,296 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_months")
     )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stocking quantile (critical-ratio order sizing)
+# ---------------------------------------------------------------------------
+
+_NV_CU, _NV_CO = 9, 1  # underage : overage cost -> critical ratio 0.9
+
+
+@register(
+    "orders_newsvendor_quantile",
+    f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+               AS d,
+             CAST(count(*) AS BIGINT) AS demand
+      FROM orders GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT priority, demand, CAST(count(*) AS BIGINT) AS nd
+      FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, demand, nd,
+             CAST(sum(nd) OVER (PARTITION BY priority ORDER BY demand
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumd,
+             CAST(sum(nd) OVER (PARTITION BY priority) AS BIGINT) AS n_days,
+             CAST(sum(demand * nd) OVER (PARTITION BY priority)
+               AS BIGINT) AS total_demand
+      FROM hist
+    )
+    SELECT priority,
+           n_days,
+           total_demand,
+           CAST(total_demand * 1000 // n_days AS BIGINT) AS mean_demand_milli,
+           CAST(min(CASE WHEN cumd * {_NV_CU + _NV_CO} >= n_days * {_NV_CU}
+                    THEN demand END) AS BIGINT) AS stock_level,
+           CAST(min(CASE WHEN cumd * {_NV_CU + _NV_CO} >= n_days * {_NV_CU}
+                    THEN demand END) * 1000
+                - total_demand * 1000 // n_days AS BIGINT)
+             AS safety_stock_milli
+    FROM cum
+    GROUP BY 1, 2, 3
+    ORDER BY priority
+    """,
+    doc=(
+        "Newsvendor critical-ratio stocking: per order priority, the "
+        "stock level is the cu/(cu+co) = 0.9 quantile of the daily "
+        "demand distribution — the classic single-period inventory "
+        "optimum. The quantile is an EXACT order statistic from a "
+        "cumulative window over the bounded demand-value domain "
+        "(cum * (cu+co) >= n * cu cross-multiplication — no ratio, no "
+        "interpolation), never a positional sort of the daily series."
+    ),
+)
+def orders_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-ratile stocking levels per order priority.
+
+    Scale notes (100 TB): facts collapse to (priority, day) then to a
+    (priority, demand-value) histogram; the quantile predicate runs
+    over that bounded domain. Windows are priority-partitioned."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = "TIMESTAMP '1970-01-01 00:00:00'"
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(f"datediff(o_orderdate, {epoch})").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("demand"))
+    hist = daily.groupBy("priority", "demand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    wc = Window.partitionBy("priority").orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority", "demand", "nd",
+        F.sum("nd").over(wc).cast("bigint").alias("cumd"),
+        F.sum("nd").over(wt).cast("bigint").alias("n_days"),
+        F.sum(F.expr("demand * nd")).over(wt).cast("bigint")
+        .alias("total_demand"),
+    )
+    r = _NV_CU + _NV_CO
+    return (
+        cum.groupBy("priority", "n_days", "total_demand")
+        .agg(
+            F.min(
+                F.expr(
+                    f"CASE WHEN cumd * {r} >= n_days * {_NV_CU}"
+                    " THEN demand END"
+                )
+            ).cast("bigint").alias("stock_level")
+        )
+        .select(
+            "priority", "n_days", "total_demand",
+            F.expr("total_demand * 1000 div n_days").cast("bigint")
+            .alias("mean_demand_milli"),
+            "stock_level",
+            F.expr(
+                "stock_level * 1000 - total_demand * 1000 div n_days"
+            ).cast("bigint").alias("safety_stock_milli"),
+        )
+        .select(
+            "priority", "n_days", "total_demand", "mean_demand_milli",
+            "stock_level", "safety_stock_milli",
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EOQ (economic order quantity) policy per brand
+# ---------------------------------------------------------------------------
+
+_EOQ_ORDER_COST_CENTS = 10_000      # fixed cost per replenishment ($100)
+_EOQ_CARRY_PCT = 20                  # holding cost = 20% of unit price/yr
+
+
+@register(
+    "orders_eoq_policy",
+    f"""
+    WITH d AS (
+      SELECT p.p_brand AS brand,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand,
+             CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS px_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT brand, demand,
+             CAST((px_cents // demand) * {_EOQ_CARRY_PCT} // 100 AS BIGINT)
+               AS hold_cents
+      FROM d
+    )
+    SELECT brand, demand, hold_cents,
+           CAST(floor(sqrt(CAST((2 * demand * {_EOQ_ORDER_COST_CENTS})
+                // nullif(hold_cents, 0) AS DOUBLE))) AS BIGINT) AS eoq_units,
+           CAST(demand // nullif(CAST(floor(sqrt(CAST(
+                (2 * demand * {_EOQ_ORDER_COST_CENTS})
+                // nullif(hold_cents, 0) AS DOUBLE))) AS BIGINT), 0)
+                AS BIGINT) AS cycles_per_horizon
+    FROM h
+    ORDER BY brand
+    """,
+    doc=(
+        "EOQ replenishment policy per part brand: "
+        "sqrt(2 x demand x order_cost / holding_cost) with holding "
+        "cost = 20% of the demand-weighted mean unit price — the "
+        "textbook inventory cycle sizing. The radicand is an exact "
+        "BIGINT (divmod before sqrt), and floor(sqrt(integer)) is "
+        "engine-exact because IEEE sqrt is correctly rounded and no "
+        "integer lies in (floor(x), x]."
+    ),
+)
+def orders_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOQ units + replenishment cycles per brand.
+
+    Scale notes (100 TB): one fact-dim broadcast join, one brand-grain
+    combining aggregate; everything after is projection over 25 rows.
+    The radicand 2*D*S stays under 2^53 for brand demand up to ~5e8
+    units at S = $100 (document and re-split the horizon if a brand
+    exceeds it)."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = load_table(spark, sf_dir, "part")
+    d = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).cast("bigint")
+            .alias("demand"),
+            F.sum(
+                F.expr(
+                    "CAST(round(p_retailprice * 100) AS BIGINT)"
+                    " * CAST(l_quantity AS BIGINT)"
+                )
+            ).cast("bigint").alias("px_cents"),
+        )
+    )
+    h = d.select(
+        "brand", "demand",
+        F.expr(
+            f"CAST((px_cents div demand) * {_EOQ_CARRY_PCT} div 100"
+            " AS BIGINT)"
+        ).alias("hold_cents"),
+    )
+    eoq = (
+        f"CAST(floor(sqrt(CAST((2 * demand * {_EOQ_ORDER_COST_CENTS})"
+        " div nullif(hold_cents, 0) AS DOUBLE))) AS BIGINT)"
+    )
+    return h.select(
+        "brand", "demand", "hold_cents",
+        F.expr(eoq).alias("eoq_units"),
+        F.expr(f"CAST(demand div nullif({eoq}, 0) AS BIGINT)")
+        .alias("cycles_per_horizon"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# XYZ demand-variability classification (ABC's variability sibling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_xyz_variability",
+    """
+    WITH m AS (
+      SELECT p.p_brand AS brand,
+             datediff('month', TIMESTAMP '1970-01-01 00:00:00',
+                      o.o_orderdate) AS mth,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(qty) AS BIGINT) AS sx,
+             CAST(sum(qty * qty) AS BIGINT) AS sxx
+      FROM m GROUP BY 1
+    ),
+    cv AS (
+      SELECT brand, n_months, sx,
+             CAST(floor(sqrt(CAST(n_months * sxx - sx * sx AS DOUBLE))
+                        * 1000000.0 / CAST(sx AS DOUBLE)) AS BIGINT)
+               AS cv_micro
+      FROM s WHERE sx > 0
+    )
+    SELECT brand, n_months, sx AS total_qty, cv_micro,
+           CASE WHEN cv_micro < 200000 THEN 'X'
+                WHEN cv_micro < 400000 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM cv
+    ORDER BY brand
+    """,
+    doc=(
+        "XYZ classification (demand-variability sibling of "
+        "orders_abc_analysis): per brand, the coefficient of variation "
+        "of MONTHLY demand — cv = sqrt(n*Σx² - (Σx)²)/Σx, computed "
+        "from exact integer power sums so the only float ops are one "
+        "correctly-rounded sqrt, one multiply, one divide over "
+        "identical expression text (bit-identical cross-engine), then "
+        "floor-micro. X (steady) / Y / Z (erratic) buckets drive "
+        "forecastability-aware stocking policy."
+    ),
+)
+def orders_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-demand CV per brand with XYZ buckets.
+
+    Scale notes (100 TB): facts collapse to (brand, month) then to
+    brand-grain integer power sums — two combining aggregates, no
+    window over the fact. n*Σx² stays under 2^53 for ~1e6 units/month
+    per brand over a century; re-scale qty to thousands past that."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    epoch = "TIMESTAMP '1970-01-01 00:00:00'"
+    m = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                f"(year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1"
+            ).alias("mth"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).cast("bigint")
+            .alias("qty")
+        )
+    )
+    s = m.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("qty").cast("bigint").alias("sx"),
+        F.sum(F.expr("qty * qty")).cast("bigint").alias("sxx"),
+    )
+    cv = s.filter(F.col("sx") > 0).select(
+        "brand", "n_months", "sx",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_months * sxx - sx * sx AS DOUBLE))"
+            " * 1000000.0 / CAST(sx AS DOUBLE)) AS BIGINT)"
+        ).alias("cv_micro"),
+    )
+    return cv.select(
+        "brand", "n_months", F.col("sx").alias("total_qty"), "cv_micro",
+        F.expr(
+            "CASE WHEN cv_micro < 200000 THEN 'X'"
+            " WHEN cv_micro < 400000 THEN 'Y' ELSE 'Z' END"
+        ).alias("xyz_class"),
+    ).orderBy("brand")
