@@ -85,6 +85,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_attribution_markov,
     # orders_newsvendor_quantile, orders_eoq_policy,
     # orders_xyz_variability,
+    # text_ngram_compression_proxy, text_textrank_keywords,
+    # pipeline_quality_rrf, pipeline_shard_token_balance,
+    # pipeline_dedup_reweight,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

@@ -1643,3 +1643,86 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_ppm", "doc_a", "doc_b")
         .limit(_EDV_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: reweight instead of drop (SemDeDup-style 1/cluster-size)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dedup_reweight",
+    f"""
+    WITH RECURSIVE clusters AS ({{CLUSTERS}}),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+      FROM clusters GROUP BY 1
+    ),
+    perdoc AS (
+      SELECT d.doc_id, coalesce(s.k, 1) AS k
+      FROM documents d
+      LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+    )
+    SELECT CAST(k AS BIGINT) AS cluster_size,
+           CAST(count(DISTINCT CASE WHEN k > 1 THEN NULL ELSE doc_id END)
+                AS BIGINT) * 0
+             + CAST(count(*) / k AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(1000000 // k AS BIGINT) AS weight_per_doc_micro,
+           CAST(count(*) * (1000000 // k) AS BIGINT)
+             AS effective_docs_micro
+    FROM perdoc
+    GROUP BY k
+    ORDER BY cluster_size
+    """.replace("{CLUSTERS}", _REG["dedup_clusters"].oracle).replace(
+        "WITH RECURSIVE clusters AS", "WITH clusters AS", 1),
+    doc=(
+        "Soft dedup by REWEIGHTING instead of dropping (the "
+        "SemDeDup/data-mixing recipe): every document keeps weight "
+        "1e6 / near-dup-cluster-size, so each duplicate FAMILY "
+        "contributes one effective document to the training mix while "
+        "no text is discarded. Per-cluster-size census with the "
+        "effective-corpus-size contribution of each bucket; clusters "
+        "come from the same MinHash-LSH + connected-components "
+        "machinery as dedup_clusters (never all-pairs)."
+    ),
+)
+def pipeline_dedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1/cluster-size document weights, cluster-size census.
+
+    Scale notes (100 TB): pairs via banded equi-join, components via
+    min-label propagation over the pair list, sizes via one
+    cluster-grain aggregate; the weight is a projection. The census
+    output is bounded by the largest cluster size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", threshold=0.2,
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=3,
+    )
+    clusters = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    ).localCheckpoint(eager=False)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    perdoc = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .select("doc_id", F.coalesce("k", F.lit(1)).alias("k"))
+    )
+    return (
+        perdoc.groupBy(F.col("k").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.expr("CAST(count(*) / cluster_size AS BIGINT)")
+            .alias("n_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(1000000 div cluster_size AS BIGINT)")
+            .alias("weight_per_doc_micro"),
+            F.expr(
+                "CAST(count(*) * (1000000 div cluster_size) AS BIGINT)"
+            ).alias("effective_docs_micro"),
+        )
+        .orderBy("cluster_size")
+    )

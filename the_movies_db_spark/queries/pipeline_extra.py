@@ -1151,3 +1151,244 @@ def pipeline_dedup_survivor_stats(
         ).alias("drop_ppm"),
     )
     return with_ppm.unionByName(total).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Quality-signal rank fusion (RRF over independent integer quality signals)
+# ---------------------------------------------------------------------------
+
+_QRRF_K = 60
+_QRRF_TOP = 20
+_QRRF_STOPS = "('the','a','of','and','to','in','is','on','for','with')"
+_QRRF_TOKS = "regexp_split_to_array(text, '\\s+')"
+
+
+@register(
+    "pipeline_quality_rrf",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(list_transform(
+                    range(1, length(text) - 2),
+                    i -> substr(text, i, 4)))) * 1000000
+                  // (length(text) - 3) AS BIGINT) AS s_gram_ppm,
+             CAST(list_aggregate(list_transform({_QRRF_TOKS},
+                    t -> CASE WHEN lower(t) IN {_QRRF_STOPS}
+                         THEN 1 ELSE 0 END), 'sum') * 1000000
+                  // len({_QRRF_TOKS}) AS BIGINT) AS s_stop_ppm,
+             CAST(len(list_distinct({_QRRF_TOKS})) * 1000000
+                  // len({_QRRF_TOKS}) AS BIGINT) AS s_uniq_ppm
+      FROM documents WHERE length(text) >= 4
+    ),
+    ranked AS (
+      SELECT doc_id, s_gram_ppm, s_stop_ppm, s_uniq_ppm,
+             CAST(row_number() OVER (ORDER BY s_gram_ppm DESC, doc_id)
+                  AS BIGINT) AS r_gram,
+             CAST(row_number() OVER (ORDER BY s_stop_ppm DESC, doc_id)
+                  AS BIGINT) AS r_stop,
+             CAST(row_number() OVER (ORDER BY s_uniq_ppm DESC, doc_id)
+                  AS BIGINT) AS r_uniq
+      FROM sig
+    )
+    SELECT doc_id, r_gram, r_stop, r_uniq,
+           CAST(1000000 // ({_QRRF_K} + r_gram)
+                + 1000000 // ({_QRRF_K} + r_stop)
+                + 1000000 // ({_QRRF_K} + r_uniq) AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (
+             ORDER BY 1000000 // ({_QRRF_K} + r_gram)
+                    + 1000000 // ({_QRRF_K} + r_stop)
+                    + 1000000 // ({_QRRF_K} + r_uniq) DESC, doc_id)
+             AS BIGINT) AS rank
+    FROM ranked
+    ORDER BY rank
+    LIMIT {_QRRF_TOP}
+    """,
+    doc=(
+        "Quality-signal ENSEMBLE via reciprocal-rank fusion: three "
+        "independent integer quality signals (distinct-4-gram share, "
+        "stopword ratio, unique-token share) each rank the corpus, and "
+        "RRF (sum of 1e6/(60+rank)) fuses them — the "
+        "combine-weak-signals recipe production curation uses instead "
+        "of trusting any single heuristic. Every rank is a distributed "
+        "two-level row_number (no global sort); all scores are "
+        "floor-division integers."
+    ),
+)
+def pipeline_quality_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of three integer quality signals, top-20 docs.
+
+    Scale notes (100 TB): the signal projection is per-row; the three
+    global ranks run through operators.ranks.global_row_number
+    (bucketed two-level rank, static ppm bounds — no extra bounds
+    job, no single-partition sort), chained off ONE checkpointed
+    signal base (the rfm discipline)."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 4
+    )
+    stops = "'the','a','of','and','to','in','is','on','for','with'"
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(transform("
+            " sequence(1, length(text) - 3),"
+            " i -> substring(text, i, 4)))) * 1000000"
+            " div (length(text) - 3) AS BIGINT)"
+        ).alias("s_gram_ppm"),
+        F.expr(
+            "CAST(aggregate(transform(split(text, '\\\\s+'),"
+            f" t -> CASE WHEN lower(t) IN ({stops}) THEN 1 ELSE 0 END),"
+            " 0, (acc, x) -> acc + x) * 1000000"
+            " div size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("s_stop_ppm"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, '\\\\s+'))) * 1000000"
+            " div size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("s_uniq_ppm"),
+    ).localCheckpoint(eager=False)
+    df = base
+    for sig, out in (
+        ("s_gram_ppm", "r_gram"),
+        ("s_stop_ppm", "r_stop"),
+        ("s_uniq_ppm", "r_uniq"),
+    ):
+        df = global_row_number(
+            df.withColumn("__neg", -F.col(sig)),
+            "__neg", ["doc_id"], out=out,
+            bounds=(-1_000_000, 0),
+        ).drop("__neg")
+    k = _QRRF_K
+    rrf = (
+        f"CAST(1000000 div ({k} + r_gram) + 1000000 div ({k} + r_stop)"
+        f" + 1000000 div ({k} + r_uniq) AS BIGINT)"
+    )
+    scored = df.withColumn("rrf_micro", F.expr(rrf))
+    top = scored.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(
+        _QRRF_TOP
+    )
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+            ).cast("bigint"),
+        )
+        .select("doc_id", "r_gram", "r_stop", "r_uniq", "rrf_micro", "rank")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced sharding (round-robin-by-rank vs hash sharding)
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8
+
+
+@register(
+    "pipeline_shard_token_balance",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+      FROM base
+    ),
+    assigned AS (
+      SELECT doc_id, n_tok,
+             CAST('rank_rr' AS VARCHAR) AS strategy,
+             CAST((rk - 1) % {_SHARD_N} AS BIGINT) AS shard
+      FROM ranked
+      UNION ALL
+      SELECT doc_id, n_tok, 'hash',
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 4)) AS BIGINT) % {_SHARD_N} AS BIGINT)
+      FROM base
+    ),
+    per AS (
+      SELECT strategy, shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT strategy, shard, n_docs, shard_tokens,
+           CAST(shard_tokens * 1000000
+                // sum(shard_tokens) OVER (PARTITION BY strategy)
+                AS BIGINT) AS share_ppm,
+           CAST((max(shard_tokens) OVER (PARTITION BY strategy)
+                 - min(shard_tokens) OVER (PARTITION BY strategy)) * 1000000
+                // sum(shard_tokens) OVER (PARTITION BY strategy)
+                AS BIGINT) AS strategy_spread_ppm
+    FROM per
+    ORDER BY strategy, shard
+    """,
+    doc=(
+        "Token-balanced training-shard assignment: round-robin over "
+        "the token-count rank (longest-first snake deal — the "
+        "deterministic cousin of LPT scheduling) vs naive md5-hash "
+        "sharding, with per-shard token loads and the max-min spread "
+        "per strategy — the number that decides whether stragglers eat "
+        "your epoch time. The rank is a distributed two-level "
+        "row_number, never a global sort."
+    ),
+)
+def pipeline_shard_token_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-round-robin vs hash sharding token balance.
+
+    Scale notes (100 TB): one per-row token count, one bucketed
+    global rank, one shard-grain aggregate per strategy; the spread
+    windows run over |strategies| x |shards| rows."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)").alias("n_tok"),
+    ).localCheckpoint(eager=False)
+    ranked = global_row_number(
+        base.withColumn("__neg", -F.col("n_tok")),
+        "__neg", ["doc_id"], out="rk",
+    ).drop("__neg")
+    rr = ranked.select(
+        "doc_id", "n_tok",
+        F.lit("rank_rr").alias("strategy"),
+        F.expr(f"CAST((rk - 1) % {_SHARD_N} AS BIGINT)").alias("shard"),
+    )
+    hs = base.select(
+        "doc_id", "n_tok",
+        F.lit("hash").alias("strategy"),
+        F.expr(
+            "CAST(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4),"
+            f" 16, 10) AS BIGINT) % {_SHARD_N} AS BIGINT)"
+        ).alias("shard"),
+    )
+    per = (
+        rr.unionByName(hs)
+        .groupBy("strategy", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        )
+    )
+    ws = Window.partitionBy("strategy")
+    return per.select(
+        "strategy", "shard", "n_docs", "shard_tokens",
+        F.expr("shard_tokens * 1000000").cast("bigint").alias("__num"),
+        F.sum("shard_tokens").over(ws).alias("__tot"),
+        F.max("shard_tokens").over(ws).alias("__mx"),
+        F.min("shard_tokens").over(ws).alias("__mn"),
+    ).select(
+        "strategy", "shard", "n_docs", "shard_tokens",
+        F.expr("CAST(__num div __tot AS BIGINT)").alias("share_ppm"),
+        F.expr(
+            "CAST((__mx - __mn) * 1000000 div __tot AS BIGINT)"
+        ).alias("strategy_spread_ppm"),
+    ).orderBy("strategy", "shard")

@@ -2154,3 +2154,266 @@ def text_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((-sum(cnt * w_micro)) div sum(cnt) AS BIGINT)"
         ).alias("xent_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio proxy (distinct-n-gram share — the cheap stand-in for
+# the zlib-ratio quality filter big pipelines run)
+# ---------------------------------------------------------------------------
+
+_CPX_N = 4            # char n-gram order
+_CPX_FLAG = 400_000   # flag docs whose distinct share falls below this ppm
+
+
+@register(
+    "text_ngram_compression_proxy",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(length(text) - {_CPX_N} + 1 AS BIGINT) AS n4,
+             CAST(len(list_distinct(list_transform(
+                    range(1, length(text) - {_CPX_N} + 2),
+                    i -> substr(text, i, {_CPX_N})))) AS BIGINT) AS u4
+      FROM documents WHERE length(text) >= {_CPX_N}
+    ),
+    per AS (
+      SELECT doc_id, lang, n4, u4,
+             CAST(u4 * 1000000 // n4 AS BIGINT) AS distinct_ppm
+      FROM g
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(distinct_ppm) // count(*) AS BIGINT) AS mean_ppm,
+           CAST(min(distinct_ppm) AS BIGINT) AS min_ppm,
+           CAST(sum(CASE WHEN distinct_ppm < {_CPX_FLAG} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM per
+    GROUP BY 1
+    ORDER BY lang
+    """,
+    doc=(
+        "Compression-ratio proxy quality filter: the share of DISTINCT "
+        "character 4-grams per document — the cheap, deterministic "
+        "stand-in for the zlib-compressibility filters production "
+        "pipelines run (highly repetitive text compresses well and "
+        "scores low). Per-language rollup with a flag count below the "
+        "400000 ppm threshold; all ratios floor-ppm integers."
+    ),
+)
+def text_ngram_compression_proxy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct char-4-gram share per doc, rolled up per language.
+
+    Scale notes (100 TB): the n-gram set is a per-row HOF projection
+    (staged select so the array builds once per doc); the only
+    shuffle is the language rollup. Nothing leaves the row until the
+    two integers (n4, u4) do."""
+    n = _CPX_N
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= n
+    )
+    staged = d.select(
+        "doc_id", "lang",
+        (F.length("text") - n + 1).cast("bigint").alias("n4"),
+        F.expr(
+            f"transform(sequence(1, length(text) - {n} + 1),"
+            f" i -> substring(text, i, {n}))"
+        ).alias("grams"),
+    )
+    per = staged.select(
+        "doc_id", "lang", "n4",
+        F.size(F.array_distinct("grams")).cast("bigint").alias("u4"),
+    ).withColumn(
+        "distinct_ppm", F.expr("u4 * 1000000 div n4").cast("bigint")
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(sum(distinct_ppm) div count(*) AS BIGINT)")
+            .alias("mean_ppm"),
+            F.min("distinct_ppm").cast("bigint").alias("min_ppm"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN distinct_ppm < {_CPX_FLAG} THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (weighted PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+_TR_WINDOW = 2
+_TR_ITERS = 3
+_TR_SCALE = 1_000_000_000_000
+_TR_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    ranks = "r0"
+    ctes = [
+        f"""tok AS (
+          SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS pos
+          FROM (
+            SELECT doc_id, {_TOKENS} AS ws FROM documents
+          ) d, unnest(range(1, len(ws) + 1)) AS t(i)
+        )""",
+        f"""co AS (
+          SELECT a.w AS src, b.w AS dst, CAST(count(*) AS BIGINT) AS wt
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id
+           AND b.pos - a.pos BETWEEN 1 AND {_TR_WINDOW}
+           AND a.w <> b.w
+          GROUP BY 1, 2
+        )""",
+        """edges AS MATERIALIZED (
+          SELECT src, dst, wt FROM co
+          UNION ALL
+          SELECT dst AS src, src AS dst, wt FROM co
+        )""",
+        "nodes AS MATERIALIZED (SELECT src AS w,"
+        " CAST(sum(wt) AS BIGINT) AS strength FROM edges GROUP BY 1)",
+        "n AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT w, CAST({_TR_SCALE} // n.n AS BIGINT) AS rank"
+        " FROM nodes, n)",
+    ]
+    for i in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+              SELECT b.w,
+                     CAST((15 * ({_TR_SCALE} // b.n)) // 100
+                          + (85 * COALESCE(c.contrib, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM (SELECT nodes.w, n.n FROM nodes, n) b
+              LEFT JOIN (
+                SELECT e.dst AS w,
+                       sum((r.rank * e.wt) // s.strength) AS contrib
+                FROM edges e
+                JOIN {ranks} r ON e.src = r.w
+                JOIN nodes s   ON e.src = s.w
+                GROUP BY e.dst
+              ) c ON b.w = c.w
+            )"""
+        )
+        ranks = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT r.w AS word, r.rank AS rank_micro, s.strength,
+               CAST(row_number() OVER (ORDER BY r.rank DESC, r.w)
+                    AS BIGINT) AS rank
+        FROM {ranks} r JOIN nodes s ON r.w = s.w
+        ORDER BY rank
+        LIMIT {_TR_TOP}
+        """
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    _textrank_oracle(),
+    doc=(
+        "TextRank keyword extraction: weighted PageRank over the word "
+        "co-occurrence graph (window ±2 inside each document, edge "
+        "weight = co-occurrence count) — the graph-based sibling of "
+        "text_keyphrase_rake. Ranks are integer trillionths with "
+        "strength-normalised weighted contributions "
+        "(rank*w // strength, floor division on non-negative "
+        "integers), unrolled per-iteration CTEs in the oracle — the "
+        "graph_pagerank discipline applied to a VOCAB-bounded graph."
+    ),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-PageRank keyword ranking, top-20.
+
+    Scale notes (100 TB): the corpus reduces to the vocab-bounded
+    co-occurrence edge list in one token self-join (position-keyed,
+    per-doc), checkpointed ONCE; each iteration joins the node-grain
+    rank table to that bounded artifact — the fact never re-scans
+    (round-9 census class). Top-k via orderBy+limit."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("i", "w"),
+    ).select("doc_id", "w", (F.col("i") + 1).cast("bigint").alias("pos"))
+    a = tok.select("doc_id", F.col("w").alias("src"), F.col("pos").alias("pa"))
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"), F.col("w").alias("dst"),
+        F.col("pos").alias("pb"),
+    )
+    co = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b")))
+        .filter(
+            (F.col("pb") - F.col("pa") >= 1)
+            & (F.col("pb") - F.col("pa") <= _TR_WINDOW)
+            & (F.col("src") != F.col("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+    )
+    edges = (
+        co.unionByName(
+            co.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "wt"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.groupBy(F.col("src").alias("w")).agg(
+        F.sum("wt").cast("bigint").alias("strength")
+    ).localCheckpoint(eager=False)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_df)).localCheckpoint(eager=False)
+    ranks = base.select(
+        "w", F.expr(f"CAST({_TR_SCALE} DIV n AS BIGINT)").alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("w", "src")
+                .withColumnRenamed("rank", "srank"),
+                "src",
+            )
+            .join(
+                nodes.withColumnRenamed("w", "src")
+                .withColumnRenamed("strength", "sstr"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("w"))
+            .agg(F.sum(F.expr("(srank * wt) DIV sstr")).alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, "w", "left")
+            .select(
+                "w",
+                F.expr(
+                    f"CAST((15 * ({_TR_SCALE} DIV n)) DIV 100"
+                    " + (85 * COALESCE(contrib, 0)) DIV 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    top = (
+        ranks.join(nodes, "w")
+        .orderBy(F.desc("rank"), F.asc("w"))
+        .limit(_TR_TOP)
+    )
+    wr = Window.orderBy(F.desc(F.col("rank")), F.asc("w"))
+    return (
+        top.select(
+            F.col("w").alias("word"),
+            F.col("rank").alias("rank_micro"),
+            "strength",
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rank_micro"), F.asc("word"))
+            ).cast("bigint"),
+        )
+        .orderBy("rank")
+    )
