@@ -88,6 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_ngram_compression_proxy, text_textrank_keywords,
     # pipeline_quality_rrf, pipeline_shard_token_balance,
     # pipeline_dedup_reweight,
+    # dq_pattern_signature, multimodal_ahash_dedup, search_ltr_blend,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

@@ -356,3 +356,174 @@ def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment_milli") >= 800)
     )
+
+
+# ---------------------------------------------------------------------------
+# Average-hash (aHash) near-dup detection over binary content
+# ---------------------------------------------------------------------------
+
+_AH_T = 6     # near-dup hamming threshold (of 64 bits)
+_AH_TOP = 30
+_AH_W0_DUCK = (
+    "CAST(list_aggregate(list_transform(range(1, 33),"
+    " i -> CASE WHEN ascii(substr(pad, CAST(i AS INT), 1)) > avg"
+    " THEN (1::BIGINT << (i - 1)) ELSE 0 END), 'sum') AS BIGINT)"
+)
+_AH_W1_DUCK = (
+    "CAST(list_aggregate(list_transform(range(33, 65),"
+    " i -> CASE WHEN ascii(substr(pad, CAST(i AS INT), 1)) > avg"
+    " THEN (1::BIGINT << (i - 33)) ELSE 0 END), 'sum') AS BIGINT)"
+)
+
+
+@register(
+    "multimodal_ahash_dedup",
+    f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' v2 re-encode trailer'
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    padded AS (
+      SELECT doc_id, rpad(text, 64, ' ') AS pad FROM src
+    ),
+    stat AS (
+      SELECT doc_id, pad,
+             CAST(list_aggregate(list_transform(range(1, 65),
+               i -> ascii(substr(pad, CAST(i AS INT), 1))), 'sum')
+               // 64 AS BIGINT) AS avg
+      FROM padded
+    ),
+    hashed AS (
+      SELECT doc_id, {_AH_W0_DUCK} AS w0, {_AH_W1_DUCK} AS w1
+      FROM stat
+    ),
+    bands AS (
+      SELECT doc_id, w0, w1, b.band_idx,
+             CASE b.band_idx WHEN 0 THEN w0 % 65536
+                             WHEN 1 THEN w0 // 65536
+                             WHEN 2 THEN w1 % 65536
+                             ELSE w1 // 65536 END AS band_val
+      FROM hashed, (SELECT unnest(range(0, 4)) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.w0 AS w0a, a.w1 AS w1a, b.w0 AS w0b, b.w1 AS w1b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+                  AS BIGINT) AS hamming
+      FROM cand
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN hamming <= {_AH_T} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_near_dups
+      FROM scored
+    )
+    SELECT doc_a, doc_b, hamming, n_candidates, n_near_dups
+    FROM scored, tot
+    WHERE hamming <= {_AH_T}
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT {_AH_TOP}
+    """,
+    doc=(
+        "Average-hash (aHash) perceptual dedup over the binary content "
+        "column: the first 64 bytes act as the 8x8 'thumbnail', each "
+        "bit = byte > mean — the locality-preserving fingerprint class "
+        "(aHash/pHash) used for image near-dup at scale — then a "
+        "4x16-bit band join generates candidates (any pair within "
+        "hamming 3 is guaranteed a shared band; threshold 6 keeps "
+        "recall honest) and popcount(xor) verifies. A re-encode "
+        "simulation (appended trailer on every 3rd doc) provides true "
+        "near-dups whose fingerprints survive."
+    ),
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded aHash near-dup pairs over blob bytes.
+
+    Scale notes (100 TB): the fingerprint is a per-row projection over
+    the first 64 bytes (never the whole blob); candidates come from a
+    16-bit band equi-join (never all-pairs); verification is two
+    XOR+popcounts per candidate."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "text").unionByName(
+        d.filter(F.expr("doc_id % 3 = 0")).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.expr("text || ' v2 re-encode trailer'").alias("text"),
+        )
+    )
+    padded = src.select("doc_id", F.expr("rpad(text, 64, ' ')").alias("pad"))
+    stat = padded.select(
+        "doc_id", "pad",
+        F.expr(
+            "CAST(aggregate(transform(sequence(1, 64),"
+            " i -> ascii(substring(pad, i, 1))), 0L,"
+            " (acc, x) -> acc + x) div 64 AS BIGINT)"
+        ).alias("avg"),
+    )
+    hashed = stat.select(
+        "doc_id",
+        F.expr(
+            "CAST(aggregate(transform(sequence(1, 32),"
+            " i -> CASE WHEN ascii(substring(pad, i, 1)) > avg"
+            " THEN shiftleft(1L, i - 1) ELSE 0L END), 0L,"
+            " (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("w0"),
+        F.expr(
+            "CAST(aggregate(transform(sequence(33, 64),"
+            " i -> CASE WHEN ascii(substring(pad, i, 1)) > avg"
+            " THEN shiftleft(1L, i - 33) ELSE 0L END), 0L,"
+            " (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("w1"),
+    ).localCheckpoint(eager=False)
+    spine = hashed.sparkSession.range(4).select(
+        F.col("id").alias("band_idx")
+    )
+    bands = hashed.crossJoin(F.broadcast(spine)).select(
+        "doc_id", "w0", "w1", "band_idx",
+        F.expr(
+            "CASE band_idx WHEN 0 THEN w0 % 65536"
+            " WHEN 1 THEN w0 div 65536"
+            " WHEN 2 THEN w1 % 65536"
+            " ELSE w1 div 65536 END"
+        ).alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("w0").alias("w0a"),
+        F.col("w1").alias("w1a"), "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("w0").alias("w0b"),
+        F.col("w1").alias("w1b"), "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "w0a", "w1a", "w0b", "w1b")
+        .distinct()
+    )
+    scored = cand.select(
+        "doc_a", "doc_b",
+        F.expr(
+            "CAST(bit_count(w0a ^ w0b) + bit_count(w1a ^ w1b) AS BIGINT)"
+        ).alias("hamming"),
+    ).localCheckpoint(eager=False)
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(
+            F.expr(f"CASE WHEN hamming <= {_AH_T} THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_near_dups"),
+    )
+    return (
+        scored.filter(F.col("hamming") <= _AH_T)
+        .crossJoin(F.broadcast(tot))
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(_AH_TOP)
+        .select("doc_a", "doc_b", "hamming", "n_candidates", "n_near_dups")
+    )

@@ -1759,3 +1759,122 @@ def search_query_likelihood_lm(
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "doc_id", "score_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear learning-to-rank blend (pointwise LTR over integer features)
+# ---------------------------------------------------------------------------
+
+_LTR_POOL = 10
+_LTR_TOP = 10
+_LTR_QL_ABSENT = -100_000_000  # sentinel micro log-prob for non-pool docs
+
+from the_movies_db_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+def _ltr_oracle() -> str:
+    return f"""
+    WITH bm AS ({_bm25_oracle(_LTR_POOL)}),
+    ql AS ({_REG["search_query_likelihood_lm"].oracle}),
+    dld AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t <> '')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    pool AS (
+      SELECT coalesce(b.query_id, q.query_id) AS query_id,
+             coalesce(b.doc_id, q.doc_id) AS doc_id,
+             CAST(coalesce(b.score_milli, 0) AS BIGINT) AS bm25_milli,
+             CAST(coalesce(q.score_micro, {_LTR_QL_ABSENT}) AS BIGINT)
+               AS ql_micro
+      FROM bm b FULL OUTER JOIN ql q
+        ON b.query_id = q.query_id AND b.doc_id = q.doc_id
+    ),
+    feat AS (
+      SELECT p.query_id, p.doc_id, p.bm25_milli, p.ql_micro, d.dl,
+             CAST(5 * p.bm25_milli + p.ql_micro // 1000 - d.dl AS BIGINT)
+               AS blend_score
+      FROM pool p JOIN dld d ON p.doc_id = d.doc_id
+    )
+    SELECT query_id, rank, doc_id, bm25_milli, ql_micro, dl, blend_score
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY blend_score DESC, doc_id) AS BIGINT) AS rank
+      FROM feat
+    ) t WHERE rank <= {_LTR_TOP}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "search_ltr_blend",
+    _ltr_oracle(),
+    doc=(
+        "Pointwise linear learning-to-rank: per (query, doc) candidate "
+        "an integer feature vector — BM25 milli score, Dirichlet "
+        "query-likelihood micro score (sentinel for non-pool docs), "
+        "document length — scored by a fixed linear model "
+        "(5*bm25 + ql/1000 - dl) and re-ranked. The candidate pool is "
+        "the UNION of both retrievers' top-k (full outer join), the "
+        "production LTR shape: cheap retrievers generate, one linear "
+        "pass re-scores; every feature and the blend are exact BIGINTs."
+    ),
+)
+def search_ltr_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear blend re-ranking over the union candidate pool.
+
+    Scale notes (100 TB): both pools are bounded top-k per query (the
+    expensive parts are each retriever's already-pruned plan); the
+    fusion join and re-rank touch 2 x POOL rows per query. dl joins
+    from the doc-grain projection (broadcast at dim scale, shuffled
+    equi-join past it)."""
+    d = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(spark, d, top_k=_LTR_POOL).select(
+        "query_id", "doc_id", F.col("score_milli").alias("bm25_milli")
+    )
+    ql = _REG["search_query_likelihood_lm"].spark(spark, sf_dir).select(
+        F.col("query_id").alias("ql_query_id"),
+        F.col("doc_id").alias("ql_doc_id"),
+        F.col("score_micro").alias("ql_micro"),
+    )
+    pool = (
+        bm.join(
+            ql,
+            (F.col("query_id") == F.col("ql_query_id"))
+            & (F.col("doc_id") == F.col("ql_doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("query_id", "ql_query_id").alias("query_id"),
+            F.coalesce("doc_id", "ql_doc_id").alias("doc_id"),
+            F.coalesce("bm25_milli", F.lit(0)).cast("bigint")
+            .alias("bm25_milli"),
+            F.coalesce("ql_micro", F.lit(_LTR_QL_ABSENT)).cast("bigint")
+            .alias("ql_micro"),
+        )
+    )
+    dld = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(lower(text), '\\\\s+'),"
+            " t -> t <> '')) AS BIGINT)"
+        ).alias("dl"),
+    )
+    feat = pool.join(dld, "doc_id").withColumn(
+        "blend_score",
+        F.expr("CAST(5 * bm25_milli + ql_micro div 1000 - dl AS BIGINT)"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("blend_score"), F.asc("doc_id")
+    )
+    return (
+        feat.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _LTR_TOP)
+        .select(
+            F.col("query_id").cast("bigint"), "rank",
+            F.col("doc_id").cast("bigint"),
+            "bm25_milli", "ql_micro", "dl", "blend_score",
+        )
+        .orderBy("query_id", "rank")
+    )

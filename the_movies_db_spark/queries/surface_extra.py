@@ -6628,3 +6628,97 @@ def dq_join_cardinality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_key")
+
+
+# ---------------------------------------------------------------------------
+# String pattern-signature profiling (format drift / schema inference DQ)
+# ---------------------------------------------------------------------------
+
+_PSIG_COLS = (
+    ("customer", "c_name"),
+    ("customer", "c_mktsegment"),
+    ("part", "p_name"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("supplier", "s_name"),
+)
+_PSIG_TOP = 3
+_PSIG_EXPR = (
+    "regexp_replace(regexp_replace(regexp_replace({c},"
+    " '[a-z]+', 'a'), '[A-Z]+', 'A'), '[0-9]+', '9')"
+)
+
+
+def _psig_oracle() -> str:
+    blocks = []
+    for t, c in _PSIG_COLS:
+        sig = _PSIG_EXPR.format(c=c)
+        # DuckDB regexp_replace replaces only the FIRST match without
+        # the 'g' flag — Spark always replaces all.
+        sig = sig.replace("'a')", "'a', 'g')").replace(
+            "'A')", "'A', 'g')"
+        ).replace("'9')", "'9', 'g')")
+        blocks.append(
+            f"""SELECT '{t}' AS tbl, '{c}' AS col, {sig} AS sig,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM {t} GROUP BY 3"""
+        )
+    body = " UNION ALL ".join(blocks)
+    return f"""
+    WITH sigs AS ({body}),
+    ranked AS (
+      SELECT tbl, col, sig, n,
+             CAST(n * 1000000 // sum(n) OVER (PARTITION BY tbl, col)
+                  AS BIGINT) AS share_ppm,
+             row_number() OVER (PARTITION BY tbl, col
+                                ORDER BY n DESC, sig) AS rk
+      FROM sigs
+    )
+    SELECT tbl, col, sig, n, share_ppm, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= {_PSIG_TOP}
+    ORDER BY tbl, col, rank
+    """
+
+
+@register(
+    "dq_pattern_signature",
+    _psig_oracle(),
+    doc=(
+        "String pattern-signature profiling: collapse every string "
+        "column to its character-class skeleton (runs of [a-z] -> 'a', "
+        "[A-Z] -> 'A', digits -> '9', punctuation kept) and census the "
+        "top skeletons per column with share ppm — the format-drift "
+        "detector that catches a new id scheme, an unpadded number, or "
+        "a stray locale long before a value-level rule fires."
+    ),
+)
+def dq_pattern_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 character-class signatures per profiled column.
+
+    Scale notes (100 TB): one projection + one (signature)-keyed
+    combining aggregate per column — signatures are low-cardinality by
+    construction, so the per-column aggregate output is tiny and the
+    rank window runs over it, not the table."""
+    out = None
+    for t, c in _PSIG_COLS:
+        df = load_table(spark, sf_dir, t).select(
+            F.lit(t).alias("tbl"),
+            F.lit(c).alias("col"),
+            F.expr(_PSIG_EXPR.format(c=c)).alias("sig"),
+        ).groupBy("tbl", "col", "sig").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        out = df if out is None else out.unionByName(df)
+    w = Window.partitionBy("tbl", "col")
+    wr = Window.partitionBy("tbl", "col").orderBy(F.desc("n"), F.asc("sig"))
+    return (
+        out.withColumn(
+            "share_ppm",
+            F.expr("CAST(n * 1000000 div sum(n) OVER"
+                   " (PARTITION BY tbl, col) AS BIGINT)"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _PSIG_TOP)
+        .select("tbl", "col", "sig", "n", "share_ppm", "rank")
+        .orderBy("tbl", "col", "rank")
+    )
