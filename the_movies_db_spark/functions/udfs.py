@@ -122,3 +122,16 @@ def token_bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_rejected": [n - admitted],
         }
     )
+
+
+@udtf(returnType="gram_idx int, gram string")
+class CharTrigrams:
+    """Declared-schema Python UDTF: emit (index, char-trigram) rows for
+    a text value — the n-gram tokenizer as a table function, composing
+    with lateral joins exactly like SplitWords."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i in range(len(text) - 2):
+            yield i, text[i:i + 3]

@@ -89,6 +89,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pipeline_quality_rrf, pipeline_shard_token_balance,
     # pipeline_dedup_reweight,
     # dq_pattern_signature, multimodal_ahash_dedup, search_ltr_blend,
+    # streaming_topk_incremental, udtf_char_ngrams, fn_uuid3_md5,
+    # agg_log_histogram_quantiles, upsert_conditional_merge,
     #
     # -- the round-9 window: 16 round-7 tail names ------------------------
     "window_running_distinct",

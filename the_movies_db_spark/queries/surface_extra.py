@@ -6722,3 +6722,203 @@ def dq_pattern_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tbl", "col", "sig", "n", "share_ppm", "rank")
         .orderBy("tbl", "col", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic name-based UUID (v3, md5) generation + uniqueness audit
+# ---------------------------------------------------------------------------
+
+_U3_NS = "order"
+_U3_SPARK_HEXVAL = "CAST(conv(substr(h, 17, 1), 16, 10) AS BIGINT)"
+_U3_DUCK_HEXVAL = "CAST(concat('0x', substr(h, 17, 1)) AS BIGINT)"
+_U3_BUILD = (
+    "substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || substr(h, 14, 3)"
+    " || '-' || CASE {hv} % 4 WHEN 0 THEN '8' WHEN 1 THEN '9'"
+    " WHEN 2 THEN 'a' ELSE 'b' END || substr(h, 18, 3) || '-'"
+    " || substr(h, 21, 12)"
+)
+
+
+@register(
+    "fn_uuid3_md5",
+    f"""
+    WITH h AS (
+      SELECT o_orderkey,
+             md5('{_U3_NS}:' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    ),
+    u AS (
+      SELECT o_orderkey,
+             {_U3_BUILD.format(hv=_U3_DUCK_HEXVAL)} AS uuid
+      FROM h
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT uuid) AS BIGINT) AS n_distinct
+      FROM u
+    )
+    SELECT o_orderkey, uuid, n_rows, n_distinct
+    FROM u, tot
+    ORDER BY uuid
+    LIMIT 5
+    """,
+    doc=(
+        "Name-based deterministic UUID (RFC 4122 v3: md5 of "
+        "namespace:name with the version nibble forced to 3 and the "
+        "variant nibble to 8/9/a/b) — the idempotent surrogate-key "
+        "generator for MERGE pipelines where re-runs must mint the "
+        "SAME id. The uniqueness audit (count vs distinct) rides "
+        "along; the variant nibble maps through integer arithmetic on "
+        "a per-engine hex extraction (the round-6 md5-seed recipe)."
+    ),
+)
+def fn_uuid3_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUIDv3 per order + uniqueness audit.
+
+    Scale notes (100 TB): pure per-row projection plus one distinct
+    aggregate; the sample rows come from orderBy+limit."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(
+        "o_orderkey",
+        F.expr(
+            f"md5('{_U3_NS}:' || CAST(o_orderkey AS STRING))"
+        ).alias("h"),
+    ).select(
+        "o_orderkey",
+        F.expr(_U3_BUILD.format(hv=_U3_SPARK_HEXVAL)).alias("uuid"),
+    ).localCheckpoint(eager=False)
+    tot = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("uuid").cast("bigint").alias("n_distinct"),
+    )
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .orderBy("uuid")
+        .limit(5)
+        .select("o_orderkey", "uuid", "n_rows", "n_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucketed histogram quantiles (HdrHistogram-style) vs exact
+# ---------------------------------------------------------------------------
+
+_LOGH_QS = (50, 90, 99)
+
+
+@register(
+    "agg_log_histogram_quantiles",
+    f"""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    vh AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS k FROM c GROUP BY 1
+    ),
+    vcum AS (
+      SELECT cents,
+             CAST(sum(k) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM vh
+    ),
+    bh AS (
+      SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS k
+      FROM c GROUP BY 1
+    ),
+    bcum AS (
+      SELECT bucket,
+             CAST(sum(k) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM bh
+    ),
+    qs AS (SELECT unnest([{', '.join(str(q) for q in _LOGH_QS)}]) AS q),
+    ex AS (
+      SELECT q.q, CAST(min(v.cents) AS BIGINT) AS exact_cents
+      FROM qs q JOIN vcum v ON v.cum * 100 >= (SELECT n FROM n) * q.q
+      GROUP BY 1
+    ),
+    ap AS (
+      SELECT q.q,
+             CAST(min((1::BIGINT << (b.bucket + 1)) - 1) AS BIGINT)
+               AS approx_cents
+      FROM qs q JOIN bcum b ON b.cum * 100 >= (SELECT n FROM n) * q.q
+      GROUP BY 1
+    )
+    SELECT CAST(e.q AS BIGINT) AS q, e.exact_cents, a.approx_cents,
+           CAST((a.approx_cents - e.exact_cents) * 1000000
+                // e.exact_cents AS BIGINT) AS rel_err_ppm
+    FROM ex e JOIN ap a ON e.q = a.q
+    ORDER BY q
+    """,
+    doc=(
+        "Log2-bucketed histogram quantiles (the HdrHistogram/DDSketch "
+        "family): each price maps to floor(log2) via its binary "
+        "bit-length — an O(1)-space, trivially MERGEABLE sketch whose "
+        "relative error is bounded by the bucket base — evaluated "
+        "against the EXACT value-domain order statistics at p50/p90/"
+        "p99 with the realised relative error, so the sketch's "
+        "accuracy claim is observable."
+    ),
+)
+def agg_log_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log2-sketch quantiles vs exact order statistics.
+
+    Scale notes (100 TB): the sketch side is a ~40-row bucket
+    histogram (one combining aggregate — this is what you'd actually
+    run at 100 TB); the exact side is the value-domain cumulative
+    histogram used only as the audit baseline. Both windows run over
+    bounded domains."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    ).localCheckpoint(eager=False)
+    n_df = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vh = c.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    wv = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vh.select(
+        "cents", F.sum("k").over(wv).cast("bigint").alias("cum")
+    )
+    bh = c.groupBy(
+        F.expr("CAST(length(bin(cents)) - 1 AS BIGINT)").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bcum = bh.select(
+        "bucket", F.sum("k").over(wb).cast("bigint").alias("cum")
+    )
+    qs = o.sparkSession.range(1).selectExpr(
+        f"explode(array({', '.join(str(q) + 'L' for q in _LOGH_QS)})) AS q"
+    ).crossJoin(F.broadcast(n_df))
+    ex = (
+        qs.join(vcum, F.expr("cum * 100 >= n * q"))
+        .groupBy("q")
+        .agg(F.min("cents").cast("bigint").alias("exact_cents"))
+    )
+    ap = (
+        qs.join(bcum, F.expr("cum * 100 >= n * q"))
+        .groupBy("q")
+        .agg(
+            F.min(F.expr("shiftleft(1L, CAST(bucket + 1 AS INT)) - 1"))
+            .cast("bigint").alias("approx_cents")
+        )
+    )
+    return (
+        ex.join(ap, "q")
+        .select(
+            F.col("q").cast("bigint"), "exact_cents", "approx_cents",
+            F.expr(
+                "CAST((approx_cents - exact_cents) * 1000000"
+                " div exact_cents AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+        .orderBy("q")
+    )

@@ -412,3 +412,46 @@ def udf_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "udtf_char_ngrams",
+    """
+    SELECT gram, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (
+      SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+           unnest(range(1, length(text) - 1)) AS t(i)
+    ) s
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 15
+    """,
+    doc=(
+        "Declared-schema Python UDTF as an n-gram tokenizer: lateral "
+        "join explodes each doc into (index, char-trigram) rows, then "
+        "a JVM-side aggregate ranks the top trigrams with document "
+        "frequency — the UDTF surface (§2.11) doing real tokenizer "
+        "work, value-hash-verified against a pure-SQL replay."
+    ),
+)
+def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top char-trigrams via the CharTrigrams UDTF.
+
+    Scale notes (100 TB): the UDTF runs per input row (Arrow-batched
+    process pool); everything after the lateral join is a standard
+    gram-keyed combining aggregate. Top-k via orderBy+limit."""
+    from the_movies_db_spark.functions.udfs import CharTrigrams
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    grams = d.lateralJoin(CharTrigrams(F.col("text").outer()))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(15)
+    )

@@ -764,3 +764,81 @@ def upsert_vacuum_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_current",
         "total_cents",
     )
+
+
+@register(
+    "upsert_conditional_merge",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL
+                       OR (b.cents > t.cents AND b.status <> 'F'))
+                  THEN b.status ELSE t.status END AS status,
+             CASE WHEN b.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL
+                       OR (b.cents > t.cents AND b.status <> 'F'))
+                  THEN b.cents ELSE t.cents END AS cents
+      FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+      WHERE NOT (t.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                 AND b.status = 'F')
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM merged
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc=(
+        "MERGE with CONDITIONAL matched clauses (the Delta/Iceberg "
+        "'WHEN MATCHED AND <pred>' surface the plain SCD-1 merge "
+        "lacks): matched batch rows with status 'F' DELETE the target "
+        "row, matched rows UPDATE only when the price increased, other "
+        "matches keep the target, unmatched batch rows INSERT, "
+        "unmatched target rows persist — all one full-outer join + one "
+        "select (upsert.conditional_merge), verified by a SQL replay "
+        "of the clause ladder."
+    ),
+)
+def upsert_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-clause MERGE, status-grain audit of the result.
+
+    Scale notes (100 TB): one key-equi full-outer join (broadcast the
+    batch when it is a delta; AQE handles skew) + one projection —
+    the conditional clauses are CASE arms, not extra passes."""
+    from the_movies_db_spark.upsert import conditional_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.filter(F.expr("o_orderkey % 3 != 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    b = o.filter(F.expr("o_orderkey % 2 = 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (F.expr("CAST(round(o_totalprice * 100) AS BIGINT)") + 500)
+        .alias("cents"),
+    )
+    merged = conditional_merge(
+        t, b, "o_orderkey",
+        matched_delete=F.col("b.status") == "F",
+        matched_update=F.col("b.cents") > F.col("t.cents"),
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("status")
+    )

@@ -596,3 +596,48 @@ def scd2_upsert(
         F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
     )
     return closed.unionByName(kept_current).unionByName(new_current)
+
+
+def conditional_merge(
+    target: DataFrame,
+    batch: DataFrame,
+    pk: str | Sequence[str],
+    matched_delete: Column | None = None,
+    matched_update: Column | None = None,
+) -> DataFrame:
+    """MERGE with CONDITIONAL matched clauses, as one lazy plan:
+
+    - WHEN MATCHED AND ``matched_delete``          THEN DELETE
+    - WHEN MATCHED AND ``matched_update``          THEN UPDATE (batch row)
+    - WHEN MATCHED (neither predicate)             THEN keep target row
+    - WHEN NOT MATCHED                             THEN INSERT
+    - unmatched target rows persist (no NOT MATCHED BY SOURCE clause).
+
+    Predicates are Columns over the ``t``/``b`` aliases (e.g.
+    ``F.col("b.status") == 'F'``), evaluated ONLY on matched pairs —
+    the Delta/Iceberg conditional-clause MERGE surface expressed as a
+    full-outer join + one select, so Catalyst plans it like any other
+    join (broadcast/shuffle by key, AQE-eligible)."""
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    t, b = target.alias("t"), batch.alias("b")
+    cond = reduce(
+        lambda a, c: a & c,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+    )
+    joined = t.join(b, cond, "full_outer")
+    batch_matched = F.col(f"b.{keys[0]}").isNotNull()
+    target_matched = F.col(f"t.{keys[0]}").isNotNull()
+    both = batch_matched & target_matched
+    delete_row = (
+        both & matched_delete if matched_delete is not None else F.lit(False)
+    )
+    update_row = both & (
+        matched_update if matched_update is not None else F.lit(True)
+    )
+    insert_row = batch_matched & ~target_matched
+    take_batch = insert_row | (update_row & ~delete_row)
+    out_cols = [
+        F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return joined.filter(~delete_row).select(*out_cols)
