@@ -55,95 +55,73 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-9 rotation (the round-8 window went 50/50 green, 0
-    # failures — CORRECTNESS_r08.json; cumulative driver coverage 377
-    # distinct queries, 0 failures ever). This window is the round-9
-    # queue VERBATIM: 16 round-7 tail names + all 34 round-8
-    # registrations. The judge verified this list equals the
-    # never-driver-checked set exactly, so a green round takes hard
-    # driver coverage to 427/427 with ZERO backlog for the first time.
+    # Round-10 rotation: the round-9 window went 50/50 green
+    # (CORRECTNESS_r09.json, 0 failures ever; cumulative hard
+    # driver coverage 427 distinct queries). This window = the
+    # 18-name round-10 queue VERBATIM (every round-9
+    # registration, restoring 445/445 hard coverage) + all 32
+    # round-10 registrations, in registration order — the
+    # never-driver-checked set exactly, with ZERO backlog left
+    # for round 11.
     #
-    # Queue for the round-10 window (append round-9 registrations HERE
-    # at registration time, the moment each oracle is locally green;
-    # HARD CAP 50 so the backlog never exceeds one window):
-    # dq_candidate_keys3, agg_quantile_sketch_merge,
-    # orders_seasonal_decompose, orders_cohort_ltv_curve,
-    # pipeline_dedup_survivor_stats, events_counterfactual_uplift,
-    # dq_rule_mining_cfd, search_query_likelihood_lm,
-    # graph_bridge_edges, graph_connected_components,
-    # dedup_minhash_calibration, events_forecast_holt_damped,
-    # dq_join_cardinality_model, pipeline_cluster_purity,
-    # pipeline_dedup_threshold_sensitivity,
-    # events_percentile_bands_daily, sim_topk_ivf_filtered,
-    # graph_degree_powerlaw_fit,
-    # -- round-10 registrations (append at registration time) --
-    # dedup_substring_exact, dedup_edit_distance_verify,
-    # sim_topk_ivf_adaptive, sim_cell_medoid,
-    # graph_personalized_pagerank, graph_triangle_sample_estimate,
-    # events_decayed_engagement, events_ab_permutation,
-    # events_forecast_ses_gridsearch, events_uplift_stump,
-    # events_attribution_markov,
-    # orders_newsvendor_quantile, orders_eoq_policy,
-    # orders_xyz_variability,
-    # text_ngram_compression_proxy, text_textrank_keywords,
-    # pipeline_quality_rrf, pipeline_shard_token_balance,
-    # pipeline_dedup_reweight,
-    # dq_pattern_signature, multimodal_ahash_dedup, search_ltr_blend,
-    # streaming_topk_incremental, udtf_char_ngrams, fn_uuid3_md5,
-    # agg_log_histogram_quantiles, upsert_conditional_merge,
+    # Queue for the round-11 window (append round-11
+    # registrations HERE at registration time, the moment each
+    # oracle is locally green; HARD CAP 50 so the backlog never
+    # exceeds one window): (empty — all round-10 names are in
+    # this window)
     #
-    # -- the round-9 window: 16 round-7 tail names ------------------------
-    "window_running_distinct",
-    "fn_listagg_ordered",
-    "events_ab_cuped",
-    "orders_croston_intermittent",
-    "events_forecast_holt_winters",
-    "upsert_delete_purge",
-    "pipeline_feature_hashing",
-    "io_dynamic_partition_overwrite",
-    "orders_double_charge_audit",
-    "events_ab_sprt",
-    "agg_rollup_share_of_parent",
-    "orders_price_volume_mix",
-    "pipeline_label_noise_knn",
-    "events_power_mde",
-    "dedup_sketch_merge_audit",
-    "events_forecast_backtest",
-    # -- 34 round-8 registrations, in registration order ------------------
-    "orders_margin_waterfall",
-    "orders_basket_size_dist",
-    "text_simpson_diversity",
-    "dq_benford_digits2",
-    "dq_completeness_rules",
-    "events_hourly_entropy",
-    "events_session_gap_dist",
-    "agg_winsorized_corr",
-    "search_idf_drift",
-    "graph_adamic_adar",
-    "dedup_lsh_cost_model",
-    "events_capacity_plan",
-    "pipeline_gopher_rules",
-    "events_retention_bitmap",
-    "agg_gini_split_stump",
-    "graph_label_propagation",
-    "agg_cramers_v",
-    "upsert_vacuum_versions",
-    "text_lm_heldout_eval",
-    "sim_hubness_audit",
-    "graph_hits_bipartite",
-    "orders_rank_volatility",
-    "agg_moments_merge_audit",
-    "sim_ivf_cost_model",
-    "pipeline_span_corruption",
-    "events_rolling_wau_bitmap",
-    "pipeline_filter_lm_impact",
-    "streaming_bitmap_dau",
-    "pipeline_preference_pairs",
-    "window_rolling_regression",
-    "events_attribution_shapley",
-    "graph_modularity_score",
-    "dq_candidate_keys",
-    "sim_srp_bit_balance",
+    # -- the 18 round-9 registrations (round-10 queue) ----------
+    "dq_candidate_keys3",
+    "agg_quantile_sketch_merge",
+    "orders_seasonal_decompose",
+    "orders_cohort_ltv_curve",
+    "pipeline_dedup_survivor_stats",
+    "events_counterfactual_uplift",
+    "dq_rule_mining_cfd",
+    "search_query_likelihood_lm",
+    "graph_bridge_edges",
+    "graph_connected_components",
+    "dedup_minhash_calibration",
+    "events_forecast_holt_damped",
+    "dq_join_cardinality_model",
+    "pipeline_cluster_purity",
+    "pipeline_dedup_threshold_sensitivity",
+    "events_percentile_bands_daily",
+    "sim_topk_ivf_filtered",
+    "graph_degree_powerlaw_fit",
+    # -- 32 round-10 registrations, in registration order -------
+    "dedup_substring_exact",
+    "dedup_edit_distance_verify",
+    "sim_topk_ivf_adaptive",
+    "sim_cell_medoid",
+    "graph_personalized_pagerank",
+    "graph_triangle_sample_estimate",
+    "events_decayed_engagement",
+    "events_ab_permutation",
+    "events_forecast_ses_gridsearch",
+    "events_uplift_stump",
+    "events_attribution_markov",
+    "orders_newsvendor_quantile",
+    "orders_eoq_policy",
+    "orders_xyz_variability",
+    "text_ngram_compression_proxy",
+    "text_textrank_keywords",
+    "pipeline_quality_rrf",
+    "pipeline_shard_token_balance",
+    "pipeline_dedup_reweight",
+    "dq_pattern_signature",
+    "multimodal_ahash_dedup",
+    "search_ltr_blend",
+    "streaming_topk_incremental",
+    "udtf_char_ngrams",
+    "fn_uuid3_md5",
+    "agg_log_histogram_quantiles",
+    "upsert_conditional_merge",
+    "agg_bitmap_hierarchy",
+    "events_weekday_effect",
+    "graph_diameter_estimate",
+    "sim_recall_adaptive",
+    "upsert_schema_evolve",
 )
 
 

@@ -2111,3 +2111,164 @@ def graph_triangle_sample_estimate(
             ).alias("err_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-seed BFS eccentricity (diameter lower bound by sampling sources)
+# ---------------------------------------------------------------------------
+
+_DIAM_SEEDS = 4
+_DIAM_ROUNDS = 6
+_DIAM_EDGES_SQL = """
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sp
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+"""
+
+
+def _diam_oracle() -> str:
+    ctes = [
+        f"spend AS ({_DIAM_EDGES_SQL})",
+        """rk AS (
+          SELECT c, s,
+                 row_number() OVER (PARTITION BY c ORDER BY sp DESC, s) AS rn
+          FROM spend
+        )""",
+        """edges AS MATERIALIZED (
+          SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+          FROM rk a JOIN rk b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+        )""",
+        """und AS MATERIALIZED (
+          SELECT sa AS src, sb AS dst FROM edges
+          UNION ALL SELECT sb, sa FROM edges
+        )""",
+        f"""seeds AS MATERIALIZED (
+          SELECT DISTINCT src AS seed FROM und ORDER BY 1
+          LIMIT {_DIAM_SEEDS}
+        )""",
+        "d0 AS MATERIALIZED (SELECT seed, seed AS node,"
+        " CAST(0 AS BIGINT) AS dist FROM seeds)",
+    ]
+    prev = "d0"
+    for k in range(1, _DIAM_ROUNDS + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+              SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT seed, node, dist FROM {prev}
+                UNION ALL
+                SELECT d.seed, u.dst AS node, d.dist + 1
+                FROM {prev} d JOIN und u ON d.node = u.src
+              ) x GROUP BY 1, 2
+            )"""
+        )
+        prev = f"d{k}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        , per AS (
+          SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+                 CAST(max(dist) AS BIGINT) AS eccentricity
+          FROM {prev} GROUP BY 1
+        )
+        SELECT seed, n_reached, eccentricity,
+               CAST(max(eccentricity) OVER () AS BIGINT) AS diameter_lb
+        FROM per
+        ORDER BY seed
+        """
+    )
+
+
+@register(
+    "graph_diameter_estimate",
+    _diam_oracle(),
+    doc=(
+        "Diameter lower bound by multi-seed BFS: eccentricities of 4 "
+        "sampled sources on the supplier co-preference graph (6 "
+        "min-plus relaxation rounds, all seeds advanced in ONE "
+        "(seed, node)-keyed distance table — a single join per round "
+        "for the whole seed set, not per seed). max(eccentricity) is "
+        "the standard sampled diameter lower bound used when the exact "
+        "all-pairs diameter is infeasible."
+    ),
+)
+def graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed BFS eccentricity + sampled diameter lower bound.
+
+    Scale notes (100 TB): per round ONE equi-join of the (seed,
+    node)-keyed frontier against the checkpointed edge artifact + one
+    min-aggregate; state size is |seeds| x |reached|. Rounds are
+    fixed; each round's table is lazily checkpointed so no branch
+    re-derives the fact subtree (round-9 census class)."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    spend = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust.select("c_custkey", "c_nationkey"),
+              o.o_custkey == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              l.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("sp")
+        )
+    )
+    rk = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("sp"), F.asc("s"))
+        ),
+    )
+    a = rk.filter("rn = 1").select("c", F.col("s").alias("s1"))
+    b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    edges = (
+        a.join(b, a.c == b.c2)
+        .select(F.least("s1", "s2").alias("sa"),
+                F.greatest("s1", "s2").alias("sb"))
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionAll(edges.select(F.col("sb").alias("src"),
+                               F.col("sa").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        und.select(F.col("src").alias("seed")).distinct()
+        .orderBy("seed").limit(_DIAM_SEEDS)
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=False)
+    for _ in range(_DIAM_ROUNDS):
+        relaxed = dist.join(und, dist.node == und.src).select(
+            "seed", F.col("dst").alias("node"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    per = dist.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.max("dist").cast("bigint").alias("eccentricity"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "seed", "n_reached", "eccentricity",
+        F.max("eccentricity").over(w).cast("bigint").alias("diameter_lb"),
+    ).orderBy("seed")

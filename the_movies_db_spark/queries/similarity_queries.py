@@ -3948,3 +3948,130 @@ def sim_cell_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall evaluation of the adaptive dial vs filtered brute force
+# ---------------------------------------------------------------------------
+
+
+def _recall_adaptive_oracle() -> str:
+    return f"""
+    WITH adapt AS ({_REG["sim_topk_ivf_adaptive"].oracle}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        JOIN documents d ON d.doc_id = c.vec_id AND d.lang = 'zh'
+        WHERE q.vec_id < {_N_QUERIES}
+      ) t WHERE rank <= 5
+    ),
+    per AS (
+      SELECT t.query_id,
+             CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM truth t
+      LEFT JOIN adapt a ON a.query_id = t.query_id
+                       AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1
+    ),
+    dial AS (
+      SELECT query_id, CAST(min(nprobe_used) AS BIGINT) AS nprobe_used
+      FROM adapt GROUP BY 1
+    )
+    SELECT p.query_id, d.nprobe_used, p.n_truth, p.n_hits,
+           CAST(p.n_hits * 1000000 // p.n_truth AS BIGINT) AS recall_ppm
+    FROM per p JOIN dial d ON p.query_id = d.query_id
+    ORDER BY p.query_id
+    """
+
+
+@register(
+    "sim_recall_adaptive",
+    _recall_adaptive_oracle(),
+    doc=(
+        "Recall@5 of the ADAPTIVE-nprobe filtered search against the "
+        "filtered brute-force ground truth — the evaluation that "
+        "justifies the escalation dial: starved queries that escalated "
+        "to 3 cells should recover most of the recall a fixed nprobe=1 "
+        "probe loses, at a fraction of always-probing-3 cost. "
+        "nprobe_used rides along so recall is attributable per dial "
+        "position."
+    ),
+)
+def sim_recall_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of sim_topk_ivf_adaptive.
+
+    Scale notes (100 TB): the adaptive side is the already-pruned
+    index probe; the brute-force side is the AUDIT baseline only
+    (query-panel x filtered corpus). The compare joins two bounded
+    top-k lists."""
+    from the_movies_db_spark.operators.similarity import (
+        cosine_from_parts,
+        norm,
+    )
+
+    adapt = _REG["sim_topk_ivf_adaptive"].spark(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+        "nprobe_used",
+    ).localCheckpoint(eager=False)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "zh"
+    ).select(F.col("doc_id").alias("neighbor_id"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm("embedding", _DIM).alias("__qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm("embedding", _DIM).alias("__cn"),
+    ).join(F.broadcast(d), "neighbor_id")
+    sim = F.round(
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=_DIM), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    truth = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    per = (
+        truth.join(
+            adapt,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(
+                F.expr("CASE WHEN a_nid IS NOT NULL THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_hits"),
+        )
+    )
+    dial = adapt.groupBy(F.col("a_qid").alias("query_id")).agg(
+        F.min("nprobe_used").cast("bigint").alias("nprobe_used")
+    )
+    return (
+        per.join(dial, "query_id")
+        .select(
+            "query_id", "nprobe_used", "n_truth", "n_hits",
+            F.expr("CAST(n_hits * 1000000 div n_truth AS BIGINT)")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -6127,3 +6127,277 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         " pconv_removed_ppm bigint, removal_effect_ppm bigint,"
         " attribution_ppm bigint",
     ).orderBy(F.desc("attribution_ppm"), F.asc("channel"))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical bitmap distinct-count rollup (day -> week -> total from ONE
+# word table, OR-merge up the hierarchy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_hierarchy",
+    """
+    WITH w AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             CAST(user_id // 32 AS BIGINT) AS wid,
+             CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INT))
+                  AS BIGINT) AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT day_idx, CAST(sum(bit_count(bits)) AS BIGINT) AS n_active
+      FROM w GROUP BY 1
+    ),
+    wk AS (
+      SELECT day_idx // 7 AS week_idx, wid,
+             CAST(bit_or(bits) AS BIGINT) AS bits
+      FROM w GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT week_idx, CAST(sum(bit_count(bits)) AS BIGINT) AS n_active
+      FROM wk GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_active
+      FROM (SELECT wid, bit_or(bits) AS bits FROM w GROUP BY 1)
+    ),
+    audit AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total
+              FROM events)
+    SELECT grain, n_periods, min_active, max_active, sum_active, exact_total
+    FROM (
+      SELECT 'day' AS grain, CAST(count(*) AS BIGINT) AS n_periods,
+             CAST(min(n_active) AS BIGINT) AS min_active,
+             CAST(max(n_active) AS BIGINT) AS max_active,
+             CAST(sum(n_active) AS BIGINT) AS sum_active
+      FROM daily
+      UNION ALL
+      SELECT 'week', CAST(count(*) AS BIGINT), CAST(min(n_active) AS BIGINT),
+             CAST(max(n_active) AS BIGINT), CAST(sum(n_active) AS BIGINT)
+      FROM weekly
+      UNION ALL
+      SELECT 'total', 1, n_active, n_active, n_active FROM tot
+    ) g, audit
+    ORDER BY grain
+    """,
+    doc=(
+        "Hierarchical distinct-user rollup from ONE bitmap word table: "
+        "daily 32-bit word bitmaps OR-merge into weekly words and into "
+        "the all-time words — the bitmap OR is associative, so every "
+        "coarser grain derives from the finer one WITHOUT re-touching "
+        "the fact (the cube-of-COUNT-DISTINCT problem, which plain "
+        "aggregates cannot roll up, solved by mergeable state). The "
+        "exact countDistinct rides along as the audit column: the "
+        "total-grain bitmap count must equal it."
+    ),
+)
+def agg_bitmap_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day -> week -> total distinct actives via OR-merged bitmaps.
+
+    Scale notes (100 TB): the fact is touched ONCE (day-grain word
+    aggregate, checkpointed); every rollup above it groups ~|days| x
+    |users|/32 words — OR-merge is a combining aggregate at every
+    level, so the hierarchy costs one shuffle per grain over word
+    tables, never a re-scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day_idx"),
+        F.expr("CAST(user_id div 32 AS BIGINT)").alias("wid"),
+    ).agg(
+        F.expr(
+            "CAST(bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
+            " AS BIGINT)"
+        ).alias("bits")
+    ).localCheckpoint(eager=False)
+    daily = w.groupBy("day_idx").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_active")
+    )
+    wk = w.groupBy(
+        F.expr("day_idx div 7").alias("week_idx"), F.col("wid")
+    ).agg(F.expr("CAST(bit_or(bits) AS BIGINT)").alias("bits"))
+    weekly = wk.groupBy("week_idx").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_active")
+    )
+    tot = (
+        w.groupBy("wid").agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_active"))
+    )
+    audit = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_total")
+    )
+
+    def lvl(df, grain: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+            F.min("n_active").cast("bigint").alias("min_active"),
+            F.max("n_active").cast("bigint").alias("max_active"),
+            F.sum("n_active").cast("bigint").alias("sum_active"),
+        ).select(F.lit(grain).alias("grain"), "*")
+
+    g = (
+        lvl(daily, "day")
+        .unionByName(lvl(weekly, "week"))
+        .unionByName(
+            tot.select(
+                F.lit("total").alias("grain"),
+                F.lit(1).cast("bigint").alias("n_periods"),
+                F.col("n_active").alias("min_active"),
+                F.col("n_active").alias("max_active"),
+                F.col("n_active").alias("sum_active"),
+            )
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(audit))
+        .select("grain", "n_periods", "min_active", "max_active",
+                "sum_active", "exact_total")
+        .orderBy("grain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday-effect ANOVA (one-way F over day-of-week groups)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekday_effect",
+    """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    grp AS (
+      SELECT CAST((d + 3) % 7 AS BIGINT) AS weekday,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS s_g,
+             CAST(sum(x * x) AS BIGINT) AS ss_g
+      FROM daily GROUP BY 1
+    ),
+    arr AS (
+      SELECT list(struct_pack(w := weekday, n := n_g, s := s_g, ss := ss_g)
+                  ORDER BY weekday) AS a
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(list_aggregate(list_transform(a, p -> p.n), 'sum')
+                  AS BIGINT) AS n,
+             CAST(list_aggregate(list_transform(a, p -> p.s), 'sum')
+                  AS BIGINT) AS s,
+             CAST(len(a) AS BIGINT) AS k,
+             list_aggregate(list_transform(a,
+               p -> CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE)
+                    / CAST(p.n AS DOUBLE)), 'sum') AS sb,
+             CAST(list_aggregate(list_transform(a, p -> p.ss), 'sum')
+                  AS BIGINT) AS ss
+      FROM arr
+    ),
+    f AS (
+      SELECT n, k,
+             CAST(floor((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE)) * 1000) AS BIGINT)
+               AS ssb_milli,
+             CAST(floor((CAST(ss AS DOUBLE) - sb) * 1000) AS BIGINT)
+               AS ssw_milli,
+             CAST(floor(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+                        / ((CAST(ss AS DOUBLE) - sb)
+                           / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS f_micro
+      FROM tot
+    )
+    SELECT g.weekday, g.n_g AS n_days, g.s_g AS total_events,
+           CAST(g.s_g * 1000 // g.n_g AS BIGINT) AS mean_milli,
+           f.n AS n_total_days, f.ssb_milli, f.ssw_milli, f.f_micro
+    FROM grp g, f
+    ORDER BY g.weekday
+    """,
+    doc=(
+        "One-way ANOVA for the day-of-week effect on event volume: "
+        "between/within sums of squares from exact integer power sums "
+        "(weekday id is pure integer arithmetic, (epoch_day + 3) % 7, "
+        "no locale-dependent dayofweek call), the float part a "
+        "left-to-right fold over the 7-element weekday array with "
+        "identical expression text — bit-identical doubles, floor-"
+        "milli/micro outputs. F >> 1 says weekday seasonality is real "
+        "and forecast models need the weekly term."
+    ),
+)
+def events_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday means + one-way ANOVA F statistic.
+
+    Scale notes (100 TB): the fact collapses to |days| rows, then 7
+    weekday groups; the double fold runs over the 7-struct array in
+    one projection. Nothing after the first aggregate scales with
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    daily = ev.groupBy(
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    grp = daily.groupBy(
+        F.expr("CAST((d + 3) % 7 AS BIGINT)").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("ss_g"),
+    ).localCheckpoint(eager=False)
+    arr = grp.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("weekday").alias("w"), F.col("n_g").alias("n"),
+                    F.col("s_g").alias("s"), F.col("ss_g").alias("ss"),
+                )
+            )
+        ).alias("a")
+    )
+    tot = arr.select(
+        F.expr(
+            "CAST(aggregate(a, 0L, (acc, p) -> acc + p.n) AS BIGINT)"
+        ).alias("n"),
+        F.expr(
+            "CAST(aggregate(a, 0L, (acc, p) -> acc + p.s) AS BIGINT)"
+        ).alias("s"),
+        F.expr("CAST(size(a) AS BIGINT)").alias("k"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE), (acc, p) -> acc"
+            " + CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE)"
+            " / CAST(p.n AS DOUBLE))"
+        ).alias("sb"),
+        F.expr(
+            "CAST(aggregate(a, 0L, (acc, p) -> acc + p.ss) AS BIGINT)"
+        ).alias("ss"),
+    )
+    f = tot.select(
+        "n", "k",
+        F.expr(
+            "CAST(floor((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("ssb_milli"),
+        F.expr(
+            "CAST(floor((CAST(ss AS DOUBLE) - sb) * 1000) AS BIGINT)"
+        ).alias("ssw_milli"),
+        F.expr(
+            "CAST(floor(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))"
+            " / ((CAST(ss AS DOUBLE) - sb)"
+            " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("f_micro"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(f))
+        .select(
+            "weekday", F.col("n_g").alias("n_days"),
+            F.col("s_g").alias("total_events"),
+            F.expr("CAST(s_g * 1000 div n_g AS BIGINT)").alias("mean_milli"),
+            F.col("n").alias("n_total_days"), "ssb_milli", "ssw_milli",
+            "f_micro",
+        )
+        .orderBy("weekday")
+    )

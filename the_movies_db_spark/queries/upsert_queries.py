@@ -842,3 +842,75 @@ def upsert_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "upsert_schema_evolve",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS cents,
+             'online' AS channel
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+      SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN b.cents
+                  ELSE t.cents END AS cents,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN b.channel END
+               AS channel
+      FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+    )
+    SELECT coalesce(channel, '<null>') AS channel,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM merged
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc=(
+        "MERGE + schema evolution combined (the Delta "
+        "mergeSchema-on-MERGE surface): the batch carries a NEW column "
+        "(channel) the target lacks; reconcile() widens the target "
+        "with typed NULLs mid-merge, matched rows take the batch "
+        "values (the price delta makes every match 'changed'), "
+        "unmatched target rows keep NULL in the new column. The "
+        "channel-grain audit pins exactly which rows carry the evolved "
+        "value."
+    ),
+)
+def upsert_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a batch with a new column into a narrower target.
+
+    Scale notes (100 TB): reconcile() is a metadata-only projection
+    (typed NULL literal on the narrow side); the merge itself stays
+    one key-equi full-outer join."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.filter(F.expr("o_orderkey % 2 = 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    b = o.filter(F.expr("o_orderkey % 3 = 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (F.expr("CAST(round(o_totalprice * 100) AS BIGINT)") + 100)
+        .alias("cents"),
+        F.lit("online").alias("channel"),
+    )
+    merged = merge_upsert(t, b, "o_orderkey", order_col=None, evolve=True)
+    return (
+        merged.groupBy(
+            F.coalesce("channel", F.lit("<null>")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("channel")
+    )
