@@ -1442,7 +1442,7 @@ def pipeline_dedup_threshold_sensitivity(
 # Exact substring-level dedup (Lee et al. 2022 class, suffix-gram form)
 # ---------------------------------------------------------------------------
 
-_SS_L, _SS_S = 32, 8  # gram length / stride (chars)
+_SS_L, _SS_S = 32, 1  # gram length / stride (stride 1 = alignment-free)
 
 
 @register(
@@ -1492,7 +1492,8 @@ _SS_L, _SS_S = 32, 8  # gram length / stride (chars)
     """,
     doc=(
         "Exact substring-level dedup (the Lee-et-al-2022 modality): "
-        "fixed-length character grams at a fixed stride, grams occurring "
+        "fixed-length character grams at EVERY position (stride 1 — "
+        "alignment-free, the property stride sampling lacks), grams occurring "
         ">=2 times anywhere in the corpus are 'duplicated', and adjacent "
         "duplicated grams within a document merge into maximal duplicated "
         "RUNS (sorted-run detection). Per-doc run stats + corpus totals "
