@@ -938,7 +938,7 @@ _SMA_MERGE_EQ = " AND ".join(
              AS est_containment_ppm,
            CAST(CASE WHEN {_SMA_MERGE_EQ} THEN 1 ELSE 0 END AS BIGINT)
              AS merge_equals_direct
-    FROM per_source s CROSS JOIN gtotal_direct g CROSS JOIN merged m
+    FROM per_source s CROSS JOIN global_direct g CROSS JOIN merged m
     """,
     doc=(
         "MinHash sketch MERGEABILITY audit — the property every "
