@@ -1512,7 +1512,7 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (doc-partitioned). Top-20 uses orderBy+limit
     (TakeOrderedAndProject), never a global row_number sort."""
     L, S = _SS_L, _SS_S
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", F.length("text").cast("bigint").alias("n")
     )
     staged = d.filter(F.col("n") >= L).select(
@@ -1523,9 +1523,11 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" substring(text, i * {S} + 1, {L}) AS gram))"
         ).alias("pg"),
     )
+    # g feeds two consumers (the occurrence count and the probe join):
+    # checkpoint so gram extraction runs once, not per branch
     g = staged.select("doc_id", F.explode("pg").alias("p")).select(
         "doc_id", F.col("p.pos").alias("pos"), F.col("p.gram").alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     occ = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1613,12 +1615,16 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     on bucket-join candidates (equi-join on h0, never all-pairs); the
     join is key-partitioned and the per-pair kernel is JVM-side
     `levenshtein`. Top-k via orderBy+limit."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # checkpoint: the aliased self-join below would otherwise re-run
+    # the minhash HOF lineage once PER BRANCH (ReuseExchange never
+    # fires across branches — the round-4 basket lesson); the sig
+    # table is doc-grain and tiny
     sig = d.select(
         "doc_id", "text",
         D.minhash_signature(F.col("text"), num_hashes=1, shingle_n=3)[0]
         .alias("h0"),
-    )
+    ).localCheckpoint(eager=False)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "h0"
     )

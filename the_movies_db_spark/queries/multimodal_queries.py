@@ -451,7 +451,7 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 64 bytes (never the whole blob); candidates come from a
     16-bit band equi-join (never all-pairs); verification is two
     XOR+popcounts per candidate."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     src = d.select("doc_id", "text").unionByName(
         d.filter(F.expr("doc_id % 3 = 0")).select(
             (F.col("doc_id") + 2_000_000).alias("doc_id"),

@@ -1224,7 +1224,7 @@ def pipeline_quality_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal base (the rfm discipline)."""
     from the_movies_db_spark.operators.ranks import global_row_number
 
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = spread(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 4
     )
     stops = "'the','a','of','and','to','in','is','on','for','with'"

@@ -2210,7 +2210,7 @@ def text_ngram_compression_proxy(
     shuffle is the language rollup. Nothing leaves the row until the
     two integers (n4, u4) do."""
     n = _CPX_N
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = spread(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= n
     )
     staged = d.select(
@@ -2335,7 +2335,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc), checkpointed ONCE; each iteration joins the node-grain
     rank table to that bounded artifact — the fact never re-scans
     (round-9 census class). Top-k via orderBy+limit."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), r"\s+")).alias("i", "w"),
