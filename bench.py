@@ -35,30 +35,22 @@ HEADLINE = [
     # across recorded rounds — the stdout JSON line must stay under the
     # driver's 2000-char tail window, so slots go to queries whose perf
     # story is still open; retired queries remain oracle-gated)
-    "q03_shipping_priority",
-    "q05_local_supplier",
     "q07_volume_shipping",
     "q21_latest_shipper",
     "agg_percentiles",
-    "window_running_total",
     # reference-parity pipeline ops
     "upsert_merge",
     "upsert_keep_latest",
     # LLM-pipeline operators (dedup_exact/text_stats retired round 6,
     # same rationale)
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "sim_topk_lsh",
     "text_tfidf_topk",
-    "streaming_tumbling",
     # corpus-curation operators (round 2; pack_sequences/chunk_overlap
     # retired round 6)
     "pipeline_decontaminate",
     "dedup_semantic",
-    "dedup_incremental",
-    "pipeline_curate_e2e",
     # search + time-series (round 2, late; events_ohlc retired round 6)
-    "search_bm25_topk",
     # round-4 additions: composed ANN, sub-quadratic semantic dedup,
     # persisted index, chunking, sketch analytics
     "sim_topk_ivfpq",
@@ -68,7 +60,6 @@ HEADLINE = [
     "sim_topk_lsh_multiprobe",
     # round-4 closers: hybrid retrieval, MRL ANN, basket mining, streaks
     "search_hybrid_rrf",
-    "sim_topk_matryoshka",
     "basket_brand_pairs",
     # round-4 continuation: binned interval join, distributed-rank RFM
     # (pipeline_shard_shuffle retired round 6)
@@ -79,7 +70,6 @@ HEADLINE = [
     "sim_recall_ivfpq",
     "dedup_threshold_histogram",
     "agg_weighted_median",
-    "sim_bucket_purity",
     # round-6 continuation: greedy MMR re-rank, retrieval eval + hard
     # negatives, DSIR + bigram-LM scoring, dim-correlation audit
     # (text_langid/multimodal_resize/pipeline_pii_redact/
@@ -143,6 +133,23 @@ HEADLINE = [
     "graph_connected_components",
     "graph_bridge_edges",
     "search_query_likelihood_lm",
+    # round-10: the heaviest new additions (sf0.1 warm ranking in
+    # scripts/r10_new_ops_sf01_timing.json, after the spread()/
+    # checkpoint fixes). Retired as flat with closed perf stories
+    # (multi-round-flat honest medians, still oracle-gated every
+    # round): q03_shipping_priority, window_running_total,
+    # dedup_simhash, streaming_tumbling, pipeline_curate_e2e,
+    # sim_topk_matryoshka, dedup_incremental, q05_local_supplier,
+    # sim_bucket_purity, search_bm25_topk (its
+    # plan now also runs inside search_ltr_blend).
+    "dedup_substring_exact",
+    "dedup_edit_distance_verify",
+    "streaming_topk_incremental",
+    "pipeline_dedup_reweight",
+    "search_ltr_blend",
+    "pipeline_quality_rrf",
+    "sim_topk_ivf_adaptive",
+    "events_attribution_markov",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
