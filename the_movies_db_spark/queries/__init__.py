@@ -67,8 +67,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-11 window (append round-11
     # registrations HERE at registration time, the moment each
     # oracle is locally green; HARD CAP 50 so the backlog never
-    # exceeds one window): (empty — all round-10 names are in
-    # this window)
+    # exceeds one window):
+    # multimodal_numpy_decode,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

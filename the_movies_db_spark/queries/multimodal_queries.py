@@ -364,6 +364,7 @@ def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AH_T = 6     # near-dup hamming threshold (of 64 bits)
 _AH_TOP = 30
+_AH_MAX_BUCKET = 64  # skip degenerate bands (the LSH max-df discipline)
 _AH_W0_DUCK = (
     "CAST(list_aggregate(list_transform(range(1, 33),"
     " i -> CASE WHEN ascii(substr(pad, CAST(i AS INT), 1)) > avg"
@@ -407,10 +408,19 @@ _AH_W1_DUCK = (
                              ELSE w1 // 65536 END AS band_val
       FROM hashed, (SELECT unnest(range(0, 4)) AS band_idx) b
     ),
+    kept_bands AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY 1, 2 HAVING count(*) <= 64
+    ),
+    bands2 AS (
+      SELECT b.* FROM bands b
+      JOIN kept_bands k ON b.band_idx = k.band_idx
+                       AND b.band_val = k.band_val
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.w0 AS w0a, a.w1 AS w1a, b.w0 AS w0b, b.w1 AS w1b
-      FROM bands a JOIN bands b
+      FROM bands2 a JOIN bands2 b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
     ),
@@ -494,11 +504,19 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE w1 div 65536 END"
         ).alias("band_val"),
     )
-    a = bands.select(
+    # LSH max-df discipline: degenerate bands (> _AH_MAX_BUCKET members
+    # — constant-ish prefixes, near-dup cliques) would grow candidate
+    # pairs quadratically in the clique size; skip them like every
+    # other LSH family here does (shingle max_df, semantic cell caps)
+    kept = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("__bn")
+    ).filter(F.col("__bn") <= _AH_MAX_BUCKET).drop("__bn")
+    bands2 = bands.join(kept, ["band_idx", "band_val"])
+    a = bands2.select(
         F.col("doc_id").alias("doc_a"), F.col("w0").alias("w0a"),
         F.col("w1").alias("w1a"), "band_idx", "band_val",
     )
-    b = bands.select(
+    b = bands2.select(
         F.col("doc_id").alias("doc_b"), F.col("w0").alias("w0b"),
         F.col("w1").alias("w1b"), "band_idx", "band_val",
     )
@@ -527,3 +545,77 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_AH_TOP)
         .select("doc_a", "doc_b", "hamming", "n_candidates", "n_near_dups")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL numpy decode through the image seam (RAW1 grayscale codec)
+# ---------------------------------------------------------------------------
+
+_R1_N = 30  # decode the first N docs (bounded demo panel)
+
+
+@register(
+    "multimodal_numpy_decode",
+    f"""
+    WITH pad AS (
+      SELECT doc_id,
+             substr(rpad(text, 128, ' '), 1, 128) AS p
+      FROM documents WHERE doc_id < {_R1_N}
+    ),
+    tot AS (
+      SELECT doc_id, p,
+             CAST(list_aggregate(list_transform(range(1, 129),
+               i -> ascii(substr(p, CAST(i AS INT), 1))), 'sum')
+               AS BIGINT) AS total
+      FROM pad
+    )
+    SELECT doc_id AS id,
+           CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(total * 1000 // 128 AS BIGINT) AS mean_milli,
+           CAST(list_aggregate(list_transform(range(0, 32),
+             i -> CASE WHEN ascii(substr(p, CAST((i // 8) * 16
+                            + 2 * (i % 8) + 1 AS INT), 1))
+                     + ascii(substr(p, CAST((i // 8) * 16
+                            + 2 * (i % 8) + 2 AS INT), 1))
+                     > 2 * (total // 128)
+                  THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) AS w0,
+           CAST(list_aggregate(list_transform(range(32, 64),
+             i -> CASE WHEN ascii(substr(p, CAST((i // 8) * 16
+                            + 2 * (i % 8) + 1 AS INT), 1))
+                     + ascii(substr(p, CAST((i // 8) * 16
+                            + 2 * (i % 8) + 2 AS INT), 1))
+                     > 2 * (total // 128)
+                  THEN (1::BIGINT << (i - 32)) ELSE 0 END), 'sum')
+             AS BIGINT) AS w1
+    FROM tot
+    ORDER BY id
+    """,
+    doc=(
+        "REAL decode through the multimodal image seam: a "
+        "self-describing RAW1 grayscale blob (magic + uint16 dims "
+        "header + row-major uint8 pixels) is encoded JVM-side, then "
+        "DECODED WITH NUMPY inside mapInPandas — header parse, "
+        "frombuffer, reshape, block sums — not the byte-derived "
+        "stand-in the gated PIL seam uses. Every feature (mean "
+        "intensity, 8x8 block-hash words) is integer arithmetic on "
+        "the decoded array, so the oracle replays it from the source "
+        "text and the ENTIRE decode path is value-hash-verified."
+    ),
+)
+def multimodal_numpy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-decoded RAW1 features for a bounded doc panel.
+
+    Scale notes (100 TB): decode is an Arrow-batched mapInPandas over
+    the blob column only (metadata projected early, id-joined back by
+    the caller if needed); batch memory is bounded by
+    maxPartitionBytes like any media decode."""
+    from the_movies_db_spark.operators.multimodal import (
+        decode_raw1_batch,
+        encode_raw1,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _R1_N
+    )
+    blobs = encode_raw1(d, "text")
+    return decode_raw1_batch(blobs, "doc_id", "content").orderBy("id")
