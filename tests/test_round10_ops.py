@@ -351,8 +351,30 @@ def test_raw1_numpy_decoder_roundtrip(spark, registry):
     assert all(0 <= r["w0"] < (1 << 32) for r in rows)
 
 
-def test_ahash_bucket_cap_present(spark, registry):
-    """The max-df cap must appear in the plan (an aggregate + join on
-    the band keys before the candidate self-join)."""
-    txt = plan_of(registry["multimodal_ahash_dedup"].spark(spark, SF))
-    assert "band_idx" in txt and "band_val" in txt
+def test_ahash_bucket_cap_semantics(spark, registry, tmp_path):
+    """The LSH max-df cap: a 100-doc identical-text clique saturates
+    every band bucket (> 64 members) and must yield ZERO candidate
+    pairs; a 10-doc clique stays under the cap and must yield all
+    C(10+4,2)-ish pairs (10 originals + 4 re-encodes of doc_id%3==0)."""
+    import os
+
+    base = "x" * 80  # > 64 chars so re-encode trailers are invisible
+    for n, expect_pairs in ((100, 0), (10, 1)):
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": [base] * n,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": [80] * n,
+            }
+        )
+        d = str(tmp_path / f"c{n}")
+        os.makedirs(d)
+        docs.to_parquet(f"{d}/documents.parquet")
+        rows = registry["multimodal_ahash_dedup"].spark(spark, d).collect()
+        if expect_pairs == 0:
+            assert rows == [], len(rows)
+        else:
+            # 10 docs + 4 re-encodes = clique of 14 -> C(14,2) = 91
+            assert rows and rows[0]["n_candidates"] == 91, rows[:2]
