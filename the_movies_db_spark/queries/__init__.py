@@ -68,7 +68,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # registrations HERE at registration time, the moment each
     # oracle is locally green; HARD CAP 50 so the backlog never
     # exceeds one window):
-    # multimodal_numpy_decode,
+    # multimodal_numpy_decode, agg_bottomk_sample_merge,
+    # graph_richclub_coefficient,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

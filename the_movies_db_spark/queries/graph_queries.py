@@ -2272,3 +2272,155 @@ def graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seed", "n_reached", "eccentricity",
         F.max("eccentricity").over(w).cast("bigint").alias("diameter_lb"),
     ).orderBy("seed")
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (do high-degree nodes preferentially interlink?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_richclub_coefficient",
+    f"""
+    WITH spend AS ({_DIAM_EDGES_SQL}),
+    rk AS (
+      SELECT c, s,
+             row_number() OVER (PARTITION BY c ORDER BY sp DESC, s) AS rn
+      FROM spend
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+      FROM rk a JOIN rk b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT sa AS node FROM edges UNION ALL SELECT sb FROM edges
+      ) GROUP BY 1
+    ),
+    dh AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS nd FROM deg GROUP BY 1
+    ),
+    em AS (
+      SELECT least(da.d, db.d) AS m, CAST(count(*) AS BIGINT) AS ne
+      FROM edges e
+      JOIN deg da ON e.sa = da.node
+      JOIN deg db ON e.sb = db.node
+      GROUP BY 1
+    ),
+    ks AS (SELECT DISTINCT d AS k FROM deg),
+    per AS (
+      SELECT k.k,
+             (SELECT CAST(coalesce(sum(nd), 0) AS BIGINT) FROM dh
+              WHERE d > k.k) AS n_k,
+             (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM em
+              WHERE m > k.k) AS e_k
+      FROM ks k
+    )
+    SELECT CAST(k AS BIGINT) AS degree_threshold, n_k, e_k,
+           CAST(CASE WHEN n_k >= 2
+                THEN 2 * e_k * 1000000 // (n_k * (n_k - 1)) END AS BIGINT)
+             AS density_ppm
+    FROM per
+    WHERE n_k >= 2
+    ORDER BY degree_threshold
+    """,
+    doc=(
+        "Rich-club coefficient on the supplier co-preference graph: "
+        "for every degree threshold k, the edge density among nodes "
+        "with degree > k — rising density with k means hubs "
+        "preferentially interlink (the rich-club effect), the "
+        "structural signal behind hub-capping decisions. Computed "
+        "WITHOUT per-threshold passes: each edge is attributed to its "
+        "min-endpoint-degree once, then every threshold reads a "
+        "suffix sum over the bounded degree domain."
+    ),
+)
+def graph_richclub_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-threshold sweep of hub-subgraph density.
+
+    Scale notes (100 TB): one edge pass for degrees, one for
+    min-endpoint-degree attribution; the sweep is a suffix-cumsum
+    window over the DEGREE DOMAIN (bounded), never |thresholds| x
+    |edges| work."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    spend = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust.select("c_custkey", "c_nationkey"),
+              o.o_custkey == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              l.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("sp")
+        )
+    )
+    rk = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("sp"), F.asc("s"))
+        ),
+    )
+    a = rk.filter("rn = 1").select("c", F.col("s").alias("s1"))
+    b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    edges = (
+        a.join(b, a.c == b.c2)
+        .select(F.least("s1", "s2").alias("sa"),
+                F.greatest("s1", "s2").alias("sb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("sa").alias("node"))
+        .unionAll(edges.select(F.col("sb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    em = (
+        edges.join(deg.withColumnRenamed("node", "sa")
+                   .withColumnRenamed("d", "da"), "sa")
+        .join(deg.withColumnRenamed("node", "sb")
+              .withColumnRenamed("d", "db"), "sb")
+        .groupBy(F.least("da", "db").alias("m"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
+    )
+    # suffix sums over the bounded degree domain: full outer join the
+    # two histograms on the domain value, then a DESC cumulative window
+    dom = dh.select(F.col("d").alias("v"), "nd").join(
+        em.select(F.col("m").alias("v"), "ne"), "v", "full_outer"
+    ).select(
+        "v",
+        F.coalesce("nd", F.lit(0)).alias("nd"),
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+    )
+    wdesc = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dom.select(
+        "v",
+        (F.sum("nd").over(wdesc) - F.col("nd")).cast("bigint").alias("n_gt"),
+        (F.sum("ne").over(wdesc) - F.col("ne")).cast("bigint").alias("e_gt"),
+    )
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    per = ks.join(cum, ks.k == cum.v).select(
+        F.col("k").cast("bigint").alias("degree_threshold"),
+        F.col("n_gt").alias("n_k"),
+        F.col("e_gt").alias("e_k"),
+    )
+    return (
+        per.filter(F.col("n_k") >= 2)
+        .select(
+            "degree_threshold", "n_k", "e_k",
+            F.expr(
+                "CAST(2 * e_k * 1000000 div (n_k * (n_k - 1)) AS BIGINT)"
+            ).alias("density_ppm"),
+        )
+        .orderBy("degree_threshold")
+    )

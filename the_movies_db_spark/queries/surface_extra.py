@@ -6922,3 +6922,121 @@ def agg_log_histogram_quantiles(
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable bottom-k sample (KMV-style deterministic uniform sample)
+# ---------------------------------------------------------------------------
+
+_BK_K = 100
+_BK_SHARDS = 8
+_BK_H_SPARK = (
+    "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 12), 16, 10)"
+    " AS BIGINT)"
+)
+_BK_H_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "agg_bottomk_sample_merge",
+    f"""
+    WITH h AS (
+      SELECT o_orderkey, {_BK_H_DUCK} AS hv,
+             CAST(o_orderkey % {_BK_SHARDS} AS BIGINT) AS shard,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    direct AS (
+      SELECT * FROM h ORDER BY hv, o_orderkey LIMIT {_BK_K}
+    ),
+    shardk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY shard
+                     ORDER BY hv, o_orderkey) AS rn
+        FROM h
+      ) t WHERE rn <= {_BK_K}
+    ),
+    merged AS (
+      SELECT o_orderkey, hv, cents FROM shardk
+      ORDER BY hv, o_orderkey LIMIT {_BK_K}
+    ),
+    cmp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_match
+      FROM direct d JOIN merged m ON d.o_orderkey = m.o_orderkey
+    ),
+    kth AS (SELECT CAST(max(hv) AS BIGINT) AS hk FROM direct),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
+    SELECT CAST({_BK_K} AS BIGINT) AS k,
+           (SELECT n_match FROM cmp) AS n_match,
+           (SELECT n_exact FROM n) AS n_exact,
+           (SELECT hk FROM kth) AS kth_hash,
+           CAST(({_BK_K} - 1) * ((1::BIGINT << 48)
+                // (SELECT hk FROM kth)) AS BIGINT) AS est_n,
+           CAST(abs(({_BK_K} - 1) * ((1::BIGINT << 48)
+                // (SELECT hk FROM kth)) - (SELECT n_exact FROM n)) * 1000
+                // (SELECT n_exact FROM n) AS BIGINT) AS err_milli,
+           CAST((SELECT sum(cents) FROM direct) AS BIGINT)
+             AS sample_cents
+    """,
+    doc=(
+        "Mergeable deterministic uniform sample: bottom-k keys by md5 "
+        "hash (the KMV sketch's sample half). The audit proves "
+        "MERGEABILITY — per-shard bottom-k lists merged and re-cut "
+        "equal the direct global bottom-k exactly (n_match = k) — the "
+        "property that lets every executor sample independently and a "
+        "coordinator combine, with no coordination during the scan. "
+        "The k-th smallest hash also estimates the total key count "
+        "(KMV), reported against the exact count."
+    ),
+)
+def agg_bottomk_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-merged vs direct bottom-k sample equality + KMV estimate.
+
+    Scale notes (100 TB): both paths are TakeOrdered-style bounded
+    top-k (per-shard rank windows partition by shard); nothing global
+    except the final k-row merges. The sample is reproducible from
+    the key alone — re-runs and backfills draw the SAME sample."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        "o_orderkey",
+        F.expr(_BK_H_SPARK).alias("hv"),
+        F.expr(f"CAST(o_orderkey % {_BK_SHARDS} AS BIGINT)").alias("shard"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).localCheckpoint(eager=False)
+    direct = h.orderBy("hv", "o_orderkey").limit(_BK_K).localCheckpoint(
+        eager=False
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "o_orderkey")
+    shardk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _BK_K
+    )
+    merged = shardk.orderBy("hv", "o_orderkey").limit(_BK_K)
+    cmp_ = direct.join(
+        merged.select(F.col("o_orderkey").alias("mk")),
+        direct.o_orderkey == F.col("mk"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_match"))
+    kth = direct.agg(F.max("hv").cast("bigint").alias("hk"))
+    n_df = h.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    samp = direct.agg(F.sum("cents").cast("bigint").alias("sample_cents"))
+    return (
+        cmp_.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(samp))
+        .select(
+            F.lit(_BK_K).cast("bigint").alias("k"),
+            "n_match", "n_exact",
+            F.col("hk").alias("kth_hash"),
+            F.expr(
+                f"CAST(({_BK_K} - 1) * (shiftleft(1L, 48) div hk)"
+                " AS BIGINT)"
+            ).alias("est_n"),
+            F.expr(
+                f"CAST(abs(({_BK_K} - 1) * (shiftleft(1L, 48) div hk)"
+                " - n_exact) * 1000 div n_exact AS BIGINT)"
+            ).alias("err_milli"),
+            "sample_cents",
+        )
+    )
