@@ -69,7 +69,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # oracle is locally green; HARD CAP 50 so the backlog never
     # exceeds one window):
     # multimodal_numpy_decode, agg_bottomk_sample_merge,
-    # graph_richclub_coefficient,
+    # graph_richclub_coefficient, dq_drift_wasserstein,
+    # events_fano_factor,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -6401,3 +6401,74 @@ def events_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fano factor (burstiness index of per-day counts, by event type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_fano_factor",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, sx AS n_events,
+           CAST(((n * sxx - sx * sx) // n) * 1000000 // sx AS BIGINT)
+             AS fano_micro,
+           CASE WHEN ((n * sxx - sx * sx) // n) * 1000000 // sx < 900000
+                THEN 'regular'
+                WHEN ((n * sxx - sx * sx) // n) * 1000000 // sx <= 1100000
+                THEN 'poisson' ELSE 'bursty' END AS regime
+    FROM s
+    ORDER BY event_type
+    """,
+    doc=(
+        "Fano factor (variance-to-mean of daily counts) per event type "
+        "— the burstiness index: ~1e6 micro for Poisson arrivals, "
+        "below for regular/underdispersed traffic, above for bursty. "
+        "fano = ((n*Sxx - Sx^2)/n) / Sx from exact integer power sums "
+        "with a two-stage floor-division chain — no floats anywhere. "
+        "The regime class drives anomaly-detector choice (z-score "
+        "assumes Poisson-ish; bursty types need the MAD detector)."
+    ),
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/mean dispersion of daily counts per type.
+
+    Scale notes (100 TB): the fact collapses to (type, day) then to
+    |types| power-sum rows; everything after is projection."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+    )
+    fano = "((n * sxx - sx * sx) div n) * 1000000 div sx"
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sx").alias("n_events"),
+        F.expr(f"CAST({fano} AS BIGINT)").alias("fano_micro"),
+        F.expr(
+            f"CASE WHEN {fano} < 900000 THEN 'regular'"
+            f" WHEN {fano} <= 1100000 THEN 'poisson'"
+            " ELSE 'bursty' END"
+        ).alias("regime"),
+    ).orderBy("event_type")
