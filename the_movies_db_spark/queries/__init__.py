@@ -70,7 +70,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # exceeds one window):
     # multimodal_numpy_decode, agg_bottomk_sample_merge,
     # graph_richclub_coefficient, dq_drift_wasserstein,
-    # events_fano_factor,
+    # events_fano_factor, agg_wilson_lower_bound,
+    # text_readability_ari,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -7165,3 +7165,83 @@ def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_cents_frac_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-score lower-bound ranking (confidence-adjusted rate ranking)
+# ---------------------------------------------------------------------------
+
+#: Wilson lower bound with z = 2 (the classic "how not to sort by
+#: average rating" estimator). Multiplying numerator and denominator
+#: by n gives LB = (k + 2 - 2*sqrt((k*(n-k) + n) / n)) / (n + 4) —
+#: assembled in DOUBLES from exact integer counts with IDENTICAL
+#: expression text on both engines (+,-,*,/ and sqrt are correctly
+#: rounded IEEE ops), then floor-micro'd. Forming k*(n-k) in DOUBLE
+#: means a trillion-row group cannot overflow BIGINT.
+_WILSON_LB = (
+    "CAST(floor((CAST(k AS DOUBLE) + 2.0"
+    " - 2.0 * sqrt((CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)"
+    " + CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))"
+    " / CAST(n + 4 AS DOUBLE) * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "agg_wilson_lower_bound",
+    f"""
+    WITH s AS (
+      SELECT p.p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE l.l_returnflag = 'R')
+               AS BIGINT) AS k
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, n AS n_items, k AS n_returned,
+           CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+           {_WILSON_LB} AS wilson_lb_micro
+    FROM s
+    ORDER BY wilson_lb_micro DESC, p_brand
+    LIMIT 15
+    """,
+    doc=(
+        "Confidence-adjusted rate ranking: per-brand return rates "
+        "ranked by the Wilson score LOWER bound (z=2) instead of the "
+        "naive rate, so small-n brands cannot top the list on noise — "
+        "the estimator behind 'sort by confidence' product rankings "
+        "and flaky-test triage. The bound is IEEE-exact from integer "
+        "counts (shared expression text, floor-micro output)."
+    ),
+)
+def agg_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson lower-bound ranking of per-brand return rates.
+
+    Scale notes (100 TB): one hash aggregate on the fact collapsed to
+    |brands| rows before any per-group math; the part join is the
+    standard TPC-H partkey equi-join (dim side broadcast by AQE at
+    small SF, shuffle-hash at scale); the ranking is a 15-row
+    TakeOrderedAndProject over 25 groups, never a global sort of the
+    fact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("bigint").alias("k"),
+        )
+    )
+    return (
+        s.select(
+            "p_brand",
+            F.col("n").alias("n_items"),
+            F.col("k").alias("n_returned"),
+            F.expr("CAST(k * 1000000 div n AS BIGINT)").alias("rate_ppm"),
+            F.expr(_WILSON_LB).alias("wilson_lb_micro"),
+        )
+        .orderBy(F.desc("wilson_lb_micro"), "p_brand")
+        .limit(15)
+    )

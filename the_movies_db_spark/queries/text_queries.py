@@ -2417,3 +2417,119 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ARI readability grade profile per source
+# ---------------------------------------------------------------------------
+
+#: Automated Readability Index scaled to exact integer centi-units:
+#: ARI = 4.71*(chars/words) + 0.5*(words/sentences) - 21.43, so
+#: ARI*100 = (471*chars*sents + 50*words^2 - 2143*words*sents)
+#:           / (words*sents)
+#: — one integer floor division of per-doc products (chars ~ 5e3,
+#: words ~ 1e3, sents ~ 1e2 per document: the products are bounded by
+#: DOCUMENT size, not corpus size, so they can never overflow at any
+#: corpus scale). Negative quotients truncate toward zero identically
+#: in both engines (round-6 lesson).
+_ARI_CENTI = (
+    "CAST((471 * n_chars * n_sents + 50 * n_words * n_words"
+    " - 2143 * n_words * n_sents) div (n_words * n_sents) AS BIGINT)"
+)
+_ARI_CLASS = (
+    "CASE WHEN ari_centi < 500 THEN 'elementary'"
+    " WHEN ari_centi < 900 THEN 'middle'"
+    " WHEN ari_centi < 1300 THEN 'high'"
+    " ELSE 'college' END"
+)
+
+
+@register(
+    "text_readability_ari",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+               AS BIGINT) AS n_chars,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_words,
+             greatest(CAST(len(list_filter(
+               regexp_split_to_array(text, '[.!?]+'),
+               s -> trim(s) <> '')) AS BIGINT), 1) AS n_sents
+      FROM documents
+    ),
+    a AS (
+      SELECT source,
+             {_ARI_CENTI.replace(' div ', ' // ')} AS ari_centi
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ari_centi) // count(*) AS BIGINT) AS mean_ari_centi,
+           CAST(count(*) FILTER (WHERE {_ARI_CLASS} = 'elementary')
+             AS BIGINT) AS n_elementary,
+           CAST(count(*) FILTER (WHERE {_ARI_CLASS} = 'middle')
+             AS BIGINT) AS n_middle,
+           CAST(count(*) FILTER (WHERE {_ARI_CLASS} = 'high')
+             AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE {_ARI_CLASS} = 'college')
+             AS BIGINT) AS n_college
+    FROM a GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Automated Readability Index profile per source: per-doc ARI "
+        "in exact integer centi-units (one floor division of per-doc "
+        "products — no floats), bucketed into grade classes "
+        "(elementary/middle/high/college) and aggregated. The "
+        "complexity signal LLM curation stacks add next to Gopher "
+        "rules: filter or re-weight sources whose grade distribution "
+        "is degenerate."
+    ),
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ARI readability grade profile.
+
+    Scale notes (100 TB): pure per-row projections (regex counts and
+    one integer division — JVM codegen, no explode, the arrays never
+    leave their row) followed by ONE combining aggregate per source;
+    the grade histogram is conditional counts inside that aggregate,
+    not a pivot pass."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "source",
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', ''))"
+            " AS BIGINT)"
+        ).alias("n_chars"),
+        F.expr(
+            "CAST(size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "greatest(CAST(size(filter(split(text, '[.!?]+'),"
+            " s -> trim(s) != '')) AS BIGINT), 1L)"
+        ).alias("n_sents"),
+    )
+    a = docs.select("source", F.expr(_ARI_CENTI).alias("ari_centi"))
+    cls = _ARI_CLASS
+    return (
+        a.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(sum(ari_centi) div count(*) AS BIGINT)"
+            ).alias("mean_ari_centi"),
+            F.expr(
+                f"CAST(count_if(({cls}) = 'elementary') AS BIGINT)"
+            ).alias("n_elementary"),
+            F.expr(
+                f"CAST(count_if(({cls}) = 'middle') AS BIGINT)"
+            ).alias("n_middle"),
+            F.expr(
+                f"CAST(count_if(({cls}) = 'high') AS BIGINT)"
+            ).alias("n_high"),
+            F.expr(
+                f"CAST(count_if(({cls}) = 'college') AS BIGINT)"
+            ).alias("n_college"),
+        )
+        .orderBy("source")
+    )
