@@ -2533,3 +2533,321 @@ def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (merge-table learning over the word table)
+# ---------------------------------------------------------------------------
+
+#: Greedy left-to-right non-overlapping pair merge as a per-row
+#: aggregate() fold: state = (accumulated symbols, one pending symbol).
+#: A merged token never re-pairs within the same round — exactly the
+#: classic BPE single-pass semantics (the oracle reproduces it with a
+#: run-parity window: every other candidate inside each run of
+#: consecutive matches).
+_BPE_MERGE_FOLD = """aggregate(
+  s,
+  struct(CAST(array() AS ARRAY<STRING>) AS acc,
+         CAST('' AS STRING) AS prev, false AS has_prev),
+  (st, t) -> CASE
+     WHEN st.has_prev AND st.prev = a AND t = b THEN
+       struct(concat(st.acc, array(concat(a, b))) AS acc,
+              '' AS prev, false AS has_prev)
+     WHEN st.has_prev THEN
+       struct(concat(st.acc, array(st.prev)) AS acc,
+              t AS prev, true AS has_prev)
+     ELSE struct(st.acc AS acc, t AS prev, true AS has_prev)
+   END,
+  st -> CASE WHEN st.has_prev THEN concat(st.acc, array(st.prev))
+             ELSE st.acc END
+)"""
+
+_BPE_ROUNDS = 5
+
+
+@register(
+    "text_bpe_merges",
+    """
+    WITH words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> regexp_matches(x, '^[a-z]+$'))) AS w
+        FROM documents
+      ) GROUP BY 1
+    ),
+    toks0 AS MATERIALIZED (
+      SELECT w, freq, list_append(string_split(w, ''), '_') AS s
+      FROM words
+    ),
+    pairs1 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM toks0, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best1 AS MATERIALIZED (
+      SELECT a, b, cnt FROM pairs1 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ex1 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM toks0, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    keep1 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM ex1 e, best1
+          WHERE e.sym = best1.a AND e.nxt = best1.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    toks1 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM ex1 e
+        LEFT JOIN keep1 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN keep1 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    pairs2 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM toks1, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best2 AS MATERIALIZED (
+      SELECT a, b, cnt FROM pairs2 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ex2 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM toks1, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    keep2 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM ex2 e, best2
+          WHERE e.sym = best2.a AND e.nxt = best2.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    toks2 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM ex2 e
+        LEFT JOIN keep2 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN keep2 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    pairs3 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM toks2, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best3 AS MATERIALIZED (
+      SELECT a, b, cnt FROM pairs3 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ex3 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM toks2, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    keep3 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM ex3 e, best3
+          WHERE e.sym = best3.a AND e.nxt = best3.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    toks3 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM ex3 e
+        LEFT JOIN keep3 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN keep3 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    pairs4 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM toks3, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best4 AS MATERIALIZED (
+      SELECT a, b, cnt FROM pairs4 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ex4 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM toks3, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    keep4 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM ex4 e, best4
+          WHERE e.sym = best4.a AND e.nxt = best4.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    toks4 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM ex4 e
+        LEFT JOIN keep4 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN keep4 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    pairs5 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM toks4, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best5 AS MATERIALIZED (
+      SELECT a, b, cnt FROM pairs5 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ex5 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM toks4, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    keep5 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM ex5 e, best5
+          WHERE e.sym = best5.a AND e.nxt = best5.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    toks5 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM ex5 e
+        LEFT JOIN keep5 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN keep5 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    )
+    SELECT 1 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best1
+    UNION ALL
+    SELECT 2 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best2
+    UNION ALL
+    SELECT 3 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best3
+    UNION ALL
+    SELECT 4 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best4
+    UNION ALL
+    SELECT 5 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best5
+    ORDER BY round
+    """,
+    doc=(
+        "Byte-pair-encoding vocabulary induction: learn the first "
+        f"5 BPE merge rules from the corpus word-frequency "
+        "table (symbols start as characters plus an end-of-word "
+        "marker; each round counts frequency-weighted adjacent pairs, "
+        "picks the max with (count DESC, pair ASC) tie-break, and "
+        "greedily merges it left-to-right in every word). THE "
+        "tokenizer-training primitive of an LLM data pipeline. "
+        "All-integer counts; ASCII-only symbols so string ordering is "
+        "engine-identical."
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first k BPE merge rules from the corpus.
+
+    Scale notes (100 TB): the corpus is scanned ONCE (tokenize +
+    word-count aggregate); every merge round then runs on the
+    VOCAB-BOUNDED word table (pair counting explodes ~|vocab| x
+    avg_word_len rows, the argmax is a 1-row TakeOrdered, the merge
+    is a broadcast of that 1 row + a per-row fold). Each round's word
+    table and chosen pair are lazily checkpointed so the k rounds
+    share runtime artifacts instead of re-deriving lineage (the
+    round-9 census class); plan depth is linear in rounds."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "filter(split(lower(text), '\\\\s+'),"
+                    " x -> x rlike '^[a-z]+$')"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    toks = words.select(
+        "w", "freq",
+        F.expr("concat(split(w, ''), array('_'))").alias("s"),
+    ).localCheckpoint(eager=False)
+    out = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            toks.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s) - 1),"
+                        " slice(s, 2, size(s) - 1),"
+                        " (x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.expr("concat(a, b)").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        toks = (
+            toks.crossJoin(F.broadcast(best.select("a", "b")))
+            .select("w", "freq", F.expr(_BPE_MERGE_FOLD).alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("round")
