@@ -71,7 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal_numpy_decode, agg_bottomk_sample_merge,
     # graph_richclub_coefficient, dq_drift_wasserstein,
     # events_fano_factor, agg_wilson_lower_bound,
-    # text_readability_ari, text_bpe_merges,
+    # text_readability_ari, text_bpe_merges, events_hmm_viterbi,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -6472,3 +6472,152 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'bursty' END"
         ).alias("regime"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Viterbi regime decoding (2-state HMM over daily activity, integer scores)
+# ---------------------------------------------------------------------------
+
+#: Shared switch-count formula (1-based indexing on both engines:
+#: Spark element_at == DuckDB list subscript).
+_VIT_SWITCHES = (
+    "CASE WHEN size(p) >= 2 THEN size(filter(sequence(2, size(p)),"
+    " i -> element_at(p, i) <> element_at(p, i - 1))) ELSE 0 END"
+)
+
+
+@register(
+    "events_hmm_viterbi",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM daily GROUP BY 1
+    ),
+    obs AS (
+      SELECT d.event_type,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.d)
+               AS rn,
+             CASE WHEN d.x > st.sx // st.n THEN 1 ELSE 0 END AS o
+      FROM daily d JOIN st USING (event_type)
+    ),
+    mx AS (SELECT event_type, max(rn) AS mrn FROM obs GROUP BY 1),
+    v AS (
+      SELECT event_type, rn,
+             CAST(CASE WHEN o = 0 THEN 2 ELSE -2 END AS BIGINT) AS s0,
+             CAST(CASE WHEN o = 1 THEN 2 ELSE -2 END AS BIGINT) AS s1,
+             [CAST(0 AS BIGINT)] AS p0,
+             [CAST(1 AS BIGINT)] AS p1
+      FROM obs WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.rn,
+             CAST(CASE WHEN o.o = 0 THEN 2 ELSE -2 END
+               + greatest(v.s0, v.s1 - 3) AS BIGINT),
+             CAST(CASE WHEN o.o = 1 THEN 2 ELSE -2 END
+               + greatest(v.s1, v.s0 - 3) AS BIGINT),
+             list_append(CASE WHEN v.s0 >= v.s1 - 3 THEN v.p0 ELSE v.p1
+               END, CAST(0 AS BIGINT)),
+             list_append(CASE WHEN v.s1 >= v.s0 - 3 THEN v.p1 ELSE v.p0
+               END, CAST(1 AS BIGINT))
+      FROM v JOIN obs o
+        ON o.event_type = v.event_type AND o.rn = v.rn + 1
+    ),
+    fin AS (
+      SELECT v.event_type, v.s0, v.s1,
+             CASE WHEN v.s1 > v.s0 THEN v.p1 ELSE v.p0 END AS p
+      FROM v JOIN mx ON v.event_type = mx.event_type AND v.rn = mx.mrn
+    )
+    SELECT event_type,
+           CAST(len(p) AS BIGINT) AS n_days,
+           CAST(len(list_filter(p, z -> z = 1)) AS BIGINT) AS n_high_days,
+           CAST(CASE WHEN len(p) >= 2 THEN len(list_filter(
+             range(2, len(p) + 1), i -> p[i] <> p[i - 1])) ELSE 0 END
+             AS BIGINT) AS n_switches,
+           CAST(greatest(s0, s1) AS BIGINT) AS best_score
+    FROM fin ORDER BY event_type
+    """,
+    doc=(
+        "Viterbi decoding of a 2-state (low/high activity) HMM over "
+        "per-day event counts, one chain per event type: quantized "
+        "INTEGER log-scores (emission +2 match / -2 mismatch against "
+        "the type's floored mean-daily threshold; transition 0 stay / "
+        "-3 switch, the sticky-regime prior), so the DP is exact in "
+        "both engines. Ties prefer staying (>=) and the low state at "
+        "the end (strict >). Reports days, decoded high-regime days, "
+        "regime switches, and the best path score — the "
+        "regime-segmentation primitive behind capacity planning and "
+        "burst attribution."
+    ),
+)
+def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-state integer Viterbi over daily counts per event type.
+
+    Scale notes (100 TB): the fact collapses to (type, day) in one
+    hash aggregate; the DP then runs as a per-type fold over a
+    ~90-element array (vocab-bounded state, one row per type) — no
+    window over the fact, no driver loop; parallelism is |types| for
+    the fold but the fold input is already tiny. The oracle replays
+    the identical integer DP as a recursive CTE keyed on row number."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    typed = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, x))), e -> e.x)"
+        ).alias("xs"),
+    )
+    obs = typed.select(
+        "event_type",
+        F.expr(
+            "transform(xs, x -> CASE WHEN x > sx div n THEN 1 ELSE 0 END)"
+        ).alias("o"),
+    )
+    vit = obs.select(
+        "event_type",
+        F.expr(
+            """
+            aggregate(
+              o,
+              struct(CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+                     CAST(array() AS ARRAY<BIGINT>) AS p0,
+                     CAST(array() AS ARRAY<BIGINT>) AS p1),
+              (st, ob) -> struct(
+                CAST(CASE WHEN ob = 0 THEN 2 ELSE -2 END
+                  + greatest(st.s0, st.s1 - 3) AS BIGINT) AS s0,
+                CAST(CASE WHEN ob = 1 THEN 2 ELSE -2 END
+                  + greatest(st.s1, st.s0 - 3) AS BIGINT) AS s1,
+                concat(CASE WHEN st.s0 >= st.s1 - 3 THEN st.p0
+                  ELSE st.p1 END, array(CAST(0 AS BIGINT))) AS p0,
+                concat(CASE WHEN st.s1 >= st.s0 - 3 THEN st.p1
+                  ELSE st.p0 END, array(CAST(1 AS BIGINT))) AS p1),
+              st -> struct(st.s0 AS s0, st.s1 AS s1,
+                           st.p0 AS p0, st.p1 AS p1))
+            """
+        ).alias("v"),
+    )
+    fin = vit.select(
+        "event_type",
+        F.col("v.s0").alias("s0"),
+        F.col("v.s1").alias("s1"),
+        F.expr("CASE WHEN v.s1 > v.s0 THEN v.p1 ELSE v.p0 END").alias("p"),
+    )
+    return fin.select(
+        "event_type",
+        F.expr("CAST(size(p) AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(size(filter(p, z -> z = 1)) AS BIGINT)"
+        ).alias("n_high_days"),
+        F.expr(f"CAST({_VIT_SWITCHES} AS BIGINT)").alias("n_switches"),
+        F.expr("CAST(greatest(s0, s1) AS BIGINT)").alias("best_score"),
+    ).orderBy("event_type")
