@@ -2424,3 +2424,113 @@ def graph_richclub_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (all-pairs BFS, exact integer reciprocal distances)
+# ---------------------------------------------------------------------------
+
+_HC_MAX_HOPS = 12
+
+
+@register(
+    "graph_harmonic_centrality",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e
+    ),
+    r(src, node, dist) AS (
+      SELECT CAST(node AS BIGINT), CAST(node AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM nodes
+      UNION
+      SELECT r.src, CAST(e.dst AS BIGINT), CAST(r.dist + 1 AS BIGINT)
+      FROM r JOIN e ON e.src = r.node
+      WHERE r.dist < {_HC_MAX_HOPS}
+    ),
+    d AS (
+      SELECT src, node, CAST(min(dist) AS BIGINT) AS dist
+      FROM r GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT node,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+      FROM d WHERE src <> node GROUP BY 1
+    )
+    SELECT nat.n_name AS nation, h.n_sources, h.harmonic_micro
+    FROM h JOIN nation nat ON h.node = nat.n_nationkey
+    ORDER BY harmonic_micro DESC, nation
+    """,
+    doc=(
+        "Harmonic centrality on the directed trade graph: h(v) = "
+        "sum over sources u of 1/d(u, v), the centrality that stays "
+        "well-defined on DISCONNECTED graphs (unreachable pairs "
+        "contribute 0 instead of breaking the closeness average). "
+        "Distances from an all-pairs min-plus BFS fixpoint; "
+        "reciprocals as exact floor(1e6/d) integers."
+    ),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs BFS harmonic centrality via multi-source relaxation.
+
+    Scale notes (100 TB): the edge list is the nation-grain DISTINCT
+    of the fact join (25 nodes here) — the all-pairs state is
+    |V|^2-bounded and this formulation is for analytics graphs whose
+    VERTEX set is aggregated (nation/brand/segment grain). For
+    billion-node graphs swap the all-pairs seed for a sampled source
+    panel (the graph_diameter_estimate shape: same loop, k seeds).
+    Every round is one equi-join + one min-aggregate off an
+    eagerly-checkpointed state (lineage stays flat); the fixpoint
+    audit is 2 scalars to the driver per round."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        F.col("node").cast("bigint").alias("src"),
+        F.col("node").cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=True)
+    state = (-1, -1)
+    for _ in range(_HC_MAX_HOPS):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            dist.src.alias("src"),
+            F.col("dst").cast("bigint").alias("node"),
+            (F.col("dist") + 1).cast("bigint").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("src", "node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        new_state = (row["n"], row["s"])
+        if new_state == state:
+            break
+        state = new_state
+    nat = load_table(spark, sf_dir, "nation")
+    h = (
+        dist.filter(F.col("src") != F.col("node"))
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.expr("CAST(sum(1000000 div dist) AS BIGINT)").alias(
+                "harmonic_micro"
+            ),
+        )
+    )
+    return (
+        h.join(nat, h.node == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"), "n_sources", "harmonic_micro"
+        )
+        .orderBy(F.desc("harmonic_micro"), "nation")
+    )
