@@ -4075,3 +4075,149 @@ def sim_recall_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius (threshold) similarity search through the IVF index
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.2
+_RANGE_NPROBE = 2
+
+
+@register(
+    "sim_range_search",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < {_N_QUERIES}
+      ) t WHERE rn <= {_RANGE_NPROBE}
+    ),
+    found AS (
+      SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_found
+      FROM qprobe q JOIN assign c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+      WHERE {_COS} >= {_RANGE_TAU}
+      GROUP BY 1
+    ),
+    tru AS (
+      SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_true
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_N_QUERIES} AND {_COS} >= {_RANGE_TAU}
+      GROUP BY 1
+    )
+    SELECT p.vec_id AS query_id,
+           CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+           CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+           CAST(CASE WHEN coalesce(t.n_true, 0) = 0 THEN 1000000
+                ELSE coalesce(f.n_found, 0) * 1000000 // t.n_true
+                END AS BIGINT) AS recall_ppm
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_N_QUERIES}) p
+    LEFT JOIN found f ON p.vec_id = f.query_id
+    LEFT JOIN tru t ON p.vec_id = t.query_id
+    ORDER BY query_id
+    """,
+    doc=(
+        "Radius (threshold) similarity search: ALL neighbors with "
+        "cosine >= 0.2 per query — the dedup/recommendation shape "
+        "top-k cannot express (result set size is data-dependent) — "
+        "answered through the IVF index (nprobe=2 cells) and audited "
+        "per query against the exact brute-force neighbor set "
+        "(n_found <= n_true by construction; recall_ppm from exact "
+        "integer counts). Thresholding uses the same rounded cosine "
+        "both engines output elsewhere, so the decision boundary is "
+        "engine-identical."
+    ),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold search via IVF cells with brute-force recall audit.
+
+    Scale notes (100 TB): the corpus is assigned to cells once (pure
+    projection over the collected-literal centroids) and at rest is
+    PARTITIONED by cell, so each query's radius scan reads nprobe
+    partitions; the brute-force leg exists only as the eval harness
+    (fixed 5-query panel — broadcast panel x corpus, linear audit
+    cost, never run in production); counts are per-query aggregates,
+    no all-pairs materialization."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    panel = e.filter(F.col("vec_id") < _N_QUERIES)
+    assigned = S.ivf_assign(e, "vec_id", "embedding", _N_CELLS, dim=_DIM)
+    probes = S.ivf_probe_cells(
+        panel, "vec_id", "embedding", _N_CELLS, _RANGE_NPROBE,
+        dim=_DIM, centroid_source=e,
+    )
+    q = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        S.norm("embedding", _DIM).alias("__qn"),
+        F.col("cell").alias("__qcell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        S.norm("embedding", _DIM).alias("__cn"),
+        F.col("cell").alias("__ccell"),
+    )
+    sim = F.round(
+        S.cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=_DIM), 4
+    )
+    found = (
+        F.broadcast(q)
+        .join(c, F.col("__qcell") == F.col("__ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(sim >= F.lit(_RANGE_TAU))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    )
+    qb = panel.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        S.norm("embedding", _DIM).alias("__qn"),
+    )
+    cb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        S.norm("embedding", _DIM).alias("__cn"),
+    )
+    tru = (
+        F.broadcast(qb)
+        .crossJoin(cb)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(sim >= F.lit(_RANGE_TAU))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    )
+    spine = panel.select(F.col("vec_id").alias("query_id"))
+    return (
+        spine.join(found, "query_id", "left")
+        .join(tru, "query_id", "left")
+        .select(
+            "query_id",
+            F.expr("CAST(coalesce(n_found, 0) AS BIGINT)").alias("n_found"),
+            F.expr("CAST(coalesce(n_true, 0) AS BIGINT)").alias("n_true"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_true, 0) = 0 THEN 1000000"
+                " ELSE coalesce(n_found, 0) * 1000000 div n_true END"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
