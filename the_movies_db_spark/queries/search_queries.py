@@ -1878,3 +1878,243 @@ def search_ltr_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Team-draft interleaving evaluation: BM25 vs query-likelihood
+# ---------------------------------------------------------------------------
+
+_TDI_ROUNDS = 5
+
+#: One draft round as a fold step: the md5-derandomized coin picks the
+#: first drafter; each team then drafts its highest-ranked doc not yet
+#: interleaved. State = (interleaved list, per-team credited docs).
+_TDI_FOLD = """aggregate(
+  sequence(1, 5),
+  struct(CAST(array() AS ARRAY<BIGINT>) AS L,
+         CAST(array() AS ARRAY<BIGINT>) AS ca,
+         CAST(array() AS ARRAY<BIGINT>) AS cb),
+  (st, r) -> CASE WHEN (CAST(conv(substr(md5(concat(CAST(query_id AS STRING), ':', CAST(r AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2) = 1
+    THEN struct((CASE WHEN try_element_at(filter(b, x -> NOT array_contains((CASE WHEN try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1) IS NOT NULL THEN concat((CASE WHEN try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), array(try_element_at(filter(b, x -> NOT array_contains((CASE WHEN try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1))) ELSE (CASE WHEN try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END) END) AS L, (CASE WHEN try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.ca, array(try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1))) ELSE st.ca END) AS ca, (CASE WHEN try_element_at(filter(b, x -> NOT array_contains((CASE WHEN try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1) IS NOT NULL THEN concat(st.cb, array(try_element_at(filter(b, x -> NOT array_contains((CASE WHEN try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(a, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1))) ELSE st.cb END) AS cb)
+    ELSE struct((CASE WHEN try_element_at(filter(a, x -> NOT array_contains((CASE WHEN try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1) IS NOT NULL THEN concat((CASE WHEN try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), array(try_element_at(filter(a, x -> NOT array_contains((CASE WHEN try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1))) ELSE (CASE WHEN try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END) END) AS L, (CASE WHEN try_element_at(filter(a, x -> NOT array_contains((CASE WHEN try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1) IS NOT NULL THEN concat(st.ca, array(try_element_at(filter(a, x -> NOT array_contains((CASE WHEN try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.L, array(try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1))) ELSE st.L END), x)), 1))) ELSE st.ca END) AS ca, (CASE WHEN try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1) IS NOT NULL THEN concat(st.cb, array(try_element_at(filter(b, x -> NOT array_contains(st.L, x)), 1))) ELSE st.cb END) AS cb) END,
+  st -> st)"""
+
+
+def _tdi_oracle() -> str:
+    return """
+    WITH RECURSIVE bm AS ({bm}),
+    ql AS ({ql}),
+    q(query_id, term) AS (VALUES {qv}),
+    qa AS (SELECT query_id, list(doc_id ORDER BY rank) AS a
+           FROM bm GROUP BY 1),
+    qb AS (SELECT query_id, list(doc_id ORDER BY rank) AS b
+           FROM ql GROUP BY 1),
+    qq AS (SELECT qa.query_id, a, b FROM qa JOIN qb USING (query_id)),
+    dr AS (
+      SELECT query_id, 0 AS r,
+             []::BIGINT[] AS L, []::BIGINT[] AS ca, []::BIGINT[] AS cb,
+             a, b
+      FROM qq
+      UNION ALL
+      SELECT query_id, r + 1 AS r,
+             CASE WHEN d2 IS NOT NULL THEN list_append(L1, d2)
+                  ELSE L1 END AS L,
+             CASE WHEN afirst THEN
+                    CASE WHEN d1 IS NOT NULL THEN list_append(ca, d1)
+                         ELSE ca END
+                  ELSE
+                    CASE WHEN d2 IS NOT NULL THEN list_append(ca, d2)
+                         ELSE ca END END AS ca,
+             CASE WHEN afirst THEN
+                    CASE WHEN d2 IS NOT NULL THEN list_append(cb, d2)
+                         ELSE cb END
+                  ELSE
+                    CASE WHEN d1 IS NOT NULL THEN list_append(cb, d1)
+                         ELSE cb END END AS cb,
+             a, b
+      FROM (
+        SELECT *,
+               CASE WHEN afirst THEN
+                      list_filter(b, x -> NOT list_contains(L1, x))[1]
+                    ELSE
+                      list_filter(a, x -> NOT list_contains(L1, x))[1]
+                    END AS d2
+        FROM (
+          SELECT *,
+                 CASE WHEN d1 IS NOT NULL THEN list_append(L, d1)
+                      ELSE L END AS L1
+          FROM (
+            SELECT *,
+                   CASE WHEN afirst THEN
+                          list_filter(a, x -> NOT list_contains(L, x))[1]
+                        ELSE
+                          list_filter(b, x -> NOT list_contains(L, x))[1]
+                        END AS d1
+            FROM (SELECT dr.*, (CAST('0x' || substr(md5(query_id || ':' || (r + 1)), 1, 1) AS BIGINT) % 2) = 1 AS afirst FROM dr)
+          )
+        )
+      ) t
+      WHERE r < 5
+    ),
+    fin AS (SELECT query_id, L, ca, cb FROM dr WHERE r = 5),
+    pres AS (
+      SELECT DISTINCT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+            FROM documents) u
+    ),
+    rel AS (
+      SELECT q.query_id, p.doc_id, CAST(count(*) AS BIGINT) AS rel
+      FROM pres p JOIN q ON p.term = q.term
+      GROUP BY 1, 2
+    ),
+    att AS (
+      SELECT query_id, unnest(ca) AS doc_id, 'bm25' AS team FROM fin
+      UNION ALL
+      SELECT query_id, unnest(cb) AS doc_id, 'ql' AS team FROM fin
+    ),
+    j AS (
+      SELECT a.query_id, a.team, coalesce(r.rel, 0) AS rel
+      FROM att a LEFT JOIN rel r
+        ON a.query_id = r.query_id AND a.doc_id = r.doc_id
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(count(*) FILTER (WHERE team = 'bm25' AND rel >= 2)
+               AS BIGINT) AS clicks_bm25,
+             CAST(count(*) FILTER (WHERE team = 'ql' AND rel >= 2)
+               AS BIGINT) AS clicks_ql,
+             CAST(sum(rel) FILTER (WHERE team = 'bm25')
+               AS BIGINT) AS rel_bm25,
+             CAST(sum(rel) FILTER (WHERE team = 'ql')
+               AS BIGINT) AS rel_ql
+      FROM j GROUP BY 1
+    )
+    SELECT CAST(f.query_id AS BIGINT) AS query_id,
+           CAST(len(f.L) AS BIGINT) AS n_interleaved,
+           g.clicks_bm25, g.clicks_ql, g.rel_bm25, g.rel_ql,
+           CASE WHEN g.clicks_bm25 > g.clicks_ql THEN 'bm25'
+                WHEN g.clicks_bm25 < g.clicks_ql THEN 'ql'
+                WHEN g.rel_bm25 > g.rel_ql THEN 'bm25'
+                WHEN g.rel_bm25 < g.rel_ql THEN 'ql'
+                ELSE 'tie' END AS winner
+    FROM fin f JOIN agg g ON f.query_id = g.query_id
+    ORDER BY query_id
+""".format(
+        bm=_bm25_oracle(_TDI_ROUNDS),
+        ql=_REG["search_query_likelihood_lm"].oracle,
+        qv=_QUERY_VALUES,
+    )
+
+
+@register(
+    "search_interleaving_eval",
+    _tdi_oracle(),
+    doc=(
+        "Team-draft interleaving between the BM25 and query-likelihood "
+        "rankers: per round an md5-derandomized coin picks the first "
+        "drafter, each team drafts its best not-yet-interleaved doc "
+        "from its top-5, and a graded-relevance click model (click iff "
+        ">= 2 query terms present) credits each team's drafts — the "
+        "online-evaluation protocol that decides ranker rollouts from "
+        "interleaved SERP clicks, made deterministic so both engines "
+        "replay the identical draft."
+    ),
+)
+def search_interleaving_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic team-draft interleaving + click-credit eval.
+
+    Scale notes (100 TB): both rankers already prune to the broadcast
+    query vocabulary before any shuffle; their top-5 lists collapse to
+    |Q| rows, so the draft fold runs on a |Q|-row frame (per-query
+    arrays of <= 10 ids) — the sequential protocol costs nothing at
+    scale because it runs AFTER retrieval, on list-grain state. The
+    relevance table is the vocab-pruned presence stream, lazily
+    checkpointed across its two consumers."""
+    d = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(spark, d, top_k=_TDI_ROUNDS)
+    ql = _REG["search_query_likelihood_lm"].spark(spark, sf_dir)
+    qa = bm.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rank, doc_id)))"
+            ", e -> CAST(e.doc_id AS BIGINT))"
+        ).alias("a")
+    )
+    qb = ql.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rank, doc_id)))"
+            ", e -> CAST(e.doc_id AS BIGINT))"
+        ).alias("b")
+    )
+    fin = (
+        qa.join(qb, "query_id")
+        .select("query_id", F.expr(_TDI_FOLD).alias("st"))
+        .select(
+            "query_id",
+            F.col("st.L").alias("L"),
+            F.col("st.ca").alias("ca"),
+            F.col("st.cb").alias("cb"),
+        )
+        .localCheckpoint(eager=False)  # |Q| rows, 2 consumers
+    )
+    qterms = spark.createDataFrame(
+        list(QUERIES), "query_id int, term string"
+    )
+    pres = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+            )
+        ).alias("term"),
+    )
+    rel = (
+        pres.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    )
+    att = fin.select(
+        "query_id", F.explode("ca").alias("doc_id"),
+        F.lit("bm25").alias("team"),
+    ).unionByName(
+        fin.select(
+            "query_id", F.explode("cb").alias("doc_id"),
+            F.lit("ql").alias("team"),
+        )
+    )
+    j = att.join(rel, ["query_id", "doc_id"], "left").select(
+        "query_id", "team",
+        F.expr("CAST(coalesce(rel, 0) AS BIGINT)").alias("rel"),
+    )
+    agg = j.groupBy("query_id").agg(
+        F.expr(
+            "CAST(count_if(team = 'bm25' AND rel >= 2) AS BIGINT)"
+        ).alias("clicks_bm25"),
+        F.expr(
+            "CAST(count_if(team = 'ql' AND rel >= 2) AS BIGINT)"
+        ).alias("clicks_ql"),
+        F.expr(
+            "CAST(sum(CASE WHEN team = 'bm25' THEN rel END) AS BIGINT)"
+        ).alias("rel_bm25"),
+        F.expr(
+            "CAST(sum(CASE WHEN team = 'ql' THEN rel END) AS BIGINT)"
+        ).alias("rel_ql"),
+    )
+    return (
+        fin.join(agg, "query_id")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.expr("CAST(size(L) AS BIGINT)").alias("n_interleaved"),
+            "clicks_bm25", "clicks_ql", "rel_bm25", "rel_ql",
+            F.expr(
+                "CASE WHEN clicks_bm25 > clicks_ql THEN 'bm25'"
+                " WHEN clicks_bm25 < clicks_ql THEN 'ql'"
+                " WHEN rel_bm25 > rel_ql THEN 'bm25'"
+                " WHEN rel_bm25 < rel_ql THEN 'ql'"
+                " ELSE 'tie' END"
+            ).alias("winner"),
+        )
+        .orderBy("query_id")
+    )
