@@ -73,7 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_fano_factor, agg_wilson_lower_bound,
     # text_readability_ari, text_bpe_merges, events_hmm_viterbi,
     # graph_harmonic_centrality, sim_range_search,
-    # search_interleaving_eval,
+    # search_interleaving_eval, multimodal_shot_boundaries,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -619,3 +619,81 @@ def multimodal_numpy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = encode_raw1(d, "text")
     return decode_raw1_batch(blobs, "doc_id", "content").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection over sampled frames (adjacent-frame hamming)
+# ---------------------------------------------------------------------------
+
+_SB_T = 19  # hamming threshold over the 32-bit frame signature
+
+
+@register(
+    "multimodal_shot_boundaries",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, octet_length(encode(text)) % 8 + 1),
+               i -> CAST(concat('0x', substr(md5(text || '#' || i), 1, 8))
+                      AS BIGINT)) AS s
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(len(s) AS BIGINT) AS n_frames,
+             CAST(len(list_filter(range(2, len(s) + 1),
+               i -> bit_count(xor(s[i], s[i - 1])) > {_SB_T}))
+               AS BIGINT) AS n_boundaries
+      FROM f
+    )
+    SELECT doc_id, n_frames, n_boundaries,
+           CAST(n_boundaries + 1 AS BIGINT) AS n_shots,
+           CAST(n_frames * 1000 // (n_boundaries + 1) AS BIGINT)
+             AS mean_shot_len_milli
+    FROM b ORDER BY doc_id
+    """,
+    doc=(
+        "Video shot-boundary detection over the sampled frame stream: "
+        "each frame gets a 32-bit signature (deterministic stand-in "
+        "for a decoded-frame perceptual hash, same md5(text||'#'||i) "
+        "convention as multimodal_frame_sample), a boundary is an "
+        "adjacent-frame hamming distance above threshold, and shots "
+        "are boundary-delimited runs. The signature/threshold seam is "
+        "where a real frame-difference or histogram-delta kernel "
+        "plugs in; the per-video segmentation plumbing is real."
+    ),
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video shot segmentation from adjacent-frame distances.
+
+    Scale notes (100 TB): entirely per-row array projections (frame
+    signatures and the adjacent-distance scan never leave their row —
+    no explode, no shuffle, no Python); at real decode scale the
+    signature transform swaps for the mapInArrow frame-hash kernel
+    and this plan is unchanged above it."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, octet_length(text) % 8),"
+            " i -> CAST(conv(substr(md5(concat(text, '#',"
+            " CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("s"),
+    )
+    b = f.select(
+        "doc_id",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_frames"),
+        F.expr(
+            "CAST(size(filter(zip_with(slice(s, 1, size(s) - 1),"
+            " slice(s, 2, size(s) - 1), (x, y) -> bit_count(x ^ y)),"
+            f" h -> h > {_SB_T})) AS BIGINT)"
+        ).alias("n_boundaries"),
+    )
+    return b.select(
+        "doc_id", "n_frames", "n_boundaries",
+        F.expr("CAST(n_boundaries + 1 AS BIGINT)").alias("n_shots"),
+        F.expr(
+            "CAST(n_frames * 1000 div (n_boundaries + 1) AS BIGINT)"
+        ).alias("mean_shot_len_milli"),
+    ).orderBy("doc_id")
