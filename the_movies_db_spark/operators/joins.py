@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -278,3 +278,96 @@ def bloom_prefilter_join(
             f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0"
         )
     return big.filter(F.expr(" AND ".join(terms))).join(small, on, "inner")
+
+
+def knn_join_1d(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_key: str,
+    right_id: str,
+    right_key: str,
+    k: int,
+    width: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact k-nearest-neighbor join on a 1-D integer key (the k > 1
+    generalization of the as-of/nearest join) as a binned EQUI-join
+    with a guaranteed-exact fallback.
+
+    A naive k-NN join has no equi-key (Spark plans the theta form as a
+    BroadcastNestedLoopJoin). Rewrite: bucket the right side on
+    ``key div width``; each probe joins its home bucket +-1 — that
+    candidate set provably contains EVERY row within distance
+    ``width`` (a row two buckets away is strictly farther than
+    ``width``). If a probe has >= k candidates within ``width``, its
+    top-k by (distance, id) over the candidates IS the exact top-k.
+    The (rare) starved probes — sparse-region probes with < k
+    neighbors inside ``width`` — are re-run via a broadcast
+    brute-force pass, so the result is exact for every probe while
+    the quadratic path only ever sees the starved minority.
+
+    Scale notes (100 TB): the candidate join shuffles on the bucket id
+    (bounded per-task candidates = bucket population); the rank window
+    is partitioned per probe; the brute pass broadcasts ONLY starved
+    probes (monitor their count — a high starved share means ``width``
+    is too small for the key density). Returns (probe_id, neighbor_id,
+    rank, dist).
+    """
+    l = left.select(  # noqa: E741
+        F.col(left_id).alias("__lid"),
+        F.col(left_key).cast("bigint").alias("__lk"),
+    )
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_key).cast("bigint").alias("__rk"),
+        F.expr(f"CAST(({right_key}) div {width} AS BIGINT)").alias("__bin"),
+    )
+    probes = l.select(
+        "__lid",
+        "__lk",
+        F.explode(
+            F.expr(f"sequence(__lk div {width} - 1, __lk div {width} + 1)")
+        ).alias("__bin"),
+    )
+    cand = probes.join(r, "__bin")
+    if exclude_self:
+        cand = cand.filter(F.col("__lid") != F.col("__rid"))
+    cand = cand.select(
+        "__lid", "__rid", F.expr("abs(__lk - __rk)").alias("__dist")
+    )
+    w = Window.partitionBy("__lid").orderBy(F.asc("__dist"), F.asc("__rid"))
+    cw = Window.partitionBy("__lid")
+    ranked = (
+        cand.withColumn("__rank", F.row_number().over(w))
+        .withColumn(
+            "__n_close",
+            F.sum(
+                F.expr(f"CASE WHEN __dist <= {width} THEN 1 ELSE 0 END")
+            ).over(cw),
+        )
+        .localCheckpoint(eager=False)  # consumed by ok + starved branches
+    )
+    ok = ranked.filter(
+        (F.col("__n_close") >= k) & (F.col("__rank") <= k)
+    ).select("__lid", "__rid", "__dist", "__rank")
+    sat = ranked.filter(F.col("__n_close") >= k).select("__lid").distinct()
+    starved = l.join(sat, "__lid", "left_anti")
+    brute = F.broadcast(starved).crossJoin(
+        r.select("__rid", "__rk")
+    )
+    if exclude_self:
+        brute = brute.filter(F.col("__lid") != F.col("__rid"))
+    brute = (
+        brute.select(
+            "__lid", "__rid", F.expr("abs(__lk - __rk)").alias("__dist")
+        )
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+    )
+    return ok.unionByName(brute).select(
+        F.col("__lid").alias("probe_id"),
+        F.col("__rid").alias("neighbor_id"),
+        F.col("__rank").cast("bigint").alias("rank"),
+        F.col("__dist").alias("dist"),
+    )

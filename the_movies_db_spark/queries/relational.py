@@ -1674,3 +1674,76 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.expr(_RREG_SLOPE.format(d="div")).alias("slope_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-nearest-neighbor join on a 1-D key (binned equi-join + exact fallback)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_WIDTH = 10_000  # cents (= 100 price units)
+_KNN_PROBE_MOD = "o_orderkey % 1500 = 7"
+
+
+@register(
+    "join_knn_binned",
+    f"""
+    WITH probes AS (
+      SELECT o_orderkey AS pid,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pk
+      FROM orders WHERE {_KNN_PROBE_MOD}
+    ),
+    r AS (
+      SELECT o_orderkey AS rid,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rk
+      FROM orders
+    )
+    SELECT pid AS probe_id, rid AS neighbor_id, rank,
+           dist AS dist_cents
+    FROM (
+      SELECT p.pid, r.rid,
+             CAST(abs(p.pk - r.rk) AS BIGINT) AS dist,
+             CAST(row_number() OVER (PARTITION BY p.pid
+               ORDER BY abs(p.pk - r.rk), r.rid) AS BIGINT) AS rank
+      FROM probes p JOIN r ON p.pid <> r.rid
+    ) t WHERE rank <= {_KNN_K}
+    ORDER BY probe_id, rank
+    """,
+    doc=(
+        "Exact k-NN join on order value (k=5 nearest-priced orders "
+        "per probe) — the k>1 generalization of the as-of/nearest "
+        "join, rewritten from its theta form (BroadcastNestedLoopJoin) "
+        "into a binned equi-join on price div width: home bucket +-1 "
+        "provably contains every neighbor within one width, probes "
+        "whose k-th close neighbor isn't guaranteed fall back to a "
+        "broadcast brute pass (starved minority only), so the result "
+        "is exact everywhere. The oracle is the plain quadratic "
+        "definition."
+    ),
+)
+def join_knn_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest join via bucketed candidates + exact starved fallback.
+
+    Scale notes (100 TB): candidate generation shuffles on the price
+    bucket (per-task work = bucket population, never corpus^2); the
+    rank window is per-probe; only starved probes (sparse price
+    regions) hit the broadcast brute pass — their share is the
+    operator's published health signal. The oracle runs the quadratic
+    definition over a modulus-sampled probe panel, which is what makes
+    the exactness claim value-hash-checked rather than asserted."""
+    from the_movies_db_spark.operators.joins import knn_join_1d
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    probes = o.filter(F.expr(_KNN_PROBE_MOD)).select(
+        F.col("o_orderkey").alias("pid"), cents.alias("pk")
+    )
+    corpus = o.select(F.col("o_orderkey").alias("rid"), cents.alias("rk"))
+    out = knn_join_1d(
+        probes, corpus, "pid", "pk", "rid", "rk",
+        k=_KNN_K, width=_KNN_WIDTH,
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "rank",
+        F.col("dist").alias("dist_cents"),
+    ).orderBy("probe_id", "rank")
