@@ -74,7 +74,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_readability_ari, text_bpe_merges, events_hmm_viterbi,
     # graph_harmonic_centrality, sim_range_search,
     # search_interleaving_eval, multimodal_shot_boundaries,
-    # join_knn_binned,
+    # join_knn_binned, text_bpe_tokenize_stats,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -2565,9 +2565,7 @@ _BPE_MERGE_FOLD = """aggregate(
 _BPE_ROUNDS = 5
 
 
-@register(
-    "text_bpe_merges",
-    """
+_BPE_CTES = """
     WITH words AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
       FROM (
@@ -2761,40 +2759,13 @@ _BPE_ROUNDS = 5
         WHERE k2.pos IS NULL
       ) GROUP BY w
     )
-    SELECT 1 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best1
-    UNION ALL
-    SELECT 2 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best2
-    UNION ALL
-    SELECT 3 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best3
-    UNION ALL
-    SELECT 4 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best4
-    UNION ALL
-    SELECT 5 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best5
-    ORDER BY round
-    """,
-    doc=(
-        "Byte-pair-encoding vocabulary induction: learn the first "
-        f"5 BPE merge rules from the corpus word-frequency "
-        "table (symbols start as characters plus an end-of-word "
-        "marker; each round counts frequency-weighted adjacent pairs, "
-        "picks the max with (count DESC, pair ASC) tie-break, and "
-        "greedily merges it left-to-right in every word). THE "
-        "tokenizer-training primitive of an LLM data pipeline. "
-        "All-integer counts; ASCII-only symbols so string ordering is "
-        "engine-identical."
-    ),
-)
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first k BPE merge rules from the corpus.
+"""
 
-    Scale notes (100 TB): the corpus is scanned ONCE (tokenize +
-    word-count aggregate); every merge round then runs on the
-    VOCAB-BOUNDED word table (pair counting explodes ~|vocab| x
-    avg_word_len rows, the argmax is a 1-row TakeOrdered, the merge
-    is a broadcast of that 1 row + a per-row fold). Each round's word
-    table and chosen pair are lazily checkpointed so the k rounds
-    share runtime artifacts instead of re-deriving lineage (the
-    round-9 census class); plan depth is linear in rounds."""
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the merge loop; return (final symbol table, per-round
+    merge rows) — shared by the merge-table and tokenize-stats
+    queries."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -2847,7 +2818,92 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w", "freq", F.expr(_BPE_MERGE_FOLD).alias("s"))
             .localCheckpoint(eager=False)
         )
+    return toks, out
+
+
+@register(
+    "text_bpe_merges",
+    _BPE_CTES + """
+    SELECT 1 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best1
+    UNION ALL
+    SELECT 2 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best2
+    UNION ALL
+    SELECT 3 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best3
+    UNION ALL
+    SELECT 4 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best4
+    UNION ALL
+    SELECT 5 AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM best5
+    ORDER BY round
+    """,
+    doc=(
+        "Byte-pair-encoding vocabulary induction: learn the first "
+        f"5 BPE merge rules from the corpus word-frequency "
+        "table (symbols start as characters plus an end-of-word "
+        "marker; each round counts frequency-weighted adjacent pairs, "
+        "picks the max with (count DESC, pair ASC) tie-break, and "
+        "greedily merges it left-to-right in every word). THE "
+        "tokenizer-training primitive of an LLM data pipeline. "
+        "All-integer counts; ASCII-only symbols so string ordering is "
+        "engine-identical."
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first k BPE merge rules from the corpus.
+
+    Scale notes (100 TB): the corpus is scanned ONCE (tokenize +
+    word-count aggregate); every merge round then runs on the
+    VOCAB-BOUNDED word table (pair counting explodes ~|vocab| x
+    avg_word_len rows, the argmax is a 1-row TakeOrdered, the merge
+    is a broadcast of that 1 row + a per-row fold). Each round's word
+    table and chosen pair are lazily checkpointed so the k rounds
+    share runtime artifacts instead of re-deriving lineage (the
+    round-9 census class); plan depth is linear in rounds."""
+    toks, out = _bpe_learn(spark, sf_dir)
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
     return res.orderBy("round")
+
+
+@register(
+    "text_bpe_tokenize_stats",
+    _BPE_CTES + """
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+           CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+           CAST(sum(freq * (length(w) + 1)) AS BIGINT) AS n_tokens_char,
+           CAST(sum(freq * len(s)) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(freq * len(s)) * 1000000
+                // sum(freq * (length(w) + 1)) AS BIGINT)
+             AS compression_ppm
+    FROM toks5
+    """,
+    doc=(
+        "Apply the learned BPE merge table back to the corpus: corpus "
+        "token counts before (characters + end-of-word) vs after the "
+        "5 merges, and the resulting compression ratio in exact ppm — "
+        "the train->apply round trip of the tokenizer pipeline "
+        "(fertility drop is THE acceptance metric for a merge table). "
+        "Shares the merge-chain CTEs with text_bpe_merges."
+    ),
+)
+def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization stats under the learned BPE merges.
+
+    Scale notes (100 TB): identical to text_bpe_merges (one corpus
+    scan, then vocab-bounded rounds); the final stats are ONE
+    combining aggregate over the word table — applying a merge table
+    to a corpus never explodes the corpus, it folds per word and
+    weights by frequency."""
+    toks, _ = _bpe_learn(spark, sf_dir)
+    return toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+        F.sum("freq").cast("bigint").alias("n_word_occurrences"),
+        F.expr(
+            "CAST(sum(freq * (length(w) + 1)) AS BIGINT)"
+        ).alias("n_tokens_char"),
+        F.expr("CAST(sum(freq * size(s)) AS BIGINT)").alias("n_tokens_bpe"),
+        F.expr(
+            "CAST(sum(freq * size(s)) * 1000000"
+            " div sum(freq * (length(w) + 1)) AS BIGINT)"
+        ).alias("compression_ppm"),
+    )
