@@ -7245,3 +7245,147 @@ def agg_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lb_micro"), "p_brand")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram statistics + cardinality-estimate audit
+# ---------------------------------------------------------------------------
+
+_SH_B = 16  # histogram buckets
+_SH_PREDS = (
+    ("p_low", 0, 5_000_000),
+    ("p_mid", 10_000_000, 20_000_000),
+    ("p_high", 30_000_000, 60_000_000),
+)
+_SH_PRED_VALUES = ", ".join(f"('{p}', {a}, {b})" for p, a, b in _SH_PREDS)
+
+
+@register(
+    "dq_selectivity_histogram",
+    f"""
+    WITH census AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n_v
+      FROM orders GROUP BY 1
+    ),
+    c2 AS (
+      SELECT v, n_v,
+             CAST(sum(n_v) OVER (ORDER BY v) AS BIGINT) AS cum,
+             CAST(sum(n_v) OVER () AS BIGINT) AS n
+      FROM census
+    ),
+    b AS (
+      SELECT ((cum - 1) * {_SH_B}) // n AS bucket,
+             min(v) AS lb, max(v) AS ub,
+             CAST(sum(n_v) AS BIGINT) AS rws
+      FROM c2 GROUP BY 1
+    ),
+    preds(pred, lo, hi) AS (VALUES {_SH_PRED_VALUES}),
+    est AS (
+      SELECT p.pred,
+             CAST(sum(greatest(0, least(p.hi, b.ub) - greatest(p.lo, b.lb)
+               + 1) * b.rws // (b.ub - b.lb + 1)) AS BIGINT) AS est_rows
+      FROM preds p CROSS JOIN b GROUP BY 1
+    ),
+    act AS (
+      SELECT p.pred,
+             CAST(coalesce(sum(c.n_v), 0) AS BIGINT) AS actual_rows
+      FROM preds p LEFT JOIN census c ON c.v BETWEEN p.lo AND p.hi
+      GROUP BY 1
+    )
+    SELECT p.pred,
+           CAST(p.lo AS BIGINT) AS lo_cents,
+           CAST(p.hi AS BIGINT) AS hi_cents,
+           e.est_rows, a.actual_rows,
+           CAST(abs(e.est_rows - a.actual_rows) * 1000000
+                // nullif(a.actual_rows, 0) AS BIGINT) AS err_ppm
+    FROM preds p JOIN est e USING (pred) JOIN act a USING (pred)
+    ORDER BY pred
+    """,
+    doc=(
+        "Optimizer-statistics audit: build a 16-bucket EQUI-DEPTH "
+        "histogram of order value from the exact distinct-value "
+        "census (bucket = ((cum-1)*B) div n), estimate the row count "
+        "of range predicates by uniform within-bucket interpolation "
+        "(exact integer cross-multiplication), and publish the error "
+        "vs the true count in ppm — the selectivity-estimation loop "
+        "inside every cost-based optimizer, here as a DQ check that "
+        "tells you whether YOUR stats would mis-plan YOUR queries."
+    ),
+)
+def dq_selectivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram + selectivity-estimate error audit.
+
+    Scale notes (100 TB): the fact collapses to the distinct-value
+    census first (one hash aggregate); the cumulative pass runs via
+    the two-level distributed cumsum (no global single-partition
+    sort), and the census is checkpointed across its two consumers
+    (cumsum input + truth counts). Estimate arithmetic is bounded by
+    value-range * bucket-rows, inside BIGINT far past 100 TB."""
+    from the_movies_db_spark.operators.ranks import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    census = (
+        o.groupBy(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+        .localCheckpoint(eager=False)  # cumsum + truth-count consumers
+    )
+    c2 = global_cumsum(
+        census, "v", [], "n_v", out="cum", total_out="n", materialize=False
+    )
+    b = (
+        c2.groupBy(
+            F.expr(f"((cum - 1) * {_SH_B}) div n").alias("bucket")
+        )
+        .agg(
+            F.min("v").alias("lb"),
+            F.max("v").alias("ub"),
+            F.sum("n_v").cast("bigint").alias("rws"),
+        )
+    )
+    preds = spark.createDataFrame(
+        list(_SH_PREDS), "pred string, lo bigint, hi bigint"
+    )
+    est = (
+        F.broadcast(preds)
+        .crossJoin(b)
+        .groupBy("pred")
+        .agg(
+            F.expr(
+                "CAST(sum(greatest(0, least(hi, ub) - greatest(lo, lb)"
+                " + 1) * rws div (ub - lb + 1)) AS BIGINT)"
+            ).alias("est_rows")
+        )
+    )
+    act = (
+        F.broadcast(preds)
+        .join(
+            census,
+            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+            "left",
+        )
+        .groupBy("pred")
+        .agg(
+            F.expr("CAST(coalesce(sum(n_v), 0) AS BIGINT)").alias(
+                "actual_rows"
+            )
+        )
+    )
+    return (
+        preds.join(est, "pred")
+        .join(act, "pred")
+        .select(
+            "pred",
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            "est_rows",
+            "actual_rows",
+            F.expr(
+                "CAST(abs(est_rows - actual_rows) * 1000000"
+                " div nullif(actual_rows, 0) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("pred")
+    )
