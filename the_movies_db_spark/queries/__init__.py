@@ -75,7 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # graph_harmonic_centrality, sim_range_search,
     # search_interleaving_eval, multimodal_shot_boundaries,
     # join_knn_binned, text_bpe_tokenize_stats,
-    # dq_selectivity_histogram,
+    # dq_selectivity_histogram, orders_ss_policy_sim,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

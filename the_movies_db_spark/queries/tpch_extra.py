@@ -4000,3 +4000,145 @@ def orders_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHEN cv_micro < 400000 THEN 'Y' ELSE 'Z' END"
         ).alias("xyz_class"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# (s, S) inventory policy simulation per brand (order-up-to replay)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ss_policy_sim",
+    """
+    WITH RECURSIVE weekly AS (
+      SELECT p.p_brand AS brand,
+             CAST(datediff('day', DATE '1992-01-01', l.l_shipdate) // 7
+               AS BIGINT) AS wk,
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    params AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(sum(d) // count(*) AS BIGINT) AS s_lo
+      FROM weekly GROUP BY 1
+    ),
+    obs AS (
+      SELECT w.brand,
+             row_number() OVER (PARTITION BY w.brand ORDER BY w.wk)
+               AS rn,
+             w.d, p.s_lo, 2 * p.s_lo AS s_hi, p.n_weeks
+      FROM weekly w JOIN params p USING (brand)
+    ),
+    sim AS (
+      SELECT brand, rn, d, s_lo, s_hi, n_weeks,
+             CAST(CASE WHEN s_hi - d < s_lo THEN s_hi
+                  ELSE s_hi - d END AS BIGINT) AS inv,
+             CAST(CASE WHEN s_hi - d < s_lo THEN 1 ELSE 0 END
+               AS BIGINT) AS n_orders,
+             CAST(CASE WHEN s_hi - d < s_lo THEN d ELSE 0 END
+               AS BIGINT) AS total_ordered,
+             CAST(CASE WHEN s_hi - d < 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS n_stockouts,
+             CAST(least(s_hi, s_hi - d) AS BIGINT) AS min_inv
+      FROM obs WHERE rn = 1
+      UNION ALL
+      SELECT o.brand, o.rn, o.d, o.s_lo, o.s_hi, o.n_weeks,
+             CAST(CASE WHEN s.inv - o.d < o.s_lo THEN o.s_hi
+                  ELSE s.inv - o.d END AS BIGINT),
+             CAST(s.n_orders + CASE WHEN s.inv - o.d < o.s_lo
+               THEN 1 ELSE 0 END AS BIGINT),
+             CAST(s.total_ordered + CASE WHEN s.inv - o.d < o.s_lo
+               THEN o.s_hi - (s.inv - o.d) ELSE 0 END AS BIGINT),
+             CAST(s.n_stockouts + CASE WHEN s.inv - o.d < 0
+               THEN 1 ELSE 0 END AS BIGINT),
+             CAST(least(s.min_inv, s.inv - o.d) AS BIGINT)
+      FROM sim s JOIN obs o ON o.brand = s.brand AND o.rn = s.rn + 1
+    )
+    SELECT s.brand, s.n_weeks, s.s_lo AS s_param, s.s_hi AS cap_param,
+           s.n_orders, s.total_ordered, s.n_stockouts, s.min_inv,
+           s.inv AS end_inventory
+    FROM sim s JOIN params p
+      ON s.brand = p.brand AND s.rn = p.n_weeks
+    ORDER BY s.brand
+    """,
+    doc=(
+        "(s, S) order-up-to inventory policy replayed over the weekly "
+        "demand series per brand: start at S = 2*mean weekly demand, "
+        "subtract demand, reorder up to S whenever inventory falls "
+        "below s = mean (zero lead time). Publishes orders placed, "
+        "units ordered, stockout weeks and the minimum inventory "
+        "excursion — the policy-evaluation loop behind the EOQ/"
+        "newsvendor parameters, as an exact integer state machine "
+        "(first step of the seed week folds the same formulas as the "
+        "recursive step, so both engines replay identically)."
+    ),
+)
+def orders_ss_policy_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential (s,S) policy replay per brand (integer fold).
+
+    Scale notes (100 TB): the fact collapses to (brand, week) demand
+    in one hash aggregate; the simulation folds a ~370-element
+    integer array per brand (25 rows) — sequential state never
+    touches row grain. The oracle replays the identical integer
+    machine as a recursive CTE keyed on row number."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = load_table(spark, sf_dir, "part")
+    weekly = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CAST(datediff(l_shipdate, DATE '1992-01-01') div 7"
+                " AS BIGINT)"
+            ).alias("wk"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+            ).alias("d")
+        )
+    )
+    g = weekly.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.expr("CAST(sum(d) div count(*) AS BIGINT)").alias("s_lo"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(wk, d))), e -> e.d)"
+        ).alias("ds"),
+    )
+    fold = """
+    aggregate(
+      ds,
+      struct(CAST(2 * s_lo AS BIGINT) AS inv,
+             CAST(0 AS BIGINT) AS n_orders,
+             CAST(0 AS BIGINT) AS total_ordered,
+             CAST(0 AS BIGINT) AS n_stockouts,
+             CAST(2 * s_lo AS BIGINT) AS min_inv),
+      (st, d) -> struct(
+        CAST(CASE WHEN st.inv - d < s_lo THEN 2 * s_lo
+             ELSE st.inv - d END AS BIGINT) AS inv,
+        CAST(st.n_orders + CASE WHEN st.inv - d < s_lo THEN 1 ELSE 0
+          END AS BIGINT) AS n_orders,
+        CAST(st.total_ordered + CASE WHEN st.inv - d < s_lo
+          THEN 2 * s_lo - (st.inv - d) ELSE 0 END AS BIGINT)
+          AS total_ordered,
+        CAST(st.n_stockouts + CASE WHEN st.inv - d < 0 THEN 1 ELSE 0
+          END AS BIGINT) AS n_stockouts,
+        CAST(least(st.min_inv, st.inv - d) AS BIGINT) AS min_inv),
+      st -> st)
+    """
+    sim = g.select(
+        "brand", "n_weeks", "s_lo", F.expr(fold).alias("st")
+    )
+    return sim.select(
+        "brand",
+        "n_weeks",
+        F.col("s_lo").alias("s_param"),
+        F.expr("CAST(2 * s_lo AS BIGINT)").alias("cap_param"),
+        F.col("st.n_orders").alias("n_orders"),
+        F.col("st.total_ordered").alias("total_ordered"),
+        F.col("st.n_stockouts").alias("n_stockouts"),
+        F.col("st.min_inv").alias("min_inv"),
+        F.col("st.inv").alias("end_inventory"),
+    ).orderBy("brand")
