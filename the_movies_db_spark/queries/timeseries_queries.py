@@ -6621,3 +6621,148 @@ def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({_VIT_SWITCHES} AS BIGINT)").alias("n_switches"),
         F.expr("CAST(greatest(s0, s1) AS BIGINT)").alias("best_score"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Interrupted time-series analysis (segmented regression around T0)
+# ---------------------------------------------------------------------------
+
+_ITS_B1 = "(((n1 * sty1 - st1 * sy1) div (n1 * stt1 - st1 * st1)) * 1000 + ((n1 * sty1 - st1 * sy1) % (n1 * stt1 - st1 * st1)) * 1000 div (n1 * stt1 - st1 * st1))"
+_ITS_A1 = "((sy1 * 1000 - ((((n1 * sty1 - st1 * sy1) div (n1 * stt1 - st1 * st1)) * 1000 + ((n1 * sty1 - st1 * sy1) % (n1 * stt1 - st1 * st1)) * 1000 div (n1 * stt1 - st1 * st1))) * st1) div n1)"
+_ITS_B2 = "(((n2 * sty2 - st2 * sy2) div (n2 * stt2 - st2 * st2)) * 1000 + ((n2 * sty2 - st2 * sy2) % (n2 * stt2 - st2 * st2)) * 1000 div (n2 * stt2 - st2 * st2))"
+_ITS_A2 = "((sy2 * 1000 - ((((n2 * sty2 - st2 * sy2) div (n2 * stt2 - st2 * st2)) * 1000 + ((n2 * sty2 - st2 * sy2) % (n2 * stt2 - st2 * st2)) * 1000 div (n2 * stt2 - st2 * st2))) * st2) div n2)"
+
+
+@register(
+    "events_interrupted_ts",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    params AS (
+      SELECT event_type, min(d) AS d0,
+             CAST((max(d) - min(d) + 1) // 2 AS BIGINT) AS t0
+      FROM daily GROUP BY 1
+    ),
+    seg AS (
+      SELECT w.event_type, p.t0,
+             CASE WHEN w.d - p.d0 >= p.t0 THEN 1 ELSE 0 END AS s,
+             CAST(CASE WHEN w.d - p.d0 >= p.t0
+                  THEN w.d - p.d0 - p.t0 ELSE w.d - p.d0 END
+               AS BIGINT) AS tau,
+             w.y
+      FROM daily w JOIN params p USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, min(t0) AS t0,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) FILTER (WHERE s = 0) AS BIGINT) AS n1,
+             CAST(coalesce(sum(tau) FILTER (WHERE s = 0), 0) AS BIGINT) AS st1,
+             CAST(coalesce(sum(y) FILTER (WHERE s = 0), 0) AS BIGINT) AS sy1,
+             CAST(coalesce(sum(tau * tau) FILTER (WHERE s = 0), 0) AS BIGINT) AS stt1,
+             CAST(coalesce(sum(tau * y) FILTER (WHERE s = 0), 0) AS BIGINT) AS sty1,
+             CAST(count(*) FILTER (WHERE s = 1) AS BIGINT) AS n2,
+             CAST(coalesce(sum(tau) FILTER (WHERE s = 1), 0) AS BIGINT) AS st2,
+             CAST(coalesce(sum(y) FILTER (WHERE s = 1), 0) AS BIGINT) AS sy2,
+             CAST(coalesce(sum(tau * tau) FILTER (WHERE s = 1), 0) AS BIGINT) AS stt2,
+             CAST(coalesce(sum(tau * y) FILTER (WHERE s = 1), 0) AS BIGINT) AS sty2
+      FROM seg GROUP BY 1
+    )
+    SELECT event_type, n_days, t0,
+           CAST((((n1 * sty1 - st1 * sy1) // (n1 * stt1 - st1 * st1)) * 1000 + ((n1 * sty1 - st1 * sy1) % (n1 * stt1 - st1 * st1)) * 1000 // (n1 * stt1 - st1 * st1)) AS BIGINT) AS b_pre_milli,
+           CAST((((n2 * sty2 - st2 * sy2) // (n2 * stt2 - st2 * st2)) * 1000 + ((n2 * sty2 - st2 * sy2) % (n2 * stt2 - st2 * st2)) * 1000 // (n2 * stt2 - st2 * st2)) AS BIGINT) AS b_post_milli,
+           CAST(((((n2 * sty2 - st2 * sy2) // (n2 * stt2 - st2 * st2)) * 1000 + ((n2 * sty2 - st2 * sy2) % (n2 * stt2 - st2 * st2)) * 1000 // (n2 * stt2 - st2 * st2))) - ((((n1 * sty1 - st1 * sy1) // (n1 * stt1 - st1 * st1)) * 1000 + ((n1 * sty1 - st1 * sy1) % (n1 * stt1 - st1 * st1)) * 1000 // (n1 * stt1 - st1 * st1))) AS BIGINT) AS slope_change_milli,
+           CAST(((sy1 * 1000 - ((((n1 * sty1 - st1 * sy1) // (n1 * stt1 - st1 * st1)) * 1000 + ((n1 * sty1 - st1 * sy1) % (n1 * stt1 - st1 * st1)) * 1000 // (n1 * stt1 - st1 * st1))) * st1) // n1) AS BIGINT) AS a_pre_milli,
+           CAST(((sy2 * 1000 - ((((n2 * sty2 - st2 * sy2) // (n2 * stt2 - st2 * st2)) * 1000 + ((n2 * sty2 - st2 * sy2) % (n2 * stt2 - st2 * st2)) * 1000 // (n2 * stt2 - st2 * st2))) * st2) // n2) AS BIGINT) AS a_post_milli,
+           CAST((((sy2 * 1000 - ((((n2 * sty2 - st2 * sy2) // (n2 * stt2 - st2 * st2)) * 1000 + ((n2 * sty2 - st2 * sy2) % (n2 * stt2 - st2 * st2)) * 1000 // (n2 * stt2 - st2 * st2))) * st2) // n2)) - ((((sy1 * 1000 - ((((n1 * sty1 - st1 * sy1) // (n1 * stt1 - st1 * st1)) * 1000 + ((n1 * sty1 - st1 * sy1) % (n1 * stt1 - st1 * st1)) * 1000 // (n1 * stt1 - st1 * st1))) * st1) // n1)) + ((((n1 * sty1 - st1 * sy1) // (n1 * stt1 - st1 * st1)) * 1000 + ((n1 * sty1 - st1 * sy1) % (n1 * stt1 - st1 * st1)) * 1000 // (n1 * stt1 - st1 * st1))) * t0) AS BIGINT)
+             AS level_shift_milli
+    FROM g ORDER BY event_type
+""",
+    doc=(
+        "Interrupted time-series analysis per event type: an OLS "
+        "segment before and after the midpoint intervention day T0 "
+        "(post segment re-anchored at tau = t - T0), giving the "
+        "slope CHANGE and the LEVEL SHIFT at T0 against the pre-trend "
+        "counterfactual — the causal-inference workhorse when there "
+        "is no control group (the complement of the DiD and CUPED "
+        "queries). Slopes via the divmod-chained milli formula (exact "
+        "at any magnitude); intercepts and the shift from the same "
+        "quantized integers on identical expression text."
+    ),
+)
+def events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented (pre/post) regression with level-shift estimate.
+
+    Scale notes (100 TB): the fact collapses to (type, day) then to
+    one 12-integer power-sum row per type — segment membership is a
+    projection, both segments accumulate in ONE combining aggregate
+    (conditional sums), never two scans."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    params = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.expr(
+            "CAST((max(d) - min(d) + 1) div 2 AS BIGINT)"
+        ).alias("t0"),
+    )
+    seg = daily.join(F.broadcast(params), "event_type").select(
+        "event_type",
+        "t0",
+        F.expr(
+            "CASE WHEN d - d0 >= t0 THEN 1 ELSE 0 END"
+        ).alias("s"),
+        F.expr(
+            "CAST(CASE WHEN d - d0 >= t0 THEN d - d0 - t0"
+            " ELSE d - d0 END AS BIGINT)"
+        ).alias("tau"),
+        "y",
+    )
+    sums = []
+    for sfx, sv in (("1", 0), ("2", 1)):
+        sums += [
+            F.expr(f"CAST(count_if(s = {sv}) AS BIGINT)").alias(f"n{sfx}"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN s = {sv} THEN tau END), 0)"
+                " AS BIGINT)"
+            ).alias(f"st{sfx}"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN s = {sv} THEN y END), 0)"
+                " AS BIGINT)"
+            ).alias(f"sy{sfx}"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN s = {sv} THEN tau * tau END),"
+                " 0) AS BIGINT)"
+            ).alias(f"stt{sfx}"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN s = {sv} THEN tau * y END),"
+                " 0) AS BIGINT)"
+            ).alias(f"sty{sfx}"),
+        ]
+    g = seg.groupBy("event_type").agg(
+        F.min("t0").alias("t0"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        *sums,
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        "t0",
+        F.expr(f"CAST({_ITS_B1} AS BIGINT)").alias("b_pre_milli"),
+        F.expr(f"CAST({_ITS_B2} AS BIGINT)").alias("b_post_milli"),
+        F.expr(
+            f"CAST(({_ITS_B2}) - ({_ITS_B1}) AS BIGINT)"
+        ).alias("slope_change_milli"),
+        F.expr(f"CAST({_ITS_A1} AS BIGINT)").alias("a_pre_milli"),
+        F.expr(f"CAST({_ITS_A2} AS BIGINT)").alias("a_post_milli"),
+        F.expr(
+            f"CAST(({_ITS_A2}) - (({_ITS_A1}) + ({_ITS_B1}) * t0)"
+            " AS BIGINT)"
+        ).alias("level_shift_milli"),
+    ).orderBy("event_type")
