@@ -76,7 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search_interleaving_eval, multimodal_shot_boundaries,
     # join_knn_binned, text_bpe_tokenize_stats,
     # dq_selectivity_histogram, orders_ss_policy_sim,
-    # events_interrupted_ts,
+    # events_interrupted_ts, dq_checksum_merkle_partitions,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -7389,3 +7389,126 @@ def dq_selectivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style hierarchical table checksum (month -> year -> root)
+# ---------------------------------------------------------------------------
+
+_MK_P = 999999999989  # digest modulus (shared with dq_table_checksum)
+
+
+@register(
+    "dq_checksum_merkle_partitions",
+    f"""
+    WITH h AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+             strftime(o_orderdate, '%Y') AS yr,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                    || CAST(o_custkey AS VARCHAR) || ':'
+                    || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      FROM orders
+    ),
+    leafd AS (
+      SELECT mon, yr,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             md5(CAST(CAST(sum(h32) % {_MK_P} AS BIGINT) AS VARCHAR)
+                 || ':' || CAST(bit_xor(h32) AS VARCHAR)
+                 || ':' || CAST(count(*) AS VARCHAR)) AS digest
+      FROM h GROUP BY 1, 2
+    ),
+    yeard AS (
+      SELECT yr,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             md5(string_agg(digest, ',' ORDER BY mon)) AS digest
+      FROM leafd GROUP BY 1
+    ),
+    rootd AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             md5(string_agg(digest, ',' ORDER BY yr)) AS digest
+      FROM yeard
+    )
+    SELECT 'month' AS level, mon AS part, n_rows, digest FROM leafd
+    UNION ALL
+    SELECT 'year' AS level, yr AS part, n_rows, digest FROM yeard
+    UNION ALL
+    SELECT 'root' AS level, '*' AS part, n_rows, digest FROM rootd
+    ORDER BY level, part
+    """,
+    doc=(
+        "Merkle-style hierarchical content checksum over the orders "
+        "table: commutative SUM/XOR row digests per month partition "
+        "(re-partition/re-sort invariant), month digests folded into "
+        "year digests (md5 of the month-ordered child list), years "
+        "into one root. Two replicas diff by walking the tree — one "
+        "root compare, then only the mismatching subtree's partitions "
+        "— instead of a full-table diff; the incremental-replication "
+        "reconciliation primitive."
+    ),
+)
+def dq_checksum_merkle_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month→year→root Merkle digest tree over orders.
+
+    Scale notes (100 TB): the fact is scanned ONCE into per-month
+    commutative digests (map-side partials); everything above is
+    |months| rows. The bounded leaf table is lazily checkpointed
+    across the three level branches."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING) || ':'"
+            " || CAST(o_custkey AS STRING) || ':'"
+            " || CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h32"),
+    )
+    leafd = (
+        h.groupBy("mon", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                f"md5(CAST(CAST(sum(h32) % {_MK_P} AS BIGINT) AS STRING)"
+                " || ':' || CAST(bit_xor(h32) AS STRING)"
+                " || ':' || CAST(count(*) AS STRING))"
+            ).alias("digest"),
+        )
+        .localCheckpoint(eager=False)  # |months| rows, 3 level branches
+    )
+    yeard = leafd.groupBy("yr").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.expr(
+            "md5(array_join(transform(array_sort("
+            "collect_list(struct(mon, digest))), e -> e.digest), ','))"
+        ).alias("digest"),
+    ).localCheckpoint(eager=False)  # output + root branches
+    rootd = yeard.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.expr(
+            "md5(array_join(transform(array_sort("
+            "collect_list(struct(yr, digest))), e -> e.digest), ','))"
+        ).alias("digest"),
+    )
+    out = (
+        leafd.select(
+            F.lit("month").alias("level"), F.col("mon").alias("part"),
+            "n_rows", "digest",
+        )
+        .unionByName(
+            yeard.select(
+                F.lit("year").alias("level"), F.col("yr").alias("part"),
+                "n_rows", "digest",
+            )
+        )
+        .unionByName(
+            rootd.select(
+                F.lit("root").alias("level"), F.lit("*").alias("part"),
+                "n_rows", "digest",
+            )
+        )
+    )
+    return out.orderBy("level", "part")
