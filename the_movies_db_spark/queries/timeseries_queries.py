@@ -6766,3 +6766,147 @@ def events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("level_shift_milli"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (bit-shift half-life weights)
+# ---------------------------------------------------------------------------
+
+#: touch weight 2^(20 - min(days_to_purchase div 2, 20)): a 2-day
+#: half-life as exact powers of two (the decayed-engagement recipe),
+#: normalized per journey to ppm credit.
+_TD_K = "least((pd - d) div 2, 20)"
+
+
+@register(
+    "events_attribution_time_decay",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS d,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) + 1 AS BIGINT) AS j,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') OVER (
+               PARTITION BY user_id
+             ) AS BIGINT) AS n_purch
+      FROM events
+    ),
+    wd AS (
+      SELECT user_id, event_type, j, n_purch,
+             min(CASE WHEN event_type = 'purchase' THEN d END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS pd,
+             d, ts, event_id
+      FROM seq
+    ),
+    ww AS (
+      SELECT user_id, event_type, j, n_purch,
+             CAST(CASE WHEN event_type <> 'purchase' AND pd IS NOT NULL
+               THEN (1::BIGINT << (20 - ({_TD_K.replace(' div ', ' // ')})))
+               ELSE 0 END AS BIGINT) AS w
+      FROM wd
+    ),
+    jn AS (
+      SELECT user_id, event_type, j, n_purch, w,
+             CAST(sum(w) OVER (PARTITION BY user_id, j) AS BIGINT) AS tw,
+             CAST(count(*) FILTER (WHERE event_type <> 'purchase') OVER (
+               PARTITION BY user_id, j) AS BIGINT) AS k
+      FROM ww
+    ),
+    credited AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'direct'
+                  ELSE event_type END AS channel,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1000000
+                  ELSE w * 1000000 // tw END AS BIGINT) AS credit
+      FROM jn
+      WHERE (event_type <> 'purchase' AND j <= n_purch)
+         OR (event_type = 'purchase' AND k = 0)
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(credit) // 1000 AS BIGINT) AS attributed_milli
+    FROM credited GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Time-decay multi-touch attribution: each touch in a journey "
+        "earns weight 2^(-days_to_purchase / 2-day-half-life) as an "
+        "exact power of two, normalized per journey to ppm credit — "
+        "recent touches dominate, completing the attribution family "
+        "(last/position/Shapley/Markov). Touchless purchases credit "
+        "'direct'; trailing journeys with no purchase are excluded. "
+        "All windows share the user-keyed sort; no joins."
+    ),
+)
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Half-life-decayed journey credit per channel (exact ppm).
+
+    Scale notes (100 TB): ONE user-keyed window pass carries journey
+    ids, the next-purchase day (following-frame min), decay weights
+    and journey normalizers — no self-join, no second scan; output is
+    |channels| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    is_p = F.col("event_type") == "purchase"
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wu = Window.partitionBy("user_id")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d"),
+        (F.count(F.when(is_p, 1)).over(wp) + 1).cast("bigint").alias("j"),
+        F.count(F.when(is_p, 1)).over(wu).cast("bigint").alias("n_purch"),
+    )
+    wd = seq.select(
+        "user_id", "event_type", "j", "n_purch", "d", "ts", "event_id",
+        F.min(F.when(is_p, F.col("d"))).over(wf).alias("pd"),
+    )
+    ww = wd.select(
+        "user_id", "event_type", "j", "n_purch",
+        F.expr(
+            "CAST(CASE WHEN event_type <> 'purchase' AND pd IS NOT NULL"
+            f" THEN shiftleft(1L, 20 - ({_TD_K}))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("w"),
+    )
+    wj = Window.partitionBy("user_id", "j")
+    not_p = F.col("event_type") != "purchase"
+    jn = ww.select(
+        "user_id", "event_type", "j", "n_purch", "w",
+        F.sum("w").over(wj).cast("bigint").alias("tw"),
+        F.count(F.when(not_p, 1)).over(wj).cast("bigint").alias("k"),
+    )
+    credited = jn.filter(
+        (not_p & (F.col("j") <= F.col("n_purch")))
+        | (is_p & (F.col("k") == 0))
+    ).select(
+        F.when(is_p, F.lit("direct")).otherwise(F.col("event_type")).alias(
+            "channel"
+        ),
+        F.expr(
+            "CAST(CASE WHEN event_type = 'purchase' THEN 1000000"
+            " ELSE w * 1000000 div tw END AS BIGINT)"
+        ).alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.expr(
+                "CAST(sum(credit) div 1000 AS BIGINT)"
+            ).alias("attributed_milli"),
+        )
+        .orderBy("channel")
+    )
