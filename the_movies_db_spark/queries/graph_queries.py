@@ -2534,3 +2534,155 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("harmonic_micro"), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable 2-hop reach sketch (bottom-k / ADS-HyperANF pattern)
+# ---------------------------------------------------------------------------
+
+_RS_K = 64
+_RS_SCALE = float(16 ** 15)  # 2^60, exactly representable as a double
+_RS_PANEL = "c_custkey % 150 = 7"
+
+
+@register(
+    "graph_reach_sketch",
+    f"""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sk AS (
+      SELECT s, h FROM (
+        SELECT s, md5(CAST(c AS VARCHAR)) AS h,
+               row_number() OVER (PARTITION BY s
+                 ORDER BY md5(CAST(c AS VARCHAR))) AS rn
+        FROM cs
+      ) t WHERE rn <= {_RS_K}
+    ),
+    panel AS (
+      SELECT c_custkey AS pc FROM customer WHERE {_RS_PANEL}
+    ),
+    merged AS (
+      SELECT pc, h,
+             row_number() OVER (PARTITION BY pc ORDER BY h) AS rn
+      FROM (
+        SELECT DISTINCT p.pc, k.h
+        FROM panel p
+        JOIN cs ON cs.c = p.pc
+        JOIN sk k ON k.s = cs.s
+      ) u
+    ),
+    est AS (
+      SELECT pc,
+             CAST(count(*) AS BIGINT) AS m,
+             max(h) FILTER (WHERE rn <= {_RS_K}) AS kth
+      FROM merged WHERE rn <= {_RS_K} GROUP BY 1
+    ),
+    deg AS (
+      SELECT p.pc, CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM panel p JOIN cs ON cs.c = p.pc GROUP BY 1
+    ),
+    exact AS (
+      SELECT p.pc, CAST(count(DISTINCT c2.c) AS BIGINT) AS exact_reach
+      FROM panel p
+      JOIN cs c1 ON c1.c = p.pc
+      JOIN cs c2 ON c2.s = c1.s
+      GROUP BY 1
+    )
+    SELECT d.pc AS cust_id, d.n_suppliers, x.exact_reach,
+           CASE WHEN e.m >= {_RS_K}
+                THEN round(CAST({_RS_K} - 1 AS DOUBLE) * {_RS_SCALE!r}
+                     / CAST(('0x' || substr(e.kth, 1, 15)) AS BIGINT), 2)
+                ELSE CAST(e.m AS DOUBLE) END AS est_reach
+    FROM deg d JOIN est e ON d.pc = e.pc JOIN exact x ON d.pc = x.pc
+    ORDER BY cust_id
+    """,
+    doc=(
+        "Mergeable 2-hop reach estimation (the ADS/HyperANF pattern "
+        "with a bottom-k sketch): each supplier keeps the k minimum "
+        "customer hashes; a customer's co-purchase audience is "
+        "estimated by MERGING its suppliers' sketches (union + "
+        "re-truncate — bottom-k merges losslessly, which is the whole "
+        "point) and reading the k-th order statistic. The exact "
+        "distinct audience joined alongside shows estimator error "
+        "in-query. md5-derived order statistics make even the "
+        "estimate value-hash-exact across engines."
+    ),
+)
+def graph_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k merged 2-hop reach vs exact audit (panel-scoped).
+
+    Scale notes (100 TB / billions of nodes): supplier sketches are
+    |suppliers| x k rows built in one pass; estimating EVERY node's
+    reach costs one equi-join of the adjacency against the sketch
+    table plus a per-node top-k — never the quadratic co-customer
+    expansion the exact audit runs (panel-only here, dropped in
+    production; that asymmetry is precisely what neighborhood
+    sketches buy)."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # adjacency: 4 consumers
+    )
+    wsk = Window.partitionBy("s").orderBy("h")
+    sk = (
+        cs.select("s", F.md5(F.col("c").cast("string")).alias("h"))
+        .withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= _RS_K)
+        .select("s", "h")
+    )
+    panel = c.filter(F.expr(_RS_PANEL)).select(
+        F.col("c_custkey").alias("pc")
+    )
+    u = (
+        F.broadcast(panel)
+        .join(cs, cs.c == F.col("pc"))
+        .join(sk, "s")
+        .select("pc", "h")
+        .distinct()
+    )
+    wm = Window.partitionBy("pc").orderBy("h")
+    est = (
+        u.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _RS_K)
+        .groupBy("pc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.max("h").alias("kth"),
+        )
+    )
+    deg = (
+        F.broadcast(panel)
+        .join(cs, cs.c == F.col("pc"))
+        .groupBy("pc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+    )
+    exact = (
+        F.broadcast(panel)
+        .join(cs.select(F.col("c").alias("c1"), "s"), F.col("c1") == F.col("pc"))
+        .join(cs.select(F.col("c").alias("c2"), F.col("s").alias("s2")),
+              F.col("s2") == F.col("s"))
+        .groupBy("pc")
+        .agg(F.countDistinct("c2").cast("bigint").alias("exact_reach"))
+    )
+    return (
+        deg.join(est, "pc")
+        .join(exact, "pc")
+        .select(
+            F.col("pc").alias("cust_id"),
+            "n_suppliers",
+            "exact_reach",
+            F.expr(
+                f"CASE WHEN m >= {_RS_K}"
+                f" THEN round(CAST({_RS_K} - 1 AS DOUBLE) * {_RS_SCALE!r}"
+                " / CAST(conv(substr(kth, 1, 15), 16, 10) AS BIGINT), 2)"
+                " ELSE CAST(m AS DOUBLE) END"
+            ).alias("est_reach"),
+        )
+        .orderBy("cust_id")
+    )
