@@ -277,3 +277,153 @@ def test_harmonic_plan_is_checkpoint_flat(spark, registry):
     df = registry["graph_harmonic_centrality"].spark(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in plan  # eager checkpoints collapsed the fact
+
+
+# ------------------------------- second-batch ops (round-11 session 2)
+
+
+def test_bpe_tokenize_compression(spark, registry):
+    row = registry["text_bpe_tokenize_stats"].spark(spark, SF).collect()[0]
+    assert row["n_tokens_bpe"] < row["n_tokens_char"]  # merges compress
+    assert (
+        row["compression_ppm"]
+        == row["n_tokens_bpe"] * 1_000_000 // row["n_tokens_char"]
+    )
+
+
+def test_selectivity_histogram_bounds(spark, registry):
+    rows = registry["dq_selectivity_histogram"].spark(spark, SF_MID).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["est_rows"] >= 0 and r["actual_rows"] >= 0
+        # equi-depth interpolation on this data should land within 10%
+        assert r["err_ppm"] is None or r["err_ppm"] < 100_000, r
+
+
+def test_ss_policy_python_replay(spark, registry):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    weekly = con.execute(
+        """SELECT p.p_brand AS brand,
+                  CAST(datediff('day', DATE '1992-01-01', l.l_shipdate) // 7
+                    AS BIGINT) AS wk,
+                  CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                    AS d
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    out = {
+        r["brand"]: r
+        for r in registry["orders_ss_policy_sim"].spark(spark, SF).collect()
+    }
+    for brand, grp in weekly.groupby("brand"):
+        ds = grp.sort_values("wk")["d"].tolist()
+        s_lo = sum(ds) // len(ds)
+        s_hi = 2 * s_lo
+        inv, n_orders, tot, n_so, mi = s_hi, 0, 0, 0, s_hi
+        for d in ds:
+            inv -= d
+            if inv < 0:
+                n_so += 1
+            mi = min(mi, inv)
+            if inv < s_lo:
+                n_orders += 1
+                tot += s_hi - inv
+                inv = s_hi
+        r = out[brand]
+        assert (
+            r["n_orders"], r["total_ordered"], r["n_stockouts"],
+            r["min_inv"], r["end_inventory"],
+        ) == (n_orders, tot, n_so, mi, inv), brand
+
+
+def test_interrupted_ts_python_replay(spark, registry):
+    ev = pd.read_parquet(os.path.join(SF_MID, "events.parquet"))
+    d = (pd.to_datetime(ev["ts"]) - pd.Timestamp("1970-01-01")).dt.days
+    daily = (
+        ev.assign(d=d).groupby(["event_type", "d"]).size().reset_index(name="y")
+    )
+    out = {
+        r["event_type"]: r
+        for r in registry["events_interrupted_ts"].spark(spark, SF_MID).collect()
+    }
+
+    def fit(ts_ys):
+        n = len(ts_ys)
+        st = sum(t for t, _ in ts_ys)
+        sy = sum(y for _, y in ts_ys)
+        stt = sum(t * t for t, _ in ts_ys)
+        sty = sum(t * y for t, y in ts_ys)
+        num, den = n * sty - st * sy, n * stt - st * st
+        q, r = int(num // den), num % den
+        # python // floors; engines truncate toward zero — all these
+        # quotients are exercised positive and negative, so replicate
+        # truncation explicitly
+        def tdiv(a, b):
+            return -((-a) // b) if (a < 0) != (b < 0) else a // b
+        b = tdiv(num, den) * 1000 + tdiv((num - tdiv(num, den) * den) * 1000, den)
+        a = tdiv(sy * 1000 - b * st, n)
+        return b, a
+
+    for etype, grp in daily.groupby("event_type"):
+        g = grp.sort_values("d")
+        d0 = g["d"].min()
+        t0 = (g["d"].max() - d0 + 1) // 2
+        pre = [(t - d0, y) for t, y in zip(g["d"], g["y"]) if t - d0 < t0]
+        post = [(t - d0 - t0, y) for t, y in zip(g["d"], g["y"]) if t - d0 >= t0]
+        b1, a1 = fit(pre)
+        b2, a2 = fit(post)
+        r = out[etype]
+        assert r["b_pre_milli"] == b1 and r["b_post_milli"] == b2, etype
+        assert r["a_pre_milli"] == a1 and r["a_post_milli"] == a2, etype
+        assert r["level_shift_milli"] == a2 - (a1 + b1 * t0), etype
+
+
+def test_merkle_root_consistency(spark, registry):
+    rows = registry["dq_checksum_merkle_partitions"].spark(spark, SF_MID).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    months = sorted(by_level["month"], key=lambda r: r["part"])
+    years = sorted(by_level["year"], key=lambda r: r["part"])
+    root = by_level["root"][0]
+    assert sum(r["n_rows"] for r in months) == root["n_rows"]
+    assert sum(r["n_rows"] for r in years) == root["n_rows"]
+    # recompute the year digests from month digests
+    for y in years:
+        kids = [m for m in months if m["part"].startswith(y["part"])]
+        digest = hashlib.md5(
+            ",".join(m["digest"] for m in kids).encode()
+        ).hexdigest()
+        assert digest == y["digest"], y["part"]
+    rd = hashlib.md5(
+        ",".join(y["digest"] for y in years).encode()
+    ).hexdigest()
+    assert rd == root["digest"]
+
+
+def test_time_decay_mass_conservation(spark, registry):
+    rows = registry["events_attribution_time_decay"].spark(spark, SF_MID).collect()
+    ev = pd.read_parquet(os.path.join(SF_MID, "events.parquet"))
+    n_purch = int((ev["event_type"] == "purchase").sum())
+    total = sum(r["attributed_milli"] for r in rows)
+    # floor rounding loses < 1 milli per credit
+    n_credits = sum(r["n_credits"] for r in rows)
+    assert n_purch * 1000 - n_credits <= total <= n_purch * 1000
+
+
+def test_reach_sketch_exact_when_small(spark, registry):
+    rows = registry["graph_reach_sketch"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_reach"] >= 1
+        # estimator is within 4/sqrt(k) of truth on this data (k=64)
+        assert abs(r["est_reach"] - r["exact_reach"]) <= max(
+            0.5 * r["exact_reach"], 2
+        ), r
