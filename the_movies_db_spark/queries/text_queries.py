@@ -2762,11 +2762,13 @@ _BPE_CTES = """
 """
 
 
-def _bpe_learn(spark: SparkSession, sf_dir: str):
-    """Run the merge loop; return (final symbol table, per-round
-    merge rows) — shared by the merge-table and tokenize-stats
-    queries."""
-    d = load_table(spark, sf_dir, "documents")
+def _bpe_toks0(spark: SparkSession, sf_dir: str, where: str | None = None):
+    """Initial (word, freq, char-symbol array) table, optionally over a
+    filtered document split. spread() breaks the single-file
+    1-partition trap before the per-row tokenize+explode."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    if where:
+        d = d.filter(F.expr(where))
     words = (
         d.select(
             F.explode(
@@ -2779,10 +2781,17 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    toks = words.select(
+    return words.select(
         "w", "freq",
         F.expr("concat(split(w, ''), array('_'))").alias("s"),
     ).localCheckpoint(eager=False)
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str, where: str | None = None):
+    """Run the merge loop; return (final symbol table, per-round
+    merge rows) — shared by the merge-table and tokenize-stats
+    queries."""
+    toks = _bpe_toks0(spark, sf_dir, where)
     out = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
@@ -2906,4 +2915,446 @@ def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(freq * size(s)) * 1000000"
             " div sum(freq * (length(w) + 1)) AS BIGINT)"
         ).alias("compression_ppm"),
+    )
+
+
+def _bpe_apply(toks, bests):
+    """Apply an ordered learned merge list to a symbol table (the
+    tokenizer APPLY step: same greedy fold, merges fixed)."""
+    for b in bests:
+        toks = (
+            toks.crossJoin(
+                F.broadcast(
+                    b.select(
+                        F.col("left_sym").alias("a"),
+                        F.col("right_sym").alias("b"),
+                    )
+                )
+            )
+            .select("w", "freq", F.expr(_BPE_MERGE_FOLD).alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    return toks
+
+
+_BPE_SPLIT_TRAIN = "doc_id % 2 = 0"
+_BPE_SPLIT_HELD = "doc_id % 2 = 1"
+
+
+@register(
+    "text_bpe_generalization",
+    """
+    WITH
+    t_words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> regexp_matches(x, '^[a-z]+$'))) AS w
+        FROM documents WHERE doc_id % 2 = 0
+      ) GROUP BY 1
+    ),
+    t_toks0 AS MATERIALIZED (
+      SELECT w, freq, list_append(string_split(w, ''), '_') AS s
+      FROM t_words
+    ),
+    t_pairs1 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM t_toks0, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    t_best1 AS MATERIALIZED (
+      SELECT a, b, cnt FROM t_pairs1 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    t_ex1 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM t_toks0, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    t_keep1 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM t_ex1 e, t_best1
+          WHERE e.sym = t_best1.a AND e.nxt = t_best1.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    t_toks1 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM t_ex1 e
+        LEFT JOIN t_keep1 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN t_keep1 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    t_pairs2 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM t_toks1, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    t_best2 AS MATERIALIZED (
+      SELECT a, b, cnt FROM t_pairs2 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    t_ex2 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM t_toks1, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    t_keep2 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM t_ex2 e, t_best2
+          WHERE e.sym = t_best2.a AND e.nxt = t_best2.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    t_toks2 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM t_ex2 e
+        LEFT JOIN t_keep2 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN t_keep2 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    t_pairs3 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM t_toks2, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    t_best3 AS MATERIALIZED (
+      SELECT a, b, cnt FROM t_pairs3 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    t_ex3 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM t_toks2, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    t_keep3 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM t_ex3 e, t_best3
+          WHERE e.sym = t_best3.a AND e.nxt = t_best3.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    t_toks3 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM t_ex3 e
+        LEFT JOIN t_keep3 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN t_keep3 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    t_pairs4 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM t_toks3, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    t_best4 AS MATERIALIZED (
+      SELECT a, b, cnt FROM t_pairs4 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    t_ex4 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM t_toks3, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    t_keep4 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM t_ex4 e, t_best4
+          WHERE e.sym = t_best4.a AND e.nxt = t_best4.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    t_toks4 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM t_ex4 e
+        LEFT JOIN t_keep4 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN t_keep4 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    t_pairs5 AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM t_toks4, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    t_best5 AS MATERIALIZED (
+      SELECT a, b, cnt FROM t_pairs5 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    t_ex5 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM t_toks4, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    t_keep5 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM t_ex5 e, t_best5
+          WHERE e.sym = t_best5.a AND e.nxt = t_best5.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    t_toks5 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM t_ex5 e
+        LEFT JOIN t_keep5 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN t_keep5 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    h_words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> regexp_matches(x, '^[a-z]+$'))) AS w
+        FROM documents WHERE doc_id % 2 = 1
+      ) GROUP BY 1
+    ),
+    h_toks0 AS MATERIALIZED (
+      SELECT w, freq, list_append(string_split(w, ''), '_') AS s
+      FROM h_words
+    ),
+    h_ex1 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM h_toks0, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    h_keep1 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM h_ex1 e, t_best1
+          WHERE e.sym = t_best1.a AND e.nxt = t_best1.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    h_toks1 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM h_ex1 e
+        LEFT JOIN h_keep1 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN h_keep1 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    h_ex2 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM h_toks1, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    h_keep2 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM h_ex2 e, t_best2
+          WHERE e.sym = t_best2.a AND e.nxt = t_best2.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    h_toks2 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM h_ex2 e
+        LEFT JOIN h_keep2 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN h_keep2 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    h_ex3 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM h_toks2, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    h_keep3 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM h_ex3 e, t_best3
+          WHERE e.sym = t_best3.a AND e.nxt = t_best3.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    h_toks3 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM h_ex3 e
+        LEFT JOIN h_keep3 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN h_keep3 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    h_ex4 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM h_toks3, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    h_keep4 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM h_ex4 e, t_best4
+          WHERE e.sym = t_best4.a AND e.nxt = t_best4.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    h_toks4 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM h_ex4 e
+        LEFT JOIN h_keep4 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN h_keep4 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    ),
+    h_ex5 AS (
+      SELECT w, freq, i AS pos, s[i] AS sym, s[i+1] AS nxt
+      FROM h_toks4, unnest(range(1, len(s)+1)) AS t(i)
+    ),
+    h_keep5 AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (
+          SELECT e.w, e.pos,
+                 e.pos - row_number()
+                   OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+          FROM h_ex5 e, t_best5
+          WHERE e.sym = t_best5.a AND e.nxt = t_best5.b
+        )
+      ) WHERE off % 2 = 0
+    ),
+    h_toks5 AS MATERIALIZED (
+      SELECT w, min(freq) AS freq, list(sym2 ORDER BY pos) AS s
+      FROM (
+        SELECT e.w, e.freq, e.pos,
+               CASE WHEN kk.pos IS NOT NULL THEN e.sym || e.nxt
+                    ELSE e.sym END AS sym2
+        FROM h_ex5 e
+        LEFT JOIN h_keep5 kk ON e.w = kk.w AND e.pos = kk.pos
+        LEFT JOIN h_keep5 k2 ON e.w = k2.w AND e.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      ) GROUP BY w
+    )
+    SELECT 'heldout' AS split,
+           CAST(count(*) AS BIGINT) AS n_vocab_words,
+           CAST(sum(freq * (length(w) + 1)) AS BIGINT) AS n_tokens_char,
+           CAST(sum(freq * len(s)) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(freq * len(s)) * 1000000
+                // sum(freq * (length(w) + 1)) AS BIGINT)
+             AS compression_ppm
+    FROM h_toks5
+    UNION ALL
+    SELECT 'train' AS split,
+           CAST(count(*) AS BIGINT) AS n_vocab_words,
+           CAST(sum(freq * (length(w) + 1)) AS BIGINT) AS n_tokens_char,
+           CAST(sum(freq * len(s)) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(freq * len(s)) * 1000000
+                // sum(freq * (length(w) + 1)) AS BIGINT)
+             AS compression_ppm
+    FROM t_toks5
+    ORDER BY split
+    """,
+    doc=(
+        "Tokenizer generalization eval: learn the 5 BPE merges on the "
+        "even-doc_id half of the corpus, APPLY that fixed merge table "
+        "to the held-out half, and compare compression (tokens-per-"
+        "char ppm) across splits — the train/held-out fertility gap "
+        "that decides whether a merge table transfers or overfits its "
+        "training corpus. Apply is the identical greedy fold with the "
+        "TRAIN argmax pairs, so the held-out chain has no pair-count "
+        "stage at all."
+    ),
+)
+def text_bpe_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out BPE compression transfer (2 rows).
+
+    Scale notes (100 TB): two corpus scans (one per split's word
+    count), then everything is vocab-bounded; the APPLY chain is
+    strictly cheaper than learning (no pair-count aggregate per
+    round). Both final word tables collapse to one stats row each."""
+    toks_t, bests = _bpe_learn(spark, sf_dir, _BPE_SPLIT_TRAIN)
+    toks_h = _bpe_apply(
+        _bpe_toks0(spark, sf_dir, _BPE_SPLIT_HELD), bests
+    )
+
+    def stats(split, toks):
+        agg = toks.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+            F.expr(
+                "CAST(sum(freq * (length(w) + 1)) AS BIGINT)"
+            ).alias("n_tokens_char"),
+            F.expr(
+                "CAST(sum(freq * size(s)) AS BIGINT)"
+            ).alias("n_tokens_bpe"),
+            F.expr(
+                "CAST(sum(freq * size(s)) * 1000000"
+                " div sum(freq * (length(w) + 1)) AS BIGINT)"
+            ).alias("compression_ppm"),
+        )
+        return agg.select(
+            F.lit(split).alias("split"),
+            "n_vocab_words", "n_tokens_char", "n_tokens_bpe",
+            "compression_ppm",
+        )
+
+    return (
+        stats("heldout", toks_h)
+        .unionByName(stats("train", toks_t))
+        .orderBy("split")
     )
