@@ -2636,8 +2636,10 @@ def graph_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RS_K)
         .select("s", "h")
     )
-    panel = c.filter(F.expr(_RS_PANEL)).select(
-        F.col("c_custkey").alias("pc")
+    panel = (
+        c.filter(F.expr(_RS_PANEL))
+        .select(F.col("c_custkey").alias("pc"))
+        .localCheckpoint(eager=False)  # tiny panel, 3 consumers
     )
     u = (
         F.broadcast(panel)

@@ -6702,10 +6702,14 @@ def events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conditional sums), never two scans."""
     ev = load_table(spark, sf_dir, "events")
     epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-    daily = ev.groupBy(
-        "event_type",
-        F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # (type, day) grain, 2 consumers
+    )
     params = daily.groupBy("event_type").agg(
         F.min("d").alias("d0"),
         F.expr(
