@@ -78,7 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dq_selectivity_histogram, orders_ss_policy_sim,
     # events_interrupted_ts, dq_checksum_merkle_partitions,
     # events_attribution_time_decay, graph_reach_sketch,
-    # text_bpe_generalization,
+    # text_bpe_generalization, upsert_merge_preview,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

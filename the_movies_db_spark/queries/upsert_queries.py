@@ -914,3 +914,92 @@ def upsert_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "upsert_merge_preview",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    classified AS (
+      SELECT CASE
+               WHEN t.o_orderkey IS NULL THEN 'insert'
+               WHEN b.o_orderkey IS NULL THEN 'keep_target'
+               WHEN b.status = 'F' THEN 'delete'
+               WHEN b.cents > t.cents THEN 'update'
+               ELSE 'noop_matched' END AS action,
+             t.cents AS t_cents, b.cents AS b_cents
+      FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+    )
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE action
+                    WHEN 'insert' THEN b_cents
+                    WHEN 'delete' THEN -t_cents
+                    WHEN 'update' THEN b_cents - t_cents
+                    ELSE 0 END) AS BIGINT) AS cents_delta
+    FROM classified
+    GROUP BY action ORDER BY action
+    """,
+    doc=(
+        "MERGE dry-run preview (upsert.merge_preview): classify every "
+        "would-be decision of the conditional MERGE — insert / delete "
+        "/ update / matched-noop / untouched-target — with the exact "
+        "money delta each class would apply, WITHOUT writing. The "
+        "pre-flight you run before an irreversible upsert: a clause "
+        "predicate that would delete half the table shows up here as "
+        "a row count, not as an outage. Costs exactly one merge-shaped "
+        "full-outer join."
+    ),
+)
+def upsert_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run classification + impact delta of a conditional MERGE.
+
+    Scale notes (100 TB): identical plan shape to the real MERGE (one
+    key full-outer join, broadcast when the batch is a delta); the
+    preview aggregate collapses to |actions| rows, and nothing is
+    written."""
+    from the_movies_db_spark.upsert import merge_preview
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.filter(F.expr("o_orderkey % 3 != 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    b = o.filter(F.expr("o_orderkey % 2 = 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"
+            " + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END"
+        ).alias("cents"),
+    )
+    prev = merge_preview(
+        t, b, "o_orderkey",
+        matched_delete=F.col("b.status") == "F",
+        matched_update=F.col("b.cents") > F.col("t.cents"),
+    )
+    return (
+        prev.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST(sum(CASE action"
+                " WHEN 'insert' THEN b_cents"
+                " WHEN 'delete' THEN -t_cents"
+                " WHEN 'update' THEN b_cents - t_cents"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("cents_delta"),
+        )
+        .orderBy("action")
+    )

@@ -641,3 +641,54 @@ def conditional_merge(
         for c in target.columns
     ]
     return joined.filter(~delete_row).select(*out_cols)
+
+
+def merge_preview(
+    target: DataFrame,
+    batch: DataFrame,
+    pk: str | Sequence[str],
+    matched_delete: Column | None = None,
+    matched_update: Column | None = None,
+) -> DataFrame:
+    """DRY-RUN of :func:`conditional_merge`: classify every would-be
+    output decision WITHOUT writing — the MERGE preview (Delta's
+    `DESCRIBE ... MERGE` / dbt's `--dry-run` shape) you run before an
+    irreversible upsert to sanity-check clause predicates against the
+    real batch.
+
+    Returns one row per (target row or batch row) with an ``action``
+    column: 'insert' (batch-only), 'delete' (matched + delete pred),
+    'update' (matched + update pred, not deleted), 'noop_matched'
+    (matched, neither clause fires), 'keep_target' (target-only).
+    Both sides' columns come back under ``t_``/``b_`` prefixes so the
+    caller can aggregate deltas. Same single full-outer join as the
+    real MERGE — previewing costs exactly one merge plan, no writes."""
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    t, b = target.alias("t"), batch.alias("b")
+    cond = reduce(
+        lambda a, c: a & c,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+    )
+    joined = t.join(b, cond, "full_outer")
+    batch_matched = F.col(f"b.{keys[0]}").isNotNull()
+    target_matched = F.col(f"t.{keys[0]}").isNotNull()
+    both = batch_matched & target_matched
+    delete_row = (
+        both & matched_delete if matched_delete is not None else F.lit(False)
+    )
+    update_row = (
+        both
+        & ~delete_row
+        & (matched_update if matched_update is not None else F.lit(True))
+    )
+    action = (
+        F.when(batch_matched & ~target_matched, F.lit("insert"))
+        .when(delete_row, F.lit("delete"))
+        .when(update_row, F.lit("update"))
+        .when(both, F.lit("noop_matched"))
+        .otherwise(F.lit("keep_target"))
+    )
+    cols = [action.alias("action")]
+    cols += [F.col(f"t.{c}").alias(f"t_{c}") for c in target.columns]
+    cols += [F.col(f"b.{c}").alias(f"b_{c}") for c in batch.columns]
+    return joined.select(*cols)
