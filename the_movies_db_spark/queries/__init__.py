@@ -79,7 +79,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_interrupted_ts, dq_checksum_merkle_partitions,
     # events_attribution_time_decay, graph_reach_sketch,
     # text_bpe_generalization, upsert_merge_preview,
-    # multimodal_audio_vad_segments,
+    # multimodal_audio_vad_segments, search_difficulty_prediction,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -2118,3 +2118,133 @@ def search_interleaving_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pre-retrieval query-difficulty prediction vs realized nDCG
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_difficulty_prediction",
+    f"""
+    WITH q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+    docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+    tokens AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tokens WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2
+    ),
+    termstats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf
+      FROM tf GROUP BY 1
+    ),
+    pred AS (
+      SELECT qq.query_id,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum({_IDF_MILLI}) // count(*) AS BIGINT)
+               AS avg_idf_milli,
+             CAST(sum(df) AS BIGINT) AS sum_df,
+             CAST(sum(cf) AS BIGINT) AS sum_cf
+      FROM q qq JOIN termstats t ON qq.term = t.term CROSS JOIN stats
+      GROUP BY 1
+    ),
+    nd AS ({_NDCG_ORACLE}),
+    ranked AS (
+      SELECT p.query_id, p.n_terms, p.avg_idf_milli, p.sum_df, p.sum_cf,
+             n.ndcg_ppm,
+             CAST(row_number() OVER (ORDER BY p.avg_idf_milli DESC,
+               p.query_id) AS BIGINT) AS predicted_rank,
+             CAST(row_number() OVER (ORDER BY n.ndcg_ppm DESC,
+               p.query_id) AS BIGINT) AS actual_rank
+      FROM pred p JOIN nd n ON p.query_id = n.query_id
+    )
+    SELECT query_id, n_terms, avg_idf_milli, sum_df, sum_cf, ndcg_ppm,
+           predicted_rank, actual_rank,
+           CASE WHEN predicted_rank = actual_rank THEN 1 ELSE 0 END
+             AS rank_agrees
+    FROM ranked ORDER BY query_id
+    """,
+    doc=(
+        "Pre-retrieval query-difficulty prediction: per query the IDF "
+        "profile of its terms (avg IDF, document and collection "
+        "frequencies — the SCQ/IDF predictor family that needs NO "
+        "retrieval run) joined against the realized nDCG@10, with the "
+        "predicted vs actual difficulty ranking side by side — the "
+        "signal a search service uses to route hard queries to deeper "
+        "pools or re-ranking BEFORE spending retrieval cost on them. "
+        "IDF reuses the BM25 milli formula, so every number is "
+        "engine-exact."
+    ),
+)
+def search_difficulty_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IDF-profile difficulty predictors vs realized nDCG (3 rows).
+
+    Scale notes (100 TB): the predictor side is the vocab-pruned term
+    census (broadcast query terms filter the token stream BEFORE any
+    shuffle) — |terms| rows; the nDCG leg is the existing eval
+    pipeline; the comparison is a 3-row window."""
+    d = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(list(QUERIES), "query_id int, term string")
+    qvocab = qterms.select("term").distinct()
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    tf = (
+        toks.join(F.broadcast(qvocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    termstats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    stats = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    pred = (
+        F.broadcast(qterms)
+        .join(termstats, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.expr(
+                f"CAST(sum({_IDF_MILLI}) div count(*) AS BIGINT)"
+            ).alias("avg_idf_milli"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+            F.sum("cf").cast("bigint").alias("sum_cf"),
+        )
+    )
+    nd = _REG["search_ndcg_eval"].spark(spark, sf_dir).select(
+        "query_id", "ndcg_ppm"
+    )
+    joined = pred.join(nd, "query_id")
+    wp = Window.orderBy(F.desc("avg_idf_milli"), F.asc("query_id"))
+    wa = Window.orderBy(F.desc("ndcg_ppm"), F.asc("query_id"))
+    return (
+        joined.withColumn(
+            "predicted_rank", F.row_number().over(wp).cast("bigint")
+        )
+        .withColumn("actual_rank", F.row_number().over(wa).cast("bigint"))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "n_terms", "avg_idf_milli", "sum_df", "sum_cf", "ndcg_ppm",
+            "predicted_rank", "actual_rank",
+            F.expr(
+                "CASE WHEN predicted_rank = actual_rank THEN 1 ELSE 0 END"
+            ).alias("rank_agrees"),
+        )
+        .orderBy("query_id")
+    )
