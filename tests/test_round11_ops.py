@@ -427,3 +427,89 @@ def test_reach_sketch_exact_when_small(spark, registry):
         assert abs(r["est_reach"] - r["exact_reach"]) <= max(
             0.5 * r["exact_reach"], 2
         ), r
+
+
+# ------------------------------- third-batch ops (round-11 session 3)
+
+
+def test_merge_preview_conserves_rows_and_matches_real_merge(spark, registry):
+    """The preview's class counts must reconcile with the REAL
+    conditional merge: rows after merge = keep_target + noop + update
+    + insert (deletes drop, previews never write)."""
+    import pyspark.sql.functions as F
+
+    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.upsert import conditional_merge, merge_preview
+
+    o = load_table(spark, SF_MID, "orders")
+    t = o.filter(F.expr("o_orderkey % 3 != 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    b = o.filter(F.expr("o_orderkey % 2 = 0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"
+            " + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END"
+        ).alias("cents"),
+    )
+    dele = F.col("b.status") == "F"
+    upd = F.col("b.cents") > F.col("t.cents")
+    prev = {
+        r["action"]: r["n"]
+        for r in merge_preview(t, b, "o_orderkey", dele, upd)
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    real_n = conditional_merge(t, b, "o_orderkey", dele, upd).count()
+    expected = (
+        prev.get("keep_target", 0)
+        + prev.get("noop_matched", 0)
+        + prev.get("update", 0)
+        + prev.get("insert", 0)
+    )
+    assert real_n == expected, (real_n, prev)
+    assert prev.get("delete", 0) > 0 and prev.get("update", 0) > 0
+
+
+def test_vad_python_replay(spark, registry, tmp_path):
+    texts = [
+        "aaaaaaaaaaaaaaaazzzzzzzzzzzzzzzzaaaaaaaaaaaaaaaa",  # 3 windows
+        "the quick brown fox jumps over a lazy dog and then some more",
+    ]
+    d = _write_docs(tmp_path, texts)
+    rows = {
+        r["doc_id"]: r
+        for r in registry["multimodal_audio_vad_segments"].spark(spark, d).collect()
+    }
+    for doc_id, text in enumerate(texts, 1):
+        n_win = min(len(text), 256) // 16
+        es = [
+            sum(ord(c) for c in text[w * 16 : w * 16 + 16])
+            for w in range(n_win)
+        ]
+        tot = sum(es)
+        sp = [1 if e * n_win > tot else 0 for e in es]
+        n_seg = sum(
+            1 for i, v in enumerate(sp) if v == 1 and (i == 0 or sp[i - 1] == 0)
+        )
+        r = rows[doc_id]
+        assert r["n_windows"] == n_win
+        assert r["n_active"] == sum(sp)
+        assert r["n_segments"] == n_seg
+    # planted: doc 1's middle z-window ('z' 122 > 'a' 97) is the
+    # sole active window
+    assert rows[1]["n_active"] == 1 and rows[1]["n_segments"] == 1
+
+
+def test_difficulty_prediction_ranks_are_permutations(spark, registry):
+    rows = registry["search_difficulty_prediction"].spark(spark, SF_MID).collect()
+    assert len(rows) == 3
+    assert sorted(r["predicted_rank"] for r in rows) == [1, 2, 3]
+    assert sorted(r["actual_rank"] for r in rows) == [1, 2, 3]
+    for r in rows:
+        assert r["rank_agrees"] == int(r["predicted_rank"] == r["actual_rank"])
+        assert r["n_terms"] == 3 and r["sum_df"] <= r["sum_cf"]
