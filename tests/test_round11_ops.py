@@ -513,3 +513,35 @@ def test_difficulty_prediction_ranks_are_permutations(spark, registry):
     for r in rows:
         assert r["rank_agrees"] == int(r["predicted_rank"] == r["actual_rank"])
         assert r["n_terms"] == 3 and r["sum_df"] <= r["sum_cf"]
+
+
+def test_four_cycles_brute_force(spark, registry):
+    import duckdb
+    import itertools
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    edges = con.execute(
+        """SELECT DISTINCT least(s.s_nationkey, c.c_nationkey),
+                  greatest(s.s_nationkey, c.c_nationkey)
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey <> c.c_nationkey"""
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n4 = sum(
+        len(adj[u] & adj[w]) * (len(adj[u] & adj[w]) - 1) // 2
+        for u, w in itertools.combinations(sorted(adj), 2)
+    ) // 2
+    row = registry["graph_four_cycles"].spark(spark, SF).collect()[0]
+    assert row["n_four_cycles"] == n4
+    assert row["n_edges"] == len(edges)

@@ -2688,3 +2688,95 @@ def graph_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (C4) motif counting via codegree wedge pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_four_cycles",
+    f"""
+    WITH dir_edges AS ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dir_edges WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS v, b AS n FROM und
+      UNION ALL
+      SELECT b AS v, a AS n FROM und
+    ),
+    codeg AS (
+      SELECT e1.n AS u, e2.n AS w, CAST(count(*) AS BIGINT) AS c
+      FROM adj e1 JOIN adj e2 ON e1.v = e2.v AND e1.n < e2.n
+      GROUP BY 1, 2
+    )
+    SELECT CAST((SELECT count(DISTINCT v) FROM adj) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_endpoint_pairs,
+           CAST(max(c) AS BIGINT) AS max_codegree,
+           CAST((sum(c * (c - 1)) // 2) // 2 AS BIGINT) AS n_four_cycles
+    FROM codeg
+    """,
+    doc=(
+        "4-cycle (C4) motif count on the undirected trade graph via "
+        "the codegree identity: every unordered endpoint pair (u, w) "
+        "with c common neighbors contributes C(c, 2) wedge pairs, and "
+        "each 4-cycle is counted once per diagonal (twice total), so "
+        "#C4 = sum C(c,2) / 2 — one self-join on the shared middle + "
+        "one aggregate, never an explicit 4-path enumeration. The "
+        "bipartite-community motif complement to the triangle count; "
+        "max codegree is the hub-pair diagnostic."
+    ),
+)
+def graph_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact C4 count from codegree pair sums.
+
+    Scale notes (100 TB / big graphs): the middle-join costs sum of
+    squared degrees (the same budget as triangle counting) and
+    shuffles on the middle vertex; codegree aggregation shuffles on
+    the endpoint pair. Degree-cap the adjacency first on power-law
+    graphs (the graph_triangles _edge_cap discipline applies
+    unchanged)."""
+    und = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # adj both directions + edge count
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    e1 = adj.select(F.col("v"), F.col("n").alias("u"))
+    e2 = adj.select(F.col("v"), F.col("n").alias("w"))
+    codeg = (
+        e1.join(e2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nodes = adj.agg(
+        F.countDistinct("v").cast("bigint").alias("n_nodes")
+    )
+    edges_n = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        codeg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_endpoint_pairs"),
+            F.max("c").cast("bigint").alias("max_codegree"),
+            F.expr(
+                "CAST((sum(c * (c - 1)) div 2) div 2 AS BIGINT)"
+            ).alias("n_four_cycles"),
+        )
+        .crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(edges_n))
+        .select(
+            "n_nodes", "n_edges", "n_endpoint_pairs",
+            "max_codegree", "n_four_cycles",
+        )
+    )
