@@ -545,3 +545,22 @@ def test_four_cycles_brute_force(spark, registry):
     row = registry["graph_four_cycles"].spark(spark, SF).collect()[0]
     assert row["n_four_cycles"] == n4
     assert row["n_edges"] == len(edges)
+
+
+def test_chain_ladder_invariants(spark, registry):
+    rows = sorted(
+        registry["orders_chain_ladder"].spark(spark, SF_MID).collect(),
+        key=lambda r: r["cohort_year"],
+    )
+    assert rows
+    # oldest cohort is fully developed: no remaining factors
+    assert rows[0]["reserve_cents"] == 0
+    for r in rows:
+        assert r["ultimate_cents"] >= r["cum_latest_cents"], r
+        assert (
+            r["reserve_cents"]
+            == r["ultimate_cents"] - r["cum_latest_cents"]
+        )
+    # ages form the triangle hypotenuse: strictly decreasing
+    ages = [r["latest_age"] for r in rows]
+    assert ages == sorted(ages, reverse=True)

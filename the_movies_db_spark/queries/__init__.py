@@ -80,7 +80,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_attribution_time_decay, graph_reach_sketch,
     # text_bpe_generalization, upsert_merge_preview,
     # multimodal_audio_vad_segments, search_difficulty_prediction,
-    # graph_four_cycles,
+    # graph_four_cycles, orders_chain_ladder,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

@@ -4142,3 +4142,152 @@ def orders_ss_policy_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.min_inv").alias("min_inv"),
         F.col("st.inv").alias("end_inventory"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Chain-ladder development triangle (cohort ultimates + reserve)
+# ---------------------------------------------------------------------------
+
+#: volume-weighted development factor in milli, divmod-chained so the
+#: *1000 never overflows at any cum magnitude.
+_CL_F = "((sn div sc) * 1000 + (sn % sc) * 1000 div sc)"
+
+
+@register(
+    "orders_chain_ladder",
+    f"""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    coh AS (
+      SELECT o_custkey, CAST(min(yr) AS BIGINT) AS c FROM om GROUP BY 1
+    ),
+    cell AS (
+      SELECT f.c, CAST(o.yr - f.c AS BIGINT) AS age,
+             CAST(sum(o.cents) AS BIGINT) AS inc
+      FROM om o JOIN coh f USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c, age,
+             CAST(sum(inc) OVER (PARTITION BY c ORDER BY age) AS BIGINT)
+               AS cum
+      FROM cell
+    ),
+    factors AS (
+      SELECT a.age,
+             CAST({_CL_F.replace(' div ', ' // ')} AS BIGINT) AS f_milli
+      FROM (
+        SELECT cur.age,
+               CAST(sum(cur.cum) AS BIGINT) AS sc,
+               CAST(sum(nxt.cum) AS BIGINT) AS sn
+        FROM cum cur JOIN cum nxt
+          ON nxt.c = cur.c AND nxt.age = cur.age + 1
+        GROUP BY 1
+      ) a
+    ),
+    latest AS (
+      SELECT c, max(age) AS l FROM cum GROUP BY 1
+    ),
+    chains AS (
+      SELECT lt.c, lt.l, cm.cum,
+             coalesce((
+               SELECT list(f.f_milli ORDER BY f.age)
+               FROM factors f WHERE f.age >= lt.l
+             ), []) AS fl
+      FROM latest lt JOIN cum cm ON cm.c = lt.c AND cm.age = lt.l
+    )
+    SELECT c AS cohort_year,
+           CAST(l AS BIGINT) AS latest_age,
+           cum AS cum_latest_cents,
+           CAST(list_reduce(list_prepend(cum, fl),
+                (x, y) -> x * y // 1000) AS BIGINT) AS ultimate_cents,
+           CAST(list_reduce(list_prepend(cum, fl),
+                (x, y) -> x * y // 1000) - cum AS BIGINT)
+             AS reserve_cents
+    FROM chains ORDER BY cohort_year
+    """,
+    doc=(
+        "Chain-ladder development triangle over customer cohorts: "
+        "cumulative revenue by (first-order-year cohort, development "
+        "age), volume-weighted development factors in exact milli "
+        "(divmod chain), and each cohort's ULTIMATE projected by "
+        "folding its remaining factor chain onto the latest observed "
+        "cumulative (sequential milli products, floored per step "
+        "identically in both engines) — the actuarial reserving "
+        "method, pointed at revenue development: reserve = ultimate - "
+        "observed is the young-cohort revenue still to come."
+    ),
+)
+def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Development factors + cohort ultimates (exact integer milli).
+
+    Scale notes (100 TB): the fact collapses to |cohorts| x |ages| "
+    "cells in one aggregate after the cohort-assignment join; factors "
+    "and the fold run on that bounded triangle; the per-cohort factor "
+    "chain is a <=7-element fold."""
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    coh = om.groupBy("o_custkey").agg(
+        F.min("yr").cast("bigint").alias("c")
+    )
+    cell = (
+        om.join(coh, "o_custkey")
+        .groupBy("c", F.expr("CAST(yr - c AS BIGINT)").alias("age"))
+        .agg(F.sum("cents").cast("bigint").alias("inc"))
+    )
+    wc = (
+        Window.partitionBy("c")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.select(
+        "c", "age", F.sum("inc").over(wc).cast("bigint").alias("cum")
+    ).localCheckpoint(eager=False)  # triangle: factors + latest + chains
+    nxt = cum.select(
+        F.col("c").alias("c2"),
+        (F.col("age") - 1).alias("age"),
+        F.col("cum").alias("cum_next"),
+    )
+    factors = (
+        cum.join(nxt, (cum.c == nxt.c2) & (cum.age == nxt.age))
+        .groupBy(cum.age.alias("age"))
+        .agg(
+            F.sum("cum").cast("bigint").alias("sc"),
+            F.sum("cum_next").cast("bigint").alias("sn"),
+        )
+        .select("age", F.expr(f"CAST({_CL_F} AS BIGINT)").alias("f_milli"))
+    )
+    latest = cum.groupBy("c").agg(F.max("age").alias("l"))
+    base = latest.join(
+        cum, (latest.c == cum.c) & (latest.l == cum.age)
+    ).select(latest.c.alias("c"), "l", "cum")
+    fl = (
+        base.join(F.broadcast(factors), F.col("age") >= F.col("l"), "left")
+        .groupBy("c", "l", "cum")
+        .agg(
+            F.expr(
+                "coalesce(transform(array_sort(collect_list("
+                "CASE WHEN f_milli IS NOT NULL"
+                " THEN struct(age, f_milli) END)), e -> e.f_milli),"
+                " CAST(array() AS ARRAY<BIGINT>))"
+            ).alias("fl")
+        )
+    )
+    ult = (
+        "aggregate(fl, cum, (x, y) -> CAST(x * y div 1000 AS BIGINT))"
+    )
+    return fl.select(
+        F.col("c").alias("cohort_year"),
+        F.col("l").cast("bigint").alias("latest_age"),
+        F.col("cum").alias("cum_latest_cents"),
+        F.expr(f"CAST({ult} AS BIGINT)").alias("ultimate_cents"),
+        F.expr(f"CAST({ult} - cum AS BIGINT)").alias("reserve_cents"),
+    ).orderBy("cohort_year")
