@@ -6914,3 +6914,119 @@ def events_attribution_time_decay(
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO multiwindow burn-rate alerts (SRE error-budget policy)
+# ---------------------------------------------------------------------------
+
+#: Baseline-relative multiwindow burn policy: the error budget is the
+#: service's own long-run error share (E/N in floored ppm — the same
+#: integer formula on both engines, the data-derived-parameter
+#: discipline), and an alert fires when the 6h share exceeds 1.15x
+#: baseline AND the 24h share exceeds 1.05x — the Google-SRE
+#: multiwindow shape (short window responds, long window suppresses
+#: blips), made scale-proof: every comparison is between bounded
+#: floored-ppm integers (divmod chain), never a raw cross-product of
+#: window and global counts.
+_SLO_SHARE = "((e{w} div n{w}) * 1000000 + (e{w} % n{w}) * 1000000 div n{w})"
+_SLO_BASE = "((etot div ntot) * 1000000 + (etot % ntot) * 1000000 div ntot)"
+
+
+@register(
+    "events_slo_burn_alerts",
+    f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'error')
+               AS BIGINT) AS e
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(sum(e) AS BIGINT) AS etot
+      FROM h
+    ),
+    w AS (
+      SELECT hr,
+             CAST(sum(n) OVER (ORDER BY hr
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6,
+             CAST(sum(e) OVER (ORDER BY hr
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6,
+             CAST(sum(n) OVER (ORDER BY hr
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS n24,
+             CAST(sum(e) OVER (ORDER BY hr
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS e24
+      FROM h
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           e6, n6, e24, n24,
+           CAST({_SLO_SHARE.format(w="6").replace(" div ", " // ")}
+             AS BIGINT) AS share_6h_ppm,
+           CAST({_SLO_SHARE.format(w="24").replace(" div ", " // ")}
+             AS BIGINT) AS share_24h_ppm,
+           CAST({_SLO_BASE.replace(" div ", " // ")} AS BIGINT)
+             AS baseline_ppm
+    FROM w CROSS JOIN g
+    WHERE {_SLO_SHARE.format(w="6").replace(" div ", " // ")}
+            >= ({_SLO_BASE.replace(" div ", " // ")}) * 115 // 100
+      AND {_SLO_SHARE.format(w="24").replace(" div ", " // ")}
+            >= ({_SLO_BASE.replace(" div ", " // ")}) * 105 // 100
+    ORDER BY hour
+    """,
+    doc=(
+        "SLO error-budget burn-rate alerting (the SRE multiwindow "
+        "multiburn policy) with a BASELINE-RELATIVE budget: the "
+        "service's long-run error share (exact floored ppm, computed "
+        "identically in both engines) is the budget, a 6h window must "
+        "burn >= 1.15x it AND a 24h window >= 1.05x for an alert row "
+        "— short window responds fast, long window suppresses blips. "
+        "All decisions compare bounded divmod-chained ppm integers, "
+        "so the policy survives any traffic magnitude."
+    ),
+)
+def events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow burn-rate alert rows (baseline-relative, exact).
+
+    Scale notes (100 TB): the fact collapses to hourly counts in one
+    aggregate; the global baseline is a 1-row broadcast; both rolling
+    windows share ONE ordered pass over the |hours| table. Alerts
+    are a filter over that pass, not a join."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "error").cast("bigint").alias("e"),
+    ).localCheckpoint(eager=False)  # hourly grain: windows + baseline
+    g = h.agg(
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum("e").cast("bigint").alias("etot"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    w24 = Window.orderBy("hr").rowsBetween(-23, 0)
+    w = h.select(
+        "hr",
+        F.sum("n").over(w6).cast("bigint").alias("n6"),
+        F.sum("e").over(w6).cast("bigint").alias("e6"),
+        F.sum("n").over(w24).cast("bigint").alias("n24"),
+        F.sum("e").over(w24).cast("bigint").alias("e24"),
+    )
+    s6 = _SLO_SHARE.format(w="6")
+    s24 = _SLO_SHARE.format(w="24")
+    return (
+        w.crossJoin(F.broadcast(g))
+        .filter(
+            F.expr(
+                f"{s6} >= ({_SLO_BASE}) * 115 div 100"
+                f" AND {s24} >= ({_SLO_BASE}) * 105 div 100"
+            )
+        )
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "e6", "n6", "e24", "n24",
+            F.expr(f"CAST({s6} AS BIGINT)").alias("share_6h_ppm"),
+            F.expr(f"CAST({s24} AS BIGINT)").alias("share_24h_ppm"),
+            F.expr(f"CAST({_SLO_BASE} AS BIGINT)").alias("baseline_ppm"),
+        )
+        .orderBy("hour")
+    )
