@@ -81,7 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_bpe_generalization, upsert_merge_preview,
     # multimodal_audio_vad_segments, search_difficulty_prediction,
     # graph_four_cycles, orders_chain_ladder,
-    # events_slo_burn_alerts,
+    # events_slo_burn_alerts, orders_promo_event_study,
     #
     # -- the 18 round-9 registrations (round-10 queue) ----------
     "dq_candidate_keys3",

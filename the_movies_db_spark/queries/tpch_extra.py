@@ -4291,3 +4291,120 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({ult} AS BIGINT)").alias("ultimate_cents"),
         F.expr(f"CAST({ult} - cum AS BIGINT)").alias("reserve_cents"),
     ).orderBy("cohort_year")
+
+
+# ---------------------------------------------------------------------------
+# Dynamic event-study DiD (leads/lags around the promo cutoff)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_promo_event_study",
+    f"""
+    WITH x AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treat,
+             CAST(date_part('year', o.o_orderdate) AS BIGINT)
+               - {_DID_CUT[:4]} AS r,
+             {_DID_CENTS} AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+      SELECT r, treat, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM x GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT r,
+             CAST(max(CASE WHEN treat = 1 THEN n END) AS BIGINT) AS n_tr,
+             CAST(max(CASE WHEN treat = 0 THEN n END) AS BIGINT) AS n_ct,
+             CAST(max(CASE WHEN treat = 1 THEN s * 1000 // n END)
+               AS BIGINT) AS m_tr_milli,
+             CAST(max(CASE WHEN treat = 0 THEN s * 1000 // n END)
+               AS BIGINT) AS m_ct_milli
+      FROM g GROUP BY 1
+    ),
+    gaps AS (
+      SELECT r, n_tr, n_ct, m_tr_milli, m_ct_milli,
+             CAST(m_tr_milli - m_ct_milli AS BIGINT) AS gap_milli
+      FROM cells
+    ),
+    base AS (SELECT gap_milli AS base_gap FROM gaps WHERE r = -1)
+    SELECT g.r AS rel_year, g.n_tr, g.n_ct,
+           g.m_tr_milli, g.m_ct_milli, g.gap_milli,
+           CAST(g.gap_milli - b.base_gap AS BIGINT) AS coef_milli
+    FROM gaps g CROSS JOIN base b
+    ORDER BY rel_year
+    """,
+    doc=(
+        "Dynamic event-study difference-in-differences around the "
+        "promo cutoff: per relative year, the treated-vs-control mean "
+        "revenue gap normalized to the r = -1 baseline — lead "
+        "coefficients (r < -1) test PARALLEL TRENDS (should be ~0 if "
+        "the static DiD is credible), lag coefficients trace the "
+        "effect's dynamics. Exact integer milli means per cell; the "
+        "graduate-level complement to orders_promo_did's single 2x2."
+    ),
+)
+def orders_promo_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relative-year DiD coefficients vs the r=-1 baseline.
+
+    Scale notes (100 TB): one fact pass collapses to |years| x 2 "
+    "cells; the baseline is a 1-row broadcast; everything after is "
+    "projection."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    cut_year = int(_DID_CUT[:4])
+    x = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .select(
+            F.expr(
+                "CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END"
+            ).alias("treat"),
+            F.expr(
+                f"CAST(year(o_orderdate) AS BIGINT) - {cut_year}"
+            ).alias("r"),
+            F.expr(_DID_CENTS).alias("cents"),
+        )
+    )
+    g = x.groupBy("r", "treat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    cells = g.groupBy("r").agg(
+        F.expr("CAST(max(CASE WHEN treat = 1 THEN n END) AS BIGINT)").alias(
+            "n_tr"
+        ),
+        F.expr("CAST(max(CASE WHEN treat = 0 THEN n END) AS BIGINT)").alias(
+            "n_ct"
+        ),
+        F.expr(
+            "CAST(max(CASE WHEN treat = 1 THEN s * 1000 div n END)"
+            " AS BIGINT)"
+        ).alias("m_tr_milli"),
+        F.expr(
+            "CAST(max(CASE WHEN treat = 0 THEN s * 1000 div n END)"
+            " AS BIGINT)"
+        ).alias("m_ct_milli"),
+    )
+    gaps = cells.select(
+        "r", "n_tr", "n_ct", "m_tr_milli", "m_ct_milli",
+        F.expr("CAST(m_tr_milli - m_ct_milli AS BIGINT)").alias("gap_milli"),
+    ).localCheckpoint(eager=False)  # |years| rows, base + output branches
+    base = gaps.filter(F.col("r") == -1).select(
+        F.col("gap_milli").alias("base_gap")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(base))
+        .select(
+            F.col("r").alias("rel_year"),
+            "n_tr", "n_ct", "m_tr_milli", "m_ct_milli", "gap_milli",
+            F.expr("CAST(gap_milli - base_gap AS BIGINT)").alias(
+                "coef_milli"
+            ),
+        )
+        .orderBy("rel_year")
+    )
