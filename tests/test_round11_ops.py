@@ -564,3 +564,23 @@ def test_chain_ladder_invariants(spark, registry):
     # ages form the triangle hypotenuse: strictly decreasing
     ages = [r["latest_age"] for r in rows]
     assert ages == sorted(ages, reverse=True)
+
+
+def test_slo_alerts_exceed_baseline(spark, registry):
+    rows = registry["events_slo_burn_alerts"].spark(spark, SF_MID).collect()
+    assert rows  # non-degenerate at sf0.01 by construction
+    for r in rows:
+        assert r["share_6h_ppm"] >= r["baseline_ppm"] * 115 // 100
+        assert r["share_24h_ppm"] >= r["baseline_ppm"] * 105 // 100
+        assert r["share_6h_ppm"] == r["e6"] * 1_000_000 // r["n6"]
+
+
+def test_event_study_baseline_normalized(spark, registry):
+    rows = {
+        r["rel_year"]: r
+        for r in registry["orders_promo_event_study"].spark(spark, SF_MID).collect()
+    }
+    assert -1 in rows and rows[-1]["coef_milli"] == 0  # normalization
+    for r in rows.values():
+        assert r["coef_milli"] == r["gap_milli"] - rows[-1]["gap_milli"]
+        assert r["n_tr"] > 0 and r["n_ct"] > 0
