@@ -314,10 +314,16 @@ def knn_join_1d(
     is too small for the key density). Returns (probe_id, neighbor_id,
     rank, dist).
     """
-    l = left.select(  # noqa: E741
+    # NULL-key probes are DROPPED, not emitted: a NULL key generates no
+    # binned candidates (sequence over NULL) and would otherwise fall
+    # through to the brute pass where abs(NULL - rk) yields k rows of
+    # NULL dist in arbitrary neighbor order. NULL right keys likewise
+    # can never be anyone's nearest neighbor, so both sides filter.
+    l = left.filter(F.col(left_key).isNotNull()).select(  # noqa: E741
         F.col(left_id).alias("__lid"),
         F.col(left_key).cast("bigint").alias("__lk"),
     )
+    right = right.filter(F.col(right_key).isNotNull())
     r = right.select(
         F.col(right_id).alias("__rid"),
         F.col(right_key).cast("bigint").alias("__rk"),

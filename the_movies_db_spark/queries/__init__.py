@@ -55,67 +55,63 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-10 rotation: the round-9 window went 50/50 green
-    # (CORRECTNESS_r09.json, 0 failures ever; cumulative hard
-    # driver coverage 427 distinct queries). This window = the
-    # 18-name round-10 queue VERBATIM (every round-9
-    # registration, restoring 445/445 hard coverage) + all 32
-    # round-10 registrations, in registration order — the
-    # never-driver-checked set exactly, with ZERO backlog left
-    # for round 11.
+    # Round-11 rotation: the round-10 window went 50/50 green
+    # (CORRECTNESS_r10.json; zero value-hash failures ever after
+    # round 1; cumulative hard driver coverage 472 distinct
+    # queries). This window = the 29-name round-11 queue VERBATIM
+    # (every registration from the round-10 continuation session,
+    # all pre-verified under a stock driver-like session in
+    # scripts/driver_sim_r11_queue.md) + round-11 registrations
+    # appended at registration time, padded to EXACTLY 50 with
+    # already-hard-green round-10 names (marked FILLER below;
+    # replace fillers top-down as new registrations land).
     #
-    # Queue for the round-11 window (append round-11
+    # Queue for the round-12 window (append round-12
     # registrations HERE at registration time, the moment each
     # oracle is locally green; HARD CAP 50 so the backlog never
     # exceeds one window):
-    # multimodal_numpy_decode, agg_bottomk_sample_merge,
-    # graph_richclub_coefficient, dq_drift_wasserstein,
-    # events_fano_factor, agg_wilson_lower_bound,
-    # text_readability_ari, text_bpe_merges, events_hmm_viterbi,
-    # graph_harmonic_centrality, sim_range_search,
-    # search_interleaving_eval, multimodal_shot_boundaries,
-    # join_knn_binned, text_bpe_tokenize_stats,
-    # dq_selectivity_histogram, orders_ss_policy_sim,
-    # events_interrupted_ts, dq_checksum_merkle_partitions,
-    # events_attribution_time_decay, graph_reach_sketch,
-    # text_bpe_generalization, upsert_merge_preview,
-    # multimodal_audio_vad_segments, search_difficulty_prediction,
-    # graph_four_cycles, orders_chain_ladder,
-    # events_slo_burn_alerts, orders_promo_event_study,
+    # (empty — round-11 registrations go into THIS window by
+    # replacing FILLER slots; overflow beyond 21 starts the list)
     #
-    # -- the 18 round-9 registrations (round-10 queue) ----------
-    "dq_candidate_keys3",
-    "agg_quantile_sketch_merge",
-    "orders_seasonal_decompose",
-    "orders_cohort_ltv_curve",
-    "pipeline_dedup_survivor_stats",
-    "events_counterfactual_uplift",
-    "dq_rule_mining_cfd",
-    "search_query_likelihood_lm",
-    "graph_bridge_edges",
-    "graph_connected_components",
-    "dedup_minhash_calibration",
-    "events_forecast_holt_damped",
-    "dq_join_cardinality_model",
-    "pipeline_cluster_purity",
-    "pipeline_dedup_threshold_sensitivity",
-    "events_percentile_bands_daily",
-    "sim_topk_ivf_filtered",
-    "graph_degree_powerlaw_fit",
-    # -- 32 round-10 registrations, in registration order -------
-    "dedup_substring_exact",
-    "dedup_edit_distance_verify",
-    "sim_topk_ivf_adaptive",
+    # -- the 29-name round-11 queue, in registration order -------
+    "multimodal_numpy_decode",
+    "agg_bottomk_sample_merge",
+    "graph_richclub_coefficient",
+    "dq_drift_wasserstein",
+    "events_fano_factor",
+    "agg_wilson_lower_bound",
+    "text_readability_ari",
+    "text_bpe_merges",
+    "events_hmm_viterbi",
+    "graph_harmonic_centrality",
+    "sim_range_search",
+    "search_interleaving_eval",
+    "multimodal_shot_boundaries",
+    "join_knn_binned",
+    "text_bpe_tokenize_stats",
+    "dq_selectivity_histogram",
+    "orders_ss_policy_sim",
+    "events_interrupted_ts",
+    "dq_checksum_merkle_partitions",
+    "events_attribution_time_decay",
+    "graph_reach_sketch",
+    "text_bpe_generalization",
+    "upsert_merge_preview",
+    "multimodal_audio_vad_segments",
+    "search_difficulty_prediction",
+    "graph_four_cycles",
+    "orders_chain_ladder",
+    "events_slo_burn_alerts",
+    "orders_promo_event_study",
+    # -- round-11 registrations (replace FILLERs top-down) -------
+    "agg_approx_distinct_audit",
+    "agg_hll_sketch_audit",
+    "dq_bloom_fpr_audit",
+    # -- FILLER: round-10 hard-green names re-verified ------------
     "sim_cell_medoid",
     "graph_personalized_pagerank",
-    "graph_triangle_sample_estimate",
-    "events_decayed_engagement",
-    "events_ab_permutation",
-    "events_forecast_ses_gridsearch",
-    "events_uplift_stump",
     "events_attribution_markov",
     "orders_newsvendor_quantile",
-    "orders_eoq_policy",
     "orders_xyz_variability",
     "text_ngram_compression_proxy",
     "text_textrank_keywords",
@@ -127,13 +123,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "search_ltr_blend",
     "streaming_topk_incremental",
     "udtf_char_ngrams",
-    "fn_uuid3_md5",
-    "agg_log_histogram_quantiles",
-    "upsert_conditional_merge",
     "agg_bitmap_hierarchy",
-    "events_weekday_effect",
-    "graph_diameter_estimate",
-    "sim_recall_adaptive",
+    "upsert_conditional_merge",
     "upsert_schema_evolve",
 )
 

@@ -303,6 +303,52 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_distinct_audit",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_3pct,
+           TRUE AS orders_within_3pct
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Value-level audit of agg_approx_distinct (which stays rows-only "
+        "— HLL++ sketches are engine-internal): the exact distinct "
+        "counts are hard-hashed, and the HLL++ estimates (rsd=0.01, "
+        "deterministic for fixed data) are pinned by a 3-sigma integer "
+        "error-bound verdict — `abs(est - exact) * 100 <= 3 * exact`. "
+        "A Spark-side estimator drift or sketch regression flips the "
+        "boolean and the driver's value-hash catches it; the "
+        "agg_kmv_distinct recipe applied to the builtin estimator."
+    ),
+)
+def agg_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+            F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            F.expr("abs(__ap - exact_parts) * 100 <= 3 * exact_parts").alias(
+                "parts_within_3pct"
+            ),
+            F.expr(
+                "abs(__ao - exact_orders) * 100 <= 3 * exact_orders"
+            ).alias("orders_within_3pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.4 — reference has only the MERGE equi-join)
 # ---------------------------------------------------------------------------

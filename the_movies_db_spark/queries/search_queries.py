@@ -1889,8 +1889,8 @@ _TDI_ROUNDS = 5
 #: One draft round as a fold step: the md5-derandomized coin picks the
 #: first drafter; each team then drafts its highest-ranked doc not yet
 #: interleaved. State = (interleaved list, per-team credited docs).
-_TDI_FOLD = """aggregate(
-  sequence(1, 5),
+_TDI_FOLD = f"""aggregate(
+  sequence(1, {_TDI_ROUNDS}),
   struct(CAST(array() AS ARRAY<BIGINT>) AS L,
          CAST(array() AS ARRAY<BIGINT>) AS ca,
          CAST(array() AS ARRAY<BIGINT>) AS cb),
@@ -1954,9 +1954,9 @@ def _tdi_oracle() -> str:
           )
         )
       ) t
-      WHERE r < 5
+      WHERE r < {rounds}
     ),
-    fin AS (SELECT query_id, L, ca, cb FROM dr WHERE r = 5),
+    fin AS (SELECT query_id, L, ca, cb FROM dr WHERE r = {rounds}),
     pres AS (
       SELECT DISTINCT doc_id, t AS term
       FROM (SELECT doc_id,
@@ -2006,6 +2006,7 @@ def _tdi_oracle() -> str:
         bm=_bm25_oracle(_TDI_ROUNDS),
         ql=_REG["search_query_likelihood_lm"].oracle,
         qv=_QUERY_VALUES,
+        rounds=_TDI_ROUNDS,
     )
 
 

@@ -375,6 +375,186 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_sketch_audit",
+    """
+    SELECT CAST(o_orderstatus AS VARCHAR) AS scope,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT '*' AS scope,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS est_within_5pct
+    FROM orders
+    ORDER BY scope
+    """,
+    doc=(
+        "Value-level audit of agg_hll_sketch (which stays rows-only — "
+        "DataSketches HLL internals are engine-internal): per-status "
+        "exact distincts are hard-hashed next to a 5% integer "
+        "error-bound verdict on each per-status sketch estimate, and "
+        "the '*' row pins the MERGEABILITY property — the estimate of "
+        "the hll_union_agg of the per-status sketches must land within "
+        "5% of the exact GLOBAL distinct (lgK=12 → rse ~1.6%, 3-sigma "
+        "~5%; deterministic for fixed data). A union or estimator "
+        "regression flips the boolean."
+    ),
+)
+def agg_hll_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("exact_custs"),
+            F.hll_sketch_agg("o_custkey").alias("__sk"),
+        )
+        .localCheckpoint(eager=False)  # |statuses| rows, 2 branches
+    )
+    per_rows = per.select(
+        F.col("o_orderstatus").cast("string").alias("scope"),
+        "exact_custs",
+        F.expr(
+            "abs(hll_sketch_estimate(__sk) - exact_custs) * 100"
+            " <= 5 * exact_custs"
+        ).alias("est_within_5pct"),
+    )
+    exact_all = o.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_custs")
+    )
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(__sk))").alias("__est")
+    )
+    global_row = exact_all.crossJoin(merged).select(
+        F.lit("*").alias("scope"),
+        "exact_custs",
+        F.expr("abs(__est - exact_custs) * 100 <= 5 * exact_custs").alias(
+            "est_within_5pct"
+        ),
+    )
+    return per_rows.unionByName(global_row).orderBy("scope")
+
+
+_BLOOM_M = 65536  # bits (2^16) → 2048 32-bit words
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_hash_sql(key_sql: str, j: int, engine: str) -> str:
+    """md5-derived bloom bit position j for a BIGINT key; per-engine
+    integer extraction (round-6 lesson: Spark needs conv(), DuckDB the
+    0x cast), identical downstream arithmetic."""
+    h = f"md5(CAST({key_sql} AS VARCHAR) || ':' || '{j}')"
+    if engine == "spark":
+        h = h.replace("AS VARCHAR", "AS STRING")
+        return f"(CAST(conv(substr({h}, 1, 12), 16, 10) AS BIGINT) % {_BLOOM_M})"
+    return f"(CAST('0x' || substr({h}, 1, 12) AS BIGINT) % {_BLOOM_M})"
+
+
+def _bloom_oracle() -> str:
+    hashes = ", ".join(
+        f"{_bloom_hash_sql('c_custkey', j, 'duckdb')} AS h{j}"
+        for j in range(_BLOOM_K)
+    )
+    probe_hits = " AND ".join(
+        f"""EXISTS (SELECT 1 FROM words w
+             WHERE w.word = p.h{j} // 32
+               AND (w.bits & (1::BIGINT << (p.h{j} % 32))) <> 0)"""
+        for j in range(_BLOOM_K)
+    )
+    union_hashes = " UNION ALL ".join(
+        f"SELECT h{j} AS h FROM mh" for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH members AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    probes AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+    ),
+    mh AS (SELECT {hashes} FROM members),
+    words AS MATERIALIZED (
+      SELECT h // 32 AS word,
+             bit_or(1::BIGINT << (h % 32)) AS bits
+      FROM ({union_hashes}) GROUP BY 1
+    ),
+    ph AS (SELECT {hashes.replace('c_custkey', 'probes.c_custkey')}
+           FROM probes),
+    fp AS (
+      SELECT count(*) AS n_false_pos
+      FROM ph p WHERE {probe_hits}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           CAST(n_false_pos * 1000000
+                // (SELECT count(*) FROM probes) AS BIGINT) AS fpr_ppm
+    FROM fp
+    """
+
+
+@register(
+    "dq_bloom_fpr_audit",
+    _bloom_oracle(),
+    doc=(
+        "Bloom-filter false-positive-rate measurement, exact on both "
+        "engines: k=3 md5-derived bit positions over an m=65536-bit "
+        "filter stored as 2048 32-bit words (bit_or build — the round-8 "
+        "bitmap recipe, sign bit never shifts), membership = all k bits "
+        "set. Members and probes are DISJOINT custkey thirds, so every "
+        "probe hit is a false positive by construction and the measured "
+        "fpr_ppm is a hard integer — the audit you run before trusting "
+        "a bloom prefilter (pipeline_bloom_decontaminate, "
+        "join_bloom_prefilter) at a new scale, since FPR degrades as "
+        "n/m grows. All-integer; no verdict booleans needed."
+    ),
+)
+def dq_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    members = c.filter(F.expr("c_custkey % 3 <> 0")).select("c_custkey")
+    probes = c.filter(F.expr("c_custkey % 3 = 0")).select("c_custkey")
+    hash_cols = [
+        F.expr(_bloom_hash_sql("c_custkey", j, "spark")).alias(f"h{j}")
+        for j in range(_BLOOM_K)
+    ]
+    mh = members.select(*hash_cols)
+    stacked = mh.select(
+        F.explode(
+            F.array(*[F.col(f"h{j}") for j in range(_BLOOM_K)])
+        ).alias("h")
+    )
+    words = (
+        stacked.groupBy(F.expr("h div 32").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(h % 32 AS INT)))").alias("bits")
+        )
+        .localCheckpoint(eager=False)  # <=2048 rows, k probe branches
+    )
+    ph = probes.select("c_custkey", *hash_cols)
+    hit = ph
+    for j in range(_BLOOM_K):
+        wj = words.select(
+            F.col("word").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
+        )
+        hit = hit.join(
+            F.broadcast(wj), F.expr(f"h{j} div 32 = __w{j}"), "left"
+        ).filter(F.expr(f"__b{j} IS NOT NULL AND (__b{j} & shiftleft(1L, CAST(h{j} % 32 AS INT))) <> 0"))
+    fp = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_false_pos"))
+    n_m = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_p = probes.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+    return (
+        n_m.crossJoin(n_p)
+        .crossJoin(fp)
+        .select(
+            "n_members",
+            "n_probes",
+            "n_false_pos",
+            F.expr("CAST(n_false_pos * 1000000L div n_probes AS BIGINT)").alias(
+                "fpr_ppm"
+            ),
+        )
+    )
+
+
+@register(
     "fn_try_arithmetic",
     """
     SELECT o_orderkey,
@@ -7413,7 +7593,8 @@ _MK_P = 999999999989  # digest modulus (shared with dq_table_checksum)
     leafd AS (
       SELECT mon, yr,
              CAST(count(*) AS BIGINT) AS n_rows,
-             md5(CAST(CAST(sum(h32) % {_MK_P} AS BIGINT) AS VARCHAR)
+             md5(CAST(CAST(sum(CAST(h32 AS DECIMAL(38,0))) % {_MK_P}
+                           AS BIGINT) AS VARCHAR)
                  || ':' || CAST(bit_xor(h32) AS VARCHAR)
                  || ':' || CAST(count(*) AS VARCHAR)) AS digest
       FROM h GROUP BY 1, 2
@@ -7471,8 +7652,13 @@ def dq_checksum_merkle_partitions(
         h.groupBy("mon", "yr")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            # DECIMAL(38,0) accumulation: the raw int64 sum of 32-bit
+            # hashes overflows past ~2^31 rows per month partition;
+            # the wide sum is exact on both engines (same recipe as
+            # dq_table_checksum) and the mod keeps the digest BIGINT.
             F.expr(
-                f"md5(CAST(CAST(sum(h32) % {_MK_P} AS BIGINT) AS STRING)"
+                f"md5(CAST(CAST(sum(CAST(h32 AS DECIMAL(38,0))) % {_MK_P}"
+                " AS BIGINT) AS STRING)"
                 " || ':' || CAST(bit_xor(h32) AS STRING)"
                 " || ':' || CAST(count(*) AS STRING))"
             ).alias("digest"),

@@ -2822,8 +2822,17 @@ def _bpe_learn(spark: SparkSession, sf_dir: str, where: str | None = None):
                 F.col("cnt").alias("pair_count"),
             )
         )
+        # Degenerate-round guard: aggregate the <=1-row best into an
+        # ALWAYS-1-row (a, b) frame — an empty round yields NULL a/b,
+        # the fold's `st.prev = a AND t = b` is NULL->no-match, and
+        # the merge is a no-op (matching the oracle's empty-keep CTE)
+        # instead of the crossJoin silently emptying the table.
         toks = (
-            toks.crossJoin(F.broadcast(best.select("a", "b")))
+            toks.crossJoin(
+                F.broadcast(
+                    best.agg(F.max("a").alias("a"), F.max("b").alias("b"))
+                )
+            )
             .select("w", "freq", F.expr(_BPE_MERGE_FOLD).alias("s"))
             .localCheckpoint(eager=False)
         )
@@ -2922,12 +2931,14 @@ def _bpe_apply(toks, bests):
     """Apply an ordered learned merge list to a symbol table (the
     tokenizer APPLY step: same greedy fold, merges fixed)."""
     for b in bests:
+        # Same degenerate-round guard as _bpe_learn: an empty merge
+        # row becomes a 1-row NULL (a, b) no-op, never an empty join.
         toks = (
             toks.crossJoin(
                 F.broadcast(
-                    b.select(
-                        F.col("left_sym").alias("a"),
-                        F.col("right_sym").alias("b"),
+                    b.agg(
+                        F.max("left_sym").alias("a"),
+                        F.max("right_sym").alias("b"),
                     )
                 )
             )
