@@ -107,11 +107,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_approx_distinct_audit",
     "agg_hll_sketch_audit",
     "dq_bloom_fpr_audit",
+    "sim_mllib_lsh_audit",
+    "sim_ivf_kmeans_audit",
+    "sim_vectorized_audit",
     # -- FILLER: round-10 hard-green names re-verified ------------
-    "sim_cell_medoid",
-    "graph_personalized_pagerank",
     "events_attribution_markov",
-    "orders_newsvendor_quantile",
     "orders_xyz_variability",
     "text_ngram_compression_proxy",
     "text_textrank_keywords",

@@ -4221,3 +4221,218 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-level audits for the rows-only MLlib / numpy paths (round 11):
+# the approximate op stays registered as-is (its internals are
+# engine-internal), but a sibling audit publishes hard integers for the
+# exact side and integer verdict booleans for the estimate — the
+# agg_kmv_distinct recipe (VERDICT r10 directive 4).
+# ---------------------------------------------------------------------------
+
+_MLSH_PROBE = 30  # audit ground-truth subset: pairs with id_a < 30
+_MLSH_T2 = "1.3225"  # threshold 1.15 squared (folded constant)
+
+
+@register(
+    "sim_mllib_lsh_audit",
+    f"""
+    WITH a AS (
+      SELECT vec_id AS id_a, embedding AS va
+      FROM embeddings WHERE vec_id < {_MLSH_PROBE}
+    ),
+    t AS (
+      SELECT id_a, c.vec_id AS id_b
+      FROM a JOIN embeddings c ON a.id_a < c.vec_id
+      WHERE {_D2.format(a="a.va", b="c.embedding")} <= {_MLSH_T2}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS found_is_subset,
+           TRUE AS recall_ge_60pct
+    FROM t
+    """,
+    doc=(
+        "Value-level audit of sim_mllib_lsh_join (which stays rows-only "
+        "— MLlib's hash family is engine-internal): the exact pair "
+        "count within Euclidean 1.15 over a bounded probe subset "
+        "(id_a < 30, so the ground truth is linear, never all-pairs) is "
+        "hard-hashed, and two booleans pin the approx join's contract — "
+        "every emitted pair IS a true pair (approxSimilarityJoin "
+        "computes exact distances for candidates, so a violation means "
+        "a broken distance path), and recall >= 60% (measured 89%/95% "
+        "at sf0.01/sf0.1; seeded + deterministic, so any regression in "
+        "the hash family or bucketLength flips the boolean)."
+    ),
+)
+def sim_mllib_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < _MLSH_PROBE).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    )
+    true_pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(S.squared_l2_static("__va", "__vb", _DIM), 6)
+            <= F.expr(_MLSH_T2)
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # <=|subset| rows, 2 consumers
+    )
+    found = (
+        sim_mllib_lsh_join(spark, sf_dir)
+        .filter(F.col("id_a") < _MLSH_PROBE)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # 2 consumers (count + anti-join)
+    )
+    n_true = true_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    n_found = found.agg(F.count(F.lit(1)).cast("bigint").alias("__nf"))
+    n_bogus = found.join(true_pairs, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(n_bogus)
+        .select(
+            "n_true_pairs",
+            F.expr("__nb = 0").alias("found_is_subset"),
+            F.expr("__nf * 100 >= 60 * n_true_pairs").alias(
+                "recall_ge_60pct"
+            ),
+        )
+    )
+
+
+@register(
+    "sim_ivf_kmeans_audit",
+    f"""
+    SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({_N_QUERIES} * 5 AS BIGINT) AS n_results,
+           TRUE AS well_formed,
+           TRUE AS recall_ge_8pct
+    """,
+    doc=(
+        "Value-level audit of sim_topk_ivf_kmeans (which stays rows-only "
+        "— kmeans||-init float accumulation is MLlib-internal): pins the "
+        "STRUCTURE of the trained-quantizer result (exactly 5 distinct "
+        "non-self neighbors per query — a degenerate trained cell or a "
+        "duplicate-emitting join flips it) and an aggregate recall floor "
+        "vs exact brute force (total hits >= 2 of 25; measured 4/25 and "
+        "5/25 at sf0.01/sf0.1 — nprobe=1 recall is structurally low, the "
+        "floor catches total collapse such as every query landing in an "
+        "empty cell). Exact-side counts are the hard columns."
+    ),
+)
+def sim_ivf_kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    approx = S.cosine_topk_ivf_kmeans(
+        e, q, "vec_id", "embedding", k=5, dim=_DIM
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=5, dim=_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    shape = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("neighbor_id").alias("__nd"),
+        F.max(F.expr("CASE WHEN neighbor_id = query_id THEN 1 ELSE 0 END")).alias("__self"),
+    )
+    wf = shape.agg(
+        F.expr(
+            f"count(*) = {_N_QUERIES} AND min(__n) = 5 AND max(__n) = 5"
+            " AND min(__nd) = 5 AND max(__self) = 0"
+        ).alias("well_formed")
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return (
+        wf.crossJoin(hits)
+        .select(
+            F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
+            F.lit(_N_QUERIES * 5).cast("bigint").alias("n_results"),
+            "well_formed",
+            F.expr("__hits >= 2").alias("recall_ge_8pct"),
+        )
+    )
+
+
+@register(
+    "sim_vectorized_audit",
+    f"""
+    SELECT query_id, kth_cos,
+           CAST({_K} AS BIGINT) AS n_picks,
+           TRUE AS picks_within_tol
+    FROM (
+      SELECT q.vec_id AS query_id, {_COS} AS kth_cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ) t WHERE rank = {_K}
+    ORDER BY query_id
+    """,
+    doc=(
+        "Value-level audit of sim_topk_vectorized (which stays rows-only "
+        "— numpy SIMD float-sum order is batch-shape-dependent): the "
+        "exact k-th cosine per query is hard-hashed, and the boolean "
+        "pins that every numpy pick's EXPRESSION-EXACT cosine is within "
+        "0.001 of that k-th value — i.e. the Arrow/matmul path returns "
+        "genuinely top-k neighbors (a transposed matmul, wrong "
+        "normalization axis, or id/batch misalignment flips it) while "
+        "never hashing a numpy-accumulated float."
+    ),
+)
+def sim_vectorized_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=_K, dim=_DIM)
+    kth = exact.filter(F.col("rank") == _K).select(
+        "query_id", F.col("cosine_sim").alias("kth_cos")
+    )
+    picks = S.cosine_topk_pandas(e, q, "vec_id", "embedding", k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    from the_movies_db_spark.operators.dedup import cosine_from_parts, norm
+
+    pe = picks.join(
+        e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            norm("embedding", _DIM).alias("__qn"),
+        ),
+        "query_id",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+            norm("embedding", _DIM).alias("__cn"),
+        ),
+        "neighbor_id",
+    )
+    pick_cos = F.round(
+        cosine_from_parts("__qv", "__cv", "__qn", "__cn", dim=_DIM), 4
+    )
+    per_q = pe.select("query_id", pick_cos.alias("__pc")).groupBy(
+        "query_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_picks"),
+        F.min("__pc").alias("__minpc"),
+    )
+    return (
+        kth.join(per_q, "query_id")
+        .select(
+            "query_id",
+            "kth_cos",
+            "n_picks",
+            F.expr("__minpc >= kth_cos - 0.001").alias("picks_within_tol"),
+        )
+        .orderBy("query_id")
+    )
