@@ -40,7 +40,6 @@ HEADLINE = [
     "agg_percentiles",
     # reference-parity pipeline ops
     "upsert_merge",
-    "upsert_keep_latest",
     # LLM-pipeline operators (dedup_exact/text_stats retired round 6,
     # same rationale)
     "dedup_minhash_lsh",
@@ -54,10 +53,7 @@ HEADLINE = [
     # round-4 additions: composed ANN, sub-quadratic semantic dedup,
     # persisted index, chunking, sketch analytics
     "sim_topk_ivfpq",
-    "sim_topk_pq",
     "dedup_semantic_lsh",
-    "dedup_source_overlap",
-    "sim_topk_lsh_multiprobe",
     # round-4 closers: hybrid retrieval, MRL ANN, basket mining, streaks
     "search_hybrid_rrf",
     "basket_brand_pairs",
@@ -68,8 +64,6 @@ HEADLINE = [
     # sf0.1 (measured, single-run ranking in round 5) so BENCH carries
     # medians for the continuation surface (padding_waste retired r6)
     "sim_recall_ivfpq",
-    "dedup_threshold_histogram",
-    "agg_weighted_median",
     # round-6 continuation: greedy MMR re-rank, retrieval eval + hard
     # negatives, DSIR + bigram-LM scoring, dim-correlation audit
     # (text_langid/multimodal_resize/pipeline_pii_redact/
@@ -85,24 +79,16 @@ HEADLINE = [
     "udf_token_bucket",
     "sim_topk_ivfpq_residual",
     "upsert_partitioned",
-    "sim_recall_kmeans",
     "sim_topk_kmeans_int",
-    "pipeline_dedup_survivorship",
     # round-6 session 4: the 5 most expensive of the 11 new additions
     # (x16-probe-measured 1x ranking in scripts/probe_r6g_16x.out)
-    "search_mrr_eval",
-    "sim_topk_srp_hamming",
     "graph_link_jaccard",
-    "basket_rules_confidence",
-    "graph_kcore_peel",
     # round-7: the most expensive new additions (x16-probe 1x ranking
     # in scripts/probe_r7_16x.out). Retired this round as flat with
     # closed perf stories (plan-pinned or multi-round-flat medians,
     # all still oracle-gated): q18_large_orders, pipeline_quality_filter,
     # search_phrase_proximity, orders_pareto_gini, sim_mmr_diversify,
     # sim_dim_correlation, agg_mutual_information, io_bucketed_join_scan.
-    "graph_degree_assortativity",
-    "search_rank_agreement",
     # round-8: the two heaviest round-7 queries landed AFTER BENCH_r07
     # was recorded (verdict item 5) — sketch mergeability audit was the
     # round's slowest new query (5.7 s single-shot). Retired as flat
@@ -132,7 +118,6 @@ HEADLINE = [
     "agg_quantile_sketch_merge",
     "graph_connected_components",
     "graph_bridge_edges",
-    "search_query_likelihood_lm",
     # round-10: the heaviest new additions (sf0.1 warm ranking in
     # scripts/r10_new_ops_sf01_timing.json, after the spread()/
     # checkpoint fixes). Retired as flat with closed perf stories
@@ -142,8 +127,21 @@ HEADLINE = [
     # sim_topk_matryoshka, dedup_incremental, q05_local_supplier,
     # sim_bucket_purity, search_bm25_topk (its
     # plan now also runs inside search_ltr_blend).
+    # round-11 trim (VERDICT r10 directive 3): 58 members x 3
+    # collect-medians was ~4 min/sweep and drowning its own signal
+    # in host-epoch noise. Retired 16 flat/closed-story members
+    # (upsert_keep_latest, sim_topk_pq, dedup_source_overlap,
+    # sim_topk_lsh_multiprobe, dedup_threshold_histogram,
+    # agg_weighted_median, search_mrr_eval, sim_topk_srp_hamming,
+    # basket_rules_confidence, graph_kcore_peel,
+    # graph_degree_assortativity, search_rank_agreement,
+    # sim_recall_kmeans, pipeline_dedup_survivorship,
+    # search_query_likelihood_lm, dedup_edit_distance_verify) --
+    # every family keeps >=1 representative and all stay
+    # oracle-gated every round. Added the heaviest open-story
+    # round-11 op (BPE merge training).
+    "text_bpe_merges",
     "dedup_substring_exact",
-    "dedup_edit_distance_verify",
     "streaming_topk_incremental",
     "pipeline_dedup_reweight",
     "search_ltr_blend",
