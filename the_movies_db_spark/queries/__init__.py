@@ -110,8 +110,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_mllib_lsh_audit",
     "sim_ivf_kmeans_audit",
     "sim_vectorized_audit",
+    "streaming_join_left_outer",
     # -- FILLER: round-10 hard-green names re-verified ------------
-    "events_attribution_markov",
     "orders_xyz_variability",
     "text_ngram_compression_proxy",
     "text_textrank_keywords",

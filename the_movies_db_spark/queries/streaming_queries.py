@@ -718,3 +718,104 @@ def streaming_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id", F.col("n").cast("bigint"), "rank")
         .orderBy("event_type", "rank")
     )
+
+
+@register(
+    "streaming_join_left_outer",
+    """
+    WITH c AS (
+      SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT epoch_us(max(c_ts)) FROM c),
+                   (SELECT epoch_us(max(p_ts)) FROM p)) // 1000 * 1000
+             - 3600000000 AS wm_us
+    ),
+    m AS (
+      SELECT c.c_user, c.c_id
+      FROM c JOIN p ON c.c_user = p.p_user
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    ),
+    nulls AS (
+      SELECT c.c_user
+      FROM c CROSS JOIN wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+        AND (epoch_us(c.c_ts) + 999) // 1000 * 1000 + 1800000000 < wm.wm_us
+    ),
+    emitted AS (
+      SELECT c_user, 1 AS is_m FROM m
+      UNION ALL
+      SELECT c_user, 0 AS is_m FROM nulls
+    )
+    SELECT c_user AS user_id,
+           CAST(sum(is_m) AS BIGINT)            AS n_matched,
+           CAST(count(*) - sum(is_m) AS BIGINT) AS n_null
+    FROM emitted GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "LEFT-OUTER stream-stream interval join with state-eviction "
+        "semantics pinned (the one stream-join shape not previously "
+        "registered): clicks left-join purchases of the same user "
+        "within 30 minutes, both sides watermarked 1h. Matched pairs "
+        "emit on arrival; an UNMATCHED click emits a NULL row exactly "
+        "when its state is evicted, which this engine version does iff "
+        "ceil_ms(c_ts) + 30min < floor_ms(min(max c_ts, max p_ts)) - 1h "
+        "(event side CEILS to ms, watermark side FLOORS, comparison "
+        "STRICT — all three pinned by crafted ms/sub-ms boundary rows "
+        "in tests/test_streaming_left_outer.py). The oracle replays "
+        "that integer-microsecond formula, so the driver hash verifies "
+        "the eviction frontier itself, not just the matched rows."
+    ),
+)
+def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join, NULL emission = state eviction.
+
+    Scale notes (100 TB/day): both join states are bounded by the
+    watermark + interval (clicks buffer 1h30m of events, purchases
+    1h), partitioned by user_id across the cluster's state stores —
+    the unbounded-state failure mode of an unwatermarked outer join is
+    designed out. AvailableNow's trailing no-data micro-batch advances
+    the final watermark so the bounded replay flushes every evictable
+    unmatched row deterministically."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        E.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        E.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = E.run_available_now(joined, output_mode="append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_user").cast("bigint").alias("n_matched"),
+            F.sum(F.expr("CASE WHEN p_user IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_null"),
+        )
+        .orderBy("user_id")
+    )
