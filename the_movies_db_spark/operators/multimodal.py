@@ -316,3 +316,56 @@ def decode_raw1_batch(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
             )
 
     return df.select(id_col, bytes_col).mapInPandas(run, RAW1_DECODE_SCHEMA)
+
+
+# --- Walsh-Hadamard perceptual hash over the RAW1 decode path --------------
+#
+# pHash-style frequency-domain hashing without transcendentals: the DCT
+# is replaced by the Walsh-Hadamard transform, whose kernel is the ±1
+# matrix H[k][j] = (-1)^popcount(k AND j) — pure integer arithmetic, so
+# the whole transform is engine-exact and a SQL oracle can replay it
+# from the source text (cos/DCT would not be value-hashable).
+
+WHT_HASH_SCHEMA = "id long, dc bigint, wht_hash bigint"
+
+
+def wht_hash_batch(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """REAL numpy transform through the image seam: decode each RAW1
+    blob, pool the 128 pixels into a 64-vector (adjacent byte pairs),
+    apply the 64-point Walsh-Hadamard transform as one int64 matmul,
+    and hash the signs of the 63 AC coefficients into a BIGINT. The DC
+    coefficient (total pooled intensity) rides along as a hard integer
+    check value."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        h_mat = np.array(
+            [
+                [1 - 2 * (bin(i & j).count("1") & 1) for j in range(64)]
+                for i in range(64)
+            ],
+            dtype=np.int64,
+        )
+        pw = np.array([1 << b for b in range(63)], dtype=np.int64)
+        for pdf in batches:
+            vs = []
+            for blob in pdf[bytes_col]:
+                if blob[:4] != b"RAW1":
+                    raise ValueError("not a RAW1 blob")
+                w = int.from_bytes(blob[4:6], "little")
+                h = int.from_bytes(blob[6:8], "little")
+                arr = np.frombuffer(blob[8 : 8 + w * h], dtype=np.uint8)
+                vs.append(arr.astype(np.int64).reshape(-1, 2).sum(axis=1))
+            v_mat = np.stack(vs)  # (batch, 64) pooled pixels
+            coeffs = v_mat @ h_mat  # (batch, 64) WHT coefficients
+            bits = (coeffs[:, 1:] > 0).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "dc": coeffs[:, 0],
+                    "wht_hash": bits @ pw,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, WHT_HASH_SCHEMA)

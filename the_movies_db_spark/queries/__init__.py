@@ -111,9 +111,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_kmeans_audit",
     "sim_vectorized_audit",
     "streaming_join_left_outer",
+    "sim_nsw_greedy_search",
+    "multimodal_wht_hash",
     # -- FILLER: round-10 hard-green names re-verified ------------
-    "orders_xyz_variability",
-    "text_ngram_compression_proxy",
     "text_textrank_keywords",
     "pipeline_quality_rrf",
     "pipeline_shard_token_balance",

@@ -800,3 +800,77 @@ def multimodal_audio_vad_segments(
             " AS BIGINT)"
         ).alias("active_ppm"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Walsh-Hadamard perceptual hash (frequency-domain pHash, integer-exact)
+# ---------------------------------------------------------------------------
+
+_WHT_N = 40  # bounded decode panel
+
+
+@register(
+    "multimodal_wht_hash",
+    f"""
+    WITH pad AS (
+      SELECT doc_id, substr(rpad(text, 128, ' '), 1, 128) AS p
+      FROM documents WHERE doc_id < {_WHT_N}
+    ),
+    v AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), k ->
+               CAST(ascii(substr(p, CAST(2 * k + 1 AS INT), 1))
+                  + ascii(substr(p, CAST(2 * k + 2 AS INT), 1))
+                  AS BIGINT)) AS vv
+      FROM pad
+    ),
+    c AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), j ->
+               list_aggregate(list_transform(range(0, 64), k ->
+                 vv[CAST(k + 1 AS INT)]
+                 * (1 - 2 * (bit_count(k & j) % 2))), 'sum')) AS cc
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(cc[1] AS BIGINT) AS dc,
+           CAST(list_aggregate(list_transform(range(1, 64), j ->
+             CASE WHEN cc[CAST(j + 1 AS INT)] > 0
+                  THEN (1::BIGINT << CAST(j - 1 AS INT)) ELSE 0 END),
+             'sum') AS BIGINT) AS wht_hash
+    FROM c ORDER BY doc_id
+    """,
+    doc=(
+        "Frequency-domain perceptual hash through the REAL numpy decode "
+        "path: RAW1 blobs are decoded (frombuffer + reshape), the 128 "
+        "pixels pooled into a 64-vector, and a 64-point Walsh-Hadamard "
+        "transform applied as one int64 matmul — the pHash recipe with "
+        "the DCT swapped for the WHT, whose ±1 kernel "
+        "(-1)^popcount(k AND j) is pure integer arithmetic, so unlike a "
+        "cos-based DCT the ENTIRE transform is engine-exact and the "
+        "oracle replays coefficient signs from the source text. Hash = "
+        "signs of the 63 AC coefficients packed into a BIGINT; the DC "
+        "coefficient rides along as a hard integrity value. Distinct "
+        "from multimodal_ahash_dedup, which thresholds spatial block "
+        "means — WHT bits capture global frequency structure instead."
+    ),
+)
+def multimodal_wht_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHT perceptual hash over a bounded decode panel.
+
+    Scale notes (100 TB): one Arrow-batched mapInPandas over the blob
+    column; the transform is a 64x64 int matmul per image — decode-
+    bound, not transform-bound. Downstream near-dup joins band the
+    63-bit hash exactly like the aHash pipeline (bucket caps apply)."""
+    from the_movies_db_spark.operators.multimodal import (
+        encode_raw1,
+        wht_hash_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _WHT_N)
+    blobs = encode_raw1(d, "text")
+    return (
+        wht_hash_batch(blobs, "doc_id", "content")
+        .select(F.col("id").alias("doc_id"), "dc", "wht_hash")
+        .orderBy("doc_id")
+    )

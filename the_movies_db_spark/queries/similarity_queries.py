@@ -4436,3 +4436,199 @@ def sim_vectorized_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy graph-descent ANN (the NSW/HNSW layer-0 primitive)
+# ---------------------------------------------------------------------------
+
+_NSW_K = 8  # out-degree of the navigable graph
+_NSW_HOPS = 4  # unrolled greedy hops (frontier is |queries| rows)
+
+
+def _nsw_oracle() -> str:
+    d2_qn = _D2.format(a="h.qv", b="nb.embedding")
+    hops = []
+    prev = "h0"
+    for i in range(1, _NSW_HOPS + 1):
+        hops.append(f"""
+    h{i} AS MATERIALIZED (
+      SELECT h.query_id, h.qv,
+             CASE WHEN b.bd IS NOT NULL AND b.bd < h.cur_d
+                  THEN b.bn ELSE h.cur_id END AS cur_id,
+             CASE WHEN b.bd IS NOT NULL AND b.bd < h.cur_d
+                  THEN b.bd ELSE h.cur_d END AS cur_d,
+             h.hops + (CASE WHEN b.bd IS NOT NULL AND b.bd < h.cur_d
+                            THEN 1 ELSE 0 END) AS hops
+      FROM {prev} h LEFT JOIN (
+        SELECT query_id, bn, bd FROM (
+          SELECT h.query_id, e.nbr AS bn, {d2_qn} AS bd,
+                 row_number() OVER (PARTITION BY h.query_id
+                                    ORDER BY {d2_qn}, e.nbr) AS rn
+          FROM {prev} h
+          JOIN edges e ON e.src = h.cur_id
+          JOIN assign nb ON nb.vec_id = e.nbr
+        ) t WHERE rn = 1
+      ) b USING (query_id)
+    )""")
+        prev = f"h{i}"
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_D2.format(a="e.embedding", b="c.cvec")}, c.cid)
+                 AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    graph AS (SELECT * FROM assign WHERE vec_id >= {_N_QUERIES}),
+    edges AS MATERIALIZED (
+      SELECT src, nbr FROM (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_D2.format(a="a.embedding", b="b.embedding")},
+                          b.vec_id) AS rn
+        FROM graph a JOIN graph b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ) t WHERE rn <= {_NSW_K}
+    ),
+    entry AS (SELECT cell, max(vec_id) AS entry_id FROM graph GROUP BY 1),
+    h0 AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, q.embedding AS qv,
+             en.entry_id AS cur_id,
+             {_D2.format(a="q.embedding", b="ev.embedding")} AS cur_d,
+             0 AS hops
+      FROM assign q
+      JOIN entry en USING (cell)
+      JOIN assign ev ON ev.vec_id = en.entry_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ),{",".join(hops)}
+    SELECT query_id,
+           CAST(cur_id AS BIGINT)                 AS final_id,
+           CAST(hops AS BIGINT)                   AS hops,
+           CAST(floor(cur_d * 1000000) AS BIGINT) AS dist_micro
+    FROM h{_NSW_HOPS} ORDER BY query_id
+    """
+
+
+@register(
+    "sim_nsw_greedy_search",
+    _nsw_oracle(),
+    doc=(
+        "Greedy graph-descent ANN — the NSW/HNSW layer-0 primitive: a "
+        "degree-8 navigable graph (exact kNN within each seed IVF cell, "
+        "so construction is bounded per-cell work, never all-pairs), a "
+        "deterministic entry point per cell (max vec_id), then 4 "
+        "unrolled greedy hops — move to the neighbor closest to the "
+        "query iff it strictly improves, else stay. All comparisons on "
+        "round-6 squared-L2 doubles (identical expression text both "
+        "engines), tie-break by neighbor id; outputs the landing node, "
+        "hop count and floor-micro distance, so the driver hash pins "
+        "the entire descent trajectory."
+    ),
+)
+def sim_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy search over a navigable small-world-style kNN graph.
+
+    Scale notes (100 TB): graph construction is the IVF-cell-bounded
+    kNN join (per-cell quadratic with cells tracking the corpus in the
+    production form — seed cells here for oracle verifiability); the
+    search frontier is |queries| rows joined against an (id-keyed,
+    broadcastable) edge list, one bounded join per hop — the classic
+    trade of O(n) scan for O(degree x hops) graph probes. Each hop is
+    lazily checkpointed: the frontier is referenced twice per hop
+    (candidate join + stay fallback), so uncheckpointed lineage would
+    double per hop (the round-9 exponential-branch class)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    # collect_centroids=False: the collected-literal path's cell column
+    # is a HOF (array_min over transform over zip_with) that fails
+    # attribute binding when this plan later re-derives two edge
+    # branches from the checkpoint (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    # — the round-2 HOF-staging trap in its Spark-4 form; eager
+    # checkpointing does not help). The broadcast-join path is pure
+    # unrolled arithmetic + min-struct, which binds fine and produces
+    # IDENTICAL cells (pinned in tests/test_plans.py).
+    assign = S.ivf_assign(
+        e, "vec_id", "embedding", n_cells=_N_CELLS, dim=_DIM,
+        collect_centroids=False,
+    ).localCheckpoint(eager=False)
+    # the graph indexes only NON-query vectors (the external-query kNN
+    # search shape — otherwise every descent trivially lands on the
+    # query's own node at distance 0)
+    graph = assign.filter(F.col("vec_id") >= _N_QUERIES)
+    a = graph.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("__sv"),
+        "cell",
+    )
+    b = graph.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("__nv"),
+        F.col("cell").alias("__c2"),
+    )
+    d2_edge = F.round(S.squared_l2_static("__sv", "__nv", _DIM), 6)
+    w_src = Window.partitionBy("src").orderBy(F.asc("__d"), F.asc("nbr"))
+    edges = (
+        a.join(
+            b, (F.col("cell") == F.col("__c2")) & (F.col("src") != F.col("nbr"))
+        )
+        .select("src", "nbr", d2_edge.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w_src))
+        .filter(F.col("__rn") <= _NSW_K)
+        .select("src", "nbr")
+        .localCheckpoint(eager=False)  # consumed once per hop
+    )
+    nbr_vecs = graph.select(
+        F.col("vec_id").alias("nbr"), F.col("embedding").alias("__nv")
+    )
+    entry = graph.groupBy("cell").agg(F.max("vec_id").alias("entry_id"))
+    entry_vec = graph.select(
+        F.col("vec_id").alias("entry_id"), F.col("embedding").alias("__ev")
+    )
+    cur = (
+        assign.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "cell")
+        .join(entry, "cell")
+        .join(entry_vec, "entry_id")
+        .select(
+            "query_id",
+            "__qv",
+            F.col("entry_id").alias("cur_id"),
+            F.round(S.squared_l2_static("__qv", "__ev", _DIM), 6).alias("cur_d"),
+            F.lit(0).alias("hops"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d2_hop = F.round(S.squared_l2_static("__qv", "__nv", _DIM), 6)
+    for _ in range(_NSW_HOPS):
+        best = (
+            cur.join(edges, F.col("cur_id") == F.col("src"))
+            .join(F.broadcast(nbr_vecs), "nbr")
+            .select("query_id", F.col("nbr").alias("bn"), d2_hop.alias("bd"))
+            .groupBy("query_id")
+            .agg(F.min(F.struct(F.col("bd"), F.col("bn"))).alias("__b"))
+            .select("query_id", F.col("__b.bd").alias("bd"), F.col("__b.bn").alias("bn"))
+        )
+        moved = F.expr("bd IS NOT NULL AND bd < cur_d")
+        cur = (
+            cur.join(best, "query_id", "left")
+            .select(
+                "query_id",
+                "__qv",
+                F.when(moved, F.col("bn")).otherwise(F.col("cur_id")).alias("cur_id"),
+                F.when(moved, F.col("bd")).otherwise(F.col("cur_d")).alias("cur_d"),
+                (F.col("hops") + F.when(moved, F.lit(1)).otherwise(F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=False)  # frontier = |queries| rows
+        )
+    return cur.select(
+        "query_id",
+        F.col("cur_id").cast("bigint").alias("final_id"),
+        F.col("hops").cast("bigint").alias("hops"),
+        F.expr("CAST(floor(cur_d * 1000000) AS BIGINT)").alias("dist_micro"),
+    ).orderBy("query_id")
