@@ -113,10 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_join_left_outer",
     "sim_nsw_greedy_search",
     "multimodal_wht_hash",
+    "io_compaction_plan",
+    "events_pattern_regex",
+    "graph_betweenness_seeds",
     # -- FILLER: round-10 hard-green names re-verified ------------
-    "text_textrank_keywords",
-    "pipeline_quality_rrf",
-    "pipeline_shard_token_balance",
     "pipeline_dedup_reweight",
     "dq_pattern_signature",
     "multimodal_ahash_dedup",

@@ -7698,3 +7698,129 @@ def dq_checksum_merkle_partitions(
         )
     )
     return out.orderBy("level", "part")
+
+
+# ---------------------------------------------------------------------------
+# Small-partition compaction planner (first-fit-decreasing bin packing)
+# ---------------------------------------------------------------------------
+
+_FFD_CAP = "2 * max(bytes)"  # bin capacity: data-derived, shared formula
+
+
+def _ffd_k_expr(loads: str, nbytes: str, cap: str) -> str:
+    """Spark SQL: first bin index (1-based) with room, NULL if none.
+    The empty-state guard matters: sequence(1, 0) DESCENDS in Spark
+    (round-6 lesson), so an unguarded first fold step would index an
+    empty array under ANSI."""
+    return (
+        f"IF(size({loads}) = 0, CAST(NULL AS BIGINT),"
+        f" array_min(filter(transform(sequence(1, size({loads})),"
+        f" i -> IF(element_at({loads}, CAST(i AS INT)) + {nbytes}"
+        f" <= {cap}, i, NULL)), y -> y IS NOT NULL)))"
+    )
+
+
+@register(
+    "io_compaction_plan",
+    """
+    WITH RECURSIVE inv AS MATERIALIZED (
+      SELECT source || '#' || CAST(doc_id % 8 AS VARCHAR) AS shard,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1
+    ),
+    ord_ AS MATERIALIZED (
+      SELECT shard, bytes,
+             row_number() OVER (ORDER BY bytes DESC, shard) AS rn
+      FROM inv
+    ),
+    cap AS MATERIALIZED (SELECT 2 * max(bytes) AS cap FROM inv),
+    st AS (
+      SELECT 1 AS rn, o.shard, o.bytes, CAST(1 AS BIGINT) AS bin,
+             [o.bytes] AS loads
+      FROM ord_ o WHERE o.rn = 1
+      UNION ALL
+      SELECT t.rn, t.shard, t.bytes,
+             CAST(coalesce(t.k, len(t.loads0) + 1) AS BIGINT) AS bin,
+             CASE WHEN t.k IS NULL THEN list_append(t.loads0, t.bytes)
+                  ELSE list_transform(range(1, len(t.loads0) + 1),
+                         i -> CASE WHEN i = t.k
+                                   THEN t.loads0[i] + t.bytes
+                                   ELSE t.loads0[i] END)
+             END AS loads
+      FROM (
+        SELECT o.rn, o.shard, o.bytes, s.loads AS loads0,
+               list_min(list_filter(list_transform(
+                 range(1, len(s.loads) + 1),
+                 i -> CASE WHEN s.loads[i] + o.bytes <= c.cap
+                           THEN i END),
+                 x -> x IS NOT NULL)) AS k
+        FROM st s JOIN ord_ o ON o.rn = s.rn + 1 CROSS JOIN cap c
+      ) t
+    )
+    SELECT shard, bytes, bin FROM st ORDER BY shard
+    """,
+    doc=(
+        "Compaction planner for a small-partition inventory — the "
+        "maintenance job every large table needs (small files kill scan "
+        "throughput at 100 TB): shards (source x doc_id-bucket, bytes = "
+        "sum of n_chars) are packed FIRST-FIT-DECREASING into bins of "
+        "capacity 2x the largest shard (data-derived, same integer "
+        "formula both sides). FFD is inherently sequential, so the "
+        "Spark side folds the VOCAB-BOUNDED sorted inventory through "
+        "one aggregate() with (bin-loads, assignments) state — the BPE/"
+        "Holt recipe — and the oracle replays it as a recursive CTE "
+        "with an explicit loads list. Every shard's bin assignment is "
+        "hard-hashed, pinning the full packing trajectory."
+    ),
+)
+def io_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD bin packing of a logical shard inventory.
+
+    Scale notes (100 TB): the inventory is one combining aggregate over
+    the table (or, in production, a metadata-only listing of file
+    sizes); the packing fold runs over |shards| elements — planner cost
+    is independent of data volume, and the resulting bin column is the
+    repartition key for the actual compaction write."""
+    d = load_table(spark, sf_dir, "documents")
+    inv = d.groupBy(
+        F.expr("source || '#' || CAST(doc_id % 8 AS STRING)").alias("shard")
+    ).agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    one = inv.agg(
+        F.expr(
+            "array_sort(collect_list(struct(bytes, shard)),"
+            " (l, r) -> CASE WHEN l.bytes > r.bytes THEN -1"
+            " WHEN l.bytes < r.bytes THEN 1"
+            " WHEN l.shard < r.shard THEN -1"
+            " WHEN l.shard > r.shard THEN 1 ELSE 0 END)"
+        ).alias("inv"),
+        F.expr(_FFD_CAP).alias("cap"),
+    )
+    k = _ffd_k_expr("st.loads", "x.bytes", "cap")
+    fold = f"""aggregate(
+      inv,
+      struct(CAST(array() AS ARRAY<BIGINT>) AS loads,
+             CAST(array() AS ARRAY<STRUCT<shard: STRING, bytes: BIGINT,
+                                          bin: BIGINT>>) AS asg),
+      (st, x) -> named_struct(
+        'loads',
+        IF({k} IS NULL,
+           concat(st.loads, array(x.bytes)),
+           transform(sequence(1, size(st.loads)),
+             i -> IF(i = {k},
+                     element_at(st.loads, CAST(i AS INT)) + x.bytes,
+                     element_at(st.loads, CAST(i AS INT))))),
+        'asg',
+        concat(st.asg, array(named_struct(
+          'shard', x.shard, 'bytes', x.bytes,
+          'bin', coalesce({k}, CAST(size(st.loads) + 1 AS BIGINT)))))),
+      st -> st.asg
+    )"""
+    return (
+        one.select(F.explode(F.expr(fold)).alias("a"))
+        .select(
+            F.col("a.shard").alias("shard"),
+            F.col("a.bytes").alias("bytes"),
+            F.col("a.bin").alias("bin"),
+        )
+        .orderBy("shard")
+    )

@@ -7030,3 +7030,100 @@ def events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-motif matching over per-journey event strings
+# (the MATCH_RECOGNIZE shape, regex-encoded)
+# ---------------------------------------------------------------------------
+
+#: simple, backtracking-free motifs — leftmost-first non-overlapping
+#: scan counts agree between Java regex (Spark) and RE2 (DuckDB) for
+#: this class; event types map to distinct first letters
+#: (c=click, e=error, p=purchase, s=signup, v=view)
+_MOTIFS = (
+    ("cp", "click_then_purchase_adjacent"),
+    ("c[ve]*p", "click_to_purchase_browsing"),
+    ("e{2,}", "error_burst"),
+)
+
+
+@register(
+    "events_pattern_regex",
+    f"""
+    WITH j AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY 1, 2
+    ),
+    pats(pat, motif) AS (VALUES {", ".join(
+        f"('{p}', '{m}')" for p, m in _MOTIFS)}),
+    hits AS (
+      SELECT p.motif,
+             CASE WHEN len(regexp_extract_all(j.journey, p.pat)) > 0
+                  THEN 1 ELSE 0 END AS has_m,
+             len(regexp_extract_all(j.journey, p.pat)) AS n_occ
+      FROM j CROSS JOIN pats p
+    )
+    SELECT motif,
+           CAST(sum(has_m) AS BIGINT) AS n_journeys_matched,
+           CAST(sum(n_occ) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-style sequence-pattern matching, regex-encoded: "
+        "each (user, day) journey becomes a string of event-type "
+        "initials ordered by (ts, event_id), and canonical motifs "
+        "(adjacent click->purchase, click->purchase across browsing, "
+        "2+ consecutive errors) are counted with non-overlapping regex "
+        "scans. Motifs are deliberately backtracking-free so Java regex "
+        "and RE2 produce identical leftmost-first match counts — the "
+        "journey-string trick turns arbitrary sequence analytics into "
+        "one groupBy plus a projection, no self-joins per step."
+    ),
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sequence motifs over per-journey event strings.
+
+    Scale notes (100 TB): one shuffle to the (user, day) grain — the
+    journey string is bounded by per-day activity, and every motif is
+    evaluated in the same projection pass (patterns broadcast via
+    explode, not one job per motif)."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day_idx"),
+    ).agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list("
+            "struct(ts, event_id, substring(event_type, 1, 1) AS ch))),"
+            " x -> x.ch))"
+        ).alias("journey")
+    )
+    pats = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('pat', '{p}', 'motif', '{m}')" for p, m in _MOTIFS
+        )
+        + ")"
+    )
+    hits = j.select(
+        "journey", F.explode(pats).alias("p")
+    ).select(
+        F.col("p.motif").alias("motif"),
+        F.expr("regexp_count(journey, p.pat)").alias("n_occ"),
+    )
+    return (
+        hits.groupBy("motif")
+        .agg(
+            F.sum(F.expr("CASE WHEN n_occ > 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_journeys_matched"),
+            F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("motif")
+    )
