@@ -116,8 +116,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "io_compaction_plan",
     "events_pattern_regex",
     "graph_betweenness_seeds",
+    "graph_boruvka_msf",
     # -- FILLER: round-10 hard-green names re-verified ------------
-    "pipeline_dedup_reweight",
     "dq_pattern_signature",
     "multimodal_ahash_dedup",
     "search_ltr_blend",

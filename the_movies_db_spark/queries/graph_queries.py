@@ -2951,3 +2951,230 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BC_TOP)
         .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Boruvka minimum spanning forest (2 rounds, min-label contraction)
+# ---------------------------------------------------------------------------
+
+_MSF_ROUNDS = 2
+_MSF_CC = 4  # min-label propagation rounds per contraction
+
+
+def _msf_oracle() -> str:
+    """Unrolled Boruvka: per round, every component picks its minimum
+    outgoing edge by (w, sa, sb); picked edges hook components, and
+    4 rounds of min-label propagation over the (tiny, component-grain)
+    merge graph contract them."""
+    ctes = [
+        f"""wedges AS MATERIALIZED (
+      SELECT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb,
+             CAST(count(*) AS BIGINT) AS w
+      FROM rk a JOIN rk b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+      GROUP BY 1, 2
+    )""",
+        "verts AS (SELECT sa AS v FROM wedges UNION SELECT sb FROM wedges)",
+        "lab0 AS (SELECT v, v AS c FROM verts)",
+    ]
+    lab = "lab0"
+    stats = []
+    for r in range(1, _MSF_ROUNDS + 1):
+        ctes.append(f"""ce{r} AS MATERIALIZED (
+      SELECT e.sa, e.sb, e.w, la.c AS ca, lb.c AS cb
+      FROM wedges e
+      JOIN {lab} la ON la.v = e.sa
+      JOIN {lab} lb ON lb.v = e.sb
+      WHERE la.c <> lb.c
+    )""")
+        ctes.append(f"""pick{r} AS MATERIALIZED (
+      SELECT DISTINCT sa, sb, w, ca, cb FROM (
+        SELECT t.*, row_number() OVER (PARTITION BY comp
+                 ORDER BY w, sa, sb) AS rn
+        FROM (
+          SELECT ca AS comp, sa, sb, w, ca, cb FROM ce{r}
+          UNION ALL
+          SELECT cb AS comp, sa, sb, w, ca, cb FROM ce{r}
+        ) t
+      ) p WHERE rn = 1
+    )""")
+        ctes.append(f"""mg{r} AS (
+      SELECT ca AS x, cb AS y FROM pick{r}
+      UNION
+      SELECT cb, ca FROM pick{r}
+    )""")
+        ml = f"ml{r}_0"
+        ctes.append(
+            f"{ml} AS (SELECT c AS comp, c AS lbl FROM {lab} GROUP BY 1, 2)"
+        )
+        for j in range(1, _MSF_CC + 1):
+            nxt = f"ml{r}_{j}"
+            ctes.append(f"""{nxt} AS MATERIALIZED (
+      SELECT l.comp,
+             CAST(least(l.lbl, coalesce(n.m, l.lbl)) AS BIGINT) AS lbl
+      FROM ml{r}_{j - 1} l LEFT JOIN (
+        SELECT g.x AS comp, min(l2.lbl) AS m
+        FROM mg{r} g JOIN ml{r}_{j - 1} l2 ON l2.comp = g.y
+        GROUP BY 1
+      ) n ON n.comp = l.comp
+    )""")
+            ml = nxt
+        ctes.append(f"""lab{r} AS MATERIALIZED (
+      SELECT l.v, m.lbl AS c
+      FROM {lab} l JOIN {ml} m ON m.comp = l.c
+    )""")
+        stats.append(
+            f"""SELECT {r} AS round,
+             (SELECT CAST(count(*) AS BIGINT) FROM pick{r}) AS n_edges_added,
+             (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) FROM pick{r})
+               AS total_weight,
+             (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM lab{r})
+               AS n_components"""
+        )
+        lab = f"lab{r}"
+    return (
+        "WITH spend AS ("
+        + _GRAPH_EDGE_SQL.split("spend AS (", 1)[1].split("), rk AS (")[0]
+        + "), rk AS ("
+        + _GRAPH_EDGE_SQL.split("), rk AS (", 1)[1].split("), edges AS")[0]
+        + "),\n"
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(stats)
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "graph_boruvka_msf",
+    _msf_oracle(),
+    doc=(
+        "Boruvka minimum spanning forest — THE distributed MST "
+        "algorithm (each round every component picks its minimum "
+        "outgoing edge, components contract, edge count halves): 2 "
+        "rounds over the customer co-preference supplier graph with "
+        "shared-customer counts as weights, tie-break (w, sa, sb) so "
+        "picks are deterministic; contraction = 4 rounds of min-label "
+        "propagation over the component-grain merge graph (a 2-cycle-"
+        "only pseudo-forest, so 4 rounds converge). Per-round edge "
+        "count, total weight and surviving component count are "
+        "hard-hashed against the fully unrolled oracle."
+    ),
+)
+def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Boruvka MSF with min-label contraction.
+
+    Scale notes (100 TB): every step is edge-grain — the per-component
+    argmin is one combining aggregate (min of (w, sa, sb) structs),
+    hooking is a join on component ids, and contraction iterates over
+    the MERGE graph (|components| rows, shrinking geometrically), never
+    the vertex set. Labels and picks are lazily checkpointed per round:
+    each is consumed by 3+ branches (stats + next round), the round-9
+    exponential-lineage class."""
+    _, und, _ = _lpa_labels(spark, sf_dir)
+    # weighted edges: shared-customer count per undirected pair — re-
+    # derive from the und build's grain by counting directed halves
+    # (und = both directions of the distinct pair set, so recount from
+    # the pair itself is not possible there; recompute from spend rank)
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    spend = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust.select("c_custkey", "c_nationkey"), o.o_custkey == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("sp"))
+    )
+    rk = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("sp"), F.asc("s"))
+        ),
+    )
+    a = rk.filter("rn = 1").select("c", F.col("s").alias("s1"))
+    b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    wedges = (
+        a.join(b, a.c == b.c2)
+        .groupBy(
+            F.least("s1", "s2").alias("sa"),
+            F.greatest("s1", "s2").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)  # supplier-grain, consumed per round
+    )
+    lab = (
+        wedges.select(F.col("sa").alias("v"))
+        .union(wedges.select("sb"))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+    )
+    out_rows = []
+    for r in range(1, _MSF_ROUNDS + 1):
+        la = lab.select(F.col("v").alias("__va"), F.col("c").alias("ca"))
+        lb = lab.select(F.col("v").alias("__vb"), F.col("c").alias("cb"))
+        ce = (
+            wedges.join(la, F.col("sa") == F.col("__va"))
+            .join(lb, F.col("sb") == F.col("__vb"))
+            .filter(F.col("ca") != F.col("cb"))
+            .select("sa", "sb", "w", "ca", "cb")
+            .localCheckpoint(eager=False)
+        )
+        both = ce.select(F.col("ca").alias("comp"), "sa", "sb", "w", "ca", "cb").unionAll(
+            ce.select(F.col("cb").alias("comp"), "sa", "sb", "w", "ca", "cb")
+        )
+        pick = (
+            both.groupBy("comp")
+            .agg(F.min(F.struct("w", "sa", "sb", "ca", "cb")).alias("__p"))
+            .select(
+                F.col("__p.sa").alias("sa"), F.col("__p.sb").alias("sb"),
+                F.col("__p.w").alias("w"), F.col("__p.ca").alias("ca"),
+                F.col("__p.cb").alias("cb"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # stats x2 + merge graph
+        )
+        mg = pick.select(F.col("ca").alias("x"), F.col("cb").alias("y")).union(
+            pick.select(F.col("cb").alias("x"), F.col("ca").alias("y"))
+        )
+        ml = lab.select(F.col("c").alias("comp")).distinct().select(
+            "comp", F.col("comp").alias("lbl")
+        )
+        for _ in range(_MSF_CC):
+            n = (
+                mg.join(ml.select(F.col("comp").alias("y"), F.col("lbl").alias("__l")), "y")
+                .groupBy(F.col("x").alias("comp"))
+                .agg(F.min("__l").alias("m"))
+            )
+            ml = (
+                ml.join(n, "comp", "left")
+                .select(
+                    "comp",
+                    F.expr("CAST(least(lbl, coalesce(m, lbl)) AS BIGINT)").alias("lbl"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        lab = (
+            lab.join(ml.select(F.col("comp").alias("c"), "lbl"), "c")
+            .select("v", F.col("lbl").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        st = (
+            pick.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_edges_added"),
+                F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("total_weight"),
+            )
+            .crossJoin(
+                lab.agg(F.count_distinct("c").cast("bigint").alias("n_components"))
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                "n_edges_added", "total_weight", "n_components",
+            )
+        )
+        out_rows.append(st)
+    res = out_rows[0]
+    for st in out_rows[1:]:
+        res = res.unionAll(st)
+    return res.orderBy("round")
