@@ -117,9 +117,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_pattern_regex",
     "graph_betweenness_seeds",
     "graph_boruvka_msf",
+    "upsert_write_audit_publish",
+    "dq_pii_luhn_audit",
     # -- FILLER: round-10 hard-green names re-verified ------------
-    "dq_pattern_signature",
-    "multimodal_ahash_dedup",
     "search_ltr_blend",
     "streaming_topk_incremental",
     "udtf_char_ngrams",

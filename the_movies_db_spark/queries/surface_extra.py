@@ -7824,3 +7824,105 @@ def io_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn mod-10 PII audit (payment-card-shaped identifier detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_pii_luhn_audit",
+    """
+    WITH d AS (
+      SELECT o_orderstatus AS status,
+             regexp_replace(md5(CAST(o_orderkey AS VARCHAR)),
+                            '[a-f]', '', 'g') AS ds
+      FROM orders
+    ),
+    r AS (
+      SELECT status,
+             CASE WHEN len(ds) BETWEEN 13 AND 19 THEN 1 ELSE 0 END
+               AS shaped,
+             CASE WHEN len(ds) BETWEEN 13 AND 19
+                   AND list_aggregate(list_transform(
+                         range(1, len(ds) + 1),
+                         i -> CASE WHEN i % 2 = 0 THEN
+                                CASE WHEN 2 * (ascii(substr(reverse(ds),
+                                       CAST(i AS INT), 1)) - 48) > 9
+                                     THEN 2 * (ascii(substr(reverse(ds),
+                                       CAST(i AS INT), 1)) - 48) - 9
+                                     ELSE 2 * (ascii(substr(reverse(ds),
+                                       CAST(i AS INT), 1)) - 48) END
+                              ELSE ascii(substr(reverse(ds),
+                                     CAST(i AS INT), 1)) - 48 END),
+                         'sum') % 10 = 0
+                  THEN 1 ELSE 0 END AS luhn_ok
+      FROM d
+    )
+    SELECT CAST(status AS VARCHAR) AS status,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(shaped) AS BIGINT) AS n_card_shaped,
+           CAST(sum(luhn_ok) AS BIGINT) AS n_luhn_valid,
+           CAST(sum(luhn_ok) * 1000000 // greatest(sum(shaped), 1)
+                AS BIGINT) AS valid_ppm
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Payment-card-shaped PII detection via the Luhn mod-10 checksum "
+        "— the verifier real PII scanners run after the regex hit to "
+        "cut false positives (a random digit run passes ~10% of the "
+        "time, so checksum-validated hits are the actionable subset): "
+        "candidate digit runs (md5-derived, so lengths vary and the "
+        "13-19 card-shape gate does real work) are length-filtered, "
+        "then Luhn-checked — double every second digit from the right, "
+        "subtract 9 above 9, total divisible by 10. Pure integer fold, "
+        "identical on both engines; counts and the validated-ppm rate "
+        "per order status are hard-hashed."
+    ),
+)
+def dq_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum audit over extracted digit runs.
+
+    Scale notes (100 TB): one projection (regex strip + a <=19-term
+    integer fold, whole-stage codegen) and one combining aggregate —
+    scan-bound, the cheapest possible shape for a corpus-wide PII
+    sweep."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderstatus").cast("string").alias("status"),
+        F.expr(
+            "regexp_replace(md5(CAST(o_orderkey AS STRING)), '[a-f]', '')"
+        ).alias("ds"),
+    )
+    dig = "(ascii(substring(reverse(ds), CAST(i AS INT), 1)) - 48)"
+    luhn_sum = (
+        f"aggregate(transform(sequence(1, length(ds)),"
+        f" i -> CASE WHEN i % 2 = 0 THEN"
+        f" CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9"
+        f" ELSE 2 * {dig} END"
+        f" ELSE {dig} END), 0L, (a, x) -> a + x)"
+    )
+    r = d.select(
+        "status",
+        F.expr(
+            "CASE WHEN length(ds) BETWEEN 13 AND 19 THEN 1 ELSE 0 END"
+        ).alias("shaped"),
+        F.expr(
+            f"CASE WHEN length(ds) BETWEEN 13 AND 19"
+            f" AND {luhn_sum} % 10 = 0 THEN 1 ELSE 0 END"
+        ).alias("luhn_ok"),
+    )
+    return (
+        r.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("shaped").cast("bigint").alias("n_card_shaped"),
+            F.sum("luhn_ok").cast("bigint").alias("n_luhn_valid"),
+            F.expr(
+                "CAST(sum(luhn_ok) * 1000000L"
+                " div greatest(sum(shaped), 1L) AS BIGINT)"
+            ).alias("valid_ppm"),
+        )
+        .orderBy("status")
+    )

@@ -1003,3 +1003,81 @@ def upsert_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish (the lakehouse WAP pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_write_audit_publish",
+    """
+    WITH staged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey % 1000 < 200
+    )
+    SELECT FALSE AS audit_passed,
+           CAST(count(*) AS BIGINT) AS n_staged,
+           CAST(sum(CASE WHEN cents <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_published,
+           CAST(sum(CASE WHEN cents > 0 THEN cents ELSE 0 END) AS BIGINT)
+             AS published_cents
+    FROM staged
+    """,
+    doc=(
+        "Write-Audit-Publish — the Iceberg-style safe-publish pattern "
+        "on the versioned-table layout: a batch (with deliberately "
+        "corrupted rows, every 97th order's cents negated) is STAGED as "
+        "an uncommitted version directory while readers keep seeing the "
+        "old table; the audit reads back the staged FILES (exactly the "
+        "bytes that would ship), quarantines violations to a sidecar, "
+        "publishes a cleaned version via the atomic _CURRENT pointer "
+        "rename, and the final published table is re-read from disk and "
+        "aggregated — so the driver hash pins the staging, audit, "
+        "quarantine AND publish legs end-to-end against a pure-SQL "
+        "replay of the same pipeline."
+    ),
+)
+def upsert_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP round-trip through the real versioned writer.
+
+    Scale notes (100 TB): staging is one parquet write, the audit is a
+    scan of the staged files only, publish is an O(1) pointer rename —
+    no table rewrite; a failed audit never touches the live pointer."""
+    import os
+
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.upsert import read_table, write_audit_publish
+
+    o = load_table(spark, sf_dir, "orders")
+    batch = o.filter("o_orderkey % 1000 < 200").select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 97 = 0"
+            " THEN -CAST(round(o_totalprice * 100) AS BIGINT)"
+            " ELSE CAST(round(o_totalprice * 100) AS BIGINT) END"
+        ).alias("cents"),
+    )
+    root = os.path.join(scratch_dir("wap"), "table")
+    res = write_audit_publish(spark, batch, root, "cents <= 0")
+    pub = read_table(spark, root)
+    return (
+        pub.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_published"),
+            F.sum("cents").cast("bigint").alias("published_cents"),
+        )
+        .select(
+            F.lit(res["audit_passed"]).alias("audit_passed"),
+            F.lit(res["n_staged"]).cast("bigint").alias("n_staged"),
+            F.lit(res["n_bad"]).cast("bigint").alias("n_quarantined"),
+            "n_published",
+            "published_cents",
+        )
+    )

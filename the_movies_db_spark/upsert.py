@@ -692,3 +692,61 @@ def merge_preview(
     cols += [F.col(f"t.{c}").alias(f"t_{c}") for c in target.columns]
     cols += [F.col(f"b.{c}").alias(f"b_{c}") for c in batch.columns]
     return joined.select(*cols)
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    target_path: str,
+    bad_predicate: str,
+) -> dict:
+    """Write-Audit-Publish (the Iceberg/lakehouse WAP pattern) on the
+    versioned-table layout: stage ``df`` as a new version directory
+    WITHOUT moving ``_CURRENT`` (readers keep seeing the old table),
+    audit the staged files, and only then publish. If the audit finds
+    rows matching ``bad_predicate``, they are written to a quarantine
+    sidecar (``<root>/_quarantine/<staged_version>``) and a CLEANED
+    version is published instead — the staged version stays on disk
+    for debugging until ``vacuum_table`` retires it.
+
+    Returns {staged_version, published_version, n_staged, n_bad,
+    n_published, audit_passed}.
+
+    Scale notes (100 TB): staging is a plain parquet write; the audit
+    reads back the staged FILES (never re-runs the upstream pipeline,
+    so the audit sees exactly the bytes that would be published) and
+    the publish itself is one atomic pointer rename, identical cost at
+    any table size."""
+    with writer_lock(target_path):
+        staged_v = _next_version_name(target_path)
+        staged_path = os.path.join(target_path, staged_v)
+        df.write.parquet(staged_path)
+        staged = spark.read.parquet(staged_path)
+        n_staged = staged.count()
+        bad = staged.filter(bad_predicate)
+        n_bad = bad.count()
+        if n_bad == 0:
+            _commit_version(target_path, staged_v)
+            return {
+                "staged_version": staged_v,
+                "published_version": staged_v,
+                "n_staged": n_staged,
+                "n_bad": 0,
+                "n_published": n_staged,
+                "audit_passed": True,
+            }
+        qdir = os.path.join(target_path, "_quarantine", staged_v)
+        bad.write.mode("overwrite").parquet(qdir)
+        clean_v = _next_version_name(target_path)
+        staged.filter(f"NOT ({bad_predicate})").write.parquet(
+            os.path.join(target_path, clean_v)
+        )
+        _commit_version(target_path, clean_v)
+        return {
+            "staged_version": staged_v,
+            "published_version": clean_v,
+            "n_staged": n_staged,
+            "n_bad": n_bad,
+            "n_published": n_staged - n_bad,
+            "audit_passed": False,
+        }
