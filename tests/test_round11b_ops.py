@@ -267,3 +267,42 @@ def test_wht_hash_identical_images_collide():
     v2 = v.copy()
     v2[13] = 255 * 2
     assert hsh(v2) != hsh(v)
+
+
+# --- plan scan budgets (the round-9 exponential-lineage guard) --------------
+
+_BUDGETS = {
+    # name: (max parquet scans of any one table, max ExistingRDD scans)
+    "sim_nsw_greedy_search": (1, 2),
+    "multimodal_wht_hash": (1, 1),
+    "io_compaction_plan": (1, 1),
+    "events_pattern_regex": (1, 1),
+    "graph_betweenness_seeds": (1, 3),
+    "graph_boruvka_msf": (1, 5),
+    "dq_pii_luhn_audit": (1, 1),
+    "sim_mllib_lsh_audit": (1, 5),
+    "sim_ivf_kmeans_audit": (2, 3),
+    "sim_vectorized_audit": (5, 1),  # adjudicated: bounded-panel audit
+    "dq_bloom_fpr_audit": (3, 4),
+    "dq_drift_wasserstein": (1, 6),  # fixed r11: was 6 orders scans
+}
+
+
+@pytest.mark.slow
+def test_scan_budgets_round11(spark, reg):
+    import re
+
+    tables = (
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events", "documents", "embeddings",
+    )
+    sf = "/root/testdata/sf0.001"
+    for name, (max_scan, max_rdd) in _BUDGETS.items():
+        txt = (
+            reg[name].spark(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        worst = max(txt.count(f"{t}.parquet") for t in tables)
+        rdd = len(re.findall("Scan ExistingRDD", txt))
+        assert worst <= max_scan, (name, "parquet", worst)
+        assert rdd <= max_rdd, (name, "rdd", rdd)

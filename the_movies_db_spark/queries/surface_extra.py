@@ -7299,8 +7299,6 @@ def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = o.filter(F.expr("year(o_orderdate) = 1998")).select(
         cents.alias("v")
     )
-    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
-    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     dom = (
         a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
         .join(
@@ -7312,7 +7310,13 @@ def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
             F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
         )
+        # value-domain-bounded; consumed by the cumulative window AND
+        # the na/nb totals below — checkpoint so orders scans once per
+        # side (plan census r11: this query used to scan orders 6x)
+        .localCheckpoint(eager=False)
     )
+    na = dom.agg(F.sum("ca").cast("bigint").alias("na"))
+    nb = dom.agg(F.sum("cb").cast("bigint").alias("nb"))
     wc = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
