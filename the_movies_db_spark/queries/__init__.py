@@ -70,8 +70,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # registrations HERE at registration time, the moment each
     # oracle is locally green; HARD CAP 50 so the backlog never
     # exceeds one window):
-    # (empty — round-11 registrations go into THIS window by
-    # replacing FILLER slots; overflow beyond 21 starts the list)
+    # (empty — all 15 round-11 registrations replaced FILLER slots
+    # in THIS window: agg_approx_distinct_audit, agg_hll_sketch_audit,
+    # dq_bloom_fpr_audit, sim_mllib_lsh_audit, sim_ivf_kmeans_audit,
+    # sim_vectorized_audit, streaming_join_left_outer,
+    # sim_nsw_greedy_search, multimodal_wht_hash, io_compaction_plan,
+    # events_pattern_regex, graph_betweenness_seeds, graph_boruvka_msf,
+    # upsert_write_audit_publish, dq_pii_luhn_audit; 6 FILLER slots
+    # remain — overflow beyond them starts this list)
     #
     # -- the 29-name round-11 queue, in registration order -------
     "multimodal_numpy_decode",

@@ -326,14 +326,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Exact distincts and HLL++ estimates in SEPARATE aggregations,
+    # joined on the 3-row group key: mixing count_distinct with
+    # approx_count_distinct in ONE agg triggers the Expand
+    # multi-distinct rewrite with the HLL++ buffers dragged through it
+    # — measured 129 s vs 2+2 s split at sf0.1 (x16 probe finding).
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
-            F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
-        )
+        exact.join(approx, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",

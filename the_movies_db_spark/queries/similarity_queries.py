@@ -4475,7 +4475,8 @@ def _nsw_oracle() -> str:
     return f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-      WHERE vec_id < {_N_CELLS}
+      WHERE vec_id < greatest({_N_CELLS},
+                              (SELECT count(*) FROM embeddings) // 64)
     ),
     assign AS MATERIALIZED (
       SELECT vec_id, embedding, cid AS cell FROM (
@@ -4521,8 +4522,10 @@ def _nsw_oracle() -> str:
     _nsw_oracle(),
     doc=(
         "Greedy graph-descent ANN — the NSW/HNSW layer-0 primitive: a "
-        "degree-8 navigable graph (exact kNN within each seed IVF cell, "
-        "so construction is bounded per-cell work, never all-pairs), a "
+        "degree-8 navigable graph (exact kNN within each seed IVF cell; "
+        "cells track the corpus via greatest(8, n div 64) mirrored as "
+        "an oracle scalar subquery, so per-cell work stays ~constant "
+        "as the corpus grows — never all-pairs), a "
         "deterministic entry point per cell (max vec_id), then 4 "
         "unrolled greedy hops — move to the neighbor closest to the "
         "query iff it strictly improves, else stay. All comparisons on "
@@ -4545,6 +4548,13 @@ def sim_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidate join + stay fallback), so uncheckpointed lineage would
     double per hop (the round-9 exponential-branch class)."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
+    # Cells TRACK the corpus (greatest(8, n div 64), mirrored as a
+    # scalar subquery in the oracle — the dedup_semantic recipe): the
+    # kNN edge build is per-cell quadratic, so FIXED cells degrade
+    # quadratically with corpus growth (x16 probe measured 19x runtime
+    # at 8 fixed cells; ~flat with cells scaling). The count is one
+    # metadata-only job at plan build.
+    n_cells = max(_N_CELLS, e.count() // 64)
     # collect_centroids=False: the collected-literal path's cell column
     # is a HOF (array_min over transform over zip_with) that fails
     # attribute binding when this plan later re-derives two edge
@@ -4554,7 +4564,7 @@ def sim_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolled arithmetic + min-struct, which binds fine and produces
     # IDENTICAL cells (pinned in tests/test_plans.py).
     assign = S.ivf_assign(
-        e, "vec_id", "embedding", n_cells=_N_CELLS, dim=_DIM,
+        e, "vec_id", "embedding", n_cells=n_cells, dim=_DIM,
         collect_centroids=False,
     ).localCheckpoint(eager=False)
     # the graph indexes only NON-query vectors (the external-query kNN
