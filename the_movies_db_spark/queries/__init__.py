@@ -76,7 +76,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_vectorized_audit, streaming_join_left_outer,
     # sim_nsw_greedy_search, multimodal_wht_hash, io_compaction_plan,
     # events_pattern_regex, graph_betweenness_seeds, graph_boruvka_msf,
-    # upsert_write_audit_publish, dq_pii_luhn_audit; 6 FILLER slots
+    # upsert_write_audit_publish, dq_pii_luhn_audit, join_lateral_topn,
+    # graph_bfs_recursive_cte, udf_arrow_scalar; 3 FILLER slots
     # remain — overflow beyond them starts this list)
     #
     # -- the 29-name round-11 queue, in registration order -------
@@ -125,10 +126,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_boruvka_msf",
     "upsert_write_audit_publish",
     "dq_pii_luhn_audit",
+    "join_lateral_topn",
+    "graph_bfs_recursive_cte",
+    "udf_arrow_scalar",
     # -- FILLER: round-10 hard-green names re-verified ------------
-    "search_ltr_blend",
-    "streaming_topk_incremental",
-    "udtf_char_ngrams",
     "agg_bitmap_hierarchy",
     "upsert_conditional_merge",
     "upsert_schema_evolve",

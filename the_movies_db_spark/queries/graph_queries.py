@@ -3178,3 +3178,52 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for st in out_rows[1:]:
         res = res.unionAll(st)
     return res.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Native recursive-CTE BFS (Spark 4 WITH RECURSIVE — same SQL, both engines)
+# ---------------------------------------------------------------------------
+
+_RBFS_SQL = f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    r(node, hops) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+      UNION ALL
+      SELECT CAST(e.dst AS BIGINT), r.hops + 1
+      FROM r JOIN e ON e.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_walks
+    FROM r GROUP BY node ORDER BY node
+    """
+
+
+@register(
+    "graph_bfs_recursive_cte",
+    _RBFS_SQL,
+    doc=(
+        "Native WITH RECURSIVE breadth-first reachability — Spark 4 "
+        "executes the recursive CTE itself (UnionLoop), so the "
+        "IDENTICAL SQL text runs on both engines with zero manual "
+        "unrolling: hops-bounded walk enumeration from nation 0 over "
+        "the directed trade graph, reduced to min-hop distance and "
+        "walk counts. The sibling graph_bfs_hops pins the hand-unrolled "
+        "formulation; this entry pins the engine's own recursion "
+        "operator against DuckDB's."
+    ),
+)
+def graph_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE BFS run natively by the engine.
+
+    Scale notes (100 TB): each recursion step is one join of the
+    frontier against the (broadcastable) edge list — the same
+    per-round shape as the unrolled variant, but the iteration count
+    is driven by the engine's loop operator instead of plan text; the
+    hops guard bounds both state and the dense-graph walk explosion."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_rbfs_{t}")
+    sql = _RBFS_SQL
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        sql = sql.replace(f" {t} ", f" _rbfs_{t} ")
+    return spark.sql(sql)

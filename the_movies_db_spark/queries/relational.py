@@ -1800,3 +1800,67 @@ def join_knn_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "neighbor_id", "rank",
         F.col("dist").alias("dist_cents"),
     ).orderBy("probe_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join (correlated per-row subquery — Spark 4 native surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_lateral_topn",
+    """
+    SELECT n.n_name AS nation, l.o_orderkey, l.cents
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY cents DESC, o.o_orderkey LIMIT 2
+    ) l
+    ORDER BY nation, cents DESC, o_orderkey
+    """,
+    doc=(
+        "Correlated LATERAL join — the per-row-subquery SQL surface "
+        "Spark 4 supports natively: for every nation, a correlated "
+        "ORDER BY ... LIMIT 2 subquery returns its two largest orders. "
+        "The IDENTICAL SQL text runs on both engines (DuckDB LATERAL "
+        "has the same semantics), so this pins Spark's "
+        "DecorrelateInnerQuery rewrite of lateral limits end to end. "
+        "The classic alternative spelling is the top-k window "
+        "(window_topk_per_group) — this entry verifies the LATERAL "
+        "spelling specifically."
+    ),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-n via a correlated LATERAL subquery.
+
+    Scale notes (100 TB): Catalyst decorrelates the lateral limit into
+    a ranked window over the join — the same physical shape as the
+    window spelling, no per-row subquery execution; the lateral form
+    is the SQL-surface contract being verified."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "_lat_nation"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_lat_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, l.o_orderkey, l.cents
+        FROM _lat_nation n,
+        LATERAL (
+          SELECT o.o_orderkey,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM _lat_orders o
+          JOIN _lat_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY cents DESC, o.o_orderkey LIMIT 2
+        ) l
+        ORDER BY nation, cents DESC, o_orderkey
+        """
+    )

@@ -455,3 +455,60 @@ def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized scalar Python UDF (useArrow=True — the Spark 4 fast
+# path for row-at-a-time Python, distinct from pandas_udf)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_arrow_scalar",
+    """
+    SELECT source,
+           CAST(sum(CASE WHEN len(regexp_replace(lang || ':' || source,
+                                                 '[aeiou]', '', 'g'))
+                          % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bucket0,
+           CAST(sum(len(regexp_replace(lang || ':' || source,
+                                       '[aeiou]', '', 'g'))) AS BIGINT)
+             AS total_len
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Arrow-optimized scalar Python UDF (useArrow=True): the Spark 4 "
+        "fast path for row-at-a-time Python — Arrow batches replace "
+        "pickled rows, ~2-10x over the legacy pickle UDF while keeping "
+        "the simple one-value-at-a-time authoring model (pandas_udf "
+        "remains the vectorized tier; both are registered). The kernel "
+        "is deterministic string surgery (strip vowels, length, mod "
+        "bucket) the oracle replays in SQL, so the Arrow serialization "
+        "path itself is value-hash-verified."
+    ),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized (non-pandas) Python UDF, oracle-verified.
+
+    Scale notes (100 TB): still a Python-worker roundtrip per batch —
+    use for logic that genuinely can't be expressed in SQL/pandas; the
+    point of this entry is pinning that the useArrow path yields
+    byte-identical semantics to the SQL spelling."""
+
+    def devowel_len(s: str) -> int:
+        return len("".join(ch for ch in s if ch not in "aeiou"))
+
+    f = F.udf(devowel_len, "int", useArrow=True)
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", f(F.expr("lang || ':' || source")).alias("__l")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.expr("CASE WHEN __l % 7 = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_bucket0"),
+            F.sum("__l").cast("bigint").alias("total_len"),
+        )
+        .orderBy("source")
+    )
