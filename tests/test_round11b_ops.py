@@ -285,6 +285,12 @@ _BUDGETS = {
     "sim_vectorized_audit": (5, 1),  # adjudicated: bounded-panel audit
     "dq_bloom_fpr_audit": (3, 4),
     "dq_drift_wasserstein": (1, 6),  # fixed r11: was 6 orders scans
+    "join_lateral_topn": (1, 0),  # decorrelated lateral = single scans
+    "graph_bfs_recursive_cte": (1, 1),  # loop body prints separately
+    "udf_arrow_scalar": (1, 0),
+    "fn_sql_pipe_syntax": (1, 0),
+    "udtf_table_argument": (1, 0),
+    "graph_scc_directed": (1, 5),
 }
 
 

@@ -77,8 +77,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_nsw_greedy_search, multimodal_wht_hash, io_compaction_plan,
     # events_pattern_regex, graph_betweenness_seeds, graph_boruvka_msf,
     # upsert_write_audit_publish, dq_pii_luhn_audit, join_lateral_topn,
-    # graph_bfs_recursive_cte, udf_arrow_scalar; 3 FILLER slots
-    # remain — overflow beyond them starts this list)
+    # graph_bfs_recursive_cte, udf_arrow_scalar, fn_sql_pipe_syntax,
+    # udtf_table_argument, graph_scc_directed — 21 registrations,
+    # ZERO fillers left; round-12 registrations start this list)
     #
     # -- the 29-name round-11 queue, in registration order -------
     "multimodal_numpy_decode",
@@ -129,10 +130,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_lateral_topn",
     "graph_bfs_recursive_cte",
     "udf_arrow_scalar",
-    # -- FILLER: round-10 hard-green names re-verified ------------
-    "agg_bitmap_hierarchy",
-    "upsert_conditional_merge",
-    "upsert_schema_evolve",
+    "fn_sql_pipe_syntax",
+    "udtf_table_argument",
+    "graph_scc_directed",
 )
 
 

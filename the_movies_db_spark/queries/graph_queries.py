@@ -3227,3 +3227,170 @@ def graph_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "supplier"):
         sql = sql.replace(f" {t} ", f" _rbfs_{t} ")
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components — FW-BW min-label coloring (first peel)
+# ---------------------------------------------------------------------------
+
+_SCC_ROUNDS = 6
+_SCC_TOP = 10
+
+
+def _scc_oracle() -> str:
+    spend_rk = (
+        "spend AS ("
+        + _GRAPH_EDGE_SQL.split("spend AS (", 1)[1].split("), rk AS (")[0]
+        + "), rk AS ("
+        + _GRAPH_EDGE_SQL.split("), rk AS (", 1)[1].split("), edges AS")[0]
+        + ")"
+    )
+    ctes = [
+        spend_rk,
+        """dedges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM rk a JOIN rk b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+      WHERE a.s <> b.s
+    )""",
+        "nodes AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges)",
+        "f0 AS (SELECT v, v AS lbl FROM nodes)",
+        "b0 AS (SELECT v, v AS lbl FROM nodes)",
+    ]
+    for i in range(1, _SCC_ROUNDS + 1):
+        ctes.append(f"""f{i} AS MATERIALIZED (
+      SELECT l.v, CAST(least(l.lbl, coalesce(n.m, l.lbl)) AS BIGINT) AS lbl
+      FROM f{i - 1} l LEFT JOIN (
+        SELECT e.dst AS v, min(l2.lbl) AS m
+        FROM dedges e JOIN f{i - 1} l2 ON l2.v = e.src GROUP BY 1
+      ) n USING (v)
+    )""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+      SELECT l.v, CAST(least(l.lbl, coalesce(n.m, l.lbl)) AS BIGINT) AS lbl
+      FROM b{i - 1} l LEFT JOIN (
+        SELECT e.src AS v, min(l2.lbl) AS m
+        FROM dedges e JOIN b{i - 1} l2 ON l2.v = e.dst GROUP BY 1
+      ) n USING (v)
+    )""")
+    r = _SCC_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    res AS (
+      SELECT f.v, f.lbl AS scc_id
+      FROM f{r} f JOIN b{r} b ON b.v = f.v AND b.lbl = f.lbl
+    ),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM res) AS n_resolved
+    )
+    SELECT s.scc_id, s.size, tot.n_nodes, tot.n_resolved,
+           CAST(row_number() OVER (ORDER BY s.size DESC, s.scc_id)
+                AS BIGINT) AS rank
+    FROM (
+      SELECT scc_id, CAST(count(*) AS BIGINT) AS size
+      FROM res GROUP BY 1
+    ) s CROSS JOIN tot
+    ORDER BY s.size DESC, s.scc_id LIMIT {_SCC_TOP}
+    """
+    )
+
+
+@register(
+    "graph_scc_directed",
+    _scc_oracle(),
+    doc=(
+        "Strongly connected components by FW-BW min-label coloring "
+        "(the first peel of the distributed ColorCC/FW-BW algorithm): "
+        "over the DIRECTED preference graph (each customer's top "
+        "supplier -> its second), propagate min labels 6 fixed rounds "
+        "FORWARD (along edges) and 6 BACKWARD (against them); a node "
+        "whose forward label equals its backward label m is reachable "
+        "from m AND reaches m, i.e. provably inside SCC(m). Resolved "
+        "SCC sizes plus node/resolution totals are hard-hashed against "
+        "the fully unrolled oracle; fixed rounds keep both engines "
+        "bit-identical even where labels haven't globally converged."
+    ),
+)
+def graph_scc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FW-BW min-label SCC coloring, 6+6 unrolled rounds.
+
+    Scale notes (100 TB): each round is one edge-list join + min
+    aggregate keyed by node (forward and backward run on the same
+    checkpointed edge table with src/dst swapped); label frames are
+    lazily checkpointed per round — the round-9 multi-branch class."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    spend = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust.select("c_custkey", "c_nationkey"), o.o_custkey == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("sp"))
+    )
+    rk = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("sp"), F.asc("s"))
+        ),
+    )
+    a = rk.filter("rn = 1").select("c", F.col("s").alias("src"))
+    b = rk.filter("rn = 2").select(F.col("c").alias("c2"), F.col("s").alias("dst"))
+    dedges = (
+        a.join(b, a.c == b.c2)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # supplier-grain; 12 round joins
+    )
+    nodes = (
+        dedges.select(F.col("src").alias("v"))
+        .union(dedges.select("dst"))
+        .distinct()
+    )
+    fwd = nodes.select("v", F.col("v").alias("lbl"))
+    bwd = nodes.select("v", F.col("v").alias("lbl"))
+
+    def _round(lab: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        n = (
+            dedges.join(
+                lab.select(F.col("v").alias(key_in), F.col("lbl").alias("__l")),
+                key_in,
+            )
+            .groupBy(F.col(key_out).alias("v"))
+            .agg(F.min("__l").alias("m"))
+        )
+        return (
+            lab.join(n, "v", "left")
+            .select(
+                "v",
+                F.expr("CAST(least(lbl, coalesce(m, lbl)) AS BIGINT)").alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(_SCC_ROUNDS):
+        fwd = _round(fwd, "src", "dst")
+        bwd = _round(bwd, "dst", "src")
+    res = fwd.join(
+        bwd.select(F.col("v").alias("__bv"), F.col("lbl").alias("__bl")),
+        (F.col("v") == F.col("__bv")) & (F.col("lbl") == F.col("__bl")),
+    ).select("v", F.col("lbl").alias("scc_id")).localCheckpoint(eager=False)
+    tot = (
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(res.agg(F.count(F.lit(1)).cast("bigint").alias("n_resolved")))
+    )
+    sizes = res.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    w = Window.orderBy(F.desc("size"), F.asc("scc_id"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("size"), F.asc("scc_id"))
+        .limit(_SCC_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("scc_id", "size", "n_nodes", "n_resolved", "rank")
+    )

@@ -1864,3 +1864,51 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, cents DESC, o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_sql_pipe_syntax",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "SQL pipe syntax (Spark 4's |> operator chain — FROM t |> WHERE "
+        "|> AGGREGATE ... GROUP BY |> ORDER BY): the linear-dataflow "
+        "spelling of the classic SELECT, executed through the exact "
+        "same Catalyst plan. The oracle is the classic spelling, so "
+        "driver equality pins that the pipe parser produces identical "
+        "semantics — the surface a reference user migrating hand-built "
+        "pipelines would reach for first."
+    ),
+)
+def fn_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-syntax aggregate, classic-SQL oracle.
+
+    Scale notes (100 TB): syntax only — the pipe chain lowers to the
+    same pushed-filter + partial-agg plan as the classic spelling."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM _pipe_lineitem
+        |> WHERE l_quantity < 25
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )

@@ -512,3 +512,88 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF over a TABLE argument (PARTITION BY / ORDER BY input)
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@register(
+    "udtf_table_argument",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Python UDTF over a TABLE ARGUMENT — the Spark 4 polymorphic "
+        "table-function surface: the UDTF consumes "
+        "TABLE(...) PARTITION BY user_id ORDER BY (us, event_id), so "
+        "the ENGINE delivers each user's ordered event stream to one "
+        "UDTF instance and the function just folds integer state "
+        "(session counter over 30-minute gaps). The oracle replays the "
+        "same sessionization with a lag window — driver equality pins "
+        "both the partition/order delivery contract and the state "
+        "machine."
+    ),
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionizing UDTF fed by a partitioned, ordered TABLE argument.
+
+    Scale notes (100 TB): PARTITION BY shuffles once on user_id and
+    ORDER BY sorts within partitions — the engine owns the data
+    movement; the Python side is a per-group integer fold over Arrow
+    batches, the cheapest custom-logic shape above mapInPandas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, n_sessions bigint")
+    class SessionCounter:
+        def __init__(self) -> None:
+            self.user = None
+            self.prev_us = None
+            self.n = 0
+            self.sessions = 0
+
+        def eval(self, row) -> None:
+            self.user = row["user_id"]
+            us = row["us"]
+            if self.prev_us is None or us - self.prev_us > 1_800_000_000:
+                self.sessions += 1
+            self.prev_us = us
+            self.n += 1
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.sessions
+
+    spark.udtf.register("_session_counter", SessionCounter)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts)"
+        ).alias("us"),
+        "event_id",
+    )
+    ev.createOrReplaceTempView("_sess_events")
+    return spark.sql(
+        """
+        SELECT * FROM _session_counter(
+          TABLE(_sess_events)
+          PARTITION BY user_id ORDER BY (us, event_id)
+        ) ORDER BY user_id
+        """
+    )
