@@ -57,7 +57,11 @@ def _queue_comment_names() -> set[str]:
     )
     if not m:
         return set()
-    return set(re.findall(r"([a-z0-9_]{3,})[,]?", m.group(1)))
+    # Only tokens that ARE registered query names count as queue
+    # entries — prose words in the comment ('window', 'round', …) must
+    # not make an orphaned query look scheduled.
+    tokens = set(re.findall(r"([a-z0-9_]{3,})[,]?", m.group(1)))
+    return tokens & set(load_all())
 
 
 def test_window_is_exactly_50_unique_registered_names():

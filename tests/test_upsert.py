@@ -420,3 +420,27 @@ def test_delete_keys_rejects_partitioned_layout(spark, tmp_path):
     doomed = spark.createDataFrame([(1,)], "pk long")
     with pytest.raises(ValueError, match="flat versioned-dir"):
         delete_keys(spark, path, doomed, "pk")
+
+
+def test_write_audit_publish_null_predicate_quarantines(spark, tmp_path):
+    """A NULL audit predicate must quarantine the row, never silently
+    drop it: quarantine takes `pred IS NOT FALSE`, publish takes the
+    exact complement, and n_published counts the published files."""
+    from the_movies_db_spark import upsert as U
+    from the_movies_db_spark.upsert import write_audit_publish
+
+    root = str(tmp_path / "wap")
+    df = spark.createDataFrame(
+        [(1, 100), (2, -5), (3, None)], "id long, cents long"
+    )
+    res = write_audit_publish(spark, df, root, "cents <= 0")
+    assert res["n_staged"] == 3
+    # id=2 (bad) AND id=3 (NULL predicate) are quarantined
+    assert res["n_bad"] == 2
+    assert res["n_published"] == 1
+    assert not res["audit_passed"]
+    published = {r.id for r in U.read_table(spark, root).collect()}
+    assert published == {1}
+    qdir = f"{root}/_quarantine/{res['staged_version']}"
+    quarantined = {r.id for r in spark.read.parquet(qdir).collect()}
+    assert quarantined == {2, 3}

@@ -24,6 +24,8 @@ declared in DataFrames.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2858,7 +2860,7 @@ _BC_TOP = 15
     doc=(
         "Seed-sampled betweenness centrality (truncated Brandes, the "
         "standard approximation for graphs where all-pairs BFS is "
-        "impossible): BFS shortest-path DAGs from the {_BC_SEEDS} "
+        f"impossible): BFS shortest-path DAGs from the {_BC_SEEDS} "
         "smallest nodes out to horizon 3 with integer path counts "
         "(sigma), then the Brandes backward dependency accumulation in "
         "milli-integers — each per-successor term sigma_v * (1000 + "
@@ -3223,9 +3225,14 @@ def graph_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops guard bounds both state and the dense-graph walk explosion."""
     for t in ("lineitem", "orders", "customer", "supplier"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"_rbfs_{t}")
+    # Word-boundary rewrite (not a space-delimited .replace): survives
+    # reformatting where a table token abuts a newline, ')' or EOS, and
+    # asserts every table was actually remapped so the rewrite can't
+    # silently no-op.
     sql = _RBFS_SQL
     for t in ("lineitem", "orders", "customer", "supplier"):
-        sql = sql.replace(f" {t} ", f" _rbfs_{t} ")
+        sql, n = re.subn(rf"\b{t}\b", f"_rbfs_{t}", sql)
+        assert n > 0, f"table {t} not found in _RBFS_SQL"
     return spark.sql(sql)
 
 

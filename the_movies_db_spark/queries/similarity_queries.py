@@ -4288,6 +4288,11 @@ def sim_mllib_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_mllib_lsh_join(spark, sf_dir)
         .filter(F.col("id_a") < _MLSH_PROBE)
         .select("id_a", "id_b")
+        # distinct: if approxSimilarityJoin ever emitted duplicate
+        # pairs, duplicates would inflate the recall numerator without
+        # flipping found_is_subset — dedup bounds __nf by n_true_pairs
+        # whenever the subset check holds.
+        .distinct()
         .localCheckpoint(eager=False)  # 2 consumers (count + anti-join)
     )
     n_true = true_pairs.agg(

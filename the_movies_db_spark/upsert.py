@@ -723,7 +723,11 @@ def write_audit_publish(
         df.write.parquet(staged_path)
         staged = spark.read.parquet(staged_path)
         n_staged = staged.count()
-        bad = staged.filter(bad_predicate)
+        # A NULL audit predicate is treated as BAD (quarantined), never
+        # silently dropped: the quarantine side takes `pred IS NOT FALSE`
+        # and the publish side takes the exact complement `pred IS FALSE`,
+        # so every staged row lands in exactly one of the two outputs.
+        bad = staged.filter(f"({bad_predicate}) IS NOT FALSE")
         n_bad = bad.count()
         if n_bad == 0:
             _commit_version(target_path, staged_v)
@@ -738,15 +742,15 @@ def write_audit_publish(
         qdir = os.path.join(target_path, "_quarantine", staged_v)
         bad.write.mode("overwrite").parquet(qdir)
         clean_v = _next_version_name(target_path)
-        staged.filter(f"NOT ({bad_predicate})").write.parquet(
-            os.path.join(target_path, clean_v)
-        )
+        clean_path = os.path.join(target_path, clean_v)
+        staged.filter(f"({bad_predicate}) IS FALSE").write.parquet(clean_path)
+        n_published = spark.read.parquet(clean_path).count()
         _commit_version(target_path, clean_v)
         return {
             "staged_version": staged_v,
             "published_version": clean_v,
             "n_staged": n_staged,
             "n_bad": n_bad,
-            "n_published": n_staged - n_bad,
+            "n_published": n_published,
             "audit_passed": False,
         }
