@@ -55,84 +55,77 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-11 rotation: the round-10 window went 50/50 green
-    # (CORRECTNESS_r10.json; zero value-hash failures ever after
-    # round 1; cumulative hard driver coverage 472 distinct
-    # queries). This window = the 29-name round-11 queue VERBATIM
-    # (every registration from the round-10 continuation session,
-    # all pre-verified under a stock driver-like session in
-    # scripts/driver_sim_r11_queue.md) + round-11 registrations
-    # appended at registration time, padded to EXACTLY 50 with
-    # already-hard-green round-10 names (marked FILLER below;
-    # replace fillers top-down as new registrations land).
+    # Round-12 rotation (VERDICT r11 directive 1 — anti-staleness):
+    # the round-12 queue was EMPTY, so this window holds the 50
+    # STALEST hard-green names in the registry — 44 names whose only
+    # driver row is round 1 plus the 6 oldest round-2 names — for
+    # re-verification under the current tree. All 50 were green in
+    # the round-11 full sweeps (527/527 both SFs) but their DRIVER
+    # rows predate ten rounds of engine evolution.
     #
-    # Queue for the round-12 window (append round-12
-    # registrations HERE at registration time, the moment each
-    # oracle is locally green; HARD CAP 50 so the backlog never
-    # exceeds one window):
-    # (empty — all 15 round-11 registrations replaced FILLER slots
-    # in THIS window: agg_approx_distinct_audit, agg_hll_sketch_audit,
-    # dq_bloom_fpr_audit, sim_mllib_lsh_audit, sim_ivf_kmeans_audit,
-    # sim_vectorized_audit, streaming_join_left_outer,
-    # sim_nsw_greedy_search, multimodal_wht_hash, io_compaction_plan,
-    # events_pattern_regex, graph_betweenness_seeds, graph_boruvka_msf,
-    # upsert_write_audit_publish, dq_pii_luhn_audit, join_lateral_topn,
-    # graph_bfs_recursive_cte, udf_arrow_scalar, fn_sql_pipe_syntax,
-    # udtf_table_argument, graph_scc_directed — 21 registrations,
-    # ZERO fillers left; round-12 registrations start this list)
+    # Round-12 registrations are appended HERE at registration time
+    # (standing rule, HARD CAP 50), displacing the DISPLACEABLE
+    # fillers below top-down; displaced stale names head the
+    # round-13 queue.
     #
-    # -- the 29-name round-11 queue, in registration order -------
-    "multimodal_numpy_decode",
-    "agg_bottomk_sample_merge",
-    "graph_richclub_coefficient",
-    "dq_drift_wasserstein",
-    "events_fano_factor",
-    "agg_wilson_lower_bound",
-    "text_readability_ari",
-    "text_bpe_merges",
-    "events_hmm_viterbi",
-    "graph_harmonic_centrality",
-    "sim_range_search",
-    "search_interleaving_eval",
-    "multimodal_shot_boundaries",
-    "join_knn_binned",
-    "text_bpe_tokenize_stats",
-    "dq_selectivity_histogram",
-    "orders_ss_policy_sim",
-    "events_interrupted_ts",
-    "dq_checksum_merkle_partitions",
-    "events_attribution_time_decay",
-    "graph_reach_sketch",
-    "text_bpe_generalization",
-    "upsert_merge_preview",
-    "multimodal_audio_vad_segments",
-    "search_difficulty_prediction",
-    "graph_four_cycles",
-    "orders_chain_ladder",
-    "events_slo_burn_alerts",
-    "orders_promo_event_study",
-    # -- round-11 registrations (replace FILLERs top-down) -------
-    "agg_approx_distinct_audit",
-    "agg_hll_sketch_audit",
-    "dq_bloom_fpr_audit",
-    "sim_mllib_lsh_audit",
-    "sim_ivf_kmeans_audit",
-    "sim_vectorized_audit",
-    "streaming_join_left_outer",
-    "sim_nsw_greedy_search",
-    "multimodal_wht_hash",
-    "io_compaction_plan",
-    "events_pattern_regex",
-    "graph_betweenness_seeds",
-    "graph_boruvka_msf",
-    "upsert_write_audit_publish",
-    "dq_pii_luhn_audit",
-    "join_lateral_topn",
-    "graph_bfs_recursive_cte",
-    "udf_arrow_scalar",
-    "fn_sql_pipe_syntax",
-    "udtf_table_argument",
-    "graph_scc_directed",
+    # Queue for the round-13 window (append round-13 registrations
+    # at registration time; displaced round-12 stale names are
+    # listed here as displacement happens):
+    # (empty so far)
+    #
+    # -- DISPLACEABLE fillers (least-stale of the stale set: last
+    # -- driver row r02; replaced FIRST as registrations land) ----
+    "agg_percentiles",
+    "cdc_apply",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    # -- round-1 rows (stalest in the registry) ------------------
+    "agg_collect_set",
+    "agg_corr",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_stats",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_tumbling",
+    "fn_array",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_asof",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range",
+    "join_semi",
+    "multimodal_audio_features",
+    "multimodal_crossmodal_topk",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "multimodal_meta",
+    "multimodal_resize",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_topk",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_rank_ntile",
+    "window_running_total",
+    "window_topk_per_group",
 )
 
 
