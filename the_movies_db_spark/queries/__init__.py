@@ -71,11 +71,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-13 window (append round-13 registrations
     # at registration time; displaced round-12 stale names are
     # listed here as displacement happens):
-    # (empty so far)
+    # agg_percentiles,
     #
+    # -- round-12 registrations (displace fillers top-down) -------
+    "streaming_join_full_outer",
     # -- DISPLACEABLE fillers (least-stale of the stale set: last
     # -- driver row r02; replaced FIRST as registrations land) ----
-    "agg_percentiles",
     "cdc_apply",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",

@@ -819,3 +819,139 @@ def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_join_full_outer",
+    """
+    WITH c AS (
+      SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT epoch_us(max(c_ts)) FROM c),
+                   (SELECT epoch_us(max(p_ts)) FROM p)) // 1000 * 1000
+             - 3600000000 AS wm_us
+    ),
+    m AS (
+      SELECT c.c_user, c.c_id, p.p_id
+      FROM c JOIN p ON c.c_user = p.p_user
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    ),
+    lnulls AS (
+      SELECT c.c_user AS u
+      FROM c CROSS JOIN wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+        AND (epoch_us(c.c_ts) + 999) // 1000 * 1000 + 1800000000 < wm.wm_us
+    ),
+    rnulls AS (
+      SELECT p.p_user AS u
+      FROM p CROSS JOIN wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+        AND (epoch_us(p.p_ts) + 999) // 1000 * 1000 < wm.wm_us
+    ),
+    emitted AS (
+      SELECT c_user AS u, 1 AS is_m, 0 AS is_l, 0 AS is_r FROM m
+      UNION ALL
+      SELECT u, 0, 1, 0 FROM lnulls
+      UNION ALL
+      SELECT u, 0, 0, 1 FROM rnulls
+    )
+    SELECT u AS user_id,
+           CAST(sum(is_m) AS BIGINT) AS n_matched,
+           CAST(sum(is_l) AS BIGINT) AS n_null_click,
+           CAST(sum(is_r) AS BIGINT) AS n_null_purchase
+    FROM emitted GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "FULL-OUTER stream-stream interval join with BOTH eviction "
+        "frontiers pinned (closes the last stream-join shape, VERDICT "
+        "r11 directive 2): clicks full-outer-join purchases of the "
+        "same user within 30 minutes, both sides watermarked 1h. "
+        "Matched pairs emit on arrival. An unmatched CLICK emits its "
+        "NULL row iff ceil_ms(c_ts) + 30min < floor_ms(min(max c_ts, "
+        "max p_ts)) - 1h (the left-outer rule, re-confirmed under "
+        "full-outer mode), and an unmatched PURCHASE emits iff "
+        "ceil_ms(p_ts) < that same frontier — no interval term, "
+        "because the join condition c_ts <= p_ts means a purchase "
+        "stays matchable until the click watermark passes p_ts "
+        "itself. Event side CEILS to ms, watermark side FLOORS, both "
+        "comparisons STRICT — all empirically pinned by crafted "
+        "ms/sub-ms boundary rows (scripts/probe_r12_fullouter.py, "
+        "tests/test_streaming_full_outer.py). The oracle replays both "
+        "integer-microsecond formulas, so the driver hash verifies "
+        "both frontiers, not just the matched rows."
+    ),
+)
+def streaming_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer stream-stream join, NULL emission = state eviction.
+
+    Scale notes (100 TB/day): state on both sides is bounded by
+    watermark + interval (clicks buffer 1h30m, purchases 1h),
+    partitioned by user_id across the cluster's state stores; the
+    full-outer mode adds no state beyond left-outer — only the
+    right-side eviction scan also emits. AvailableNow's trailing
+    no-data micro-batch advances the final watermark so both
+    eviction frontiers flush deterministically."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        E.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        E.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    out = E.run_available_now(joined, output_mode="append")
+    return (
+        out.groupBy(
+            F.coalesce("c_user", "p_user").alias("user_id")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN c_user IS NOT NULL AND p_user IS NOT NULL"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN c_user IS NOT NULL AND p_user IS NULL"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_null_click"),
+            F.sum(F.expr("CASE WHEN c_user IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_null_purchase"),
+        )
+        .orderBy("user_id")
+    )
