@@ -71,13 +71,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-13 window (append round-13 registrations
     # at registration time; displaced round-12 stale names are
     # listed here as displacement happens):
-    # agg_percentiles,
+    # agg_percentiles, cdc_apply,
     #
     # -- round-12 registrations (displace fillers top-down) -------
     "streaming_join_full_outer",
+    "multimodal_tar_shards",
     # -- DISPLACEABLE fillers (least-stale of the stale set: last
     # -- driver row r02; replaced FIRST as registrations land) ----
-    "cdc_apply",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_ngram_jaccard",

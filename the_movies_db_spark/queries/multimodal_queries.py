@@ -874,3 +874,81 @@ def multimodal_wht_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "dc", "wht_hash")
         .orderBy("doc_id")
     )
+
+
+_TAR_SHARDS = 16
+
+
+@register(
+    "multimodal_tar_shards",
+    f"""
+    WITH m AS (
+      SELECT doc_id % {_TAR_SHARDS} AS shard_id, doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS dig
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT)      AS n_members,
+           CAST(sum(n_bytes) AS BIGINT)  AS total_payload_bytes,
+           CAST(min(doc_id) AS BIGINT)   AS min_doc,
+           CAST(max(doc_id) AS BIGINT)   AS max_doc,
+           CAST(sum(dig) AS BIGINT)      AS digest_sum,
+           TRUE                          AS all_cksum_ok
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "WebDataset-style tar-shard round trip (VERDICT r11 directive "
+        "4 — the at-rest container format for 100 TB multimodal "
+        "corpora): documents are packed into one ustar archive per "
+        "shard (deterministic bytes: sorted members, zeroed metadata) "
+        "and read back by a MANUAL 512-byte ustar header walk — octal "
+        "size field, header-checksum verification, 512-aligned payload "
+        "slicing — never a library reader. The oracle computes every "
+        "member's byte length and a 48-bit md5-prefix digest straight "
+        "from the source table, so the value hash verifies that the "
+        "bytes that came OUT of the container equal the bytes that "
+        "went in, member for member (a parser that mis-walked one "
+        "octal size or alignment pad would shift every following "
+        "member and break the digest sum)."
+    ),
+)
+def multimodal_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into tar shards, parse back via the ustar walk.
+
+    Scale notes (100 TB): packing = one shuffle on the shard key;
+    parsing = per-shard map with no shuffle (the WebDataset reader
+    shape); the final census is one aggregate keyed by shard. Shard
+    count controls task memory — members never materialize outside
+    their shard's task."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") % _TAR_SHARDS).alias("shard_id"),
+            F.format_string("%012d.txt", F.col("doc_id")).alias("member_name"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    members = M.parse_tar_shards(M.pack_tar_shards(docs))
+    return (
+        members.select(
+            "shard_id",
+            F.expr("CAST(substring(member_name, 1, 12) AS BIGINT)").alias("doc_id"),
+            F.col("n_bytes"),
+            F.expr(
+                "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)"
+            ).alias("dig"),
+            "cksum_ok",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("n_bytes").cast("bigint").alias("total_payload_bytes"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.sum("dig").cast("bigint").alias("digest_sum"),
+            F.expr("bool_and(cksum_ok)").alias("all_cksum_ok"),
+        )
+        .orderBy("shard_id")
+    )
