@@ -71,14 +71,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-13 window (append round-13 registrations
     # at registration time; displaced round-12 stale names are
     # listed here as displacement happens):
-    # agg_percentiles, cdc_apply,
+    # agg_percentiles, cdc_apply, dedup_embedding_cosine,
     #
     # -- round-12 registrations (displace fillers top-down) -------
     "streaming_join_full_outer",
     "multimodal_tar_shards",
+    "multimodal_tar_datasource",
     # -- DISPLACEABLE fillers (least-stale of the stale set: last
     # -- driver row r02; replaced FIRST as registrations land) ----
-    "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
