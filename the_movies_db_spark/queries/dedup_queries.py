@@ -1534,7 +1534,11 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") >= 2)
         .select("gram")
     )
-    dp = g.join(occ, "gram").select("doc_id", "pos")
+    # occ GROWS WITH THE CORPUS (shared grams across near-dup docs):
+    # Catalyst's post-aggregate size estimate auto-broadcast it at the
+    # x64 probe scale and blew spark.driver.maxResultSize — pin a
+    # shuffle join so the build side never ships through the driver.
+    dp = g.join(occ.hint("shuffle_hash"), "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dp.withColumn("grp", F.col("pos") - S * F.row_number().over(w))
     runs = isl.groupBy("doc_id", "grp").agg(
@@ -1565,6 +1569,7 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EDV_TOP = 30
+_EDV_CAP = 64  # max h0-bucket size: near-dup cliques make pairs quadratic
 
 
 @register(
@@ -1579,12 +1584,16 @@ _EDV_TOP = 30
                AS h0
       FROM sh WHERE len(sh) > 0
     ),
+    keep AS (
+      SELECT h0 FROM sig GROUP BY 1 HAVING count(*) <= {_EDV_CAP}
+    ),
+    capped AS (SELECT s.* FROM sig s JOIN keep USING (h0)),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
              CAST(length(a.text) AS BIGINT) AS len_a,
              CAST(length(b.text) AS BIGINT) AS len_b
-      FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
     ),
     scored AS (
       SELECT *,
@@ -1625,10 +1634,21 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.minhash_signature(F.col("text"), num_hashes=1, shingle_n=3)[0]
         .alias("h0"),
     ).localCheckpoint(eager=False)
-    a = sig.select(
+    # h0-bucket size cap (r12 x64 probe: near-dup CLIQUES share h0, so
+    # uncapped buckets make the levenshtein pair volume quadratic in
+    # clique size — 105x runtime at 64x corpus; same class as the r10
+    # aHash cap). Mirrored exactly in the oracle's keep/capped CTEs.
+    keep = (
+        sig.groupBy("h0")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= _EDV_CAP)
+        .select("h0")
+    )
+    capped = sig.join(keep.hint("shuffle_hash"), "h0")
+    a = capped.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "h0"
     )
-    b = sig.select(
+    b = capped.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "h0"
     )
     pairs = a.join(b, "h0").filter(F.col("doc_a") < F.col("doc_b"))

@@ -49,6 +49,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PLANES, _DIM = 8, 64
+_ELSH_CAP = 64  # max LSH-bucket size for pair enumeration (cliques -> quadratic)
 _SIGN = (
     "CASE WHEN substr(md5({p} || ':' || i), 1, 1) IN "
     "('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
@@ -276,10 +277,12 @@ def sim_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_lsh",
     f"""
-    WITH sigs AS (
+    WITH sigs0 AS (
       SELECT vec_id, embedding, {_SIG_EXPR.format(v="embedding")} AS sig
       FROM embeddings
-    )
+    ),
+    keep AS (SELECT sig FROM sigs0 GROUP BY 1 HAVING count(*) <= {_ELSH_CAP}),
+    sigs AS (SELECT s.* FROM sigs0 s JOIN keep USING (sig))
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                  (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
@@ -306,7 +309,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         norm("embedding", _DIM).alias("__n"),
         S.hyperplane_signature("embedding", _PLANES, _DIM).alias("__sig"),
+    ).localCheckpoint(eager=False)  # 2 consumers: cap table + both join sides
+    # signature-bucket cap (r12 x64 probe): near-dup CLIQUES share the
+    # full hyperplane signature, so uncapped buckets make the verified
+    # pair volume quadratic in clique size (2.5M pairs at x64).
+    # Mirrored exactly in the oracle's keep CTE; at-cap corpora are
+    # unchanged (max 1x bucket < cap, re-verified both SFs).
+    keep = (
+        sigs.groupBy("__sig")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= _ELSH_CAP)
+        .select("__sig")
     )
+    sigs = sigs.join(keep.hint("shuffle_hash"), "__sig")
     a = sigs.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("__va"),

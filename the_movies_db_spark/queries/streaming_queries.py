@@ -955,3 +955,98 @@ def streaming_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_update_mode_emissions",
+    """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) % 4 AS q
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, user_id, q, CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, user_id, q,
+             CAST(sum(c) OVER (PARTITION BY event_type, user_id
+                               ORDER BY q) AS BIGINT) AS cumc
+      FROM per
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                AS n_emissions,
+           CAST(sum(cumc) AS BIGINT)               AS emitted_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "UPDATE output-mode emission semantics pinned (completes the "
+        "output-mode family next to streaming_append_closed's append "
+        "frontier): the event stream is replayed as 4 mtime-ordered "
+        "single-file micro-batches (day-of-epoch mod 4), aggregated "
+        "per (event_type, user) with outputMode('update') — the engine "
+        "must emit a group in EXACTLY the batches where its aggregate "
+        "changed, carrying the cumulative value at that point. The "
+        "oracle replays that contract in SQL: one emission per (group, "
+        "present-quarter) with the running count through that quarter; "
+        "emitted_sum hashes every intermediate emission value, so an "
+        "engine that re-emitted unchanged groups, skipped a changed "
+        "one, or emitted deltas instead of totals all diverge."
+    ),
+)
+def streaming_update_mode_emissions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Update-mode changed-group emissions over an ordered replay.
+
+    Scale notes (100 TB/day): update mode + a mergeable aggregate is
+    the low-state streaming shape — state is one row per live group,
+    emissions are per-batch deltas of the group set (what a downstream
+    keyed sink consumes idempotently). The replay files here stand in
+    for arrival order; state scales with groups, not history."""
+    import glob as g
+    import os
+    import shutil
+
+    from the_movies_db_spark.io import load_table, scratch_dir
+
+    work = scratch_dir("updmode")
+    src = f"{work}/src"
+    os.makedirs(src, exist_ok=True)
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "q",
+        F.expr(f"CAST(timestampdiff(DAY, {epoch}, ts) AS BIGINT) % 4"),
+    )
+    t0 = 1_700_000_000
+    for qi in range(4):
+        tmp = f"{work}/__b{qi}"
+        e.filter(F.col("q") == qi).drop("q").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = g.glob(f"{tmp}/part-*.parquet")
+        if part:  # a quarter can be empty at tiny SFs
+            dst = f"{src}/b{qi}.parquet"
+            shutil.move(part[0], dst)
+            os.utime(dst, (t0 + 10 * qi, t0 + 10 * qi))
+        shutil.rmtree(tmp)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = stream.groupBy("event_type", "user_id").count()
+    out = E.run_available_now(counts, output_mode="update")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_emissions"),
+            F.sum("count").cast("bigint").alias("emitted_sum"),
+            F.countDistinct("user_id").cast("bigint").alias("n_groups"),
+        )
+        .orderBy("event_type")
+    )

@@ -7127,3 +7127,153 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("motif")
     )
+
+
+@register(
+    "events_delta_encoding_audit",
+    """
+    WITH s AS (
+      SELECT event_type, user_id,
+             epoch_us(ts) // 1000000 AS sec,
+             event_id
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, user_id, sec,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             sec - lag(sec) OVER w AS dlt
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY sec, event_id)
+    ),
+    dod AS (
+      SELECT event_type, rn,
+             CASE WHEN rn = 1 THEN NULL
+                  ELSE dlt - coalesce(lag(dlt) OVER w2, 0) END AS dd
+      FROM d
+      WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY rn)
+    ),
+    bits AS (
+      SELECT event_type, rn,
+             CASE WHEN rn = 1 THEN 64
+                  WHEN dd = 0 THEN 1
+                  WHEN abs(dd) <= 64 THEN 9
+                  WHEN abs(dd) <= 256 THEN 12
+                  WHEN abs(dd) <= 2048 THEN 16
+                  ELSE 36 END AS b,
+             dd
+      FROM dod
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_series,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn > 1 AND dd = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dod0,
+           CAST(sum(CASE WHEN rn > 1 AND dd <> 0 AND abs(dd) <= 64
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dod7,
+           CAST(sum(CASE WHEN abs(dd) > 64 AND abs(dd) <= 256
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dod9,
+           CAST(sum(CASE WHEN abs(dd) > 256 AND abs(dd) <= 2048
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dod12,
+           CAST(sum(CASE WHEN abs(dd) > 2048 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dod32,
+           CAST(sum(b) AS BIGINT) AS bits_total,
+           CAST(sum(b) * 1000000 div (64 * count(*)) AS BIGINT)
+             AS compression_ppm
+    FROM bits GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Gorilla-style delta-of-delta timestamp compression audit (the "
+        "Facebook Gorilla / Prometheus TSDB encoding): per (user, "
+        "event_type) series ordered by second, the second difference "
+        "of timestamps is bucketed into the paper's variable-width "
+        "bit classes (0 -> 1 bit, +/-64 -> 9, +/-256 -> 12, +/-2048 "
+        "-> 16, else 36; series header 64) and the census reports "
+        "exact bits and compression ppm per event type — the storage "
+        "planner's answer to 'what would a TSDB encoding save on this "
+        "event stream'. All-integer second arithmetic, engine-exact."
+    ),
+)
+def events_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-of-delta bit-class census over event series.
+
+    Scale notes (100 TB): ONE shuffle to (user_id, event_type) series
+    partitions; both lags share a single WindowSpec sort; the census
+    is a combining aggregate on event_type. bits_total * 1e6 stays in
+    BIGINT below ~1.4e11 events per type — divmod-chain beyond that."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    s = e.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            f"CAST(timestampdiff(MICROSECOND, {epoch}, ts) AS BIGINT)"
+            " div 1000000"
+        ).alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    d = s.select(
+        "event_type",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        (F.col("sec") - F.lag("sec").over(w)).alias("dlt"),
+    )
+    dod = d.select(
+        "event_type",
+        "rn",
+        F.expr(
+            "CASE WHEN rn = 1 THEN CAST(NULL AS BIGINT) ELSE dlt - "
+            "coalesce(lag(dlt) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY rn), 0) END"
+        ).alias("dd"),
+    )
+    bits = dod.select(
+        "event_type",
+        "rn",
+        "dd",
+        F.expr(
+            "CASE WHEN rn = 1 THEN 64 WHEN dd = 0 THEN 1"
+            " WHEN abs(dd) <= 64 THEN 9 WHEN abs(dd) <= 256 THEN 12"
+            " WHEN abs(dd) <= 2048 THEN 16 ELSE 36 END"
+        ).alias("b"),
+    )
+    return (
+        bits.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("CASE WHEN rn = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_series"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr("CASE WHEN rn > 1 AND dd = 0 THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_dod0"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN rn > 1 AND dd <> 0 AND abs(dd) <= 64"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_dod7"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN abs(dd) > 64 AND abs(dd) <= 256"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_dod9"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN abs(dd) > 256 AND abs(dd) <= 2048"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_dod12"),
+            F.sum(
+                F.expr("CASE WHEN abs(dd) > 2048 THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_dod32"),
+            F.sum("b").cast("bigint").alias("bits_total"),
+            F.expr(
+                "CAST(sum(b) * 1000000 div (64 * count(*)) AS BIGINT)"
+            ).alias("compression_ppm"),
+        )
+        .orderBy("event_type")
+    )

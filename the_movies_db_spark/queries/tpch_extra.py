@@ -4408,3 +4408,124 @@ def orders_promo_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_year")
     )
+
+
+_SKY_BUCKETS = 64
+
+
+@register(
+    "orders_skyline_pareto",
+    """
+    WITH lags AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(date_diff('day', o.o_orderdate, max(l.l_shipdate))
+                  AS BIGINT) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, o.o_orderdate
+    ),
+    pts AS (
+      SELECT price_cents, lag_days, CAST(count(*) AS BIGINT) AS n_orders
+      FROM lags GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT price_cents, lag_days, n_orders FROM (
+        SELECT *, row_number() OVER (PARTITION BY price_cents
+                    ORDER BY lag_days) AS rn
+        FROM pts
+      ) WHERE rn = 1
+    ),
+    sky AS (
+      SELECT *, min(lag_days) OVER (ORDER BY price_cents DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS hi_min
+      FROM cand
+    )
+    SELECT price_cents, lag_days, n_orders
+    FROM sky WHERE hi_min IS NULL OR lag_days < hi_min
+    ORDER BY price_cents DESC
+    """,
+    doc=(
+        "Skyline (Pareto-front) query — orders not dominated on "
+        "(maximize total price, minimize fulfillment lag), the classic "
+        "multi-criteria operator (Borzsony/Kossmann/Stocker, ICDE'01). "
+        "A point survives iff no other point has >= price AND <= lag "
+        "with one strict. The oracle uses the textbook sort-sweep "
+        "window; the Spark side gets identical values from a TWO-LEVEL "
+        "sweep with no global sort: per-price-bucket running lag "
+        "minima (distributed window) + a broadcast 64-row higher-"
+        "bucket prefix-min table — the global_row_number rewrite "
+        "applied to a running MIN."
+    ),
+)
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-D skyline via bucketed sweep.
+
+    Scale notes (100 TB): one orderkey-partitioned join+agg to order
+    grain, one hash agg to distinct points, a per-price window (keyed
+    on price — high cardinality, distributed), then the two-level
+    prefix-min: per-bucket windows partition by the price bucket and
+    the cross-bucket carry rides a broadcast 64-row table. No stage
+    sorts more than one bucket's points on one task. The point-grain
+    reduction also bounds the final filter's input at |distinct
+    prices|, never order count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lags = (
+        li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "price_cents"
+            ),
+            F.datediff("last_ship", "o_orderdate").cast("bigint").alias(
+                "lag_days"
+            ),
+        )
+    )
+    pts = lags.groupBy("price_cents", "lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    wp = Window.partitionBy("price_cents").orderBy("lag_days")
+    cand = (
+        pts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        # two consumers below (bucket extrema + the sweep itself)
+        .localCheckpoint(eager=False)
+    )
+    b = cand.agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    ).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    span = max(hi - lo + 1, 1)
+    bucketed = cand.withColumn(
+        "bkt",
+        F.expr(f"CAST((price_cents - {lo}) * {_SKY_BUCKETS} div {span}"
+               " AS BIGINT)"),
+    )
+    # cross-bucket carry: min lag of every STRICTLY HIGHER bucket
+    per_bucket = bucketed.groupBy("bkt").agg(
+        F.min("lag_days").alias("bmin")
+    )
+    wb = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = per_bucket.select(
+        "bkt", F.min("bmin").over(wb).alias("hi_bucket_min")
+    )
+    win = Window.partitionBy("bkt").orderBy(F.desc("price_cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = (
+        bucketed.join(F.broadcast(carry), "bkt")
+        .withColumn("in_bucket_min", F.min("lag_days").over(win))
+        # Spark least() skips NULLs (returns NULL only when both are),
+        # exactly the +inf-identity the sweep needs at bucket edges
+        .withColumn("hi_min", F.least("in_bucket_min", "hi_bucket_min"))
+    )
+    return (
+        swept.filter("hi_min IS NULL OR lag_days < hi_min")
+        .select("price_cents", "lag_days", "n_orders")
+        .orderBy(F.desc("price_cents"))
+    )
