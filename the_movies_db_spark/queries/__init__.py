@@ -72,20 +72,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # at registration time; displaced round-12 stale names are
     # listed here as displacement happens):
     # agg_percentiles, cdc_apply, dedup_embedding_cosine,
+    # dedup_ngram_jaccard, dedup_simhash_pairs, agg_collect_set,
+    # agg_corr, agg_cube,
     #
     # -- round-12 registrations (displace fillers top-down) -------
     "streaming_join_full_outer",
     "multimodal_tar_shards",
     "multimodal_tar_datasource",
+    "events_delta_encoding_audit",
+    "orders_skyline_pareto",
+    "streaming_update_mode_emissions",
+    # -- changed by the r12 x64-probe fixes (bucket caps /
+    # -- shuffle-hint): re-verify under the driver ---------------
+    "dedup_edit_distance_verify",
+    "dedup_substring_exact",
     # -- DISPLACEABLE fillers (least-stale of the stale set: last
     # -- driver row r02; replaced FIRST as registrations land) ----
     "dedup_embedding_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
     # -- round-1 rows (stalest in the registry) ------------------
-    "agg_collect_set",
-    "agg_corr",
-    "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
     "agg_rollup",

@@ -1011,6 +1011,8 @@ def streaming_update_mode_emissions(
     import os
     import shutil
 
+    from pyspark.sql import functions as F
+
     from the_movies_db_spark.io import load_table, scratch_dir
 
     work = scratch_dir("updmode")

@@ -7179,7 +7179,7 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN abs(dd) > 2048 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dod32,
            CAST(sum(b) AS BIGINT) AS bits_total,
-           CAST(sum(b) * 1000000 div (64 * count(*)) AS BIGINT)
+           CAST(sum(b) * 1000000 // (64 * count(*)) AS BIGINT)
              AS compression_ppm
     FROM bits GROUP BY 1 ORDER BY 1
     """,
