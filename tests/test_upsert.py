@@ -444,3 +444,46 @@ def test_write_audit_publish_null_predicate_quarantines(spark, tmp_path):
     qdir = f"{root}/_quarantine/{res['staged_version']}"
     quarantined = {r.id for r in spark.read.parquet(qdir).collect()}
     assert quarantined == {2, 3}
+
+
+def test_merge_on_read_lifecycle(spark, tmp_path):
+    """MOR: O(delta) appends, latest-op-wins reads (delete, update,
+    insert, resurrect), compaction folds logs and preserves the view."""
+    from the_movies_db_spark.upsert import (
+        append_mor_delta,
+        compact_mor,
+        read_mor,
+        write_mor_base,
+    )
+
+    root = str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "pk long, v string"
+    )
+    write_mor_base(base, root)
+    assert {tuple(r) for r in read_mor(spark, root, "pk").collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # delta 1: update 1, delete 2, insert 4
+    d1 = spark.createDataFrame(
+        [(1, "U", "a2"), (2, "D", None), (4, "U", "d")],
+        "pk long, __op string, v string",
+    ).select("pk", "__op", "v")
+    append_mor_delta(spark, root, d1)
+    assert {tuple(r) for r in read_mor(spark, root, "pk").collect()} == {
+        (1, "a2"), (3, "c"), (4, "d"),
+    }
+    # delta 2: resurrect 2, delete 4 — latest seq wins over delta 1
+    d2 = spark.createDataFrame(
+        [(2, "U", "b2"), (4, "D", None)], "pk long, __op string, v string"
+    )
+    append_mor_delta(spark, root, d2)
+    expected = {(1, "a2"), (2, "b2"), (3, "c")}
+    assert {tuple(r) for r in read_mor(spark, root, "pk").collect()} == expected
+    # compaction folds both logs; the merged view is unchanged
+    assert compact_mor(spark, root, "pk") == 2
+    import glob as g
+    import os
+
+    assert not g.glob(os.path.join(root, "deltas", "delta-*.parquet"))
+    assert {tuple(r) for r in read_mor(spark, root, "pk").collect()} == expected

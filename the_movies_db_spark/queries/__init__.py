@@ -73,7 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # listed here as displacement happens):
     # agg_percentiles, cdc_apply, dedup_embedding_cosine,
     # dedup_ngram_jaccard, dedup_simhash_pairs, agg_collect_set,
-    # agg_corr, agg_cube,
+    # agg_corr, agg_cube, agg_distinct,
     #
     # -- round-12 registrations (displace fillers top-down) -------
     "streaming_join_full_outer",
@@ -82,6 +82,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_delta_encoding_audit",
     "orders_skyline_pareto",
     "streaming_update_mode_emissions",
+    "upsert_merge_on_read",
     # -- changed by the r12 x64-probe fixes (bucket caps /
     # -- shuffle-hint): re-verify under the driver ---------------
     "dedup_edit_distance_verify",
@@ -90,7 +91,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- driver row r02; replaced FIRST as registrations land) ----
     "dedup_embedding_lsh",
     # -- round-1 rows (stalest in the registry) ------------------
-    "agg_distinct",
     "agg_grouping_sets",
     "agg_rollup",
     "agg_stats",

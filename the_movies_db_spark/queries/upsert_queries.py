@@ -1081,3 +1081,107 @@ def upsert_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "published_cents",
         )
     )
+
+
+@register(
+    "upsert_merge_on_read",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS pk,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 != 0
+    ),
+    d1 AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(round(o_totalprice * 100) + 500 AS BIGINT) AS cents,
+             o_orderstatus AS status, 1 AS seq
+      FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 = 0
+    ),
+    d2 AS (
+      SELECT o_orderkey AS pk, 'U' AS op,
+             CAST(round(o_totalprice * 100) + 900 AS BIGINT) AS cents,
+             o_orderstatus AS status, 2 AS seq
+      FROM orders WHERE o_orderkey % 14 = 0
+    ),
+    latest AS (
+      SELECT pk, op, cents, status FROM (
+        SELECT *, row_number() OVER (PARTITION BY pk ORDER BY seq DESC)
+               AS rn
+        FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT pk, cents, status FROM base
+      WHERE pk NOT IN (SELECT pk FROM latest)
+      UNION ALL
+      SELECT pk, cents, status FROM latest WHERE op = 'U'
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)   AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(pk) AS BIGINT)    AS min_pk,
+           CAST(max(pk) AS BIGINT)    AS max_pk
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Merge-on-read table (Hudi MOR / Iceberg v2 delete-file shape "
+        "— the OTHER lakehouse point on the write/read trade-off from "
+        "the copy-on-write versioned tables): the base is written "
+        "once, two delta logs append O(batch) upserts and deletes "
+        "(one resurrecting previously deleted keys, pinning "
+        "latest-op-wins across logs), and the READER merges — one "
+        "window over the delta grain, one broadcast anti-join of the "
+        "base, one union. The oracle replays the identical merge in "
+        "SQL, so the hash verifies insert/update/delete/resurrect "
+        "semantics end to end."
+    ),
+)
+def upsert_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR write-path (base + delta logs) and read-path merge.
+
+    Scale notes (100 TB): ingest cost is O(delta file) with no base
+    rewrite; the scan pays one window over deltas (tiny between
+    compactions) and a broadcast anti-join; compact_mor folds the
+    logs back when the delta share grows. This is the ingest-heavy
+    complement to write_upsert's read-optimized COW versions."""
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.upsert import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    root = scratch_dir("mor")
+    write_mor_base(o.filter("pk % 4 != 0"), root)
+    d1 = o.filter("pk % 10 = 0 OR pk % 7 = 0").select(
+        "pk",
+        F.expr("CASE WHEN pk % 7 = 0 THEN 'D' ELSE 'U' END").alias("__op"),
+        (F.col("cents") + 500).alias("cents"),
+        "status",
+    )
+    append_mor_delta(spark, root, d1)
+    d2 = o.filter("pk % 14 = 0").select(
+        "pk",
+        F.lit("U").alias("__op"),
+        (F.col("cents") + 900).alias("cents"),
+        "status",
+    )
+    append_mor_delta(spark, root, d2)
+    merged = read_mor(spark, root, "pk")
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("pk").cast("bigint").alias("min_pk"),
+            F.max("pk").cast("bigint").alias("max_pk"),
+        )
+        .orderBy("status")
+    )

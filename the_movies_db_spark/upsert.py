@@ -29,6 +29,7 @@ versioned-table section below).
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 import shutil
@@ -754,3 +755,108 @@ def write_audit_publish(
             "n_published": n_published,
             "audit_passed": False,
         }
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read (MOR) tables — round 12. The versioned-dir layout above
+# is COPY-ON-WRITE: every upsert rewrites a full version (read-optimal,
+# write-amplified). MOR is the other lakehouse point on that trade-off
+# (Hudi MOR / Iceberg v2 delete files / Delta DVs): writes append tiny
+# DELTA LOGS and the READER merges them against the base — O(delta)
+# ingest, merge cost deferred to scan time, reclaimed by compaction.
+# Layout:  <root>/base/*.parquet
+#          <root>/deltas/delta-<seq>.parquet   (op: 'U' upsert / 'D' delete)
+# Delta appends take the same writer lease as the COW path; the seq
+# number orders deltas and is embedded in the file name, so readers
+# need no manifest — latest-op-wins per pk across (base < deltas by seq).
+# ---------------------------------------------------------------------------
+
+
+def write_mor_base(df: DataFrame, root: str) -> None:
+    """Initialize a merge-on-read table: base data, empty delta log."""
+    os.makedirs(root, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    os.makedirs(os.path.join(root, "deltas"), exist_ok=True)
+
+
+def _next_delta_seq(root: str) -> int:
+    import re as _re
+
+    seqs = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
+        if (m := _re.search(r"delta-(\d+)\.parquet$", p))
+    ]
+    return max(seqs, default=0) + 1
+
+
+def append_mor_delta(
+    spark: SparkSession, root: str, batch: DataFrame, op_col: str = "__op"
+) -> int:
+    """Append one delta log (rows carry ``op_col``: 'U' or 'D').
+
+    Scale notes (100 TB): cost is O(batch) — one parquet write of the
+    delta, no read or rewrite of the base; the writer lease serializes
+    concurrent appenders so seq numbers never collide."""
+    with writer_lock(root):
+        seq = _next_delta_seq(root)
+        staging = os.path.join(root, "deltas", f"__stage-{seq}")
+        batch.withColumn("__seq", F.lit(seq)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(root, "deltas", f"delta-{seq}.parquet"))
+        shutil.rmtree(staging)
+        return seq
+
+
+def read_mor(
+    spark: SparkSession, root: str, pk: str, op_col: str = "__op"
+) -> DataFrame:
+    """Merge-on-read scan: latest-op-wins per pk over (base, deltas).
+
+    Scale notes (100 TB): the base is scanned ONCE with no rewrite
+    history; the merge is one window over the DELTAS (delta-grain, not
+    base-grain) + one pk anti-join of base against touched pks + a
+    union. Deltas are typically a tiny fraction of the base between
+    compactions, so the join broadcasts; ``compact_mor`` folds them
+    back to a clean base when they grow."""
+    base = spark.read.parquet(os.path.join(root, "base"))
+    delta_files = glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
+    if not delta_files:
+        return base
+    deltas = spark.read.parquet(*sorted(delta_files))
+    w = Window.partitionBy(pk).orderBy(F.desc("__seq"))
+    latest = (
+        deltas.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+    touched = latest.select(pk)
+    survivors = base.join(F.broadcast(touched), pk, "left_anti")
+    upserts = latest.filter(F.col(op_col) == "U").drop(op_col)
+    return survivors.unionByName(upserts)
+
+
+def compact_mor(spark: SparkSession, root: str, pk: str) -> int:
+    """Fold every delta into a new base (the MOR maintenance job);
+    returns the number of delta files folded. Crash-safe: the merged
+    base is staged to a sibling dir and swapped in before the consumed
+    deltas are removed — a crash between swap and removal leaves deltas
+    that re-apply idempotently (latest-op-wins is stable under replay)."""
+    with writer_lock(root):
+        delta_files = sorted(
+            glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
+        )
+        if not delta_files:
+            return 0
+        merged = read_mor(spark, root, pk).localCheckpoint(eager=True)
+        staging = os.path.join(root, "__base_next")
+        merged.write.mode("overwrite").parquet(staging)
+        old = os.path.join(root, "__base_old")
+        os.replace(os.path.join(root, "base"), old)
+        os.replace(staging, os.path.join(root, "base"))
+        for p in delta_files:
+            os.remove(p)
+        shutil.rmtree(old)
+        return len(delta_files)
