@@ -1,0 +1,152 @@
+"""Third-leg tests for round-12 operators: independent Python
+re-derivations and crafted inputs (the oracle pins Spark == DuckDB on
+the shared formula; these pin the formula itself)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.queries import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    """The two-level bucketed sweep must equal the O(n²) dominance
+    definition: a point survives iff no other point has >= price and
+    <= lag with one strict."""
+    q = load_all()["orders_skyline_pareto"]
+    got = {(r.price_cents, r.lag_days) for r in q.spark(spark, SF_DIR).collect()}
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    lags = (
+        li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ls"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"),
+            F.datediff("ls", "o_orderdate").cast("bigint").alias("y"),
+        )
+    )
+    pts = {(r.x, r.y) for r in lags.distinct().collect()}
+    brute = {
+        (x, y)
+        for (x, y) in pts
+        if not any(
+            (x2 >= x and y2 <= y and (x2 > x or y2 < y))
+            for (x2, y2) in pts
+        )
+    }
+    assert got == brute and len(got) > 0
+
+
+def _write_single(df, work, name):
+    tmp = f"{work}/__w"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{work}/{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+def test_delta_encoding_crafted_bit_classes(spark, tmp_path):
+    """One series with hand-computed dods hits every Gorilla class:
+    seconds [0,10,20,30,31,100,5000] -> deltas [10,10,10,1,69,4900],
+    dods [10,0,0,-9,68,4831] -> bits [64,9,1,1,9,12,36] = 132."""
+    work = str(tmp_path / "dod")
+    t0 = dt.datetime(2024, 3, 1)
+    secs = [0, 10, 20, 30, 31, 100, 5000]
+    rows = [
+        (1, i, "click", t0 + dt.timedelta(seconds=s))
+        for i, s in enumerate(secs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp_ntz"
+    ).withColumn("value", F.lit(1.0))
+    _write_single(df, work, "events")
+    q = load_all()["events_delta_encoding_audit"]
+    r = q.spark(spark, work).collect()[0]
+    assert (r.event_type, r.n_series, r.n_events) == ("click", 1, 7)
+    assert (r.n_dod0, r.n_dod7, r.n_dod9, r.n_dod12, r.n_dod32) == (
+        2, 2, 1, 0, 1,
+    )
+    assert r.bits_total == 132
+    assert r.compression_ppm == 132 * 1_000_000 // (64 * 7)
+
+
+def test_tar_datasource_partitions_and_unnamed_shards(spark, tmp_path):
+    """One input partition per shard file; files not matching
+    shard-<id>.tar still parse (shard_id -1)."""
+    import io
+    import tarfile
+
+    from the_movies_db_spark.sources.tar_datasource import TarShardDataSource
+
+    def tar_bytes(members):
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for name, data in members:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "shard-3.tar").write_bytes(tar_bytes([("a.txt", b"aaa")]))
+    (d / "shard-7.tar").write_bytes(
+        tar_bytes([("b.txt", b"bb"), ("c.txt", b"")])
+    )
+    (d / "legacy.tar").write_bytes(tar_bytes([("z.txt", b"zz")]))
+    try:
+        spark.dataSource.register(TarShardDataSource)
+    except Exception:
+        pass
+    df = spark.read.format("tar_shards").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 3  # one per shard file
+    got = {
+        (r.shard_id, r.member_name, r.n_bytes, bytes(r.payload), r.cksum_ok)
+        for r in df.collect()
+    }
+    assert got == {
+        (3, "a.txt", 3, b"aaa", True),
+        (7, "b.txt", 2, b"bb", True),
+        (7, "c.txt", 0, b"", True),
+        (-1, "z.txt", 2, b"zz", True),
+    }
+
+
+def test_mor_read_after_compact_equals_cow_merge(spark, tmp_path):
+    """Property: for any (base, delta) pair, read_mor == merge_upsert
+    restricted to the same op semantics (U rows upsert, D rows
+    delete)."""
+    from the_movies_db_spark.upsert import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    root = str(tmp_path / "morq")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "pk long, v string"
+    )
+    write_mor_base(base, root)
+    delta = spark.createDataFrame(
+        [(i, "D" if i % 3 == 0 else "U", f"u{i}") for i in range(0, 30, 2)],
+        "pk long, __op string, v string",
+    )
+    append_mor_delta(spark, root, delta)
+    got = {(r.pk, r.v) for r in read_mor(spark, root, "pk").collect()}
+    expect = {(i, f"v{i}") for i in range(20)}
+    for i in range(0, 30, 2):
+        if i % 3 == 0:
+            expect.discard((i, f"v{i}"))
+        else:
+            expect.discard((i, f"v{i}"))
+            expect.add((i, f"u{i}"))
+    assert got == expect
