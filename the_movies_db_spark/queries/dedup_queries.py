@@ -1644,7 +1644,12 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") <= _EDV_CAP)
         .select("h0")
     )
-    capped = sig.join(keep.hint("shuffle_hash"), "h0")
+    # No join hint: keep is built THROUGH a shuffle, so AQE sizes the
+    # join from real stats — broadcast while it fits, shuffle when the
+    # bucket table outgrows the threshold (A/B: a forced shuffle_hash
+    # hint cascaded into the pair join and tripled 1x runtime).
+    # Checkpoint: capped feeds BOTH pair-join sides.
+    capped = sig.join(keep, "h0").localCheckpoint(eager=False)
     a = capped.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "h0"
     )

@@ -321,7 +321,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__bn") <= _ELSH_CAP)
         .select("__sig")
     )
-    sigs = sigs.join(keep.hint("shuffle_hash"), "__sig")
+    # keep is bounded by 2^_PLANES = 256 distinct signatures — always
+    # broadcastable; no hint needed (a forced shuffle_hash cascades).
+    sigs = sigs.join(keep, "__sig")
     a = sigs.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("__va"),
