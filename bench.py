@@ -148,6 +148,15 @@ HEADLINE = [
     "pipeline_quality_rrf",
     "sim_topk_ivf_adaptive",
     "events_attribution_markov",
+    # round-12: the heaviest new additions (3-run solo medians at sf0.1:
+    # full-outer stream join 5.6 s, update-mode emissions 5.4 s, capped
+    # edit-distance verify 4.3 s, skyline sweep 3.6 s). Lighter r12 ops
+    # (tar shards 1.4 s, tar datasource 1.3 s, delta-encoding 1.3 s,
+    # MOR 1.9 s) stay oracle-gated only.
+    "streaming_join_full_outer",
+    "streaming_update_mode_emissions",
+    "dedup_edit_distance_verify",
+    "orders_skyline_pareto",
 ]
 
 # Runs per query; the recorded time is the median. 3 keeps one
