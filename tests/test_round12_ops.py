@@ -150,3 +150,62 @@ def test_mor_read_after_compact_equals_cow_merge(spark, tmp_path):
             expect.discard((i, f"v{i}"))
             expect.add((i, f"u{i}"))
     assert got == expect
+
+
+def test_hilbert_generated_sql_is_bijective_and_adjacent():
+    """The staged SQL state machine must equal the canonical xy2d:
+    exhaustive bijection + unit-step adjacency on an 8x8 grid via
+    DuckDB, plus a sampled check at the production _HIL_BITS order.
+    (The first cut reflected with s-1-x instead of N-1-x and silently
+    produced a non-bijection — 177 of 256 key buckets populated.)"""
+    import duckdb
+
+    from the_movies_db_spark.queries.surface_extra import (
+        _HIL_BITS,
+        _hilbert_steps,
+    )
+
+    def xy2d(order_n, x, y):
+        d = 0
+        s = order_n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = order_n - 1 - x
+                    y = order_n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def sql_d(con, pts, steps):
+        con.execute("DROP TABLE IF EXISTS p")
+        con.execute(
+            "CREATE TABLE p AS SELECT * FROM (VALUES "
+            + ",".join(f"({x},{y})" for x, y in pts)
+            + ") t(x,y)"
+        )
+        inner = "SELECT x AS __hx, y AS __hy, CAST(0 AS BIGINT) AS __hd, x, y FROM p"
+        for x1, y1, d in steps:
+            inner = (
+                f"SELECT {x1} AS __hx, {y1} AS __hy,"
+                f" CAST({d} AS BIGINT) AS __hd, x, y FROM ({inner})"
+            )
+        return con.execute(f"SELECT x, y, __hd FROM ({inner})").fetchall()
+
+    con = duckdb.connect()
+    # production order, sampled
+    n = 2**_HIL_BITS
+    pts = [(x, y) for x in range(0, n, 37) for y in range(0, n, 41)]
+    rows = sql_d(con, pts, _hilbert_steps("//"))
+    assert all(d == xy2d(n, x, y) for x, y, d in rows)
+    # exhaustive 8x8 bijection + adjacency via the reference
+    ds = {(x, y): xy2d(8, x, y) for x in range(8) for y in range(8)}
+    assert sorted(ds.values()) == list(range(64))
+    pos = {d: xy for xy, d in ds.items()}
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(63)
+    )

@@ -7930,3 +7930,171 @@ def dq_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout census (round 12): the locality upgrade over
+# Z-order — Hilbert has no "seam jumps" (consecutive keys are always
+# grid-adjacent), so equal key ranges cover tighter min/max boxes and
+# parquet row-group stats prune 2-D predicates harder. The d2xy state
+# machine (Wikipedia "Hilbert curve", converted to xy2d) is pure
+# integer CASE/divmod arithmetic, staged one iteration per projection
+# so the expression tree stays linear. XOR of 0/1 bits is spelled
+# arithmetically (3*rx XOR ry == 3*rx + ry - 2*rx*ry) so the SAME
+# generated text runs on Spark and DuckDB (only integer-div differs).
+# ---------------------------------------------------------------------------
+
+_HIL_BITS = 10  # normalized grid 1024x1024; key < 4^10
+
+
+def _hilbert_steps(div: str) -> list[tuple[str, str, str]]:
+    """Per-iteration (x, y, d) update expressions over prior columns
+    __hx/__hy/__hd — the canonical xy2d loop (reflection uses the FULL
+    grid size N-1-x, never s-1-x: x keeps its high bits between
+    iterations, so an s-relative reflection goes negative and breaks
+    the bijection — caught by the exhaustive pytest). ``div`` is the
+    engine's integer-divide operator."""
+    n1 = 2**_HIL_BITS - 1
+    steps = []
+    for i in range(_HIL_BITS - 1, -1, -1):
+        s = 2**i
+        rx = f"((__hx {div} {s}) % 2)"
+        ry = f"((__hy {div} {s}) % 2)"
+        # (3*rx) XOR ry with rx,ry in {0,1}: rx=0 -> ry; rx=1 -> 3-ry
+        t = f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+        d = f"__hd + {s * s} * {t}"
+        x1 = (
+            f"CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {n1} - __hy ELSE __hy END)"
+            f" ELSE __hx END"
+        )
+        y1 = (
+            f"CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {n1} - __hx ELSE __hx END)"
+            f" ELSE __hy END"
+        )
+        steps.append((x1, y1, d))
+    return steps
+
+
+def _hilbert_oracle_sql() -> str:
+    mask = 2**_HIL_BITS
+    ctes = [
+        # normalize both dims onto the FULL square grid (a curve census
+        # over a corner of the keyspace is degenerate); the scale is a
+        # data-derived integer param computed with the same formula on
+        # both sides (the dedup_semantic precedent)
+        "mx AS (SELECT max(l_partkey) + 1 AS mp, max(l_suppkey) + 1 AS ms"
+        " FROM lineitem)",
+        f"h0 AS (SELECT (l_partkey * {mask}) // mp AS __hx,"
+        f" (l_suppkey * {mask}) // ms AS __hy,"
+        f" CAST(0 AS BIGINT) AS __hd,"
+        f" (l_partkey * {mask}) // mp AS px,"
+        f" (l_suppkey * {mask}) // ms AS py"
+        " FROM lineitem CROSS JOIN mx)"
+    ]
+    for k, (x1, y1, d) in enumerate(_hilbert_steps("//"), start=1):
+        ctes.append(
+            f"h{k} AS (SELECT {x1} AS __hx, {y1} AS __hy,"
+            f" CAST({d} AS BIGINT) AS __hd, px, py FROM h{k-1})"
+        )
+    n = _HIL_BITS
+    zsql = _z_sql("px", "py", _HIL_BITS)
+    bucket_div = 4**_HIL_BITS // 170  # non-dyadic bucket count: dyadic ranges hide Z seam jumps
+    return f"""
+    WITH {', '.join(ctes)},
+    keyed AS (
+      SELECT 'hilbert' AS method, __hd AS k, px, py FROM h{n}
+      UNION ALL
+      SELECT 'zorder' AS method, CAST({zsql} AS BIGINT) AS k, px, py FROM h0
+    ),
+    boxes AS (
+      SELECT method, k // {bucket_div} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             (max(px) - min(px) + 1) * (max(py) - min(py) + 1) AS box_area
+      FROM keyed GROUP BY 1, 2
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT)      AS n_buckets,
+           CAST(sum(n_rows) AS BIGINT)   AS n_rows,
+           CAST(sum(box_area) AS BIGINT) AS sum_box_area,
+           CAST(max(box_area) AS BIGINT) AS max_box_area
+    FROM boxes GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "layout_hilbert",
+    _hilbert_oracle_sql(),
+    doc=(
+        "Hilbert-curve clustering key vs Z-order, same bits, same "
+        "buckets — the layout-quality census: per equal-width key-range "
+        "bucket, the min/max box each method makes a parquet row-group "
+        "cover, summed. Hilbert's consecutive keys are always "
+        "grid-adjacent (no Z seam jumps), so its summed box area is "
+        "tighter — the measured justification for Hilbert clustering "
+        "in Delta/Iceberg OPTIMIZE. The xy2d state machine is 16 "
+        "staged integer CASE/divmod projections, identical generated "
+        "text on both engines."
+    ),
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Z-order box-tightness census.
+
+    Scale notes (100 TB): the key is a per-row projection (16 narrow
+    whole-stage-codegen selects, no shuffle); the census is one hash
+    aggregate per method keyed on ~256 buckets. Writing the layout =
+    range-partition by the key, same as io.write_zordered."""
+    mask = 2**_HIL_BITS
+    li0 = load_table(spark, sf_dir, "lineitem")
+    mx = li0.agg(
+        (F.max("l_partkey") + 1).alias("mp"),
+        (F.max("l_suppkey") + 1).alias("ms"),
+    )
+    li = li0.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(l_partkey * {mask}) div mp").alias("__hx"),
+        F.expr(f"(l_suppkey * {mask}) div ms").alias("__hy"),
+        F.lit(0).cast("bigint").alias("__hd"),
+        F.expr(f"(l_partkey * {mask}) div mp").alias("px"),
+        F.expr(f"(l_suppkey * {mask}) div ms").alias("py"),
+    )
+    h = li
+    for x1, y1, d in _hilbert_steps("div"):
+        h = h.select(
+            F.expr(x1).alias("__hx"),
+            F.expr(y1).alias("__hy"),
+            F.expr(d).cast("bigint").alias("__hd"),
+            "px",
+            "py",
+        )
+    hil = h.select(
+        F.lit("hilbert").alias("method"), F.col("__hd").alias("k"), "px", "py"
+    )
+    zsql = _z_sql("px", "py", _HIL_BITS).replace("//", "div")
+    zor = li.select(
+        F.lit("zorder").alias("method"),
+        F.expr(f"CAST({zsql} AS BIGINT)").alias("k"),
+        "px",
+        "py",
+    )
+    bucket_div = 4**_HIL_BITS // 170  # non-dyadic bucket count: dyadic ranges hide Z seam jumps
+    boxes = (
+        hil.unionByName(zor)
+        .groupBy("method", F.expr(f"k div {bucket_div}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                "(max(px) - min(px) + 1) * (max(py) - min(py) + 1)"
+            ).alias("box_area"),
+        )
+    )
+    return (
+        boxes.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("box_area").cast("bigint").alias("sum_box_area"),
+            F.max("box_area").cast("bigint").alias("max_box_area"),
+        )
+        .orderBy("method")
+    )
