@@ -209,3 +209,49 @@ def test_hilbert_generated_sql_is_bijective_and_adjacent():
         abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
         for d in range(63)
     )
+
+
+def test_temporal_reachability_scan_budget_and_time_respect(spark):
+    """Round-9 gate: multi-branch iterative ops pin their scan budget —
+    the returned plan must reference only the final checkpointed state
+    (1 ExistingRDD scan, 0 fact scans). Also pins time-respecting
+    semantics on a crafted chain: a contact EARLIER than the
+    infection time must not propagate."""
+    reg = load_all()
+    df = reg["graph_temporal_reachability"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 2
+    assert plan.count("events.parquet") == 0
+    rows = {r.user_id: r.infected_hour for r in df.collect()}
+    assert len(rows) > 0 and min(rows.values()) == 0  # seeds at t=0
+
+
+def test_temporal_reachability_rejects_backward_paths(spark, tmp_path):
+    """Crafted: seed 1 meets 2 at hour 10; 2 met 3 at hour 5 (BEFORE 2
+    was infected) and meets 4 at hour 20 (after). 4 reachable, 3 not."""
+    import datetime as dt
+
+    work = str(tmp_path / "tr")
+    t0 = dt.datetime(1970, 1, 1)
+    mk = lambda u, e, h: (u, u * 100 + h, e, t0 + dt.timedelta(hours=h))
+    rows = [
+        mk(2, "z", 1), mk(3, "z2", 2),    # seeds 2,3: isolated events
+        mk(1, "a", 20), mk(4, "a", 20),   # seed 1 infects 4 at h=20
+        mk(4, "b", 15), mk(5, "b", 15),   # 4's EARLIER contact: no spread
+        mk(4, "c", 25), mk(6, "c", 25),   # 4's later contact: spreads
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp_ntz"
+    ).withColumn("value", F.lit(1.0))
+    _write_single(df, work, "events")
+    got = {
+        r.user_id: r.infected_hour
+        for r in load_all()["graph_temporal_reachability"]
+        .spark(spark, work)
+        .collect()
+    }
+    # seeds = 3 smallest users (1, 2, 3); 4 infected at 20, its
+    # EARLIER contact with 5 must NOT propagate, its later one must
+    assert got[4] == 20 and got[6] == 25
+    assert 5 not in got
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0

@@ -73,7 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # listed here as displacement happens):
     # agg_percentiles, cdc_apply, dedup_embedding_cosine,
     # dedup_ngram_jaccard, dedup_simhash_pairs, agg_collect_set,
-    # agg_corr, agg_cube, agg_distinct, agg_grouping_sets,
+    # agg_corr, agg_cube, agg_distinct, agg_grouping_sets, agg_rollup,
     #
     # -- round-12 registrations (displace fillers top-down) -------
     "streaming_join_full_outer",
@@ -84,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_update_mode_emissions",
     "upsert_merge_on_read",
     "layout_hilbert",
+    "graph_temporal_reachability",
     # -- changed by the r12 x64-probe fixes (bucket caps /
     # -- shuffle-hint): re-verify under the driver ---------------
     "dedup_edit_distance_verify",
@@ -92,7 +93,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- driver row r02; replaced FIRST as registrations land) ----
     "dedup_embedding_lsh",
     # -- round-1 rows (stalest in the registry) ------------------
-    "agg_rollup",
     "agg_stats",
     "dedup_clusters",
     "dedup_exact",

@@ -3401,3 +3401,134 @@ def graph_scc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("scc_id", "size", "n_nodes", "n_resolved", "rank")
     )
+
+
+_TR_ROUNDS = 3
+_TR_SEEDS = 3
+_TR_GCAP = 20  # contact-group size cap (mass gatherings excluded)
+
+
+def _temporal_reach_oracle() -> str:
+    ctes = [
+        """ev AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // 3600000000 AS h
+      FROM events
+    )""",
+        f"""gsz AS (
+      SELECT event_type, h FROM ev GROUP BY 1, 2
+      HAVING count(*) BETWEEN 2 AND {_TR_GCAP}
+    )""",
+        """contacts AS MATERIALIZED (
+      SELECT a.user_id AS src, b.user_id AS dst, a.h
+      FROM ev a
+      JOIN ev b ON a.event_type = b.event_type AND a.h = b.h
+      JOIN gsz g ON g.event_type = a.event_type AND g.h = a.h
+      WHERE a.user_id <> b.user_id
+    )""",
+        f"""i0 AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS t
+      FROM (SELECT DISTINCT user_id FROM ev ORDER BY user_id
+            LIMIT {_TR_SEEDS})
+    )""",
+    ]
+    for k in range(1, _TR_ROUNDS + 1):
+        ctes.append(f"""i{k} AS MATERIALIZED (
+      SELECT user_id, CAST(min(t) AS BIGINT) AS t FROM (
+        SELECT user_id, t FROM i{k-1}
+        UNION ALL
+        SELECT c.dst AS user_id, c.h AS t
+        FROM contacts c JOIN i{k-1} p ON c.src = p.user_id
+        WHERE c.h >= p.t
+      ) GROUP BY 1
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT user_id, t AS infected_hour
+    FROM i{_TR_ROUNDS} ORDER BY user_id
+    """
+    )
+
+
+@register(
+    "graph_temporal_reachability",
+    _temporal_reach_oracle(),
+    doc=(
+        "Time-respecting reachability on a temporal contact graph (the "
+        "epidemic/influence primitive static BFS cannot express: a "
+        "path is valid only if contact times are non-decreasing along "
+        "it). Contacts = users sharing an (event_type, hour) cell, "
+        f"cell size capped at {_TR_GCAP} (mass gatherings excluded — "
+        "the group-size cap that keeps contact volume linear); "
+        f"{_TR_SEEDS} seed users spread over {_TR_ROUNDS} rounds, each "
+        "round one equi-join of the frontier against the contact list "
+        "with the h >= t_infection time guard + a min-time merge. "
+        "All-integer epoch hours, so the infection table hashes "
+        "exactly against the oracle's unrolled MATERIALIZED rounds."
+    ),
+)
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal BFS with per-round min-infection-time state.
+
+    Scale notes (100 TB): the contact list is built once and lazily
+    checkpointed (every round consumes it — the round-9 multi-branch
+    class); each round is one key-partitioned join + one min-merge
+    aggregate, the Pregel shape; the group-size cap bounds contact
+    pairs at |cells| * cap² regardless of skew. Infection state is one
+    row per reached user."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS BIGINT)"
+                " div 3600000000"
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds gsz + both contact sides + seeds
+    )
+    gsz = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter((F.col("__c") >= 2) & (F.col("__c") <= _TR_GCAP))
+        .select("event_type", "h")
+    )
+    a = ev.select("user_id", "event_type", "h")
+    b = ev.select(F.col("user_id").alias("dst"), "event_type", "h")
+    contacts = (
+        a.join(gsz, ["event_type", "h"])
+        .join(b, ["event_type", "h"])
+        .filter(F.col("user_id") != F.col("dst"))
+        .select(F.col("user_id").alias("src"), "dst", "h")
+        .localCheckpoint(eager=False)  # consumed once per round
+    )
+    infected = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(_TR_SEEDS)
+        .select("user_id", F.lit(0).cast("bigint").alias("t"))
+    )
+    for _ in range(_TR_ROUNDS):
+        cand = (
+            contacts.join(
+                infected.select(
+                    F.col("user_id").alias("src"), F.col("t").alias("__pt")
+                ),
+                "src",
+            )
+            .filter(F.col("h") >= F.col("__pt"))
+            .select(F.col("dst").alias("user_id"), F.col("h").alias("t"))
+        )
+        infected = (
+            infected.unionByName(cand)
+            .groupBy("user_id")
+            .agg(F.min("t").cast("bigint").alias("t"))
+            .localCheckpoint(eager=False)  # next round + final output
+        )
+    return infected.select(
+        "user_id", F.col("t").alias("infected_hour")
+    ).orderBy("user_id")
