@@ -255,3 +255,95 @@ def test_temporal_reachability_rejects_backward_paths(spark, tmp_path):
     assert got[4] == 20 and got[6] == 25
     assert 5 not in got
     assert got[1] == 0 and got[2] == 0 and got[3] == 0
+
+
+def test_mor_intra_batch_ties_resolve_last_row_wins(spark, tmp_path):
+    """Two ops for the SAME pk inside one appended batch resolve
+    deterministically: __pos (frozen at write time over the single
+    coalesced partition) breaks the __seq tie last-row-wins —
+    round-12 advice; previously row_number over equal keys was
+    nondeterministic."""
+    from the_movies_db_spark.upsert import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    root = str(tmp_path / "morties")
+    write_mor_base(
+        spark.createDataFrame([(1, "old")], "pk long, v string"), root
+    )
+    dup = spark.createDataFrame(
+        [(1, "U", "first"), (1, "U", "second"), (1, "D", "third"),
+         (1, "U", "last")],
+        "pk long, __op string, v string",
+    ).coalesce(1)
+    append_mor_delta(spark, root, dup)
+    for _ in range(5):  # stable across repeated reads
+        got = [(r.pk, r.v) for r in read_mor(spark, root, "pk").collect()]
+        assert got == [(1, "last")]
+
+
+def test_mor_compact_crash_safety_via_pointer(spark, tmp_path):
+    """compact_mor is crash-safe at every point (round-12 advice: the
+    old base-dir rename pair could strand the table with NO base).
+    Simulate both crash windows against the _BASE-pointer design:
+    (a) crash AFTER the new base is written but BEFORE the pointer
+    flip -> reader sees old base + intact deltas (consistent), and the
+    next compaction sweeps the orphan dir; (b) crash AFTER the flip
+    but BEFORE delta removal -> deltas re-apply idempotently."""
+    import os
+
+    from the_movies_db_spark.upsert import (
+        _mor_base_dir,
+        _mor_write_ptr,
+        append_mor_delta,
+        compact_mor,
+        read_mor,
+        write_mor_base,
+    )
+
+    root = str(tmp_path / "morcrash")
+    write_mor_base(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "pk long, v string"
+        ),
+        root,
+    )
+    delta = spark.createDataFrame(
+        [(0, "D", ""), (1, "U", "u1"), (9, "U", "u9")],
+        "pk long, __op string, v string",
+    )
+    append_mor_delta(spark, root, delta)
+    expect = {(1, "u1"), (9, "u9")} | {(i, f"v{i}") for i in range(2, 6)}
+
+    # (a) crash before the pointer flip: orphan base-2 exists, pointer
+    # still points at base-1, deltas intact
+    merged = read_mor(spark, root, "pk")
+    merged.write.mode("overwrite").parquet(os.path.join(root, "base-2"))
+    assert _mor_base_dir(root).endswith("base-1")
+    assert {(r.pk, r.v) for r in read_mor(spark, root, "pk").collect()} == expect
+    # recovery = just run compaction again: sweeps the orphan, folds
+    n = compact_mor(spark, root, "pk")
+    assert n == 1
+    assert {(r.pk, r.v) for r in read_mor(spark, root, "pk").collect()} == expect
+    assert not glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
+    live = _mor_base_dir(root)
+    assert [os.path.basename(d) for d in glob.glob(os.path.join(root, "base-*"))] == [
+        os.path.basename(live)
+    ]
+
+    # (b) crash after the flip, before delta removal: re-append the
+    # same logical delta, write base-N+1, flip, leave deltas in place
+    append_mor_delta(spark, root, delta)
+    merged = read_mor(spark, root, "pk")
+    nxt = "base-99"
+    merged.write.mode("overwrite").parquet(os.path.join(root, nxt))
+    _mor_write_ptr(root, nxt)
+    # deltas still present and re-apply idempotently over the new base
+    assert glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
+    assert {(r.pk, r.v) for r in read_mor(spark, root, "pk").collect()} == expect
+    # and the next compaction converges to a clean single-base state
+    compact_mor(spark, root, "pk")
+    assert {(r.pk, r.v) for r in read_mor(spark, root, "pk").collect()} == expect
+    assert not glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))

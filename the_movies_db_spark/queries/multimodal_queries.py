@@ -1022,10 +1022,11 @@ def multimodal_tar_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     build_once(work, stamp, _build)
 
-    try:
-        spark.dataSource.register(TarShardDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # duplicate registration is a warn-and-replace on this Spark
+    # version (verified round 13), so no exception guard: a genuine
+    # registration failure must propagate NOW, not resurface as a
+    # confusing "format not found" at load time (round-12 advice)
+    spark.dataSource.register(TarShardDataSource)
 
     members = spark.read.format("tar_shards").option("path", work).load()
     return (

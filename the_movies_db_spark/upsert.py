@@ -768,14 +768,39 @@ def write_audit_publish(
 #          <root>/deltas/delta-<seq>.parquet   (op: 'U' upsert / 'D' delete)
 # Delta appends take the same writer lease as the COW path; the seq
 # number orders deltas and is embedded in the file name, so readers
-# need no manifest — latest-op-wins per pk across (base < deltas by seq).
+# need no manifest — latest-op-wins per pk across (base < deltas by seq),
+# and within one delta batch the LAST row wins (``__pos``, frozen at
+# write time, breaks intra-batch ties deterministically).
+# The base lives in versioned dirs (``base-<n>``) behind an atomic
+# ``_BASE`` pointer file — the same pattern as the COW ``_CURRENT``
+# pointer — so compaction is crash-safe at EVERY point: the pointer is
+# either old (deltas intact) or new (deltas re-apply idempotently);
+# orphan base dirs from a crash are swept at the next compaction.
 # ---------------------------------------------------------------------------
+
+_MOR_PTR = "_BASE"
+
+
+def _mor_write_ptr(root: str, name: str) -> None:
+    tmp = os.path.join(root, f".{_MOR_PTR}.tmp")
+    with open(tmp, "w") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(root, _MOR_PTR))
+
+
+def _mor_base_dir(root: str) -> str:
+    ptr = os.path.join(root, _MOR_PTR)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(root, f.read().strip())
+    return os.path.join(root, "base")  # pre-pointer layout
 
 
 def write_mor_base(df: DataFrame, root: str) -> None:
     """Initialize a merge-on-read table: base data, empty delta log."""
     os.makedirs(root, exist_ok=True)
-    df.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    df.write.mode("overwrite").parquet(os.path.join(root, "base-1"))
+    _mor_write_ptr(root, "base-1")
     os.makedirs(os.path.join(root, "deltas"), exist_ok=True)
 
 
@@ -797,11 +822,17 @@ def append_mor_delta(
 
     Scale notes (100 TB): cost is O(batch) — one parquet write of the
     delta, no read or rewrite of the base; the writer lease serializes
-    concurrent appenders so seq numbers never collide."""
+    concurrent appenders so seq numbers never collide. Two rows for
+    the same pk WITHIN one batch resolve last-row-wins: ``__pos`` is
+    assigned in row order over the single coalesced partition and
+    frozen in the file, so every later read breaks the tie the same
+    way."""
     with writer_lock(root):
         seq = _next_delta_seq(root)
         staging = os.path.join(root, "deltas", f"__stage-{seq}")
-        batch.withColumn("__seq", F.lit(seq)).coalesce(1).write.mode(
+        batch.coalesce(1).withColumn(
+            "__pos", F.monotonically_increasing_id()
+        ).withColumn("__seq", F.lit(seq)).write.mode(
             "overwrite"
         ).parquet(staging)
         part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
@@ -818,45 +849,67 @@ def read_mor(
     Scale notes (100 TB): the base is scanned ONCE with no rewrite
     history; the merge is one window over the DELTAS (delta-grain, not
     base-grain) + one pk anti-join of base against touched pks + a
-    union. Deltas are typically a tiny fraction of the base between
-    compactions, so the join broadcasts; ``compact_mor`` folds them
-    back to a clean base when they grow."""
-    base = spark.read.parquet(os.path.join(root, "base"))
+    union. The anti-join is NOT force-broadcast: between compactions
+    the delta log is unbounded, and a forced broadcast of a large
+    touched-pk set risks the driver/maxResultSize blowup (round-12
+    lesson) — the touched set is built through a shuffle, so AQE sizes
+    the join from real stats and broadcasts exactly when it is small.
+    ``compact_mor`` folds the logs back when they grow."""
+    base = spark.read.parquet(_mor_base_dir(root))
     delta_files = glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
     if not delta_files:
         return base
     deltas = spark.read.parquet(*sorted(delta_files))
-    w = Window.partitionBy(pk).orderBy(F.desc("__seq"))
+    order = [F.desc("__seq")]
+    if "__pos" in deltas.columns:  # pre-__pos delta files lack it
+        order.append(F.desc("__pos"))
+    w = Window.partitionBy(pk).orderBy(*order)
     latest = (
         deltas.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__seq")
+        .drop("__rn", "__seq", "__pos")
     )
     touched = latest.select(pk)
-    survivors = base.join(F.broadcast(touched), pk, "left_anti")
+    survivors = base.join(touched, pk, "left_anti")
     upserts = latest.filter(F.col(op_col) == "U").drop(op_col)
     return survivors.unionByName(upserts)
 
 
 def compact_mor(spark: SparkSession, root: str, pk: str) -> int:
     """Fold every delta into a new base (the MOR maintenance job);
-    returns the number of delta files folded. Crash-safe: the merged
-    base is staged to a sibling dir and swapped in before the consumed
-    deltas are removed — a crash between swap and removal leaves deltas
-    that re-apply idempotently (latest-op-wins is stable under replay)."""
+    returns the number of delta files folded.
+
+    Crash-safe at EVERY point via the atomic ``_BASE`` pointer (the
+    COW ``_CURRENT`` pattern): the merged base is written to a fresh
+    ``base-<n+1>`` dir, the pointer flips in one ``os.replace``, and
+    only then are the consumed deltas and the old base removed. A
+    crash before the flip leaves the old pointer + intact deltas
+    (consistent); a crash after the flip leaves deltas that re-apply
+    idempotently (latest-op-wins is stable under replay: 'U' rewrites
+    the identical row, 'D' anti-joins nothing). Orphan ``base-*`` dirs
+    from either crash are swept here, under the writer lease."""
+    import re as _re
+
     with writer_lock(root):
         delta_files = sorted(
             glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
         )
         if not delta_files:
             return 0
+        current = _mor_base_dir(root)
+        # sweep orphans from a previous crash (never the live base)
+        for d in glob.glob(os.path.join(root, "base-*")):
+            if os.path.abspath(d) != os.path.abspath(current):
+                shutil.rmtree(d)
+        m = _re.search(r"base-(\d+)$", current)
+        nxt = f"base-{int(m.group(1)) + 1 if m else 1}"
         merged = read_mor(spark, root, pk).localCheckpoint(eager=True)
-        staging = os.path.join(root, "__base_next")
-        merged.write.mode("overwrite").parquet(staging)
-        old = os.path.join(root, "__base_old")
-        os.replace(os.path.join(root, "base"), old)
-        os.replace(staging, os.path.join(root, "base"))
+        merged.write.mode("overwrite").parquet(os.path.join(root, nxt))
+        _mor_write_ptr(root, nxt)
         for p in delta_files:
             os.remove(p)
-        shutil.rmtree(old)
+        if os.path.abspath(current) != os.path.abspath(
+            os.path.join(root, nxt)
+        ):
+            shutil.rmtree(current)
         return len(delta_files)
