@@ -55,82 +55,78 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-12 rotation (VERDICT r11 directive 1 — anti-staleness):
-    # the round-12 queue was EMPTY, so this window holds the 50
-    # STALEST hard-green names in the registry — 44 names whose only
-    # driver row is round 1 plus the 6 oldest round-2 names — for
-    # re-verification under the current tree. All 50 were green in
-    # the round-11 full sweeps (527/527 both SFs) but their DRIVER
-    # rows predate ten rounds of engine evolution.
+    # Round-13 rotation (VERDICT r12 directive 2): the 11 names
+    # displaced by round-12 registrations (queued at the top of this
+    # window — NOT displaceable again) plus the 39 next-stalest names
+    # in the registry (the round-2-driver-row cohort, alphabetical;
+    # the r2 cohort holds 41 non-queued names, so 2 of them —
+    # upsert_scd2, window_first_last — spill to the round-14 queue
+    # with the whole r3 cohort). All 50 were green in the round-12
+    # full sweeps (536/536 both SFs).
     #
-    # Round-12 registrations are appended HERE at registration time
+    # Round-13 registrations are appended HERE at registration time
     # (standing rule, HARD CAP 50), displacing the DISPLACEABLE
-    # fillers below top-down; displaced stale names head the
-    # round-13 queue.
+    # stale fillers bottom-up; displaced names head the round-14
+    # queue comment below as displacement happens.
     #
-    # Queue for the round-13 window (append round-13 registrations
-    # at registration time; displaced round-12 stale names are
-    # listed here as displacement happens):
-    # agg_percentiles, cdc_apply, dedup_embedding_cosine,
-    # dedup_ngram_jaccard, dedup_simhash_pairs, agg_collect_set,
-    # agg_corr, agg_cube, agg_distinct, agg_grouping_sets, agg_rollup,
+    # Queue for the round-14 window: upsert_scd2, window_first_last,
+    # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
+    # plus any names displaced from this window:
     #
-    # -- round-12 registrations (displace fillers top-down) -------
-    "streaming_join_full_outer",
-    "multimodal_tar_shards",
-    "multimodal_tar_datasource",
-    "events_delta_encoding_audit",
-    "orders_skyline_pareto",
-    "streaming_update_mode_emissions",
-    "upsert_merge_on_read",
-    "layout_hilbert",
-    "graph_temporal_reachability",
-    # -- changed by the r12 x64-probe fixes (bucket caps /
-    # -- shuffle-hint): re-verify under the driver ---------------
-    "dedup_edit_distance_verify",
-    "dedup_substring_exact",
-    # -- DISPLACEABLE fillers (least-stale of the stale set: last
-    # -- driver row r02; replaced FIRST as registrations land) ----
-    "dedup_embedding_lsh",
-    # -- round-1 rows (stalest in the registry) ------------------
-    "agg_stats",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_tumbling",
-    "fn_array",
-    "fn_conditional",
-    "fn_datetime",
-    "fn_math",
-    "fn_string",
-    "join_anti",
-    "join_asof",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range",
-    "join_semi",
-    "multimodal_audio_features",
-    "multimodal_crossmodal_topk",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "multimodal_meta",
-    "multimodal_resize",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_topk",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_rank_ntile",
-    "window_running_total",
-    "window_topk_per_group",
+    # -- round-13 registrations (displace fillers bottom-up) -------
+    # -- round-12 displaced queue (fixed this round) ---------------
+    "agg_percentiles",
+    "cdc_apply",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "agg_collect_set",
+    "agg_corr",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    # -- DISPLACEABLE stale fillers (last driver row r02;
+    # -- alphabetical; displaced BOTTOM-UP as registrations land) --
+    "events_attribution",
+    "events_gapfill_locf",
+    "events_sessionize",
+    "events_transitions",
+    "fn_json",
+    "fn_recursive_calendar",
+    "graph_pagerank",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "pipeline_pii_redact",
+    "pipeline_quality_filter",
+    "pipeline_sample_stratified",
+    "pipeline_split_by_source",
+    "q04_order_priority",
+    "q12_priority_class",
+    "q21_latest_shipper",
+    "schema_drift_add",
+    "schema_drift_type",
+    "search_bm25_topk",
+    "search_phrase",
+    "sim_recall_eval",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "streaming_dedup",
+    "streaming_session_window",
+    "streaming_stateful_counter",
+    "streaming_stream_join",
+    "text_langid",
+    "text_rolling_hash",
+    "text_stats",
+    "text_tfidf_topk",
+    "udf_cogrouped_reconcile",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_scalar",
+    "udtf_split_words",
+    "upsert_change_stats",
+    "upsert_keep_latest",
+    "upsert_merge",
 )
 
 
