@@ -1,0 +1,94 @@
+"""Third-leg tests for round-13 operators: planted ground truth and
+independent re-derivations (the oracle pins Spark == DuckDB on the
+shared formula; these pin the formula itself)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from the_movies_db_spark.operators.multimodal import numpy_pnm_decoder
+
+
+class TestPnmDecoder:
+    def test_planted_p6_with_comment_and_mixed_whitespace(self):
+        """Hand-computed ground truth for a 2x2 RGB image whose header
+        exercises comments, tabs and multi-space separators."""
+        raster = bytes(range(12))
+        blob = b"P6\n# planted fixture\n  2\t2\n255\n" + raster
+        fmt, w, h, maxval, n, s, ws, mean = numpy_pnm_decoder(blob)
+        assert (fmt, w, h, maxval, n) == ("P6", 2, 2, 255, 12)
+        assert s == sum(range(12)) == 66
+        assert ws == sum((i + 1) * i for i in range(12)) == 572
+        assert mean == 66 * 1000 // 12
+
+    def test_planted_p5_single_line_header(self):
+        blob = b"P5 3 1 255 " + bytes([200, 0, 55])
+        fmt, w, h, maxval, n, s, ws, mean = numpy_pnm_decoder(blob)
+        assert (fmt, w, h, maxval, n) == ("P5", 3, 1, 255, 3)
+        assert s == 255 and ws == 200 + 0 + 3 * 55
+        assert mean == 255 * 1000 // 3
+
+    def test_comment_between_every_token(self):
+        blob = b"P5\n#a\n2\n#b\n1\n#c\n255\n" + bytes([1, 2])
+        assert numpy_pnm_decoder(blob)[:5] == ("P5", 2, 1, 255, 2)
+
+    def test_raster_may_begin_with_whitespace_byte(self):
+        """Only ONE whitespace byte separates maxval from the raster —
+        a raster whose first pixel is 0x20 (space) must NOT be eaten
+        by a greedy whitespace skip."""
+        blob = b"P5\n2 1\n255\n" + bytes([0x20, 7])
+        fmt, w, h, maxval, n, s, ws, mean = numpy_pnm_decoder(blob)
+        assert s == 0x20 + 7 and ws == 0x20 + 2 * 7
+
+    def test_position_weight_catches_byte_swap(self):
+        a = numpy_pnm_decoder(b"P5 2 1 255 " + bytes([3, 9]))
+        b = numpy_pnm_decoder(b"P5 2 1 255 " + bytes([9, 3]))
+        assert a[5] == b[5]  # plain sum is blind to the swap
+        assert a[6] != b[6]  # the weighted sum is not
+
+    def test_malformed_inputs_raise(self):
+        with pytest.raises(ValueError, match="magic"):
+            numpy_pnm_decoder(b"P4 2 2 255 0000")
+        with pytest.raises(ValueError, match="truncated"):
+            numpy_pnm_decoder(b"P5 4 4 255 " + bytes(15))
+        with pytest.raises(ValueError, match="maxval"):
+            numpy_pnm_decoder(b"P5 1 1 65535 " + bytes(2))
+        with pytest.raises(ValueError, match="token"):
+            numpy_pnm_decoder(b"P5 x 1 255 " + bytes(1))
+
+    def test_tar_roundtrip_preserves_decode(self, spark):
+        """End-to-end through the production path: pack planted PNM
+        blobs into a ustar shard, walk it back, numpy-decode the
+        payloads — features must equal direct decoding."""
+        from the_movies_db_spark.operators.multimodal import (
+            decode_pnm_batch,
+            pack_tar_shards,
+            parse_tar_shards,
+        )
+
+        blobs = [
+            b"P6\n# c\n2 2\n255\n" + bytes(range(12)),
+            b"P5 4 2 255 " + bytes([255] * 8),
+        ]
+        rows = [(0, i, f"{i:012d}.pnm", b) for i, b in enumerate(blobs)]
+        df = spark.createDataFrame(
+            rows, "shard_id int, doc_id long, member_name string, payload binary"
+        )
+        members = parse_tar_shards(
+            pack_tar_shards(df.select("shard_id", "member_name", "payload"))
+        ).select(
+            F.expr("CAST(substring(member_name, 1, 12) AS BIGINT)").alias(
+                "doc_id"
+            ),
+            "payload",
+        )
+        got = {
+            (r.doc_id, r.fmt, r.n_samples, r.pix_sum, r.pix_wsum)
+            for r in decode_pnm_batch(members, "doc_id", "payload").collect()
+        }
+        want = {
+            (i, *[numpy_pnm_decoder(b)[k] for k in (0, 4, 5, 6)])
+            for i, b in enumerate(blobs)
+        }
+        assert got == {(d, f, n, s, w) for d, f, n, s, w in want} == want
