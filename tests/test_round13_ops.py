@@ -92,3 +92,31 @@ class TestPnmDecoder:
             for i, b in enumerate(blobs)
         }
         assert got == {(d, f, n, s, w) for d, f, n, s, w in want} == want
+
+
+def test_mor_should_compact_policy(spark, tmp_path):
+    """Cadence policy (probe_r13_mor.md): file-count OR byte-fraction
+    trigger, filesystem-metadata only."""
+    from the_movies_db_spark.upsert import (
+        append_mor_delta,
+        mor_should_compact,
+        write_mor_base,
+    )
+
+    root = str(tmp_path / "morpol")
+    write_mor_base(
+        spark.createDataFrame(
+            [(i, "x" * 200) for i in range(2000)], "pk long, v string"
+        ),
+        root,
+    )
+    assert not mor_should_compact(root)  # no deltas
+    small = spark.createDataFrame([(1, "U", "y")], "pk long, __op string, v string")
+    append_mor_delta(spark, root, small)
+    assert not mor_should_compact(root)  # one tiny log
+    assert mor_should_compact(root, max_files=1)  # file-count trigger
+    big = spark.createDataFrame(
+        [(i, "U", "z" * 200) for i in range(2000)], "pk long, __op string, v string"
+    )
+    append_mor_delta(spark, root, big)
+    assert mor_should_compact(root)  # byte-fraction trigger

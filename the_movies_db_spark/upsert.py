@@ -913,3 +913,32 @@ def compact_mor(spark: SparkSession, root: str, pk: str) -> int:
         ):
             shutil.rmtree(current)
         return len(delta_files)
+
+
+def mor_should_compact(
+    root: str, max_files: int = 64, max_bytes_frac: float = 0.10
+) -> bool:
+    """Compaction-cadence policy, pinned by the round-13 probe
+    (scripts/probe_r13_mor.md): read_mor degrades LINEARLY with the
+    accumulated delta count (~15 ms per delta file at sf0.1 — file
+    listing + one task per log + delta-grain window rows), while
+    compaction costs one merged read + base write and resets the scan
+    to base-only (0.31 s vs 2.96 s at 128 logs). Compact when either
+    the delta FILE COUNT reaches ``max_files`` (task/listing overhead)
+    or the delta BYTES exceed ``max_bytes_frac`` of the base (window +
+    anti-join work, and the broadcast-size risk read_mor avoids by
+    letting AQE size the join). Pure filesystem metadata — no Spark
+    job."""
+    files = glob.glob(os.path.join(root, "deltas", "delta-*.parquet"))
+    if not files:
+        return False
+    if len(files) >= max_files:
+        return True
+    delta_bytes = sum(os.path.getsize(p) for p in files)
+    base_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in [_mor_base_dir(root)]
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    return delta_bytes > max_bytes_frac * max(base_bytes, 1)
