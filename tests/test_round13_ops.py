@@ -120,3 +120,106 @@ def test_mor_should_compact_policy(spark, tmp_path):
     )
     append_mor_delta(spark, root, big)
     assert mor_should_compact(root)  # byte-fraction trigger
+
+
+def test_waterfill_closed_form_equals_binary_search():
+    """pipeline_token_budget_waterfill's water level L =
+    max_i min((B - P_{i-1}) // (n-i+1), c_i) over ascending caps must
+    equal the defining property: the largest integer L with
+    sum(min(c, L)) <= B. Pure-integer property test (no Spark)."""
+    import random
+
+    def brute(caps, budget):
+        lo, hi = 0, max(caps)
+        if sum(min(c, hi) for c in caps) <= budget:
+            return hi
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if sum(min(c, mid) for c in caps) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    def closed(caps, budget):
+        cs = sorted(caps)
+        n, prefix, best = len(cs), 0, 0
+        for i, c in enumerate(cs, start=1):
+            best = max(best, min((budget - prefix) // (n - i + 1), c))
+            prefix += c
+        return best
+
+    rng = random.Random(13)
+    for _ in range(20000):
+        caps = [rng.randint(0, 50) for _ in range(rng.randint(1, 8))]
+        budget = rng.randint(0, sum(caps) + 20)
+        assert brute(caps, budget) == closed(caps, budget), (caps, budget)
+
+
+def test_consistent_hash_ring_contract(spark):
+    """Consistent-hashing invariants on the real run: (a) every doc is
+    assigned (shares sum to ~1e6, counts to corpus size); (b) removing
+    the last node never DECREASES a survivor's count (only the lost
+    node's docs move — the minimal-disruption contract); (c) the moved
+    mass equals the lost node's count exactly."""
+    from the_movies_db_spark.queries import load_all
+
+    rows = (
+        load_all()["pipeline_consistent_hash_ring"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r.node for r in rows] == ["n0", "n1", "n2", "n3"]
+    total = sum(r.n_docs for r in rows)
+    lost = [r for r in rows if r.node == "n3"][0]
+    assert lost.n_docs_after_last_node_removed == 0
+    moved = 0
+    for r in rows:
+        if r.node != "n3":
+            assert r.n_docs_after_last_node_removed >= r.n_docs
+            moved += r.n_docs_after_last_node_removed - r.n_docs
+    assert moved == lost.n_docs
+    assert sum(r.n_docs_after_last_node_removed for r in rows) == total
+
+
+def test_ring_successor_wraps(spark):
+    """A doc hashing PAST the largest ring position must wrap to the
+    ring's minimum — verified by recomputing successor assignment in
+    Python from the same md5 ring and comparing every doc."""
+    import hashlib
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    ring = {
+        h48(f"ring:{p}:{v}"): f"n{p}" for p in range(4) for v in range(8)
+    }
+    pts = sorted(ring)
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        "SELECT doc_id FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    want = {}
+    wrapped = 0
+    for (i,) in docs:
+        d = h48(f"doc:{i}")
+        succ = next((p for p in pts if p >= d), None)
+        if succ is None:
+            succ, wrapped = pts[0], wrapped + 1
+        want[ring[succ]] = want.get(ring[succ], 0) + 1
+    got = {
+        r.node: r.n_docs
+        for r in load_all_ring(spark).collect()
+    }
+    assert got == want
+    assert wrapped >= 0  # wrap path exercised when any doc hashes past max
+
+
+def load_all_ring(spark):
+    from the_movies_db_spark.queries import load_all
+
+    return load_all()["pipeline_consistent_hash_ring"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).select("node", "n_docs")

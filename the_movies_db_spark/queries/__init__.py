@@ -69,13 +69,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stale fillers bottom-up; displaced names head the round-14
     # queue comment below as displacement happens.
     #
-    # Queue for the round-14 window: upsert_merge (displaced by
-    # multimodal_ppm_decode), upsert_scd2, window_first_last,
+    # Queue for the round-14 window: upsert_merge, upsert_keep_latest,
+    # upsert_change_stats (displaced by round-13 registrations),
+    # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
     # plus any names displaced from this window:
     #
     # -- round-13 registrations (displace fillers bottom-up) -------
     "multimodal_ppm_decode",
+    "pipeline_token_budget_waterfill",
+    "pipeline_consistent_hash_ring",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -126,8 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_pandas_grouped_agg",
     "udf_pandas_scalar",
     "udtf_split_words",
-    "upsert_change_stats",
-    "upsert_keep_latest",
 )
 
 

@@ -2938,3 +2938,257 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget water-filling across domains (round 13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_token_budget_waterfill",
+    """
+    WITH caps AS (
+      SELECT source, lang,
+             CAST(sum(len(regexp_split_to_array(text, '\\s+')))
+                  AS BIGINT) AS cap
+      FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+    ), win AS (
+      SELECT source, lang, cap,
+             CAST(sum(cap) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY cap, source, lang)
+                  AS BIGINT) AS i,
+             CAST(coalesce(sum(cap) OVER (ORDER BY cap, source, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS p
+      FROM caps
+    ), lvl AS (
+      SELECT *, (total * 3) // 5 AS budget,
+             CAST(max(least(((total * 3) // 5 - p) // (n - i + 1), cap))
+                  OVER () AS BIGINT) AS water_level
+      FROM win
+    ), alloc AS (
+      SELECT *, least(cap, water_level) AS a FROM lvl
+    )
+    SELECT source, lang,
+           cap AS capacity_tokens,
+           CAST(a AS BIGINT) AS alloc_tokens,
+           cap > water_level AS saturated,
+           water_level,
+           CAST(budget AS BIGINT) AS budget_tokens,
+           CAST(budget - sum(a) OVER () AS BIGINT) AS leftover_tokens
+    FROM alloc
+    ORDER BY source, lang
+    """,
+    doc=(
+        "Token-budget water-filling across (source, lang) domains — "
+        "the mixture-rebalancing step of corpus curation: a global "
+        "budget (60% of total tokens, same integer formula both "
+        "engines) is spread evenly, small domains keep everything "
+        "(cap <= level), large domains are clipped at the water "
+        "level. The level uses the exact closed form over "
+        "ascending-capacity prefix sums — L = max_i min((B - P_{i-1}) "
+        "div (n-i+1), c_i) — proven equal to the binary-search "
+        "definition by a 20k-case property test "
+        "(tests/test_round13_ops.py). All-integer arithmetic, "
+        "engine-exact; leftover = budget minus total allocation "
+        "(sub-level integer crumbs stay unallocated, deterministic)."
+    ),
+)
+def pipeline_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filled token allocation per (source, lang) domain.
+
+    Scale notes (100 TB): token counts collapse map-side into one
+    |domains|-row aggregate; every window below runs over that bounded
+    domain table (never the corpus), so the whole allocator costs one
+    corpus scan + one tiny shuffle regardless of scale."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    caps = d.groupBy("source", "lang").agg(
+        F.expr("CAST(sum(size(split(text, '\\\\s+'))) AS BIGINT)").alias(
+            "cap"
+        )
+    )
+    wt = Window.partitionBy(F.lit(1))
+    ws = Window.orderBy("cap", "source", "lang")
+    win = caps.select(
+        "source",
+        "lang",
+        "cap",
+        F.sum("cap").over(wt).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+        F.row_number().over(ws).cast("bigint").alias("i"),
+        F.coalesce(
+            F.sum("cap").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("p"),
+    )
+    lvl = win.select(
+        "*",
+        F.expr("(total * 3) div 5").alias("budget"),
+        F.max(
+            F.expr("least(((total * 3) div 5 - p) div (n - i + 1), cap)")
+        )
+        .over(wt)
+        .cast("bigint")
+        .alias("water_level"),
+    )
+    alloc = lvl.select("*", F.expr("least(cap, water_level)").alias("a"))
+    return alloc.select(
+        "source",
+        "lang",
+        F.col("cap").alias("capacity_tokens"),
+        F.col("a").cast("bigint").alias("alloc_tokens"),
+        F.expr("cap > water_level").alias("saturated"),
+        "water_level",
+        F.col("budget").cast("bigint").alias("budget_tokens"),
+        (F.col("budget") - F.sum("a").over(wt))
+        .cast("bigint")
+        .alias("leftover_tokens"),
+    ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring shard assignment (round 13)
+# ---------------------------------------------------------------------------
+
+_CHR_NODES = 4   # physical writer nodes
+_CHR_VNODES = 8  # virtual points per node (variance smoothing)
+
+
+@register(
+    "pipeline_consistent_hash_ring",
+    f"""
+    WITH ring AS (
+      SELECT 'n' || CAST(p AS VARCHAR) AS node,
+             CAST(('0x' || substr(md5('ring:' || CAST(p AS VARCHAR) || ':'
+               || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS pos
+      FROM unnest(range(0, {_CHR_NODES})) t(p),
+           unnest(range(0, {_CHR_VNODES})) u(v)
+    ), dp AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)),
+               1, 12)) AS BIGINT) AS d
+      FROM documents
+    ), assign_full AS (
+      SELECT doc_id,
+             coalesce(min(CASE WHEN r.pos >= d THEN r.pos END), min(r.pos))
+               AS succ
+      FROM dp CROSS JOIN ring r GROUP BY doc_id
+    ), assign_drop AS (
+      SELECT doc_id,
+             coalesce(min(CASE WHEN r.pos >= d THEN r.pos END), min(r.pos))
+               AS succ
+      FROM dp CROSS JOIN ring r
+      WHERE r.node != 'n{_CHR_NODES - 1}' GROUP BY doc_id
+    ), f AS (
+      SELECT r.node, count(*) AS n_docs
+      FROM assign_full a JOIN ring r ON a.succ = r.pos GROUP BY 1
+    ), g AS (
+      SELECT r.node, count(*) AS n_after
+      FROM assign_drop a JOIN ring r ON a.succ = r.pos GROUP BY 1
+    )
+    SELECT f.node,
+           CAST({_CHR_VNODES} AS BIGINT) AS n_vnodes,
+           CAST(f.n_docs AS BIGINT) AS n_docs,
+           CAST(f.n_docs * 1000000 // (SELECT sum(n_docs) FROM f)
+                AS BIGINT) AS share_ppm,
+           CAST(coalesce(g.n_after, 0) AS BIGINT)
+             AS n_docs_after_last_node_removed
+    FROM f LEFT JOIN g ON f.node = g.node
+    ORDER BY f.node
+    """,
+    doc=(
+        "Consistent-hash ring shard assignment — the stable-placement "
+        "primitive of distributed writers/caches: 4 physical nodes x "
+        "8 virtual points hashed onto a 48-bit md5 ring, every doc "
+        "routed to its clockwise successor. The removal scenario "
+        "re-routes ONLY the lost node's docs (the consistent-hashing "
+        "contract: survivors' counts never decrease — pinned in "
+        "pytest), measuring where its load lands. 48-bit integer "
+        "extraction is per-engine (conv vs 0x-cast, round-6 lesson); "
+        "all downstream arithmetic is shared integer expression text."
+    ),
+)
+def pipeline_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring assignment census + node-loss redistribution.
+
+    Scale notes (100 TB): the ring is 32 broadcast rows; assignment is
+    a map-side cross join + per-doc min aggregate (no corpus shuffle
+    beyond the doc-grain groupBy, which AQE coalesces); the census is
+    a |nodes|-row aggregate. Node count changes never re-shuffle the
+    corpus — that is the point of the ring."""
+    ring = spark.range(_CHR_NODES * _CHR_VNODES).select(
+        F.expr(f"concat('n', CAST(id div {_CHR_VNODES} AS STRING))").alias(
+            "node"
+        ),
+        F.expr(
+            f"CAST(conv(substring(md5(concat('ring:',"
+            f" CAST(id div {_CHR_VNODES} AS STRING), ':',"
+            f" CAST(id % {_CHR_VNODES} AS STRING))), 1, 12), 16, 10)"
+            " AS BIGINT)"
+        ).alias("pos"),
+    )
+    dp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('doc:',"
+            " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("d"),
+    )
+
+    def assign(r):
+        return (
+            dp.join(F.broadcast(r), F.lit(True))
+            .groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "coalesce(min(CASE WHEN pos >= d THEN pos END),"
+                    " min(pos))"
+                ).alias("succ")
+            )
+        )
+
+    full = (
+        assign(ring)
+        .join(F.broadcast(ring), F.col("succ") == F.col("pos"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    dropped_ring = ring.filter(F.col("node") != f"n{_CHR_NODES - 1}")
+    after = (
+        assign(dropped_ring)
+        .join(F.broadcast(dropped_ring), F.col("succ") == F.col("pos"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    wt = Window.partitionBy(F.lit(1))
+    return (
+        full.join(after, "node", "left_outer")
+        .select(
+            "node",
+            F.lit(_CHR_VNODES).cast("bigint").alias("n_vnodes"),
+            "n_docs",
+            F.expr("n_docs * 1000000")
+            .cast("bigint")
+            .alias("__num"),
+            F.sum("n_docs").over(wt).cast("bigint").alias("__tot"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_after_last_node_removed"),
+        )
+        .select(
+            "node",
+            "n_vnodes",
+            "n_docs",
+            F.expr("__num div __tot").cast("bigint").alias("share_ppm"),
+            "n_docs_after_last_node_removed",
+        )
+        .orderBy("node")
+    )
