@@ -223,3 +223,63 @@ def load_all_ring(spark):
     return load_all()["pipeline_consistent_hash_ring"].spark(
         spark, "/root/testdata/sf0.001"
     ).select("node", "n_docs")
+
+
+def test_clustering_depth_matches_python_rederivation(spark):
+    """Independent third leg: recompute the three simulated layouts
+    and their overlap censuses in pure Python from the parquet and
+    compare every metric (the oracle pins Spark == DuckDB on the
+    shared formula; this pins the formula)."""
+    import hashlib
+
+    import duckdb
+
+    from the_movies_db_spark.queries import load_all
+
+    rows = duckdb.connect().execute(
+        "SELECT o_orderkey, datediff('day', DATE '1970-01-01', o_orderdate)"
+        " FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchall()
+    n, nf = len(rows), 64
+
+    def census(keyed):
+        order = sorted(keyed)
+        buckets = {}
+        for rn, (_, day) in enumerate(order):
+            b = (rn * nf) // n
+            lo, hi = buckets.get(b, (day, day))
+            buckets[b] = (min(lo, day), max(hi, day))
+        ov = {
+            b: sum(
+                1
+                for b2, (lo2, hi2) in buckets.items()
+                if b2 != b and lo <= hi2 and lo2 <= hi
+            )
+            for b, (lo, hi) in buckets.items()
+        }
+        tot = sum(ov.values())
+        return (
+            len(buckets),
+            max(ov.values()) if ov else 0,
+            tot * 1000 // len(buckets),
+            tot // 2,
+        )
+
+    def h48(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+
+    want = {
+        "a_insert": census([((k,), d) for k, d in rows]),
+        "b_sorted": census([((d, k), d) for k, d in rows]),
+        "c_hash": census([((h48(k), k), d) for k, d in rows]),
+    }
+    got = {
+        r.layout: (r.n_files, r.max_overlaps, r.avg_overlaps_milli,
+                   r.overlap_pairs)
+        for r in load_all()["layout_clustering_depth"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
+    # and the metric DISCRIMINATES: sorted is materially shallower
+    assert got["b_sorted"][1] < got["c_hash"][1]

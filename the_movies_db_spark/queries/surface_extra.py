@@ -8106,3 +8106,155 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering-depth audit across candidate file layouts (round 13)
+# ---------------------------------------------------------------------------
+
+_LCD_FILES = 64  # simulated files per layout
+
+
+@register(
+    "layout_clustering_depth",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS hk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM orders
+    ), r AS (
+      SELECT day, n,
+             CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r1,
+             CAST(row_number() OVER (ORDER BY day, k) AS BIGINT) AS r2,
+             CAST(row_number() OVER (ORDER BY hk, k) AS BIGINT) AS r3
+      FROM base
+    ), f AS (
+      SELECT 'a_insert' AS layout, ((r1 - 1) * {_LCD_FILES}) // n AS b,
+             min(day) AS lo, max(day) AS hi FROM r GROUP BY 1, 2
+      UNION ALL
+      SELECT 'b_sorted', ((r2 - 1) * {_LCD_FILES}) // n,
+             min(day), max(day) FROM r GROUP BY 1, 2
+      UNION ALL
+      SELECT 'c_hash', ((r3 - 1) * {_LCD_FILES}) // n,
+             min(day), max(day) FROM r GROUP BY 1, 2
+    ), d AS (
+      SELECT a.layout, a.b, CAST(count(*) AS BIGINT) AS ov
+      FROM f a JOIN f c ON a.layout = c.layout AND a.b != c.b
+                       AND a.lo <= c.hi AND c.lo <= a.hi
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_files FROM f GROUP BY 1
+    )
+    SELECT m.layout, m.n_files,
+           CAST(coalesce(max(d.ov), 0) AS BIGINT) AS max_overlaps,
+           CAST(coalesce(sum(d.ov), 0) * 1000 // m.n_files AS BIGINT)
+             AS avg_overlaps_milli,
+           CAST(coalesce(sum(d.ov), 0) // 2 AS BIGINT) AS overlap_pairs
+    FROM m LEFT JOIN d ON m.layout = d.layout
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc=(
+        "Clustering-depth audit — the lakehouse metric that predicts "
+        "scan amplification under a sort order BEFORE rewriting the "
+        "table: rows are split into 64 simulated files under three "
+        "layouts (insert order, key-sorted, hash-scattered), each "
+        "file keeps (min, max) of the query key (order date), and the "
+        "audit counts per-file range overlaps — a key-sorted layout "
+        "gives near-zero depth (file pruning works), a hash layout "
+        "makes every file overlap every other (every range query "
+        "scans all files). File splits use the shared integer rank "
+        "formula ((rn-1)*F) div n rather than ntile so both engines "
+        "bucket identically."
+    ),
+)
+def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layout file-range overlap depth over simulated 64-file splits.
+
+    Scale notes (100 TB): the three global ranks use the two-level
+    bucket rewrite (operators/ranks.global_row_number — no
+    single-partition sort), sharing one lazily-checkpointed base and
+    ONE batched bounds collect (the round-4 multi-rank rule); the
+    overlap census self-joins the |layouts| x |files| summary (192
+    rows), never the fact."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')")
+        .cast("int")
+        .alias("day"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hk"),
+    ).localCheckpoint(eager=False)
+    b = base.agg(
+        F.min("k").alias("k0"), F.max("k").alias("k1"),
+        F.min("day").alias("d0"), F.max("day").alias("d1"),
+        F.min("hk").alias("h0"), F.max("hk").alias("h1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).collect()[0]
+    ranked = global_row_number(
+        base, "k", [], out="r1", bounds=(b.k0, b.k1)
+    )
+    ranked = global_row_number(
+        ranked, "day", ["k"], out="r2", bounds=(b.d0, b.d1)
+    )
+    ranked = global_row_number(
+        ranked, "hk", ["k"], out="r3", bounds=(b.h0, b.h1)
+    ).localCheckpoint(eager=False)  # 3 layout branches consume it
+    n = b.n
+    files = None
+    for label, rc in (("a_insert", "r1"), ("b_sorted", "r2"), ("c_hash", "r3")):
+        part = (
+            ranked.select(
+                F.lit(label).alias("layout"),
+                F.expr(f"(({rc} - 1) * {_LCD_FILES}) div {n}L").alias("b"),
+                "day",
+            )
+            .groupBy("layout", "b")
+            .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        )
+        files = part if files is None else files.unionByName(part)
+    files = files.localCheckpoint(eager=False)  # self-join + census below
+    a = files.select("layout", "b", "lo", "hi")
+    c = files.select(
+        F.col("layout").alias("layout2"),
+        F.col("b").alias("b2"),
+        F.col("lo").alias("lo2"),
+        F.col("hi").alias("hi2"),
+    )
+    d = (
+        a.join(
+            c,
+            (F.col("layout") == F.col("layout2"))
+            & (F.col("b") != F.col("b2"))
+            & (F.col("lo") <= F.col("hi2"))
+            & (F.col("lo2") <= F.col("hi")),
+        )
+        .groupBy("layout", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ov"))
+    )
+    m = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files")
+    )
+    return (
+        m.join(d, "layout", "left_outer")
+        .groupBy("layout", "n_files")
+        .agg(
+            F.expr("CAST(coalesce(max(ov), 0) AS BIGINT)").alias(
+                "max_overlaps"
+            ),
+            F.expr(
+                "CAST(coalesce(sum(ov), 0) * 1000 div n_files AS BIGINT)"
+            ).alias("avg_overlaps_milli"),
+            F.expr("CAST(coalesce(sum(ov), 0) div 2 AS BIGINT)").alias(
+                "overlap_pairs"
+            ),
+        )
+        .orderBy("layout")
+    )
