@@ -283,3 +283,60 @@ def test_clustering_depth_matches_python_rederivation(spark):
     assert got == want
     # and the metric DISCRIMINATES: sorted is materially shallower
     assert got["b_sorted"][1] < got["c_hash"][1]
+
+
+def test_classifier_ece_matches_python_rederivation(spark):
+    """Independent third leg for the calibration audit: recompute
+    score, label, bins and ECE in pure Python from the parquet."""
+    import duckdb
+
+    from the_movies_db_spark.operators import text as T
+    from the_movies_db_spark.queries import load_all
+
+    stops = set(T.STOPWORDS["en"])
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    pts = []
+    for _, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        stop_hits = sum(1 for t in toks if t in stops)
+        nd = len(set(toks))
+        sl = sum(len(t) for t in toks)
+        score = 2 * stop_hits * 1000 // n + nd * 1000 // n + min(n, 500)
+        label = 1 if (n >= 30 and 3 * n <= sl <= 10 * n) else 0
+        pts.append((score, label))
+    mx = max(s for s, _ in pts)
+    bins = {}
+    for s, lab in pts:
+        p = s * 1000000 // mx
+        b = min(p // 100000, 9)
+        n_docs, sp, npos = bins.get(b, (0, 0, 0))
+        bins[b] = (n_docs + 1, sp + p, npos + lab)
+    want = {}
+    tot_n = sum(v[0] for v in bins.values())
+    wsum = 0
+    for b, (n_docs, sp, npos) in bins.items():
+        conf = sp // n_docs
+        acc = npos * 1000000 // n_docs
+        want[b] = (n_docs, conf, acc, abs(conf - acc))
+        wsum += n_docs * abs(conf - acc)
+    ece = wsum // tot_n
+    got = {
+        r.bin: (r.n_docs, r.conf_ppm, r.acc_ppm, r.gap_ppm)
+        for r in load_all()["pipeline_classifier_ece"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    eces = {
+        r.ece_ppm
+        for r in load_all()["pipeline_classifier_ece"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
+    assert eces == {ece}

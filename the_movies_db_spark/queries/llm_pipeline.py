@@ -3192,3 +3192,138 @@ def pipeline_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration audit: reliability bins + ECE (round 13)
+# ---------------------------------------------------------------------------
+
+#: confidence = score normalized by the DATA max score (same integer
+#: formula both engines — the round-4 data-derived-parameter rule), so
+#: the reliability bins span the observed score range at any SF
+
+
+@register(
+    "pipeline_classifier_ece",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_aggregate(list_transform(toks,
+               t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+               'sum') AS stop_hits,
+             len(list_distinct(toks)) AS n_distinct,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+               AS sum_len
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ) d
+    ), raw AS (
+      SELECT doc_id,
+             2 * stop_hits * 1000 // n_tok
+               + n_distinct * 1000 // n_tok
+               + least(n_tok, 500) AS score,
+             CASE WHEN n_tok >= 30 AND 3 * n_tok <= sum_len
+                       AND sum_len <= 10 * n_tok
+                  THEN 1 ELSE 0 END AS label
+      FROM feats WHERE n_tok > 0
+    ), scored AS (
+      SELECT doc_id, label,
+             score * 1000000 // (SELECT max(score) FROM raw) AS p_ppm
+      FROM raw
+    ), b AS (
+      SELECT least(p_ppm // 100000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p_ppm) // count(*) AS BIGINT) AS conf_ppm,
+             CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS acc_ppm
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs, conf_ppm, acc_ppm,
+           CAST(abs(conf_ppm - acc_ppm) AS BIGINT) AS gap_ppm,
+           CAST(sum(n_docs * abs(conf_ppm - acc_ppm)) OVER ()
+                // sum(n_docs) OVER () AS BIGINT) AS ece_ppm
+    FROM b ORDER BY bin
+    """,
+    doc=(
+        "Expected-calibration-error audit of the quality classifier "
+        "(reliability diagram as data): the integer linear score is "
+        "mapped to a pseudo-probability by max-score normalization "
+        "(data-derived, shared formula), docs fall into 10 equal-width "
+        "confidence bins, and each bin compares mean confidence "
+        "against the OBSERVED rate of the independent Gopher-style "
+        "quality label (mean word length in [3,10], >=30 tokens). "
+        "ECE = weighted mean |confidence - accuracy| in exact ppm — "
+        "the standard check before trusting classifier scores as "
+        "sampling weights. All-integer arithmetic (cross-multiplied "
+        "rules, ppm divmod), engine-exact."
+    ),
+)
+def pipeline_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + ECE for the integer quality classifier.
+
+    Scale notes (100 TB): scoring and labeling are per-row codegen
+    projections; the only shuffle carries 10 bins; ECE is a window
+    over those 10 rows."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").alias(
+            "toks"
+        ),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            f"aggregate(transform(toks, t -> CASE WHEN t IN ({_CLS_STOPS})"
+            " THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+        ).alias("stop_hits"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("sum_len"),
+    )
+    raw = feats.filter(F.col("n_tok") > 0).select(
+        F.expr(
+            "2 * stop_hits * 1000 div n_tok"
+            " + n_distinct * 1000 div n_tok"
+            " + least(n_tok, 500)"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN n_tok >= 30 AND 3 * n_tok <= sum_len"
+            " AND sum_len <= 10 * n_tok THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    wt = Window.partitionBy(F.lit(1))
+    scored = raw.select(
+        "label",
+        F.expr("score * 1000000").alias("__num"),
+        F.max("score").over(wt).alias("__mx"),
+    ).select("label", F.expr("__num div __mx").alias("p_ppm"))
+    b = scored.groupBy(
+        F.expr("least(p_ppm div 100000, 9)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(p_ppm) div count(*)").cast("bigint").alias("conf_ppm"),
+        F.expr("sum(label) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("acc_ppm"),
+    )
+    return b.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_docs",
+        "conf_ppm",
+        "acc_ppm",
+        F.expr("CAST(abs(conf_ppm - acc_ppm) AS BIGINT)").alias("gap_ppm"),
+        F.expr(
+            "sum(n_docs * abs(conf_ppm - acc_ppm)) OVER"
+            " (PARTITION BY 1) div sum(n_docs) OVER (PARTITION BY 1)"
+        )
+        .cast("bigint")
+        .alias("ece_ppm"),
+    ).select(
+        "bin", "n_docs", "conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm"
+    ).orderBy("bin")
