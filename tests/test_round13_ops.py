@@ -340,3 +340,29 @@ def test_classifier_ece_matches_python_rederivation(spark):
     }
     assert got == want
     assert eces == {ece}
+
+
+def test_inclusion_dependencies_find_true_fks(spark):
+    """Ground truth: every REAL FK edge of the schema must surface at
+    exactly 1e6 ppm (full containment), and a deliberately absent
+    edge (p_partkey -> s_suppkey at sf0.001: 2000 parts vs 100
+    suppliers) must not be reported in that direction."""
+    from the_movies_db_spark.queries import load_all
+
+    rows = (
+        load_all()["dq_inclusion_dependencies"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {(r.from_col, r.to_col): r.inclusion_ppm for r in rows}
+    for edge in [
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+        ("nation.n_regionkey", "region.r_regionkey"),
+    ]:
+        assert got.get(edge) == 1000000, edge
+    assert ("part.p_partkey", "supplier.s_suppkey") not in got

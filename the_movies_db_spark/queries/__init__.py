@@ -70,7 +70,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # queue comment below as displacement happens.
     #
     # Queue for the round-14 window: upsert_merge, upsert_keep_latest,
-    # udtf_split_words, udf_pandas_scalar,
+    # udtf_split_words, udf_pandas_scalar, udf_pandas_grouped_agg,
     # upsert_change_stats (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
@@ -82,6 +82,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_consistent_hash_ring",
     "layout_clustering_depth",
     "pipeline_classifier_ece",
+    "dq_inclusion_dependencies",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -129,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_stats",
     "text_tfidf_topk",
     "udf_cogrouped_reconcile",
-    "udf_pandas_grouped_agg",
 )
 
 

@@ -8258,3 +8258,116 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency discovery (FK candidate mining) — round 13
+# ---------------------------------------------------------------------------
+
+#: the untyped integer-key column pool scanned for inclusion edges
+_IND_COLS = [
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("region", "r_regionkey"),
+]
+_IND_MIN_PPM = 900000  # report edges with >= 90% containment
+
+
+def _ind_oracle() -> str:
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT '{t}.{c}' AS col, CAST({c} AS BIGINT) AS v"
+        f" FROM {t} WHERE {c} IS NOT NULL GROUP BY 2"
+        for t, c in _IND_COLS
+    )
+    return f"""
+    WITH vals AS (
+{unions}
+    ), sizes AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1
+    ), shared AS (
+      SELECT a.col AS from_col, b.col AS to_col,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM vals a JOIN vals b ON a.v = b.v AND a.col != b.col
+      GROUP BY 1, 2
+    )
+    SELECT s.from_col, s.to_col,
+           z.n AS n_from, s.n_shared,
+           CAST(s.n_shared * 1000000 // z.n AS BIGINT) AS inclusion_ppm
+    FROM shared s JOIN sizes z ON s.from_col = z.col
+    WHERE s.n_shared * 1000000 // z.n >= {_IND_MIN_PPM}
+    ORDER BY inclusion_ppm DESC, from_col, to_col
+    """
+
+
+@register(
+    "dq_inclusion_dependencies",
+    _ind_oracle(),
+    doc=(
+        "Inclusion-dependency discovery — the schema-on-read FK miner: "
+        "13 untyped integer key columns across 7 tables are reduced to "
+        "distinct (column, value) pairs, ONE value-keyed self-join "
+        "computes every pairwise intersection simultaneously (never "
+        "O(cols^2) separate joins), and directed containment "
+        "coefficients >= 90% surface as FK candidates. Finds the real "
+        "edges (o_custkey -> c_custkey, l_partkey -> p_partkey, "
+        "nationkey -> n_nationkey ...) plus reverse containments "
+        "where a dim is fully referenced. Exact integer ppm."
+    ),
+)
+def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-candidate mining via one value-keyed distinct self-join.
+
+    Scale notes (100 TB): per-column distincts collapse map-side; the
+    self-join is keyed by VALUE, and a value appears in at most
+    |columns| (13) rows, so join output is bounded by sum of distinct
+    counts x 13 — linear, no quadratic pair risk; sizes and the final
+    report are |columns|- and |edges|-grain."""
+    vals = None
+    for t, c in _IND_COLS:
+        part = (
+            load_table(spark, sf_dir, t)
+            .filter(F.col(c).isNotNull())
+            .select(
+                F.lit(f"{t}.{c}").alias("col"),
+                F.col(c).cast("bigint").alias("v"),
+            )
+            .distinct()
+        )
+        vals = part if vals is None else vals.unionByName(part)
+    vals = vals.localCheckpoint(eager=False)  # sizes + both join sides
+    sizes = vals.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    b = vals.select(F.col("col").alias("to_col"), F.col("v").alias("v2"))
+    shared = (
+        vals.join(b, (F.col("v") == F.col("v2")) & (F.col("col") != F.col("to_col")))
+        .groupBy(F.col("col").alias("from_col"), "to_col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("col", "from_col")),
+            "from_col",
+        )
+        .select(
+            "from_col",
+            "to_col",
+            F.col("n").alias("n_from"),
+            "n_shared",
+            F.expr("n_shared * 1000000 div n").cast("bigint").alias(
+                "inclusion_ppm"
+            ),
+        )
+        .filter(F.col("inclusion_ppm") >= _IND_MIN_PPM)
+        .orderBy(F.desc("inclusion_ppm"), "from_col", "to_col")
+    )
