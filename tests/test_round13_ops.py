@@ -366,3 +366,34 @@ def test_inclusion_dependencies_find_true_fks(spark):
     ]:
         assert got.get(edge) == 1000000, edge
     assert ("part.p_partkey", "supplier.s_suppkey") not in got
+
+
+def test_jsonl_roundtrip_survives_hostile_strings(spark, tmp_path):
+    """Planted escaping torture: embedded newlines, quotes,
+    backslashes, tabs and non-ASCII must survive the to_json ->
+    text file -> from_json round trip byte-exactly (newlines MUST be
+    escaped, or the line-oriented format breaks)."""
+    import os
+
+    hostile = [
+        (1, 'line1\nline2'),
+        (2, 'quote " inside'),
+        (3, 'back\\slash and \t tab'),
+        (4, 'unicode é中文'),
+        (5, '{"fake": "json"}'),
+        (6, ''),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string")
+    out = os.path.join(str(tmp_path), "jl")
+    df.select(
+        F.to_json(F.struct("doc_id", "text")).alias("line")
+    ).coalesce(1).write.mode("overwrite").text(out)
+    back = (
+        spark.read.text(out)
+        .select(F.from_json("value", "doc_id bigint, text string").alias("d"))
+        .select("d.doc_id", "d.text")
+    )
+    got = {(r.doc_id, r.text) for r in back.collect()}
+    assert got == set(hostile)
+    # line count == doc count (no doc spilled across lines)
+    assert spark.read.text(out).count() == len(hostile)

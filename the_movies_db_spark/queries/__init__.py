@@ -71,6 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #
     # Queue for the round-14 window: upsert_merge, upsert_keep_latest,
     # udtf_split_words, udf_pandas_scalar, udf_pandas_grouped_agg,
+    # udf_cogrouped_reconcile, text_tfidf_topk,
     # upsert_change_stats (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
@@ -83,6 +84,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_clustering_depth",
     "pipeline_classifier_ece",
     "dq_inclusion_dependencies",
+    "fn_variant_json",
+    "io_jsonl_corpus",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -128,8 +131,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "text_rolling_hash",
     "text_stats",
-    "text_tfidf_topk",
-    "udf_cogrouped_reconcile",
 )
 
 

@@ -8371,3 +8371,164 @@ def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("inclusion_ppm") >= _IND_MIN_PPM)
         .orderBy(F.desc("inclusion_ppm"), "from_col", "to_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 VARIANT semi-structured type surface (round 13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_variant_json",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                              >= 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_k_ge_50,
+           'OBJECT<k: BIGINT>' AS variant_schema,
+           CAST(sum(user_id) AS BIGINT) AS sum_deep_user,
+           CAST(count(*) AS BIGINT) AS n_missing_null
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Spark-4 VARIANT type surface, value-hash-verified end to "
+        "end: events.props parses to a real VARIANT column "
+        "(parse_json), typed extraction via variant_get('$.k', "
+        "'bigint'), schema introspection via schema_of_variant, "
+        "lenient access via try_variant_get on a missing path "
+        "(NULL, counted), and a DEEP path through a CONSTRUCTED "
+        "nested variant (to_json(struct(...)) -> parse_json -> "
+        "'$.u.user_id'). The oracle replays the same semantics with "
+        "DuckDB json_extract on the props text and plain columns for "
+        "the constructed nest — so the whole binary-VARIANT encode/"
+        "decode path is pinned against the JSON-text reading."
+    ),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT parse/extract/introspect over events.props.
+
+    Scale notes (100 TB): VARIANT is Spark's columnar semi-structured
+    encoding — parse + typed get are per-row codegen expressions with
+    no Python; the single shuffle carries |event_type| rows. The same
+    plan shape serves shredded VARIANT subcolumns on real tables."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k"
+        ),
+        F.expr("schema_of_variant(parse_json(props))").alias("sch"),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.missing', 'bigint')"
+        ).alias("mv"),
+        F.expr(
+            "variant_get(parse_json(to_json(named_struct("
+            "'t', event_type, 'u', named_struct('user_id', user_id)))),"
+            " '$.u.user_id', 'bigint')"
+        ).alias("deep_user"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.expr("CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_k_ge_50"),
+            F.max("sch").alias("variant_schema"),
+            F.sum("deep_user").cast("bigint").alias("sum_deep_user"),
+            F.expr("CAST(sum(CASE WHEN mv IS NULL THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("n_missing_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus round trip (round 13) — the LLM-corpus interchange format
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "io_jsonl_corpus",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                AS BIGINT) AS digest_sum,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "JSONL round trip — the interchange format of every LLM "
+        "corpus: documents serialize to one JSON object per line "
+        "(to_json over a struct, JVM-side escaping), land on disk as "
+        "a plain text file (build_once-stamped), and are read back "
+        "with spark.read.text + from_json with an explicit schema. "
+        "The oracle computes per-lang counts, character mass and a "
+        "48-bit md5 digest sum straight from the SOURCE table, so the "
+        "value hash proves the serialize -> escape -> write -> read "
+        "-> parse pipeline is byte-lossless, doc for doc."
+    ),
+)
+def io_jsonl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as JSONL, read+parse back, digest-verify.
+
+    Scale notes (100 TB): serialization and parsing are per-row
+    codegen expressions (no Python); the text write/read parallelizes
+    by file split like any corpus scan; the census shuffle carries
+    |langs| rows. This is the exact plan shape of a production JSONL
+    export/import."""
+    import os
+
+    from the_movies_db_spark.io import build_once, scratch_dir
+
+    work = scratch_dir(f"jsonl_{os.path.basename(sf_dir)}", unique=False)
+    stamp = {"sf_dir": sf_dir, "v": 1}
+
+    def _build() -> None:
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(
+                F.to_json(
+                    F.struct("doc_id", "lang", "text")
+                ).alias("line")
+            )
+            .write.mode("overwrite")
+            .text(os.path.join(work, "corpus"))
+        )
+
+    build_once(work, stamp, _build)
+    parsed = (
+        spark.read.text(os.path.join(work, "corpus"))
+        .select(
+            F.from_json(
+                "value", "doc_id bigint, lang string, text string"
+            ).alias("d")
+        )
+        .select("d.doc_id", "d.lang", "d.text")
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum(
+                F.expr(
+                    "CAST(conv(substring(md5(text), 1, 12), 16, 10)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("digest_sum"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
