@@ -71,7 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #
     # Queue for the round-14 window: upsert_merge, upsert_keep_latest,
     # udtf_split_words, udf_pandas_scalar, udf_pandas_grouped_agg,
-    # udf_cogrouped_reconcile, text_tfidf_topk,
+    # udf_cogrouped_reconcile, text_tfidf_topk, text_stats,
     # upsert_change_stats (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
@@ -86,6 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dq_inclusion_dependencies",
     "fn_variant_json",
     "io_jsonl_corpus",
+    "fn_string_collation",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -130,7 +131,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stream_join",
     "text_langid",
     "text_rolling_hash",
-    "text_stats",
 )
 
 

@@ -8532,3 +8532,91 @@ def io_jsonl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 string collation surface (round 13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_string_collation",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 2 = 0 THEN t ELSE upper(t) END AS w
+      FROM (
+        SELECT doc_id, lang,
+               regexp_split_to_array(text, '\\s+')[1] AS t
+        FROM documents WHERE text IS NOT NULL
+      ) d WHERE t <> ''
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT w) AS BIGINT) AS distinct_binary,
+           CAST(count(DISTINCT lower(w)) AS BIGINT) AS distinct_lcase,
+           CAST(count(DISTINCT w) - count(DISTINCT lower(w)) AS BIGINT)
+             AS n_case_variants,
+           CAST(sum(CASE WHEN lower(w) = 'the' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eq_the_lcase,
+           CAST(sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eq_the_binary
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Spark-4 COLLATION surface, value-hash-verified: leading "
+        "tokens (half upper-cased so case variants exist by "
+        "construction) are compared under the UTF8_LCASE collation — "
+        "count(DISTINCT collate(w, 'UTF8_LCASE')), literal equality "
+        "against a collated constant — versus binary UTF8 semantics. "
+        "The oracle replays the collation with lower() (equivalent on "
+        "this ASCII corpus), so the ICU-backed comparison path is "
+        "pinned against plain byte semantics: distinct counts under "
+        "collation, case-variant mass, and match-count asymmetry "
+        "between collated and binary equality."
+    ),
+)
+def fn_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF8_LCASE collation vs binary comparison census.
+
+    Scale notes (100 TB): collation is a JVM-side comparator swap —
+    distinct/group/join under collation shuffle exactly like binary
+    strings (the collation key rides the exchange); the report is a
+    |langs|-row aggregate."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr("element_at(split(text, '\\\\s+'), 1)").alias("t"),
+    ).filter(F.col("t") != "").select(
+        "lang",
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN t ELSE upper(t) END"
+        ).alias("w"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("w").cast("bigint").alias("distinct_binary"),
+            F.expr("count(DISTINCT collate(w, 'UTF8_LCASE'))")
+            .cast("bigint")
+            .alias("distinct_lcase"),
+            F.expr(
+                "CAST(count(DISTINCT w)"
+                " - count(DISTINCT collate(w, 'UTF8_LCASE')) AS BIGINT)"
+            ).alias("n_case_variants"),
+            F.expr(
+                "CAST(sum(CASE WHEN collate(w, 'UTF8_LCASE')"
+                " = collate('the', 'UTF8_LCASE') THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_eq_the_lcase"),
+            F.expr(
+                "CAST(sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_eq_the_binary"),
+        )
+        .orderBy("lang")
+    )
