@@ -397,3 +397,57 @@ def test_jsonl_roundtrip_survives_hostile_strings(spark, tmp_path):
     assert got == set(hostile)
     # line count == doc count (no doc spilled across lines)
     assert spark.read.text(out).count() == len(hostile)
+
+
+def test_temporal_two_paths_time_respecting_only(spark, tmp_path):
+    """Crafted ground truth: a forward chain A->B->C (hours 1 then 2)
+    counts for broker B; a backward continuation through an hour-0
+    contact must NOT count; same-hour continuation counts and is
+    flagged in n_same_hour."""
+    import datetime as dt
+    import os
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h, 30)
+
+    rows = []
+    eid = 0
+    # cell (x, hour 1): users 1, 2  -> contacts 1<->2 at h1
+    for u in (1, 2):
+        rows.append((eid, ts(1), u, "x", 1.0, "{}")); eid += 1
+    # cell (x, hour 2): users 2, 3  -> contacts 2<->3 at h2
+    for u in (2, 3):
+        rows.append((eid, ts(2), u, "x", 1.0, "{}")); eid += 1
+    # cell (x, hour 0): users 2, 4  -> contacts 2<->4 at h0 (BACKWARD
+    # for any path arriving at 2 later; forward 4->2->{1,3} valid)
+    for u in (2, 4):
+        rows.append((eid, ts(0), u, "x", 1.0, "{}")); eid += 1
+    # same-hour cell (y, hour 5): users 5, 6 and (y2, hour 5): 6, 7
+    for u in (5, 6):
+        rows.append((eid, ts(5), u, "y", 1.0, "{}")); eid += 1
+    for u in (6, 7):
+        rows.append((eid, ts(5), u, "y2", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    from the_movies_db_spark.queries import load_all
+
+    got = {
+        r.broker: (r.n_two_paths, r.n_same_hour, r.n_sources, r.n_sinks)
+        for r in load_all()["graph_temporal_two_paths"]
+        .spark(spark, sf)
+        .collect()
+    }
+    # broker 2: forward paths 1->2->3 (h1<=h2), 4->2->1 (h0<=h1),
+    # 4->2->3 (h0<=h2); backward 1->2->4 and 3->2->4 and 3->2->1 excluded
+    assert got[2] == (3, 0, 2, 2)
+    # broker 6: same-hour 5->6->7 and 7->6->5 both count (h2 >= h1)
+    assert got[6] == (2, 2, 2, 2)
+    # brokers with no valid continuation report nothing or zero paths
+    assert 1 not in got or got[1][0] == 0

@@ -3532,3 +3532,115 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infected.select(
         "user_id", F.col("t").alias("infected_hour")
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Temporal motif counting: time-respecting 2-paths (round 13)
+# ---------------------------------------------------------------------------
+
+_T2P_TOP = 20
+
+
+@register(
+    "graph_temporal_two_paths",
+    f"""
+    WITH ev AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // 3600000000 AS h
+      FROM events
+    ), gsz AS (
+      SELECT event_type, h FROM ev GROUP BY 1, 2
+      HAVING count(*) BETWEEN 2 AND {_TR_GCAP}
+    ), contacts AS MATERIALIZED (
+      SELECT a.user_id AS src, b.user_id AS dst, a.h
+      FROM ev a
+      JOIN ev b ON a.event_type = b.event_type AND a.h = b.h
+      JOIN gsz g ON g.event_type = a.event_type AND g.h = a.h
+      WHERE a.user_id <> b.user_id
+    ), paths AS (
+      SELECT c1.dst AS broker,
+             CAST(count(*) AS BIGINT) AS n_two_paths,
+             CAST(sum(CASE WHEN c2.h = c1.h THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_same_hour,
+             CAST(count(DISTINCT c1.src) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT c2.dst) AS BIGINT) AS n_sinks
+      FROM contacts c1
+      JOIN contacts c2 ON c1.dst = c2.src AND c2.h >= c1.h
+                       AND c1.src <> c2.dst
+      GROUP BY 1
+    )
+    SELECT broker, n_two_paths, n_same_hour, n_sources, n_sinks
+    FROM paths
+    ORDER BY n_two_paths DESC, broker
+    LIMIT {_T2P_TOP}
+    """,
+    doc=(
+        f"Temporal motif counting — time-respecting 2-paths u -> v -> "
+        f"w (contact times non-decreasing through the middle user): "
+        f"the broker/superspreader census that static triangle counts "
+        f"cannot express. Shares the capped contact-cell construction "
+        f"with graph_temporal_reachability (mass gatherings excluded, "
+        f"cell size <= {_TR_GCAP}); the motif join is keyed on the "
+        f"middle user, so per-broker work is bounded by the square of "
+        f"a capped contact degree. Reports the top-{_T2P_TOP} brokers "
+        f"with path, same-hour, source- and sink-diversity counts."
+    ),
+)
+def graph_temporal_two_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top brokers by time-respecting 2-path count.
+
+    Scale notes (100 TB): contacts are built once from capped cells
+    (volume <= |cells| * cap^2) and lazily checkpointed for the two
+    join sides; the self-join is a middle-user equi-join whose output
+    is bounded per user by in-degree x out-degree of CAPPED contacts;
+    TakeOrderedAndProject keeps only the top rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS BIGINT)"
+                " div 3600000000"
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # gsz + both contact sides
+    )
+    gsz = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter((F.col("__c") >= 2) & (F.col("__c") <= _TR_GCAP))
+        .select("event_type", "h")
+    )
+    a = ev.select("user_id", "event_type", "h")
+    b = ev.select(F.col("user_id").alias("dst"), "event_type", "h")
+    contacts = (
+        a.join(gsz, ["event_type", "h"])
+        .join(b, ["event_type", "h"])
+        .filter(F.col("user_id") != F.col("dst"))
+        .select(F.col("user_id").alias("src"), "dst", "h")
+        .localCheckpoint(eager=False)  # both sides of the motif join
+    )
+    c2 = contacts.select(
+        F.col("src").alias("mid"),
+        F.col("dst").alias("sink"),
+        F.col("h").alias("h2"),
+    )
+    paths = (
+        contacts.join(c2, (F.col("dst") == F.col("mid")) & (F.col("h2") >= F.col("h")))
+        .filter(F.col("src") != F.col("sink"))
+        .groupBy(F.col("dst").alias("broker"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_two_paths"),
+            F.expr(
+                "CAST(sum(CASE WHEN h2 = h THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_same_hour"),
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
+            F.countDistinct("sink").cast("bigint").alias("n_sinks"),
+        )
+    )
+    return paths.orderBy(F.desc("n_two_paths"), F.asc("broker")).limit(
+        _T2P_TOP
+    )
