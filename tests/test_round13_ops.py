@@ -451,3 +451,41 @@ def test_temporal_two_paths_time_respecting_only(spark, tmp_path):
     assert got[6] == (2, 2, 2, 2)
     # brokers with no valid continuation report nothing or zero paths
     assert 1 not in got or got[1][0] == 0
+
+
+def test_positional_deletes_match_python_and_are_idempotent(spark):
+    """Third leg: recompute the deletion-vector census in pure Python
+    (rank -> (file, pos) -> delete sets -> live money) — including the
+    overlap between the two delete batches (pk % 77), which bit_or
+    must count ONCE."""
+    import duckdb
+
+    from the_movies_db_spark.queries import load_all
+
+    rows = duckdb.connect().execute(
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)"
+        " FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+        " ORDER BY o_orderkey"
+    ).fetchall()
+    per_file = {}
+    overlap = 0
+    for rn, (pk, cents) in enumerate(rows):
+        fid = rn // 1000
+        dead = pk % 7 == 0 or pk % 11 == 0
+        if pk % 77 == 0:
+            overlap += 1
+        n, nd, live = per_file.get(fid, (0, 0, 0))
+        per_file[fid] = (
+            n + 1, nd + (1 if dead else 0), live + (0 if dead else cents)
+        )
+    assert overlap > 0  # the idempotence case is actually exercised
+    got = {
+        r.file_id: (r.n_rows, r.n_deleted, r.n_live, r.live_cents)
+        for r in load_all()["upsert_positional_deletes"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    want = {
+        fid: (n, nd, n - nd, live) for fid, (n, nd, live) in per_file.items()
+    }
+    assert got == want

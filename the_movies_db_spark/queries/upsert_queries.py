@@ -1185,3 +1185,130 @@ def upsert_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional deletes (Iceberg-v2-style deletion vectors) — round 13
+# ---------------------------------------------------------------------------
+
+_PD_ROWS_PER_FILE = 1000
+
+
+@register(
+    "upsert_positional_deletes",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+               AS rn
+      FROM orders
+    ), placed AS (
+      SELECT pk, cents,
+             rn // {_PD_ROWS_PER_FILE} AS file_id,
+             rn % {_PD_ROWS_PER_FILE} AS pos
+      FROM base
+    ), deletes AS (
+      SELECT file_id, pos FROM placed WHERE pk % 7 = 0
+      UNION ALL
+      SELECT file_id, pos FROM placed WHERE pk % 11 = 0
+    ), dv AS (
+      SELECT file_id, pos // 32 AS w,
+             CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT)
+               AS bits
+      FROM (SELECT DISTINCT file_id, pos FROM deletes) d
+      GROUP BY 1, 2
+    ), joined AS (
+      SELECT p.file_id, p.cents,
+             CASE WHEN v.bits IS NOT NULL
+                   AND (v.bits >> CAST(p.pos % 32 AS INT)) % 2 = 1
+                  THEN 1 ELSE 0 END AS deleted
+      FROM placed p
+      LEFT JOIN dv v ON p.file_id = v.file_id AND p.pos // 32 = v.w
+    )
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(deleted) AS BIGINT) AS n_deleted,
+           CAST(count(*) - sum(deleted) AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN deleted = 0 THEN cents ELSE 0 END)
+                AS BIGINT) AS live_cents
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Positional deletes — the OTHER lakehouse delete encoding "
+        "(Iceberg v2 delete files / Delta deletion vectors), "
+        "complementing the repo's key-based MOR logs: rows are "
+        "addressed by (file_id, row_position), two delete batches "
+        "fold into per-(file, word) 32-bit BITMAP deletion vectors "
+        "(bit_or — idempotent under re-delete, the word discipline "
+        "that never shifts the sign bit), and the reader is one "
+        "(file, word)-keyed LEFT join + a bit test, touching no key "
+        "columns. Census per file: rows, deleted, live, live money."
+    ),
+)
+def upsert_positional_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector build + positional anti-filter read, per file.
+
+    Scale notes (100 TB): the DV table is delete-grain (32 positions
+    per word), joined on (file, word) — broadcastable until deletes
+    are a large fraction of the table, at which point compaction (the
+    MOR path) takes over; the reader never shuffles the base beyond
+    the rank assignment, which a real table gets for free from its
+    file layout. bit_or makes replayed delete batches idempotent."""
+    from the_movies_db_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("pk"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    placed = global_row_number(o, "pk", [], out="__rn").select(
+        "pk",
+        "cents",
+        F.expr(f"(__rn - 1) div {_PD_ROWS_PER_FILE}").alias("file_id"),
+        F.expr(f"(__rn - 1) % {_PD_ROWS_PER_FILE}").alias("pos"),
+    ).localCheckpoint(eager=False)  # base read + two delete batches
+    deletes = (
+        placed.filter(F.expr("pk % 7 = 0"))
+        .select("file_id", "pos")
+        .unionByName(
+            placed.filter(F.expr("pk % 11 = 0")).select("file_id", "pos")
+        )
+        .distinct()
+    )
+    dv = deletes.groupBy(
+        F.col("file_id").alias("__dv_file"),
+        F.expr("pos div 32").alias("w"),
+    ).agg(
+        F.expr(
+            "CAST(bit_or(shiftleft(1L, CAST(pos % 32 AS INT))) AS BIGINT)"
+        ).alias("bits")
+    )
+    joined = placed.join(
+        dv,
+        (F.col("file_id") == F.col("__dv_file"))
+        & (F.expr("pos div 32") == F.col("w")),
+        "left_outer",
+    ).select(
+        "file_id",
+        "cents",
+        F.expr(
+            "CASE WHEN bits IS NOT NULL"
+            " AND (bits >> CAST(pos % 32 AS INT)) % 2 = 1"
+            " THEN 1 ELSE 0 END"
+        ).alias("deleted"),
+    )
+    return (
+        joined.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("deleted").cast("bigint").alias("n_deleted"),
+            F.expr("CAST(count(*) - sum(deleted) AS BIGINT)").alias(
+                "n_live"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN deleted = 0 THEN cents ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("live_cents"),
+        )
+        .orderBy("file_id")
+    )
