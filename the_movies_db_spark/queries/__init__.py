@@ -72,7 +72,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Queue for the round-14 window: upsert_merge, upsert_keep_latest,
     # udtf_split_words, udf_pandas_scalar, udf_pandas_grouped_agg,
     # udf_cogrouped_reconcile, text_tfidf_topk, text_stats,
-    # text_rolling_hash, text_langid,
+    # text_rolling_hash, text_langid, streaming_stream_join,
     # upsert_change_stats (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
@@ -90,6 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_string_collation",
     "graph_temporal_two_paths",
     "upsert_positional_deletes",
+    "pipeline_semantic_decontaminate",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -131,7 +132,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_dedup",
     "streaming_session_window",
     "streaming_stateful_counter",
-    "streaming_stream_join",
 )
 
 

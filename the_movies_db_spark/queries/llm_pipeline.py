@@ -3327,3 +3327,99 @@ def pipeline_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "bin", "n_docs", "conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm"
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-based, cross-set) — round 13
+# ---------------------------------------------------------------------------
+
+_SDC_PANEL = 16    # benchmark panel = first 16 vectors
+_SDC_THRESH = 0.4  # contamination cosine threshold (round-4 convention)
+
+
+@register(
+    "pipeline_semantic_decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SDC_PANEL}
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {_SDC_PANEL}
+    ), scored AS (
+      SELECT c.vec_id,
+             max(round(list_inner_product(c.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))), 4)
+                 + 0.0) AS max_cos
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s.max_cos >= {_SDC_THRESH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN s.max_cos >= {_SDC_THRESH} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS cont_ppm,
+           round(max(s.max_cos), 4) + 0.0 AS top_cos
+    FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "SEMANTIC decontamination — the embedding-space complement of "
+        "the n-gram and Bloom decontaminators already registered: a "
+        "benchmark panel is broadcast against the corpus embeddings, "
+        "each doc keeps its max panel cosine (round-4, IEEE-exact "
+        "per-element DOUBLE products), and docs above the threshold "
+        "are flagged as contaminated — catching paraphrased benchmark "
+        "leakage that exact n-gram overlap misses. Per-language "
+        "census in exact ppm."
+    ),
+)
+def pipeline_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang contamination census vs a broadcast benchmark panel.
+
+    Scale notes (100 TB): panel x corpus is a broadcast nested
+    product bounded by |panel| (16) per row — linear in corpus, no
+    shuffle until the doc-grain max (map-side combinable) and the
+    |langs|-row census; the production swap-in is the IVF/LSH probe
+    feeding the same threshold."""
+    from the_movies_db_spark.operators.dedup import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = F.broadcast(
+        e.filter(F.col("vec_id") < _SDC_PANEL).select(
+            F.col("embedding").alias("__bv")
+        )
+    )
+    corpus = e.filter(F.col("vec_id") >= _SDC_PANEL)
+    scored = (
+        corpus.join(bench, F.lit(True))
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), F.col("__bv")), 4) + F.lit(0.0)).alias(
+                "__cos"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("__cos").alias("max_cos"))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scored.join(d, scored.vec_id == d.doc_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                f"CAST(sum(CASE WHEN max_cos >= {_SDC_THRESH} THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("n_contaminated"),
+            F.expr(
+                f"CAST(sum(CASE WHEN max_cos >= {_SDC_THRESH} THEN 1"
+                " ELSE 0 END) * 1000000 div count(*) AS BIGINT)"
+            ).alias("cont_ppm"),
+            (F.round(F.max("max_cos"), 4) + F.lit(0.0)).alias("top_cos"),
+        )
+        .orderBy("lang")
+    )
