@@ -73,6 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # udtf_split_words, udf_pandas_scalar, udf_pandas_grouped_agg,
     # udf_cogrouped_reconcile, text_tfidf_topk, text_stats,
     # text_rolling_hash, text_langid, streaming_stream_join,
+    # streaming_stateful_counter,
     # upsert_change_stats (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
@@ -91,6 +92,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_temporal_two_paths",
     "upsert_positional_deletes",
     "pipeline_semantic_decontaminate",
+    "fn_xml_parse",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -131,7 +133,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_lsh",
     "streaming_dedup",
     "streaming_session_window",
-    "streaming_stateful_counter",
 )
 
 

@@ -8620,3 +8620,70 @@ def fn_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# XML parsing surface (round 13) — from_xml + xpath
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_xml_parse",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_attr_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_nested_chars,
+           CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "XML ingestion surface: per-doc XML records (attribute id, "
+        "nested lang and char-count elements) parsed BOTH ways Spark "
+        "offers — from_xml with an explicit schema (attribute via the "
+        "_-prefix convention, typed nested elements) and xpath_long "
+        "path extraction — then censused per language. The oracle "
+        "replays the semantics from the source columns, pinning the "
+        "whole construct -> escape -> parse -> extract path; a "
+        "from_xml/xpath disagreement or a type-coercion slip breaks "
+        "the hash."
+    ),
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml + xpath extraction census over constructed records.
+
+    Scale notes (100 TB): both parsers are per-row JVM expressions
+    (no Python); the census shuffle carries |langs| rows — the shape
+    of every XML-feed ingest (sitemaps, legacy enterprise dumps)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "concat('<doc id=\"', CAST(doc_id AS STRING), '\"><lang>',"
+            " lang, '</lang><n>', CAST(n_chars AS STRING), '</n></doc>')"
+        ).alias("xml")
+    )
+    parsed = d.select(
+        F.expr(
+            "from_xml(xml, '_id BIGINT, lang STRING, n BIGINT')"
+        ).alias("x"),
+        F.expr("xpath_long(xml, '/doc/n')").alias("xp_n"),
+    ).select(
+        F.col("x._id").alias("attr_id"),
+        F.col("x.lang").alias("lang"),
+        F.col("x.n").alias("nested_n"),
+        "xp_n",
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("attr_id").cast("bigint").alias("sum_attr_id"),
+            # from_xml and xpath must agree — sum either, hash pins it
+            F.sum("xp_n").cast("bigint").alias("sum_nested_chars"),
+            F.expr(
+                "CAST(sum(CASE WHEN nested_n > 500 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_long"),
+        )
+        .orderBy("lang")
+    )
