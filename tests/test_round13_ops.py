@@ -489,3 +489,97 @@ def test_positional_deletes_match_python_and_are_idempotent(spark):
         fid: (n, nd, n - nd, live) for fid, (n, nd, live) in per_file.items()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- isotonic
+
+
+def _pava_exact(bins):
+    """Reference PAVA via pool-adjacent-violators with Fraction-exact
+    weighted averages. bins = [(n, s)] in bin order; returns the exact
+    fitted rate per bin as Fractions."""
+    from fractions import Fraction
+
+    stack = []  # (count_of_bins, weight, sum)
+    for n, s in bins:
+        stack.append((1, n, s))
+        while len(stack) > 1 and Fraction(stack[-2][2], stack[-2][1]) > Fraction(
+            stack[-1][2], stack[-1][1]
+        ):
+            c2, n2, s2 = stack.pop()
+            c1, n1, s1 = stack.pop()
+            stack.append((c1 + c2, n1 + n2, s1 + s2))
+    fits = []
+    for c, n, s in stack:
+        fits.extend([Fraction(s, n)] * c)
+    return fits
+
+
+def _minimax_floor(bins):
+    """The registered encoding: ppm-floor each interval average, then
+    iso(i) = max over j<=i of min over k>=i of a_ppm(j, k)."""
+    B = len(bins)
+    cs = [0]
+    cn = [0]
+    for n, s in bins:
+        cn.append(cn[-1] + n)
+        cs.append(cs[-1] + s)
+
+    def a(j, k):  # 0-based inclusive interval
+        return (cs[k + 1] - cs[j]) * 1000000 // (cn[k + 1] - cn[j])
+
+    out = []
+    for i in range(B):
+        best = None
+        for j in range(i + 1):
+            m = min(a(j, k) for k in range(i, B))
+            if best is None or m > best:
+                best = m
+        out.append(best)
+    return out
+
+
+def test_isotonic_minimax_floor_tracks_exact_pava():
+    """Property: the ppm-floored minimax is monotone and within 1
+    micro-unit of the Fraction-exact PAVA fit, on random bin tables
+    (including all-zero and all-one label bins)."""
+    import random
+
+    rng = random.Random(1301)
+    for _ in range(3000):
+        B = rng.randint(1, 10)
+        bins = []
+        for _ in range(B):
+            n = rng.randint(1, 40)
+            bins.append((n, rng.randint(0, n)))
+        got = _minimax_floor(bins)
+        exact = _pava_exact(bins)
+        assert all(a <= b for a, b in zip(got, got[1:])), bins
+        for g, e in zip(got, exact):
+            ef = (e.numerator * 1000000) // e.denominator
+            assert abs(g - ef) <= 1, (bins, got, exact)
+
+
+def test_isotonic_query_matches_python_minimax(spark):
+    """Third leg on real data: rebuild the bin table independently in
+    DuckDB, run the pure-Python minimax encoding, and compare to the
+    Spark op's iso_ppm values bin by bin."""
+    import duckdb
+
+    from the_movies_db_spark.queries import load_all
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    )
+    q = load_all()["pipeline_isotonic_calibration"]
+    # reuse the oracle's own bins CTE by truncating at the pre stage
+    bins_sql = q.oracle.split("), pre AS")[0] + ") SELECT bin, n_docs, s FROM bins ORDER BY bin"
+    bins = [(int(n), int(s)) for _, n, s in con.execute(bins_sql).fetchall()]
+    want = _minimax_floor(bins)
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    assert [r.iso_ppm for r in rows] == want
+    assert all(
+        a.iso_ppm <= b.iso_ppm for a, b in zip(rows, rows[1:])
+    )

@@ -74,7 +74,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # udf_cogrouped_reconcile, text_tfidf_topk, text_stats,
     # text_rolling_hash, text_langid, streaming_stream_join,
     # streaming_stateful_counter,
-    # upsert_change_stats (displaced by round-13 registrations),
+    # upsert_change_stats, streaming_session_window
+    # (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
     # plus any names displaced from this window:
@@ -93,6 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "upsert_positional_deletes",
     "pipeline_semantic_decontaminate",
     "fn_xml_parse",
+    "pipeline_isotonic_calibration",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -132,7 +134,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_ivf",
     "sim_topk_lsh",
     "streaming_dedup",
-    "streaming_session_window",
 )
 
 

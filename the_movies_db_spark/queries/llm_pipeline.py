@@ -3330,6 +3330,185 @@ def pipeline_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA) of the quality classifier — round 13
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_isotonic_calibration",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_aggregate(list_transform(toks,
+               t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+               'sum') AS stop_hits,
+             len(list_distinct(toks)) AS n_distinct,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+               AS sum_len
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ) d
+    ), raw AS (
+      SELECT doc_id,
+             2 * stop_hits * 1000 // n_tok
+               + n_distinct * 1000 // n_tok
+               + least(n_tok, 500) AS score,
+             CASE WHEN n_tok >= 30 AND 3 * n_tok <= sum_len
+                       AND sum_len <= 10 * n_tok
+                  THEN 1 ELSE 0 END AS label
+      FROM feats WHERE n_tok > 0
+    ), scored AS (
+      SELECT label,
+             score * 1000000 // (SELECT max(score) FROM raw) AS p_ppm
+      FROM raw
+    ), bins AS MATERIALIZED (
+      SELECT least(p_ppm // 100000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(label) AS BIGINT) AS s,
+             CAST(sum(p_ppm) // count(*) AS BIGINT) AS conf_ppm,
+             CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS acc_ppm
+      FROM scored GROUP BY 1
+    ), pre AS (
+      SELECT bin, n_docs, s, conf_ppm, acc_ppm,
+             row_number() OVER (ORDER BY bin) AS rn,
+             sum(n_docs) OVER (ORDER BY bin) AS cn,
+             sum(s) OVER (ORDER BY bin) AS cs
+      FROM bins
+    ), iv AS (
+      SELECT j.rn AS jrn, k.rn AS krn,
+             (k.cs - j.cs + j.s) * 1000000
+               // (k.cn - j.cn + j.n_docs) AS a_ppm
+      FROM pre j JOIN pre k ON j.rn <= k.rn
+    ), m AS (
+      SELECT i.rn AS irn, iv.jrn AS jrn, min(iv.a_ppm) AS m_ppm
+      FROM pre i JOIN iv ON iv.jrn <= i.rn AND iv.krn >= i.rn
+      GROUP BY 1, 2
+    ), iso AS (
+      SELECT irn, max(m_ppm) AS iso_ppm FROM m GROUP BY 1
+    )
+    SELECT CAST(p.bin AS BIGINT) AS bin, p.n_docs, p.conf_ppm, p.acc_ppm,
+           CAST(i.iso_ppm AS BIGINT) AS iso_ppm
+    FROM pre p JOIN iso i ON i.irn = p.rn
+    ORDER BY bin
+    """,
+    doc=(
+        "Isotonic (monotone non-decreasing) calibration of the quality "
+        "classifier via the exact minimax characterization of PAVA: "
+        "iso(i) = max over j<=i of min over k>=i of the interval label "
+        "rate avg(y[j..k]) — computed over the 10 reliability bins of "
+        "pipeline_classifier_ece. Interval rates are ppm-floored "
+        "BEFORE the minimax (identical integer encoding both engines; "
+        "within 1 micro-unit of exact PAVA, pinned by pytest against "
+        "a Fraction-exact reference), so the fitted curve is the "
+        "calibration mapping a sampler would apply to classifier "
+        "scores. Monotone by construction for ANY bin table."
+    ),
+)
+def pipeline_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAVA-fitted reliability curve over the classifier score bins.
+
+    Scale notes (100 TB): scoring is per-row codegen; the only
+    corpus-scale shuffle carries 10 bin rows. The minimax triple
+    expansion is O(B^3) = 1000 rows over a lazily-checkpointed
+    10-row aggregate (vocab-bounded — the sanctioned checkpoint
+    class), so every downstream branch reads the tiny artifact, not
+    the corpus. The bounded nested-loop joins never touch fact data."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").alias(
+            "toks"
+        ),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            f"aggregate(transform(toks, t -> CASE WHEN t IN ({_CLS_STOPS})"
+            " THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+        ).alias("stop_hits"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("sum_len"),
+    )
+    raw = feats.filter(F.col("n_tok") > 0).select(
+        F.expr(
+            "2 * stop_hits * 1000 div n_tok"
+            " + n_distinct * 1000 div n_tok"
+            " + least(n_tok, 500)"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN n_tok >= 30 AND 3 * n_tok <= sum_len"
+            " AND sum_len <= 10 * n_tok THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    wt = Window.partitionBy(F.lit(1))
+    scored = raw.select(
+        "label",
+        F.expr("score * 1000000").alias("__num"),
+        F.max("score").over(wt).alias("__mx"),
+    ).select("label", F.expr("__num div __mx").alias("p_ppm"))
+    bins = (
+        scored.groupBy(F.expr("least(p_ppm div 100000, 9)").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("s"),
+            F.expr("sum(p_ppm) div count(*)").cast("bigint").alias("conf_ppm"),
+            F.expr("sum(label) * 1000000 div count(*)")
+            .cast("bigint")
+            .alias("acc_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy(F.lit(1)).orderBy("bin")
+    pre = bins.select(
+        "bin",
+        "n_docs",
+        "s",
+        "conf_ppm",
+        "acc_ppm",
+        F.row_number().over(wb).alias("rn"),
+        F.sum("n_docs").over(wb).alias("cn"),
+        F.sum("s").over(wb).alias("cs"),
+    )
+    iv = (
+        pre.alias("j")
+        .join(pre.alias("k"), F.expr("j.rn <= k.rn"))
+        .select(
+            F.expr("j.rn").alias("jrn"),
+            F.expr("k.rn").alias("krn"),
+            F.expr(
+                "(k.cs - j.cs + j.s) * 1000000"
+                " div (k.cn - j.cn + j.n_docs)"
+            ).alias("a_ppm"),
+        )
+    )
+    m = (
+        pre.alias("i")
+        .join(iv.alias("iv"), F.expr("iv.jrn <= i.rn AND iv.krn >= i.rn"))
+        .groupBy(F.expr("i.rn").alias("irn"), F.col("jrn"))
+        .agg(F.min("a_ppm").alias("m_ppm"))
+    )
+    iso = m.groupBy("irn").agg(F.max("m_ppm").alias("iso_ppm"))
+    return (
+        pre.join(iso, pre["rn"] == iso["irn"])
+        .select(
+            "bin",
+            "n_docs",
+            "conf_ppm",
+            "acc_ppm",
+            F.col("iso_ppm").cast("bigint").alias("iso_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic decontamination (embedding-based, cross-set) — round 13
 # ---------------------------------------------------------------------------
 
