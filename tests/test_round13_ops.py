@@ -583,3 +583,50 @@ def test_isotonic_query_matches_python_minimax(spark):
     assert all(
         a.iso_ppm <= b.iso_ppm for a, b in zip(rows, rows[1:])
     )
+
+
+# ---------------------------------------------------------------- conformal
+
+
+def test_conformal_matches_python_rederivation(spark):
+    """Third leg: recompute per-lang split-conformal thresholds and
+    coverage in pure Python (sorted-list order statistic, independent
+    of the histogram-window encoding) and compare every output cell.
+    Also pins the order-statistic definition: at least k calibration
+    alphas are <= q, and fewer than k are < q (unless degenerate)."""
+    import duckdb
+
+    from the_movies_db_spark.queries import load_all
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    )
+    q = load_all()["pipeline_conformal_threshold"]
+    alpha_sql = (
+        q.oracle.split("), cal_tot AS")[0]
+        + ") SELECT lang, half, alpha FROM scored"
+    )
+    by_lang: dict[str, dict[int, list[int]]] = {}
+    for lang, half, alpha in con.execute(alpha_sql).fetchall():
+        by_lang.setdefault(lang, {0: [], 1: []})[int(half)].append(int(alpha))
+    want = {}
+    for lang, halves in by_lang.items():
+        cal = sorted(halves[0])
+        n_cal = len(cal)
+        k = (9 * (n_cal + 1) + 9) // 10
+        qv = cal[k - 1] if k <= n_cal else 1000000
+        test = halves[1]
+        cov = sum(1 for a in test if a <= qv)
+        want[lang] = (n_cal, k, qv, len(test), cov,
+                      cov * 1000000 // len(test))
+        assert sum(1 for a in cal if a <= qv) >= k or qv == 1000000
+        if k <= n_cal:
+            assert sum(1 for a in cal if a < qv) < k
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = {
+        r.lang: (r.n_cal, r.k, r.q_ppm, r.n_test, r.n_covered, r.cov_ppm)
+        for r in rows
+    }
+    assert got == want

@@ -3509,6 +3509,185 @@ def pipeline_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Split-conformal coverage audit (Mondrian, per-lang) — round 13
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_conformal_threshold",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_aggregate(list_transform(toks,
+               t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+               'sum') AS stop_hits,
+             len(list_distinct(toks)) AS n_distinct,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+               AS sum_len
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ) d
+    ), raw AS (
+      SELECT doc_id,
+             2 * stop_hits * 1000 // n_tok
+               + n_distinct * 1000 // n_tok
+               + least(n_tok, 500) AS score,
+             CASE WHEN n_tok >= 30 AND 3 * n_tok <= sum_len
+                       AND sum_len <= 10 * n_tok
+                  THEN 1 ELSE 0 END AS label
+      FROM feats WHERE n_tok > 0
+    ), scored AS MATERIALIZED (
+      SELECT r.doc_id, d.lang, r.doc_id % 2 AS half,
+             abs(r.label * 1000000
+                 - r.score * 1000000 // (SELECT max(score) FROM raw))
+               AS alpha
+      FROM raw r JOIN documents d ON r.doc_id = d.doc_id
+    ), cal_tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_cal,
+             (9 * (count(*) + 1) + 9) // 10 AS k
+      FROM scored WHERE half = 0 GROUP BY 1
+    ), cal_cum AS (
+      SELECT lang, alpha,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY alpha) AS cum
+      FROM (
+        SELECT lang, alpha, count(*) AS cnt
+        FROM scored WHERE half = 0 GROUP BY 1, 2
+      ) h
+    ), q AS (
+      SELECT t.lang, t.n_cal, CAST(t.k AS BIGINT) AS k,
+             CAST(coalesce(min(CASE WHEN c.cum >= t.k THEN c.alpha END),
+                           1000000) AS BIGINT) AS q_ppm
+      FROM cal_tot t LEFT JOIN cal_cum c ON c.lang = t.lang
+      GROUP BY 1, 2, 3
+    )
+    SELECT q.lang, q.n_cal, q.k, q.q_ppm,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN s.alpha <= q.q_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN s.alpha <= q.q_ppm THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS cov_ppm
+    FROM q JOIN scored s ON s.lang = q.lang AND s.half = 1
+    GROUP BY 1, 2, 3, 4 ORDER BY 1
+    """,
+    doc=(
+        "Mondrian split-conformal audit of the quality classifier: "
+        "docs split into calibration/test halves by doc_id parity, "
+        "nonconformity alpha = |label*1e6 - confidence_ppm|, and per "
+        "LANG the calibration threshold q = the k-th smallest alpha "
+        "with k = ceil(0.9*(n_cal+1)) (exact integer ceil; q found "
+        "tie-safely as the least alpha whose cumulative count reaches "
+        "k — the bounded-integer-domain order-statistic recipe). The "
+        "test half then reports observed coverage, the finite-sample "
+        "validity check before shipping classifier-gated prediction "
+        "sets. All-integer, engine-exact."
+    ),
+)
+def pipeline_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang split-conformal threshold + held-out coverage.
+
+    Scale notes (100 TB): scoring is per-row codegen over one corpus
+    scan per half (two scans total, no checkpoint of a corpus-scale
+    stream); the calibration histogram groups by (lang, alpha) — the
+    cumulative window partitions by lang over a value-bounded alpha
+    domain (<=1e6 distinct), never a global positional sort; the
+    per-lang q table is a handful of rows, broadcast onto the test
+    half."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").alias(
+            "toks"
+        ),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            f"aggregate(transform(toks, t -> CASE WHEN t IN ({_CLS_STOPS})"
+            " THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+        ).alias("stop_hits"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("sum_len"),
+    )
+    raw = feats.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "2 * stop_hits * 1000 div n_tok"
+            " + n_distinct * 1000 div n_tok"
+            " + least(n_tok, 500)"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN n_tok >= 30 AND 3 * n_tok <= sum_len"
+            " AND sum_len <= 10 * n_tok THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    wt = Window.partitionBy(F.lit(1))
+    scored = raw.select(
+        "doc_id",
+        "lang",
+        F.expr("doc_id % 2").alias("half"),
+        F.expr("label * 1000000").alias("__lab"),
+        F.expr("score * 1000000").alias("__num"),
+        F.max("score").over(wt).alias("__mx"),
+    ).select(
+        "doc_id",
+        "lang",
+        "half",
+        F.expr("abs(__lab - __num div __mx)").alias("alpha"),
+    )
+    cal = scored.filter(F.col("half") == 0)
+    cal_tot = cal.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("(9 * (count(*) + 1) + 9) div 10").cast("bigint").alias("k"),
+    )
+    wl = Window.partitionBy("lang").orderBy("alpha")
+    cal_cum = (
+        cal.groupBy("lang", "alpha")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("lang", "alpha", F.sum("cnt").over(wl).alias("cum"))
+    )
+    q = (
+        cal_tot.alias("t")
+        .join(cal_cum.alias("c"), F.expr("c.lang = t.lang"), "left_outer")
+        .groupBy(F.expr("t.lang").alias("lang"), F.col("n_cal"), F.col("k"))
+        .agg(
+            F.expr(
+                "CAST(coalesce(min(CASE WHEN c.cum >= t.k THEN c.alpha END),"
+                " 1000000) AS BIGINT)"
+            ).alias("q_ppm")
+        )
+    )
+    test = scored.filter(F.col("half") == 1)
+    return (
+        F.broadcast(q)
+        .join(test.alias("s"), "lang")
+        .groupBy("lang", "n_cal", "k", "q_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.expr("sum(CASE WHEN s.alpha <= q_ppm THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_covered"),
+            F.expr(
+                "sum(CASE WHEN s.alpha <= q_ppm THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("cov_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic decontamination (embedding-based, cross-set) — round 13
 # ---------------------------------------------------------------------------
 
