@@ -630,3 +630,60 @@ def test_conformal_matches_python_rederivation(spark):
         for r in rows
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- jackknife
+
+
+def test_jackknife_ceil_identity():
+    """floor((n-1)*s/n) == s - ceil(s/n) for all non-negative s —
+    the overflow-free encoding used by orders_jackknife_ratio."""
+    import random
+
+    rng = random.Random(13)
+    for _ in range(20000):
+        s = rng.randint(0, 10**18)
+        n = rng.randint(1, 10**6)
+        assert (n - 1) * s // n == s - (s + n - 1) // n, (s, n)
+
+
+def test_jackknife_matches_python_rederivation(spark):
+    """Third leg: recompute the delete-one jackknife entirely in
+    Python integers from the raw parquet and compare every cell."""
+    import duckdb
+
+    from the_movies_db_spark.queries import load_all
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT c.c_mktsegment, o.o_custkey,"
+        " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT),"
+        " count(*)"
+        " FROM read_parquet('/root/testdata/sf0.001/orders.parquet') o"
+        " JOIN read_parquet('/root/testdata/sf0.001/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    ).fetchall()
+    segs: dict[str, list[tuple[int, int]]] = {}
+    for seg, _, y, x in rows:
+        segs.setdefault(seg, []).append((int(y), int(x)))
+    import math
+
+    want = {}
+    for seg, cl in segs.items():
+        sy = sum(y for y, _ in cl)
+        sx = sum(x for _, x in cl)
+        n = len(cl)
+        r = sy * 1000 // sx
+        s = sum(((sy - y) * 1000 // (sx - x) - r) ** 2 for y, x in cl)
+        q = s - (s + n - 1) // n
+        # replicate the ENGINE encoding (floor of IEEE double sqrt),
+        # not isqrt — they can differ within half an ulp of a square
+        se = int(math.floor(math.sqrt(q)))
+        want[seg] = (n, r, se, se * 1000000 // r)
+    got = {
+        r.segment: (r.n_clusters, r.ratio_milli, r.se_jack_milli, r.rel_se_ppm)
+        for r in load_all()["orders_jackknife_ratio"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want

@@ -74,8 +74,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # udf_cogrouped_reconcile, text_tfidf_topk, text_stats,
     # text_rolling_hash, text_langid, streaming_stream_join,
     # streaming_stateful_counter,
-    # upsert_change_stats, streaming_session_window, streaming_dedup
-    # (displaced by round-13 registrations),
+    # upsert_change_stats, streaming_session_window, streaming_dedup,
+    # sim_topk_lsh (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
     # plus any names displaced from this window:
@@ -96,6 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_xml_parse",
     "pipeline_isotonic_calibration",
     "pipeline_conformal_threshold",
+    "orders_jackknife_ratio",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -133,7 +134,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_recall_eval",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
-    "sim_topk_lsh",
 )
 
 

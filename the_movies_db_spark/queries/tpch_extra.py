@@ -4529,3 +4529,117 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price_cents", "lag_days", "n_orders")
         .orderBy(F.desc("price_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one jackknife variance of the ratio estimator — round 13
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_jackknife_ratio",
+    """
+    WITH cl AS (
+      SELECT o.o_custkey,
+             c.c_mktsegment AS segment,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), seg AS (
+      SELECT segment, y, x,
+             sum(y) OVER (PARTITION BY segment) AS sy,
+             sum(x) OVER (PARTITION BY segment) AS sx,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM cl
+    ), rep AS (
+      SELECT segment, n,
+             sy * 1000 // sx AS r_milli,
+             (sy - y) * 1000 // (sx - x) - sy * 1000 // sx AS d
+      FROM seg
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_clusters,
+           CAST(r_milli AS BIGINT) AS ratio_milli,
+           CAST(floor(sqrt(CAST(sum(d * d)
+                - (sum(d * d) + n - 1) // n AS BIGINT)))
+                AS BIGINT) AS se_jack_milli,
+           CAST(CAST(floor(sqrt(CAST(sum(d * d)
+                - (sum(d * d) + n - 1) // n AS BIGINT)))
+                AS BIGINT) * 1000000 // r_milli AS BIGINT) AS rel_se_ppm
+    FROM rep GROUP BY segment, n, r_milli ORDER BY 1
+    """,
+    doc=(
+        "Delete-one (delete-a-cluster) jackknife standard error of the "
+        "ratio estimator R = total revenue / total orders, clusters = "
+        "customers, strata = market segments. Replicates R_(i) = "
+        "(Sy-y_i)/(Sx-x_i) are exact integer milli-cent quotients; the "
+        "variance uses the R-hat-centered jackknife form (Shao & Tu "
+        "variant) so every deviation d_i is a SMALL bounded integer — "
+        "sum(d^2) stays far inside BIGINT at any SF (value-range-"
+        "bounded, not row-count-bounded). (n-1)/n * s is computed as "
+        "s - ceil(s/n) — never a product with the row count — and "
+        "se = floor(sqrt(.)) is engine-exact (floor-sqrt-floor). The "
+        "uncertainty audit behind any 'revenue per order' KPI."
+    ),
+)
+def orders_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife SE of revenue-per-order by segment, all-integer.
+
+    Scale notes (100 TB): one orders scan, one shuffle to customer
+    grain, one broadcast-sized dim join; per-segment totals ride a
+    5-partition window over customer-grain rows (trivial per-group
+    work), so no branch re-executes the fact scan; the final
+    aggregate carries 5 rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    cl = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey", "segment")
+        .agg(
+            F.sum("cents").cast("bigint").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        )
+    )
+    ws = Window.partitionBy("segment")
+    seg = cl.select(
+        "segment",
+        "y",
+        "x",
+        F.sum("y").over(ws).alias("sy"),
+        F.sum("x").over(ws).alias("sx"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    rep = seg.select(
+        "segment",
+        "n",
+        F.expr("sy * 1000 div sx").alias("r_milli"),
+        F.expr(
+            "(sy - y) * 1000 div (sx - x) - sy * 1000 div sx"
+        ).alias("d"),
+    )
+    return (
+        rep.groupBy("segment", "n", "r_milli")
+        .agg(
+            F.expr(
+                "CAST(floor(sqrt(CAST(sum(d * d)"
+                " - (sum(d * d) + n - 1) div n AS BIGINT))) AS BIGINT)"
+            ).alias("se_jack_milli")
+        )
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n_clusters"),
+            F.col("r_milli").cast("bigint").alias("ratio_milli"),
+            "se_jack_milli",
+            F.expr("se_jack_milli * 1000000 div r_milli")
+            .cast("bigint")
+            .alias("rel_se_ppm"),
+        )
+        .orderBy("segment")
+    )
