@@ -687,3 +687,56 @@ def test_jackknife_matches_python_rederivation(spark):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------- equality deletes
+
+
+def test_equality_deletes_planted_semantics(spark, tmp_path):
+    """Planted ground truth for the sequence-number scoping rules:
+    hand-computed version-level outcomes for pks chosen to hit every
+    (re-insert x delete x attribution) combination."""
+    from the_movies_db_spark.queries import load_all
+
+    rows = [
+        (1, "O", 100.0),    # v1 live
+        (3, "F", 100.0),    # v1 killed by status delete (seq 1 < 5)
+        (7, "O", 100.0),    # v1 killed by pk delete (7%7=0, seq 1 < 3)
+        (21, "O", 100.0),   # v1 killed_pk; v4 (21%21=0) RESURRECTED
+        (35, "O", 100.0),   # v1+v2 (35%5=0) both killed_pk; no v4
+        (42, "F", 100.0),   # v1 killed_pk (first-match); v4 killed_status
+        (105, "P", 100.0),  # v1+v2 killed_pk; v4 resurrected
+    ]
+    df = spark.createDataFrame(
+        [(pk, st, tp) for pk, st, tp in rows],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {
+        r.status: (
+            r.n_versions,
+            r.n_live,
+            r.live_cents,
+            r.n_killed_eq_pk,
+            r.n_killed_eq_status,
+            r.n_resurrected,
+        )
+        for r in load_all()["upsert_equality_deletes"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # versions: O: 1v1,7v1,21v1,21v4,35v1,35v2 = 6; F: 3v1,42v1,42v4 = 3;
+    # P: 105v1,105v2,105v4 = 3
+    want = {
+        # O: live = pk1 v1 (10000) + pk21 v4 (12000); killed_pk = 7v1,
+        # 21v1, 35v1, 35v2; resurrected = 21v4
+        "O": (6, 2, 10000 + 12000, 4, 0, 1),
+        # F: killed_pk = 42v1 (pk match wins attribution);
+        # killed_status = 3v1, 42v4
+        "F": (3, 0, 0, 1, 2, 0),
+        # P: killed_pk = 105v1, 105v2; live/resurrected = 105v4 (12000)
+        "P": (3, 1, 12000, 2, 0, 1),
+    }
+    assert got == want

@@ -75,7 +75,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_rolling_hash, text_langid, streaming_stream_join,
     # streaming_stateful_counter,
     # upsert_change_stats, streaming_session_window, streaming_dedup,
-    # sim_topk_lsh (displaced by round-13 registrations),
+    # sim_topk_lsh, sim_topk_ivf
+    # (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
     # plus any names displaced from this window:
@@ -97,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_isotonic_calibration",
     "pipeline_conformal_threshold",
     "orders_jackknife_ratio",
+    "upsert_equality_deletes",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -133,7 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "search_phrase",
     "sim_recall_eval",
     "sim_topk_bruteforce",
-    "sim_topk_ivf",
 )
 
 

@@ -1312,3 +1312,144 @@ def upsert_positional_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes (Iceberg-v2-style, sequence-number scoped) — round 13
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_equality_deletes",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), data AS (
+      SELECT pk, status, cents, 1 AS seq FROM o
+      UNION ALL
+      SELECT pk, status, cents * 110 // 100, 2 FROM o WHERE pk % 5 = 0
+      UNION ALL
+      SELECT pk, status, cents * 120 // 100, 4 FROM o WHERE pk % 21 = 0
+    ), d1 AS (
+      SELECT DISTINCT pk, 3 AS del_seq FROM o WHERE pk % 7 = 0
+    ), flagged AS (
+      SELECT d.status, d.cents, d.seq,
+             CASE WHEN d1.pk IS NOT NULL AND d.seq < d1.del_seq
+                  THEN 1 ELSE 0 END AS killed_pk,
+             CASE WHEN d.status = 'F' AND d.seq < 5
+                   AND NOT (d1.pk IS NOT NULL AND d.seq < d1.del_seq)
+                  THEN 1 ELSE 0 END AS killed_status,
+             CASE WHEN d1.pk IS NOT NULL THEN 1 ELSE 0 END AS pk_match
+      FROM data d LEFT JOIN d1 ON d.pk = d1.pk
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN killed_pk = 0 AND killed_status = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN killed_pk = 0 AND killed_status = 0
+                         THEN cents ELSE 0 END) AS BIGINT) AS live_cents,
+           CAST(sum(killed_pk) AS BIGINT) AS n_killed_eq_pk,
+           CAST(sum(killed_status) AS BIGINT) AS n_killed_eq_status,
+           CAST(sum(CASE WHEN killed_pk = 0 AND killed_status = 0
+                          AND pk_match = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+    FROM flagged GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Equality deletes — the THIRD lakehouse delete encoding "
+        "(Iceberg v2 equality delete files), completing positional "
+        "deletes and key-based MOR logs: a delete file carries COLUMN "
+        "VALUES (here one file keyed on pk, one on a NON-key column, "
+        "status='F') and applies only to rows whose data sequence "
+        "number is LOWER than the delete's. The crux pinned here: "
+        "rows re-inserted AFTER a matching delete survive it "
+        "(n_resurrected > 0 — seq-4 re-inserts outlive the seq-3 pk "
+        "delete), while the later status delete still reaps them. "
+        "Attribution is first-matching-delete by sequence order."
+    ),
+)
+def upsert_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete application with sequence-number scoping.
+
+    Scale notes (100 TB): delete application is ONE left join keyed on
+    the delete file's equality columns — AQE sizes the join (delete
+    files are usually tiny and auto-broadcast; a pathological bulk
+    delete degrades to a shuffle join, never a driver collect). The
+    value-predicate delete (status) folds into a codegen projection.
+    The union re-reads the pushed-projection base scan; no branch
+    carries more than (pk, status, cents)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    data = (
+        o.select("pk", "status", "cents", F.lit(1).alias("seq"))
+        .unionByName(
+            o.filter("pk % 5 = 0").select(
+                "pk",
+                "status",
+                F.expr("cents * 110 div 100").alias("cents"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.filter("pk % 21 = 0").select(
+                "pk",
+                "status",
+                F.expr("cents * 120 div 100").alias("cents"),
+                F.lit(4).alias("seq"),
+            )
+        )
+    )
+    d1 = (
+        o.filter("pk % 7 = 0")
+        .select(F.col("pk").alias("__dpk"))
+        .distinct()
+        .withColumn("del_seq", F.lit(3))
+    )
+    flagged = data.join(d1, data["pk"] == d1["__dpk"], "left_outer").select(
+        "status",
+        "cents",
+        F.expr(
+            "CASE WHEN __dpk IS NOT NULL AND seq < del_seq"
+            " THEN 1 ELSE 0 END"
+        ).alias("killed_pk"),
+        F.expr(
+            "CASE WHEN status = 'F' AND seq < 5"
+            " AND NOT (__dpk IS NOT NULL AND seq < del_seq)"
+            " THEN 1 ELSE 0 END"
+        ).alias("killed_status"),
+        F.expr("CASE WHEN __dpk IS NOT NULL THEN 1 ELSE 0 END").alias(
+            "pk_match"
+        ),
+    )
+    return (
+        flagged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.expr(
+                "sum(CASE WHEN killed_pk = 0 AND killed_status = 0"
+                " THEN 1 ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("n_live"),
+            F.expr(
+                "sum(CASE WHEN killed_pk = 0 AND killed_status = 0"
+                " THEN cents ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("live_cents"),
+            F.sum("killed_pk").cast("bigint").alias("n_killed_eq_pk"),
+            F.sum("killed_status").cast("bigint").alias("n_killed_eq_status"),
+            F.expr(
+                "sum(CASE WHEN killed_pk = 0 AND killed_status = 0"
+                " AND pk_match = 1 THEN 1 ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("n_resurrected"),
+        )
+        .orderBy("status")
+    )
