@@ -740,3 +740,82 @@ def test_equality_deletes_planted_semantics(spark, tmp_path):
         "P": (3, 1, 12000, 2, 0, 1),
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- RM3
+
+
+def test_rm3_expansion_python_rederivation_and_nonvacuity(spark):
+    """Third leg: rebuild the RM3 relevance-model weights in pure
+    Python (duckdb fetches only raw tokens + the feedback pool) and
+    compare the selected expansion terms; then assert the feedback
+    loop actually MOVES the ranking vs plain BM25 for >=1 query."""
+    import duckdb
+
+    from the_movies_db_spark.queries import load_all
+    from the_movies_db_spark.queries.search_queries import (
+        QUERIES,
+        _RM3_EXP,
+        _RM3_FB,
+        _bm25_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    )
+    fb = con.execute(
+        f"SELECT query_id, doc_id, score_milli FROM ({_bm25_oracle(_RM3_FB)})"
+    ).fetchall()
+    toks = {
+        int(i): [t for t in txt.lower().split() if t]
+        for i, txt in con.execute(
+            "SELECT doc_id, text FROM documents"
+        ).fetchall()
+    }
+    qterms = {}
+    for qid, term in QUERIES:
+        qterms.setdefault(qid, set()).add(term)
+    rw: dict[tuple[int, str], int] = {}
+    for qid, doc, score in fb:
+        dl = len(toks[int(doc)])
+        tf: dict[str, int] = {}
+        for t in toks[int(doc)]:
+            tf[t] = tf.get(t, 0) + 1
+        for t, f_ in tf.items():
+            if len(t) < 3 or t in qterms[int(qid)]:
+                continue
+            rw[(int(qid), t)] = rw.get((int(qid), t), 0) + (
+                f_ * 1000 * int(score)
+            ) // dl
+    want = {}
+    for qid in qterms:
+        cand = sorted(
+            ((w, t) for (q, t), w in rw.items() if q == qid),
+            key=lambda p: (-p[0], p[1]),
+        )[:_RM3_EXP]
+        want[qid] = {t for _, t in cand}
+    q = load_all()["search_prf_rm3"]
+    expn_sql = q.oracle.split("tf2 AS (")[0].rstrip().rstrip(",") + (
+        " SELECT query_id, term FROM expn"
+    )
+    got: dict[int, set] = {}
+    for qid, term in con.execute(expn_sql).fetchall():
+        got.setdefault(int(qid), set()).add(term)
+    assert got == want
+    # non-vacuity: the fused ranking differs from plain BM25 somewhere
+    rm3 = {
+        (r.query_id, r.rank): r.doc_id
+        for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    }
+    bm = {
+        (r.query_id, r.rank): r.doc_id
+        for r in load_all()["search_bm25_topk"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert any(rm3[k] != bm.get(k) for k in rm3)
+    # every fused score is the documented interpolation of its parts
+    for r in q.spark(spark, "/root/testdata/sf0.001").collect():
+        assert r.final_milli == (6 * r.orig_milli + 4 * r.exp_milli) // 10

@@ -260,6 +260,21 @@ def bm25_topk(
 ) -> DataFrame:
     """Core BM25 plan over any (doc_id, text) DataFrame — split out so
     the scale probe can run it on replicated corpora."""
+    per_query = bm25_scores(spark, documents)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_id", "score_milli")
+    )
+
+
+def bm25_scores(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """Exact-BIGINT BM25 scores for EVERY matching (query, doc) pair —
+    the unranked table bm25_topk ranks, exposed for composed retrieval
+    ops (RM3 feedback needs scores below the top-k cut)."""
     d = (
         documents
         .select(
@@ -290,16 +305,10 @@ def bm25_topk(
         .withColumn("idf_milli", F.expr(_IDF_MILLI))
         .withColumn("score_term", F.expr(_SCORE_TERM.format(div="div")))
     )
-    per_query = (
+    return (
         scored.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score_term").alias("score_milli"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_milli"), F.asc("doc_id"))
-    return (
-        per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= top_k)
-        .select("query_id", "rank", "doc_id", "score_milli")
     )
 
 
@@ -2248,4 +2257,222 @@ def search_difficulty_prediction(
             ).alias("rank_agrees"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3) — round 13
+# ---------------------------------------------------------------------------
+
+_RM3_FB = 10    # feedback pool depth
+_RM3_EXP = 5    # expansion terms per query
+_RM3_TOPK = 5   # final cutoff; interpolation = (6*orig + 4*exp) / 10
+
+_RM3_ORACLE = f"""
+WITH orig AS MATERIALIZED ({_bm25_oracle(1099511627776)}),
+fb AS (SELECT query_id, doc_id, score_milli FROM orig WHERE rank <= {_RM3_FB}),
+q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+docs2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+dld2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs2),
+stats2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT)  AS total_len
+  FROM dld2
+),
+tokens2 AS (SELECT doc_id, dl, unnest(toks) AS term FROM dld2),
+fbtf AS (
+  SELECT b.query_id, t.term, t.doc_id, t.dl, b.score_milli,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM tokens2 t JOIN fb b ON t.doc_id = b.doc_id
+  GROUP BY 1, 2, 3, 4, 5
+),
+rw AS (
+  SELECT query_id, term,
+         CAST(sum(tf * 1000 * score_milli // dl) AS BIGINT) AS rw_milli
+  FROM fbtf f
+  WHERE length(term) >= 3
+    AND NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = f.query_id AND q.term = f.term)
+  GROUP BY 1, 2
+),
+expn AS MATERIALIZED (
+  SELECT query_id, term, rw_milli FROM (
+    SELECT query_id, term, rw_milli,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rw_milli DESC, term) AS rn
+    FROM rw
+  ) WHERE rn <= {_RM3_EXP}
+),
+tf2 AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokens2
+  WHERE term IN (SELECT DISTINCT term FROM expn)
+  GROUP BY 1, 2, 3
+),
+dfs2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+scored2 AS (
+  SELECT t.doc_id, t.term,
+         {_IDF_MILLI} AS idf_milli,
+         t.tf, t.dl, s.n_docs, s.total_len
+  FROM tf2 t JOIN dfs2 d USING (term) CROSS JOIN stats2 s
+),
+contrib2 AS (
+  SELECT doc_id, term,
+         {_SCORE_TERM.format(div='//')} AS score_term
+  FROM scored2
+),
+expscore AS (
+  SELECT e.query_id, c.doc_id,
+         CAST(sum(c.score_term) AS BIGINT) AS exp_milli
+  FROM contrib2 c JOIN expn e ON c.term = e.term
+  GROUP BY 1, 2
+),
+fused AS (
+  SELECT coalesce(o.query_id, e.query_id) AS query_id,
+         coalesce(o.doc_id, e.doc_id) AS doc_id,
+         CAST(coalesce(o.score_milli, 0) AS BIGINT) AS orig_milli,
+         CAST(coalesce(e.exp_milli, 0) AS BIGINT) AS exp_milli
+  FROM orig o FULL JOIN expscore e
+    ON o.query_id = e.query_id AND o.doc_id = e.doc_id
+)
+SELECT query_id, rank, doc_id, final_milli, orig_milli, exp_milli
+FROM (
+  SELECT query_id, doc_id, orig_milli, exp_milli,
+         CAST((6 * orig_milli + 4 * exp_milli) // 10 AS BIGINT)
+           AS final_milli,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (6 * orig_milli + 4 * exp_milli) // 10 DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= {_RM3_TOPK}
+"""
+
+
+@register(
+    "search_prf_rm3",
+    _RM3_ORACLE,
+    doc=(
+        "RM3 pseudo-relevance feedback: the BM25 top-10 per query "
+        "becomes the feedback set; each feedback-doc term earns the "
+        "relevance-model weight sum(tf*1000*score/dl) (per-doc floor, "
+        "exact BIGINT), original query terms and <3-char tokens are "
+        "excluded, the top-5 expansion terms are re-scored against "
+        "the corpus with the same exact-integer BM25, and the final "
+        "ranking interpolates (6*orig + 4*exp)/10 — the classic "
+        "two-pass query-expansion retrieval loop, fully oracle-exact."
+    ),
+)
+def search_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass RM3 retrieval: feedback -> expansion -> re-retrieval.
+
+    Scale notes (100 TB): pass 1 is the pruned BM25 plan (broadcast
+    query vocab filters the token stream pre-shuffle); the feedback
+    table (30 rows) and expansion table (15 rows) are lazily
+    checkpointed so downstream branches never re-run pass 1; pass 2
+    joins the token stream against the BROADCAST expansion vocabulary
+    — shuffle volume stays O(docs containing any expansion term). The
+    orig score table is re-derived once for the final fusion (two
+    corpus passes total, both vocab-pruned); the full-outer fusion
+    join is keyed on (query, doc) over vocab-bounded score tables."""
+    d0 = load_table(spark, sf_dir, "documents")
+    orig = bm25_scores(spark, d0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    fb = (
+        orig.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RM3_FB)
+        .select("query_id", "doc_id", "score_milli")
+        .localCheckpoint(eager=False)
+    )
+    d = d0.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias(
+            "toks"
+        ),
+    ).select("doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tokens = d.select("doc_id", "dl", F.explode("toks").alias("term"))
+    qterms = spark.createDataFrame(list(QUERIES), "query_id int, term string")
+    fbtf = (
+        tokens.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "term", "doc_id", "dl", "score_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    rw = (
+        fbtf.filter(F.length("term") >= 3)
+        .join(F.broadcast(qterms), ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(F.expr("tf * 1000 * score_milli div dl"))
+            .cast("bigint")
+            .alias("rw_milli")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("rw_milli"), F.asc("term")
+    )
+    expn = (
+        rw.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _RM3_EXP)
+        .select("query_id", "term", "rw_milli")
+        .localCheckpoint(eager=False)
+    )
+    vocab2 = expn.select("term").distinct()
+    tf2 = (
+        tokens.join(F.broadcast(vocab2), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+    scored2 = (
+        tf2.withColumn("df", df_w)
+        .join(F.broadcast(stats))
+        .withColumn("idf_milli", F.expr(_IDF_MILLI))
+        .withColumn("score_term", F.expr(_SCORE_TERM.format(div="div")))
+    )
+    expscore = (
+        scored2.join(F.broadcast(expn.select("query_id", "term")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_term").cast("bigint").alias("exp_milli"))
+    )
+    fused = (
+        orig.select(
+            "query_id", "doc_id", F.col("score_milli").alias("orig_milli")
+        )
+        .join(expscore, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("orig_milli", F.lit(0)).cast("bigint").alias(
+                "orig_milli"
+            ),
+            F.coalesce("exp_milli", F.lit(0)).cast("bigint").alias(
+                "exp_milli"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("final_milli"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn(
+            "final_milli",
+            F.expr("(6 * orig_milli + 4 * exp_milli) div 10").cast("bigint"),
+        )
+        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= _RM3_TOPK)
+        .select(
+            "query_id", "rank", "doc_id", "final_milli",
+            "orig_milli", "exp_milli",
+        )
     )
