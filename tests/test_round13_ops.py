@@ -819,3 +819,76 @@ def test_rm3_expansion_python_rederivation_and_nonvacuity(spark):
     # every fused score is the documented interpolation of its parts
     for r in q.spark(spark, "/root/testdata/sf0.001").collect():
         assert r.final_milli == (6 * r.orig_milli + 4 * r.exp_milli) // 10
+
+
+# ---------------------------------------------------------------- k-truss
+
+
+def test_ktruss_planted_clique_survives_triangle_peeled(spark, tmp_path):
+    """Planted ground truth: a 5-clique (every edge in 3 triangles)
+    must survive k=4 truss peeling intact; an isolated triangle (each
+    edge in exactly 1 triangle) and a pendant edge (0 triangles) must
+    be peeled in round 1. Each co-purchase edge is planted as one
+    customer ordering exactly that supplier pair."""
+    from itertools import combinations
+
+    from the_movies_db_spark.queries import load_all
+
+    edges = (
+        list(combinations([1, 2, 3, 4, 5], 2))  # 5-clique: 10 edges
+        + [(10, 11), (10, 12), (11, 12)]        # isolated triangle
+        + [(20, 21)]                            # pendant edge
+    )
+    orders = [(k, 1000 + k) for k in range(len(edges))]
+    lineitem = [
+        (k, s) for k, (u, v) in enumerate(edges) for s in (u, v)
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    suppliers = sorted({s for uv in edges for s in uv})
+    spark.createDataFrame(
+        [(s, 0) for s in suppliers], "s_suppkey long, s_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    got = [
+        (r.round, r.n_edges, r.n_nodes, r.n_triangles)
+        for r in load_all()["graph_ktruss"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    ]
+    assert got == [
+        (0, 14, 10, 11),  # all edges, C(5,3)+1 triangles
+        (1, 10, 5, 10),   # triangle + pendant peeled, clique intact
+        (2, 10, 5, 10),   # fixpoint
+        (3, 10, 5, 10),
+    ]
+
+
+def test_ktruss_scan_budget(spark):
+    """Multi-branch iterative op: every g{r} must be a checkpoint
+    artifact (0 fact scans in the final plan — the upstream pair join
+    never re-executes per branch) and the artifact re-scan count stays
+    at 6 branches x 4 rounds (round-9 HITS discipline)."""
+    import re
+
+    from the_movies_db_spark.queries import load_all
+
+    txt = (
+        load_all()["graph_ktruss"]
+        .spark(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert txt.count("lineitem.parquet") == 0
+    assert txt.count("orders.parquet") == 0
+    assert len(re.findall("Scan ExistingRDD", txt)) <= 30

@@ -3644,3 +3644,249 @@ def graph_temporal_two_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.orderBy(F.desc("n_two_paths"), F.asc("broker")).limit(
         _T2P_TOP
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition on the supplier co-purchase graph — round 13
+# ---------------------------------------------------------------------------
+
+_KT_ROUNDS = 3   # unrolled peel rounds
+_KT_K = 4        # k-truss: every surviving edge sits in >= k-2 triangles
+_KT_NN = 4       # kNN-graph symmetrization: keep edges in either
+#                  endpoint's top-4 by shared-customer count
+
+
+def _ktruss_oracle() -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+                 sp.s_nationkey AS n
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                          JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+        )""",
+        """cap AS (
+          SELECT greatest(64, 8 * (count(*) // count(DISTINCT c))) AS v
+          FROM e
+        )""",
+        """keep AS (
+          SELECT c FROM e GROUP BY c
+          HAVING count(*) <= (SELECT v FROM cap)
+        )""",
+        """com AS (
+          SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS common
+          FROM e a JOIN keep k ON a.c = k.c
+                   JOIN e b ON a.c = b.c AND a.n = b.n AND a.s < b.s
+          GROUP BY 1, 2
+        )""",
+        f"""g0 AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY common DESC, v) AS ru,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY common DESC, u) AS rv
+            FROM com
+          ) WHERE ru <= {_KT_NN} OR rv <= {_KT_NN}
+        )""",
+    ]
+    for r in range(_KT_ROUNDS):
+        ctes.append(
+            f"""tri{r} AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM g{r} e1
+              JOIN g{r} e2 ON e2.u = e1.v
+              JOIN g{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+            )"""
+        )
+        ctes.append(
+            f"""supp{r} AS (
+              SELECT u, v, count(*) AS sup FROM (
+                SELECT a AS u, b AS v FROM tri{r}
+                UNION ALL SELECT b, c FROM tri{r}
+                UNION ALL SELECT a, c FROM tri{r}
+              ) p GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""g{r + 1} AS MATERIALIZED (
+              SELECT g.u, g.v FROM g{r} g
+              JOIN supp{r} s ON g.u = s.u AND g.v = s.v
+              WHERE s.sup >= {_KT_K - 2}
+            )"""
+        )
+    ctes.append(
+        f"""tri{_KT_ROUNDS} AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM g{_KT_ROUNDS} e1
+          JOIN g{_KT_ROUNDS} e2 ON e2.u = e1.v
+          JOIN g{_KT_ROUNDS} e3 ON e3.u = e1.u AND e3.v = e2.v
+        )"""
+    )
+    stats = " UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+          CAST((SELECT count(*) FROM g{r}) AS BIGINT) AS n_edges,
+          CAST((SELECT count(*) FROM
+                (SELECT u FROM g{r} UNION SELECT v FROM g{r}) n)
+               AS BIGINT) AS n_nodes,
+          CAST((SELECT count(*) FROM tri{r}) AS BIGINT) AS n_triangles"""
+        for r in range(_KT_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + stats
+        + "\n) z ORDER BY round"
+    )
+
+
+@register(
+    "graph_ktruss",
+    _ktruss_oracle(),
+    doc=(
+        "k-truss decomposition (k=4) of the supplier co-purchase "
+        "graph: SAME-NATION co-purchase pairs (shared-customer counts "
+        "under the df-capped equi-join — the nation equality bounds "
+        "pair fan-out per customer the way the LPA edges do), "
+        "symmetrized to a bounded-degree kNN "
+        "graph (edges in either endpoint's top-4 by common count — "
+        "degree <= 8 caps triangle fan-out BY CONSTRUCTION), then "
+        "three unrolled peel rounds: ordered triangles enumerated "
+        "once (u<v<w via the oriented 3-way self-join), per-edge "
+        "support = appearances across the three pair projections, "
+        "edges below k-2 triangles dropped; the cascade census "
+        "(edges, nodes, triangles per round) is the output. The "
+        "community-core extraction a fraud/cohesion pipeline runs "
+        "where k-core is too permissive."
+    ),
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative triangle-support peeling with per-round census.
+
+    Scale notes (100 TB): the expensive stage (pair generation) is the
+    same df-capped shared-key equi-join as graph_link_jaccard; the kNN
+    symmetrization bounds every node's degree at 2*top-4, so each
+    round's ordered-triangle join costs at most n_nodes * 8^2 rows no
+    matter how skewed co-purchase counts get. Every g{r} is lazily
+    checkpointed — it feeds three self-join branches, the support
+    join AND the census row, which would otherwise re-execute the
+    whole upstream chain exponentially (the round-9 HITS lesson); the
+    census scan budget is pinned in tests/test_round13_ops.py."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    sp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sp), l.l_suppkey == sp.s_suppkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("s_nationkey").alias("n"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    row = e.agg(
+        F.expr(
+            "greatest(64L, 8 * (count(*) div count(DISTINCT c)))"
+        ).alias("v"),
+        F.expr("count(DISTINCT c)").alias("nc"),
+        F.expr("count(DISTINCT s)").alias("ns"),
+    ).collect()[0]
+    cap, n_cust, n_supp = int(row["v"]), int(row["nc"]), int(row["ns"])
+    # the kNN graph holds <= 8 edges per node: broadcast the per-round
+    # join sides while the node count keeps that under the broadcast
+    # budget (the _KEEP_BCAST_MAX auto-switch); above it, the joins
+    # fall back to shuffles sized by AQE.
+    bc = (
+        F.broadcast
+        if n_supp * 8 <= _KEEP_BCAST_MAX
+        else (lambda df: df)
+    )
+    keep = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") <= F.lit(cap))
+        .select("c")
+    )
+    if n_cust <= _KEEP_BCAST_MAX:
+        keep = F.broadcast(keep)
+    a = e.join(keep, "c").select("c", "n", F.col("s").alias("u"))
+    b = e.select(
+        F.col("c").alias("c2"), F.col("n").alias("n2"), F.col("s").alias("v")
+    )
+    com = (
+        a.join(
+            b,
+            (a.c == b.c2)
+            & (F.col("n") == F.col("n2"))
+            & (F.col("u") < F.col("v")),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    wu = Window.partitionBy("u").orderBy(F.desc("common"), F.asc("v"))
+    wv = Window.partitionBy("v").orderBy(F.desc("common"), F.asc("u"))
+    g = (
+        com.withColumn("ru", F.row_number().over(wu))
+        .withColumn("rv", F.row_number().over(wv))
+        .filter((F.col("ru") <= _KT_NN) | (F.col("rv") <= _KT_NN))
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+
+    def triangles(gr: DataFrame) -> DataFrame:
+        e1 = gr.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = gr.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+        e3 = gr.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        return (
+            e1.join(bc(e2), F.col("b") == F.col("b2"))
+            .join(
+                bc(e3),
+                (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            )
+            .select("a", "b", "c")
+        )
+
+    def census(gr: DataFrame, tri: DataFrame, r: int) -> DataFrame:
+        edges = gr.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        nodes = (
+            gr.select(F.col("u").alias("n"))
+            .unionByName(gr.select(F.col("v").alias("n")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+        tris = tri.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+        )
+        return (
+            edges.crossJoin(nodes)
+            .crossJoin(tris)
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                "n_edges",
+                "n_nodes",
+                "n_triangles",
+            )
+        )
+
+    out = None
+    cur = g
+    for r in range(_KT_ROUNDS):
+        tri = triangles(cur)
+        row = census(cur, tri, r)
+        out = row if out is None else out.unionByName(row)
+        supp = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= _KT_K - 2)
+            .select("u", "v")
+        )
+        cur = cur.join(bc(supp), ["u", "v"]).localCheckpoint(eager=False)
+    final = census(cur, triangles(cur), _KT_ROUNDS)
+    return out.unionByName(final).orderBy("round")
