@@ -892,3 +892,87 @@ def test_ktruss_scan_budget(spark):
     assert txt.count("lineitem.parquet") == 0
     assert txt.count("orders.parquet") == 0
     assert len(re.findall("Scan ExistingRDD", txt)) <= 30
+
+
+# ---------------------------------------------------------------- slices
+
+
+def test_slice_finder_planted_hot_slice(spark, tmp_path):
+    """Planted ground truth: a (hourbin=2, cohort=3) slice with a 50%
+    error rate over a 10% baseline must surface as the top slice, and
+    every reported row must match an independent Python rederivation
+    of the grouping-sets + scoring formula."""
+    from datetime import datetime, timedelta
+    from itertools import product
+
+    from the_movies_db_spark.queries import load_all
+
+    epoch = datetime(1970, 1, 1)
+    rows = []
+    eid = 0
+    # 20 days x 5 cohorts x 4 hourbins; the hot cell gets 8 events
+    # per day (16% support — above the 5% floor), others 2
+    for d, cohort, hb in product(range(20), range(5), range(4)):
+        hot = cohort == 3 and hb == 2
+        reps = 8 if hot else 2
+        for k in range(reps):
+            is_err = (eid % 2 == 0) if hot else (eid % 10 == 0)
+            rows.append(
+                (
+                    eid,
+                    epoch + timedelta(days=d, hours=hb * 6 + 1),
+                    cohort,  # user_id % 10 == cohort
+                    "error" if is_err else "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    # independent Python rederivation
+    py = []
+    for r in rows:
+        d = (r[1] - epoch).days
+        py.append(
+            (
+                (d + 3) % 7,
+                ((r[1] - epoch).seconds // 3600) // 6,
+                r[2] % 10,
+                1 if r[3] == "error" else 0,
+            )
+        )
+    n_total = len(py)
+    gppm = sum(e for *_, e in py) * 1000000 // n_total
+    sets = [(0,), (1,), (2,), (0, 1), (0, 2), (1, 2)]
+    agg: dict[tuple, list[int]] = {}
+    for wd, hb, co, e in py:
+        dims = (wd, hb, co)
+        for st in sets:
+            key = tuple(dims[i] if i in st else -1 for i in range(3))
+            a = agg.setdefault(key, [0, 0])
+            a[0] += 1
+            a[1] += e
+    want = []
+    for key, (n, errs) in agg.items():
+        if n * 20 < n_total:
+            continue
+        rate = errs * 1000000 // n
+        score = ((rate - gppm) // 100) * n
+        want.append((score, *key, n, errs, rate))
+    want.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+    got = [
+        (r.score, r.weekday, r.hourbin, r.cohort, r.n_events, r.n_errors,
+         r.rate_ppm)
+        for r in load_all()["events_slice_finder"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    ]
+    assert got == want[:10]
+    # the planted hot slice is the top hit
+    assert (got[0][1], got[0][2], got[0][3]) == (-1, 2, 3)

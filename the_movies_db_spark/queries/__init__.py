@@ -75,8 +75,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_rolling_hash, text_langid, streaming_stream_join,
     # streaming_stateful_counter,
     # upsert_change_stats, streaming_session_window, streaming_dedup,
-    # sim_topk_lsh, sim_topk_ivf, sim_topk_bruteforce, sim_recall_eval
-    # (displaced by round-13 registrations),
+    # sim_topk_lsh, sim_topk_ivf, sim_topk_bruteforce, sim_recall_eval,
+    # search_phrase (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
     # plus any names displaced from this window:
@@ -101,6 +101,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "upsert_equality_deletes",
     "search_prf_rm3",
     "graph_ktruss",
+    "events_slice_finder",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -134,7 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "schema_drift_add",
     "schema_drift_type",
     "search_bm25_topk",
-    "search_phrase",
 )
 
 
