@@ -976,3 +976,50 @@ def test_slice_finder_planted_hot_slice(spark, tmp_path):
     assert got == want[:10]
     # the planted hot slice is the top hit
     assert (got[0][1], got[0][2], got[0][3]) == (-1, 2, 3)
+
+
+# ---------------------------------------------------------------- map HOFs
+
+
+def test_map_hof_path_equals_relational_plan(spark):
+    """The map-algebra pipeline (map_from_entries -> map_zip_with ->
+    transform_keys -> map_filter -> map_entries) must be lossless:
+    compare against the direct relational computation inside Spark."""
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.io import load_table
+    from the_movies_db_spark.queries import load_all
+
+    got = [
+        tuple(r)
+        for r in load_all()["fn_map_higher_order"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    ]
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    want = [
+        tuple(r)
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                f"CAST((timestampdiff(DAY, {epoch}, ts) + 3) % 7 AS BIGINT)"
+            ).alias("wd"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("c"),
+        )
+        .select(
+            "event_type",
+            F.expr("wd + 100").cast("bigint"),
+            F.col("n").cast("bigint"),
+            F.expr("c * 1000 div n").cast("bigint"),
+            F.expr(
+                "CASE WHEN c * 1000 div n >= 5000000 THEN 1 ELSE 0 END"
+            ).cast("bigint"),
+        )
+        .orderBy("event_type", "wd")
+        .collect()
+    ]
+    assert got == want and len(got) > 0

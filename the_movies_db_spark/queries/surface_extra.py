@@ -8687,3 +8687,116 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order-function surface — round 13
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_map_higher_order",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST((datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) + 3)
+                  % 7 AS BIGINT) AS weekday,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(weekday + 100 AS BIGINT) AS day_key,
+           n_events,
+           CAST(cents * 1000 // n_events AS BIGINT) AS avg_milli_cents,
+           CAST(CASE WHEN cents * 1000 // n_events >= 5000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM g ORDER BY event_type, day_key
+    """,
+    doc=(
+        "Map higher-order-function surface: per event_type the weekday "
+        "histogram and money totals are built as TWO map<bigint,bigint> "
+        "columns (map_from_entries over sorted collect_list),"
+        " map_zip_with divides them key-wise into per-event milli-cents,"
+        " map_filter marks the >=50.00 keys, transform_keys shifts the "
+        "key space (+100), and map_entries explodes back to rows. The "
+        "oracle replays the SEMANTICS relationally (plain GROUP BY "
+        "arithmetic) — pinning that the whole map pipeline is lossless; "
+        "a pytest additionally pins the map path against the direct "
+        "relational plan inside Spark itself."
+    ),
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-wise map algebra exploded back to relational rows.
+
+    Scale notes (100 TB): the fact collapses to (type, weekday) grain
+    first (one shuffle); maps are per-type rows of <=7 entries, so
+    every HOF is a bounded projection; the final explode restores at
+    most 5x7 rows."""
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                f"CAST((timestampdiff(DAY, {epoch}, ts) + 3) % 7"
+                " AS BIGINT)"
+            ).alias("weekday"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    maps = g.groupBy("event_type").agg(
+        F.expr(
+            "map_from_entries(array_sort(collect_list("
+            "struct(weekday, n_events))))"
+        ).alias("m_n"),
+        F.expr(
+            "map_from_entries(array_sort(collect_list("
+            "struct(weekday, cents))))"
+        ).alias("m_c"),
+    )
+    algebra = maps.select(
+        "event_type",
+        F.expr(
+            "transform_keys("
+            " map_zip_with(m_n, m_c, (k, n, c) -> c * 1000 div n),"
+            " (k, v) -> k + 100)"
+        ).alias("m_avg"),
+        F.expr("transform_keys(m_n, (k, v) -> k + 100)").alias("m_n2"),
+    ).select(
+        "event_type",
+        "m_n2",
+        "m_avg",
+        F.expr(
+            "map_filter(m_avg, (k, v) -> v >= 5000000)"
+        ).alias("m_kept"),
+    )
+    return (
+        algebra.select(
+            "event_type",
+            F.explode(F.expr("map_entries(m_avg)")).alias("e"),
+            "m_n2",
+            "m_kept",
+        )
+        .select(
+            "event_type",
+            F.expr("e.key").cast("bigint").alias("day_key"),
+            F.expr("element_at(m_n2, e.key)").cast("bigint").alias(
+                "n_events"
+            ),
+            F.expr("e.value").cast("bigint").alias("avg_milli_cents"),
+            F.expr(
+                "CASE WHEN array_contains(map_keys(m_kept), e.key)"
+                " THEN 1 ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("kept"),
+        )
+        .orderBy("event_type", "day_key")
+    )
