@@ -1023,3 +1023,55 @@ def test_map_hof_path_equals_relational_plan(spark):
         .collect()
     ]
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------- partition evolution
+
+
+def test_partition_evolution_pruning_split(spark):
+    """The status predicate must reach the two specs differently:
+    directory-level PartitionFilters on the (month, status) spec,
+    pushed row filters (NOT partition filters) on the month-only
+    spec."""
+    from the_movies_db_spark.queries import load_all
+    from the_movies_db_spark.queries.surface_extra import (
+        _orders_spec_evolution_path,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = _orders_spec_evolution_path(spark, sf)
+    p1 = (
+        spark.read.parquet(root + "/spec1")
+        .filter("status = 'O'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    p2 = (
+        spark.read.parquet(root + "/spec2")
+        .filter("status = 'O'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    def bracket(txt, key):
+        m = re.search(key + r": \[([^\]]*)\]", txt)
+        return m.group(1) if m else ""
+    # new spec: status is a partition column -> directory pruning
+    assert "status" in bracket(p2, "PartitionFilters")
+    # old spec: status is a data column -> pushed row filter only
+    assert "status" not in bracket(p1, "PartitionFilters")
+    assert "status" in bracket(p1, "PushedFilters")
+    # and the union is lossless vs the raw table
+    rows = (
+        load_all()["io_partition_evolution"].spark(spark, sf).collect()
+    )
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet("
+        f"'{sf}/orders.parquet') WHERE o_orderstatus = 'O'"
+    ).fetchone()[0]
+    assert sum(r.n_rows for r in rows) == want

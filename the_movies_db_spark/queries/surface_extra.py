@@ -8800,3 +8800,113 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg-style) — round 13
+# ---------------------------------------------------------------------------
+
+
+def _orders_spec_evolution_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once two-spec orders layout: spec1 partitions by month
+    only (the original table spec), spec2 — written 'later' — by
+    (month, status). Iceberg partition-spec evolution at rest: old
+    files keep the old spec, new files the new one."""
+    import os
+
+    from the_movies_db_spark.io import build_once, scratch_dir
+
+    work = scratch_dir(
+        "orders_specevo_" + os.path.basename(sf_dir.rstrip("/")),
+        unique=False,
+    )
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    stamp = {"src": src, "size": st.st_size, "mtime": st.st_mtime_ns,
+             "fmt": "specevo-v1"}
+
+    def _build() -> None:
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("bigint").alias("pk"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        o.filter("pk % 3 != 0").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(work + "/spec1")
+        o.filter("pk % 3 = 0").write.mode("overwrite").partitionBy(
+            "month", "status"
+        ).parquet(work + "/spec2")
+
+    build_once(work, stamp, _build)
+    return work
+
+
+@register(
+    "io_partition_evolution",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS pk,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT month,
+           CAST(sum(CASE WHEN pk % 3 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spec1,
+           CAST(sum(CASE WHEN pk % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spec2,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM o WHERE status = 'O'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Partition-spec evolution at rest (the Iceberg v1->v2 spec "
+        "story): a build-once layout holds OLD files partitioned by "
+        "month and NEW files partitioned by (month, status); one "
+        "reader unions both specs under the predicate status='O' — "
+        "directory-PRUNED on the new spec, row-filtered (with "
+        "parquet pushdown) on the old. Census per month proves the "
+        "union is lossless; the pruning split is pinned in pytest "
+        "via PartitionFilters vs PushedFilters in the executed plan."
+    ),
+)
+def io_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-spec union read with spec-appropriate pruning.
+
+    Scale notes (100 TB): exactly the lakehouse contract — evolving a
+    spec never rewrites old data; each file set is pruned as deeply
+    as ITS spec allows (new files skip whole status directories, old
+    files fall back to row-group pushdown), and the union is a
+    metadata operation."""
+    root = _orders_spec_evolution_path(spark, sf_dir)
+    r1 = (
+        spark.read.parquet(root + "/spec1")
+        .filter("status = 'O'")
+        .select("month", "cents", F.lit(1).alias("__spec"))
+    )
+    r2 = (
+        spark.read.parquet(root + "/spec2")
+        .filter("status = 'O'")
+        .select("month", "cents", F.lit(2).alias("__spec"))
+    )
+    return (
+        r1.unionByName(r2)
+        .groupBy("month")
+        .agg(
+            F.expr("sum(CASE WHEN __spec = 1 THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_spec1"),
+            F.expr("sum(CASE WHEN __spec = 2 THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_spec2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("month")
+    )
