@@ -1075,3 +1075,42 @@ def test_partition_evolution_pruning_split(spark):
         f"'{sf}/orders.parquet') WHERE o_orderstatus = 'O'"
     ).fetchone()[0]
     assert sum(r.n_rows for r in rows) == want
+
+
+# -------------------------------------------------------- active learning
+
+
+def test_active_learning_contract(spark):
+    """Contract pins: every selected doc lies inside the uncertain
+    band; per-lang selections respect the quota and are the lang's
+    TIGHTEST margins (re-derived via duckdb over the oracle's own
+    pool stage); quotas follow the integer proportional formula."""
+    import duckdb
+
+    from the_movies_db_spark.queries import load_all
+
+    q = load_all()["pipeline_active_learning"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "selection must be non-empty"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    )
+    pool_sql = q.oracle.split("), quota AS")[0] + (
+        ") SELECT lang, doc_id, margin_ppm FROM pool"
+    )
+    pool = con.execute(pool_sql).fetchall()
+    n_pool = len(pool)
+    by_lang: dict[str, list] = {}
+    for lang, doc, m in pool:
+        by_lang.setdefault(lang, []).append((int(m), int(doc)))
+    for r in rows:
+        assert r.margin_ppm <= 250000
+        n_lang = len(by_lang[r.lang])
+        assert r.quota == max(1, 20 * n_lang // n_pool)
+    for lang, members in by_lang.items():
+        want_quota = max(1, 20 * len(members) // n_pool)
+        sel = [(r.margin_ppm, r.doc_id) for r in rows if r.lang == lang]
+        assert len(sel) == min(want_quota, len(members))
+        assert sel == sorted(members)[: len(sel)]

@@ -3781,3 +3781,150 @@ def pipeline_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Active-learning batch selection (stratified margin sampling) — round 13
+# ---------------------------------------------------------------------------
+
+_AL_BUDGET = 20        # labeling budget per acquisition round
+_AL_PREFILTER = 250000  # only docs within 0.25 of the decision boundary
+
+
+@register(
+    "pipeline_active_learning",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_aggregate(list_transform(toks,
+               t -> CASE WHEN t IN ({_CLS_STOPS}) THEN 1 ELSE 0 END),
+               'sum') AS stop_hits,
+             len(list_distinct(toks)) AS n_distinct
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ) d
+    ), raw AS (
+      SELECT doc_id,
+             2 * stop_hits * 1000 // n_tok
+               + n_distinct * 1000 // n_tok
+               + least(n_tok, 500) AS score
+      FROM feats WHERE n_tok > 0
+    ), scored AS (
+      SELECT r.doc_id, d.lang,
+             abs(r.score * 1000000 // (SELECT max(score) FROM raw)
+                 - 500000) AS margin_ppm,
+             r.score * 1000000 // (SELECT max(score) FROM raw) AS p_ppm
+      FROM raw r JOIN documents d ON r.doc_id = d.doc_id
+    ), pool AS (
+      SELECT * FROM scored WHERE margin_ppm <= {_AL_PREFILTER}
+    ), quota AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+             CAST(greatest(1, {_AL_BUDGET} * count(*)
+                  // (SELECT count(*) FROM pool)) AS BIGINT) AS quota
+      FROM pool GROUP BY 1
+    )
+    SELECT p.lang, CAST(p.doc_id AS BIGINT) AS doc_id,
+           CAST(p.p_ppm AS BIGINT) AS p_ppm,
+           CAST(p.margin_ppm AS BIGINT) AS margin_ppm,
+           q.quota
+    FROM (
+      SELECT lang, doc_id, p_ppm, margin_ppm,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY margin_ppm, doc_id) AS rn
+      FROM pool
+    ) p JOIN quota q ON p.lang = q.lang
+    WHERE p.rn <= q.quota
+    ORDER BY p.lang, p.margin_ppm, p.doc_id
+    """,
+    doc=(
+        "Active-learning acquisition: stratified margin (uncertainty) "
+        "sampling of the next labeling batch — docs closest to the "
+        "classifier's decision boundary (|confidence - 0.5|, exact "
+        "ppm), pre-filtered to the uncertain band BEFORE any window "
+        "(the corpus-scale guard), with per-lang quotas proportional "
+        "to each lang's share of the uncertain pool (integer "
+        "greatest(1, B*n_lang/n_pool) — same formula both engines). "
+        "The label-efficiency loop every classifier-curated corpus "
+        "runs between annotation rounds."
+    ),
+)
+def pipeline_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang uncertainty-ranked labeling batch under quota.
+
+    Scale notes (100 TB): scoring is per-row codegen; the margin
+    pre-filter prunes the corpus to the uncertain band before the
+    per-lang rank window (without it the window would sort whole-lang
+    partitions); the quota table is lang-grain and broadcast."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").alias(
+            "toks"
+        ),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            f"aggregate(transform(toks, t -> CASE WHEN t IN ({_CLS_STOPS})"
+            " THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+        ).alias("stop_hits"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    raw = feats.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "2 * stop_hits * 1000 div n_tok"
+            " + n_distinct * 1000 div n_tok"
+            " + least(n_tok, 500)"
+        ).alias("score"),
+    )
+    wt = Window.partitionBy(F.lit(1))
+    pool = (
+        raw.select(
+            "doc_id",
+            "lang",
+            F.expr("score * 1000000").alias("__num"),
+            F.max("score").over(wt).alias("__mx"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("__num div __mx").alias("p_ppm"),
+            F.expr("abs(__num div __mx - 500000)").alias("margin_ppm"),
+        )
+        .filter(F.col("margin_ppm") <= _AL_PREFILTER)
+    )
+    n_pool = pool.agg(F.count(F.lit(1)).alias("__np"))
+    quota = (
+        pool.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lang"))
+        .crossJoin(F.broadcast(n_pool))
+        .select(
+            "lang",
+            F.expr(
+                f"CAST(greatest(1, {_AL_BUDGET} * n_lang div __np)"
+                " AS BIGINT)"
+            ).alias("quota"),
+        )
+    )
+    wl = Window.partitionBy("lang").orderBy("margin_ppm", "doc_id")
+    return (
+        pool.withColumn("rn", F.row_number().over(wl))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(
+            "lang",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("p_ppm").cast("bigint").alias("p_ppm"),
+            F.col("margin_ppm").cast("bigint").alias("margin_ppm"),
+            "quota",
+        )
+        .orderBy("lang", "margin_ppm", "doc_id")
+    )
