@@ -1114,3 +1114,54 @@ def test_active_learning_contract(spark):
         sel = [(r.margin_ppm, r.doc_id) for r in rows if r.lang == lang]
         assert len(sel) == min(want_quota, len(members))
         assert sel == sorted(members)[: len(sel)]
+
+
+# ---------------------------------------------------------------- BM25F
+
+
+def test_bm25f_equals_bm25_on_virtual_documents(spark, tmp_path):
+    """The virtual-document pin: BM25F with title weight 2 must equal
+    plain BM25 over documents whose first 10 tokens are literally
+    duplicated — tf, dl, T all double-count the title while df stays
+    presence-based. Crafted corpus with query terms split across
+    title and body positions."""
+    from the_movies_db_spark.queries import load_all
+    from the_movies_db_spark.queries.search_queries import bm25_topk
+
+    texts = [
+        "spark join hash table merge sort key window stream batch"
+        " extra words beyond the title boundary join spark",
+        "window stream batch padding tokens here and there merge"
+        " sort key spark join hash deep in the body only",
+        "merge sort key merge sort key merge sort key merge after"
+        " boundary merge sort",
+        "hash hash hash hash hash hash hash hash hash hash hash"
+        " hash hash",  # tf saturation across the boundary
+        "unrelated filler document with none of the terms at all",
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score_milli)
+        for r in load_all()["search_bm25f"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    virtual = [
+        (i, " ".join(t.split()[:10] + t.split()), "en", "s", 0)
+        for i, t in enumerate(texts)
+    ]
+    vdf = spark.createDataFrame(
+        virtual, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.score_milli)
+        for r in bm25_topk(spark, vdf).collect()
+    }
+    assert got == want and got

@@ -2476,3 +2476,146 @@ def search_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orig_milli", "exp_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25F field-weighted retrieval — round 13
+# ---------------------------------------------------------------------------
+
+_F_TITLE_LEN = 10   # pseudo-title = first 10 tokens
+_F_W_TITLE = 2      # title weight (body weight 1)
+_BM25F_TOPK = 5
+
+_BM25F_ORACLE = f"""
+WITH q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+tokens AS (
+  SELECT doc_id, unnest(toks) AS term,
+         CASE WHEN generate_subscripts(toks, 1) <= {_F_TITLE_LEN}
+              THEN {_F_W_TITLE} ELSE 1 END AS w
+  FROM docs
+),
+dld AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS dl FROM tokens GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT)  AS total_len
+  FROM dld
+),
+tf AS (
+  SELECT t.doc_id, d.dl, t.term, CAST(sum(t.w) AS BIGINT) AS tf
+  FROM tokens t JOIN dld d ON t.doc_id = d.doc_id
+  WHERE t.term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.term,
+         {_IDF_MILLI} AS idf_milli,
+         t.tf, t.dl, s.n_docs, s.total_len
+  FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s
+),
+contrib AS (
+  SELECT doc_id, term,
+         {_SCORE_TERM.format(div='//')} AS score_term
+  FROM scored
+),
+per_query AS (
+  SELECT q.query_id, c.doc_id,
+         CAST(sum(c.score_term) AS BIGINT) AS score_milli
+  FROM contrib c JOIN q ON c.term = q.term
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_milli
+FROM (
+  SELECT query_id, doc_id, score_milli,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_milli DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM per_query
+)
+WHERE rank <= {_BM25F_TOPK}
+"""
+
+
+@register(
+    "search_bm25f",
+    _BM25F_ORACLE,
+    doc=(
+        "BM25F field-weighted retrieval (Robertson's simple BM25F = "
+        "BM25 over the virtual document with fields repeated by "
+        "weight): the pseudo-title (first 10 tokens) carries weight "
+        "2, the body 1 — tf and document length become WEIGHTED sums "
+        "while df stays presence-based, and the identical exact-"
+        "BIGINT rational scores the result. The virtual-document "
+        "equivalence is pinned in pytest by literally duplicating "
+        "title tokens and running plain BM25."
+    ),
+)
+def search_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25 via weighted token stream, top-5.
+
+    Scale notes (100 TB): same shape as search_bm25_topk — the
+    broadcast query vocabulary prunes the posexploded token stream
+    before the tf shuffle; weights ride the rows as a projection, so
+    field weighting costs nothing over plain BM25."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+            ).alias("toks"),
+        )
+    )
+    tokens = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"CASE WHEN pos < {_F_TITLE_LEN} THEN {_F_W_TITLE}"
+            " ELSE 1 END"
+        ).alias("w"),
+    )
+    dld = tokens.groupBy("doc_id").agg(
+        F.sum("w").cast("bigint").alias("dl")
+    )
+    stats = dld.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    qterms = spark.createDataFrame(list(QUERIES), "query_id int, term string")
+    vocab = qterms.select("term").distinct()
+    tf = (
+        tokens.join(F.broadcast(vocab), "term")
+        .join(dld, "doc_id")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.sum("w").cast("bigint").alias("tf"))
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+    scored = (
+        tf.withColumn("df", df_w)
+        .join(F.broadcast(stats))
+        .withColumn("idf_milli", F.expr(_IDF_MILLI))
+        .withColumn("score_term", F.expr(_SCORE_TERM.format(div="div")))
+    )
+    per_query = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_term").cast("bigint").alias("score_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BM25F_TOPK)
+        .select("query_id", "rank", "doc_id", "score_milli")
+    )
