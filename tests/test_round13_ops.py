@@ -1165,3 +1165,69 @@ def test_bm25f_equals_bm25_on_virtual_documents(spark, tmp_path):
         for r in bm25_topk(spark, vdf).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------- RD
+
+
+def test_rd_planted_jump_recovered(spark, tmp_path):
+    """Planted ground truth: outcome = 1000 + 5*u cents below the
+    cutoff, 3000 + 5*u above (linear both sides, jump exactly 2000
+    cents at u=0) — the local-linear RD must recover tau = 2000 cents
+    = 2e9 micro-units EXACTLY (the fit is exact on exactly-linear
+    data and the divmod chain has zero remainder)."""
+    from the_movies_db_spark.queries import load_all
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+    for x in range(31, 70):      # running variable band (|x-50| < 20)
+        for k in range(3):       # 3 events per x
+            u = x - 50
+            y = (1000 + 5 * u) if x < 50 else (3000 + 5 * u)
+            rows.append(
+                (eid, datetime(2024, 1, 1), 100 + x, "view",
+                 y / 100.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    [r] = (
+        load_all()["events_regression_discontinuity"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    assert (r.n_l, r.n_r) == (57, 60)
+    assert r.yhat_l_micro == 1000 * 1000000
+    assert r.yhat_r_micro == 3000 * 1000000
+    assert r.tau_micro == 2000 * 1000000
+
+
+def test_rd_chain_equals_exact_rational():
+    """The 3-stage divmod chain must equal floor(num*1e6/den) for
+    positive rationals and the truncate-toward-zero analogue for
+    negative numerators (both engines share % semantics)."""
+    import random
+
+    def chain(num, den):
+        # replicate engine semantics: truncate-toward-zero div / mod
+        def tdiv(a, b):
+            return -((-a) // b) if (a < 0) != (b < 0) else a // b
+        def tmod(a, b):
+            return a - b * tdiv(a, b)
+        t1 = tdiv(num, den) * 1000000
+        t2 = tdiv(tmod(num, den) * 100, den) * 10000
+        t3 = tdiv(tmod(tmod(num, den) * 100, den) * 100, den) * 100
+        t4 = tdiv(tmod(tmod(tmod(num, den) * 100, den) * 100, den) * 100, den)
+        return t1 + t2 + t3 + t4
+
+    rng = random.Random(1302)
+    for _ in range(20000):
+        den = rng.randint(1, 10**12)
+        num = rng.randint(0, 10**15)
+        assert chain(num, den) == num * 1000000 // den, (num, den)

@@ -7407,3 +7407,117 @@ def events_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_SLF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity (sharp, local linear) — round 13
+# ---------------------------------------------------------------------------
+
+_RD_CUT = 50   # cutoff on the running variable user_id % 100
+_RD_BW = 20    # bandwidth: |x - c| < 20
+
+
+def _rd_chain(num: str, den: str, div: str) -> str:
+    """num * 1e6 / den in micro units via the 3-stage *100 divmod
+    chain (round-5 overflow discipline) — every intermediate product
+    is bounded by |den| * 100. Both engines truncate division and %
+    toward zero, so the chain is engine-exact for either sign; the
+    only per-engine token is the integer-division operator."""
+    return (
+        f"(({num}) {div} ({den})) * 1000000"
+        f" + (((({num}) % ({den})) * 100) {div} ({den})) * 10000"
+        f" + (((((({num}) % ({den})) * 100) % ({den})) * 100)"
+        f" {div} ({den})) * 100"
+        f" + (((((((({num}) % ({den})) * 100) % ({den})) * 100)"
+        f" % ({den})) * 100) {div} ({den}))"
+    )
+
+
+def _rd_side_exprs(side: str) -> dict[str, str]:
+    f = f"CASE WHEN side = '{side}' THEN {{v}} ELSE 0 END"
+    return {
+        "n": f"sum({f.format(v='1')})",
+        "su": f"sum({f.format(v='u')})",
+        "suu": f"sum({f.format(v='u * u')})",
+        "sy": f"sum({f.format(v='y')})",
+        "suy": f"sum({f.format(v='u * y')})",
+    }
+
+
+def _rd_select(div: str) -> str:
+    parts = []
+    for side in ("l", "r"):
+        e = _rd_side_exprs(side)
+        num = f"({e['sy']} * {e['suu']} - {e['su']} * {e['suy']})"
+        den = f"({e['n']} * {e['suu']} - {e['su']} * {e['su']})"
+        parts.append(f"CAST({e['n']} AS BIGINT) AS n_{side}")
+        parts.append(
+            f"CAST({_rd_chain(num, den, div)} AS BIGINT)"
+            f" AS yhat_{side}_micro"
+        )
+    return ",\n           ".join(parts)
+
+
+@register(
+    "events_regression_discontinuity",
+    f"""
+    WITH base AS (
+      SELECT user_id % 100 - {_RD_CUT} AS u,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             CASE WHEN user_id % 100 >= {_RD_CUT} THEN 'r' ELSE 'l' END
+               AS side
+      FROM events
+      WHERE abs(user_id % 100 - {_RD_CUT}) < {_RD_BW}
+    ), s AS (
+      SELECT {_rd_select('//')}
+      FROM base
+    )
+    SELECT n_l, n_r, yhat_l_micro, yhat_r_micro,
+           CAST(yhat_r_micro - yhat_l_micro AS BIGINT) AS tau_micro
+    FROM s
+    """,
+    doc=(
+        "Sharp regression-discontinuity estimate: the running "
+        "variable user_id%100 is cut at 50, a LOCAL LINEAR fit on "
+        "each side of the cutoff (bandwidth 20) extrapolates the "
+        "outcome (event value in cents) to the boundary, and tau = "
+        "the jump between the two intercepts. Centering at the "
+        "cutoff makes the OLS intercept the estimand directly "
+        "((Sy*Suu - Su*Suy)/(n*Suu - Su^2), all exact BIGINT sums); "
+        "the micro-unit quotient runs through the 3-stage *100 "
+        "divmod chain so nothing outgrows BIGINT at any row count. "
+        "Completes the causal toolkit next to DiD and interrupted-TS."
+    ),
+)
+def events_regression_discontinuity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local-linear RD: boundary intercepts per side + the jump.
+
+    Scale notes (100 TB): one fact scan, one combining aggregate of
+    ten CASE-filtered integer power sums (map-side partials), one
+    scalar projection for the quotient chains — nothing after the
+    aggregate scales with data."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.expr(f"abs(user_id % 100 - {_RD_CUT}) < {_RD_BW}"))
+        .select(
+            F.expr(f"user_id % 100 - {_RD_CUT}").alias("u"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+            F.expr(
+                f"CASE WHEN user_id % 100 >= {_RD_CUT} THEN 'r'"
+                " ELSE 'l' END"
+            ).alias("side"),
+        )
+    )
+    parts = [
+        p.replace("\n           ", " ")
+        for p in _rd_select("div").split(",\n           ")
+    ]
+    return base.selectExpr(*parts).selectExpr(
+        "n_l",
+        "n_r",
+        "yhat_l_micro",
+        "yhat_r_micro",
+        "CAST(yhat_r_micro - yhat_l_micro AS BIGINT) AS tau_micro",
+    )
