@@ -1231,3 +1231,80 @@ def test_rd_chain_equals_exact_rational():
         den = rng.randint(1, 10**12)
         num = rng.randint(0, 10**15)
         assert chain(num, den) == num * 1000000 // den, (num, den)
+
+
+# ---------------------------------------------------------------- BH / FDR
+
+
+def test_fdr_bh_planted_effects_rejected(spark, tmp_path):
+    """Planted ground truth: two event types carry a REAL arm effect
+    (arm-1 users spend 100x), three are null — BH at q=0.10 must
+    reject exactly the effect types, and every output cell must match
+    a pure-Python replication of the permutation + step-up logic."""
+    import hashlib
+    from datetime import datetime
+
+    from the_movies_db_spark.queries import load_all
+
+    def arm(seed: str, uid: int) -> int:
+        return int(
+            hashlib.md5(f"{seed}:{uid}".encode()).hexdigest()[:4], 16
+        ) % 2
+
+    users = list(range(1, 101))
+    rows = []
+    eid = 0
+    for uid in users:
+        a = arm("obs", uid)
+        for et in ("alpha", "beta", "gamma", "delta", "epsilon"):
+            effect = et in ("alpha", "beta")
+            v = 100.0 if (effect and a == 1) else 1.0
+            rows.append(
+                (eid, datetime(2024, 1, 1), uid, et, v, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    # pure-Python replication
+    cents = {}
+    for _, _, uid, et, v, _ in rows:
+        cents[(uid, et)] = cents.get((uid, et), 0) + round(v * 100)
+    types = sorted({et for _, et in cents})
+    def stat(seed):
+        s = {et: 0 for et in types}
+        for (uid, et), c in cents.items():
+            s[et] += c if arm(seed, uid) == 1 else -c
+        return {et: abs(x) for et, x in s.items()}
+    obs = stat("obs")
+    n_ext = {et: 0 for et in types}
+    for k in range(40):
+        st = stat(str(k))
+        for et in types:
+            if st[et] >= obs[et]:
+                n_ext[et] += 1
+    order = sorted(types, key=lambda et: (n_ext[et], et))
+    kstar = 0
+    for i, et in enumerate(order, 1):
+        if (1 + n_ext[et]) * 10 * len(types) <= i * 41 * 1:
+            kstar = i
+    want = {
+        et: (obs[et], n_ext[et], (1 + n_ext[et]) * 1000 // 41, i,
+             1 if i <= kstar else 0)
+        for i, et in enumerate(order, 1)
+    }
+    got = {
+        r.event_type: (r.observed_cents, r.n_extreme, r.p_milli,
+                       r.bh_rank, r.rejected)
+        for r in load_all()["events_fdr_bh"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
+    assert got["alpha"][4] == 1 and got["beta"][4] == 1
+    assert got["gamma"][4] == 0 and got["delta"][4] == 0
+    assert got["epsilon"][4] == 0

@@ -77,8 +77,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # upsert_change_stats, streaming_session_window, streaming_dedup,
     # sim_topk_lsh, sim_topk_ivf, sim_topk_bruteforce, sim_recall_eval,
     # search_phrase, search_bm25_topk, schema_drift_type,
-    # schema_drift_add, q21_latest_shipper, q12_priority_class
-    # (displaced by round-13 registrations),
+    # schema_drift_add, q21_latest_shipper, q12_priority_class,
+    # q04_order_priority (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
     # plus any names displaced from this window:
@@ -109,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_active_learning",
     "search_bm25f",
     "events_regression_discontinuity",
+    "events_fdr_bh",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -136,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_quality_filter",
     "pipeline_sample_stratified",
     "pipeline_split_by_source",
-    "q04_order_priority",
 )
 
 

@@ -7521,3 +7521,170 @@ def events_regression_discontinuity(
         "yhat_r_micro",
         "CAST(yhat_r_micro - yhat_l_micro AS BIGINT) AS tau_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple-testing correction: Benjamini-Hochberg over permutation
+# p-values — round 13
+# ---------------------------------------------------------------------------
+
+_FDR_B = 40      # permutations per hypothesis
+_FDR_Q10 = 1     # FDR level q = _FDR_Q10 / 10 = 0.10
+
+
+@register(
+    "events_fdr_bh",
+    f"""
+    WITH put AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT event_type,
+             abs(sum(CASE WHEN {_PERM_ASSIGN_DUCK.format(k="'obs'")} = 1
+                     THEN cents ELSE -cents END)) AS observed
+      FROM put GROUP BY 1
+    ),
+    perms AS (
+      SELECT event_type, k.k,
+             abs(sum(CASE WHEN {_PERM_ASSIGN_DUCK.format(k="k.k")} = 1
+                     THEN cents ELSE -cents END)) AS stat
+      FROM put CROSS JOIN (
+        SELECT unnest(range(0, {_FDR_B})) AS k) k
+      GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT o.event_type,
+             CAST(o.observed AS BIGINT) AS observed_cents,
+             CAST(sum(CASE WHEN p.stat >= o.observed THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_extreme
+      FROM perms p JOIN obs o ON p.event_type = o.event_type
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, observed_cents, n_extreme,
+             CAST((1 + n_extreme) * 1000 // ({_FDR_B} + 1) AS BIGINT)
+               AS p_milli,
+             CAST(row_number() OVER (
+               ORDER BY n_extreme, event_type) AS BIGINT) AS bh_rank,
+             CASE WHEN (1 + n_extreme) * 10
+                       * (SELECT count(*) FROM pv)
+                       <= bh_rank_inner * ({_FDR_B} + 1) * {_FDR_Q10}
+                  THEN 1 ELSE 0 END AS passes
+      FROM (
+        SELECT pv.*, row_number() OVER (ORDER BY n_extreme, event_type)
+                 AS bh_rank_inner
+        FROM pv
+      ) t
+    )
+    SELECT event_type, observed_cents, n_extreme, p_milli, bh_rank,
+           CAST(CASE WHEN bh_rank <= (SELECT coalesce(max(
+                  CASE WHEN passes = 1 THEN bh_rank END), 0) FROM ranked)
+                THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM ranked ORDER BY event_type
+    """,
+    doc=(
+        "Benjamini-Hochberg FDR correction over m=5 simultaneous "
+        "permutation tests (one per event type: A/B revenue "
+        "difference under the md5-derandomised split). Permutation "
+        "p-values are exact rationals (1+n_extreme)/(B+1), the BH "
+        "step-up condition p_(k) <= k*q/m is evaluated as the integer "
+        "cross-multiplication (1+c)*10*m <= k*(B+1), and rejection "
+        "propagates to all ranks <= k* — fully engine-exact with NO "
+        "distributional assumptions or transcendentals. The guard "
+        "every slice-scanning pipeline needs before acting on its "
+        "'significant' segments."
+    ),
+)
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type permutation tests + exact BH step-up at q=0.10.
+
+    Scale notes (100 TB): the fact collapses to (user, type) grain
+    once; the 41 relabelings ride a broadcast crossJoin over that
+    bounded grain (map-side md5 + one combining aggregate keyed on
+    (type, seed)); everything after is a 5-row window."""
+    put = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # obs + perms branches share it
+    )
+    obs = put.groupBy("event_type").agg(
+        F.expr(
+            f"abs(sum(CASE WHEN {_PERM_ASSIGN_SPARK.format(k=chr(39) + 'obs' + chr(39))} = 1"
+            " THEN cents ELSE -cents END))"
+        ).alias("observed")
+    )
+    seeds = F.broadcast(
+        put.sparkSession.range(_FDR_B).select(F.col("id").alias("k"))
+    )
+    perms = (
+        put.crossJoin(seeds)
+        .groupBy("event_type", "k")
+        .agg(
+            F.expr(
+                f"abs(sum(CASE WHEN {_PERM_ASSIGN_SPARK.format(k='k')} = 1"
+                " THEN cents ELSE -cents END))"
+            ).alias("stat")
+        )
+    )
+    pv = (
+        perms.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type", "observed")
+        .agg(
+            F.expr("sum(CASE WHEN stat >= observed THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+        .select(
+            "event_type",
+            F.col("observed").cast("bigint").alias("observed_cents"),
+            "n_extreme",
+        )
+    )
+    wm = Window.partitionBy(F.lit(1))
+    wr = Window.partitionBy(F.lit(1)).orderBy("n_extreme", "event_type")
+    ranked = pv.select(
+        "event_type",
+        "observed_cents",
+        "n_extreme",
+        F.expr(f"CAST((1 + n_extreme) * 1000 div ({_FDR_B} + 1) AS BIGINT)")
+        .alias("p_milli"),
+        F.row_number().over(wr).cast("bigint").alias("bh_rank"),
+        F.count(F.lit(1)).over(wm).alias("__m"),
+    ).select(
+        "event_type",
+        "observed_cents",
+        "n_extreme",
+        "p_milli",
+        "bh_rank",
+        F.expr(
+            f"CASE WHEN (1 + n_extreme) * 10 * __m"
+            f" <= bh_rank * ({_FDR_B} + 1) * {_FDR_Q10}"
+            " THEN 1 ELSE 0 END"
+        ).alias("passes"),
+    )
+    kstar = ranked.agg(
+        F.expr(
+            "coalesce(max(CASE WHEN passes = 1 THEN bh_rank END), 0)"
+        ).alias("__kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "observed_cents",
+            "n_extreme",
+            "p_milli",
+            "bh_rank",
+            F.expr("CAST(CASE WHEN bh_rank <= __kstar THEN 1 ELSE 0 END"
+                   " AS BIGINT)").alias("rejected"),
+        )
+        .orderBy("event_type")
+    )
