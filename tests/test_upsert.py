@@ -487,3 +487,92 @@ def test_merge_on_read_lifecycle(spark, tmp_path):
 
     assert not g.glob(os.path.join(root, "deltas", "delta-*.parquet"))
     assert {tuple(r) for r in read_mor(spark, root, "pk").collect()} == expected
+
+
+# ---------------------------------------------------------------- branches
+
+
+def test_branch_lifecycle_three_way_merge(spark, tmp_path):
+    """Planted lifecycle: fork-by-reference read, vacuum protection of
+    the fork version, divergent writes, branch-wins three-way merge
+    with exact hand-computed final state and stats, branch consumed."""
+    import os
+
+    from the_movies_db_spark import upsert as U
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "pk long, s string, v long"
+    )
+    U.write_upsert(spark, root, df, "pk", order_col=None)
+    fork = U.branch_create(root, "dev")
+    # by-reference: no version dirs under the branch root yet
+    broot = os.path.join(root, "_branches", "dev")
+    assert U.list_versions(broot) == []
+    assert sorted(
+        (r.pk, r.s, r.v) for r in U.read_branch(spark, root, "dev").collect()
+    ) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # main diverges: update pk=1 (conflict-to-be), insert pk=4
+    U.write_upsert(
+        spark, root,
+        spark.createDataFrame([(1, "a", 11), (4, "d", 40)],
+                              "pk long, s string, v long"),
+        "pk", order_col=None,
+    )
+    # vacuum (keep=1) ran, but the fork version must survive
+    assert fork in U.list_versions(root)
+    # branch diverges: update pk=1 (conflict) + pk=2, insert pk=5
+    U.write_upsert_branch(
+        spark, root, "dev",
+        spark.createDataFrame([(1, "a", 111), (2, "b", 222), (5, "e", 50)],
+                              "pk long, s string, v long"),
+        "pk",
+    )
+    stats = U.merge_branch(spark, root, "dev", "pk")
+    assert stats["n_branch_changes"] == 3  # pk 1, 2, 5
+    assert stats["n_main_changes"] == 2    # pk 1, 4
+    assert stats["n_conflicts"] == 1       # pk 1
+    got = sorted(
+        (r.pk, r.s, r.v) for r in U.read_table(spark, root).collect()
+    )
+    assert got == [
+        (1, "a", 111),  # conflict: branch wins
+        (2, "b", 222),  # branch update
+        (3, "c", 30),   # base row persists
+        (4, "d", 40),   # main insert survives the merge
+        (5, "e", 50),   # branch insert
+    ]
+    assert U.list_branches(root) == []  # consumed
+    # fork no longer referenced: the next write's vacuum removes it
+    U.write_upsert(
+        spark, root,
+        spark.createDataFrame([(6, "f", 60)], "pk long, s string, v long"),
+        "pk", order_col=None,
+    )
+    assert fork not in U.list_versions(root)
+
+
+def test_branch_merge_error_policy(spark, tmp_path):
+    import pytest as _pytest
+
+    from the_movies_db_spark import upsert as U
+
+    root = str(tmp_path / "t2")
+    U.write_upsert(
+        spark, root,
+        spark.createDataFrame([(1, 10)], "pk long, v long"),
+        "pk", order_col=None,
+    )
+    U.branch_create(root, "dev")
+    U.write_upsert(
+        spark, root, spark.createDataFrame([(1, 11)], "pk long, v long"),
+        "pk", order_col=None,
+    )
+    U.write_upsert_branch(
+        spark, root, "dev",
+        spark.createDataFrame([(1, 12)], "pk long, v long"), "pk",
+    )
+    with _pytest.raises(ValueError, match="1 conflicts"):
+        U.merge_branch(spark, root, "dev", "pk", on_conflict="error")
+    # branch untouched by the failed merge
+    assert U.list_branches(root) == ["dev"]

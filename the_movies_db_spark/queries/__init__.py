@@ -78,7 +78,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_topk_lsh, sim_topk_ivf, sim_topk_bruteforce, sim_recall_eval,
     # search_phrase, search_bm25_topk, schema_drift_type,
     # schema_drift_add, q21_latest_shipper, q12_priority_class,
-    # q04_order_priority (displaced by round-13 registrations),
+    # q04_order_priority, pipeline_split_by_source
+    # (displaced by round-13 registrations),
     # upsert_scd2, window_first_last,
     # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
     # plus any names displaced from this window:
@@ -110,6 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "search_bm25f",
     "events_regression_discontinuity",
     "events_fdr_bh",
+    "upsert_table_branches",
     # -- round-12 displaced queue (fixed this round) ---------------
     "agg_percentiles",
     "cdc_apply",
@@ -136,7 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_pii_redact",
     "pipeline_quality_filter",
     "pipeline_sample_stratified",
-    "pipeline_split_by_source",
 )
 
 

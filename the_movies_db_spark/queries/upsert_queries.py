@@ -1453,3 +1453,125 @@ def upsert_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table branches: branch / diverge / three-way merge — round 13
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_table_branches",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), final AS (
+      -- three-way merge replay: branch-wins on conflicts, both sides'
+      -- non-conflicting changes land, base rows persist
+      SELECT pk, status,
+             CASE WHEN pk % 5 = 0 THEN cents + 1555          -- branch update
+                  WHEN pk % 3 = 0 THEN cents + 777           -- main update
+                  ELSE cents END AS cents
+      FROM o WHERE pk % 4 = 1
+      UNION ALL
+      SELECT pk, status, cents FROM o WHERE pk % 4 = 2       -- main insert
+      UNION ALL
+      SELECT pk, status, cents + 1555 FROM o
+      WHERE pk % 4 = 3                                       -- branch insert
+    ), stats AS (
+      SELECT CAST((SELECT count(*) FROM o
+                   WHERE (pk % 4 = 1 AND pk % 5 = 0) OR pk % 4 = 3)
+                  AS BIGINT) AS n_branch_changes,
+             CAST((SELECT count(*) FROM o
+                   WHERE (pk % 4 = 1 AND pk % 3 = 0) OR pk % 4 = 2)
+                  AS BIGINT) AS n_main_changes,
+             CAST((SELECT count(*) FROM o
+                   WHERE pk % 4 = 1 AND pk % 15 = 0)
+                  AS BIGINT) AS n_conflicts
+    )
+    SELECT f.status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f.cents) AS BIGINT) AS cents,
+           s.n_branch_changes, s.n_main_changes, s.n_conflicts
+    FROM final f CROSS JOIN stats s
+    GROUP BY 1, 4, 5, 6 ORDER BY 1
+    """,
+    doc=(
+        "Nessie-style table branches over the versioned-dir layout: "
+        "branch_create records the fork version (read BY REFERENCE — "
+        "no copy — until the first branch write; vacuum protects the "
+        "fork), main and branch then diverge (updates + inserts on "
+        "each side, including deliberate conflicts pk%15==0), and "
+        "merge_branch runs a THREE-WAY merge (changed-vs-base on each "
+        "side, branch-wins conflicts, both sides' non-conflicting "
+        "changes land) committed as a new main version under the "
+        "writer lease. Census of the merged table + the merge stats; "
+        "the oracle replays the whole lifecycle relationally."
+    ),
+)
+def upsert_table_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """branch -> diverge -> three-way merge lifecycle census.
+
+    Scale notes (100 TB): branching is O(1) metadata (a fork pointer);
+    branch reads before the first write serve main's version dir by
+    reference; the merge's changed-sets are keyed left-joins against
+    the base version (no full-table diff materialization beyond the
+    changed rows, which are lazily checkpointed for the stats +
+    merge branches)."""
+    from the_movies_db_spark.io import scratch_dir
+    from the_movies_db_spark.upsert import (
+        branch_create,
+        merge_branch,
+        read_table,
+        write_upsert,
+        write_upsert_branch,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    root = scratch_dir("branches")
+    write_upsert(spark, root, o.filter("pk % 4 = 1"), "pk", order_col=None)
+    branch_create(root, "feature")
+    main_batch = (
+        o.filter("pk % 4 = 1 AND pk % 3 = 0")
+        .select("pk", "status", (F.col("cents") + 777).alias("cents"))
+        .unionByName(o.filter("pk % 4 = 2").select("pk", "status", "cents"))
+    )
+    write_upsert(spark, root, main_batch, "pk", order_col=None)
+    branch_batch = (
+        o.filter("pk % 4 = 1 AND pk % 5 = 0")
+        .select("pk", "status", (F.col("cents") + 1555).alias("cents"))
+        .unionByName(
+            o.filter("pk % 4 = 3").select(
+                "pk", "status", (F.col("cents") + 1555).alias("cents")
+            )
+        )
+    )
+    write_upsert_branch(spark, root, "feature", branch_batch, "pk")
+    stats = merge_branch(spark, root, "feature", "pk")
+    return (
+        read_table(spark, root)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            "status",
+            "n_rows",
+            "cents",
+            F.lit(stats["n_branch_changes"]).cast("bigint").alias(
+                "n_branch_changes"
+            ),
+            F.lit(stats["n_main_changes"]).cast("bigint").alias(
+                "n_main_changes"
+            ),
+            F.lit(stats["n_conflicts"]).cast("bigint").alias("n_conflicts"),
+        )
+        .orderBy("status")
+    )

@@ -302,10 +302,13 @@ def _commit_version(target_path: str, version_name: str) -> None:
 def vacuum_table(target_path: str, keep: int = 1) -> list[str]:
     """Remove version dirs older than the ``keep`` most recent at or
     below the current pointer (never the current one, never newer
-    in-flight writes). Returns removed names."""
+    in-flight writes, never a version some live branch forked from —
+    the branch still reads it until its first own write and needs it
+    as the merge base). Returns removed names."""
     current = _current_version(target_path)
     if current is None:
         return []
+    protected = _branch_forks(target_path)
     versions = sorted(
         d for d in os.listdir(target_path)
         if _VERSION_RE.fullmatch(d) and d <= current
@@ -313,7 +316,7 @@ def vacuum_table(target_path: str, keep: int = 1) -> list[str]:
     doomed = versions[:-keep] if keep > 0 else versions[:-1]
     removed = []
     for v in doomed:
-        if v == current:
+        if v == current or v in protected:
             continue
         shutil.rmtree(os.path.join(target_path, v), ignore_errors=True)
         removed.append(v)
@@ -942,3 +945,172 @@ def mor_should_compact(
         if f.endswith(".parquet")
     )
     return delta_bytes > max_bytes_frac * max(base_bytes, 1)
+
+
+# --- table branches (Nessie-style refs over the versioned layout) ----------
+#
+# A branch is a named ref under ``<root>/_branches/<name>``: a ``_FORK``
+# file recording the main version it forked from, plus (after its first
+# write) its OWN versioned layout — the branch root is itself a
+# ``_CURRENT``-pointed table, so every existing primitive (writer lease,
+# atomic pointer commit, vacuum) applies unchanged. Until the first
+# branch write, reads serve the fork version by reference (no copy).
+# ``vacuum_table`` on main never removes a version some live branch
+# forked from. Deletion semantics are out of scope (upsert-only
+# branches), matching ``write_upsert``.
+
+_BRANCH_DIR = "_branches"
+_FORK_FILE = "_FORK"
+
+
+def _branch_root(target_path: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name):
+        raise ValueError(f"invalid branch name: {name!r}")
+    return os.path.join(target_path, _BRANCH_DIR, name)
+
+
+def _branch_forks(target_path: str) -> set[str]:
+    """Fork versions referenced by live branches (vacuum protection)."""
+    bdir = os.path.join(target_path, _BRANCH_DIR)
+    forks: set[str] = set()
+    if os.path.isdir(bdir):
+        for n in os.listdir(bdir):
+            try:
+                with open(os.path.join(bdir, n, _FORK_FILE)) as fh:
+                    forks.add(fh.read().strip())
+            except OSError:
+                pass
+    return forks
+
+
+def _branch_fork(target_path: str, name: str) -> str:
+    with open(os.path.join(_branch_root(target_path, name), _FORK_FILE)) as fh:
+        return fh.read().strip()
+
+
+def list_branches(target_path: str) -> list[str]:
+    bdir = os.path.join(target_path, _BRANCH_DIR)
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        n for n in os.listdir(bdir)
+        if os.path.exists(os.path.join(bdir, n, _FORK_FILE))
+    )
+
+
+def branch_create(target_path: str, name: str, lock_wait: float = 0.0) -> str:
+    """Create branch ``name`` at the current main version and return
+    that fork version. Runs under the MAIN writer lease so the fork
+    pointer can never reference a version a concurrent writer's
+    vacuum is removing."""
+    with writer_lock(target_path, wait_seconds=lock_wait):
+        fork = _current_version(target_path)
+        if fork is None:
+            raise ValueError(f"cannot branch empty table {target_path}")
+        broot = _branch_root(target_path, name)
+        if os.path.exists(broot):
+            raise ValueError(f"branch already exists: {name}")
+        os.makedirs(broot)
+        tmp = os.path.join(broot, f".{_FORK_FILE}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(fork)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(broot, _FORK_FILE))
+    return fork
+
+
+def read_branch(spark: SparkSession, target_path: str, name: str) -> DataFrame:
+    """Branch head: its own current version after a write, the fork
+    version BY REFERENCE before one."""
+    broot = _branch_root(target_path, name)
+    if _current_version(broot) is not None:
+        return spark.read.parquet(table_data_path(broot))
+    return read_table(spark, target_path, version=_branch_fork(target_path, name))
+
+
+def write_upsert_branch(
+    spark: SparkSession,
+    target_path: str,
+    name: str,
+    batch: DataFrame,
+    pk: str | Sequence[str],
+    order_col: str | None = None,
+    lock_wait: float = 0.0,
+) -> None:
+    """Upsert ``batch`` into the branch head (never touches main):
+    read branch head -> merge -> commit a new version under the
+    BRANCH root's own writer lease."""
+    broot = _branch_root(target_path, name)
+    with writer_lock(broot, wait_seconds=lock_wait):
+        cur = read_branch(spark, target_path, name)
+        out = merge_upsert(cur, batch, pk, order_col=order_col)
+        version = _next_version_name(broot)
+        out.write.mode("overwrite").parquet(os.path.join(broot, version))
+        _commit_version(broot, version)
+        vacuum_table(broot, keep=1)
+
+
+def merge_branch(
+    spark: SparkSession,
+    target_path: str,
+    name: str,
+    pk: str | Sequence[str],
+    on_conflict: str = "theirs",
+    lock_wait: float = 0.0,
+) -> dict:
+    """Three-way merge of branch ``name`` back into main.
+
+    base = the fork version, ours = main head, theirs = branch head.
+    A row CHANGED on a side iff it is new or differs null-safely from
+    base. Conflicts (changed on both sides) resolve branch-wins
+    (``on_conflict='theirs'``) or raise (``'error'``). Non-conflicting
+    changes from both sides land; the merged state commits as a new
+    main version under the main writer lease and the branch ref is
+    deleted (consumed). Returns
+    ``{n_branch_changes, n_main_changes, n_conflicts, merged_version}``.
+    """
+    if on_conflict not in ("theirs", "error"):
+        raise ValueError(f"unknown on_conflict policy: {on_conflict!r}")
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    with writer_lock(target_path, wait_seconds=lock_wait):
+        fork = _branch_fork(target_path, name)
+        base = read_table(spark, target_path, version=fork)
+        ours = read_table(spark, target_path)
+        theirs = read_branch(spark, target_path, name)
+        non_keys = [c for c in base.columns if c not in keys]
+
+        def changed_rows(side: DataFrame) -> DataFrame:
+            cond = None
+            for k in keys:
+                c = F.col(f"s.{k}").eqNullSafe(F.col(f"a.{k}"))
+                cond = c if cond is None else (cond & c)
+            j = side.alias("s").join(base.alias("a"), cond, "left_outer")
+            is_new = F.col(f"a.{keys[0]}").isNull()
+            return j.filter(
+                is_new | changed_predicate("a", "s", non_keys)
+            ).select(*[F.col(f"s.{c}").alias(c) for c in side.columns])
+
+        th_ch = changed_rows(theirs).localCheckpoint(eager=False)
+        our_ch = changed_rows(ours)
+        n_theirs = th_ch.count()
+        n_ours = our_ch.count()
+        n_conflicts = th_ch.join(our_ch.select(*keys), keys, "inner").count()
+        if on_conflict == "error" and n_conflicts:
+            raise ValueError(
+                f"merge of branch {name!r} has {n_conflicts} conflicts"
+            )
+        merged = merge_upsert(ours, th_ch, pk, order_col=None)
+        version = _next_version_name(target_path)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_path, version)
+        )
+        _commit_version(target_path, version)
+        shutil.rmtree(_branch_root(target_path, name), ignore_errors=True)
+        vacuum_table(target_path, keep=1)
+        return {
+            "n_branch_changes": n_theirs,
+            "n_main_changes": n_ours,
+            "n_conflicts": n_conflicts,
+            "merged_version": version,
+        }
