@@ -961,7 +961,9 @@ def dedup_sketch_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |sources| rows. The direct-global recompute here is the
     audit's witness — production merges shard sketches and never
     re-reads the corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread: per-doc shingling + 8-hash minhash is per-row-heavy and
+    # the single-file scan is one partition (round-10 rule)
+    d = spread(load_table(spark, sf_dir, "documents"))
     # checkpoint the per-doc signatures: the 8 element extractions
     # would otherwise re-inline the whole HOF fold 8x (the round-2
     # staging lesson — projection collapse undoes a bare .select),
@@ -1209,7 +1211,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized on both engines)."""
     from the_movies_db_spark.operators.dedup import minhash_signature
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread: per-doc shingling + 8-hash minhash on a one-partition
+    # single-file scan otherwise runs serial (round-10 rule)
+    d = spread(load_table(spark, sf_dir, "documents"))
     sig = d.select(
         "doc_id", minhash_signature("text", _NUM_HASHES).alias("sig")
     ).localCheckpoint(eager=False)

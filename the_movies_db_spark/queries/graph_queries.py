@@ -459,7 +459,15 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = F.broadcast(keep)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = e.join(keep, "c").select("c", F.col("s").alias("supp_a"))
-    b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b"))
+    # shuffle-hash the pair self-join: the checkpointed edge list has
+    # no stats, so the planner falls back to SortMergeJoin and pays
+    # two full sorts of the edge list (guide §3.1). The build side is
+    # one hash partition of (c, s) pairs — narrow rows, degree-capped
+    # fan-out — so the per-partition hash table is bounded at any
+    # scale (A/B at sf0.1: 2.4 s -> 1.5 s for the pair stage).
+    b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b")).hint(
+        "shuffle_hash"
+    )
     com = (
         a.join(b, (a.c == b.c2) & (F.col("supp_a") < F.col("supp_b")))
         .groupBy("supp_a", "supp_b")
@@ -984,7 +992,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_cust <= _KEEP_BCAST_MAX:
         keep = F.broadcast(keep)
     a = e.join(keep, "c").select("c", "w", F.col("s").alias("supp_a"))
-    b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b"))
+    # shuffle-hash for the stats-less pair self-join — same rationale
+    # and A/B evidence as graph_link_jaccard
+    b = e.select(F.col("c").alias("c2"), F.col("s").alias("supp_b")).hint(
+        "shuffle_hash"
+    )
     pairs = (
         a.join(b, (a.c == b.c2) & (F.col("supp_a") < F.col("supp_b")))
         .groupBy("supp_a", "supp_b")

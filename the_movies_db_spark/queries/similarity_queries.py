@@ -3278,7 +3278,10 @@ def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path swaps the brute-force scorer for the IVF index —
     same downstream histogram); the occurrence aggregate is over
     |panel|*k edges, and the histogram domain is <= |panel|."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread: the single-file corpus scan is one input partition, and
+    # the |panel| x corpus pair scoring is per-row-heavy (measured
+    # 7.8 s serial vs 1.6 s spread at sf0.1 — the round-10 rule)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     panel = e.filter(F.col("vec_id") < _HUB_PANEL)
     edges = S.cosine_topk(
         e, panel, "vec_id", "embedding", k=_HUB_K, dim=_DIM

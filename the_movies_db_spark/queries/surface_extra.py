@@ -6346,7 +6346,13 @@ def dq_candidate_keys3(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded width (6 / 15 / 20 values), so the fact is never
     shuffled by lattice level — the same shape TANE uses to scale
     arity without blowing up the data plane."""
-    o = load_table(spark, sf_dir, "orders")
+    from the_movies_db_spark.io import spread
+
+    # spread: each multi-count-distinct pass Expands the fact 10-20x
+    # and the single-file scan is one partition — the partial
+    # aggregates otherwise run serial (measured 6.9 s -> 2.9 s warm
+    # for the three passes at sf0.1)
+    o = spread(load_table(spark, sf_dir, "orders"))
     l1 = o.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         *[

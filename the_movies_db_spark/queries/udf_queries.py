@@ -319,7 +319,7 @@ def udf_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     users parallelize perfectly; the Python kernel is one pass over
     each group's rows. The streaming twin is
     applyInPandasWithState with the same integer state."""
-    from the_movies_db_spark.functions.udfs import token_bucket_kernel
+    from the_movies_db_spark.functions.udfs import token_bucket_shard_kernel
 
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -329,9 +329,19 @@ def udf_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         ).alias("ts_us"),
     )
-    per_user = clicks.groupBy("user_id").applyInPandas(
-        token_bucket_kernel,
-        "user_id long, n_clicks long, n_admitted long, n_rejected long",
+    # group on a SHARD of the key, not the key: one Python call per
+    # shard replays every user in it (identical per-user values; the
+    # round-2 cogroup lesson — per-user grouping was 1,500 Arrow
+    # round-trips and 4.3 s at sf0.1, sharded is ~32 calls / 1.1 s).
+    # The shard key is deterministic (user_id % shards), so state for
+    # one user never splits across calls.
+    shards = spark.sparkContext.defaultParallelism
+    per_user = (
+        clicks.groupBy((F.col("user_id") % shards).alias("__shard"))
+        .applyInPandas(
+            token_bucket_shard_kernel,
+            "user_id long, n_clicks long, n_admitted long, n_rejected long",
+        )
     )
     return per_user.orderBy(F.desc("n_rejected"), F.asc("user_id")).limit(10)
 

@@ -42,6 +42,19 @@ _DEFAULTS: dict[str, str] = {
     # broadcast; AQE also converts at runtime via size stats.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # Join strategy (guide §3.1): allow shuffled-hash when the planner's
+    # size conditions hold instead of always sort-merge (skips two full
+    # sorts per join), and let AQE rewrite SMJ→SHJ at runtime when every
+    # post-shuffle partition is under the threshold — runtime stats make
+    # this scale-adaptive: at 100 TB a partition over the threshold keeps
+    # sort-merge's graceful spill. A/B at sf0.1 (12 join-heavy queries,
+    # same session, flipped twice): 27.6 s ↔ 23.0 s (−17%).
+    "spark.sql.join.preferSortMergeJoin": os.environ.get(
+        "SPARK_GRAFT_PREFER_SMJ", "false"
+    ),
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", str(64 * 1024 * 1024)
+    ),
 }
 
 

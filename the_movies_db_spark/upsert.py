@@ -474,9 +474,14 @@ def write_upsert_partitioned(
             out = batch
             if order_col is not None and order_col in batch.columns:
                 out = keep_latest(out, keys, order_col)
-            out.write.mode("overwrite").partitionBy(partition_col).parquet(
-                target_path
-            )
+            # repartition on the partition column first: partitionBy
+            # from an arbitrarily-partitioned frame writes
+            # tasks x directories small files (the round-13
+            # partition-evolution lesson); clustered, each directory
+            # gets one file
+            out.repartition(F.col(partition_col)).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(target_path)
             return parts
 
         target = spark.read.parquet(target_path)
@@ -495,10 +500,12 @@ def write_upsert_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             # dynamic mode: "overwrite" replaces only partitions present
-            # in `merged` — untouched directories are left as-is
-            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-                target_path
-            )
+            # in `merged` — untouched directories are left as-is.
+            # repartition on the partition column first (small-files
+            # discipline, same as the initial write)
+            merged.repartition(F.col(partition_col)).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(target_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return parts
