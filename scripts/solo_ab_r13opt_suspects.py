@@ -16,7 +16,7 @@ from the_movies_db_spark.io import TABLES, load_table
 from the_movies_db_spark.queries import load_all
 from the_movies_db_spark.session import get_spark
 
-QUERIES = [
+QUERIES = sys.argv[1:] or [
     "search_ltr_blend",
     "sim_recall_ivfpq",
     "sim_recall_nprobe_curve",

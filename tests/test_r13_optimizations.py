@@ -49,3 +49,60 @@ def test_token_bucket_shard_kernel_matches_per_user_kernel():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # sanity: the machine actually rejected something somewhere
     assert got["n_rejected"].sum() > 0
+
+
+def test_probe_cells_nprobe1_equals_assign_cells(spark):
+    """The batch-2 IVF query-side rewrite relies on: ivf_probe_cells
+    at nprobe=1 assigns the IDENTICAL cell ivf_assign does (array_sort
+    first element == array_min, same rounded distance, same (d, cid)
+    tie-break) — including on ties and on the seed vectors themselves."""
+    from pyspark.sql import functions as F
+
+    from the_movies_db_spark.operators import similarity as S
+
+    rows = [
+        (i, [float(((i * 7 + d * 3) % 11) - 5) / 4.0 for d in range(8)])
+        for i in range(40)
+    ]
+    # duplicate a seed vector at a non-seed id to force a distance tie
+    rows.append((40, rows[2][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign(df, "vec_id", "embedding", 4, dim=8).collect()
+    }
+    p = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_probe_cells(
+            df, "vec_id", "embedding", 4, 1, dim=8, centroid_source=df
+        ).collect()
+    }
+    assert a == p and len(a) == 41
+
+
+def test_kmeans_train_apply_split_matches_joined_form(spark):
+    """kmeans_integer_train + kmeans_integer_cells over a query SUBSET
+    must reproduce exactly the cells the corpus-wide assignment gives
+    those ids (the old assigned.join(queries) form)."""
+    from the_movies_db_spark.operators import similarity as S
+
+    rows = [
+        (i, [float(((i * 13 + d * 5) % 9) - 4) / 8.0 for d in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        r["vec_id"]: r["cell"]
+        for r in S.kmeans_integer_assign(
+            df, "vec_id", "embedding", k=4, iters=2, dim=8
+        ).collect()
+    }
+    cents = S.kmeans_integer_train(df, "vec_id", "embedding", 4, 2, 8)
+    sub = df.filter(df.vec_id < 10)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S.kmeans_integer_cells(sub, "vec_id", "embedding", cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == {k: v for k, v in full.items() if k < 10}

@@ -479,13 +479,14 @@ def cosine_topk_ivf(
     standard IVF recall dial), ranked by exact cosine within them.
     Probe cells are disjoint, so the candidate union needs no dedup."""
     assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
-    qsrc = (
-        ivf_probe_cells(
-            queries, id_col, vec_col, n_cells, nprobe, dim=dim,
-            centroid_source=corpus,
-        )
-        if nprobe > 1
-        else assigned.join(queries.select(id_col), id_col)
+    # query cells come from the |Q|-row probe projection, never from
+    # assigned.join(queries): the join form scores the ENTIRE corpus
+    # against the centroids just to fetch the query rows' cells
+    # (nprobe=1 probe == assignment: array_sort-first == array_min,
+    # same rounded distance, same (d, cid) tie-break)
+    qsrc = ivf_probe_cells(
+        queries, id_col, vec_col, n_cells, nprobe, dim=dim,
+        centroid_source=corpus,
     )
     q = qsrc.select(
         F.col(id_col).alias("query_id"),
@@ -558,10 +559,19 @@ def cosine_topk_ivf_kmeans(
         featuresCol="__features",
         predictionCol="cell",
     )
-    assigned = (
-        km.fit(feat).transform(feat).select(id_col, vec_col, "cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+    # per-row model.transform over the |Q|-row query frame — the old
+    # assigned.join(queries) re-ran the corpus-wide transform + join
+    # just to fetch the query rows' cells
+    qfeat = queries.select(
+        id_col,
+        vec_col,
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "__features"
+        ),
     )
-    q = assigned.join(queries.select(id_col), id_col).select(
+    q = model.transform(qfeat).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(vec_col, dim).alias("__qn"),
@@ -624,6 +634,64 @@ def _int_l2(qv: Column, cvec: Column) -> Column:
     )
 
 
+def kmeans_integer_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> list[tuple[int, list[int]]]:
+    """Train the deterministic integer Lloyd's KMeans and return the
+    final centroid list (``iters - 1`` update passes — the last
+    assignment pass never updates centroids, mirroring the unrolled
+    oracle SQL exactly). Split out of :func:`kmeans_integer_assign`
+    so one training run can assign MULTIPLE frames (corpus and query
+    panel) without re-running the per-iteration corpus aggregates."""
+    base = corpus.select(F.col(id_col), quantize_micro(vec_col).alias("__qv"))
+    cents = sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in base.filter(F.col(id_col) < k).collect()
+    )
+    for _ in range(iters - 1):
+        assigned = kmeans_integer_cells(corpus, id_col, vec_col, cents)
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("__qv")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        means = {
+            int(r["cell"]): [int(r[f"s{d}"]) // int(r["n"]) for d in range(dim)]
+            for r in sums
+        }
+        cents = [(cid, means.get(cid, prev)) for cid, prev in cents]
+    return cents
+
+
+def kmeans_integer_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[int]]],
+) -> DataFrame:
+    """Assign ``df`` rows to trained integer-KMeans cells: pure per-row
+    argmin projection over the collected centroid literal (exact
+    integer L2, lowest-cid tie-break). Returns (id, __qv, cell)."""
+    base = df.select(F.col(id_col), quantize_micro(vec_col).alias("__qv"))
+    cent_arr = _lit_centroid_array(cents, value_type="BIGINT")
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            _int_l2(F.col("__qv"), c["cvec"]).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return base.withColumn("cell", F.array_min(scored)["cid"])
+
+
 def kmeans_integer_assign(
     corpus: DataFrame,
     id_col: str,
@@ -641,41 +709,12 @@ def kmeans_integer_assign(
     shape) plus one k×dim-cell aggregate collected to the driver
     (bounded by k·dim, never corpus size). Empty cells keep their
     previous centroid on both engines."""
-    base = corpus.select(F.col(id_col), quantize_micro(vec_col).alias("__qv"))
-    cents = sorted(
-        (int(r[0]), [int(x) for x in r[1]])
-        for r in base.filter(F.col(id_col) < k).collect()
+    if iters < 1:
+        raise AssertionError("iters must be >= 1")
+    cents = kmeans_integer_train(corpus, id_col, vec_col, k, iters, dim)
+    return kmeans_integer_cells(corpus, id_col, vec_col, cents).select(
+        id_col, "cell"
     )
-
-    def assign(cent_list: list[tuple[int, list[int]]]) -> DataFrame:
-        cent_arr = _lit_centroid_array(cent_list, value_type="BIGINT")
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                _int_l2(F.col("__qv"), c["cvec"]).alias("d"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        return base.withColumn("cell", F.array_min(scored)["cid"])
-
-    for it in range(iters):
-        assigned = assign(cents)
-        if it == iters - 1:
-            return assigned.select(id_col, "cell")
-        sums = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("__qv")[d]).alias(f"s{d}") for d in range(dim)],
-            )
-            .collect()
-        )
-        means = {
-            int(r["cell"]): [int(r[f"s{d}"]) // int(r["n"]) for d in range(dim)]
-            for r in sums
-        }
-        cents = [(cid, means.get(cid, prev)) for cid, prev in cents]
-    raise AssertionError("iters must be >= 1")
 
 
 def cosine_topk_kmeans_int(
@@ -692,11 +731,22 @@ def cosine_topk_kmeans_int(
     within the query's trained cell — same search shape as
     :func:`cosine_topk_ivf`, but the quantizer is TRAINED (2 Lloyd
     iterations) and still value-verifiable against static SQL."""
+    # train ONCE, assign corpus and query panel separately — the old
+    # assigned.join(queries) query side re-ran the corpus-wide argmin
+    # projection + join just to fetch the |Q| query cells
+    cents = kmeans_integer_train(corpus, id_col, vec_col, n_cells, iters, dim)
     assigned = corpus.join(
-        kmeans_integer_assign(corpus, id_col, vec_col, n_cells, iters, dim),
+        kmeans_integer_cells(corpus, id_col, vec_col, cents).select(
+            id_col, "cell"
+        ),
         id_col,
     )
-    q = assigned.join(queries.select(id_col), id_col).select(
+    q = queries.join(
+        kmeans_integer_cells(queries, id_col, vec_col, cents).select(
+            id_col, "cell"
+        ),
+        id_col,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(vec_col, dim).alias("__qn"),
@@ -1259,13 +1309,12 @@ def cosine_topk_ivfpq(
         F.col("cell").alias("__ccell"),
         *encode(),
     )
-    qsrc = (
-        ivf_probe_cells(
-            queries, id_col, vec_col, n_cells, nprobe, dim=dim,
-            centroid_source=corpus,
-        )
-        if nprobe > 1
-        else assigned.join(queries.select(id_col), id_col)
+    # |Q|-row probe projection instead of assigned.join(queries) — the
+    # join form scored the ENTIRE corpus to fetch the query cells
+    # (nprobe=1 probe == assignment, same distance + tie-break)
+    qsrc = ivf_probe_cells(
+        queries, id_col, vec_col, n_cells, nprobe, dim=dim,
+        centroid_source=corpus,
     )
     q = qsrc.select(
         F.col(id_col).alias("query_id"),
@@ -1342,7 +1391,22 @@ def cosine_topk_ivfpq_residual(
         F.col("cell").alias("__ccell"),
         *encode(),
     )
-    q = resid.join(queries.select(id_col), id_col).select(
+    # |Q|-row query side: probe cell (nprobe=1 probe == assignment) +
+    # the SAME residual expression over the query rows only, instead
+    # of resid.join(queries) which re-ran the corpus-wide assignment
+    # and residual projection just to fetch the query rows
+    qres = ivf_probe_cells(
+        queries, id_col, vec_col, n_cells, 1, dim=dim,
+        centroid_source=corpus,
+    ).withColumn(
+        "__rv",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cmap, F.col("cell").cast("bigint")),
+            lambda a, b: a - b,
+        ),
+    )
+    q = qres.select(
         F.col(id_col).alias("query_id"),
         F.col("cell").alias("__qcell"),
         *luts(),
