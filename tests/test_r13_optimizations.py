@@ -106,3 +106,24 @@ def test_kmeans_train_apply_split_matches_joined_form(spark):
         .collect()
     }
     assert got == {k: v for k, v in full.items() if k < 10}
+
+
+def test_connected_components_chain_convergence(spark):
+    """The batch-3 convergence fold (change flag carried with the new
+    label, so the stop check scans the just-checkpointed RDD instead of
+    joining new vs old labels) must converge to the same min-label
+    components on a long chain — label 0 takes one hop per iteration,
+    so this exercises many changed/unchanged iterations plus the final
+    all-unchanged one."""
+    from the_movies_db_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101), (200, 200)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    want = {i: 0 for i in range(13)}
+    want.update({100: 100, 101: 100, 200: 200})
+    assert got == want
+    # the returned frame exposes exactly (id, cluster_id)
+    assert set(D.connected_components(pairs).columns) == {"id", "cluster_id"}

@@ -2725,40 +2725,61 @@ def pipeline_filter_lm_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.expr(f"CASE WHEN {_LMFI_KEEP} THEN 1 ELSE 0 END").alias("keep"),
     )
-    bi = m.filter(F.size("t") >= 2).select(
+    # ONE corpus pass for every count table (the round-4 one-token-
+    # stream fold): bigram rows (all docs), unigram rows and a doc
+    # marker (train split only) ride one explode into one fine-grain
+    # aggregate bounded by vocab x lang x 4 flags — ev, both models'
+    # bigram/unigram tables, both vocab sizes AND the doc census are
+    # re-aggregations of the single checkpointed artifact. The old
+    # shape planned + executed the corpus tokenization 6x (ev, 2x cb,
+    # 2x cu, tr).
+    stream = m.select(
         "lang",
         "grp",
         "keep",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> struct(concat(t[i - 1], ' ', t[i]) AS bigram,"
-                " t[i - 1] AS w1))"
+                "concat("
+                " CASE WHEN size(t) >= 2 THEN"
+                "   transform(sequence(1, size(t) - 1),"
+                "     i -> struct('b' AS kind,"
+                "                 concat(t[i - 1], ' ', t[i]) AS k1,"
+                "                 t[i - 1] AS k2))"
+                "   ELSE array() END,"
+                " CASE WHEN grp = 0 THEN"
+                "   transform(t, x -> struct('u' AS kind, x AS k1,"
+                "                            CAST(NULL AS STRING) AS k2))"
+                "   ELSE array() END,"
+                " CASE WHEN grp = 0 THEN"
+                "   array(struct('d' AS kind, CAST(NULL AS STRING) AS k1,"
+                "                CAST(NULL AS STRING) AS k2))"
+                "   ELSE array() END)"
             )
-        ).alias("p"),
-    ).select("lang", "grp", "keep", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
-    ev = (
-        bi.filter("grp = 1")
-        .groupBy("lang", "bigram", "w1")
+        ).alias("tok"),
+    ).select("lang", "grp", "keep", "tok.kind", "tok.k1", "tok.k2")
+    fine = (
+        stream.groupBy("kind", "grp", "keep", "lang", "k1", "k2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    uni = m.filter("grp = 0").select(
-        "keep", F.explode("t").alias("term")
+    ev = (
+        fine.filter("kind = 'b' AND grp = 1")
+        .groupBy(
+            "lang", F.col("k1").alias("bigram"), F.col("k2").alias("w1")
+        )
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
 
     def model(pfx: str, pred: str):
         cb = (
-            bi.filter(f"grp = 0 AND {pred}")
-            .groupBy("bigram")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .localCheckpoint(eager=False)
+            fine.filter(f"kind = 'b' AND grp = 0 AND {pred}")
+            .groupBy(F.col("k1").alias("bigram"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
         )
         cu = (
-            uni.filter(pred)
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .localCheckpoint(eager=False)
+            fine.filter(f"kind = 'u' AND {pred}")
+            .groupBy(F.col("k1").alias("term"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
         )
         vv = cu.agg(F.count(F.lit(1)).cast("bigint").alias(f"v_{pfx}"))
         joined = (
@@ -2788,9 +2809,11 @@ def pipeline_filter_lm_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     raw = model("raw", "1 = 1")
     flt = model("flt", "keep = 1").withColumnRenamed("n_bigrams", "__nb2")
-    tr = m.filter("grp = 0").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
-        F.sum("keep").cast("bigint").alias("n_kept_docs"),
+    tr = fine.filter("kind = 'd'").agg(
+        F.sum("cnt").cast("bigint").alias("n_train_docs"),
+        F.sum(F.when(F.col("keep") == 1, F.col("cnt")))
+        .cast("bigint")
+        .alias("n_kept_docs"),
     )
     return (
         raw.join(flt, "lang")
