@@ -1015,7 +1015,9 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     sys_dcg = (
-        bm.join(rel, ["query_id", "doc_id"])
+        # bm is bounded (top-k per query x |Q| queries) but stats-less
+        # after the index-build lineage -> broadcast, never SortMergeJoin
+        F.broadcast(bm).join(rel, ["query_id", "doc_id"])
         .select("query_id", F.expr(_dcg_contrib("rank")).alias("c"))
         .groupBy("query_id")
         .agg(F.sum("c").cast("bigint").alias("dcg_micro"))
@@ -1029,7 +1031,7 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("idcg_micro"))
     )
     return (
-        sys_dcg.join(ideal, "query_id")
+        sys_dcg.join(F.broadcast(ideal), "query_id")
         .select(
             F.col("query_id").cast("bigint").alias("query_id"),
             "dcg_micro",
@@ -1114,7 +1116,10 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
     return (
-        bm.join(ann, ["query_id", "doc_id"], "left_anti")
+        # ann is bounded by construction (|Q| x pool rows) but its
+        # corpus-scale lineage has no stats -> planned SortMergeJoin;
+        # broadcast is safe at any scale
+        bm.join(F.broadcast(ann), ["query_id", "doc_id"], "left_anti")
         .withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("neg_rank") <= _HN_K)
         .select(
