@@ -211,7 +211,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select(
         "doc_id", F.explode(T.tokens("text")).alias("__raw")
     ).select("doc_id", F.lower("__raw").alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is shared by the df branch and the scorer: checkpoint it so the
+    # corpus tokenize+explode+agg runs ONCE (branches re-executed it —
+    # ReuseExchange never fires across branches); n_docs stays a bare
+    # columnar count of the source (no tokenize, and tf drops
+    # empty-token docs so it cannot supply the census)
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -267,8 +276,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select(
         "doc_id", F.explode(T.tokens("text")).alias("__raw")
     ).select("doc_id", F.lower("__raw").alias("term"))
-    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = terms.agg(F.count(F.lit(1)).alias("n"))
+    # freq is vocab-bounded -> checkpoint (round-6 pattern); the grand
+    # total is then a re-aggregation of freq (sum of tf == token count,
+    # the identical BIGINT), so the corpus tokenizes twice (freq build
+    # + scorer) instead of 3x
+    freq = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    total = freq.agg(F.sum("tf").cast("long").alias("n"))
     return (
         terms.join(F.broadcast(freq), "term")
         .crossJoin(F.broadcast(total))
@@ -455,8 +472,16 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select(
         "doc_id", F.explode(T.tokens("text")).alias("__raw")
     ).select("doc_id", F.lower("__raw").alias("term"))
-    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = terms.agg(F.count(F.lit(1)).alias("n"))
+    # freq is vocab-bounded -> checkpoint (round-6 pattern); the grand
+    # total is then a re-aggregation of freq (sum of tf == token count,
+    # the identical BIGINT), so the corpus tokenizes twice (freq build
+    # + scorer) instead of 3x
+    freq = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    total = freq.agg(F.sum("tf").cast("long").alias("n"))
     scored = (
         terms.join(F.broadcast(freq), "term")
         .crossJoin(F.broadcast(total))
@@ -1137,17 +1162,39 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "lang", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
-    # both count tables are vocab-bounded; checkpointed so the weight
-    # join and the V-count branch don't re-run the corpus tokenization
-    cb = bi.groupBy("bigram").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_bi"),
-        F.first("w1").alias("w1"),
-    ).localCheckpoint(eager=False)
-    cu = (
-        d.select(F.explode("t").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    # ONE counting pass: bigram and unigram rows ride a single explode
+    # into one vocab-bounded aggregate (the round-4 token-stream fold —
+    # the old shape tokenized the corpus separately for each table);
+    # both count tables are projections of the checkpointed artifact,
+    # so the weight join and the V-count branch never re-run the corpus
+    stream = d.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " CASE WHEN size(t) >= 2 THEN"
+                "   transform(sequence(1, size(t) - 1),"
+                "     i -> struct('b' AS kind,"
+                "                 concat(t[i - 1], ' ', t[i]) AS k1,"
+                "                 t[i - 1] AS k2))"
+                "   ELSE array() END,"
+                " transform(t, x -> struct('u' AS kind, x AS k1,"
+                "                          CAST(NULL AS STRING) AS k2)))"
+            )
+        ).alias("tok")
+    ).select("tok.kind", "tok.k1", "tok.k2")
+    fine = (
+        stream.groupBy("kind", "k1", "k2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .localCheckpoint(eager=False)
+    )
+    # (bigram, w1) grain == bigram grain (w1 is the bigram's prefix)
+    cb = fine.filter("kind = 'b'").select(
+        F.col("k1").alias("bigram"),
+        F.col("cnt").alias("c_bi"),
+        F.col("k2").alias("w1"),
+    )
+    cu = fine.filter("kind = 'u'").select(
+        F.col("k1").alias("term"), F.col("cnt").alias("c_uni")
     )
     vv = cu.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     wt = (
