@@ -41,7 +41,16 @@ _DEFAULTS: dict[str, str] = {
     # Broadcast threshold: dims like region/nation/supplier must
     # broadcast; AQE also converts at runtime via size stats.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # Initial shuffle partition count (guide §2.3): AQE coalescing makes
+    # this an UPPER bound that runtime stats shrink, so the right value
+    # tracks deployment size, not a constant. Local default 32 (= the
+    # harness core count; more would only add empty-partition overhead at
+    # sf0.1); production sets the env to ~2-4x total executor cores (or
+    # enables adaptive.coalescePartitions.initialPartitionNum) and lets
+    # AQE coalesce down per stage.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     # Join strategy (guide §3.1): allow shuffled-hash when the planner's
     # size conditions hold instead of always sort-merge (skips two full
     # sorts per join), and let AQE rewrite SMJ→SHJ at runtime when every
