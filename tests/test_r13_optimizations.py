@@ -127,3 +127,53 @@ def test_connected_components_chain_convergence(spark):
     assert got == want
     # the returned frame exposes exactly (id, cluster_id)
     assert set(D.connected_components(pairs).columns) == {"id", "cluster_id"}
+
+
+def test_candidate_keys3_fused_census_matches_python(spark):
+    """The fused level-1/2 census (one multi-distinct aggregate instead
+    of two sequential passes) must leave the pruned arity-3 output
+    identical: a pandas reference recomputes the full lattice, applies
+    the same subset pruning, and compares every reported value."""
+    from the_movies_db_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    cols = [
+        "o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice",
+    ]
+    n = len(o)
+    singles = {c: o[c].nunique() for c in cols}
+    non_keys = [c for c in cols if singles[c] < n]
+    pair_nd = {
+        (a, b): len(o[[a, b]].drop_duplicates())
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    }
+    nk_pairs = {
+        (a, b)
+        for (a, b), nd in pair_nd.items()
+        if a in non_keys and b in non_keys and nd < n
+    }
+    want = {}
+    for i, a in enumerate(non_keys):
+        for j, b in enumerate(non_keys[i + 1:], i + 1):
+            for c in non_keys[j + 1:]:
+                if (
+                    (a, b) in nk_pairs
+                    and (a, c) in nk_pairs
+                    and (b, c) in nk_pairs
+                ):
+                    want[f"{a}+{b}+{c}"] = len(
+                        o[[a, b, c]].drop_duplicates()
+                    )
+    got = {
+        r["combo"]: r
+        for r in load_all()["dq_candidate_keys3"].spark(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for combo, nd in want.items():
+        row = got[combo]
+        assert (row["n_cols"], row["n_distinct"], row["n_rows"]) == (3, nd, n)
+        assert row["is_key"] == int(nd == n)
+        assert row["uniqueness_ppm"] == nd * 1000000 // n

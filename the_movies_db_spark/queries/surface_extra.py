@@ -6222,40 +6222,46 @@ def _ck_oracle() -> str:
 def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single + pruned pair uniqueness census (minimal keys flagged).
 
-    Scale notes (100 TB): level 1 is one pass with 6 distinct
-    aggregates (map-side partial distinct); the collected 6-value row
-    drives the level-2 pruning DRIVER-SIDE — exactly TANE's lattice
-    walk — so level 2 expands the fact only for the surviving pairs.
-    Arity 3+ follows the same recurrence if ever needed."""
-    o = load_table(spark, sf_dir, "orders")
-    l1 = o.agg(
+    Scale notes (100 TB): ONE pass computes the full level-1/level-2
+    census (1 + 6 + 15 distinct aggregates — the lattice width C(6,2)
+    is a query constant, so the Expand factor is bounded); the
+    collected row drives the pruning DRIVER-SIDE — exactly TANE's
+    lattice walk — and only surviving pairs are REPORTED. vs the
+    two-pass form this trades <= 5 extra bounded aggregates in the
+    shared Expand for one whole scan+job over the fact. Arity 3+
+    follows the same recurrence (see dq_candidate_keys3), where
+    pruning still gates the exponentially wider levels."""
+    from the_movies_db_spark.io import spread
+
+    o = spread(load_table(spark, sf_dir, "orders"))
+    all_pairs = [
+        (a, b)
+        for i, a in enumerate(_CK_COLS)
+        for b in _CK_COLS[i + 1:]
+    ]
+    row = o.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         *[
             F.countDistinct(c).cast("bigint").alias(f"nd_{c}")
             for c in _CK_COLS
         ],
-    )
-    row = l1.collect()[0]
+        *[
+            F.countDistinct(a, b).cast("bigint").alias(f"nd_{a}_{b}")
+            for a, b in all_pairs
+        ],
+    ).collect()[0]
     n = row["n"]
-    non_keys = [c for c in _CK_COLS if row[f"nd_{c}"] < n]
+    non_keys = set(c for c in _CK_COLS if row[f"nd_{c}"] < n)
     pairs = [
-        (a, b)
-        for i, a in enumerate(non_keys)
-        for b in non_keys[i + 1:]
+        (a, b) for a, b in all_pairs
+        if a in non_keys and b in non_keys
     ]
     entries = [
         (c, 1, int(row[f"nd_{c}"])) for c in _CK_COLS
     ]
-    if pairs:
-        l2 = o.agg(
-            *[
-                F.countDistinct(a, b).cast("bigint").alias(f"nd_{a}_{b}")
-                for a, b in pairs
-            ]
-        ).collect()[0]
-        entries += [
-            (f"{a}+{b}", 2, int(l2[f"nd_{a}_{b}"])) for a, b in pairs
-        ]
+    entries += [
+        (f"{a}+{b}", 2, int(row[f"nd_{a}_{b}"])) for a, b in pairs
+    ]
     stack = ", ".join(
         f"'{combo}', {nc}L, {nd}L" for combo, nc, nd in entries
     )
@@ -6340,33 +6346,40 @@ def _ck3_oracle() -> str:
 def dq_candidate_keys3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pruned arity-3 uniqueness census (minimal 3-keys flagged).
 
-    Scale notes (100 TB): three passes total, each a single
-    combining aggregate over the fact (map-side partial distinct);
-    the lattice walk itself runs over DRIVER-SIDE census rows of
-    bounded width (6 / 15 / 20 values), so the fact is never
-    shuffled by lattice level — the same shape TANE uses to scale
+    Scale notes (100 TB): two passes total — levels 1+2 fused into
+    one census pass (1 + 6 + 15 distinct aggregates; the lattice
+    width C(6,2) is a query constant, so the Expand factor is
+    bounded, and the fusion trades <= 5 extra bounded aggregates in
+    the shared Expand for a whole scan+job over the fact), then the
+    pruned arity-3 pass. The lattice walk itself runs over
+    DRIVER-SIDE census rows of bounded width, so the fact is never
+    shuffled by lattice level, and pruning still gates the
+    exponentially wider level 3 — the same shape TANE uses to scale
     arity without blowing up the data plane."""
     from the_movies_db_spark.io import spread
 
     # spread: each multi-count-distinct pass Expands the fact 10-20x
     # and the single-file scan is one partition — the partial
-    # aggregates otherwise run serial (measured 6.9 s -> 2.9 s warm
-    # for the three passes at sf0.1)
+    # aggregates otherwise run serial
     o = spread(load_table(spark, sf_dir, "orders"))
-    l1 = o.agg(
+    all_pairs = [
+        (a, b)
+        for i, a in enumerate(_CK_COLS)
+        for b in _CK_COLS[i + 1:]
+    ]
+    l12 = o.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         *[
             F.countDistinct(c).cast("bigint").alias(f"nd_{c}")
             for c in _CK_COLS
         ],
+        *[
+            F.countDistinct(a, b).cast("bigint").alias(f"nd_{a}_{b}")
+            for a, b in all_pairs
+        ],
     ).collect()[0]
-    n = l1["n"]
-    non_keys = [c for c in _CK_COLS if l1[f"nd_{c}"] < n]
-    pairs = [
-        (a, b)
-        for i, a in enumerate(non_keys)
-        for b in non_keys[i + 1:]
-    ]
+    n = l12["n"]
+    non_keys = [c for c in _CK_COLS if l12[f"nd_{c}"] < n]
     empty = o.sparkSession.range(0).selectExpr(
         "CAST(NULL AS STRING) AS combo",
         "CAST(NULL AS BIGINT) AS n_cols",
@@ -6375,16 +6388,10 @@ def dq_candidate_keys3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS BIGINT) AS is_key",
         "CAST(NULL AS BIGINT) AS uniqueness_ppm",
     )
-    if not pairs:
-        return empty
-    l2 = o.agg(
-        *[
-            F.countDistinct(a, b).cast("bigint").alias(f"nd_{a}_{b}")
-            for a, b in pairs
-        ]
-    ).collect()[0]
+    nk_set = set(non_keys)
     nk_pairs = {
-        (a, b) for a, b in pairs if l2[f"nd_{a}_{b}"] < n
+        (a, b) for a, b in all_pairs
+        if a in nk_set and b in nk_set and l12[f"nd_{a}_{b}"] < n
     }
     triples = [
         (a, b, c)
