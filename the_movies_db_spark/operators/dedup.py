@@ -540,11 +540,15 @@ def simhash_pairs(
     widen signatures and keep block width ≈ log2(corpus) so block
     buckets stay small."""
     width = 32 // num_blocks
+    # the signature table feeds BOTH self-join sides: without a
+    # checkpoint the tokenize + per-token md5 + 32-wide vote fold
+    # (interpreted HOF) re-executes once per side — checkpoint the
+    # doc-bounded (id, sig) table so the corpus pass runs once
     sigs = with_simhash32(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
         "__t",
         "sig",
-    ).drop("__t")
+    ).drop("__t").localCheckpoint(eager=False)
     blocks = F.array(
         *[
             (F.floor(F.col("sig") / F.lit(2 ** (b * width))).cast("bigint")
@@ -714,13 +718,20 @@ def embedding_near_dup_pairs_lsh(
         ]
     )
     # stage the signature array in its own projection: HOF expressions
-    # re-inline per reference otherwise (see CLAUDE.md perf notes)
+    # re-inline per reference otherwise (see CLAUDE.md perf notes).
+    # Checkpoint: v feeds BOTH self-join sides — without it the
+    # num_bands×planes sign projections + the norm chain execute once
+    # per side; the (id, vec, norm, sigs) table is row-bounded
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         norm(vec_col, dim).alias("__n"),
         sigs.alias("__sigs"),
-    )
+    ).localCheckpoint(eager=False)
+    # pair rows carry the vectors through the band join (an ids-only
+    # candidate stream + join-back-by-id was A/B'd 2.7x SLOWER at
+    # sf0.1: with |collisions| ≈ |distinct pairs| here, dedup saves
+    # almost no cosine work and the two extra joins dominate)
     exploded = v.select(
         "__id", "__v", "__n", F.posexplode("__sigs").alias("__band", "__sig")
     )
@@ -871,11 +882,17 @@ def prefix_filter_pairs(
             F.array_distinct(word_shingles(tokens(text_col), shingle_n))
         ).alias("shingle"),
     )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    keyed = sh.join(dfreq, "shingle").select(
+    # per-shingle document frequency as a COUNT WINDOW over the one
+    # exploded stream: the groupBy+join-back form re-executed the
+    # corpus shingling once per consumer (aggregate side + probe side
+    # of the join) and added a third shuffle; the window shuffles the
+    # stream by shingle exactly once and the count is the identical
+    # BIGINT (one occurrence per (doc, shingle) by array_distinct)
+    keyed = sh.select(
         "__id",
         F.expr(
-            "concat(lpad(CAST(__df AS STRING), 10, '0'), '|', shingle)"
+            "concat(lpad(CAST(count(*) OVER (PARTITION BY shingle)"
+            " AS STRING), 10, '0'), '|', shingle)"
         ).alias("k"),
     )
     # three consumers (prefix explode + both verification sides) —

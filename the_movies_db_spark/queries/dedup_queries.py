@@ -849,8 +849,11 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row HOF projections (no shuffle); the content-addressed census
     is one hash aggregation keyed on the chunk digest — the shape of
     every dedup store's ingestion path. The 4-gram hash uses pure
-    integer ascii arithmetic, so boundaries are engine-exact."""
-    d = load_table(spark, sf_dir, "documents").select(
+    integer ascii arithmetic, so boundaries are engine-exact.
+    spread() guards the single-file local layout: the per-character
+    rolling-hash filter is per-row-heavy (the round-10 1-partition
+    trap)."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(f"substring(text, 1, {_CDC_PREFIX})").alias("t")
     )
     marks = d.select(
