@@ -3149,26 +3149,29 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=False)  # stats x2 + merge graph
         )
-        mg = pick.select(F.col("ca").alias("x"), F.col("cb").alias("y")).union(
-            pick.select(F.col("cb").alias("x"), F.col("ca").alias("y"))
+        comps = lab.select(F.col("c").alias("comp")).distinct()
+        # merge graph with SELF-LOOPS (the SCC fold): the propagation
+        # step is then min over (self ∪ neighbors) — one reference to
+        # the label table per iteration, so two iterations share each
+        # lazy checkpoint instead of checkpointing every one
+        mg = (
+            pick.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
+            .union(pick.select(F.col("cb").alias("x"), F.col("ca").alias("y")))
+            .union(comps.select(F.col("comp").alias("x"), F.col("comp").alias("y")))
+            .localCheckpoint(eager=False)
         )
-        ml = lab.select(F.col("c").alias("comp")).distinct().select(
-            "comp", F.col("comp").alias("lbl")
-        )
-        for _ in range(_MSF_CC):
-            n = (
-                mg.join(ml.select(F.col("comp").alias("y"), F.col("lbl").alias("__l")), "y")
-                .groupBy(F.col("x").alias("comp"))
-                .agg(F.min("__l").alias("m"))
-            )
+        ml = comps.select("comp", F.col("comp").alias("lbl"))
+        for k in range(1, _MSF_CC + 1):
             ml = (
-                ml.join(n, "comp", "left")
-                .select(
-                    "comp",
-                    F.expr("CAST(least(lbl, coalesce(m, lbl)) AS BIGINT)").alias("lbl"),
+                mg.join(
+                    ml.select(F.col("comp").alias("y"), F.col("lbl").alias("__l")),
+                    "y",
                 )
-                .localCheckpoint(eager=False)
+                .groupBy(F.col("x").alias("comp"))
+                .agg(F.min("__l").cast("bigint").alias("lbl"))
             )
+            if k % 2 == 0 or k == _MSF_CC:
+                ml = ml.localCheckpoint(eager=False)
         lab = (
             lab.join(ml.select(F.col("comp").alias("c"), "lbl"), "c")
             .select("v", F.col("lbl").alias("c"))
@@ -3336,8 +3339,13 @@ def graph_scc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes (100 TB): each round is one edge-list join + min
     aggregate keyed by node (forward and backward run on the same
-    checkpointed edge table with src/dst swapped); label frames are
-    lazily checkpointed per round — the round-9 multi-branch class."""
+    checkpointed edge table with src/dst swapped). The edge table
+    carries SELF-LOOPS so a round is min over (self ∪ in-neighbors)
+    — identical to least(own, min in-neighbors) but referencing the
+    label table ONCE, which keeps per-round lineage single-branch
+    (round-9 class) and lets two rounds share each lazy checkpoint
+    (half the sequential label jobs of the checkpoint-per-round
+    form)."""
     l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
     o = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -3370,30 +3378,30 @@ def graph_scc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(dedges.select("dst"))
         .distinct()
     )
+    # self-loop augmentation: every node is its own in-neighbor in
+    # BOTH directions, so the round update needs no retain-own-label
+    # left join (checkpointed once, consumed by all 12 round joins)
+    eself = dedges.unionByName(
+        nodes.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    ).localCheckpoint(eager=False)
     fwd = nodes.select("v", F.col("v").alias("lbl"))
     bwd = nodes.select("v", F.col("v").alias("lbl"))
 
-    def _round(lab: DataFrame, key_in: str, key_out: str) -> DataFrame:
-        n = (
-            dedges.join(
+    def _round(lab: DataFrame, key_in: str, key_out: str, chk: bool) -> DataFrame:
+        out = (
+            eself.join(
                 lab.select(F.col("v").alias(key_in), F.col("lbl").alias("__l")),
                 key_in,
             )
             .groupBy(F.col(key_out).alias("v"))
-            .agg(F.min("__l").alias("m"))
+            .agg(F.min("__l").cast("bigint").alias("lbl"))
         )
-        return (
-            lab.join(n, "v", "left")
-            .select(
-                "v",
-                F.expr("CAST(least(lbl, coalesce(m, lbl)) AS BIGINT)").alias("lbl"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        return out.localCheckpoint(eager=False) if chk else out
 
-    for _ in range(_SCC_ROUNDS):
-        fwd = _round(fwd, "src", "dst")
-        bwd = _round(bwd, "dst", "src")
+    for i in range(1, _SCC_ROUNDS + 1):
+        chk = i % 2 == 0 or i == _SCC_ROUNDS
+        fwd = _round(fwd, "src", "dst", chk)
+        bwd = _round(bwd, "dst", "src", chk)
     res = fwd.join(
         bwd.select(F.col("v").alias("__bv"), F.col("lbl").alias("__bl")),
         (F.col("v") == F.col("__bv")) & (F.col("lbl") == F.col("__bl")),
