@@ -3420,8 +3420,13 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row multiplier before partial aggregation, still one scan and one
     shuffle); at extreme widths swap exact distincts for
     approx_count_distinct and the multiplier disappears. The stack
-    unpivot runs on the single 1-row aggregate — free."""
-    o = load_table(spark, sf_dir, "orders")
+    unpivot runs on the single 1-row aggregate — free. spread()
+    guards the single-file local layout: the 6x Expand otherwise runs
+    its partial aggregates in ONE task (the dq_candidate_keys
+    batch-1 class)."""
+    from the_movies_db_spark.io import spread
+
+    o = spread(load_table(spark, sf_dir, "orders"))
     aggs = []
     for name, dexpr, rexpr in _PROFILE_COLS:
         aggs.append(
