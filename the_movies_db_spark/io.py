@@ -297,19 +297,49 @@ def write_any(
     writer.format(fmt).save(path)
 
 
+# spread() becomes a no-op once the input already has this many
+# partitions: the helper exists to fix the LOCAL single-file layout
+# (1 input partition serializing per-row-heavy compute), and at real
+# scale a fact scan yields thousands of splits — inserting a full
+# round-robin Exchange of raw rows there (worst: right before a
+# combining aggregate that would otherwise partial-aggregate map-side
+# with zero raw-row shuffle) would turn the local fix into a scale
+# regression. Env-tunable for clusters whose "few partitions" notion
+# differs.
+SPREAD_SKIP_MIN = int(os.environ.get("SPARK_GRAFT_SPREAD_SKIP_MIN", "8"))
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Round-robin repartition to the session's core count.
+    """Round-robin repartition to the session's core count — but ONLY
+    when the input has too few partitions to parallelize.
 
     The driver's small-SF tables arrive as a single parquet file = one
     input partition, so CPU-heavy per-row expression work (minhash,
     simhash, LSH signatures) would otherwise run on one core. A
     round-robin shuffle of the (tiny) source rows is microseconds; the
     32× parallelism on the downstream compute is the win. At real
-    scale the scan already yields thousands of splits and callers pass
-    ``n`` only to rebalance skewed inputs.
+    scale the scan already yields thousands of splits, so the gate
+    below makes this a no-op there; callers pass ``n`` only to force a
+    specific width on skewed inputs, which bypasses the gate.
+
+    The gate reads ``df.inputFiles()`` — leaf-file metadata from the
+    already-built FileIndex, no job and no RDD conversion. (The
+    obvious ``df.rdd.getNumPartitions()`` probe was measured at
+    ~1.2 s PER QUERY on a cold JVM: ``.rdd`` builds the executed plan
+    plus a row-deserializer codegen stage. inputFiles is a pure py4j
+    metadata call.) A many-files input provably has enough scan
+    parallelism; an empty or small list keeps the repartition, which
+    is the safe local default.
     """
     spark = df.sparkSession
-    return df.repartition(n or spark.sparkContext.defaultParallelism)
+    target = n or spark.sparkContext.defaultParallelism
+    if n is None:
+        try:
+            if len(df.inputFiles()) >= min(target, SPREAD_SKIP_MIN):
+                return df
+        except Exception:  # non-file sources: keep the repartition
+            pass
+    return df.repartition(target)
 
 
 def load_tables(

@@ -328,9 +328,27 @@ def _lit_centroid_array(
 IVF_COLLECT_MAX_CELLS = 4096
 
 
+def collect_seed_centroids(
+    src: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """Collect the deterministic seed centroid rows (id < n_cells)
+    ONCE. Operators that call both :func:`ivf_assign` and
+    :func:`ivf_probe_cells` must collect here and pass ``cents=`` to
+    both — otherwise every query plan pays two driver collect jobs and
+    compiles the n_cells×dim literal twice (the round-13 driver
+    regression on the ivfpq pair)."""
+    rows = (
+        src.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
 def ivf_assign(
     corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8,
     dim: int | None = None, collect_centroids: bool | None = None,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid cell. Centroids here are the deterministic seed set
@@ -363,12 +381,8 @@ def ivf_assign(
     if collect_centroids is None:
         collect_centroids = n_cells <= IVF_COLLECT_MAX_CELLS
     if collect_centroids:
-        rows = (
-            corpus.filter(F.col(id_col) < n_cells)
-            .select(id_col, vec_col)
-            .collect()
-        )
-        cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+        if cents is None:
+            cents = collect_seed_centroids(corpus, id_col, vec_col, n_cells)
         cent_arr = _lit_centroid_array(cents)
         scored = F.transform(
             cent_arr,
@@ -408,6 +422,7 @@ def ivf_probe_cells(
     dim: int | None = None,
     centroid_source: DataFrame | None = None,
     collect_centroids: bool | None = None,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Per-vector probe set: the ``nprobe`` nearest centroid cells in
     distance order (tie-break lowest cid), one output row per (id,
@@ -425,12 +440,8 @@ def ivf_probe_cells(
     if collect_centroids is None:
         collect_centroids = n_cells <= IVF_COLLECT_MAX_CELLS
     if collect_centroids:
-        rows = (
-            src.filter(F.col(id_col) < n_cells)
-            .select(id_col, vec_col)
-            .collect()
-        )
-        cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+        if cents is None:
+            cents = collect_seed_centroids(src, id_col, vec_col, n_cells)
         cent_arr = _lit_centroid_array(cents)
         scored = F.transform(
             cent_arr,
@@ -478,7 +489,14 @@ def cosine_topk_ivf(
     more probe cells raise recall at proportional scan cost — the
     standard IVF recall dial), ranked by exact cosine within them.
     Probe cells are disjoint, so the candidate union needs no dedup."""
-    assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
+    cents = (
+        collect_seed_centroids(corpus, id_col, vec_col, n_cells)
+        if n_cells <= IVF_COLLECT_MAX_CELLS
+        else None
+    )
+    assigned = ivf_assign(
+        corpus, id_col, vec_col, n_cells, dim=dim, cents=cents
+    )
     # query cells come from the |Q|-row probe projection, never from
     # assigned.join(queries): the join form scores the ENTIRE corpus
     # against the centroids just to fetch the query rows' cells
@@ -486,7 +504,7 @@ def cosine_topk_ivf(
     # same rounded distance, same (d, cid) tie-break)
     qsrc = ivf_probe_cells(
         queries, id_col, vec_col, n_cells, nprobe, dim=dim,
-        centroid_source=corpus,
+        centroid_source=corpus, cents=cents,
     )
     q = qsrc.select(
         F.col(id_col).alias("query_id"),
@@ -1303,7 +1321,14 @@ def cosine_topk_ivfpq(
     centroid-distance order — the FAISS recall dial; probe cells are
     disjoint, so the ADC candidate union needs no dedup."""
     encode, luts = _pq_parts(corpus, id_col, vec_col, n_cent, n_sub, dim)
-    assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
+    cents = (
+        collect_seed_centroids(corpus, id_col, vec_col, n_cells)
+        if n_cells <= IVF_COLLECT_MAX_CELLS
+        else None
+    )
+    assigned = ivf_assign(
+        corpus, id_col, vec_col, n_cells, dim=dim, cents=cents
+    )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("cell").alias("__ccell"),
@@ -1314,7 +1339,7 @@ def cosine_topk_ivfpq(
     # (nprobe=1 probe == assignment, same distance + tie-break)
     qsrc = ivf_probe_cells(
         queries, id_col, vec_col, n_cells, nprobe, dim=dim,
-        centroid_source=corpus,
+        centroid_source=corpus, cents=cents,
     )
     q = qsrc.select(
         F.col(id_col).alias("query_id"),
@@ -1363,12 +1388,13 @@ def cosine_topk_ivfpq_residual(
     engines derive the same codebook. Plan shape is identical to
     :func:`cosine_topk_ivfpq`: the scan carries (id, cell, codes);
     raw vectors only re-enter at the by-id re-rank."""
-    assigned = ivf_assign(corpus, id_col, vec_col, n_cells, dim=dim)
-    icents = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.filter(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
-        .collect()
+    # ONE seed collect feeds the assignment, the residual centroid map
+    # AND the query probe below (was three identical collect jobs +
+    # three compiled n_cells×dim literals per plan — the round-13
+    # driver regression)
+    icents = collect_seed_centroids(corpus, id_col, vec_col, n_cells)
+    assigned = ivf_assign(
+        corpus, id_col, vec_col, n_cells, dim=dim, cents=icents
     )
     cmap = F.map_from_entries(_lit_centroid_array(icents))
     resid = assigned.withColumn(
@@ -1397,7 +1423,7 @@ def cosine_topk_ivfpq_residual(
     # and residual projection just to fetch the query rows
     qres = ivf_probe_cells(
         queries, id_col, vec_col, n_cells, 1, dim=dim,
-        centroid_source=corpus,
+        centroid_source=corpus, cents=icents,
     ).withColumn(
         "__rv",
         F.zip_with(

@@ -3781,14 +3781,12 @@ def sim_topk_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("lang") == "zh"
     ).select(F.col("doc_id").alias("neighbor_id"))
-    assigned = ivf_assign(e, "vec_id", "embedding", _N_CELLS, dim=_DIM)
-
-    cent_rows = (
-        e.filter(F.col("vec_id") < _N_CELLS)
-        .select("vec_id", "embedding")
-        .collect()
+    # ONE seed collect shared by the assignment and the probe-rank
+    # literal below (was two identical collect jobs per plan)
+    cents = S.collect_seed_centroids(e, "vec_id", "embedding", _N_CELLS)
+    assigned = ivf_assign(
+        e, "vec_id", "embedding", _N_CELLS, dim=_DIM, cents=cents
     )
-    cents = sorted((r[0], [float(x) for x in r[1]]) for r in cent_rows)
     cent_arr = S._lit_centroid_array(cents)
     scored = F.transform(
         cent_arr,
@@ -4179,10 +4177,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs materialization."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     panel = e.filter(F.col("vec_id") < _N_QUERIES)
-    assigned = S.ivf_assign(e, "vec_id", "embedding", _N_CELLS, dim=_DIM)
+    # ONE seed collect shared by assignment and probe (round-14 rule)
+    cents = S.collect_seed_centroids(e, "vec_id", "embedding", _N_CELLS)
+    assigned = S.ivf_assign(
+        e, "vec_id", "embedding", _N_CELLS, dim=_DIM, cents=cents
+    )
     probes = S.ivf_probe_cells(
         panel, "vec_id", "embedding", _N_CELLS, _RANGE_NPROBE,
-        dim=_DIM, centroid_source=e,
+        dim=_DIM, centroid_source=e, cents=cents,
     )
     q = probes.select(
         F.col("vec_id").alias("query_id"),
