@@ -55,89 +55,84 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 # changed since the last round. Rotate the tail into the window in future
 # rounds as families accumulate green driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-13 rotation (VERDICT r12 directive 2): the 11 names
-    # displaced by round-12 registrations (queued at the top of this
-    # window — NOT displaceable again) plus the 39 next-stalest names
-    # in the registry (the round-2-driver-row cohort, alphabetical;
-    # the r2 cohort holds 41 non-queued names, so 2 of them —
-    # upsert_scd2, window_first_last — spill to the round-14 queue
-    # with the whole r3 cohort). All 50 were green in the round-12
-    # full sweeps (536/536 both SFs).
+    # Round-14 rotation (VERDICT r13 directive 8): the 27 names
+    # displaced by round-13 registrations (queued in the round-13
+    # window comment), then the two r2-cohort spillovers
+    # (upsert_scd2, window_first_last), then the HEAD (first 21, in
+    # CORRECTNESS_r03 key order) of the r3-driver-row cohort. All 50
+    # were green in the round-13 full sweeps (563/563 both SFs).
+    # Round 14 is an optimization round — no new registrations are
+    # expected; if any land, they displace the r3-cohort fillers
+    # bottom-up with queue-comment updates at registration time.
     #
-    # Round-13 registrations are appended HERE at registration time
-    # (standing rule, HARD CAP 50), displacing the DISPLACEABLE
-    # stale fillers bottom-up; displaced names head the round-14
-    # queue comment below as displacement happens.
+    # Queue for the round-15 window: the r3-driver-row cohort TAIL
+    # (28 names, CORRECTNESS_r03 key order): events_interpolate,
+    # sim_lsh_bucket_stats, sim_topk_quantized, streaming_sliding,
+    # streaming_incremental_rollup, streaming_static_join,
+    # fn_map_json_props, set_except_all, window_percent_rank,
+    # agg_histogram, agg_countmin_topk, profile_columns,
+    # sample_systematic, layout_zorder, q02_min_cost_supplier,
+    # q07_volume_shipping, q09_profit_by_nation, q11_important_parts,
+    # q15_top_supplier, q16_supplier_count, q17_small_quantity,
+    # q18_large_orders, q19_disjunctive_filter,
+    # q20_promo_volume_suppliers, q22_inactive_customers,
+    # pivot_returnflag, unpivot_measures, udf_grouped_map_demean;
+    # then the r4-driver-row cohort.
     #
-    # Queue for the round-14 window: upsert_merge, upsert_keep_latest,
-    # udtf_split_words, udf_pandas_scalar, udf_pandas_grouped_agg,
-    # udf_cogrouped_reconcile, text_tfidf_topk, text_stats,
-    # text_rolling_hash, text_langid, streaming_stream_join,
-    # streaming_stateful_counter,
-    # upsert_change_stats, streaming_session_window, streaming_dedup,
-    # sim_topk_lsh, sim_topk_ivf, sim_topk_bruteforce, sim_recall_eval,
-    # search_phrase, search_bm25_topk, schema_drift_type,
-    # schema_drift_add, q21_latest_shipper, q12_priority_class,
-    # q04_order_priority, pipeline_split_by_source
-    # (displaced by round-13 registrations),
-    # upsert_scd2, window_first_last,
-    # then the r3-driver-row cohort (49 names, see CORRECTNESS_r03),
-    # plus any names displaced from this window:
-    #
-    # -- round-13 registrations (displace fillers bottom-up) -------
-    "multimodal_ppm_decode",
-    "pipeline_token_budget_waterfill",
-    "pipeline_consistent_hash_ring",
-    "layout_clustering_depth",
-    "pipeline_classifier_ece",
-    "dq_inclusion_dependencies",
-    "fn_variant_json",
-    "io_jsonl_corpus",
-    "fn_string_collation",
-    "graph_temporal_two_paths",
-    "upsert_positional_deletes",
-    "pipeline_semantic_decontaminate",
-    "fn_xml_parse",
-    "pipeline_isotonic_calibration",
-    "pipeline_conformal_threshold",
-    "orders_jackknife_ratio",
-    "upsert_equality_deletes",
-    "search_prf_rm3",
-    "graph_ktruss",
-    "events_slice_finder",
-    "fn_map_higher_order",
-    "io_partition_evolution",
-    "pipeline_active_learning",
-    "search_bm25f",
-    "events_regression_discontinuity",
-    "events_fdr_bh",
-    "upsert_table_branches",
-    # -- round-12 displaced queue (fixed this round) ---------------
-    "agg_percentiles",
-    "cdc_apply",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "agg_collect_set",
-    "agg_corr",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_rollup",
-    # -- DISPLACEABLE stale fillers (last driver row r02;
-    # -- alphabetical; displaced BOTTOM-UP as registrations land) --
-    "events_attribution",
-    "events_gapfill_locf",
-    "events_sessionize",
-    "events_transitions",
-    "fn_json",
-    "fn_recursive_calendar",
-    "graph_pagerank",
-    "pipeline_decontaminate",
-    "pipeline_pack_sequences",
-    "pipeline_pii_redact",
-    "pipeline_quality_filter",
-    "pipeline_sample_stratified",
+    # -- round-13 displaced queue (27 names) -----------------------
+    "upsert_merge",
+    "upsert_keep_latest",
+    "udtf_split_words",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_cogrouped_reconcile",
+    "text_tfidf_topk",
+    "text_stats",
+    "text_rolling_hash",
+    "text_langid",
+    "streaming_stream_join",
+    "streaming_stateful_counter",
+    "upsert_change_stats",
+    "streaming_session_window",
+    "streaming_dedup",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_bruteforce",
+    "sim_recall_eval",
+    "search_phrase",
+    "search_bm25_topk",
+    "schema_drift_type",
+    "schema_drift_add",
+    "q21_latest_shipper",
+    "q12_priority_class",
+    "q04_order_priority",
+    "pipeline_split_by_source",
+    # -- r2-cohort spillovers (queued round 13) --------------------
+    "upsert_scd2",
+    "window_first_last",
+    # -- r3-driver-row cohort HEAD (first 21, CORRECTNESS_r03
+    # -- key order; DISPLACEABLE bottom-up if registrations land) --
+    "dedup_incremental",
+    "graph_triangles",
+    "pipeline_domain_mix",
+    "pipeline_fuzzy_match",
+    "pipeline_boilerplate_removal",
+    "pipeline_sample_weighted",
+    "pipeline_curate_e2e",
+    "pipeline_bloom_decontaminate",
+    "pipeline_snapshot_diff",
+    "dq_checks",
+    "text_winnow",
+    "text_quality",
+    "text_wordcount",
+    "text_fingerprint",
+    "text_unigram_logprob",
+    "text_repetition",
+    "events_retention_cohorts",
+    "events_funnel",
+    "events_session_window_native",
+    "events_anomaly_zscore",
+    "events_ohlc",
 )
 
 
